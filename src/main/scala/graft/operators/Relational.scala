@@ -1,0 +1,323 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational query surface (SURVEY.md §2.X Q7–Q25) over the TPC-H-ish
+  * testdata star schema, declarative DataFrame plans only — Catalyst picks
+  * join strategies (broadcast hints on the dimension tables), AQE handles
+  * skew/coalescing at scale.
+  *
+  * Float determinism policy (SURVEY §7 risk 5): any SUM over a double column
+  * casts each row to DECIMAL first, so partial aggregation order cannot
+  * change the result; the exact decimal total is then cast back to DOUBLE,
+  * which both Spark and DuckDB do identically. AVGs are computed as
+  * exact-decimal-sum / count in double. Raw doubles are only carried through
+  * per-row (order-independent) arithmetic.
+  */
+object Relational {
+
+  /** Order-insensitive exact sum of a 2-dp double column, returned as double. */
+  private def dsum(c: Column): Column = sum(c.cast("decimal(18,2)")).cast("double")
+
+  val all: Seq[Q] = Seq(
+
+    // ---- Joins (E2) -----------------------------------------------------
+
+    Q("q07_region_revenue",
+      """SELECT r_name,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |       COUNT(*) AS n_orders
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation   ON c_nationkey = n_nationkey
+        |JOIN region   ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin) { (s, dir) =>
+      Tables.orders(s, dir)
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(dsum(col("o_totalprice")).as("revenue"), count(lit(1)).as("n_orders"))
+        .orderBy(col("r_name"))
+    },
+
+    Q("q08_left_join_nulls",
+      """SELECT COUNT(*) AS n_rows,
+        |       CAST(SUM(CASE WHEN l.l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unmatched
+        |FROM orders o LEFT JOIN lineitem l ON o.o_orderkey = l.l_orderkey""".stripMargin) { (s, dir) =>
+      Tables.orders(s, dir)
+        .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"), "left")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("l_orderkey").isNull, 1L).otherwise(0L)).as("n_unmatched"))
+    },
+
+    Q("q09_semi_customers_with_orders",
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+      Tables.customer(s, dir)
+        .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    },
+
+    Q("q10_anti_parts_never_ordered",
+      """SELECT p_partkey, p_name FROM part
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem
+        |                  WHERE l_partkey = p_partkey AND l_shipdate >= TIMESTAMP '2001-01-01')
+        |ORDER BY p_partkey""".stripMargin) { (s, dir) =>
+      // Filtered to a date slice so the anti join has a non-empty result at
+      // every SF (unfiltered, every part appears in some lineitem).
+      val li = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= to_timestamp(lit("2001-01-01")))
+      Tables.part(s, dir)
+        .join(li, col("p_partkey") === col("l_partkey"), "left_anti")
+        .select("p_partkey", "p_name")
+        .orderBy("p_partkey")
+    },
+
+    Q("q11_theta_lineitem_pairs",
+      """SELECT COUNT(*) AS n_pairs
+        |FROM lineitem l1 JOIN lineitem l2
+        |  ON l1.l_orderkey = l2.l_orderkey AND l1.l_linenumber < l2.l_linenumber""".stripMargin) { (s, dir) =>
+      val li = Tables.lineitem(s, dir)
+      val l1 = li.select(col("l_orderkey"), col("l_linenumber").as("ln1"))
+      val l2 = li.select(col("l_orderkey"), col("l_linenumber").as("ln2"))
+      // Equi-join on the order key carries the pairing; the < predicate is a
+      // post-join filter, so this stays a shuffled hash/sort-merge join, not
+      // a cartesian product.
+      l1.join(l2, Seq("l_orderkey")).filter(col("ln1") < col("ln2"))
+        .agg(count(lit(1)).as("n_pairs"))
+    },
+
+    // ---- Aggregations (F4) ---------------------------------------------
+
+    Q("q12_agg_pricing_summary",
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+        |       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+        |       COUNT(*) AS count_order
+        |FROM lineitem
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, dir) =>
+      val li = Tables.lineitem(s, dir)
+      val discPrice = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+      val charge = discPrice * (lit(1.0) + col("l_tax"))
+      li.groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          sum(discPrice.cast("decimal(18,6)")).cast("double").as("sum_disc_price"),
+          sum(charge.cast("decimal(18,6)")).cast("double").as("sum_charge"),
+          (dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+          (dsum(col("l_extendedprice")) / count(lit(1))).as("avg_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+
+    Q("q13_distinct_custkeys",
+      """SELECT COUNT(DISTINCT o_custkey) AS n_cust, COUNT(*) AS n_orders
+        |FROM orders""".stripMargin) { (s, dir) =>
+      Tables.orders(s, dir)
+        .agg(countDistinct(col("o_custkey")).as("n_cust"), count(lit(1)).as("n_orders"))
+    },
+
+    // approx_count_distinct is engine-specific HLL — no exact oracle, rows-only.
+    Q.rowsOnly("q13b_approx_distinct") { (s, dir) =>
+      Tables.orders(s, dir)
+        .agg(approx_count_distinct(col("o_custkey")).as("approx_cust"),
+          countDistinct(col("o_custkey")).as("exact_cust"))
+    },
+
+    Q("q14_rollup_orders",
+      """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+        |       COALESCE(o_orderpriority, 'ALL') AS priority,
+        |       COUNT(*) AS n
+        |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+        |ORDER BY status, priority""".stripMargin) { (s, dir) =>
+      Tables.orders(s, dir)
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+        .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"), col("n"))
+        .orderBy(col("status"), col("priority"))
+    },
+
+    Q("q15_cube_orders",
+      """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+        |       COALESCE(o_orderpriority, 'ALL') AS priority,
+        |       COUNT(*) AS n,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY status, priority""".stripMargin) { (s, dir) =>
+      Tables.orders(s, dir)
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+        .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("n"), col("total"))
+        .orderBy(col("status"), col("priority"))
+    },
+
+    Q("q16_agg_empty_input",
+      """SELECT COUNT(*) AS n,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |       MIN(l_quantity) AS min_qty,
+        |       MAX(l_quantity) AS max_qty
+        |FROM lineitem WHERE l_quantity < 0""".stripMargin) { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .filter(col("l_quantity") < 0)
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"),
+          min(col("l_quantity")).as("min_qty"), max(col("l_quantity")).as("max_qty"))
+    },
+
+    // ---- Windows (G2) ---------------------------------------------------
+
+    Q("q17_rownum_top_order_per_cust",
+      """SELECT o_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS latest_date, o_totalprice
+        |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |                                   ORDER BY o_orderdate DESC, o_orderkey) AS rn
+        |      FROM orders)
+        |WHERE rn = 1 ORDER BY o_custkey""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").desc, col("o_orderkey").asc)
+      Tables.orders(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("o_custkey"), col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("latest_date"),
+          col("o_totalprice"))
+        .orderBy(col("o_custkey"))
+    },
+
+    Q("q18_lag_price_delta",
+      """SELECT o_custkey, o_orderkey,
+        |       o_totalprice - LAG(o_totalprice) OVER (PARTITION BY o_custkey
+        |                                              ORDER BY o_orderdate, o_orderkey) AS delta
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      // Per-row double subtraction of the same two operands is bit-exact in
+      // both engines; no decimal laundering needed.
+      Tables.orders(s, dir)
+        .select(col("o_custkey"), col("o_orderkey"),
+          (col("o_totalprice") - lag(col("o_totalprice"), 1).over(w)).as("delta"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    },
+
+    Q("q19_running_sum",
+      """SELECT o_custkey, o_orderkey,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+        |            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.orders(s, dir)
+        .select(col("o_custkey"), col("o_orderkey"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double").as("running"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    },
+
+    // ---- Sort / limit / top-k (H3) -------------------------------------
+
+    Q("q20_topk_orders",
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin) { (s, dir) =>
+      // orderBy+limit compiles to TakeOrderedAndProject: per-partition top-k
+      // then a k-row merge on the driver — no global sort at scale.
+      Tables.orders(s, dir)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(10)
+    },
+
+    // ---- Set operations (I) --------------------------------------------
+
+    Q("q21_union_except_months",
+      """SELECT * FROM (
+        |  (SELECT o_orderkey, o_orderstatus FROM orders WHERE strftime(o_orderdate, '%Y-%m') = '1995-03'
+        |   UNION ALL
+        |   SELECT o_orderkey, o_orderstatus FROM orders WHERE strftime(o_orderdate, '%Y-%m') = '1995-04')
+        |  EXCEPT
+        |  (SELECT o_orderkey, o_orderstatus FROM orders
+        |   WHERE strftime(o_orderdate, '%Y-%m') = '1995-03' AND o_orderstatus = 'F')
+        |) ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      val o = Tables.orders(s, dir)
+      val ym = date_format(col("o_orderdate"), "yyyy-MM")
+      val a = o.filter(ym === "1995-03").select("o_orderkey", "o_orderstatus")
+      val b = o.filter(ym === "1995-04").select("o_orderkey", "o_orderstatus")
+      val c = o.filter(ym === "1995-03" && col("o_orderstatus") === "F")
+        .select("o_orderkey", "o_orderstatus")
+      a.unionByName(b).except(c).orderBy(col("o_orderkey"))
+    },
+
+    // ---- JSON (J8) ------------------------------------------------------
+
+    Q("q22_json_extract_events",
+      """SELECT event_id, event_type,
+        |       json_extract_string(props, '$.k') AS k_str,
+        |       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+        |FROM events ORDER BY event_id""".stripMargin) { (s, dir) =>
+      Tables.events(s, dir)
+        .select(col("event_id"), col("event_type"),
+          get_json_object(col("props"), "$.k").as("k_str"),
+          get_json_object(col("props"), "$.k").cast("long").as("k_val"))
+        .orderBy(col("event_id"))
+    },
+
+    // ---- Hash functions (J10) ------------------------------------------
+
+    Q("q23_hash_digest_customers",
+      """SELECT c_custkey, sha256(c_name) AS h_sha256, md5(c_name) AS h_md5
+        |FROM customer ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+      Tables.customer(s, dir)
+        .select(col("c_custkey"), sha2(col("c_name"), 256).as("h_sha256"),
+          md5(col("c_name")).as("h_md5"))
+        .orderBy(col("c_custkey"))
+    },
+
+    // ---- Event-time windows, batch form (K) ----------------------------
+
+    Q("q24_tumbling_hourly_events",
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour_start,
+        |       COUNT(*) AS n,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(window(col("ts"), "1 hour").as("w"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .select(date_format(col("w.start"), "yyyy-MM-dd HH:00:00").as("hour_start"),
+          col("n"), col("sum_value"))
+        .orderBy(col("hour_start"))
+    },
+
+    Q("q25_session_counts",
+      """SELECT user_id,
+        |       CAST(SUM(CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+        |       COUNT(*) AS n_events
+        |FROM (SELECT user_id, epoch_us(ts) AS us,
+        |             LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_us
+        |      FROM events)
+        |GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("us").asc, col("event_id").asc)
+      val thirtyMinUs = 1800L * 1000000L
+      Tables.events(s, dir)
+        .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"))
+        .withColumn("prev_us", lag(col("us"), 1).over(w))
+        .groupBy(col("user_id"))
+        .agg(sum(when(col("prev_us").isNull || col("us") - col("prev_us") > thirtyMinUs, 1L)
+          .otherwise(0L)).as("n_sessions"),
+          count(lit(1)).as("n_events"))
+        .orderBy(col("user_id"))
+    }
+  )
+}
