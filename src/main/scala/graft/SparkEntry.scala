@@ -12,7 +12,7 @@ object SparkEntry {
 
   /** The full declared query inventory. */
   val registry: Seq[Q] =
-    operators.Relational.all
+    operators.Relational.all ++ operators.Discogs.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

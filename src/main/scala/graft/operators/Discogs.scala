@@ -1,0 +1,163 @@
+package graft.operators
+
+import graft.Q
+import graft.sources.{DiscogsLake, DiscogsXml, Manifest}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Discogs ingest queries (SURVEY.md §2.X Q1–Q6 + Q-manifest) over the
+  * hand-written XML fixtures. The parse itself is verified structurally in
+  * ScalaTest against ground truth produced by EXECUTING the reference
+  * parser (tools/make_expected.py); here each entity is additionally
+  * flattened to scalar columns so the driver's DuckDB hash-compare gets a
+  * literal-VALUES oracle (DuckDB cannot read XML — the expected rows are
+  * frozen from the reference parser's own output).
+  *
+  * Flattening rules (mirrored by tools/gen_oracle_values.py): scalars pass
+  * through (null stays NULL); list items join with '|'; struct fields join
+  * with ';'; inner description lists join with ','; null items/fields
+  * render as '∅'; every list gets a companion count column so '' (empty
+  * join) is unambiguous.
+  */
+object Discogs {
+
+  val fixturesDir = "/root/repo/src/test/resources/fixtures"
+
+  private[operators] val lakeRun = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  private val NUL = "∅"
+
+  private def jlist(arr: Column): Column =
+    array_join(transform(arr, x => coalesce(x, lit(NUL))), "|")
+
+  private def s(c: Column): Column = coalesce(c.cast("string"), lit(NUL))
+
+  private def jimages(arr: Column, widthFirst: Boolean): Column =
+    array_join(transform(arr, im =>
+      if (widthFirst)
+        concat_ws(";", s(im.getField("width")), s(im.getField("height")),
+          s(im.getField("type")), s(im.getField("uri")), s(im.getField("uri150")))
+      else
+        concat_ws(";", s(im.getField("height")), s(im.getField("width")),
+          s(im.getField("type")), s(im.getField("uri")), s(im.getField("uri150")))),
+      "|")
+
+  def artistsFlat(spark: SparkSession, path: String): DataFrame =
+    DiscogsXml.artists(spark, path).select(
+      col("id"), col("name"), col("realname"), col("profile"), col("data_quality"),
+      jlist(col("urls")).as("urls_s"), size(col("urls")).as("n_urls"),
+      jlist(col("namevariations")).as("namevariations_s"),
+      jlist(col("aliases")).as("aliases_s"),
+      jlist(col("groups")).as("groups_s"),
+      jlist(col("members")).as("members_s"),
+      jimages(col("images"), widthFirst = false).as("images_s"),
+      size(col("images")).as("n_images"))
+      .orderBy(col("id"))
+
+  def labelsFlat(spark: SparkSession, path: String): DataFrame =
+    DiscogsXml.labels(spark, path).select(
+      col("id"), col("name"), col("contactinfo"), col("profile"), col("data_quality"),
+      jimages(col("images"), widthFirst = true).as("images_s"),
+      size(col("images")).as("n_images"),
+      jlist(col("urls")).as("urls_s"), size(col("urls")).as("n_urls"),
+      jlist(col("sublabels")).as("sublabels_s"))
+      .orderBy(col("id"))
+
+  def mastersFlat(spark: SparkSession, path: String): DataFrame =
+    DiscogsXml.masters(spark, path).select(
+      col("id"), col("main_release"),
+      array_join(transform(col("artists"), a => concat_ws(";",
+        s(a.getField("id")), s(a.getField("name")), s(a.getField("anv")),
+        s(a.getField("join")), s(a.getField("role")), s(a.getField("tracks")))), "|")
+        .as("artists_s"),
+      jlist(col("genres")).as("genres_s"),
+      jlist(col("styles")).as("styles_s"),
+      col("year"), col("title"), col("data_quality"),
+      jimages(col("images"), widthFirst = false).as("images_s"),
+      array_join(transform(col("videos"), v => concat_ws(";",
+        s(v.getField("duration")), s(v.getField("embed")), s(v.getField("src")),
+        s(v.getField("title")), s(v.getField("description")))), "|")
+        .as("videos_s"))
+      .orderBy(col("id"))
+
+  def releasesFlat(spark: SparkSession, path: String): DataFrame =
+    DiscogsXml.releases(spark, path).select(
+      col("id"), col("status"), col("title"), col("country"), col("released"),
+      col("notes"),
+      jimages(col("images"), widthFirst = false).as("images_s"),
+      jlist(col("artists")).as("artists_s"),
+      array_join(transform(col("labels"), l => concat_ws(";",
+        s(l.getField("name")), s(l.getField("catno")))), "|").as("labels_s"),
+      array_join(transform(col("formats"), f => concat_ws(";",
+        s(f.getField("name")), s(f.getField("qty")),
+        array_join(transform(f.getField("descriptions"), d => coalesce(d, lit(NUL))), ","))),
+        "|").as("formats_s"),
+      jlist(col("genres")).as("genres_s"),
+      jlist(col("styles")).as("styles_s"))
+      .orderBy(col("id"))
+
+  val all: Seq[Q] = Seq(
+    Q("q01_parse_artists", DiscogsOracles.q01)((s, _) =>
+      artistsFlat(s, s"$fixturesDir/artists.xml")),
+
+    // Same fixture through the gzip codec path — identical expected rows.
+    Q("q01b_parse_artists_gz", DiscogsOracles.q01)((s, _) =>
+      artistsFlat(s, s"$fixturesDir/artists_gz.xml.gz")),
+
+    Q("q02_parse_labels", DiscogsOracles.q02)((s, _) =>
+      labelsFlat(s, s"$fixturesDir/labels.xml")),
+
+    Q("q03_parse_masters", DiscogsOracles.q03)((s, _) =>
+      mastersFlat(s, s"$fixturesDir/masters.xml")),
+
+    Q("q04_parse_releases", DiscogsOracles.q04)((s, _) =>
+      releasesFlat(s, s"$fixturesDir/releases.xml")),
+
+    // README.md:84-87 demo query, verbatim semantics.
+    Q("q05_jazz_releases", DiscogsOracles.q05)((s, _) =>
+      DiscogsXml.releases(s, s"$fixturesDir/releases.xml")
+        .filter(array_contains(col("genres"), "Jazz") && size(col("genres")) > 1)
+        .select(col("id"), col("title"))
+        .orderBy(col("id"))
+        .limit(20)),
+
+    Q("q06_genre_counts", DiscogsOracles.q06)((s, _) =>
+      DiscogsXml.releases(s, s"$fixturesDir/releases.xml")
+        .select(explode(col("genres")).as("genre"))
+        .groupBy(col("genre")).agg(count(lit(1)).as("n"))
+        .orderBy(col("genre"))),
+
+    Q("q0m_manifest", DiscogsOracles.q0m) { (s, _) =>
+      val files = s.read.text(s"$fixturesDir/manifest_keys.txt")
+        .select(col("value").as("path"))
+      val cs = s.read.text(s"$fixturesDir/checksum_contents.txt")
+        .select(
+          substring_index(col("value"), "\t", 1).as("src"),
+          substring_index(col("value"), "\t", -1).as("line"))
+      Manifest.organize(files, cs)
+    },
+
+    // Parse -> partitioned lake write -> partition-pruned read-back
+    // (A12 + A15): two month partitions written, one read back.
+    Q("q0l_lake_roundtrip", DiscogsOracles.q0l) { (s, _) =>
+      // Each invocation writes a fresh lake dir: plans returned by earlier
+      // invocations hold a file index over their own files, so re-using (and
+      // wiping) one dir would invalidate a still-live sibling plan.
+      val base = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_lake_fixture_${Discogs.lakeRun.incrementAndGet()}").toString
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles.foreach(rm)
+        f.delete(): Unit
+      }
+      rm(new java.io.File(base))
+      val rel = DiscogsXml.releases(s, s"$fixturesDir/releases.xml")
+      DiscogsLake.writeDump(rel, base, "release", 1996, "03")
+      DiscogsLake.writeDump(rel, base, "release", 1996, "04")
+      DiscogsLake.read(s, base, "release")
+        .filter(col("month") === "04")
+        .groupBy(col("year"), col("month"))
+        .agg(count(lit(1)).as("n"), sum(size(col("genres"))).as("n_genres"))
+        .orderBy(col("year"), col("month"))
+    }
+  )
+}

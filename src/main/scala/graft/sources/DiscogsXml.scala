@@ -1,0 +1,181 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Discogs XML -> typed DataFrame ingest (reference parser.py:30-169),
+  * Spark-first: the record split + parse is Spark 4's built-in XML source
+  * (splittable scan), and the reference's per-entity projection semantics
+  * become pure Column expressions — no UDFs, fully codegen'd.
+  *
+  * Fidelity rules reproduced (SURVEY.md §7 risk list):
+  *  - absent/empty numeric element or attribute => 0 (parser.py:32,43-44,57,61,83-84,102)
+  *  - absent text => null; present-but-empty text element => "" (findtext)
+  *  - text items inside lists: empty => null (`.text` of an empty element)
+  *  - absent list wrapper => [] (never null)
+  *  - `formats.qty`: string, absent/empty attr => "1" (parser.py:137)
+  *  - `videos.embed` == (attr == "true"), null-safe false (parser.py:93)
+  *  - whitespace runs collapse to one space on the artist/master/release
+  *    path (clean_xml_bytes, utils.py:7-37 via process.py:323) but NOT on
+  *    the label path, which only scrubs invalid control chars
+  *    (process.py:262-266) — handled by [[XmlCleaner]] pre-parse.
+  */
+object DiscogsXml {
+  import DiscogsSchemas._
+
+  /** Post-parse equivalent of the reference's pre-parse whitespace collapse:
+    * `re.sub(r'\s+', ' ', fragment)` — Python `\s` is Unicode-aware, hence
+    * the (?U) flag. No trim: the reference strips the fragment, not fields,
+    * so interior leading/trailing spaces survive.
+    */
+  private val collapseWs: Column => Column =
+    c => regexp_replace(c, "(?U)\\s+", " ")
+
+  private val identity: Column => Column = c => c
+
+  private def emptyToNull(c: Column): Column =
+    when(length(c) === 0, lit(null).cast("string")).otherwise(c)
+
+  /** int(x or 0): null/empty/non-numeric => 0. The rlike guard keeps the
+    * cast lazy so ANSI mode (Spark 4 default) cannot throw.
+    */
+  private def numOr0(c: Column, t: String): Column =
+    coalesce(when(c.rlike("^-?\\d+$"), c.cast(t)), lit(0).cast(t))
+
+  /** [x.text for x in findall(...)]: absent wrapper => [], empty item => null. */
+  private def textList(c: Column, clean: Column => Column): Column =
+    coalesce(transform(c, x => clean(emptyToNull(x))),
+      expr(s"CAST(array() AS $strArrDdl)"))
+
+  private def imageList(c: Column, widthFirst: Boolean, clean: Column => Column): Column = {
+    val ddl = if (widthFirst) labelImageOutDdl else imageOutDdl
+    coalesce(
+      transform(c, im => {
+        val h = numOr0(im.getField("_height"), "int").as("height")
+        val w = numOr0(im.getField("_width"), "int").as("width")
+        val rest = Seq(clean(im.getField("_type")).as("type"),
+          clean(im.getField("_uri")).as("uri"),
+          clean(im.getField("_uri150")).as("uri150"))
+        if (widthFirst) struct((Seq(w, h) ++ rest): _*)
+        else struct((Seq(h, w) ++ rest): _*)
+      }),
+      expr(s"CAST(array() AS $ddl)"))
+  }
+
+  def readRaw(spark: SparkSession, path: String, entity: String): DataFrame =
+    spark.read.format("xml")
+      .option("rowTag", rowTags(entity))
+      .option("attributePrefix", "_")
+      .option("ignoreSurroundingSpaces", "false")
+      .schema(entity match {
+        case "artist" => artistRaw
+        case "label" => labelRaw
+        case "master" => masterRaw
+        case "release" => releaseRaw
+      })
+      .load(path)
+
+  /** parser.py:146-169 */
+  def artists(spark: SparkSession, path: String): DataFrame = {
+    val c = collapseWs
+    readRaw(spark, path, "artist").select(
+      numOr0(col("id"), "bigint").as("id"),
+      c(col("name")).as("name"),
+      c(col("realname")).as("realname"),
+      c(col("profile")).as("profile"),
+      c(col("data_quality")).as("data_quality"),
+      textList(col("urls.url"), c).as("urls"),
+      textList(col("namevariations.name"), c).as("namevariations"),
+      textList(col("aliases.name"), c).as("aliases"),
+      textList(col("groups.name"), c).as("groups"),
+      textList(col("members.name"), c).as("members"),
+      imageList(col("images.image"), widthFirst = false, c).as("images"))
+  }
+
+  /** parser.py:30-52; label path has no whitespace collapse, only the
+    * control-char scrub which [[XmlCleaner]] applies pre-parse.
+    */
+  def labels(spark: SparkSession, path: String): DataFrame = {
+    val cleaned = XmlCleaner.cleanToTemp(path)
+    val c = identity
+    readRaw(spark, cleaned, "label").select(
+      numOr0(col("id"), "bigint").as("id"),
+      col("name").as("name"),
+      col("contactinfo").as("contactinfo"),
+      col("profile").as("profile"),
+      col("data_quality").as("data_quality"),
+      imageList(col("images.image"), widthFirst = true, c).as("images"),
+      textList(col("urls.url"), c).as("urls"),
+      textList(col("sublabels.label"), c).as("sublabels"))
+  }
+
+  /** parser.py:54-98; id comes from the `id` attribute. */
+  def masters(spark: SparkSession, path: String): DataFrame = {
+    val c = collapseWs
+    readRaw(spark, path, "master").select(
+      numOr0(col("_id"), "bigint").as("id"),
+      numOr0(col("main_release"), "bigint").as("main_release"),
+      coalesce(
+        transform(col("artists.artist"), a => struct(
+          numOr0(a.getField("id"), "bigint").as("id"),
+          c(a.getField("name")).as("name"),
+          c(a.getField("anv")).as("anv"),
+          c(a.getField("join")).as("join"),
+          c(a.getField("role")).as("role"),
+          c(a.getField("tracks")).as("tracks"))),
+        expr(s"CAST(array() AS $masterArtistOutDdl)")).as("artists"),
+      textList(col("genres.genre"), c).as("genres"),
+      textList(col("styles.style"), c).as("styles"),
+      numOr0(col("year"), "int").as("year"),
+      c(col("title")).as("title"),
+      c(col("data_quality")).as("data_quality"),
+      imageList(col("images.image"), widthFirst = false, c).as("images"),
+      coalesce(
+        transform(col("videos.video"), v => struct(
+          numOr0(v.getField("_duration"), "int").as("duration"),
+          coalesce(v.getField("_embed") === "true", lit(false)).as("embed"),
+          c(v.getField("_src")).as("src"),
+          c(v.getField("title")).as("title"),
+          c(v.getField("description")).as("description"))),
+        expr(s"CAST(array() AS $videoOutDdl)")).as("videos"))
+  }
+
+  /** parser.py:100-144; id/status are attributes; artists project to names
+    * only (parser.py:125-126); formats.qty stays a string, default "1".
+    */
+  def releases(spark: SparkSession, path: String): DataFrame = {
+    val c = collapseWs
+    readRaw(spark, path, "release").select(
+      numOr0(col("_id"), "bigint").as("id"),
+      c(col("_status")).as("status"),
+      c(col("title")).as("title"),
+      c(col("country")).as("country"),
+      c(col("released")).as("released"),
+      c(col("notes")).as("notes"),
+      imageList(col("images.image"), widthFirst = false, c).as("images"),
+      coalesce(transform(col("artists.artist"), a => c(a.getField("name"))),
+        expr(s"CAST(array() AS $strArrDdl)")).as("artists"),
+      coalesce(
+        transform(col("labels.label"), l => struct(
+          c(l.getField("_name")).as("name"),
+          c(l.getField("_catno")).as("catno"))),
+        expr(s"CAST(array() AS $releaseLabelOutDdl)")).as("labels"),
+      coalesce(
+        transform(col("formats.format"), f => struct(
+          c(f.getField("_name")).as("name"),
+          coalesce(emptyToNull(f.getField("_qty")), lit("1")).as("qty"),
+          textList(f.getField("descriptions").getField("description"), c)
+            .as("descriptions"))),
+        expr(s"CAST(array() AS $releaseFormatOutDdl)")).as("formats"),
+      textList(col("genres.genre"), c).as("genres"),
+      textList(col("styles.style"), c).as("styles"))
+  }
+
+  def read(spark: SparkSession, path: String, entity: String): DataFrame =
+    entity match {
+      case "artist" => artists(spark, path)
+      case "label" => labels(spark, path)
+      case "master" => masters(spark, path)
+      case "release" => releases(spark, path)
+    }
+}
