@@ -12,7 +12,9 @@ object SparkEntry {
 
   /** The full declared query inventory. */
   val registry: Seq[Q] =
-    operators.Relational.all ++ operators.Discogs.all
+    operators.Relational.all ++ operators.Discogs.all ++
+      operators.Dedup.all ++ operators.Similarity.all ++
+      operators.TextAnalysis.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

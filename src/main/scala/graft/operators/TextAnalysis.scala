@@ -1,0 +1,177 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import graft.functions.TextFns._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over `documents` — token statistics, quality
+  * scoring, n-gram language identification, and rolling-hash document
+  * fingerprinting (SURVEY.md §2 north-star).
+  *
+  * All four are embarrassingly parallel scan+project plans (no shuffle
+  * except the final presentation sort / group), which is exactly what a
+  * 100 TB corpus pass needs: one vectorized parquet scan, whole-stage
+  * codegen'd per-row expressions, write out. Scores that involve division
+  * are floor-scaled to 1e-6 integers so the DuckDB comparison is exact.
+  */
+object TextAnalysis {
+
+  /** Stopword profiles for the n-gram language-ID heuristic. Tiny,
+    * hard-coded, deterministic — the real-world analogue ships larger
+    * profiles as a broadcast lookup; the operator shape is identical. */
+  val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein"),
+    "es" -> Seq("el", "la", "de", "y", "es", "un"),
+    "fr" -> Seq("le", "la", "de", "et", "est", "un"),
+    "zh" -> Seq("de5", "shi4", "zai4", "le5"))
+
+  val stopwordsEn: Seq[String] =
+    Seq("the", "a", "of", "and", "to", "in", "is", "it", "that", "for")
+
+  private def toksCol: Column = tokens(col("text"))
+
+  val all: Seq[Q] = Seq(
+
+    // Token counting: whitespace tokens plus a BPE-ish subword estimate
+    // (alternating vowel/consonant boundary count via regex) — both pure
+    // per-row expressions.
+    Q("qt01_token_stats",
+      s"""SELECT doc_id,
+         |       len(${sqlTokens("text")}) AS n_tokens,
+         |       len(${sqlTokenSet("text")}) AS n_unique,
+         |       CAST(length(regexp_replace(text, '[^aeiou]', '', 'g')) AS BIGINT) AS n_vowels,
+         |       CAST(length(text) AS BIGINT) AS n_chars_m,
+         |       n_chars
+         |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          size(toksCol).cast("long").as("n_tokens"),
+          size(tokenSet(col("text"))).cast("long").as("n_unique"),
+          length(regexp_replace(col("text"), "[^aeiou]", "")).cast("long").as("n_vowels"),
+          length(col("text")).cast("long").as("n_chars_m"),
+          col("n_chars"))
+        .orderBy("doc_id")
+    },
+
+    // Quality scoring: mean token length, type/token ratio, stopword
+    // ratio, and a composite score — the standard cheap pre-training
+    // filters. All ratios emitted as e6 integers.
+    Q("qt02_quality_scores", {
+      val toks = sqlTokens("text")
+      val tset = sqlTokenSet("text")
+      val stops = stopwordsEn.map(w => s"'$w'").mkString("[", ", ", "]")
+      val nStop = s"len(list_filter($toks, t -> list_contains($stops, t)))"
+      s"""SELECT doc_id,
+         |       ${sqlE6(s"CAST(length(replace(trim(text), ' ', '')) AS DOUBLE) / len($toks)")} AS mean_tok_len_e6,
+         |       ${sqlE6(s"CAST(len($tset) AS DOUBLE) / len($toks)")} AS ttr_e6,
+         |       ${sqlE6(s"CAST($nStop AS DOUBLE) / len($toks)")} AS stop_ratio_e6,
+         |       CASE WHEN len($toks) >= 10 AND 10 * $nStop >= len($toks) THEN 1 ELSE 0 END AS keep
+         |FROM documents ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      val nTok = size(toksCol)
+      val nStop = size(filter(toksCol, t =>
+        array_contains(array(stopwordsEn.map(lit): _*), t)))
+      // mean token length from total non-space chars / token count: one
+      // regexp-free replace, no second tokenization pass.
+      val charsNoSpace = length(regexp_replace(trim(col("text")), " ", ""))
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          e6(charsNoSpace.cast("double") / nTok).as("mean_tok_len_e6"),
+          e6(size(tokenSet(col("text"))).cast("double") / nTok).as("ttr_e6"),
+          e6(nStop.cast("double") / nTok).as("stop_ratio_e6"),
+          when(nTok >= 10 && nStop * 10 >= nTok, lit(1L)).otherwise(lit(0L)).as("keep"))
+        .orderBy("doc_id")
+    },
+
+    // Language ID: score each profile by stopword-set overlap with the
+    // document's token set; argmax with profile-order tiebreak, 'und'
+    // when nothing matches. Deterministic heuristic, same CASE cascade in
+    // both engines.
+    Q("qt03_langid", {
+      val tset = sqlTokenSet("text")
+      val scores = langProfiles.map { case (l, ws) =>
+        l -> s"len(list_intersect($tset, ${ws.map(w => s"'$w'").mkString("[", ", ", "]")}))"
+      }
+      val cascade = {
+        // lang_guess = the first profile whose score equals the max and > 0
+        val maxExpr = s"greatest(${scores.map(_._2).mkString(", ")})"
+        val whens = scores.map { case (l, sc) =>
+          s"WHEN $maxExpr > 0 AND $sc = $maxExpr THEN '$l'"
+        }.mkString(" ")
+        s"CASE $whens ELSE 'und' END"
+      }
+      s"""SELECT doc_id, lang AS lang_label, $cascade AS lang_guess,
+         |       ${scores.map { case (l, sc) => s"CAST($sc AS BIGINT) AS score_$l" }.mkString(", ")}
+         |FROM documents ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      val tset = tokenSet(col("text"))
+      val scores: Seq[(String, Column)] = langProfiles.map { case (l, ws) =>
+        l -> size(array_intersect(tset, array(ws.map(lit): _*)))
+      }
+      val maxScore = greatest(scores.map(_._2): _*)
+      // First profile (in declaration order) reaching the max wins —
+      // mirrors the SQL WHEN cascade.
+      val guessOrdered = scores.foldRight(lit("und"): Column) {
+        case ((l, sc), els) => when(maxScore > 0 && sc === maxScore, lit(l)).otherwise(els)
+      }
+      Tables.documents(s, dir)
+        .select(col("doc_id") +: col("lang").as("lang_label") +: guessOrdered.as("lang_guess") +:
+          scores.map { case (l, sc) => sc.cast("long").as(s"score_$l") }: _*)
+        .orderBy("doc_id")
+    },
+
+    // Document fingerprinting: polynomial rolling hash over word
+    // 3-grams; keep hashes ≡ 0 (mod 8) — a deterministic mod-p sketch
+    // (winnowing's cheaper cousin). Emitted as a joined string so the
+    // whole sketch is one comparable value.
+    Q("qt04_fingerprints", {
+      val toks = sqlTokens("text")
+      val hs = s"[ ${sqlTokenHash("t")} for t in $toks ]"
+      s"""WITH h AS (SELECT doc_id, $hs AS hs FROM documents)
+         |SELECT doc_id,
+         |       COALESCE(array_to_string(list_sort(list_distinct(
+         |         list_filter([ (hs[i]*961 + hs[i+1]*31 + hs[i+2]) % ${P1}
+         |                       for i in range(1, len(hs) - 1) ],
+         |                     g -> g % 8 = 0))), ','), '') AS fp,
+         |       len(list_distinct(
+         |         list_filter([ (hs[i]*961 + hs[i+1]*31 + hs[i+2]) % ${P1}
+         |                       for i in range(1, len(hs) - 1) ],
+         |                     g -> g % 8 = 0))) AS n_fp
+         |FROM h ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      val hs = transform(toksCol, tokenHash(_))
+      // 1-based element_at mirrors DuckDB's 1-based list indexing; range
+      // i in [1, len-2] yields all 3-gram start positions.
+      val grams = transform(sequence(lit(1), size(hs) - 2), i =>
+        (element_at(hs, i) * 961L + element_at(hs, i + 1) * 31L + element_at(hs, i + 2)) % P1)
+      val sel = array_sort(array_distinct(filter(grams, g => g % 8 === 0)))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"))
+        .select(col("doc_id"),
+          array_join(sel, ",").as("fp"),
+          size(sel).cast("long").as("n_fp"))
+        .orderBy("doc_id")
+    },
+
+    // Corpus-level language stats over the labeled column (the group-by
+    // companion to the per-row analyses).
+    Q("qt05_lang_corpus_stats",
+      s"""SELECT lang, COUNT(*) AS n_docs,
+         |       CAST(SUM(len(${sqlTokens("text")})) AS BIGINT) AS n_tokens,
+         |       CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+         |       CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+         |       CAST(MAX(n_chars) AS BIGINT) AS max_chars
+         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
+      Tables.documents(s, dir)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(toksCol)).as("n_tokens"),
+          sum(col("n_chars")).as("n_chars"),
+          min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars"))
+        .orderBy("lang")
+    }
+  )
+}

@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Self-checks for the training-data-pipeline operators (dedup,
+  * similarity, text analysis) that go beyond the DuckDB hash gate:
+  * blocking losslessness, LSH recall, and score sanity.
+  */
+class NorthStarSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("qn03 prefix filtering is lossless vs brute-force jaccard") {
+    val blocked = SparkEntry.queries("qn03_jaccard_pairs")(spark, sf)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // Brute force over all pairs with the same integer threshold.
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), graft.functions.TextFns.tokenSet(col("text")).as("toks"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet)
+    val brute = (for {
+      (ida, ta) <- docs; (idb, tb) <- docs if ida < idb
+      inter = (ta & tb).size
+      uni = ta.size + tb.size - inter
+      if 5 * inter >= 3 * uni
+    } yield (ida, idb)).toSet
+    assert(blocked == brute)
+  }
+
+  test("qn06 simhash chunk-banding finds every pair with hamming <= 3") {
+    val banded = SparkEntry.queries("qn06_simhash_near_pairs")(spark, sf)
+      .select("doc_a", "doc_b", "hamming").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val sh = SparkEntry.queries("qn05_simhash_values")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val brute = (for {
+      (ida, ha) <- sh; (idb, hb) <- sh if ida < idb
+      d = java.lang.Long.bitCount(ha ^ hb)
+      if d <= 3
+    } yield (ida, idb) -> d.toLong).toMap
+    assert(banded == brute)
+  }
+
+  test("qn07 exact cosine top-k: 5 neighbors per probe, scores descending") {
+    val rows = SparkEntry.queries("qn07_cosine_topk")(spark, sf).collect()
+    assert(rows.length == 50)
+    rows.groupBy(_.getLong(0)).foreach { case (_, g) =>
+      val scores = g.sortBy(_.getLong(1)).map(_.getAs[Long]("score_e6"))
+      assert(scores.sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
+    }
+  }
+
+  test("qn09 ANN recall vs exact top-k is usable (>= 0.5 on synthetic data)") {
+    def keySet(name: String) = SparkEntry.queries(name)(spark, sf)
+      .select("probe_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = keySet("qn07_cosine_topk")
+    val ann = keySet("qn09_ann_lsh_topk")
+    val recall = (exact & ann).size.toDouble / exact.size
+    assert(recall >= 0.5, s"ANN recall $recall")
+    // ANN may return fewer than k when buckets are sparse, never more.
+    assert(ann.groupBy(_._1).forall(_._2.size <= 5))
+  }
+
+  test("qn04 minhash agreement correlates with true jaccard on dup-ish pairs") {
+    val mh = SparkEntry.queries("qn04_minhash_lsh_pairs")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Number]("n_agree").longValue()).toMap
+    assert(mh.nonEmpty)
+    // Signature agreement is an unbiased estimator of jaccard: for pairs
+    // with n_agree = 64 the true jaccard must be high; spot-check one.
+    val full = mh.filter(_._2 == 64L)
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), graft.functions.TextFns.tokenSet(col("text")).as("toks"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    full.take(5).foreach { case ((a, b), _) =>
+      val (ta, tb) = (docs(a), docs(b))
+      val j = (ta & tb).size.toDouble / (ta | tb).size
+      assert(j > 0.8, s"pair ($a,$b) n_agree=64 but jaccard=$j")
+    }
+  }
+
+  test("qt02 quality ratios are in [0, 1e6]") {
+    SparkEntry.queries("qt02_quality_scores")(spark, sf).collect().foreach { r =>
+      val ttr = r.getAs[Long]("ttr_e6")
+      val stop = r.getAs[Long]("stop_ratio_e6")
+      assert(ttr >= 0 && ttr <= 1000000)
+      assert(stop >= 0 && stop <= 1000000)
+    }
+  }
+
+  test("qt03 langid emits a guess for every document") {
+    val rows = SparkEntry.queries("qt03_langid")(spark, sf).collect()
+    assert(rows.length == Tables.documents(spark, sf).count())
+    assert(rows.forall(r => r.getAs[String]("lang_guess").nonEmpty))
+  }
+}
