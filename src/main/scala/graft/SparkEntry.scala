@@ -14,7 +14,7 @@ object SparkEntry {
   val registry: Seq[Q] =
     operators.Relational.all ++ operators.Discogs.all ++
       operators.Dedup.all ++ operators.Similarity.all ++
-      operators.TextAnalysis.all
+      operators.TextAnalysis.all ++ operators.Streaming.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
