@@ -14,7 +14,8 @@ object SparkEntry {
   val registry: Seq[Q] =
     operators.Relational.all ++ operators.Discogs.all ++
       operators.Dedup.all ++ operators.Similarity.all ++
-      operators.TextAnalysis.all ++ operators.Streaming.all
+      operators.TextAnalysis.all ++ operators.Streaming.all ++
+      operators.Multimodal.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
