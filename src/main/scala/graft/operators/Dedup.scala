@@ -121,9 +121,12 @@ object Dedup {
          |WHERE a.doc_id < b.doc_id AND len(list_intersect(a.bands, b.bands)) > 0
          |ORDER BY doc_a, doc_b""".stripMargin
     }) { (s, dir) =>
+      // Token-hash array materialized in its own projection: minhashSig
+      // references it 64 times, and an inlined expression would be
+      // re-evaluated (full re-hash of every token) per permutation.
       val sig = tokenized(s, dir)
-        .select(col("doc_id"),
-          minhashSig(transform(col("toks"), tokenHash(_)), 64).as("sig"))
+        .select(col("doc_id"), transform(col("toks"), tokenHash(_)).as("hs"))
+        .select(col("doc_id"), minhashSig(col("hs"), 64).as("sig"))
       // Narrow-first: the band self-join and the pair-dedup shuffle move
       // only (doc_a, doc_b) ints; the 64-long signatures rejoin AFTER the
       // distinct (sig is per-doc, i.e. broadcast-sized relative to the
@@ -152,8 +155,8 @@ object Dedup {
          |FROM t ORDER BY doc_id""".stripMargin
     }) { (s, dir) =>
       tokenized(s, dir)
-        .select(col("doc_id"),
-          simhash(transform(col("toks"), tokenHash60(_))).as("simhash"))
+        .select(col("doc_id"), transform(col("toks"), tokenHash60(_)).as("hs"))
+        .select(col("doc_id"), simhash(col("hs")).as("simhash"))
         .orderBy("doc_id")
     },
 
@@ -172,8 +175,8 @@ object Dedup {
          |ORDER BY doc_a, doc_b""".stripMargin
     }) { (s, dir) =>
       val sh = tokenized(s, dir)
-        .select(col("doc_id"),
-          simhash(transform(col("toks"), tokenHash60(_))).as("simhash"))
+        .select(col("doc_id"), transform(col("toks"), tokenHash60(_)).as("hs"))
+        .select(col("doc_id"), simhash(col("hs")).as("simhash"))
       val chunked = sh.select(col("doc_id"), col("simhash"),
         explode(array((0 until 4).map(c => concat_ws(":", lit(c),
           shiftright(col("simhash"), c * 15).bitwiseAND(lit((1L << 15) - 1)))): _*))

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{Q, Tables}
 import graft.functions.TextFns._
+import graft.functions.VectorExprs.{dotNative, l2normNative}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -29,7 +30,7 @@ object Similarity {
 
   private def vecs(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("embedding"), l2norm(col("embedding")).as("nrm"))
+      .select(col("vec_id"), col("embedding"), l2normNative(col("embedding")).as("nrm"))
 
   private def sqlVecs =
     s"SELECT vec_id, embedding, ${sqlL2norm("embedding")} AS nrm FROM embeddings"
@@ -61,7 +62,7 @@ object Similarity {
         .select(col("vec_id").as("probe_id"), col("embedding").as("pe"), col("nrm").as("pn"))
       val scored = v.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
         .select(col("probe_id"), col("vec_id"),
-          e6(cosine(dot(col("pe"), col("embedding")), col("pn"), col("nrm"))).as("score_e6"))
+          e6(cosine(dotNative(col("pe"), col("embedding")), col("pn"), col("nrm"))).as("score_e6"))
       val w = Window.partitionBy(col("probe_id"))
         .orderBy(col("score_e6").desc, col("vec_id").asc)
       scored.withColumn("rnk", row_number().over(w))
@@ -86,7 +87,7 @@ object Similarity {
       val b = v.select(col("vec_id").as("vec_b"), col("embedding").as("eb"), col("nrm").as("nb"))
       a.join(b, col("vec_a") < col("vec_b"))
         .select(col("vec_a"), col("vec_b"),
-          e6(cosine(dot(col("ea"), col("eb")), col("na"), col("nb"))).as("score_e6"))
+          e6(cosine(dotNative(col("ea"), col("eb")), col("na"), col("nb"))).as("score_e6"))
         .filter(col("score_e6") >= 990000)
         .orderBy("vec_a", "vec_b")
     },
@@ -136,7 +137,7 @@ object Similarity {
       .orderBy(col("score_e6").desc, col("vec_id").asc)
     cands
       .select(col("probe_id"), col("vec_id"),
-        e6(cosine(dot(col("pe"), col("embedding")), col("pn"), col("nrm"))).as("score_e6"))
+        e6(cosine(dotNative(col("pe"), col("embedding")), col("pn"), col("nrm"))).as("score_e6"))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("probe_id"), col("rnk").cast("long").as("rnk"), col("vec_id"), col("score_e6"))

@@ -141,17 +141,24 @@ object TextAnalysis {
          |                     g -> g % 8 = 0))) AS n_fp
          |FROM h ORDER BY doc_id""".stripMargin
     }) { (s, dir) =>
-      val hs = transform(toksCol, tokenHash(_))
+      // Each stage lands in its own projection so the array computes ONCE
+      // per row: inlining `hs` into the per-gram element_at lambda makes
+      // Spark re-evaluate the whole token-hash array per access — O(sz^2)
+      // re-hashing that benched ~50x slower at sf0.1.
+      val hsCol = transform(toksCol, tokenHash(_))
       // 1-based element_at mirrors DuckDB's 1-based list indexing; range
       // i in [1, len-2] yields all 3-gram start positions.
-      val grams = transform(sequence(lit(1), size(hs) - 2), i =>
-        (element_at(hs, i) * 961L + element_at(hs, i + 1) * 31L + element_at(hs, i + 2)) % P1)
-      val sel = array_sort(array_distinct(filter(grams, g => g % 8 === 0)))
+      val gramsCol = transform(sequence(lit(1), size(col("hs")) - 2), i =>
+        (element_at(col("hs"), i) * 961L + element_at(col("hs"), i + 1) * 31L
+          + element_at(col("hs"), i + 2)) % P1)
       Tables.documents(s, dir)
-        .select(col("doc_id"), col("text"))
+        .select(col("doc_id"), hsCol.as("hs"))
+        .select(col("doc_id"), gramsCol.as("grams"))
         .select(col("doc_id"),
-          array_join(sel, ",").as("fp"),
-          size(sel).cast("long").as("n_fp"))
+          array_sort(array_distinct(filter(col("grams"), g => g % 8 === 0))).as("sel"))
+        .select(col("doc_id"),
+          array_join(col("sel"), ",").as("fp"),
+          size(col("sel")).cast("long").as("n_fp"))
         .orderBy("doc_id")
     },
 

@@ -1,0 +1,55 @@
+package graft
+
+import graft.functions.TextFns
+import graft.functions.VectorExprs.dotNative
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class VectorExprsSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def df = {
+    import spark.implicits._
+    Seq(
+      (Seq(1.0f, 2.0f, 3.0f), Seq(4.0f, 5.0f, 6.0f)),
+      (Seq(0.1f, -0.2f), Seq(0.3f, 0.4f)),
+      (Seq.empty[Float], Seq.empty[Float])
+    ).toDF("a", "b")
+  }
+
+  test("native dot matches the higher-order-function fold bit for bit") {
+    val rows = df.select(
+      dotNative(col("a"), col("b")).as("native"),
+      TextFns.dot(col("a"), col("b")).as("hof")).collect()
+    rows.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)))
+    }
+  }
+
+  test("null array, null element, and length mismatch all yield null") {
+    import spark.implicits._
+    val d = Seq(
+      (Some(Seq(Some(1.0f))), None: Option[Seq[Option[Float]]]),
+      (Some(Seq(Some(1.0f), None)), Some(Seq(Some(1.0f), Some(2.0f)))),
+      (Some(Seq(Some(1.0f))), Some(Seq(Some(1.0f), Some(2.0f))))
+    ).toDF("a", "b")
+    val got = d.select(dotNative(col("a"), col("b"))).collect().map(_.isNullAt(0))
+    assert(got.forall(identity))
+    // And the HOF form agrees on the same inputs.
+    val hof = d.select(TextFns.dot(col("a"), col("b"))).collect().map(_.isNullAt(0))
+    assert(hof.forall(identity))
+  }
+
+  test("interpreted eval agrees with codegen") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    val la = Literal.create(new GenericArrayData(Array(1.0f, 2.0f)), ArrayType(FloatType))
+    val lb = Literal.create(new GenericArrayData(Array(3.0f, 4.0f)), ArrayType(FloatType))
+    val interp = graft.functions.DotProductFF(la, lb).eval(null)
+    assert(interp == 11.0)
+    val viaDf = df.limit(1).select(dotNative(col("a"), col("b"))).collect()(0).getDouble(0)
+    assert(viaDf == 32.0)
+  }
+}
