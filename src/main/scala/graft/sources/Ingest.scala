@@ -1,0 +1,40 @@
+package graft.sources
+
+import java.io.{BufferedInputStream, FileInputStream}
+import java.security.MessageDigest
+
+/** Ingest-side utilities mirroring the reference's download/verify layer
+  * (SURVEY.md §2.A2/A3, §2.B7, §2.D4). Downloading itself is delegated to
+  * whatever moves bytes near the cluster (distcp, S3 replication, a plain
+  * HTTP fetch); these are the pure pieces the pipeline logic needs.
+  */
+object Ingest {
+
+  /** URL -> entity type by substring match (reference utils.py:64-68:
+    * first DISCOGS_CONFIGS key contained in the URL). */
+  def detectDataType(url: String): Option[String] =
+    Seq("artists" -> "artist", "labels" -> "label",
+      "masters" -> "master", "releases" -> "release")
+      .collectFirst { case (k, v) if url.contains(k) => v }
+
+  /** Gzip magic-byte sniff (utils.py:60-61). */
+  def isGzip(head: Array[Byte]): Boolean =
+    head.length >= 2 && head(0) == 0x1f.toByte && head(1) == 0x8b.toByte
+
+  /** Streaming file digest (process.py:117-127): constant memory, one
+    * pass. `algo` in sha-256 / sha-1 / md5 / sha-512 (JCE names). */
+  def checksumFile(path: String, algo: String = "SHA-256"): String = {
+    val md = MessageDigest.getInstance(algo)
+    val in = new BufferedInputStream(new FileInputStream(path), 64 * 1024)
+    try {
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n > 0) { md.update(buf, 0, n); n = in.read(buf) }
+    } finally in.close()
+    md.digest().map("%02x".format(_)).mkString
+  }
+
+  /** Case-insensitive checksum compare (process.py:164-169, io.py:375). */
+  def verifyChecksum(path: String, expected: String, algo: String = "SHA-256"): Boolean =
+    expected.nonEmpty && checksumFile(path, algo).equalsIgnoreCase(expected.trim)
+}
