@@ -93,7 +93,9 @@ object Dedup {
         .filter(col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
         .distinct()
-      val inter = size(array_intersect(col("ta"), col("tb")))
+      // Merge-walk intersection count (custom codegen expression): the
+      // token sets are array_sort'ed, so |A∩B| needs no hash set.
+      val inter = graft.functions.SortedIntersectCount(col("ta"), col("tb"))
       val uni = col("sza") + col("szb") - inter
       cands
         .join(broadcast(t.select(col("doc_id").as("doc_a"), col("toks").as("ta"), col("sz").as("sza"))), "doc_a")

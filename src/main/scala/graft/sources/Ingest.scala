@@ -37,4 +37,19 @@ object Ingest {
   /** Case-insensitive checksum compare (process.py:164-169, io.py:375). */
   def verifyChecksum(path: String, expected: String, algo: String = "SHA-256"): Boolean =
     expected.nonEmpty && checksumFile(path, algo).equalsIgnoreCase(expected.trim)
+
+  /** Ranged-download chunk plan (io.py:219-236): split `totalSize` into
+    * `maxWorkers*4` target chunks, clamped to [minChunk, chunkSize];
+    * returns inclusive byte ranges for `Range:` headers. Pure math — the
+    * transport (java.net.http / S3A ranged GETs) plugs in around it. */
+  def splitChunks(totalSize: Long, maxWorkers: Int = 8,
+      chunkSize: Long = 8L * 1024 * 1024,
+      minChunk: Long = 1L * 1024 * 1024): Seq[(Long, Long)] = {
+    require(totalSize >= 0)
+    if (totalSize == 0) return Seq.empty
+    val target = math.max(1L, totalSize / math.max(1, maxWorkers * 4))
+    val size = math.min(chunkSize, math.max(minChunk, target))
+    (0L until totalSize by size).map(start =>
+      (start, math.min(start + size, totalSize) - 1))
+  }
 }

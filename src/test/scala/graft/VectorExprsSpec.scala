@@ -52,4 +52,30 @@ class VectorExprsSpec extends AnyFunSuite {
     val viaDf = df.limit(1).select(dotNative(col("a"), col("b"))).collect()(0).getDouble(0)
     assert(viaDf == 32.0)
   }
+
+  test("sorted intersect count equals size(array_intersect) on real token sets") {
+    val toks = Tables.documents(spark, sf).select(
+      graft.functions.TextFns.tokenSet(col("text")).as("t"))
+    val pairs = toks.limit(40).crossJoin(toks.limit(40).select(col("t").as("u")))
+    val rows = pairs.select(
+      graft.functions.SortedIntersectCount(col("t"), col("u")).as("merge"),
+      size(array_intersect(col("t"), col("u"))).as("builtin")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getInt(0) == r.getInt(1)))
+  }
+
+  test("sorted intersect count edge cases") {
+    import spark.implicits._
+    val d = Seq(
+      (Seq("a", "b", "c"), Seq("b", "c", "d")),
+      (Seq.empty[String], Seq("x")),
+      (Seq("a"), Seq.empty[String])
+    ).toDF("a", "b")
+    val got = d.select(graft.functions.SortedIntersectCount(col("a"), col("b")))
+      .collect().map(_.getInt(0)).toSeq
+    assert(got == Seq(2, 0, 0))
+    val n = d.select(graft.functions.SortedIntersectCount(lit(null).cast("array<string>"), col("b")))
+      .collect().map(_.isNullAt(0)).toSeq
+    assert(n.forall(identity))
+  }
 }
