@@ -17,8 +17,10 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   * session (tests, notebooks).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.injections.foreach(ext.injectFunction)
+    ext.injectOptimizerRule(_ => graft.plans.IntersectCountRule)
+  }
 }
 
 object GraftExtensions {

@@ -33,6 +33,7 @@ object Main {
     val embedded = SparkSession.getDefaultSession.isDefined
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[4]"))
+      .withExtensions(new GraftExtensions)
       .appName(s"graft-ingest-$dataType")
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))

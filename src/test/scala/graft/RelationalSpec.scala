@@ -6,6 +6,7 @@ import org.scalatest.funsuite.AnyFunSuite
 object TestSpark {
   lazy val spark: SparkSession = SparkSession.builder()
     .master("local[4]")
+    .withExtensions(new GraftExtensions)
     .appName("graft-test")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
