@@ -178,4 +178,26 @@ object DiscogsXml {
       case "master" => masters(spark, path)
       case "release" => releases(spark, path)
     }
+
+  // ---- Typed Dataset surface (graft.model) ----------------------------
+
+  def artistsDs(spark: SparkSession, path: String): org.apache.spark.sql.Dataset[graft.model.Artist] = {
+    import spark.implicits._
+    artists(spark, path).as[graft.model.Artist]
+  }
+
+  def labelsDs(spark: SparkSession, path: String): org.apache.spark.sql.Dataset[graft.model.Label] = {
+    import spark.implicits._
+    labels(spark, path).as[graft.model.Label]
+  }
+
+  def mastersDs(spark: SparkSession, path: String): org.apache.spark.sql.Dataset[graft.model.Master] = {
+    import spark.implicits._
+    masters(spark, path).as[graft.model.Master]
+  }
+
+  def releasesDs(spark: SparkSession, path: String): org.apache.spark.sql.Dataset[graft.model.Release] = {
+    import spark.implicits._
+    releases(spark, path).as[graft.model.Release]
+  }
 }
