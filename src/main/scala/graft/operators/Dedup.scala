@@ -141,8 +141,9 @@ object Dedup {
         .filter(col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
         .distinct()
-      val nAgree = size(filter(zip_with(col("sa"), col("sb"),
-        (a, b) => a === b), p => p))
+      // Codegen'd positional-agreement count (vs the interpreted
+      // zip_with/filter/size chain) — runs once per candidate pair.
+      val nAgree = graft.functions.PairwiseEqCount(col("sa"), col("sb"))
       cands
         .join(broadcast(sig.select(col("doc_id").as("doc_a"), col("sig").as("sa"))), "doc_a")
         .join(broadcast(sig.select(col("doc_id").as("doc_b"), col("sig").as("sb"))), "doc_b")

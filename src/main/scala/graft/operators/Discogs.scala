@@ -43,7 +43,10 @@ object Discogs {
       "|")
 
   def artistsFlat(spark: SparkSession, path: String): DataFrame =
-    DiscogsXml.artists(spark, path).select(
+    flattenArtists(DiscogsXml.artists(spark, path))
+
+  def flattenArtists(df: DataFrame): DataFrame =
+    df.select(
       col("id"), col("name"), col("realname"), col("profile"), col("data_quality"),
       jlist(col("urls")).as("urls_s"), size(col("urls")).as("n_urls"),
       jlist(col("namevariations")).as("namevariations_s"),
@@ -103,6 +106,11 @@ object Discogs {
     // Same fixture through the gzip codec path — identical expected rows.
     Q("q01b_parse_artists_gz", DiscogsOracles.q01)((s, _) =>
       artistsFlat(s, s"$fixturesDir/artists_gz.xml.gz")),
+
+    // Same fixture through the record-recovering scan (per-fragment
+    // from_xml, reference recover=True semantics) — identical rows.
+    Q("q01r_parse_artists_recovering", DiscogsOracles.q01)((s, _) =>
+      flattenArtists(DiscogsXml.artistsRecovering(s, s"$fixturesDir/artists.xml"))),
 
     Q("q02_parse_labels", DiscogsOracles.q02)((s, _) =>
       labelsFlat(s, s"$fixturesDir/labels.xml")),

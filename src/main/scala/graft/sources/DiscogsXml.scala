@@ -2,6 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import scala.jdk.CollectionConverters._
 
 /** Discogs XML -> typed DataFrame ingest (reference parser.py:30-169),
   * Spark-first: the record split + parse is Spark 4's built-in XML source
@@ -76,9 +77,16 @@ object DiscogsXml {
       .load(path)
 
   /** parser.py:146-169 */
-  def artists(spark: SparkSession, path: String): DataFrame = {
+  def artists(spark: SparkSession, path: String): DataFrame =
+    artistProjection(readRaw(spark, path, "artist"))
+
+  /** [[artists]] through the record-recovering scan. */
+  def artistsRecovering(spark: SparkSession, path: String): DataFrame =
+    artistProjection(readRawRecovering(spark, path, "artist"))
+
+  private def artistProjection(raw: DataFrame): DataFrame = {
     val c = collapseWs
-    readRaw(spark, path, "artist").select(
+    raw.select(
       numOr0(col("id"), "bigint").as("id"),
       c(col("name")).as("name"),
       c(col("realname")).as("realname"),
@@ -178,6 +186,41 @@ object DiscogsXml {
       case "master" => masters(spark, path)
       case "release" => releases(spark, path)
     }
+
+  /** Lenient record-recovering scan — the reference's
+    * XMLFixerStreamReader + per-fragment recover=True (process.py:22-45,
+    * 322-326) re-expressed on Spark: the native XML source tokenizes the
+    * whole split with StAX, so ONE malformed record corrupts the stream
+    * and loses the rest of the file; this path instead splits records by
+    * the closing tag (`lineSep`), then parses each fragment independently
+    * with `from_xml` — a bad fragment nulls ITS row only. Splittable for
+    * uncompressed inputs (lineSep-delimited text scan), single-split for
+    * .gz like the reference.
+    *
+    * Trade: ~2x slower than [[readRaw]] (per-record parser init), so the
+    * strict path stays primary and this is the recovery lane.
+    */
+  def readRawRecovering(spark: SparkSession, path: String, entity: String): DataFrame = {
+    val tag = rowTags(entity)
+    val schema = entity match {
+      case "artist" => artistRaw
+      case "label" => labelRaw
+      case "master" => masterRaw
+      case "release" => releaseRaw
+    }
+    val frag = spark.read.option("lineSep", s"</$tag>").text(path)
+      // Cut everything before this record's opening tag (document header /
+      // inter-record whitespace), then restore the closing tag the
+      // delimiter consumed.
+      .select(regexp_extract(col("value"), s"(?s)<$tag(\\s[^>]*)?>.*", 0).as("frag"))
+      .filter(length(col("frag")) > 0)
+      .select(concat(col("frag"), lit(s"</$tag>")).as("record"))
+    frag.select(from_xml(col("record"), schema,
+      Map("attributePrefix" -> "_", "ignoreSurroundingSpaces" -> "false",
+        "rowTag" -> tag).asJava).as("r"))
+      .filter(col("r").isNotNull)
+      .select("r.*")
+  }
 
   // ---- Typed Dataset surface (graft.model) ----------------------------
 
