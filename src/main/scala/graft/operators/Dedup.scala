@@ -163,6 +163,68 @@ object Dedup {
         .orderBy("doc_id")
     },
 
+    // The composed training-data pipeline — quality gate -> exact dedup
+    // -> near-dup removal (greedy keep-lowest-id at jaccard >= 0.8) ->
+    // corpus stats. This is the operators above chained the way a real
+    // cleaning job runs them; each stage reuses the scale-shaped plan it
+    // was verified with.
+    Q("qp01_clean_corpus", {
+      val toks = sqlTokens("text")
+      val stops = TextAnalysis.stopwordsEn.map(w => s"'$w'").mkString("[", ", ", "]")
+      val nStop = s"len(list_filter($toks, t -> list_contains($stops, t)))"
+      s"""WITH q AS (SELECT * FROM documents
+         |           WHERE len($toks) >= 10 AND 10 * $nStop >= len($toks)),
+         |d AS (SELECT MIN(doc_id) AS doc_id FROM q GROUP BY $sqlNorm),
+         |t AS (SELECT doc_id, ${sqlTokenSet("text")} AS toks, len(${sqlTokenSet("text")}) AS sz
+         |      FROM documents WHERE doc_id IN (SELECT doc_id FROM d)),
+         |dup AS (SELECT DISTINCT b.doc_id FROM t a JOIN t b
+         |        ON a.doc_id < b.doc_id
+         |          AND 5 * len(list_intersect(a.toks, b.toks))
+         |              >= 4 * (a.sz + b.sz - len(list_intersect(a.toks, b.toks)))),
+         |survivors AS (SELECT doc_id FROM t
+         |              WHERE doc_id NOT IN (SELECT doc_id FROM dup))
+         |SELECT COUNT(*) AS n_clean,
+         |       (SELECT COUNT(*) FROM documents) AS n_raw,
+         |       (SELECT COUNT(*) FROM q) AS n_quality,
+         |       (SELECT COUNT(*) FROM d) AS n_exact_unique,
+         |       CAST(SUM(sz) AS BIGINT) AS sum_vocab
+         |FROM survivors JOIN t USING (doc_id)""".stripMargin
+    }) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val nTok = size(tokens(col("text")))
+      val nStop = size(filter(tokens(col("text")), t =>
+        array_contains(array(TextAnalysis.stopwordsEn.map(lit): _*), t)))
+      val quality = docs.filter(nTok >= 10 && nStop * 10 >= nTok)
+      val exact = quality.groupBy(norm(col("text")).as("k"))
+        .agg(min(col("doc_id")).as("doc_id"))
+        .select("doc_id")
+      val t = docs.join(exact, "doc_id")
+        .select(col("doc_id"), tokenSet(col("text")).as("toks"))
+        .withColumn("sz", size(col("toks")))
+      // Near-dup pairs at jaccard >= 0.8 via the same lossless prefix
+      // filter (prefix length = sz - ceil(4*sz/5) + 1).
+      val prefixLen = col("sz") - ((lit(4) * col("sz") + lit(4)) / lit(5)).cast("int") + lit(1)
+      val pre = t.select(col("doc_id"), explode(slice(col("toks"), lit(1), prefixLen)).as("tok"))
+      val cands = pre.as("x").join(pre.as("y"), col("x.tok") === col("y.tok"))
+        .filter(col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .distinct()
+      val inter = graft.functions.SortedIntersectCount(col("ta"), col("tb"))
+      val uni = col("sza") + col("szb") - inter
+      val dupB = cands
+        .join(broadcast(t.select(col("doc_id").as("doc_a"), col("toks").as("ta"), col("sz").as("sza"))), "doc_a")
+        .join(broadcast(t.select(col("doc_id").as("doc_b"), col("toks").as("tb"), col("sz").as("szb"))), "doc_b")
+        .filter(lit(5) * inter >= lit(4) * uni)
+        .select(col("doc_b").as("doc_id")).distinct()
+      val clean = t.join(dupB, Seq("doc_id"), "left_anti")
+      clean.agg(
+        count(lit(1)).as("n_clean"),
+        lit(docs.count()).as("n_raw"),
+        lit(quality.count()).as("n_quality"),
+        lit(exact.count()).as("n_exact_unique"),
+        sum(col("sz")).as("sum_vocab"))
+    },
+
     // SimHash near-dup pairs: Hamming distance <= 3 over the 60-bit
     // signature. Spark generates candidates by the pigeonhole principle —
     // split 60 bits into 4 chunks of 15; distance <= 3 forces at least one

@@ -104,8 +104,57 @@ object Similarity {
     // candidate set is engine-defined, not ANSI SQL).
     Q.rowsOnly("qn09_ann_lsh_topk") { (s, dir) =>
       annTopK(s, dir, nPlanes = 16, bandBits = 2, k = 5)
+    },
+
+    // ANN, IVF flavor: coarse-quantize vectors to their nearest centroid
+    // (deterministic centroid seed set: vec_id % stride == 0), probe the
+    // nProbe nearest centroid cells, exact-rescore within them. The
+    // centroid table is tiny and broadcast twice (assignment + probe
+    // routing); the big side never shuffles except the final top-k. At
+    // scale the seed centroids come from a sampled k-means — the plan
+    // shape (two broadcast joins + window) is identical.
+    Q.rowsOnly("qn10_ann_ivf_topk") { (s, dir) =>
+      annIvfTopK(s, dir, nCentroids = 16, nProbe = 4, k = 5)
     }
   )
+
+  /** IVF approximate top-k, exposed for the spec's recall test. */
+  def annIvfTopK(s: SparkSession, dir: String, nCentroids: Int, nProbe: Int, k: Int): DataFrame = {
+    val v = vecs(s, dir)
+    val n = v.count()
+    val stride = math.max(1L, n / nCentroids)
+    val cents = v.filter(col("vec_id") % stride === 0 && col("vec_id") < stride * nCentroids)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("ce"), col("nrm").as("cn"))
+    // Cell assignment: argmax cosine to a centroid (one broadcast join +
+    // per-row max; ties break to the lowest cent_id).
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cscore").desc, col("cent_id").asc)
+    val assigned = v.join(broadcast(cents), expr("true"))
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("cent_id"),
+        e6(cosine(dotNative(col("ce"), col("embedding")), col("cn"), col("nrm"))).as("cscore"))
+      .withColumn("rn", row_number().over(wAssign)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("cent_id"))
+    // Probe routing: each probe searches its nProbe nearest cells.
+    val wProbe = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cscore").desc, col("cent_id").asc)
+    val probeCells = v.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pe"), col("nrm").as("pn"))
+      .join(broadcast(cents), expr("true"))
+      .select(col("probe_id"), col("pe"), col("pn"), col("cent_id"),
+        e6(cosine(dotNative(col("ce"), col("pe")), col("cn"), col("pn"))).as("cscore"))
+      .withColumn("rn", row_number().over(wProbe)).filter(col("rn") <= nProbe)
+      .select(col("probe_id"), col("pe"), col("pn"), col("cent_id"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("score_e6").desc, col("vec_id").asc)
+    assigned.join(broadcast(probeCells), Seq("cent_id"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        e6(cosine(dotNative(col("pe"), col("embedding")), col("pn"), col("nrm"))).as("score_e6"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("probe_id"), col("rnk").cast("long").as("rnk"), col("vec_id"), col("score_e6"))
+      .orderBy("probe_id", "rnk")
+  }
 
   /** LSH-bucketed approximate top-k, exposed for the spec's recall test. */
   def annTopK(s: SparkSession, dir: String, nPlanes: Int, bandBits: Int, k: Int): DataFrame = {

@@ -78,6 +78,28 @@ class NorthStarSpec extends AnyFunSuite {
     }
   }
 
+  test("qn10 IVF ANN returns usable neighbors with bounded candidate work") {
+    def keySet(name: String) = SparkEntry.queries(name)(spark, sf)
+      .select("probe_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = keySet("qn07_cosine_topk")
+    val ivf = keySet("qn10_ann_ivf_topk")
+    assert(ivf.nonEmpty)
+    val recall = (exact & ivf).size.toDouble / exact.size
+    // 4-of-16 cells probed => naive expectation ~25% recall floor on
+    // structureless synthetic vectors; real clustered data does far better.
+    assert(recall >= 0.2, s"IVF recall $recall")
+    assert(ivf.groupBy(_._1).forall(_._2.size <= 5))
+  }
+
+  test("qp01 clean corpus counts are consistent") {
+    val r = SparkEntry.queries("qp01_clean_corpus")(spark, sf).collect()(0)
+    val (clean, raw, q, uniq) = (r.getAs[Long]("n_clean"), r.getAs[Long]("n_raw"),
+      r.getAs[Long]("n_quality"), r.getAs[Long]("n_exact_unique"))
+    assert(clean <= uniq && uniq <= q && q <= raw)
+    assert(clean > 0)
+  }
+
   test("qt02 quality ratios are in [0, 1e6]") {
     SparkEntry.queries("qt02_quality_scores")(spark, sf).collect().foreach { r =>
       val ttr = r.getAs[Long]("ttr_e6")

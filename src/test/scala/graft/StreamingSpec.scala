@@ -61,6 +61,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("foreachBatch streams windowed aggregates into a parquet lake") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val out = java.nio.file.Files.createTempDirectory("graft_stream_lake").toString
+    val evs = eventsAsEv()
+    val ms = MemoryStream[Sessionize.Ev]
+    val agg = ms.toDS()
+      .withColumn("ts", timestamp_micros(col("us")))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_micros(col("w.start")).as("start_us"), col("n"))
+    val q = agg.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        batch.write.mode("append").parquet(out)
+      }
+      .start()
+    try {
+      ms.addData(evs)
+      q.processAllAvailable()
+    } finally q.stop()
+    val back = spark.read.parquet(out)
+    assert(back.count() > 0)
+    // Finalized windows written to the lake must agree with batch counts.
+    val batchCounts = evs.toDF()
+      .groupBy((col("us") - col("us") % (3600L * 1000000L)).as("start_us"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    back.collect().foreach { r =>
+      assert(batchCounts(r.getLong(0)) == r.getLong(1))
+    }
+  }
+
   test("watermarked tumbling window streaming agg matches batch for closed windows") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
