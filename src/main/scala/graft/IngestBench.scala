@@ -1,0 +1,41 @@
+package graft
+
+import graft.sources.{DiscogsLake, DiscogsXml}
+import org.apache.spark.sql.SparkSession
+
+/** Ingest-throughput measurement: XML dump -> typed parse -> partitioned
+  * parquet lake, end to end. Prints one JSON line with rows/sec and
+  * MB/sec. Usage: `runMain graft.IngestBench <dump.xml[.gz]> [entity]`.
+  * Compare against the reference's operating shape (2 vCPU AWS Batch,
+  * chunk_size 5000 — BASELINE.md); generate inputs with
+  * tools/gen_ingest_bench.py.
+  */
+object IngestBench {
+  def main(args: Array[String]): Unit = {
+    val path = args(0)
+    val entity = args.lift(1).getOrElse("artist")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .withExtensions(new GraftExtensions)
+      .config("spark.sql.shuffle.partitions", cpus)
+      // Split uncompressed dumps finely enough to feed every core — the
+      // default 128 MB gives a 216 MB file only 2 tasks.
+      .config("spark.sql.files.maxPartitionBytes", "8m")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val out = java.nio.file.Files.createTempDirectory("graft_ingest_bench").toString
+    val bytes = new java.io.File(path).length()
+    // warmup: session + codegen on a tiny slice
+    DiscogsXml.read(spark, path, entity).limit(1).collect()
+    val t0 = System.nanoTime()
+    val df = DiscogsXml.read(spark, path, entity)
+    DiscogsLake.writeDump(df, out, entity, 2024, "03")
+    val secs = (System.nanoTime() - t0) / 1e9
+    val rows = spark.read.parquet(s"$out/$entity").count()
+    println(f"""{"metric":"ingest","rows":$rows,"input_mb":${bytes / 1e6}%.1f,"sec":$secs%.2f,"rows_per_sec":${rows / secs}%.0f,"mb_per_sec":${bytes / 1e6 / secs}%.1f}""")
+    spark.stop()
+  }
+}

@@ -84,7 +84,10 @@ object Discogs {
       .orderBy(col("id"))
 
   def releasesFlat(spark: SparkSession, path: String): DataFrame =
-    DiscogsXml.releases(spark, path).select(
+    flattenReleases(DiscogsXml.releases(spark, path))
+
+  def flattenReleases(df: DataFrame): DataFrame =
+    df.select(
       col("id"), col("status"), col("title"), col("country"), col("released"),
       col("notes"),
       jimages(col("images"), widthFirst = false).as("images_s"),
@@ -111,6 +114,11 @@ object Discogs {
     // from_xml, reference recover=True semantics) — identical rows.
     Q("q01r_parse_artists_recovering", DiscogsOracles.q01)((s, _) =>
       flattenArtists(DiscogsXml.artistsRecovering(s, s"$fixturesDir/artists.xml"))),
+
+    // Releases through the splittable recovering scan — identical rows to
+    // q04 (pins the read() dispatch path for plain-XML dumps).
+    Q("q04r_parse_releases_recovering", DiscogsOracles.q04)((s, _) =>
+      flattenReleases(DiscogsXml.releasesRecovering(s, s"$fixturesDir/releases.xml"))),
 
     Q("q02_parse_labels", DiscogsOracles.q02)((s, _) =>
       labelsFlat(s, s"$fixturesDir/labels.xml")),
