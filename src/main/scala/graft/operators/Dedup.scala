@@ -106,6 +106,52 @@ object Dedup {
         .orderBy("doc_a", "doc_b")
     },
 
+    // N-gram (3-shingle) Jaccard: word ORDER matters here, unlike the
+    // token-set variant above — shingle sets are far more discriminative,
+    // which is why production near-dup pipelines shingle first. Same
+    // lossless prefix filter at J >= 0.5 (prefix = sz - ceil(sz/2) + 1).
+    Q("qn03b_shingle_jaccard_pairs", {
+      val toks = sqlTokens("text")
+      val sh = s"list_sort(list_distinct([ concat_ws(' ', ($toks)[i], ($toks)[i+1], ($toks)[i+2]) " +
+        s"for i in range(1, len($toks) - 1) ]))"
+      s"""WITH t AS (SELECT doc_id, $sh AS toks, len($sh) AS sz FROM documents
+         |           WHERE len($toks) >= 3)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |       len(list_intersect(a.toks, b.toks)) AS n_inter,
+         |       a.sz + b.sz - len(list_intersect(a.toks, b.toks)) AS n_union
+         |FROM t a, t b
+         |WHERE a.doc_id < b.doc_id
+         |  AND 2 * len(list_intersect(a.toks, b.toks))
+         |      >= a.sz + b.sz - len(list_intersect(a.toks, b.toks))
+         |ORDER BY doc_a, doc_b""".stripMargin
+    }) { (s, dir) =>
+      val toksRaw = tokens(col("text"))
+      val shingles = array_sort(array_distinct(transform(
+        sequence(lit(1), size(col("tk")) - 2),
+        i => concat_ws(" ", element_at(col("tk"), i),
+          element_at(col("tk"), i + 1), element_at(col("tk"), i + 2)))))
+      val t = Tables.documents(s, dir)
+        .filter(size(toksRaw) >= 3)
+        .select(col("doc_id"), toksRaw.as("tk"))
+        .select(col("doc_id"), shingles.as("toks"))
+        .withColumn("sz", size(col("toks")))
+      // ceil(sz/2) = (sz+1) div 2, exact in double for any plausible sz.
+      val prefixLen = col("sz") - ((col("sz") + lit(1)) / lit(2)).cast("int") + lit(1)
+      val pre = t.select(col("doc_id"), explode(slice(col("toks"), lit(1), prefixLen)).as("tok"))
+      val cands = pre.as("x").join(pre.as("y"), col("x.tok") === col("y.tok"))
+        .filter(col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .distinct()
+      val inter = graft.functions.SortedIntersectCount(col("ta"), col("tb"))
+      val uni = col("sza") + col("szb") - inter
+      cands
+        .join(broadcast(t.select(col("doc_id").as("doc_a"), col("toks").as("ta"), col("sz").as("sza"))), "doc_a")
+        .join(broadcast(t.select(col("doc_id").as("doc_b"), col("toks").as("tb"), col("sz").as("szb"))), "doc_b")
+        .filter(lit(2) * inter >= uni)
+        .select(col("doc_a"), col("doc_b"), inter.as("n_inter"), uni.as("n_union"))
+        .orderBy("doc_a", "doc_b")
+    },
+
     // MinHash(64) + LSH(16 bands x 4 rows) candidate pairs with the
     // signature-agreement count. The oracle brute-forces the identical
     // banding over all pairs; the Spark plan only ever equi-joins on band
