@@ -43,6 +43,32 @@ class PermissiveXmlSpec extends AnyFunSuite {
     } finally Files.delete(f)
   }
 
+  test("recovering scan splits an uncompressed dump across tasks") {
+    // The strict XML source reads any file as ONE task; the lineSep-based
+    // recovering scan must split. Pin it with a multi-split-sized file.
+    val f = Files.createTempFile("graft_split", ".xml")
+    val sb = new StringBuilder("<artists>\n")
+    (1 to 20000).foreach(i => sb ++=
+      s"<artist><id>$i</id><name>Artist $i padded with some words</name></artist>\n")
+    sb ++= "</artists>\n"
+    Files.write(f, sb.toString.getBytes("UTF-8"))
+    val old = spark.conf.getOption("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "262144")
+    try {
+      val strict = DiscogsXml.readRaw(spark, f.toString, "artist")
+      val rec = DiscogsXml.readRawRecovering(spark, f.toString, "artist")
+      assert(strict.rdd.getNumPartitions == 1)
+      assert(rec.rdd.getNumPartitions > 1, s"expected a multi-split scan")
+      assert(rec.count() == 20000)
+    } finally {
+      old match {
+        case Some(v) => spark.conf.set("spark.sql.files.maxPartitionBytes", v)
+        case None => spark.conf.unset("spark.sql.files.maxPartitionBytes")
+      }
+      Files.delete(f)
+    }
+  }
+
   test("recovering path matches the strict path on well-formed dumps") {
     val fx = "/root/repo/src/test/resources/fixtures"
     val strict = DiscogsXml.readRaw(spark, s"$fx/artists.xml", "artist")
