@@ -67,7 +67,10 @@ object Discogs {
       .orderBy(col("id"))
 
   def mastersFlat(spark: SparkSession, path: String): DataFrame =
-    DiscogsXml.masters(spark, path).select(
+    flattenMasters(DiscogsXml.masters(spark, path))
+
+  def flattenMasters(df: DataFrame): DataFrame =
+    df.select(
       col("id"), col("main_release"),
       array_join(transform(col("artists"), a => concat_ws(";",
         s(a.getField("id")), s(a.getField("name")), s(a.getField("anv")),
@@ -119,6 +122,11 @@ object Discogs {
     // q04 (pins the read() dispatch path for plain-XML dumps).
     Q("q04r_parse_releases_recovering", DiscogsOracles.q04)((s, _) =>
       flattenReleases(DiscogsXml.releasesRecovering(s, s"$fixturesDir/releases.xml"))),
+
+    // Masters likewise (nested <artists><artist> is fragment-safe: the
+    // record delimiter is </master>).
+    Q("q03r_parse_masters_recovering", DiscogsOracles.q03)((s, _) =>
+      flattenMasters(DiscogsXml.mastersRecovering(s, s"$fixturesDir/masters.xml"))),
 
     Q("q02_parse_labels", DiscogsOracles.q02)((s, _) =>
       labelsFlat(s, s"$fixturesDir/labels.xml")),
