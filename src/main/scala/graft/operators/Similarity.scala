@@ -20,11 +20,12 @@ import org.apache.spark.sql.functions._
   * equi-joins on (band of the signature), trading recall for a candidate
   * set ~2^-bits the size of the data.
   *
-  * Float policy: dot products and norms are sequential double folds
-  * ([[graft.functions.TextFns.dot]]) bit-matching the DuckDB oracle's
-  * `list_reduce`; every emitted score and every ordering key is the
-  * floor-scaled integer `e6(score)` so rank cutoffs cannot diverge on
-  * float ties.
+  * Float policy: dot products and norms are sequential double folds —
+  * the native [[graft.functions.DotProductFF]] expression, bit-identical
+  * to the HOF fold [[graft.functions.TextFns.dot]] (VectorExprsSpec) and
+  * to the DuckDB oracle's `list_reduce`; every emitted score and every
+  * ordering key is the floor-scaled integer `e6(score)` so rank cutoffs
+  * cannot diverge on float ties.
   */
 object Similarity {
 
