@@ -178,6 +178,25 @@ object Relational {
           min(col("l_quantity")).as("min_qty"), max(col("l_quantity")).as("max_qty"))
     },
 
+    // Exact percentiles: both engines sort the group and linearly
+    // interpolate (Spark `percentile` == DuckDB `quantile_cont`), so the
+    // computation is order-independent; e6 floor-scaling removes any
+    // final-ulp interpolation risk from the compare.
+    Q("q26_percentiles",
+      """SELECT o_orderpriority,
+        |       CAST(floor(quantile_cont(o_totalprice, 0.5) * 1000000) AS BIGINT) AS p50_e6,
+        |       CAST(floor(quantile_cont(o_totalprice, 0.9) * 1000000) AS BIGINT) AS p90_e6,
+        |       COUNT(*) AS n
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
+      Tables.orders(s, dir)
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          floor(percentile(col("o_totalprice"), lit(0.5)) * 1000000).cast("long").as("p50_e6"),
+          floor(percentile(col("o_totalprice"), lit(0.9)) * 1000000).cast("long").as("p90_e6"),
+          count(lit(1)).as("n"))
+        .orderBy(col("o_orderpriority"))
+    },
+
     // ---- Windows (G2) ---------------------------------------------------
 
     Q("q17_rownum_top_order_per_cust",
