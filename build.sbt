@@ -29,5 +29,8 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // The bench machine has 128 GiB; the pair queries (qn03/qn04) sort and
+  // dedup 10M+ row candidate sets in a single JVM, and an 8g heap put the
+  // full-sweep bench 2-3x over its standalone times from GC pressure.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
 )

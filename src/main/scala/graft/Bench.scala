@@ -28,7 +28,13 @@ object Bench {
     val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
       val t0 = System.nanoTime()
       try run(name) catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // Drop dead localCheckpoint blocks between queries: the pair
+      // queries pin materialized RDDs, and without a GC the
+      // ContextCleaner never unpersists them — storage fills, later
+      // queries measure eviction/GC instead of their own plan.
+      System.gc()
+      name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -2,7 +2,9 @@ package graft.operators
 
 import graft.{Q, Tables}
 import graft.functions.TextFns._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.functions.{FirstAgreeingBand, PairwiseEqCount, SortedFirstCommon, SortedIntersectCount}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators over the `documents` table — the LLM-training-
@@ -13,13 +15,18 @@ import org.apache.spark.sql.functions._
   *   scale substitute `sha2(norm, 256)` as the grouping key so the shuffle
   *   moves 32-byte keys instead of document bodies (same result, modulo
   *   2^-128 collisions).
-  * - The Jaccard join uses *prefix filtering*: a pair with J >= 0.6 must
-  *   share a token among the first `|A| - ceil(0.6|A|) + 1` of the sorted
+  * - The Jaccard joins use *prefix filtering*: a pair with J >= p/q must
+  *   share a token among the first `|A| - ceil(p|A|/q) + 1` of the sorted
   *   token set, so candidate generation is an equi-join on (prefix token),
-  *   never a cross join. Token-frequency skew is the known hazard: at
-  *   scale, order token sets by ascending global document frequency
-  *   (two-pass) instead of lexicographically so prefixes hold the rarest
-  *   tokens; the filter stays lossless under any consistent total order.
+  *   never a cross join. Token sets are dictionary-encoded to dense int
+  *   ids first ([[Dedup.encodeIds]]) so every downstream compare is an
+  *   int compare, and candidate occurrences are deduplicated by the
+  *   first-common-prefix-token filter ([[graft.functions.SortedFirstCommon]])
+  *   instead of a `distinct()` shuffle over the full candidate stream.
+  *   Token-frequency skew is the known hazard: at scale, assign vocab ids
+  *   by ascending global document frequency (the vocab build already
+  *   counts df) so prefixes hold the rarest tokens; the filter stays
+  *   lossless under any consistent total order.
   * - MinHash/LSH and SimHash banding are the sub-linear candidate paths:
   *   equi-joins on band keys / 15-bit chunks, both AQE-skew-splittable.
   *
@@ -31,7 +38,7 @@ import org.apache.spark.sql.functions._
 object Dedup {
 
   /** Whitespace-collapsed, trimmed, lowercased text — the exact-dup key. */
-  private def norm(c: org.apache.spark.sql.Column) =
+  private def norm(c: Column) =
     regexp_replace(lower(trim(c)), "\\s+", " ")
 
   private val sqlNorm = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
@@ -44,6 +51,119 @@ object Dedup {
 
   private val sqlTokenized =
     s"SELECT doc_id, ${sqlTokenSet("text")} AS toks, len(${sqlTokenSet("text")}) AS sz FROM documents"
+
+  /** All pairs with token-set Jaccard >= p/q as `(doc_a, doc_b, n_inter,
+    * n_union)`, via dictionary encoding + lossless prefix filter + the
+    * first-common-token dedup. One wide stage: the prefix equi-join and
+    * both broadcast payload joins and every filter codegen together; the
+    * only shuffles are the tiny encode groupBy and the caller's sort.
+    *
+    * Token sets are dictionary-encoded: vocab ids are lexicographic token
+    * ranks, so the encoding is an order-isomorphism — prefixes,
+    * intersections and unions of the id arrays are exactly those of the
+    * token arrays (no hashing, no collision caveat). The rank window runs
+    * single-partition here; at lake scale the vocab is built per-shard
+    * with `zipWithIndex`-style dense ids or ordered by ascending document
+    * frequency (better prefixes), both of which keep the filter lossless.
+    *
+    * Two physical verify paths, chosen by measured vocab size at plan
+    * build (one tiny driver job — the same trick AQE plays with runtime
+    * stats):
+    *  - vocab <= 64: each token set is ONE bitmap long; `|A∩B|` is
+    *    `bit_count(a & b)` and the first-common-prefix-token test is a
+    *    lowest-set-bit compare — every per-candidate op is a single
+    *    codegen'd machine instruction (measured 4x over the merge walks
+    *    on the 89M-row candidate stream at sf0.1).
+    *  - otherwise: sorted int-id arrays with the
+    *    [[graft.functions.SortedIntersectCount]] /
+    *    [[graft.functions.SortedFirstCommon]] merge walks (still int
+    *    compares, never string compares).
+    */
+  private def jaccardPairs(t: DataFrame, p: Int, q: Int): DataFrame = {
+    // Materialization barrier. The token-set expression is referenced by
+    // several downstream subtrees (vocab build, encode, and — via
+    // InferFiltersFromGenerate + pushdown — a per-row `size(toks) > 0`
+    // filter in EACH of them, with the tokenizer re-inlined into every
+    // lambda iteration: measured 12.8s for one explode-count over 5000
+    // shingled docs at sf0.1). Pinning the 5000-row tokenized frame once
+    // makes every downstream reference an attribute read.
+    val tm = t.select(col("doc_id"), col("toks")).localCheckpoint(true)
+    val vocab = tm.select(explode(col("toks")).as("tok")).distinct()
+      .withColumn("tid", row_number().over(Window.orderBy("tok")))
+      .localCheckpoint(true) // read twice: size probe + encode join
+    val vocabN = vocab.count()
+    val enc = tm.select(col("doc_id"), explode(col("toks")).as("tok"))
+      .join(broadcast(vocab), "tok")
+      .groupBy("doc_id")
+      .agg(array_sort(collect_list(col("tid"))).as("ids"))
+      .withColumn("sz", size(col("ids")))
+    // ceil(p*sz/q) computed as (p*sz + q - 1) div q — no float ceil, so
+    // the prefix can never round short and drop a pair.
+    val prefixLen = col("sz") - ((lit(p) * col("sz") + lit(q - 1)) / lit(q)).cast("int") + lit(1)
+    // Same barrier: the encoded frame feeds the prefix-explode side and
+    // both broadcast payloads (3 subtrees).
+    val ep = enc.withColumn("pids", slice(col("ids"), lit(1), prefixLen))
+      .localCheckpoint(true)
+
+    // Shared candidate-occurrence head: one row per shared prefix token.
+    def candidates(pay: String => DataFrame): DataFrame = {
+      val pre = ep.select(col("doc_id"), explode(col("pids")).as("tok"))
+      // Explicit broadcast: pre derives from a localCheckpoint (LogicalRDD
+      // stats default to "huge"), so Catalyst would otherwise plan a
+      // sort-merge join whose many-to-many group buffering dominates the
+      // 89M-row emission. At lake scale this side is the per-shard prefix
+      // index — shuffled-hash instead of broadcast, same plan shape.
+      pre.as("x").join(broadcast(pre.as("y")), col("x.tok") === col("y.tok"))
+        .filter(col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"), col("x.tok").as("tok"))
+        .join(pay("a"), "doc_a")
+        .join(pay("b"), "doc_b")
+        // Necessary size condition (J <= min/max) first — a two-int
+        // compare that drops a pair before any set work runs.
+        .filter(lit(q) * least(col("sz_a"), col("sz_b")) >= lit(p) * greatest(col("sz_a"), col("sz_b")))
+    }
+
+    val verified =
+      if (vocabN <= 64) {
+        val toBm = (ids: Column) => aggregate(ids, lit(0L),
+          (acc, i) => acc.bitwiseOR(call_function("shiftleft", lit(1L), i - 1)))
+        val epb = ep.withColumn("bm", toBm(col("ids"))).withColumn("pbm", toBm(col("pids")))
+        def pay(side: String) = broadcast(epb.select(
+          col("doc_id").as(s"doc_$side"), col("bm").as(s"bm_$side"),
+          col("pbm").as(s"pbm_$side"), col("sz").as(s"sz_$side")))
+        // Exactly-once per pair: this occurrence's token is the lowest
+        // set bit of the ANDed prefix bitmaps. Replaces round 1's
+        // distinct() (89M-row shuffle at sf0.1) with an in-stage compare.
+        val pab = col("pbm_a").bitwiseAND(col("pbm_b"))
+        val firstCommon = bit_count(pab.bitwiseAND(-pab) - 1) + 1
+        candidates(pay)
+          .filter(col("tok") === firstCommon)
+          .withColumn("n_inter", bit_count(col("bm_a").bitwiseAND(col("bm_b"))))
+      } else {
+        def pay(side: String) = broadcast(ep.select(
+          col("doc_id").as(s"doc_$side"), col("ids").as(s"ids_$side"),
+          col("pids").as(s"pids_$side"), col("sz").as(s"sz_$side")))
+        candidates(pay)
+          // Exactly-once per pair, merge-walk form of the same filter.
+          .filter(col("tok") === SortedFirstCommon(col("pids_a"), col("pids_b")))
+          // Projected once: downstream filter + both output columns
+          // reference n_inter; inlining would re-run the walk per use.
+          .withColumn("n_inter", SortedIntersectCount(col("ids_a"), col("ids_b")))
+      }
+
+    verified
+      .withColumn("n_union", col("sz_a") + col("sz_b") - col("n_inter"))
+      .filter(lit(q) * col("n_inter") >= lit(p) * col("n_union"))
+      .select(col("doc_a"), col("doc_b"), col("n_inter"), col("n_union"))
+      // The pair stream reaches here shuffle-free (broadcast joins all the
+      // way down), so a global sort's range-sampling pass would recompute
+      // the whole candidate stream — and an interposed repartition() gets
+      // pruned as a redundant exchange under the sort's range exchange.
+      // localCheckpoint pins the verified pairs (narrow rows) in the block
+      // manager so the caller's orderBy samples materialized partitions
+      // instead of re-running the join (measured 41s -> 25s at sf0.1).
+      .localCheckpoint(true)
+  }
 
   val all: Seq[Q] = Seq(
 
@@ -70,9 +190,8 @@ object Dedup {
         .orderBy("keeper_id")
     },
 
-    // Exact token-set Jaccard >= 0.6 pairs via lossless prefix filtering.
-    // Integer prefix length: ceil(3*sz/5) computed as (3*sz + 4) div 5 —
-    // no float ceil, so the prefix can never round short and drop a pair.
+    // Exact token-set Jaccard >= 0.6 pairs via lossless prefix filtering
+    // over dictionary-encoded token ids.
     Q("qn03_jaccard_pairs",
       s"""WITH t AS ($sqlTokenized)
          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -84,32 +203,16 @@ object Dedup {
          |  AND 5 * len(list_intersect(a.toks, b.toks))
          |      >= 3 * (a.sz + b.sz - len(list_intersect(a.toks, b.toks)))
          |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
-      val t = tokenized(s, dir)
-      // (3*sz+4)/5 is exact in double for any plausible sz, so the cast
-      // truncation is a true integer ceil(3*sz/5).
-      val prefixLen = col("sz") - ((lit(3) * col("sz") + lit(4)) / lit(5)).cast("int") + lit(1)
-      val pre = t.select(col("doc_id"), explode(slice(col("toks"), lit(1), prefixLen)).as("tok"))
-      val cands = pre.as("x").join(pre.as("y"), col("x.tok") === col("y.tok"))
-        .filter(col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-        .distinct()
-      // Merge-walk intersection count (custom codegen expression): the
-      // token sets are array_sort'ed, so |A∩B| needs no hash set.
-      val inter = graft.functions.SortedIntersectCount(col("ta"), col("tb"))
-      val uni = col("sza") + col("szb") - inter
-      cands
-        .join(broadcast(t.select(col("doc_id").as("doc_a"), col("toks").as("ta"), col("sz").as("sza"))), "doc_a")
-        .join(broadcast(t.select(col("doc_id").as("doc_b"), col("toks").as("tb"), col("sz").as("szb"))), "doc_b")
-        .filter(lit(5) * inter >= lit(3) * uni)
-        .select(col("doc_a"), col("doc_b"), inter.as("n_inter"), uni.as("n_union"),
-          e6(inter.cast("double") / uni).as("j_e6"))
+      jaccardPairs(tokenized(s, dir), 3, 5)
+        .select(col("doc_a"), col("doc_b"), col("n_inter"), col("n_union"),
+          e6(col("n_inter").cast("double") / col("n_union")).as("j_e6"))
         .orderBy("doc_a", "doc_b")
     },
 
     // N-gram (3-shingle) Jaccard: word ORDER matters here, unlike the
     // token-set variant above — shingle sets are far more discriminative,
     // which is why production near-dup pipelines shingle first. Same
-    // lossless prefix filter at J >= 0.5 (prefix = sz - ceil(sz/2) + 1).
+    // lossless prefix filter at J >= 0.5 over dictionary-encoded shingles.
     Q("qn03b_shingle_jaccard_pairs", {
       val toks = sqlTokens("text")
       val sh = s"list_sort(list_distinct([ concat_ws(' ', ($toks)[i], ($toks)[i+1], ($toks)[i+2]) " +
@@ -134,22 +237,7 @@ object Dedup {
         .filter(size(toksRaw) >= 3)
         .select(col("doc_id"), toksRaw.as("tk"))
         .select(col("doc_id"), shingles.as("toks"))
-        .withColumn("sz", size(col("toks")))
-      // ceil(sz/2) = (sz+1) div 2, exact in double for any plausible sz.
-      val prefixLen = col("sz") - ((col("sz") + lit(1)) / lit(2)).cast("int") + lit(1)
-      val pre = t.select(col("doc_id"), explode(slice(col("toks"), lit(1), prefixLen)).as("tok"))
-      val cands = pre.as("x").join(pre.as("y"), col("x.tok") === col("y.tok"))
-        .filter(col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-        .distinct()
-      val inter = graft.functions.SortedIntersectCount(col("ta"), col("tb"))
-      val uni = col("sza") + col("szb") - inter
-      cands
-        .join(broadcast(t.select(col("doc_id").as("doc_a"), col("toks").as("ta"), col("sz").as("sza"))), "doc_a")
-        .join(broadcast(t.select(col("doc_id").as("doc_b"), col("toks").as("tb"), col("sz").as("szb"))), "doc_b")
-        .filter(lit(2) * inter >= uni)
-        .select(col("doc_a"), col("doc_b"), inter.as("n_inter"), uni.as("n_union"))
-        .orderBy("doc_a", "doc_b")
+      jaccardPairs(t, 1, 2).orderBy("doc_a", "doc_b")
     },
 
     // MinHash(64) + LSH(16 bands x 4 rows) candidate pairs with the
@@ -175,25 +263,38 @@ object Dedup {
       val sig = tokenized(s, dir)
         .select(col("doc_id"), transform(col("toks"), tokenHash(_)).as("hs"))
         .select(col("doc_id"), minhashSig(col("hs"), 64).as("sig"))
-      // Narrow-first: the band self-join and the pair-dedup shuffle move
-      // only (doc_a, doc_b) ints; the 64-long signatures rejoin AFTER the
-      // distinct (sig is per-doc, i.e. broadcast-sized relative to the
-      // pair set), so n_agree is computed once per unique pair. Carrying
-      // the signatures through the join made the distinct shuffle ~60x
-      // wider and dominated the whole query at sf0.1.
-      val banded = sig.select(col("doc_id"),
-        explode(lshBands(col("sig"), 16, 4)).as("band"))
-      val cands = banded.as("x").join(banded.as("y"), col("x.band") === col("y.band"))
+        // Materialization barrier: sig feeds the band explode and both
+        // broadcast payloads (3 subtrees), and each would otherwise
+        // re-run the 64-permutation MinHash over every document.
+        .localCheckpoint(true)
+      // Band key = struct(bandIdx, the 4 signature rows): tuple equality
+      // is EXACTLY the oracle's string-key equality (fixed arity, numeric
+      // fields) without building/compare of concat'd strings. One row per
+      // colliding band; the first-agreeing-band filter then keeps exactly
+      // one occurrence per pair — no distinct() shuffle (round 1 moved
+      // 46.5M candidate rows through it at sf0.1).
+      val banded = sig.select(col("doc_id"), col("sig"),
+        explode(array((0 until 16).map { b =>
+          struct((lit(b).as("b") +: (0 until 4).map(r =>
+            col("sig").getItem(b * 4 + r).as(s"h$r"))): _*)
+        }: _*)).as("band"))
+      val pay = (side: String) => broadcast(sig.select(
+        col("doc_id").as(s"doc_$side"), col("sig").as(s"sig_$side")))
+      // Explicit broadcast — banded derives from a localCheckpoint whose
+      // default stats would otherwise force a sort-merge join (see
+      // jaccardPairs).
+      banded.as("x").join(broadcast(banded.as("y")), col("x.band") === col("y.band"))
         .filter(col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-        .distinct()
-      // Codegen'd positional-agreement count (vs the interpreted
-      // zip_with/filter/size chain) — runs once per candidate pair.
-      val nAgree = graft.functions.PairwiseEqCount(col("sa"), col("sb"))
-      cands
-        .join(broadcast(sig.select(col("doc_id").as("doc_a"), col("sig").as("sa"))), "doc_a")
-        .join(broadcast(sig.select(col("doc_id").as("doc_b"), col("sig").as("sb"))), "doc_b")
-        .select(col("doc_a"), col("doc_b"), nAgree.as("n_agree"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+          col("x.band").getField("b").as("b"))
+        .join(pay("a"), "doc_a")
+        .join(pay("b"), "doc_b")
+        .filter(col("b") === FirstAgreeingBand(col("sig_a"), col("sig_b"), 4))
+        .select(col("doc_a"), col("doc_b"),
+          PairwiseEqCount(col("sig_a"), col("sig_b")).as("n_agree"))
+        // Materialize the (shuffle-free) pair stream before the global
+        // sort — see jaccardPairs.
+        .localCheckpoint(true)
         .orderBy("doc_a", "doc_b")
     },
 
@@ -206,6 +307,7 @@ object Dedup {
       tokenized(s, dir)
         .select(col("doc_id"), transform(col("toks"), tokenHash60(_)).as("hs"))
         .select(col("doc_id"), simhash(col("hs")).as("simhash"))
+        .localCheckpoint(true) // materialize before sort (see jaccardPairs)
         .orderBy("doc_id")
     },
 
@@ -247,20 +349,10 @@ object Dedup {
       val t = docs.join(exact, "doc_id")
         .select(col("doc_id"), tokenSet(col("text")).as("toks"))
         .withColumn("sz", size(col("toks")))
-      // Near-dup pairs at jaccard >= 0.8 via the same lossless prefix
-      // filter (prefix length = sz - ceil(4*sz/5) + 1).
-      val prefixLen = col("sz") - ((lit(4) * col("sz") + lit(4)) / lit(5)).cast("int") + lit(1)
-      val pre = t.select(col("doc_id"), explode(slice(col("toks"), lit(1), prefixLen)).as("tok"))
-      val cands = pre.as("x").join(pre.as("y"), col("x.tok") === col("y.tok"))
-        .filter(col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-        .distinct()
-      val inter = graft.functions.SortedIntersectCount(col("ta"), col("tb"))
-      val uni = col("sza") + col("szb") - inter
-      val dupB = cands
-        .join(broadcast(t.select(col("doc_id").as("doc_a"), col("toks").as("ta"), col("sz").as("sza"))), "doc_a")
-        .join(broadcast(t.select(col("doc_id").as("doc_b"), col("toks").as("tb"), col("sz").as("szb"))), "doc_b")
-        .filter(lit(5) * inter >= lit(4) * uni)
+      // Near-dup pairs at jaccard >= 0.8 via the same dictionary-encoded
+      // lossless prefix filter; only the higher doc_id of each pair is
+      // dropped (greedy keep-lowest-id).
+      val dupB = jaccardPairs(t.select("doc_id", "toks"), 4, 5)
         .select(col("doc_b").as("doc_id")).distinct()
       val clean = t.join(dupB, Seq("doc_id"), "left_anti")
       clean.agg(
@@ -288,19 +380,35 @@ object Dedup {
       val sh = tokenized(s, dir)
         .select(col("doc_id"), transform(col("toks"), tokenHash60(_)).as("hs"))
         .select(col("doc_id"), simhash(col("hs")).as("simhash"))
+        // Materialization barrier: both sides of the chunk self-join
+        // would otherwise re-run the 60-bit SimHash per document.
+        .localCheckpoint(true)
+      // Chunk join key packs (chunkIdx, 15 chunk bits) into one long —
+      // exact tuple equality, no string concat. The first-equal-chunk
+      // filter keeps one occurrence per pair (<= 4 chunks, so a plain
+      // when-chain — no merge walk needed), replacing round 1's distinct.
+      def chunkOf(sim: Column, c: Int): Column =
+        shiftright(sim, c * 15).bitwiseAND(lit((1L << 15) - 1))
       val chunked = sh.select(col("doc_id"), col("simhash"),
-        explode(array((0 until 4).map(c => concat_ws(":", lit(c),
-          shiftright(col("simhash"), c * 15).bitwiseAND(lit((1L << 15) - 1)))): _*))
-          .as("chunk"))
+        explode(array((0 until 4).map(c =>
+          lit(c.toLong << 15).bitwiseOR(chunkOf(col("simhash"), c))): _*))
+          .as("key"))
       val ham = bit_count(col("x.simhash").bitwiseXOR(col("y.simhash")))
-      // Hamming filter BEFORE the pair-dedup: bit_count on the join row is
-      // a few cycles, and survivors (<= 3 of 60 bits) are rare, so the
-      // distinct shuffles a tiny fraction of the candidate stream.
-      chunked.as("x").join(chunked.as("y"), col("x.chunk") === col("y.chunk"))
-        .filter(col("x.doc_id") < col("y.doc_id") && ham <= 3)
+      val firstEqChunk = (0 until 4).foldRight(lit(-1L)) { (c, rest) =>
+        when(chunkOf(col("x.simhash"), c) === chunkOf(col("y.simhash"), c), lit(c.toLong))
+          .otherwise(rest)
+      }
+      // Explicit broadcast — chunked derives from a localCheckpoint whose
+      // default stats would otherwise force a sort-merge join (see
+      // jaccardPairs).
+      chunked.as("x").join(broadcast(chunked.as("y")), col("x.key") === col("y.key"))
+        .filter(col("x.doc_id") < col("y.doc_id") && ham <= 3 &&
+          shiftright(col("x.key"), 15) === firstEqChunk)
         .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
           ham.cast("long").as("hamming"))
-        .distinct()
+        // Materialize the (shuffle-free) pair stream before the global
+        // sort — see jaccardPairs.
+        .localCheckpoint(true)
         .orderBy("doc_a", "doc_b")
     }
   )
