@@ -15,7 +15,8 @@ object SparkEntry {
     operators.Relational.all ++ operators.Discogs.all ++
       operators.Dedup.all ++ operators.Similarity.all ++
       operators.TextAnalysis.all ++ operators.Streaming.all ++
-      operators.Multimodal.all
+      operators.Multimodal.all ++ operators.Temporal.all ++
+      operators.TrainPrep.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,200 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import graft.functions.TextFns._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data preparation operators — the steps between "cleaned
+  * corpus" (operators.Dedup / TextAnalysis) and "batches on the trainer":
+  * benchmark decontamination, deterministic stratified splits, sequence
+  * packing, per-class embedding centroids, pattern redaction, and
+  * repetition scoring (Gopher-style quality signal).
+  *
+  * Scale design (100 TB):
+  *  - Decontamination broadcasts the benchmark n-gram set (benchmarks are
+  *    MBs, corpora are TBs) and streams the corpus through one explode +
+  *    broadcast-semi-join + partial count — no corpus shuffle at all.
+  *  - The split is a pure per-row hash — embarrassingly parallel, stable
+  *    under reshuffles/reruns, and strata arrive balanced without any
+  *    sampling pass. (Here a multiplicative Knuth hash both engines
+  *    compute identically in BIGINT; at the lake, xxhash64.)
+  *  - Packing assigns each document to the fixed-capacity token block
+  *    where its running offset starts: one window cumsum per shard key —
+  *    at scale, partition by (shard = hash(doc) % k) and pack per shard
+  *    so the window never sees a global sort.
+  *  - Centroids are sum/count per (label, dimension) after a posexplode —
+  *    a partial-aggregating shuffle of (label, pos) pairs, never vectors.
+  *    Per-value floor-to-1e6 BEFORE the sum keeps the aggregation
+  *    integer-exact and order-independent (the float-determinism policy
+  *    of Relational, applied to vectors).
+  */
+object TrainPrep {
+
+  /** Word k-gram shingles of `tk` (token array column), distinct. */
+  private def kgrams(tk: Column, k: Int): Column =
+    array_distinct(transform(
+      sequence(lit(1), size(tk) - (k - 1)),
+      i => concat_ws(" ", (0 until k).map(o => element_at(tk, i + o)): _*)))
+
+  /** DuckDB equivalent of [[kgrams]] over token-list SQL `t`. */
+  private def sqlKgrams(t: String, k: Int): String = {
+    val parts = (0 until k).map(o => s"($t)[i + $o]").mkString(", ")
+    s"list_distinct([ concat_ws(' ', $parts) for i in range(1, len($t) - ${k - 2}) ])"
+  }
+
+  val all: Seq[Q] = Seq(
+
+    // Benchmark decontamination: flag corpus documents sharing any 5-gram
+    // with the held-out benchmark set (here: every 97th document). The
+    // benchmark's distinct 5-grams broadcast; hits counted per document.
+    Q("qn11_contamination_check", {
+      val toks = sqlTokens("text")
+      val sh = sqlKgrams(toks, 5)
+      s"""WITH g AS (SELECT doc_id, unnest($sh) AS gram FROM documents WHERE len($toks) >= 5),
+         |bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),
+         |corpus AS (SELECT * FROM g WHERE doc_id % 97 <> 0)
+         |SELECT corpus.doc_id, COUNT(*) AS n_hits
+         |FROM corpus JOIN bench USING (gram)
+         |GROUP BY corpus.doc_id
+         |ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      val g = Tables.documents(s, dir)
+        .filter(size(tokens(col("text"))) >= 5)
+        .select(col("doc_id"), tokens(col("text")).as("tk"))
+        .select(col("doc_id"), explode(kgrams(col("tk"), 5)).as("gram"))
+      val bench = g.filter(col("doc_id") % 97 === 0).select("gram").distinct()
+      g.filter(col("doc_id") % 97 =!= 0)
+        .join(broadcast(bench), "gram")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+        .orderBy("doc_id")
+    },
+
+    // Deterministic stratified train/val/test split: bucket = Knuth
+    // multiplicative hash of doc_id mod 100; 80/10/10. Identical BIGINT
+    // arithmetic in both engines — no RNG, stable under re-runs.
+    Q("qn12_stratified_split",
+      """WITH s AS (SELECT lang, n_chars,
+        |                  (doc_id * 2654435761) % 100 AS bucket
+        |           FROM documents)
+        |SELECT lang,
+        |       CASE WHEN bucket < 80 THEN 'train'
+        |            WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+        |       COUNT(*) AS n_docs,
+        |       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM s GROUP BY 1, 2 ORDER BY lang, split""".stripMargin) { (s, dir) =>
+      val bucket = (col("doc_id") * lit(2654435761L)) % 100
+      Tables.documents(s, dir)
+        .select(col("lang"), col("n_chars"), bucket.as("bucket"))
+        .withColumn("split",
+          when(col("bucket") < 80, "train")
+            .when(col("bucket") < 90, "val").otherwise("test"))
+        .groupBy("lang", "split")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+        .orderBy("lang", "split")
+    },
+
+    // Per-label embedding centroids, dimension-wise. Values floored to
+    // 1e-6 integers BEFORE summing so the aggregate is order-exact.
+    Q("qn13_label_centroids",
+      """WITH x AS (SELECT label, i AS pos,
+        |                  CAST(floor(CAST(embedding[i + 1] AS DOUBLE) * 1000000) AS BIGINT) AS v_e6
+        |           FROM embeddings, (SELECT unnest(range(0, 64)) AS i))
+        |SELECT label, pos,
+        |       COUNT(*) AS n,
+        |       CAST(floor(CAST(SUM(v_e6) AS DOUBLE) / COUNT(*)) AS BIGINT) AS centroid_e6
+        |FROM x GROUP BY label, pos
+        |ORDER BY label, pos""".stripMargin) { (s, dir) =>
+      Tables.embeddings(s, dir)
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .select(col("label"), col("pos"),
+          floor(col("v").cast("double") * 1000000).cast("long").as("v_e6"))
+        .groupBy("label", "pos")
+        .agg(count(lit(1)).as("n"),
+          floor(sum(col("v_e6")).cast("double") / count(lit(1))).cast("long").as("centroid_e6"))
+        .orderBy("label", "pos")
+    },
+
+    // Sequence packing: documents (in doc_id order) laid end-to-end in
+    // token space; each document belongs to the 2048-token block where it
+    // starts. One window cumsum; block stats out.
+    Q("qn14_sequence_packing", {
+      val toks = sqlTokens("text")
+      s"""WITH t AS (SELECT doc_id, len($toks) AS n_tok FROM documents),
+         |c AS (SELECT doc_id, n_tok,
+         |             SUM(n_tok) OVER (ORDER BY doc_id
+         |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok AS start_off
+         |      FROM t)
+         |SELECT CAST(floor(start_off / 2048.0) AS BIGINT) AS bin,
+         |       COUNT(*) AS n_docs,
+         |       CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+         |       MIN(doc_id) AS first_doc
+         |FROM c GROUP BY 1 ORDER BY bin""".stripMargin
+    }) { (s, dir) =>
+      val w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.documents(s, dir)
+        .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_tok"))
+        .withColumn("start_off", sum(col("n_tok")).over(w) - col("n_tok"))
+        .groupBy(floor(col("start_off") / 2048.0).cast("long").as("bin"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
+          min(col("doc_id")).as("first_doc"))
+        .orderBy("bin")
+    },
+
+    // Pattern redaction (PII-shaped plumbing) over the events JSON props:
+    // digit runs masked, redaction volume accounted per event type.
+    Q("qt06_redact_props",
+      """SELECT event_type,
+        |       COUNT(*) AS n_events,
+        |       CAST(SUM(length(props) - length(regexp_replace(props, '[0-9]', '', 'g'))) AS BIGINT)
+        |         AS n_digits,
+        |       COUNT(DISTINCT regexp_replace(props, '[0-9]+', '#', 'g')) AS n_distinct_redacted
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          sum(length(col("props")) - length(regexp_replace(col("props"), "[0-9]", "")))
+            .as("n_digits"),
+          countDistinct(regexp_replace(col("props"), "[0-9]+", "#"))
+            .as("n_distinct_redacted"))
+        .orderBy("event_type")
+    },
+
+    // Repetition scoring (Gopher-style quality signals): duplicate-token
+    // fraction and top-bigram fraction per document, as 1e-6 integers.
+    Q("qt07_repetition_scores", {
+      val toks = sqlTokens("text")
+      val big = s"[ concat_ws(' ', ($toks)[i], ($toks)[i + 1]) for i in range(1, len($toks)) ]"
+      s"""WITH t AS (SELECT doc_id, len($toks) AS n_tok,
+         |                  len(list_distinct($toks)) AS n_uniq, $big AS bigrams
+         |           FROM documents WHERE len($toks) >= 2),
+         |b AS (SELECT doc_id, unnest(bigrams) AS bg FROM t),
+         |c AS (SELECT doc_id, bg, COUNT(*) AS cnt FROM b GROUP BY 1, 2),
+         |m AS (SELECT doc_id, MAX(cnt) AS max_bg FROM c GROUP BY 1)
+         |SELECT t.doc_id, t.n_tok,
+         |       ${sqlE6("CAST(t.n_tok - t.n_uniq AS DOUBLE) / t.n_tok")} AS dup_frac_e6,
+         |       ${sqlE6("CAST(m.max_bg AS DOUBLE) / len(t.bigrams)")} AS top_bigram_frac_e6
+         |FROM t JOIN m USING (doc_id)
+         |ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      val tk = tokens(col("text"))
+      val bigrams = transform(sequence(lit(1), size(col("tk")) - 1),
+        i => concat_ws(" ", element_at(col("tk"), i), element_at(col("tk"), i + 1)))
+      val t = Tables.documents(s, dir)
+        .filter(size(tk) >= 2)
+        .select(col("doc_id"), tk.as("tk"))
+        .select(col("doc_id"), size(col("tk")).as("n_tok"),
+          size(array_distinct(col("tk"))).as("n_uniq"), bigrams.as("bigrams"))
+        .localCheckpoint(true) // barrier: bigrams feed explode + stats (see Dedup)
+      val maxBg = t.select(col("doc_id"), explode(col("bigrams")).as("bg"))
+        .groupBy("doc_id", "bg").agg(count(lit(1)).as("cnt"))
+        .groupBy("doc_id").agg(max(col("cnt")).as("max_bg"))
+      t.join(maxBg, "doc_id")
+        .select(col("doc_id"), col("n_tok"),
+          e6(col("n_tok").minus(col("n_uniq")).cast("double") / col("n_tok")).as("dup_frac_e6"),
+          e6(col("max_bg").cast("double") / size(col("bigrams"))).as("top_bigram_frac_e6"))
+        .orderBy("doc_id")
+    }
+  )
+}
