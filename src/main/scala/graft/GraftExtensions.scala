@@ -20,6 +20,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.injections.foreach(ext.injectFunction)
     ext.injectOptimizerRule(_ => graft.plans.IntersectCountRule)
+    ext.injectOptimizerRule(_ => graft.plans.TopKRewriteRule)
+    ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
   }
 }
 
