@@ -97,12 +97,23 @@ object Dedup {
       .groupBy("doc_id")
       .agg(array_sort(collect_list(col("tid"))).as("ids"))
       .withColumn("sz", size(col("ids")))
+    // Collapse identical token sets before the pair join: docs with equal
+    // id arrays are indistinguishable under set Jaccard, so the quadratic
+    // candidate work runs once per DISTINCT set (rep = min doc_id) and
+    // member pairs are expanded afterward. Exact-dup collapse before
+    // near-dup — the standard pipeline ordering, applied inside the
+    // operator (5000 docs -> 3935 distinct sets at sf0.1: ~1.6x fewer
+    // candidate pairs).
+    val grp = enc.groupBy("ids")
+      .agg(min(col("doc_id")).as("doc_id"),
+        array_sort(collect_list(col("doc_id"))).as("members"))
+      .withColumn("sz", size(col("ids")))
     // ceil(p*sz/q) computed as (p*sz + q - 1) div q — no float ceil, so
     // the prefix can never round short and drop a pair.
     val prefixLen = col("sz") - ((lit(p) * col("sz") + lit(q - 1)) / lit(q)).cast("int") + lit(1)
     // Same barrier: the encoded frame feeds the prefix-explode side and
     // both broadcast payloads (3 subtrees).
-    val ep = enc.withColumn("pids", slice(col("ids"), lit(1), prefixLen))
+    val ep = grp.withColumn("pids", slice(col("ids"), lit(1), prefixLen))
       .localCheckpoint(true)
 
     // Shared candidate-occurrence head: one row per shared prefix token.
@@ -151,10 +162,31 @@ object Dedup {
           .withColumn("n_inter", SortedIntersectCount(col("ids_a"), col("ids_b")))
       }
 
-    verified
+    val repPairs = verified
       .withColumn("n_union", col("sz_a") + col("sz_b") - col("n_inter"))
       .filter(lit(q) * col("n_inter") >= lit(p) * col("n_union"))
       .select(col("doc_a"), col("doc_b"), col("n_inter"), col("n_union"))
+
+    // Expand representative pairs back to document pairs. A cross-group
+    // doc pair maps to exactly one unordered group pair (no duplicates);
+    // within-group pairs are J = 1 (n_inter = n_union = sz), included by
+    // every threshold.
+    val members = ep.select(col("doc_id").as("rep"), col("members"), col("sz"))
+    val cross = repPairs
+      .join(broadcast(members.select(col("rep").as("doc_a"), col("members").as("ma"))), "doc_a")
+      .join(broadcast(members.select(col("rep").as("doc_b"), col("members").as("mb"))), "doc_b")
+      .select(explode(col("ma")).as("a"), col("mb"), col("n_inter"), col("n_union"))
+      .select(col("a"), explode(col("mb")).as("b"), col("n_inter"), col("n_union"))
+      .select(least(col("a"), col("b")).as("doc_a"),
+        greatest(col("a"), col("b")).as("doc_b"), col("n_inter"), col("n_union"))
+    val within = members.filter(size(col("members")) > 1)
+      .select(col("sz"), explode(flatten(transform(col("members"), a =>
+        transform(filter(col("members"), b => b > a), b =>
+          struct(a.as("a"), b.as("b")))))).as("pr"))
+      .select(col("pr.a").as("doc_a"), col("pr.b").as("doc_b"),
+        col("sz").as("n_inter"), col("sz").as("n_union"))
+
+    cross.unionByName(within)
       // The pair stream reaches here shuffle-free (broadcast joins all the
       // way down), so a global sort's range-sampling pass would recompute
       // the whole candidate stream — and an interposed repartition() gets
@@ -267,23 +299,32 @@ object Dedup {
         // broadcast payloads (3 subtrees), and each would otherwise
         // re-run the 64-permutation MinHash over every document.
         .localCheckpoint(true)
+      // Collapse identical signatures first (docs with equal MinHash
+      // signatures — typically exact/near-exact duplicates — collide in
+      // every band and agree everywhere): the quadratic band join runs on
+      // distinct signatures, member pairs expand afterward.
+      val grp = sig.groupBy("sig")
+        .agg(min(col("doc_id")).as("doc_id"),
+          array_sort(collect_list(col("doc_id"))).as("members"))
+        .localCheckpoint(true)
       // Band key = struct(bandIdx, the 4 signature rows): tuple equality
       // is EXACTLY the oracle's string-key equality (fixed arity, numeric
       // fields) without building/compare of concat'd strings. One row per
       // colliding band; the first-agreeing-band filter then keeps exactly
       // one occurrence per pair — no distinct() shuffle (round 1 moved
       // 46.5M candidate rows through it at sf0.1).
-      val banded = sig.select(col("doc_id"), col("sig"),
+      val banded = grp.select(col("doc_id"), col("sig"),
         explode(array((0 until 16).map { b =>
           struct((lit(b).as("b") +: (0 until 4).map(r =>
             col("sig").getItem(b * 4 + r).as(s"h$r"))): _*)
         }: _*)).as("band"))
-      val pay = (side: String) => broadcast(sig.select(
+      val pay = (side: String) => broadcast(grp.select(
         col("doc_id").as(s"doc_$side"), col("sig").as(s"sig_$side")))
       // Explicit broadcast — banded derives from a localCheckpoint whose
       // default stats would otherwise force a sort-merge join (see
       // jaccardPairs).
-      banded.as("x").join(broadcast(banded.as("y")), col("x.band") === col("y.band"))
+      val repPairs = banded.as("x")
+        .join(broadcast(banded.as("y")), col("x.band") === col("y.band"))
         .filter(col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
           col("x.band").getField("b").as("b"))
@@ -292,6 +333,23 @@ object Dedup {
         .filter(col("b") === FirstAgreeingBand(col("sig_a"), col("sig_b"), 4))
         .select(col("doc_a"), col("doc_b"),
           PairwiseEqCount(col("sig_a"), col("sig_b")).as("n_agree"))
+      // Expand rep pairs to doc pairs (cross-group: one unordered group
+      // pair per doc pair; within-group: full agreement on all 64 rows).
+      val members = grp.select(col("doc_id").as("rep"), col("members"), size(col("sig")).as("n_sig"))
+      val cross = repPairs
+        .join(broadcast(members.select(col("rep").as("doc_a"), col("members").as("ma"))), "doc_a")
+        .join(broadcast(members.select(col("rep").as("doc_b"), col("members").as("mb"))), "doc_b")
+        .select(explode(col("ma")).as("a"), col("mb"), col("n_agree"))
+        .select(col("a"), explode(col("mb")).as("b"), col("n_agree"))
+        .select(least(col("a"), col("b")).as("doc_a"),
+          greatest(col("a"), col("b")).as("doc_b"), col("n_agree"))
+      val within = members.filter(size(col("members")) > 1)
+        .select(col("n_sig"), explode(flatten(transform(col("members"), a =>
+          transform(filter(col("members"), b => b > a), b =>
+            struct(a.as("a"), b.as("b")))))).as("pr"))
+        .select(col("pr.a").as("doc_a"), col("pr.b").as("doc_b"),
+          col("n_sig").as("n_agree"))
+      cross.unionByName(within)
         // Materialize the (shuffle-free) pair stream before the global
         // sort — see jaccardPairs.
         .localCheckpoint(true)
