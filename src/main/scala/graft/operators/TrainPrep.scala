@@ -142,6 +142,103 @@ object TrainPrep {
         .orderBy("bin")
     },
 
+    // Deterministic balanced subsample: at most 20 vectors per label,
+    // chosen by multiplicative hash order (no RNG, stable under re-runs).
+    // The row_number-over-window form is written declaratively and the
+    // TopKRewriteRule plans it as the TopKPerGroup operator — no
+    // per-label sort, k rows per label per partition shuffled.
+    Q("qn15_balanced_sample",
+      """WITH h AS (SELECT label, vec_id,
+        |                  (vec_id * 2654435761) % 1000003 AS hsh
+        |           FROM embeddings),
+        |r AS (SELECT label, vec_id, hsh,
+        |             ROW_NUMBER() OVER (PARTITION BY label
+        |               ORDER BY hsh, vec_id) AS rnk FROM h)
+        |SELECT label, rnk, vec_id FROM r WHERE rnk <= 20
+        |ORDER BY label, rnk""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("label"))
+        .orderBy(col("hsh").asc, col("vec_id").asc)
+      Tables.embeddings(s, dir)
+        .select(col("label"), col("vec_id"),
+          ((col("vec_id") * lit(2654435761L)) % 1000003).as("hsh"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 20)
+        .select(col("label"), col("rnk").cast("long").as("rnk"), col("vec_id"))
+        .orderBy("label", "rnk")
+    },
+
+    // Int8 quantization of embeddings: per-vector absmax scaling,
+    // floor-quantized (floor, not round — both engines floor doubles
+    // identically; round half-up vs half-even could differ). Emits the
+    // quantization summary a trainer shards on.
+    Q("qn16_quantize_embeddings",
+      """WITH m AS (SELECT vec_id, label, embedding,
+        |                  list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS mx
+        |           FROM embeddings),
+        |q AS (SELECT vec_id, label, mx,
+        |             CASE WHEN mx = 0 THEN [CAST(0 AS BIGINT) for x in embedding]
+        |                  ELSE [CAST(floor(CAST(x AS DOUBLE) * 127.0 / mx) AS BIGINT) for x in embedding]
+        |             END AS qv
+        |      FROM m)
+        |SELECT vec_id, label,
+        |       CAST(floor(mx * 1000000) AS BIGINT) AS absmax_e6,
+        |       CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), qv), (a, x) -> a + x) AS BIGINT) AS q_sum,
+        |       CAST(list_min(qv) AS BIGINT) AS q_min,
+        |       CAST(list_max(qv) AS BIGINT) AS q_max
+        |FROM q ORDER BY vec_id""".stripMargin) { (s, dir) =>
+      val mx = array_max(transform(col("embedding"), x => abs(x.cast("double"))))
+      val qv = when(col("mx") === 0,
+          transform(col("embedding"), _ => lit(0L)))
+        .otherwise(transform(col("embedding"),
+          x => floor(x.cast("double") * 127.0 / col("mx")).cast("long")))
+      Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("label"), col("embedding"), mx.as("mx"))
+        .select(col("vec_id"), col("label"), col("mx"), qv.as("qv"))
+        .select(col("vec_id"), col("label"),
+          floor(col("mx") * 1000000).cast("long").as("absmax_e6"),
+          aggregate(col("qv"), lit(0L), (a, x) => a + x).as("q_sum"),
+          array_min(col("qv")).as("q_min"),
+          array_max(col("qv")).as("q_max"))
+        .orderBy("vec_id")
+    },
+
+    // TF-IDF top terms per document in pure integer arithmetic:
+    // score_e6 = (tf * N * 1e6) div (df * n_tok) — no log, no float, so
+    // both engines rank identically with no epsilon anywhere. Top-3 per
+    // doc through the declarative window form -> TopKPerGroup operator.
+    Q("qt08_tfidf_top_terms", {
+      val toks = sqlTokens("text")
+      s"""WITH tk AS (SELECT doc_id, unnest($toks) AS term FROM documents),
+         |n_tok AS (SELECT doc_id, COUNT(*) AS n_tok FROM tk GROUP BY 1),
+         |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tk GROUP BY 1, 2),
+         |df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tk GROUP BY 1),
+         |n AS (SELECT COUNT(*) AS n FROM documents),
+         |s AS (SELECT tf.doc_id, tf.term,
+         |             (tf.tf * n.n * 1000000) // (df.df * n_tok.n_tok) AS score_e6
+         |      FROM tf JOIN df USING (term) JOIN n_tok USING (doc_id) CROSS JOIN n),
+         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+         |               ORDER BY score_e6 DESC, term) AS rnk FROM s)
+         |SELECT doc_id, rnk, term, score_e6 FROM r WHERE rnk <= 3
+         |ORDER BY doc_id, rnk""".stripMargin
+    }) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val n = docs.count()
+      val tk = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+        .localCheckpoint(true) // barrier: feeds tf, df, and n_tok subtrees
+      val nTok = tk.groupBy("doc_id").agg(count(lit(1)).as("n_tok"))
+      val tf = tk.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val df = tk.groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("score_e6").desc, col("term").asc)
+      tf.join(broadcast(df), "term").join(broadcast(nTok), "doc_id")
+        .select(col("doc_id"), col("term"),
+          expr(s"(tf * ${n}L * 1000000L) div (df * n_tok)").as("score_e6"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("doc_id"), col("rnk").cast("long").as("rnk"), col("term"), col("score_e6"))
+        .orderBy("doc_id", "rnk")
+    },
+
     // Pattern redaction (PII-shaped plumbing) over the events JSON props:
     // digit runs masked, redaction volume accounted per event type.
     Q("qt06_redact_props",

@@ -115,6 +115,23 @@ class TemporalTrainPrepSpec extends AnyFunSuite {
     rows.foreach(r => assert(r.getAs[Long]("doc_id") % 97 != 0))
   }
 
+  test("balanced sample and tf-idf plan through the TopKPerGroup operator") {
+    Seq("qn15_balanced_sample", "qt08_tfidf_top_terms").foreach { name =>
+      val plan = SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+      assert(plan.contains("TopKPerGroup"), s"$name missing operator")
+    }
+    val sample = SparkEntry.queries("qn15_balanced_sample")(spark, sf).collect()
+    sample.groupBy(_.getAs[Int]("label")).foreach { case (_, rs) =>
+      assert(rs.length <= 20)
+    }
+  }
+
+  test("quantized embeddings stay inside int8 range") {
+    SparkEntry.queries("qn16_quantize_embeddings")(spark, sf).collect().foreach { r =>
+      assert(r.getAs[Long]("q_min") >= -128 && r.getAs[Long]("q_max") <= 127)
+    }
+  }
+
   test("label centroids cover every (label, dimension) cell") {
     val rows = SparkEntry.queries("qn13_label_centroids")(spark, sf).collect()
     val labels = Tables.embeddings(spark, sf).select("label").distinct().count()
