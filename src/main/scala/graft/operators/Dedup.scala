@@ -435,6 +435,60 @@ object Dedup {
          |WHERE a.doc_id < b.doc_id AND bit_count(xor(a.simhash, b.simhash)) <= 3
          |ORDER BY doc_a, doc_b""".stripMargin
     }) { (s, dir) =>
+      simhashNearPairs(s, dir).orderBy("doc_a", "doc_b")
+    },
+
+    // Transitive closure of the near-dup relation: connected components
+    // over the simhash pair graph by iterative min-label propagation
+    // (the dedup-cluster step real pipelines run after pair generation —
+    // a doc transitively near a kept doc must be dropped too). The Spark
+    // loop is the GraphX-style DataFrame iteration: propagate the
+    // minimum reachable doc_id along edges until fixpoint, checkpointing
+    // each round so lineage stays flat. Iterations = component diameter.
+    // The oracle is a DuckDB recursive CTE over the same edge set.
+    Q("qn17_dedup_components", {
+      val hs = s"[ ${sqlTokenHash60("t")} for t in toks ]"
+      s"""WITH RECURSIVE
+         |t AS ($sqlTokenized),
+         |sh AS (SELECT doc_id, ${sqlSimhash(hs)} AS simhash FROM t),
+         |e AS (SELECT a.doc_id AS a, b.doc_id AS b FROM sh a, sh b
+         |      WHERE a.doc_id < b.doc_id
+         |        AND bit_count(xor(a.simhash, b.simhash)) <= 3),
+         |ed AS (SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e),
+         |walk(node, lab) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT ed.b, walk.lab FROM walk JOIN ed ON ed.a = walk.node
+         |)
+         |SELECT node AS doc_id, MIN(lab) AS comp FROM walk
+         |GROUP BY node ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      val pairs = simhashNearPairs(s, dir).select(col("doc_a"), col("doc_b"))
+      val edges = pairs.unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+        .toDF("src", "dst").localCheckpoint(true)
+      var labels = Tables.documents(s, dir)
+        .select(col("doc_id"), col("doc_id").as("comp")).localCheckpoint(true)
+      var converged = false
+      var rounds = 0
+      while (!converged && rounds < 50) {
+        val nb = edges.join(labels, col("src") === col("doc_id"))
+          .groupBy(col("dst")).agg(min(col("comp")).as("nb_comp"))
+        val next = labels.join(nb, col("doc_id") === col("dst"), "left")
+          .select(col("doc_id"),
+            least(col("comp"), coalesce(col("nb_comp"), col("comp"))).as("comp"))
+          .localCheckpoint(true)
+        converged = next.join(labels.withColumnRenamed("comp", "prev"), "doc_id")
+          .filter(col("comp") < col("prev")).isEmpty
+        labels = next
+        rounds += 1
+      }
+      labels.orderBy("doc_id")
+    }
+  )
+
+  /** SimHash hamming<=3 pairs (unordered), shared by qn06 and the
+    * component query. */
+  private def simhashNearPairs(s: SparkSession, dir: String): DataFrame = {
       val sh = tokenized(s, dir)
         .select(col("doc_id"), transform(col("toks"), tokenHash60(_)).as("hs"))
         .select(col("doc_id"), simhash(col("hs")).as("simhash"))
@@ -467,7 +521,5 @@ object Dedup {
         // Materialize the (shuffle-free) pair stream before the global
         // sort — see jaccardPairs.
         .localCheckpoint(true)
-        .orderBy("doc_a", "doc_b")
-    }
-  )
+  }
 }

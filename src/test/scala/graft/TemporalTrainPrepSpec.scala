@@ -132,6 +132,16 @@ class TemporalTrainPrepSpec extends AnyFunSuite {
     }
   }
 
+  test("dedup components: every near-dup edge lies inside one component") {
+    val comp = SparkEntry.queries("qn17_dedup_components")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp.nonEmpty)
+    comp.foreach { case (doc, c) => assert(c <= doc) } // label = min reachable id
+    SparkEntry.queries("qn06_simhash_near_pairs")(spark, sf).collect().foreach { r =>
+      assert(comp(r.getAs[Long]("doc_a")) == comp(r.getAs[Long]("doc_b")))
+    }
+  }
+
   test("label centroids cover every (label, dimension) cell") {
     val rows = SparkEntry.queries("qn13_label_centroids")(spark, sf).collect()
     val labels = Tables.embeddings(spark, sf).select("label").distinct().count()
