@@ -90,6 +90,36 @@ object Multimodal {
       }
   }
 
+  /** Batched-inference plumbing: the Scala analog of the `mapInPandas`
+    * batch contract — rows grouped into fixed-size batches inside each
+    * partition, the model invoked once per BATCH (where a real pipeline
+    * amortizes GPU transfer / graph dispatch), per-row outputs zipped
+    * back. Outputs must be row-deterministic (batching is a throughput
+    * shape, never a semantic boundary) — which is exactly what makes the
+    * stage oracle-checkable. The batch-invocation count itself is pinned
+    * by MultimodalSpec via an accumulator.
+    */
+  def batchInfer(assets: DataFrame, batchSize: Int)(
+      model: Seq[Array[Byte]] => Seq[Long]): Dataset[(Long, Long)] = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.select(col("asset_id"), col("payload")).as[RawAsset]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          val outs = model(batch.map(_.payload))
+          batch.map(_.asset_id).zip(outs)
+        }
+      }
+  }
+
+  /** STUB batch model: per-payload polynomial signature (mult 37). */
+  def stubModel(batch: Seq[Array[Byte]]): Seq[Long] =
+    batch.map { bytes =>
+      var h = 7L; var i = 0
+      while (i < bytes.length) { h = (h * 37 + (bytes(i) & 0xffL)) % 1000000007L; i += 1 }
+      h
+    }
+
   private val sqlBytes = "[CAST(unicode(ch) AS BIGINT) for ch in split(text, '')]"
 
   val all: Seq[Q] = Seq(
@@ -146,6 +176,18 @@ object Multimodal {
           ascii(expr("CAST(substring(payload, CAST(1 + (frame_idx * 25) % length(payload) AS INT), 1) AS STRING)"))
             .cast("long").as("frame_probe"))
         .orderBy("asset_id", "frame_idx")
+    },
+
+    // Batched inference over payloads (batch size 64), hash-checked:
+    // row-deterministic outputs, batch grouping pinned by MultimodalSpec.
+    Q("qm05_batch_embed",
+      s"""SELECT doc_id AS asset_id,
+         |       list_reduce(list_prepend(CAST(7 AS BIGINT), $sqlBytes),
+         |                   (a, x) -> (a * 37 + x) % 1000000007) AS sig
+         |FROM documents ORDER BY asset_id""".stripMargin) { (s, dir) =>
+      batchInfer(assets(s, dir), 64)(stubModel)
+        .toDF("asset_id", "sig")
+        .orderBy("asset_id")
     },
 
     // Resize: pure metadata arithmetic + payload truncation to the new

@@ -36,4 +36,26 @@ class MultimodalSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).filter(_ >= 1).sum
     assert(n == expected)
   }
+
+  test("batchInfer invokes the model once per batch, never over batch size") {
+    val acc = spark.sparkContext.longAccumulator("batches")
+    val a = Multimodal.assets(spark, sf)
+    val n = a.count()
+    val out = Multimodal.batchInfer(a.repartition(2), 64) { batch =>
+      acc.add(1)
+      assert(batch.nonEmpty && batch.size <= 64)
+      Multimodal.stubModel(batch)
+    }.collect()
+    assert(out.length == n)
+    // 2 partitions of sizes p1 + p2 = n: ceil(p1/64) + ceil(p2/64) batches.
+    assert(acc.value >= (n + 63) / 64)
+    assert(acc.value <= n / 64 + 2)
+  }
+
+  test("batch outputs are row-deterministic across batch sizes") {
+    val a = Multimodal.assets(spark, sf)
+    val b1 = Multimodal.batchInfer(a, 7)(Multimodal.stubModel).collect().toMap
+    val b2 = Multimodal.batchInfer(a, 500)(Multimodal.stubModel).collect().toMap
+    assert(b1 == b2)
+  }
 }
