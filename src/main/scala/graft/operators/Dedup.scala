@@ -438,6 +438,57 @@ object Dedup {
       simhashNearPairs(s, dir).orderBy("doc_a", "doc_b")
     },
 
+    // Incremental-ingest dedup: classify an incoming batch (doc_id % 10
+    // >= 8) against the existing corpus — exact duplicate (normalized
+    // text seen before), near duplicate (token Jaccard >= 0.6 with any
+    // existing doc), or new. This is the shape every production ingest
+    // runs: the existing side is an index, the incoming side streams
+    // through it; here both derive from the same pair machinery with a
+    // crossing filter.
+    Q("qn18_incremental_dedup",
+      s"""WITH t AS ($sqlTokenized),
+         |inc AS (SELECT doc_id, $sqlNorm AS nrm FROM documents WHERE doc_id % 10 >= 8),
+         |exn AS (SELECT DISTINCT $sqlNorm AS nrm FROM documents WHERE doc_id % 10 < 8),
+         |exact AS (SELECT DISTINCT doc_id FROM inc JOIN exn USING (nrm)),
+         |near AS (SELECT DISTINCT i.doc_id
+         |         FROM t i JOIN t e
+         |           ON i.doc_id % 10 >= 8 AND e.doc_id % 10 < 8
+         |          AND 5 * len(list_intersect(i.toks, e.toks))
+         |              >= 3 * (i.sz + e.sz - len(list_intersect(i.toks, e.toks))))
+         |SELECT i.doc_id,
+         |       CASE WHEN ex.doc_id IS NOT NULL THEN 'exact_dup'
+         |            WHEN nr.doc_id IS NOT NULL THEN 'near_dup'
+         |            ELSE 'new' END AS status
+         |FROM inc i
+         |LEFT JOIN exact ex ON i.doc_id = ex.doc_id
+         |LEFT JOIN near nr ON i.doc_id = nr.doc_id
+         |ORDER BY i.doc_id""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val inc = docs.filter(col("doc_id") % 10 >= 8)
+        .select(col("doc_id"), norm(col("text")).as("nrm"))
+      val exn = docs.filter(col("doc_id") % 10 < 8)
+        .select(norm(col("text")).as("nrm")).distinct()
+      val exact = inc.join(exn, Seq("nrm"), "left_semi")
+        .select(col("doc_id")).withColumn("is_exact", lit(true))
+      // Crossing near-dup pairs from the symmetric pair machinery: keep
+      // pairs with one side in each half, collect the incoming side.
+      val pairs = jaccardPairs(tokenized(s, dir), 3, 5)
+        .select(col("doc_a"), col("doc_b"))
+      val near = pairs
+        .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+        .filter(col("doc_a") % 10 >= 8 && col("doc_b") % 10 < 8)
+        .select(col("doc_a").as("doc_id")).distinct()
+        .withColumn("is_near", lit(true))
+      inc.select(col("doc_id"))
+        .join(exact, Seq("doc_id"), "left")
+        .join(near, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(col("is_exact"), "exact_dup")
+            .when(col("is_near"), "near_dup")
+            .otherwise("new").as("status"))
+        .orderBy("doc_id")
+    },
+
     // Transitive closure of the near-dup relation: connected components
     // over the simhash pair graph by iterative min-label propagation
     // (the dedup-cluster step real pipelines run after pair generation —

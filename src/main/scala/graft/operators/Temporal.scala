@@ -121,6 +121,38 @@ object Temporal {
         .agg(count(col("click_id")).as("n_clicks_30m"),
           coalesce(sum(col("cents")), lit(0L)).as("sum_click_cents"))
         .orderBy("event_id")
+    },
+
+    // Ordered funnel conversion: view -> click (strictly after the first
+    // view) -> purchase (strictly after that click). Each stage is a
+    // per-user min-timestamp aggregation conditioned on the previous
+    // stage — three shuffles on user_id, no self-cross-products, which
+    // is the scalable funnel shape (per-stage aggregate, not per-path
+    // enumeration).
+    Q("qr03_funnel_conversion",
+      s"""WITH e AS ($sqlEvents),
+         |v AS (SELECT user_id, MIN(us) AS vus FROM e WHERE event_type = 'view' GROUP BY 1),
+         |c AS (SELECT e.user_id, MIN(us) AS cus FROM e JOIN v USING (user_id)
+         |      WHERE event_type = 'click' AND us > vus GROUP BY 1),
+         |p AS (SELECT e.user_id, MIN(us) AS pus FROM e JOIN c USING (user_id)
+         |      WHERE event_type = 'purchase' AND us > cus GROUP BY 1)
+         |SELECT (SELECT COUNT(DISTINCT user_id) FROM e) AS n_users,
+         |       (SELECT COUNT(*) FROM v) AS n_viewed,
+         |       (SELECT COUNT(*) FROM c) AS n_clicked_after_view,
+         |       (SELECT COUNT(*) FROM p) AS n_purchased_after_click""".stripMargin) { (s, dir) =>
+      val e = events(s, dir)
+      val v = e.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("us")).as("vus"))
+      val c = e.filter(col("event_type") === "click")
+        .join(v, "user_id").filter(col("us") > col("vus"))
+        .groupBy("user_id").agg(min(col("us")).as("cus"))
+      val p = e.filter(col("event_type") === "purchase")
+        .join(c, "user_id").filter(col("us") > col("cus"))
+        .groupBy("user_id").agg(min(col("us")).as("pus"))
+      e.agg(countDistinct(col("user_id")).as("n_users"))
+        .crossJoin(v.agg(count(lit(1)).as("n_viewed")))
+        .crossJoin(c.agg(count(lit(1)).as("n_clicked_after_view")))
+        .crossJoin(p.agg(count(lit(1)).as("n_purchased_after_click")))
     }
   )
 }
