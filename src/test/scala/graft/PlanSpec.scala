@@ -67,4 +67,32 @@ class PlanSpec extends AnyFunSuite {
     // partial + final HashAggregate pair = map-side combine before shuffle.
     assert("HashAggregate".r.findAllIn(p).size >= 2, p)
   }
+
+  test("as-of join shuffles once on the key (tagged union + window, no range join)") {
+    val p = planOf("qr01_asof_last_click")
+    assert(p.contains("Window"), p)
+    // exactly two exchanges: the window's hash partitioning + the final
+    // presentation sort's range partitioning — no join exchange at all.
+    val exchanges = "Exchange (hash|range)partitioning".r.findAllIn(p).toSeq
+    assert(exchanges.size == 2, s"expected window+sort exchanges only:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("contamination check broadcasts the benchmark n-gram set") {
+    val p = planOf("qn11_contamination_check")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("pair dedup plans have no distinct over the candidate stream") {
+    // The first-common / first-agreeing filters replaced the pair
+    // distinct(): candidate streams must reach the output through
+    // filters, not a HashAggregate over (doc_a, doc_b).
+    Seq("qn03_jaccard_pairs", "qn04_minhash_lsh_pairs").foreach { name =>
+      val p = planOf(name)
+      val aggs = p.linesIterator.filter(l =>
+        l.contains("HashAggregate") && l.contains("doc_a") && l.contains("doc_b")).toSeq
+      assert(aggs.isEmpty, s"$name pair-level aggregate survived:\n${aggs.mkString("\n")}")
+    }
+  }
 }
