@@ -1,0 +1,38 @@
+package graft
+
+import graft.sources.LakeMaintenance
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class LakeMaintenanceSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("compaction merges fragmented partitions, preserves data, and is idempotent") {
+    val root = java.nio.file.Files.createTempDirectory("graft_lake_compact").toString + "/lake"
+    // Fragmented lake: 8 files per lang partition.
+    Tables.documents(spark, sf)
+      .repartition(8)
+      .write.partitionBy("lang").parquet(root)
+    val before = spark.read.parquet(root)
+    val beforeRows = before.count()
+    val beforeSum = before.agg(sum("n_chars")).head.getLong(0)
+    val beforeLangs = before.select("lang").distinct().count()
+
+    val stats = LakeMaintenance.compact(spark, root) // target >> data -> 1 file each
+    assert(stats.nonEmpty)
+    stats.foreach { s =>
+      assert(s.filesBefore >= s.filesAfter)
+      assert(s.filesAfter == 1, s) // tiny partitions -> single file
+    }
+
+    val after = spark.read.parquet(root)
+    assert(after.count() == beforeRows)
+    assert(after.agg(sum("n_chars")).head.getLong(0) == beforeSum)
+    // lang partition column survives the rewrite
+    assert(after.select("lang").distinct().count() == beforeLangs)
+
+    // second run touches nothing
+    val again = LakeMaintenance.compact(spark, root)
+    again.foreach(s => assert(s.filesBefore == s.filesAfter))
+  }
+}
