@@ -413,12 +413,14 @@ object Dedup {
       val dupB = jaccardPairs(t.select("doc_id", "toks"), 4, 5)
         .select(col("doc_b").as("doc_id")).distinct()
       val clean = t.join(dupB, Seq("doc_id"), "left_anti")
-      clean.agg(
-        count(lit(1)).as("n_clean"),
-        lit(docs.count()).as("n_raw"),
-        lit(quality.count()).as("n_quality"),
-        lit(exact.count()).as("n_exact_unique"),
-        sum(col("sz")).as("sum_vocab"))
+      // Stage counts as crossJoined single-row aggregates — one job, no
+      // driver-side count() actions inside the plan build.
+      clean.agg(count(lit(1)).as("n_clean"), sum(col("sz")).as("sum_vocab"))
+        .crossJoin(docs.agg(count(lit(1)).as("n_raw")))
+        .crossJoin(quality.agg(count(lit(1)).as("n_quality")))
+        .crossJoin(exact.agg(count(lit(1)).as("n_exact_unique")))
+        .select(col("n_clean"), col("n_raw"), col("n_quality"),
+          col("n_exact_unique"), col("sum_vocab"))
     },
 
     // SimHash near-dup pairs: Hamming distance <= 3 over the 60-bit
