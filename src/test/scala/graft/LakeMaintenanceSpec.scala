@@ -35,4 +35,23 @@ class LakeMaintenanceSpec extends AnyFunSuite {
     val again = LakeMaintenance.compact(spark, root)
     again.foreach(s => assert(s.filesBefore == s.filesAfter))
   }
+
+  test("schema evolution: appended columns merge, old rows read as null") {
+    val root = java.nio.file.Files.createTempDirectory("graft_lake_evolve").toString + "/lake"
+    val docs = Tables.documents(spark, sf)
+    // v1 of the lake lacks the `source` column; a later ingest adds it.
+    docs.filter(col("doc_id") % 2 === 0).select("doc_id", "lang", "n_chars")
+      .write.partitionBy("lang").parquet(root)
+    docs.filter(col("doc_id") % 2 === 1).select("doc_id", "lang", "n_chars", "source")
+      .write.mode("append").partitionBy("lang").parquet(root)
+    val merged = spark.read.option("mergeSchema", "true").parquet(root)
+    assert(merged.columns.toSet == Set("doc_id", "lang", "n_chars", "source"))
+    assert(merged.count() == docs.count())
+    // v1 rows surface the evolved column as null; v2 rows keep values.
+    assert(merged.filter(col("doc_id") % 2 === 0 && col("source").isNotNull).count() == 0)
+    assert(merged.filter(col("doc_id") % 2 === 1 && col("source").isNull).count() == 0)
+    // pushdown still reaches the scan through the merged schema
+    val p = merged.filter(col("n_chars") > 100).queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters") && p.contains("GreaterThan(n_chars,100"), p)
+  }
 }
