@@ -69,6 +69,39 @@ class AttributionStreamSpec extends AnyFunSuite {
       }
   }
 
+  test("streaming ingest pipeline: dedup -> partitioned lake -> compaction") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val lake = java.nio.file.Files.createTempDirectory("graft_stream_ingest").toString + "/lake"
+    val evs = Tables.events(spark, sf)
+      .select(col("event_id"), unix_micros(col("ts")).as("us"), col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+
+    val ms = MemoryStream[(Long, Long, String)]
+    val deduped = graft.streaming.Attribution.dedupEvents(
+      ms.toDS().toDF("event_id", "us", "event_type"), "event_id", "us")
+    val q = deduped.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batch.write.mode("append").partitionBy("event_type").parquet(lake)
+      }
+      .start()
+    try {
+      // three micro-batches, the third replaying half of the first
+      val (h1, h2) = evs.splitAt(evs.length / 2)
+      ms.addData(h1); q.processAllAvailable()
+      ms.addData(h2); q.processAllAvailable()
+      ms.addData(h1.take(h1.length / 2)); q.processAllAvailable()
+    } finally q.stop()
+
+    val stats = graft.sources.LakeMaintenance.compact(spark, lake)
+    assert(stats.forall(s => s.filesAfter <= s.filesBefore))
+    val back = spark.read.parquet(lake)
+    assert(back.count() == evs.length) // replays collapsed, nothing lost
+    assert(back.select("event_id").distinct().count() == evs.length)
+    assert(back.select("event_type").distinct().count() ==
+      evs.map(_._3).distinct.length)
+  }
+
   test("watermarked streaming dedup collapses replayed events") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
