@@ -101,9 +101,36 @@ object Similarity {
     // bands are needed for recall; a real near-dup corpus (cos > 0.9,
     // per-bit agreement > 0.95) keeps high recall at 4-bit bands with
     // ~256x fewer candidates. Recall vs the exact qn07 baseline is
-    // asserted in NorthStarSpec. rows-only for the driver (the LSH
-    // candidate set is engine-defined, not ANSI SQL).
-    Q.rowsOnly("qn09_ann_lsh_topk") { (s, dir) =>
+    // asserted in NorthStarSpec. The hyperplanes are deterministic
+    // arithmetic and the projections sequential double folds, so the
+    // WHOLE approximate pipeline — signatures, banding, candidate set,
+    // rescore — replays exactly in the oracle (round 2; was rows-only).
+    Q("qn09_ann_lsh_topk", {
+      val signCase = (p: Int) =>
+        s"(CASE WHEN ((${p.toLong * 2654435761L} + i * 40503) % 97) < 48 THEN 1.0 ELSE -1.0 END)"
+      val proj = (p: Int) =>
+        s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+          s"[CAST(embedding[i + 1] AS DOUBLE) * ${signCase(p)} for i in range(0, len(embedding))]), " +
+          "(a, x) -> a + x)"
+      val sigExpr = (0 until 16).map(p =>
+        s"(CASE WHEN (${proj(p)}) > 0 THEN CAST(${1L << p} AS BIGINT) ELSE 0 END)")
+        .mkString("(", " + ", ")")
+      s"""WITH v AS (SELECT vec_id, embedding, ${sqlL2norm("embedding")} AS nrm,
+         |                  $sigExpr AS sig FROM embeddings),
+         |b AS (SELECT vec_id, embedding, nrm, bd, (sig >> (2 * bd)) & 3 AS bk
+         |      FROM v, (SELECT unnest(range(0, 8)) AS bd)),
+         |cand AS (SELECT DISTINCT p.vec_id AS probe_id, c.vec_id AS vec_id
+         |         FROM b p JOIN b c ON p.bd = c.bd AND p.bk = c.bk
+         |         WHERE p.vec_id < 10 AND c.vec_id <> p.vec_id),
+         |s AS (SELECT cand.probe_id, cand.vec_id,
+         |             ${sqlE6(s"${sqlDot("p.embedding", "c.embedding")} / (p.nrm * c.nrm)")} AS score_e6
+         |      FROM cand JOIN v p ON cand.probe_id = p.vec_id
+         |                JOIN v c ON cand.vec_id = c.vec_id),
+         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+         |                 ORDER BY score_e6 DESC, vec_id) AS rnk FROM s)
+         |SELECT probe_id, rnk, vec_id, score_e6 FROM r
+         |WHERE rnk <= 5 ORDER BY probe_id, rnk""".stripMargin
+    }) { (s, dir) =>
       annTopK(s, dir, nPlanes = 16, bandBits = 2, k = 5)
     },
 
@@ -113,8 +140,37 @@ object Similarity {
     // centroid table is tiny and broadcast twice (assignment + probe
     // routing); the big side never shuffles except the final top-k. At
     // scale the seed centroids come from a sampled k-means — the plan
-    // shape (two broadcast joins + window) is identical.
-    Q.rowsOnly("qn10_ann_ivf_topk") { (s, dir) =>
+    // shape (two broadcast joins + window) is identical. Cell assignment
+    // ranks on e6-integer scores with cent_id tie-breaks, so the entire
+    // approximate pipeline replays in the oracle (round 2; was rows-only).
+    Q("qn10_ann_ivf_topk", {
+      val cosE6c = (a: String, b: String, an: String, bn: String) =>
+        sqlE6(s"${sqlDot(a, b)} / ($an * $bn)")
+      s"""WITH v AS (SELECT vec_id, embedding, ${sqlL2norm("embedding")} AS nrm FROM embeddings),
+         |st AS (SELECT GREATEST(1, COUNT(*) // 16) AS stride FROM v),
+         |cents AS (SELECT vec_id AS cent_id, embedding AS ce, nrm AS cn FROM v, st
+         |          WHERE vec_id % stride = 0 AND vec_id < stride * 16),
+         |asg AS (SELECT vec_id, embedding, nrm, cent_id FROM (
+         |          SELECT v.vec_id, v.embedding, v.nrm, c.cent_id,
+         |                 ROW_NUMBER() OVER (PARTITION BY v.vec_id
+         |                   ORDER BY ${cosE6c("c.ce", "v.embedding", "c.cn", "v.nrm")} DESC,
+         |                            c.cent_id) AS rn
+         |          FROM v, cents c) WHERE rn = 1),
+         |pc AS (SELECT probe_id, pe, pn, cent_id FROM (
+         |          SELECT p.vec_id AS probe_id, p.embedding AS pe, p.nrm AS pn, c.cent_id,
+         |                 ROW_NUMBER() OVER (PARTITION BY p.vec_id
+         |                   ORDER BY ${cosE6c("c.ce", "p.embedding", "c.cn", "p.nrm")} DESC,
+         |                            c.cent_id) AS rn
+         |          FROM (SELECT * FROM v WHERE vec_id < 10) p, cents c) WHERE rn <= 4),
+         |s AS (SELECT pc.probe_id, a.vec_id,
+         |             ${cosE6c("pc.pe", "a.embedding", "pc.pn", "a.nrm")} AS score_e6
+         |      FROM asg a JOIN pc USING (cent_id)
+         |      WHERE a.vec_id <> pc.probe_id),
+         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+         |                 ORDER BY score_e6 DESC, vec_id) AS rnk FROM s)
+         |SELECT probe_id, rnk, vec_id, score_e6 FROM r
+         |WHERE rnk <= 5 ORDER BY probe_id, rnk""".stripMargin
+    }) { (s, dir) =>
       annIvfTopK(s, dir, nCentroids = 16, nProbe = 4, k = 5)
     }
   )
