@@ -12,9 +12,23 @@ import org.apache.spark.sql.SparkSession
   * size-derived target (`ceil(bytes / targetBytes)`) into exactly that
   * many files.
   *
-  * Mechanics per partition: read the leaf dir -> `coalesce(target)` (no
-  * shuffle — compaction is a file-layout change, not a repartition) ->
-  * write to a sibling temp dir -> atomic-ish swap (delete + rename).
+  * Mechanics per partition: read the leaf dir (with `mergeSchema` — a
+  * schema-evolved partition mixing old and new footers must not lose the
+  * evolved columns in the rewrite) -> `coalesce(target)` (no shuffle —
+  * compaction is a file-layout change, not a repartition) -> write to a
+  * sibling temp dir -> crash-safe swap.
+  *
+  * The swap is a two-phase move, never delete-then-hope:
+  *   1. originals rename into a sibling `.<dir>_compact_old` aside dir;
+  *   2. a `_committed` marker lands in the temp dir;
+  *   3. compacted files rename into the partition;
+  *   4. aside dir then temp dir are deleted, in that order.
+  * Every interrupted state is recoverable by rerunning `compact`: an
+  * aside dir with no marker rolls BACK (originals restored); an aside
+  * dir with the marker rolls FORWARD (remaining compacted files moved
+  * in). No window exists where the only copy of the data lives in a
+  * dot-prefixed dir that a rerun ignores.
+  *
   * Partitions already at or under target are left untouched, so repeated
   * runs are no-ops. The driver loops partitions; each rewrite is a
   * distributed job. At cluster scale the swap runs against an object
@@ -31,6 +45,7 @@ object LakeMaintenance {
               targetBytes: Long = 128L * 1024 * 1024): Seq[CompactStat] = {
     val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val stats = leafDirs(fs, new Path(root)).map { dir =>
+      recoverSwap(fs, dir)
       val files = fs.listStatus(dir).filter(f =>
         f.isFile && f.getPath.getName.endsWith(".parquet"))
       val bytes = files.map(_.getLen).sum
@@ -38,18 +53,27 @@ object LakeMaintenance {
       if (files.length <= target) {
         CompactStat(dir.toString, files.length, files.length, bytes)
       } else {
-        val tmp = new Path(dir.getParent, s".${dir.getName}_compact_tmp")
+        val tmp = tmpDir(dir)
+        val aside = asideDir(dir)
         fs.delete(tmp, true)
-        spark.read.parquet(dir.toString)
+        // mergeSchema: a schema-evolved partition (old files missing columns
+        // later ingests added) must rewrite with the UNION of footers, not
+        // whichever single footer the reader happens to pick.
+        spark.read.option("mergeSchema", "true").parquet(dir.toString)
           .coalesce(target)
           .write.parquet(tmp.toString)
-        // swap: drop originals, move compacted files in, drop tmp
-        files.foreach(f => fs.delete(f.getPath, false))
-        fs.listStatus(tmp).filter(_.isFile)
-          .filter(_.getPath.getName.endsWith(".parquet"))
-          .zipWithIndex.foreach { case (f, i) =>
-            fs.rename(f.getPath, new Path(dir, f"compact-$i%05d.parquet"))
-          }
+        // Phase 1: move originals aside (recoverable — roll back restores them).
+        fs.mkdirs(aside)
+        files.foreach(f => require(fs.rename(f.getPath, new Path(aside, f.getPath.getName)),
+          s"compact: failed to move ${f.getPath} aside"))
+        // Commit point: from here a rerun rolls FORWARD.
+        fs.create(new Path(tmp, CommitMarker)).close()
+        // Phase 2: move compacted files in. Spark part-file names embed a job
+        // UUID, so they can't collide with originals of any earlier run.
+        fs.listStatus(tmp).filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+          .foreach(f => require(fs.rename(f.getPath, new Path(dir, f.getPath.getName)),
+            s"compact: failed to move ${f.getPath} into $dir"))
+        fs.delete(aside, true)
         fs.delete(tmp, true)
         val after = fs.listStatus(dir).count(f =>
           f.isFile && f.getPath.getName.endsWith(".parquet"))
@@ -62,15 +86,61 @@ object LakeMaintenance {
     stats
   }
 
-  /** Directories under `root` that directly contain parquet files. */
+  private val CommitMarker = "_committed"
+  private def tmpDir(dir: Path) = new Path(dir.getParent, s".${dir.getName}_compact_tmp")
+  private def asideDir(dir: Path) = new Path(dir.getParent, s".${dir.getName}_compact_old")
+
+  /** Repair a swap interrupted by a crash. Aside dir present + commit
+    * marker in tmp => originals were fully moved aside and the compacted
+    * set is complete: roll forward (finish moving compacted files in).
+    * Aside dir present, no marker => roll back (restore originals).
+    * Lone tmp dir (crash mid-write) is just deleted. */
+  private def recoverSwap(fs: FileSystem, dir: Path): Unit = {
+    val tmp = tmpDir(dir)
+    val aside = asideDir(dir)
+    if (fs.exists(aside)) {
+      fs.mkdirs(dir) // the partition dir itself may have vanished mid-swap
+      val committed = fs.exists(new Path(tmp, CommitMarker))
+      val src = if (committed) tmp else aside
+      if (!committed && fs.exists(tmp)) {
+        // No marker => phase 2 never started, so the partition holds no
+        // compacted files; discard the compacted copy and restore originals.
+        fs.delete(tmp, true)
+      }
+      if (fs.exists(src)) {
+        fs.listStatus(src).filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+          .foreach { f =>
+            val dest = new Path(dir, f.getPath.getName)
+            if (!fs.exists(dest)) require(fs.rename(f.getPath, dest),
+              s"compact recovery: failed to restore ${f.getPath}")
+          }
+      }
+      fs.delete(aside, true)
+      fs.delete(tmp, true)
+    } else if (fs.exists(tmp)) {
+      fs.delete(tmp, true)
+    }
+  }
+
+  /** Directories under `root` that directly contain parquet files — plus
+    * any dir with a leftover swap aside/tmp sibling (a crash can leave a
+    * partition momentarily empty of parquet; it still needs recovery). */
   private def leafDirs(fs: FileSystem, root: Path): Seq[Path] = {
     val entries = fs.listStatus(root)
     val here =
       if (entries.exists(f => f.isFile && f.getPath.getName.endsWith(".parquet")))
         Seq(root)
       else Seq.empty
-    here ++ entries.filter(_.isDirectory)
+    val pendingSwap = entries.filter(_.isDirectory).map(_.getPath.getName)
+      .filter(n => n.startsWith(".") && (n.endsWith("_compact_old") || n.endsWith("_compact_tmp")))
+      .map(n => new Path(root, n.stripPrefix(".").stripSuffix("_compact_old").stripSuffix("_compact_tmp")))
+    here ++ (entries.filter(_.isDirectory)
       .filterNot(_.getPath.getName.startsWith("."))
-      .flatMap(d => leafDirs(fs, d.getPath))
+      .map(_.getPath) ++ pendingSwap).distinct
+      .flatMap { d =>
+        val sub = if (fs.exists(d)) leafDirs(fs, d) else Seq.empty
+        // a pending-swap dir may itself list as non-leaf (no parquet yet)
+        if (sub.isEmpty && pendingSwap.contains(d)) Seq(d) else sub
+      }
   }
 }

@@ -36,6 +36,75 @@ class LakeMaintenanceSpec extends AnyFunSuite {
     again.foreach(s => assert(s.filesBefore == s.filesAfter))
   }
 
+  test("compaction preserves evolved columns on mixed-schema partitions") {
+    val root = java.nio.file.Files.createTempDirectory("graft_lake_evcompact").toString + "/lake"
+    val docs = Tables.documents(spark, sf)
+    // One partition dir holding v1 files (no `source`) and v2 files (with it).
+    docs.filter(col("doc_id") % 2 === 0).select("doc_id", "lang", "n_chars")
+      .repartition(4).write.partitionBy("lang").parquet(root)
+    docs.filter(col("doc_id") % 2 === 1).select("doc_id", "lang", "n_chars", "source")
+      .repartition(4).write.mode("append").partitionBy("lang").parquet(root)
+    val before = spark.read.option("mergeSchema", "true").parquet(root)
+    val beforeRows = before.count()
+    val beforeWithSource = before.filter(col("source").isNotNull).count()
+    assert(beforeWithSource > 0)
+
+    LakeMaintenance.compact(spark, root)
+
+    val after = spark.read.option("mergeSchema", "true").parquet(root)
+    assert(after.columns.toSet == Set("doc_id", "lang", "n_chars", "source"))
+    assert(after.count() == beforeRows)
+    // the evolved column survives the rewrite with its values intact
+    assert(after.filter(col("source").isNotNull).count() == beforeWithSource)
+  }
+
+  test("interrupted swap recovers: rollback before commit, roll-forward after") {
+    import org.apache.hadoop.fs.Path
+    val base = java.nio.file.Files.createTempDirectory("graft_lake_crash").toString
+    val fs = new Path(base).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    def freshLake(name: String): (String, Long) = {
+      val root = s"$base/$name"
+      Tables.documents(spark, sf).repartition(6)
+        .write.partitionBy("lang").parquet(root)
+      (root, spark.read.parquet(root).count())
+    }
+
+    // Crash state A: originals moved aside, NO commit marker (phase-2 never
+    // ran). A rerun must roll back: restore originals, drop tmp.
+    val (rootA, rowsA) = freshLake("rollback")
+    val dirA = fs.listStatus(new Path(rootA))
+      .filter(s => s.isDirectory && !s.getPath.getName.startsWith(".")).head.getPath
+    val tmpA = new Path(dirA.getParent, s".${dirA.getName}_compact_tmp")
+    val asideA = new Path(dirA.getParent, s".${dirA.getName}_compact_old")
+    spark.read.parquet(dirA.toString).coalesce(1).write.parquet(tmpA.toString)
+    fs.mkdirs(asideA)
+    fs.listStatus(dirA).filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      .foreach(f => fs.rename(f.getPath, new Path(asideA, f.getPath.getName)))
+    assert(fs.listStatus(dirA).count(_.getPath.getName.endsWith(".parquet")) == 0)
+
+    LakeMaintenance.compact(spark, rootA)
+    assert(!fs.exists(asideA) && !fs.exists(tmpA))
+    assert(spark.read.parquet(rootA).count() == rowsA)
+
+    // Crash state B: marker written, some compacted files still stuck in tmp.
+    // A rerun must roll forward: finish the move, drop originals.
+    val (rootB, rowsB) = freshLake("rollfwd")
+    val dirB = fs.listStatus(new Path(rootB))
+      .filter(s => s.isDirectory && !s.getPath.getName.startsWith(".")).head.getPath
+    val tmpB = new Path(dirB.getParent, s".${dirB.getName}_compact_tmp")
+    val asideB = new Path(dirB.getParent, s".${dirB.getName}_compact_old")
+    spark.read.parquet(dirB.toString).coalesce(1).write.parquet(tmpB.toString)
+    fs.mkdirs(asideB)
+    fs.listStatus(dirB).filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      .foreach(f => fs.rename(f.getPath, new Path(asideB, f.getPath.getName)))
+    fs.create(new Path(tmpB, "_committed")).close()
+
+    LakeMaintenance.compact(spark, rootB)
+    assert(!fs.exists(asideB) && !fs.exists(tmpB))
+    assert(spark.read.parquet(rootB).count() == rowsB)
+  }
+
   test("schema evolution: appended columns merge, old rows read as null") {
     val root = java.nio.file.Files.createTempDirectory("graft_lake_evolve").toString + "/lake"
     val docs = Tables.documents(spark, sf)
