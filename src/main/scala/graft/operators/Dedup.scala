@@ -54,17 +54,20 @@ object Dedup {
 
   /** All pairs with token-set Jaccard >= p/q as `(doc_a, doc_b, n_inter,
     * n_union)`, via dictionary encoding + lossless prefix filter + the
-    * first-common-token dedup. One wide stage: the prefix equi-join and
+    * first-common-token dedup. Documents with EMPTY token sets never
+    * pair: J = 0/0 is undefined and the explode/encode stage drops them
+    * — oracles must carry the matching `sz > 0` predicate. One wide stage: the prefix equi-join and
     * both broadcast payload joins and every filter codegen together; the
     * only shuffles are the tiny encode groupBy and the caller's sort.
     *
-    * Token sets are dictionary-encoded: vocab ids are lexicographic token
-    * ranks, so the encoding is an order-isomorphism — prefixes,
-    * intersections and unions of the id arrays are exactly those of the
-    * token arrays (no hashing, no collision caveat). The rank window runs
-    * single-partition here; at lake scale the vocab is built per-shard
-    * with `zipWithIndex`-style dense ids or ordered by ascending document
-    * frequency (better prefixes), both of which keep the filter lossless.
+    * Token sets are dictionary-encoded: vocab ids are dense ranks by
+    * (document frequency asc, token) — a bijection, so intersections and
+    * unions of the id arrays have exactly the cardinalities of the token
+    * sets (no hashing, no collision caveat), and the prefix filter stays
+    * lossless (it holds under any consistent total order) while prefixes
+    * hold the RAREST tokens — the fewest candidate collisions. Rank
+    * assignment is distributed (range partition + per-partition
+    * row_number + offsets); no global window anywhere.
     *
     * Two physical verify paths, chosen by measured vocab size at plan
     * build (one tiny driver job — the same trick AQE plays with runtime
@@ -87,11 +90,32 @@ object Dedup {
     * frames whose blocks live for the session anyway.
     */
   private val pairMemo =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String, Int, Int), DataFrame]
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String, Int, Int, Long), DataFrame]
 
   private def memoized(tag: String, s: SparkSession, dir: String, p: Int, q: Int)(
       build: => DataFrame): DataFrame =
-    pairMemo.getOrElseUpdate((s, dir, tag, p, q), build)
+    // The broadcast cap is part of the key: it changes the physical plan,
+    // and a memoized frame built under one cap must not answer a query
+    // posed under another.
+    pairMemo.getOrElseUpdate((s, dir, tag, p, q, broadcastCap(s)), build)
+
+  /** Max rows a corpus-derived join side may hold and still be broadcast
+    * in the pair plans (~300 MB of narrow pair rows at the default).
+    * Conf-tunable so tests can force the shuffled-hash path. */
+  private[operators] def broadcastCap(s: SparkSession): Long =
+    s.conf.getOption("spark.graft.pairJoin.broadcastMaxRows").map(_.toLong).getOrElse(8000000L)
+
+  /** Join-side strategy chosen by MEASURED size at plan build, not hope.
+    * Every candidate side here derives from a `localCheckpoint`, whose
+    * LogicalRDD stats default to "huge" — Catalyst left alone would plan a
+    * sort-merge join whose many-to-many group buffering dominates the
+    * candidate emission. Under the cap the side broadcasts (map-side
+    * join, zero shuffle); over it — the 100 TB corpus case — it hashes on
+    * the join key instead of OOMing the driver. The probe is a count on
+    * an already-materialized frame: the same runtime-stats trick AQE
+    * plays, paid once per plan build. */
+  private def sized(s: SparkSession, df: DataFrame, probedRows: Long): DataFrame =
+    if (probedRows <= broadcastCap(s)) broadcast(df) else df.hint("SHUFFLE_HASH")
 
   private def jaccardPairs(t: DataFrame, p: Int, q: Int): DataFrame = {
     // Materialization barrier. The token-set expression is referenced by
@@ -102,12 +126,36 @@ object Dedup {
     // shingled docs at sf0.1). Pinning the 5000-row tokenized frame once
     // makes every downstream reference an attribute read.
     val tm = t.select(col("doc_id"), col("toks")).localCheckpoint(true)
-    val vocab = tm.select(explode(col("toks")).as("tok")).distinct()
-      .withColumn("tid", row_number().over(Window.orderBy("tok")))
-      .localCheckpoint(true) // read twice: size probe + encode join
-    val vocabN = vocab.count()
+    val s = tm.sparkSession
+    // Vocab ids are dense ranks by (document frequency asc, token): the
+    // prefix filter is lossless under ANY consistent total order, and
+    // df-ascending puts the rarest tokens in the prefixes — the fewest
+    // candidate collisions. Rank assignment is fully distributed:
+    // range-partition by the rank key, row_number within each partition,
+    // then add per-partition offsets. The offsets come from one tiny
+    // driver-side pass over the per-partition counts — O(#partitions)
+    // values, the footprint AQE itself keeps — which also yields vocabN
+    // for the bitmap-path probe, so this costs no extra job versus the
+    // old single-partition global window it replaces.
+    val dfreq = tm.select(col("doc_id"), explode(col("toks")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("df")) // toks are sets: count = doc freq
+    val ranked = dfreq
+      .repartitionByRange(col("df"), col("tok"))
+      .withColumn("pid", spark_partition_id())
+      .withColumn("lr", row_number().over(Window.partitionBy("pid").orderBy("df", "tok")))
+      .localCheckpoint(true) // read twice: offset probe + encode join
+    val pidCounts = ranked.groupBy("pid").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val vocabN = pidCounts.map(_._2).sum
+    // pid -> rank offset (counts of all lower-ranged partitions)
+    val offsets = pidCounts.map(_._1)
+      .zip(pidCounts.map(_._2).scanLeft(0L)(_ + _).init)
+    val offCol =
+      if (offsets.isEmpty) lit(0L)
+      else element_at(map(offsets.flatMap { case (p, o) => Seq(lit(p), lit(o)) }: _*), col("pid"))
+    val vocab = ranked.select(col("tok"), (offCol + col("lr")).cast("int").as("tid"))
     val enc = tm.select(col("doc_id"), explode(col("toks")).as("tok"))
-      .join(broadcast(vocab), "tok")
+      .join(sized(s, vocab, vocabN), "tok")
       .groupBy("doc_id")
       .agg(array_sort(collect_list(col("tid"))).as("ids"))
       .withColumn("sz", size(col("ids")))
@@ -129,16 +177,16 @@ object Dedup {
     // both broadcast payloads (3 subtrees).
     val ep = grp.withColumn("pids", slice(col("ids"), lit(1), prefixLen))
       .localCheckpoint(true)
+    // Size probe for the join-strategy choice: distinct-set count and
+    // total prefix-index rows, one agg over the materialized frame.
+    val epStats = ep.agg(count(lit(1)), coalesce(sum(size(col("pids"))), lit(0L))).head
+    val nGroups = epStats.getLong(0)
+    val nPrefixRows = epStats.getLong(1)
 
     // Shared candidate-occurrence head: one row per shared prefix token.
     def candidates(pay: String => DataFrame): DataFrame = {
       val pre = ep.select(col("doc_id"), explode(col("pids")).as("tok"))
-      // Explicit broadcast: pre derives from a localCheckpoint (LogicalRDD
-      // stats default to "huge"), so Catalyst would otherwise plan a
-      // sort-merge join whose many-to-many group buffering dominates the
-      // 89M-row emission. At lake scale this side is the per-shard prefix
-      // index — shuffled-hash instead of broadcast, same plan shape.
-      pre.as("x").join(broadcast(pre.as("y")), col("x.tok") === col("y.tok"))
+      pre.as("x").join(sized(s, pre.as("y"), nPrefixRows), col("x.tok") === col("y.tok"))
         .filter(col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"), col("x.tok").as("tok"))
         .join(pay("a"), "doc_a")
@@ -153,9 +201,9 @@ object Dedup {
         val toBm = (ids: Column) => aggregate(ids, lit(0L),
           (acc, i) => acc.bitwiseOR(call_function("shiftleft", lit(1L), i - 1)))
         val epb = ep.withColumn("bm", toBm(col("ids"))).withColumn("pbm", toBm(col("pids")))
-        def pay(side: String) = broadcast(epb.select(
+        def pay(side: String) = sized(s, epb.select(
           col("doc_id").as(s"doc_$side"), col("bm").as(s"bm_$side"),
-          col("pbm").as(s"pbm_$side"), col("sz").as(s"sz_$side")))
+          col("pbm").as(s"pbm_$side"), col("sz").as(s"sz_$side")), nGroups)
         // Exactly-once per pair: this occurrence's token is the lowest
         // set bit of the ANDed prefix bitmaps. Replaces round 1's
         // distinct() (89M-row shuffle at sf0.1) with an in-stage compare.
@@ -165,9 +213,9 @@ object Dedup {
           .filter(col("tok") === firstCommon)
           .withColumn("n_inter", bit_count(col("bm_a").bitwiseAND(col("bm_b"))))
       } else {
-        def pay(side: String) = broadcast(ep.select(
+        def pay(side: String) = sized(s, ep.select(
           col("doc_id").as(s"doc_$side"), col("ids").as(s"ids_$side"),
-          col("pids").as(s"pids_$side"), col("sz").as(s"sz_$side")))
+          col("pids").as(s"pids_$side"), col("sz").as(s"sz_$side")), nGroups)
         candidates(pay)
           // Exactly-once per pair, merge-walk form of the same filter.
           .filter(col("tok") === SortedFirstCommon(col("pids_a"), col("pids_b")))
@@ -187,8 +235,8 @@ object Dedup {
     // every threshold.
     val members = ep.select(col("doc_id").as("rep"), col("members"), col("sz"))
     val cross = repPairs
-      .join(broadcast(members.select(col("rep").as("doc_a"), col("members").as("ma"))), "doc_a")
-      .join(broadcast(members.select(col("rep").as("doc_b"), col("members").as("mb"))), "doc_b")
+      .join(sized(s, members.select(col("rep").as("doc_a"), col("members").as("ma")), nGroups), "doc_a")
+      .join(sized(s, members.select(col("rep").as("doc_b"), col("members").as("mb")), nGroups), "doc_b")
       .select(explode(col("ma")).as("a"), col("mb"), col("n_inter"), col("n_union"))
       .select(col("a"), explode(col("mb")).as("b"), col("n_inter"), col("n_union"))
       .select(least(col("a"), col("b")).as("doc_a"),
@@ -245,7 +293,7 @@ object Dedup {
          |       a.sz + b.sz - len(list_intersect(a.toks, b.toks)) AS n_union,
          |       ${sqlE6("CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) / (a.sz + b.sz - len(list_intersect(a.toks, b.toks)))")} AS j_e6
          |FROM t a, t b
-         |WHERE a.doc_id < b.doc_id
+         |WHERE a.doc_id < b.doc_id AND a.sz > 0 AND b.sz > 0
          |  AND 5 * len(list_intersect(a.toks, b.toks))
          |      >= 3 * (a.sz + b.sz - len(list_intersect(a.toks, b.toks)))
          |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
@@ -321,6 +369,7 @@ object Dedup {
         .agg(min(col("doc_id")).as("doc_id"),
           array_sort(collect_list(col("doc_id"))).as("members"))
         .localCheckpoint(true)
+      val nGrp = grp.count() // size probe on the materialized frame
       // Band key = struct(bandIdx, the 4 signature rows): tuple equality
       // is EXACTLY the oracle's string-key equality (fixed arity, numeric
       // fields) without building/compare of concat'd strings. One row per
@@ -332,13 +381,13 @@ object Dedup {
           struct((lit(b).as("b") +: (0 until 4).map(r =>
             col("sig").getItem(b * 4 + r).as(s"h$r"))): _*)
         }: _*)).as("band"))
-      val pay = (side: String) => broadcast(grp.select(
-        col("doc_id").as(s"doc_$side"), col("sig").as(s"sig_$side")))
-      // Explicit broadcast — banded derives from a localCheckpoint whose
-      // default stats would otherwise force a sort-merge join (see
-      // jaccardPairs).
+      val pay = (side: String) => sized(s, grp.select(
+        col("doc_id").as(s"doc_$side"), col("sig").as(s"sig_$side")), nGrp)
+      // Measured-size strategy — banded derives from a localCheckpoint
+      // whose default stats would otherwise force a sort-merge join (see
+      // [[sized]]).
       val repPairs = banded.as("x")
-        .join(broadcast(banded.as("y")), col("x.band") === col("y.band"))
+        .join(sized(s, banded.as("y"), 16L * nGrp), col("x.band") === col("y.band"))
         .filter(col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
           col("x.band").getField("b").as("b"))
@@ -351,8 +400,8 @@ object Dedup {
       // pair per doc pair; within-group: full agreement on all 64 rows).
       val members = grp.select(col("doc_id").as("rep"), col("members"), size(col("sig")).as("n_sig"))
       val cross = repPairs
-        .join(broadcast(members.select(col("rep").as("doc_a"), col("members").as("ma"))), "doc_a")
-        .join(broadcast(members.select(col("rep").as("doc_b"), col("members").as("mb"))), "doc_b")
+        .join(sized(s, members.select(col("rep").as("doc_a"), col("members").as("ma")), nGrp), "doc_a")
+        .join(sized(s, members.select(col("rep").as("doc_b"), col("members").as("mb")), nGrp), "doc_b")
         .select(explode(col("ma")).as("a"), col("mb"), col("n_agree"))
         .select(col("a"), explode(col("mb")).as("b"), col("n_agree"))
         .select(least(col("a"), col("b")).as("doc_a"),
@@ -470,6 +519,7 @@ object Dedup {
          |near AS (SELECT DISTINCT i.doc_id
          |         FROM t i JOIN t e
          |           ON i.doc_id % 10 >= 8 AND e.doc_id % 10 < 8
+         |          AND i.sz > 0 AND e.sz > 0
          |          AND 5 * len(list_intersect(i.toks, e.toks))
          |              >= 3 * (i.sz + e.sz - len(list_intersect(i.toks, e.toks))))
          |SELECT i.doc_id,
@@ -551,6 +601,12 @@ object Dedup {
         labels = next
         rounds += 1
       }
+      // The cap is a runaway bound, not a semantic: labels that have not
+      // reached fixpoint are WRONG component ids, so failing loud beats
+      // returning them (graphs with diameter > 50 need a doubling-style
+      // pointer-jumping pass, not more rounds of this).
+      if (!converged) throw new IllegalStateException(
+        s"qn17_dedup_components: min-label propagation did not converge in $rounds rounds")
       labels.orderBy("doc_id")
     }
   )
@@ -579,10 +635,11 @@ object Dedup {
         when(chunkOf(col("x.simhash"), c) === chunkOf(col("y.simhash"), c), lit(c.toLong))
           .otherwise(rest)
       }
-      // Explicit broadcast — chunked derives from a localCheckpoint whose
-      // default stats would otherwise force a sort-merge join (see
-      // jaccardPairs).
-      chunked.as("x").join(broadcast(chunked.as("y")), col("x.key") === col("y.key"))
+      // Measured-size strategy — chunked derives from a localCheckpoint
+      // whose default stats would otherwise force a sort-merge join (see
+      // [[sized]]). 4 chunk rows per document.
+      val nDocs = sh.count()
+      chunked.as("x").join(sized(s, chunked.as("y"), 4L * nDocs), col("x.key") === col("y.key"))
         .filter(col("x.doc_id") < col("y.doc_id") && ham <= 3 &&
           shiftright(col("x.key"), 15) === firstEqChunk)
         .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),

@@ -84,6 +84,54 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("pair-join strategy flips from broadcast to shuffled-hash over the size cap") {
+    import org.apache.spark.sql.execution.QueryExecution
+    import org.apache.spark.sql.util.QueryExecutionListener
+    val plans = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new QueryExecutionListener {
+      override def onSuccess(f: String, qe: QueryExecution, d: Long): Unit =
+        plans.add(qe.executedPlan.toString)
+      override def onFailure(f: String, qe: QueryExecution, e: Exception): Unit = ()
+    }
+    // The pair joins run inside eager localCheckpoints, so the QUERY's
+    // final plan never shows them — capture every executed plan instead.
+    spark.listenerManager.register(listener)
+    def capturedPlans[A](body: => A): (A, Seq[String]) = {
+      plans.clear()
+      val r = body
+      // listener delivery is async; poll until the checkpoint plans land
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (plans.isEmpty && System.nanoTime() < deadline) Thread.sleep(50)
+      Thread.sleep(500)
+      (r, scala.jdk.CollectionConverters.IteratorHasAsScala(plans.iterator()).asScala.toSeq)
+    }
+    // Trailing slash: same data, distinct memo key — an earlier suite may
+    // already have memoized qn03's checkpointed pair frame for `sf`, which
+    // would leave nothing for the listener to observe.
+    val dir = sf + "/"
+    try {
+      val (big, bigPlans) = capturedPlans {
+        SparkEntry.queries("qn03_jaccard_pairs")(spark, dir).collect()
+      }
+      assert(bigPlans.exists(_.contains("BroadcastHashJoin")),
+        s"default cap should broadcast; saw:\n${bigPlans.map(_.linesIterator.take(3).mkString("|")).mkString("\n")}")
+
+      spark.conf.set("spark.graft.pairJoin.broadcastMaxRows", "0")
+      val (small, smallPlans) = capturedPlans {
+        SparkEntry.queries("qn03_jaccard_pairs")(spark, dir).collect()
+      }
+      assert(smallPlans.exists(_.contains("ShuffledHashJoin")),
+        s"cap=0 should shuffle-hash; saw:\n${smallPlans.map(_.linesIterator.take(3).mkString("|")).mkString("\n")}")
+      assert(smallPlans.forall(!_.contains("BroadcastHashJoin")),
+        "cap=0 must not broadcast any pair-plan side")
+      // identical rows either way: the cap changes the physical strategy only
+      assert(big.map(_.toString).toSeq == small.map(_.toString).toSeq)
+    } finally {
+      spark.conf.unset("spark.graft.pairJoin.broadcastMaxRows")
+      spark.listenerManager.unregister(listener)
+    }
+  }
+
   test("pair dedup plans have no distinct over the candidate stream") {
     // The first-common / first-agreeing filters replaced the pair
     // distinct(): candidate streams must reach the output through
