@@ -74,8 +74,10 @@ object Similarity {
 
     // All-pairs near-duplicate detection in embedding space:
     // cosine >= 0.99 (integer threshold on the e6 score). The oracle is
-    // O(n^2); the Spark plan is the honest O(n^2) block too at test SF —
-    // the LSH query below is the scale path for the same semantics.
+    // O(n^2); the Spark plan blocks LOSSLESSLY on an angular grid
+    // ([[nearPairCandidates]]) so candidate generation is an equi-join on
+    // cell keys, never a nested-loop cross product — exact results, sub-
+    // quadratic work whenever the corpus has angular diversity.
     Q("qn08_cosine_near_pairs",
       s"""WITH v AS ($sqlVecs)
          |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
@@ -83,10 +85,7 @@ object Similarity {
          |FROM v a, v b
          |WHERE a.vec_id < b.vec_id AND ${cosE6("a", "b")} >= 990000
          |ORDER BY vec_a, vec_b""".stripMargin) { (s, dir) =>
-      val v = vecs(s, dir)
-      val a = v.select(col("vec_id").as("vec_a"), col("embedding").as("ea"), col("nrm").as("na"))
-      val b = v.select(col("vec_id").as("vec_b"), col("embedding").as("eb"), col("nrm").as("nb"))
-      a.join(b, col("vec_a") < col("vec_b"))
+      nearPairCandidates(Tables.embeddings(s, dir))
         .select(col("vec_a"), col("vec_b"),
           e6(cosine(dotNative(col("ea"), col("eb")), col("na"), col("nb"))).as("score_e6"))
         .filter(col("score_e6") >= 990000)
@@ -175,12 +174,53 @@ object Similarity {
     }
   )
 
+  /** Candidate pairs for cosine >= 0.99 via LOSSLESS angular grid
+    * blocking — the exact-semantics replacement for an all-pairs
+    * nested-loop join.
+    *
+    * For unit vectors u = x/|x|, cos(a,b) >= 0.99 implies
+    * ||u_a - u_b|| = sqrt(2 - 2 cos) <= 0.1415, so every normalized
+    * coordinate differs by at most 0.1415. Bucketing the first two
+    * normalized coordinates into cells of width 0.15 therefore puts any
+    * qualifying pair in the same or an adjacent cell in BOTH dims: one
+    * side explodes its 3x3 cell neighborhood and the join is an
+    * equi-join on the cell key. Every qualifying pair survives (the
+    * filter is a necessary condition — no recall loss, unlike LSH), and
+    * each unordered pair matches exactly once (unique home cell, and the
+    * vec_a < vec_b filter kills the mirrored probe). Candidates shrink
+    * with the corpus's angular diversity; a degenerate corpus pointing
+    * one way degrades to the honest all-pairs cost — which is then the
+    * true output size anyway at this threshold.
+    *
+    * Expects (vec_id, embedding) plus anything else; emits
+    * (vec_a, vec_b, ea, eb, na, nb). */
+  private[graft] def nearPairCandidates(v0: DataFrame): DataFrame = {
+    val width = 0.15
+    def cell(i: Int): Column = when(col("nrm") > 0,
+      floor(element_at(col("embedding"), i).cast("double") / col("nrm") / width).cast("long"))
+      .otherwise(lit(0L))
+    val v = v0.select(col("vec_id"), col("embedding"),
+        l2normNative(col("embedding")).as("nrm"))
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        cell(1).as("c0"), cell(2).as("c1"))
+    val home = v.select(col("vec_id").as("vec_b"), col("embedding").as("eb"),
+      col("nrm").as("nb"), struct(col("c0"), col("c1")).as("cell"))
+    val probes = v.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
+      col("nrm").as("na"),
+      explode(array((for { d0 <- -1 to 1; d1 <- -1 to 1 } yield
+        struct((col("c0") + d0).as("c0"), (col("c1") + d1).as("c1"))): _*)).as("cell"))
+    probes.join(home, "cell").filter(col("vec_a") < col("vec_b"))
+  }
+
   /** IVF approximate top-k, exposed for the spec's recall test. */
   def annIvfTopK(s: SparkSession, dir: String, nCentroids: Int, nProbe: Int, k: Int): DataFrame = {
     val v = vecs(s, dir)
-    val n = v.count()
-    val stride = math.max(1L, n / nCentroids)
-    val cents = v.filter(col("vec_id") % stride === 0 && col("vec_id") < stride * nCentroids)
+    // Stride folds in as a single-row crossJoin (mirroring the oracle's
+    // `st` CTE) — no driver-side count() job at plan build.
+    val st = v.agg(count(lit(1)).as("n_vec"))
+      .select(greatest(lit(1L), expr(s"n_vec div $nCentroids")).as("stride"))
+    val cents = v.crossJoin(st)
+      .filter(col("vec_id") % col("stride") === 0 && col("vec_id") < col("stride") * nCentroids)
       .select(col("vec_id").as("cent_id"), col("embedding").as("ce"), col("nrm").as("cn"))
     // Cell assignment: argmax cosine to a centroid (one broadcast join +
     // per-row max; ties break to the lowest cent_id).

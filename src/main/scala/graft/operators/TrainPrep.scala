@@ -118,7 +118,9 @@ object TrainPrep {
 
     // Sequence packing: documents (in doc_id order) laid end-to-end in
     // token space; each document belongs to the 2048-token block where it
-    // starts. One window cumsum; block stats out.
+    // starts. One window cumsum. This is the GLOBAL-order oracle form —
+    // its window has no partitionBy, so every row flows through one
+    // partition; qn14b below is the shard-keyed form that scales.
     Q("qn14_sequence_packing", {
       val toks = sqlTokens("text")
       s"""WITH t AS (SELECT doc_id, len($toks) AS n_tok FROM documents),
@@ -140,6 +142,40 @@ object TrainPrep {
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
           min(col("doc_id")).as("first_doc"))
         .orderBy("bin")
+    },
+
+    // Shard-keyed sequence packing — the form that survives 100 TB.
+    // Documents hash into 8 shards (Knuth multiplicative, same BIGINT
+    // arithmetic in both engines); each shard packs independently with a
+    // PARTITIONED window cumsum, so the plan is one shuffle on shard and
+    // no global sort anywhere. Trainers consume (shard, bin) blocks; at
+    // the lake, shards = O(cluster parallelism) and each holds a window
+    // small enough to sort in memory.
+    Q("qn14b_sharded_packing", {
+      val toks = sqlTokens("text")
+      s"""WITH t AS (SELECT doc_id, (doc_id * 2654435761) % 8 AS shard,
+         |                  len($toks) AS n_tok FROM documents),
+         |c AS (SELECT shard, doc_id, n_tok,
+         |             SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+         |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok AS start_off
+         |      FROM t)
+         |SELECT shard, CAST(floor(start_off / 2048.0) AS BIGINT) AS bin,
+         |       COUNT(*) AS n_docs,
+         |       CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+         |       MIN(doc_id) AS first_doc
+         |FROM c GROUP BY 1, 2 ORDER BY shard, bin""".stripMargin
+    }) { (s, dir) =>
+      val w = Window.partitionBy("shard").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          ((col("doc_id") * lit(2654435761L)) % 8).as("shard"),
+          size(tokens(col("text"))).cast("long").as("n_tok"))
+        .withColumn("start_off", sum(col("n_tok")).over(w) - col("n_tok"))
+        .groupBy(col("shard"), floor(col("start_off") / 2048.0).cast("long").as("bin"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
+          min(col("doc_id")).as("first_doc"))
+        .orderBy("shard", "bin")
     },
 
     // Deterministic balanced subsample: at most 20 vectors per label,
@@ -221,18 +257,25 @@ object TrainPrep {
          |SELECT doc_id, rnk, term, score_e6 FROM r WHERE rnk <= 3
          |ORDER BY doc_id, rnk""".stripMargin
     }) { (s, dir) =>
+      // Scale shape: every side here is corpus-derived (tf is per
+      // (doc, term), df per term, n_tok per doc), so NOTHING broadcasts —
+      // df joins shuffled-hash on term, n_tok comes out of the tf frame
+      // itself as a window sum (the join the old plan broadcast a
+      // per-document table for is gone entirely), and the corpus size N
+      // folds in as a single-row crossJoin instead of a driver count()
+      // job. The n_tok window and the rank window share one exchange on
+      // doc_id (same partitioning, consecutive Window ops).
       val docs = Tables.documents(s, dir)
-      val n = docs.count()
       val tk = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
-        .localCheckpoint(true) // barrier: feeds tf, df, and n_tok subtrees
-      val nTok = tk.groupBy("doc_id").agg(count(lit(1)).as("n_tok"))
+        .localCheckpoint(true) // barrier: feeds tf and df subtrees
       val tf = tk.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
       val df = tk.groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
-      val w = Window.partitionBy(col("doc_id"))
-        .orderBy(col("score_e6").desc, col("term").asc)
-      tf.join(broadcast(df), "term").join(broadcast(nTok), "doc_id")
-        .select(col("doc_id"), col("term"),
-          expr(s"(tf * ${n}L * 1000000L) div (df * n_tok)").as("score_e6"))
+      val wDoc = Window.partitionBy(col("doc_id"))
+      val w = wDoc.orderBy(col("score_e6").desc, col("term").asc)
+      tf.join(df.hint("SHUFFLE_HASH"), "term")
+        .crossJoin(docs.agg(count(lit(1)).as("n_total")))
+        .withColumn("n_tok", sum(col("tf")).over(wDoc))
+        .withColumn("score_e6", expr("(tf * n_total * 1000000) div (df * n_tok)"))
         .withColumn("rnk", row_number().over(w))
         .filter(col("rnk") <= 3)
         .select(col("doc_id"), col("rnk").cast("long").as("rnk"), col("term"), col("score_e6"))

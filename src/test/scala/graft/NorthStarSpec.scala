@@ -26,6 +26,50 @@ class NorthStarSpec extends AnyFunSuite {
     assert(blocked == brute)
   }
 
+  test("qn08 angular blocking is lossless AND sub-quadratic on a clustered corpus") {
+    import spark.implicits._
+    // High-dup-rate fixture: 10 clusters of 20 near-identical vectors,
+    // cluster directions spread on the unit circle in dims (0,1) at 0.3
+    // rad spacing (cross-cluster cosine <= cos 0.3 ~ 0.955 < 0.99).
+    val vecs = (for {
+      cl <- 0 until 10; m <- 0 until 20
+    } yield {
+      val ang = cl * 0.3
+      val wiggle = 0.001 * m
+      (cl * 20L + m, Array(math.cos(ang).toFloat, math.sin(ang).toFloat,
+        wiggle.toFloat, (0.002 * cl).toFloat))
+    }).toDF("vec_id", "embedding")
+    val n = 200L
+    val cands = graft.operators.Similarity.nearPairCandidates(vecs)
+    val nCands = cands.count()
+    // the whole point: candidate volume far below the n(n-1)/2 cross product
+    assert(nCands < n * (n - 1) / 2 / 3, s"got $nCands candidates")
+    // and lossless: scored survivors == brute force over all pairs
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x).sum)
+      dot / (na * nb)
+    }
+    val raw = vecs.collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    val brute = (for {
+      (ida, ea) <- raw; (idb, eb) <- raw
+      if ida < idb && math.floor(cos(ea, eb) * 1e6) >= 990000
+    } yield (ida, idb)).toSet
+    assert(brute.nonEmpty) // fixture really is dup-heavy
+    val blocked = cands
+      .select(col("vec_a"), col("vec_b"),
+        graft.functions.TextFns.e6(graft.functions.TextFns.cosine(
+          graft.functions.VectorExprs.dotNative(col("ea"), col("eb")),
+          col("na"), col("nb"))).as("score_e6"))
+      .filter(col("score_e6") >= 990000)
+      .select("vec_a", "vec_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(blocked == brute)
+    // and the plan is an equi-join on cells, not a nested loop
+    val p = cands.queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
+
   test("qn06 simhash chunk-banding finds every pair with hamming <= 3") {
     val banded = SparkEntry.queries("qn06_simhash_near_pairs")(spark, sf)
       .select("doc_a", "doc_b", "hamming").collect()

@@ -84,6 +84,19 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("qt08 broadcasts no corpus-derived side; the two doc windows share one exchange") {
+    val p = planOf("qt08_tfidf_top_terms")
+    // Every side is corpus-sized (tf, df, n_tok): the only broadcast
+    // allowed is the single-row N scalar (a nested-loop with a 1-row
+    // build), never a hash-join build side.
+    assert(!p.contains("BroadcastHashJoin"), p.linesIterator.take(8).mkString("\n"))
+    assert(p.contains("ShuffledHashJoin"), p.linesIterator.take(8).mkString("\n"))
+    // n_tok cumsum window + rank window, one hashpartitioning(doc_id) exchange
+    val docExchanges = "hashpartitioning\\(doc_id#\\d+L?, \\d+\\)".r
+      .findAllIn(p.linesIterator.filter(_.contains("Exchange")).mkString("\n")).size
+    assert(docExchanges == 1, s"expected 1 doc_id window exchange, got $docExchanges:\n$p")
+  }
+
   test("pair-join strategy flips from broadcast to shuffled-hash over the size cap") {
     import org.apache.spark.sql.execution.QueryExecution
     import org.apache.spark.sql.util.QueryExecutionListener
