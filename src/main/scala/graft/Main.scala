@@ -23,8 +23,18 @@ object Main {
 
     val dataType = Ingest.detectDataType(input).getOrElse(
       sys.error(s"cannot detect entity type from $input"))
+    // EP1 closes "URL in, lake out": http(s) inputs download first via
+    // the parallel ranged transport, then parse from the landed file.
+    val local =
+      if (input.startsWith("http://") || input.startsWith("https://")) {
+        val name = input.split('/').last
+        val dst = java.nio.file.Files.createTempDirectory("graft_dl_").resolve(name)
+        val f = graft.sources.RangedHttp.fetch(input, dst.toString)
+        System.err.println(s"[ingest] downloaded ${f.bytes} bytes in ${f.nChunks} chunks")
+        dst.toString
+      } else input
     expected.foreach { sum =>
-      require(Ingest.verifyChecksum(input, sum),
+      require(Ingest.verifyChecksum(local, sum),
         s"checksum mismatch for $input")
     }
 
@@ -40,7 +50,9 @@ object Main {
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     try {
-      val df = DiscogsXml.read(spark, input, dataType)
+      val df = DiscogsXml.read(spark, local, dataType)
+      // year/month parse from the ORIGINAL url — the temp download path
+      // has no date in it.
       val (year, month, _) = DiscogsLake.parseInputUrl(input)
       DiscogsLake.writeDump(df, outDir, dataType, year.toInt, month)
       val written = DiscogsLake.read(spark, outDir, dataType).count()

@@ -231,6 +231,20 @@ object DiscogsXml {
       case "release" => releasesRecovering(spark, path)
     }
 
+  /** Salvage scan for a DAMAGED gzip dump (truncated transfer, corrupt
+    * CRC trailer): lenient-gunzip the salvageable prefix to a local temp
+    * file (reference process.py:47-64), then run the splittable
+    * record-recovering scan over it — intact records survive, the torn
+    * tail record nulls its own row only. The strict [[read]] path stays
+    * the default: this is the explicit "the dump is broken, give me what
+    * exists" entry. */
+  def readGzLenient(spark: SparkSession, path: String, entity: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempFile("graft_lenient_", ".xml")
+    tmp.toFile.deleteOnExit()
+    Ingest.lenientGunzip(path, tmp.toString)
+    readRecovering(spark, tmp.toString, entity)
+  }
+
   /** Lenient record-recovering scan — the reference's
     * XMLFixerStreamReader + per-fragment recover=True (process.py:22-45,
     * 322-326) re-expressed on Spark: the native XML source tokenizes the

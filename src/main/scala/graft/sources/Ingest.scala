@@ -38,6 +38,37 @@ object Ingest {
   def verifyChecksum(path: String, expected: String, algo: String = "SHA-256"): Boolean =
     expected.nonEmpty && checksumFile(path, algo).equalsIgnoreCase(expected.trim)
 
+  /** Lenient gzip decompress (process.py:47-64 `lenient_gzip_decompress`):
+    * salvage every byte that inflates cleanly, tolerating a corrupt CRC
+    * trailer or a truncated stream — a damaged dump yields its intact
+    * prefix records instead of aborting the whole scan. Returns
+    * (bytesWritten, cleanEof): cleanEof=false means the tail was lost.
+    */
+  def lenientGunzip(inPath: String, outPath: String,
+      bufSize: Int = 64 * 1024): (Long, Boolean) = {
+    val in = new java.util.zip.GZIPInputStream(
+      new BufferedInputStream(new FileInputStream(inPath), bufSize))
+    val out = new java.io.BufferedOutputStream(
+      new java.io.FileOutputStream(outPath), bufSize)
+    var written = 0L
+    var clean = true
+    try {
+      val buf = new Array[Byte](bufSize)
+      try {
+        var n = in.read(buf)
+        while (n > 0) { out.write(buf, 0, n); written += n; n = in.read(buf) }
+      } catch {
+        // EOFException (truncated member) or ZipException (CRC/length
+        // trailer mismatch): keep what inflated, flag the loss.
+        case _: java.io.IOException => clean = false
+      }
+    } finally {
+      try in.close() catch { case _: Exception => () }
+      out.close()
+    }
+    (written, clean)
+  }
+
   /** Ranged-download chunk plan (io.py:219-236): split `totalSize` into
     * `maxWorkers*4` target chunks, clamped to [minChunk, chunkSize];
     * returns inclusive byte ranges for `Range:` headers. Pure math — the

@@ -41,6 +41,143 @@ class IngestSpec extends AnyFunSuite {
     assert(r == 11.0)
   }
 
+  test("ranged HTTP fetch: parallel chunks, retry on 503, checksum intact") {
+    import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+    import java.net.InetSocketAddress
+    // 3 MB deterministic payload.
+    val payload = Array.tabulate[Byte](3 * 1024 * 1024)(i => (i * 31 + i / 997).toByte)
+    val failedOnce = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val rangedHits = new java.util.concurrent.atomic.AtomicInteger
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/dump.xml", new HttpHandler {
+      override def handle(x: HttpExchange): Unit = {
+        val range = Option(x.getRequestHeaders.getFirst("Range"))
+        if (x.getRequestMethod == "HEAD") {
+          x.getResponseHeaders.set("Content-Length", payload.length.toString)
+          x.sendResponseHeaders(200, -1); x.close()
+        } else range match {
+          case Some(r) =>
+            // every distinct range 503s once first — exercises the retry
+            if (failedOnce.add(r)) { x.sendResponseHeaders(503, -1); x.close() }
+            else {
+              rangedHits.incrementAndGet()
+              val Array(a, b) = r.stripPrefix("bytes=").split("-").map(_.toLong)
+              val body = payload.slice(a.toInt, b.toInt + 1)
+              x.getResponseHeaders.set("Content-Range", s"bytes $a-$b/${payload.length}")
+              x.sendResponseHeaders(206, body.length)
+              x.getResponseBody.write(body); x.close()
+            }
+          case None =>
+            x.sendResponseHeaders(200, payload.length)
+            x.getResponseBody.write(payload); x.close()
+        }
+      }
+    })
+    server.start()
+    try {
+      val port = server.getAddress.getPort
+      val out = java.nio.file.Files.createTempDirectory("graft_http").resolve("dump.xml")
+      val f = graft.sources.RangedHttp.fetch(s"http://127.0.0.1:$port/dump.xml",
+        out.toString, maxWorkers = 4, chunkSize = 512 * 1024, minChunk = 256 * 1024,
+        backoffMs = 1)
+      assert(f.bytes == payload.length)
+      assert(f.nChunks > 1 && rangedHits.get() == f.nChunks, s"chunks=${f.nChunks}")
+      assert(java.nio.file.Files.readAllBytes(out).sameElements(payload))
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      assert(f.checksum == md.digest(payload).map("%02x".format(_)).mkString)
+    } finally server.stop(0)
+  }
+
+  test("ranged HTTP fetch falls back to one sequential GET without HEAD support") {
+    import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+    import java.net.InetSocketAddress
+    val payload = Array.tabulate[Byte](64 * 1024)(i => (i * 7).toByte)
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/d.xml", new HttpHandler {
+      override def handle(x: HttpExchange): Unit =
+        if (x.getRequestMethod == "HEAD") { x.sendResponseHeaders(405, -1); x.close() }
+        else {
+          x.sendResponseHeaders(200, payload.length)
+          x.getResponseBody.write(payload); x.close()
+        }
+    })
+    server.start()
+    try {
+      val out = java.nio.file.Files.createTempDirectory("graft_http2").resolve("d.xml")
+      val f = graft.sources.RangedHttp.fetch(
+        s"http://127.0.0.1:${server.getAddress.getPort}/d.xml", out.toString, backoffMs = 1)
+      assert(f.nChunks == 1 && f.bytes == payload.length)
+      assert(java.nio.file.Files.readAllBytes(out).sameElements(payload))
+    } finally server.stop(0)
+  }
+
+  test("lenient gunzip salvages a truncated dump and a corrupt CRC trailer") {
+    import graft.sources.DiscogsXml
+    val dir = java.nio.file.Files.createTempDirectory("graft_lenient")
+    // build a gz whose payload is the artists fixture
+    val xml = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+      "/root/repo/src/test/resources/fixtures/artists.xml"))
+    val gz = dir.resolve("discogs_20080309_artists.xml.gz")
+    val gzOut = new java.util.zip.GZIPOutputStream(
+      java.nio.file.Files.newOutputStream(gz))
+    gzOut.write(xml); gzOut.close()
+    val full = java.nio.file.Files.readAllBytes(gz)
+
+    // corrupt CRC trailer (last 8 bytes = CRC32 + ISIZE): all data inflates
+    val badCrc = full.clone()
+    badCrc(badCrc.length - 5) = (badCrc(badCrc.length - 5) ^ 0xff).toByte
+    val badCrcGz = dir.resolve("badcrc.xml.gz")
+    java.nio.file.Files.write(badCrcGz, badCrc)
+    val (crcBytes, crcClean) = Ingest.lenientGunzip(badCrcGz.toString, dir.resolve("crc.xml").toString)
+    assert(crcBytes == xml.length && !crcClean)
+    assert(java.nio.file.Files.readAllBytes(dir.resolve("crc.xml")).sameElements(xml))
+
+    // truncated mid-stream: prefix salvaged, tail lost
+    val trunc = full.take(full.length / 2)
+    val truncGz = dir.resolve("trunc.xml.gz")
+    java.nio.file.Files.write(truncGz, trunc)
+    val (tBytes, tClean) = Ingest.lenientGunzip(truncGz.toString, dir.resolve("t.xml").toString)
+    assert(tBytes > 0 && tBytes < xml.length && !tClean)
+
+    // and the salvage scan yields the intact prefix records of the bad-CRC
+    // dump (all 3 artists — the data was fully recoverable)
+    val rows = DiscogsXml.readGzLenient(spark, badCrcGz.toString, "artist")
+    assert(rows.count() == 3)
+  }
+
+  test("Main CLI: URL in, lake out (EP1 over HTTP)") {
+    import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+    import java.net.InetSocketAddress
+    val payload = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+      "/root/repo/src/test/resources/fixtures/releases_gz.xml.gz"))
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/data/discogs_19960301_releases.xml.gz", new HttpHandler {
+      override def handle(x: HttpExchange): Unit = {
+        if (x.getRequestMethod == "HEAD") {
+          x.getResponseHeaders.set("Content-Length", payload.length.toString)
+          x.sendResponseHeaders(200, -1); x.close()
+        } else Option(x.getRequestHeaders.getFirst("Range")) match {
+          case Some(r) =>
+            val Array(a, b) = r.stripPrefix("bytes=").split("-").map(_.toLong)
+            val body = payload.slice(a.toInt, b.toInt + 1)
+            x.sendResponseHeaders(206, body.length)
+            x.getResponseBody.write(body); x.close()
+          case None =>
+            x.sendResponseHeaders(200, payload.length)
+            x.getResponseBody.write(payload); x.close()
+        }
+      }
+    })
+    server.start()
+    try {
+      val url = s"http://127.0.0.1:${server.getAddress.getPort}/data/discogs_19960301_releases.xml.gz"
+      val out = java.nio.file.Files.createTempDirectory("graft_http_lake").toString
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      Main.main(Array(url, out, md.digest(payload).map("%02x".format(_)).mkString))
+      assert(graft.sources.DiscogsLake.read(spark, out, "release").count() > 0)
+    } finally server.stop(0)
+  }
+
   test("Main CLI ingests a dump end to end") {
     val out = java.nio.file.Files.createTempDirectory("graft_main_lake").toString
     // Fixture named like a real dump so type/partition derive from it.
