@@ -93,11 +93,45 @@ object Dedup {
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String, Int, Int, Long), DataFrame]
 
   private def memoized(tag: String, s: SparkSession, dir: String, p: Int, q: Int)(
-      build: => DataFrame): DataFrame =
+      build: => DataFrame): DataFrame = {
+    // Hygiene: entries of stopped sessions are dead weight (their blocks
+    // died with the context; the map must not pin the sessions too).
+    pairMemo.keySet.filter(_._1.sparkContext.isStopped)
+      .foreach(pairMemo.remove)
     // The broadcast cap is part of the key: it changes the physical plan,
     // and a memoized frame built under one cap must not answer a query
-    // posed under another.
+    // posed under another. NOTE the memo assumes the data under `dir` is
+    // immutable within a session (true for the lake contract); call
+    // [[clearMemo]] after rewriting a corpus in place.
     pairMemo.getOrElseUpdate((s, dir, tag, p, q, broadcastCap(s)), build)
+  }
+
+  /** Visible size of the memo for `s` (tests). */
+  private[graft] def memoSize(s: SparkSession): Int =
+    pairMemo.keySet.count(_._1 eq s)
+
+  /** Drop every memoized pair frame for `s` and unpersist its
+    * checkpointed blocks — the eviction hook a long-lived service calls
+    * between corpora (or after an in-place rewrite of `dir`). Without
+    * this, frames pin their localCheckpoint blocks for the session
+    * lifetime. */
+  def clearMemo(s: SparkSession): Unit = clearMemoTag(s, None)
+
+  /** Tag-scoped eviction ("tokenset" / "simhash") — Bench uses this to
+    * make repeated measurements of one pair family cold without
+    * disturbing the other family's warm frame. */
+  def clearMemo(s: SparkSession, tag: String): Unit = clearMemoTag(s, Some(tag))
+
+  private def clearMemoTag(s: SparkSession, tag: Option[String]): Unit =
+    pairMemo.keySet.filter(k => (k._1 eq s) && tag.forall(_ == k._3)).foreach { k =>
+      pairMemo.remove(k).foreach { df =>
+        try df.queryExecution.analyzed.foreach {
+          case lr: org.apache.spark.sql.execution.LogicalRDD =>
+            lr.rdd.unpersist(blocking = false)
+          case _ => ()
+        } catch { case _: Exception => () } // stopped context: blocks are gone
+      }
+    }
 
   /** Max rows a corpus-derived join side may hold and still be broadcast
     * in the pair plans (~300 MB of narrow pair rows at the default).

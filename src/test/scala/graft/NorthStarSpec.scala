@@ -70,6 +70,22 @@ class NorthStarSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
   }
 
+  test("pair-frame memo evicts on clearMemo and unpersists checkpoint blocks") {
+    import graft.operators.Dedup
+    // Distinct dir string -> guaranteed-fresh memo entry for this test.
+    val dir = sf + "//"
+    SparkEntry.queries("qn03_jaccard_pairs")(spark, dir).collect()
+    assert(Dedup.memoSize(spark) >= 1)
+    val persistedBefore = spark.sparkContext.getPersistentRDDs.size
+    assert(persistedBefore >= 1)
+    Dedup.clearMemo(spark)
+    assert(Dedup.memoSize(spark) == 0)
+    // the memoized frame's checkpoint block is explicitly unpersisted
+    assert(spark.sparkContext.getPersistentRDDs.size < persistedBefore)
+    // and the operator still works after eviction (rebuilds cleanly)
+    assert(SparkEntry.queries("qn03_jaccard_pairs")(spark, dir).collect().nonEmpty)
+  }
+
   test("qn06 simhash chunk-banding finds every pair with hamming <= 3") {
     val banded = SparkEntry.queries("qn06_simhash_near_pairs")(spark, sf)
       .select("doc_a", "doc_b", "hamming").collect()

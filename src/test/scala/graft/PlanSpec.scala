@@ -84,6 +84,35 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("bucketed fact tables join with zero shuffle exchanges") {
+    import graft.sources.BucketedLake
+    val dir = java.nio.file.Files.createTempDirectory("graft_bucketed").toString
+    BucketedLake.writeBucketed(Tables.orders(spark, sf).select("o_orderkey", "o_totalprice"),
+      "orders_bkt", s"$dir/orders", "o_orderkey", 4)
+    BucketedLake.writeBucketed(Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity"),
+      "lineitem_bkt", s"$dir/lineitem", "l_orderkey", 4)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force the SMJ path
+    try {
+      val j = BucketedLake.table(spark, "orders_bkt")
+        .join(BucketedLake.table(spark, "lineitem_bkt"),
+          col("o_orderkey") === col("l_orderkey"))
+      val p = j.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange"), s"bucketed join still shuffles:\n$p")
+      assert(p.contains("SortMergeJoin"), p)
+      assert(p.contains("SelectedBucketsCount") || p.contains("Bucketed: true"), p)
+      // and the co-located join is the same join: row count matches the
+      // plain-parquet plan
+      val plain = Tables.orders(spark, sf).join(Tables.lineitem(spark, sf),
+        col("o_orderkey") === col("l_orderkey")).count()
+      assert(j.count() == plain)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS orders_bkt")
+      spark.sql("DROP TABLE IF EXISTS lineitem_bkt")
+    }
+  }
+
   test("qt08 broadcasts no corpus-derived side; the two doc windows share one exchange") {
     val p = planOf("qt08_tfidf_top_terms")
     // Every side is corpus-sized (tf, df, n_tok): the only broadcast
