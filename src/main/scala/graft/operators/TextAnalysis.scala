@@ -55,6 +55,33 @@ object TextAnalysis {
         .orderBy("doc_id")
     },
 
+    // BPE-ish token counting: the GPT-2 pre-tokenizer regex (contraction
+    // suffixes | space-prefixed letter runs | digit runs | punctuation
+    // runs | whitespace), restricted to constructs Java regex and RE2
+    // evaluate identically (no lookahead, explicit ASCII classes). The
+    // match COUNT approximates trainer token counts far better than
+    // whitespace splitting — "don't." is 1 whitespace token but 3
+    // pre-tokens — and it's what batch-size/packing planning actually
+    // budgets on. Pure per-row expression, zero shuffle.
+    Q("qt09_bpe_token_counts", {
+      val pat = """''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"""
+      val toks = sqlTokens("text")
+      s"""SELECT doc_id,
+         |       CAST(len(regexp_extract_all(text, '$pat')) AS BIGINT) AS n_bpe,
+         |       len($toks) AS n_ws,
+         |       ${sqlE6(s"CAST(len(regexp_extract_all(text, '$pat')) AS DOUBLE) / len($toks)")} AS fertility_e6
+         |FROM documents ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      val pat = """'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"""
+      val nBpe = size(regexp_extract_all(col("text"), lit(pat), lit(0)))
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          nBpe.cast("long").as("n_bpe"),
+          size(toksCol).cast("long").as("n_ws"),
+          e6(nBpe.cast("double") / size(toksCol)).as("fertility_e6"))
+        .orderBy("doc_id")
+    },
+
     // Quality scoring: mean token length, type/token ratio, stopword
     // ratio, and a composite score — the standard cheap pre-training
     // filters. All ratios emitted as e6 integers.

@@ -238,6 +238,60 @@ object TrainPrep {
         .orderBy("vec_id")
     },
 
+    // One deterministic k-means (Lloyd) step over the embeddings — the
+    // clustering primitive data-curation pipelines run for cluster-
+    // balanced sampling and semantic dedup. Seeds are the same stride
+    // rule as IVF (no RNG); assignment is argmin squared-euclidean
+    // computed as dot(v,v) - 2 dot(v,c) + dot(c,c) with every dot a
+    // sequential double fold, floored to an e6 integer before the argmin
+    // so both engines rank identically; new centroids are the qn13-style
+    // integer-exact dimension means. Scale shape: centroids broadcast
+    // (k rows), assignment is map-side + one row_number window (plans
+    // through TopKPerGroup), then one (cluster, pos) partial-agg shuffle
+    // — vectors never shuffle whole.
+    Q("qn19_kmeans_step", {
+      val distE6 = sqlE6(s"${sqlDot("v.embedding", "v.embedding")}" +
+        s" - 2 * ${sqlDot("v.embedding", "c.ce")} + ${sqlDot("c.ce", "c.ce")}")
+      s"""WITH v AS (SELECT vec_id, embedding FROM embeddings),
+         |st AS (SELECT GREATEST(1, COUNT(*) // 8) AS stride FROM v),
+         |cents AS (SELECT vec_id AS cent_id, embedding AS ce FROM v, st
+         |          WHERE vec_id % stride = 0 AND vec_id < stride * 8),
+         |asg AS (SELECT vec_id, embedding, cent_id FROM (
+         |          SELECT v.vec_id, v.embedding, c.cent_id,
+         |                 ROW_NUMBER() OVER (PARTITION BY v.vec_id
+         |                   ORDER BY $distE6, c.cent_id) AS rn
+         |          FROM v, cents c) WHERE rn = 1),
+         |x AS (SELECT cent_id, i AS pos,
+         |             CAST(floor(CAST(embedding[i + 1] AS DOUBLE) * 1000000) AS BIGINT) AS v_e6
+         |      FROM asg, (SELECT unnest(range(0, 64)) AS i))
+         |SELECT cent_id, pos, COUNT(*) AS n,
+         |       CAST(floor(CAST(SUM(v_e6) AS DOUBLE) / COUNT(*)) AS BIGINT) AS centroid_e6
+         |FROM x GROUP BY 1, 2 ORDER BY cent_id, pos""".stripMargin
+    }) { (s, dir) =>
+      import graft.functions.VectorExprs.dotNative
+      val v = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      val st = v.agg(count(lit(1)).as("n_vec"))
+        .select(greatest(lit(1L), expr("n_vec div 8")).as("stride"))
+      val cents = v.crossJoin(st)
+        .filter(col("vec_id") % col("stride") === 0 && col("vec_id") < col("stride") * 8)
+        .select(col("vec_id").as("cent_id"), col("embedding").as("ce"))
+      val distE6 = e6(dotNative(col("embedding"), col("embedding"))
+        - lit(2) * dotNative(col("embedding"), col("ce"))
+        + dotNative(col("ce"), col("ce")))
+      val wA = Window.partitionBy(col("vec_id"))
+        .orderBy(col("dist_e6").asc, col("cent_id").asc)
+      val asg = v.join(broadcast(cents), expr("true"))
+        .select(col("vec_id"), col("embedding"), col("cent_id"), distE6.as("dist_e6"))
+        .withColumn("rn", row_number().over(wA)).filter(col("rn") === 1)
+      asg.select(col("cent_id"), posexplode(col("embedding")).as(Seq("pos", "vv")))
+        .select(col("cent_id"), col("pos"),
+          floor(col("vv").cast("double") * 1000000).cast("long").as("v_e6"))
+        .groupBy("cent_id", "pos")
+        .agg(count(lit(1)).as("n"),
+          floor(sum(col("v_e6")).cast("double") / count(lit(1))).cast("long").as("centroid_e6"))
+        .orderBy("cent_id", "pos")
+    },
+
     // TF-IDF top terms per document in pure integer arithmetic:
     // score_e6 = (tf * N * 1e6) div (df * n_tok) — no log, no float, so
     // both engines rank identically with no epsilon anywhere. Top-3 per
