@@ -635,13 +635,16 @@ object Dedup {
       while (!converged && rounds < 50) {
         val nb = edges.join(labels, col("src") === col("doc_id"))
           .groupBy(col("dst")).agg(min(col("comp")).as("nb_comp"))
+        // The changed flag rides the round's own join, so convergence
+        // detection is a scan of the just-materialized frame — not a
+        // second labels join (one fewer shuffle per round).
         val next = labels.join(nb, col("doc_id") === col("dst"), "left")
           .select(col("doc_id"),
-            least(col("comp"), coalesce(col("nb_comp"), col("comp"))).as("comp"))
+            least(col("comp"), coalesce(col("nb_comp"), col("comp"))).as("comp"),
+            (coalesce(col("nb_comp"), col("comp")) < col("comp")).as("changed"))
           .localCheckpoint(true)
-        converged = next.join(labels.withColumnRenamed("comp", "prev"), "doc_id")
-          .filter(col("comp") < col("prev")).isEmpty
-        labels = next
+        converged = next.filter(col("changed")).isEmpty
+        labels = next.select("doc_id", "comp")
         rounds += 1
       }
       // The cap is a runaway bound, not a semantic: labels that have not
