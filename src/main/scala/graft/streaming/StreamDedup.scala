@@ -1,0 +1,136 @@
+package graft.streaming
+
+import graft.functions.TextFns._
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming MinHash-LSH near-duplicate detection — the ingest-time
+  * twin of the batch qn04 pipeline: documents arrive on a stream, and
+  * every arrival is checked against the recent corpus WITHOUT an O(n^2)
+  * compare or a batch re-run.
+  *
+  * Plan shape: signature + band explode are pure Column expressions
+  * (identical to the batch path), then the stream groups by BAND KEY and
+  * keeps per-bucket state = the member docs of that LSH bucket inside
+  * the dedup horizon. A new doc pairs only against its own bucket's
+  * members — the same sub-linear candidate generation the batch plan
+  * gets from the band equi-join, expressed as keyed state.
+  *
+  * Exactly-once pair emission needs no cross-bucket coordination: a
+  * colliding pair agrees on its FIRST agreeing band, and both docs
+  * necessarily sit in that band's bucket too — so each bucket emits a
+  * pair only if ITS band index is the pair's first agreeing band
+  * (the stateless trick behind the batch plan's no-distinct dedup,
+  * `FirstAgreeingBand`).
+  *
+  * Scale + state bound: state is sharded by band key (the shuffle key),
+  * and the event-time timeout evicts buckets `horizonMs` past their last
+  * arrival — "near-dup within the horizon" is the declared streaming
+  * semantics (an unbounded exact history cannot fit any streaming state
+  * store; production pipelines bound dedup lookback the same way).
+  */
+object StreamDedup {
+
+  val NPlanes = 64
+  val NBands = 16
+  val RowsPerBand = 4
+
+  case class BandDoc(band: String, b: Int, doc_id: Long, us: Long, sig: Seq[Long])
+  /** BandDoc + the event-time column the watermark/timeout machinery
+    * tracks (must survive up to the stateful operator). */
+  case class BandDocT(band: String, b: Int, doc_id: Long, us: Long, sig: Seq[Long],
+      ts: java.sql.Timestamp)
+  case class DupPair(doc_a: Long, doc_b: Long, n_agree: Int)
+  case class Bucket(members: List[(Long, Seq[Long])])
+
+  /** Tokenize -> MinHash(64) -> 16 band keys, one row per (doc, band).
+    * Pure Column expressions: works identically on batch and streaming
+    * frames. Input needs (doc_id, text, us). */
+  def banded(docs: DataFrame): Dataset[BandDoc] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(col("doc_id"), col("us"),
+        transform(tokenSet(col("text")), tokenHash(_)).as("hs"))
+      .filter(size(col("hs")) > 0)
+      .select(col("doc_id"), col("us"), minhashSig(col("hs"), NPlanes).as("sig"))
+      .select(col("doc_id"), col("us"), col("sig"),
+        posexplode(lshBands(col("sig"), NBands, RowsPerBand)).as(Seq("b", "band")))
+      .select(col("band"), col("b"), col("doc_id"), col("us"), col("sig"))
+      .as[BandDoc]
+  }
+
+  private def firstAgree(a: Seq[Long], b: Seq[Long]): Int =
+    (0 until NBands).indexWhere(bd =>
+      (0 until RowsPerBand).forall(r => a(bd * RowsPerBand + r) == b(bd * RowsPerBand + r)))
+
+  private def agreeCount(a: Seq[Long], b: Seq[Long]): Int =
+    a.iterator.zip(b.iterator).count { case (x, y) => x == y }
+
+  /** Pair the docs of one micro-batch (arrival order = event time, ties
+    * by doc_id) against the bucket members, emitting only from the
+    * pair's first agreeing band. Returns the pairs and the grown
+    * member list. */
+  private def pairUp(bd: Int, arrived: Seq[BandDoc],
+      members0: List[(Long, Seq[Long])]): (Seq[DupPair], List[(Long, Seq[Long])]) = {
+    var members = members0
+    val out = Seq.newBuilder[DupPair]
+    for (d <- arrived) {
+      for ((mid, msig) <- members if mid != d.doc_id)
+        if (firstAgree(msig, d.sig) == bd)
+          out += DupPair(math.min(mid, d.doc_id), math.max(mid, d.doc_id),
+            agreeCount(msig, d.sig))
+      members = (d.doc_id, d.sig) :: members
+    }
+    (out.result(), members)
+  }
+
+  /** Streaming near-dup pairs with a bounded dedup horizon. `docs` must
+    * be a streaming frame with (doc_id, text, us); pairs appear in the
+    * micro-batch where the LATER doc arrives. */
+  def nearDupPairsStreaming(docs: DataFrame, horizonMs: Long): Dataset[DupPair] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    banded(docs)
+      .withColumn("ts", timestamp_micros(col("us")))
+      .withWatermark("ts", s"$horizonMs milliseconds")
+      .as[BandDocT]
+      .groupByKey(_.band)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (key: String, it0: Iterator[BandDocT], state: GroupState[Bucket]) => {
+          val it = it0.map(d => BandDoc(d.band, d.b, d.doc_id, d.us, d.sig))
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val arrived = it.toSeq.sortBy(d => (d.us, d.doc_id))
+            val bd = arrived.head.b
+            val (pairs, members) =
+              pairUp(bd, arrived, state.getOption.map(_.members).getOrElse(Nil))
+            state.update(Bucket(members))
+            // evict the bucket horizonMs past its newest arrival (never
+            // at-or-before the current watermark, which Spark rejects)
+            val newestMs = members.headOption.map(_ => arrived.map(_.us).max / 1000L).getOrElse(0L)
+            state.setTimeoutTimestamp(
+              math.max(state.getCurrentWatermarkMs() + 1, newestMs + horizonMs))
+            pairs.iterator
+          }
+        })
+  }
+
+  /** Batch twin: same banded head, same pairing code, full group at
+    * once — the reference semantics the streaming path is tested
+    * against. */
+  def nearDupPairsBatch(docs: DataFrame): Dataset[DupPair] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    banded(docs)
+      .groupByKey(_.band)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (_: String, it: Iterator[BandDoc], _: GroupState[Bucket]) => {
+          val arrived = it.toSeq.sortBy(d => (d.us, d.doc_id))
+          pairUp(arrived.head.b, arrived, Nil)._1.iterator
+        })
+  }
+}

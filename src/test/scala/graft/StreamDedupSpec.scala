@@ -1,0 +1,88 @@
+package graft
+
+import graft.streaming.StreamDedup
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Streaming LSH near-dup: the stream must find exactly the pairs the
+  * batch band-collision semantics declare (each emitted once, in the
+  * later doc's micro-batch), and the event-time horizon must actually
+  * bound state — an evicted bucket stops pairing.
+  */
+object StreamDedupSpec {
+  case class Doc(doc_id: Long, text: String, us: Long)
+}
+
+class StreamDedupSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+  import StreamDedupSpec.Doc
+
+  /** Band-collision ground truth straight from the shared banded head. */
+  private def brute(docs: Seq[Doc]): Set[(Long, Long, Int)] = {
+    val sigs = StreamDedup.banded(docs.toDF())
+      .collect().map(b => b.doc_id -> b.sig).toMap
+    val bands = (s: Seq[Long]) => (0 until StreamDedup.NBands).map(b =>
+      s.slice(b * StreamDedup.RowsPerBand, (b + 1) * StreamDedup.RowsPerBand))
+    (for {
+      (ida, sa) <- sigs.toSeq; (idb, sb) <- sigs.toSeq
+      if ida < idb && bands(sa).zip(bands(sb)).exists { case (x, y) => x == y }
+    } yield (ida, idb,
+      sa.zip(sb).count { case (x, y) => x == y })).toSet
+  }
+
+  private def runStream(batches: Seq[Seq[Doc]], horizonMs: Long): Seq[(Long, Long, Int)] = {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[Doc]
+    val q = StreamDedup.nearDupPairsStreaming(ms.toDF(), horizonMs)
+      .writeStream.format("memory").queryName("sdedup").outputMode("append").start()
+    try {
+      batches.foreach { b => ms.addData(b); q.processAllAvailable() }
+      spark.table("sdedup").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    } finally q.stop()
+  }
+
+  test("streaming pairs == batch band-collision semantics, each emitted once") {
+    // Dup-heavy fixture: 30 base docs + near-identical variants.
+    // Event times start at 1s, not 0: a row at exactly the initial
+    // watermark (epoch 0) is dropped as late by the stateful operator.
+    val base = (0 until 30).map { i =>
+      Doc(i.toLong, s"alpha bravo charlie delta echo foxtrot golf hotel doc$i word${i % 7}", (i + 1) * 1000000L)
+    }
+    val dups = (0 until 15).map { i =>
+      Doc(100L + i, s"alpha bravo charlie delta echo foxtrot golf hotel doc$i extra", 60000000L + i * 1000000L)
+    }
+    val docs = base ++ dups
+    val expected = brute(docs)
+    assert(expected.nonEmpty) // the fixture really collides
+
+    val got = runStream(docs.grouped(15).toSeq, horizonMs = 1000L * 3600 * 24 * 365)
+    assert(got.size == got.toSet.size, "a pair was emitted more than once")
+    assert(got.toSet == expected)
+
+    // and the batch twin agrees with the same ground truth
+    val batch = StreamDedup.nearDupPairsBatch(docs.toDF())
+      .collect().map(p => (p.doc_a, p.doc_b, p.n_agree)).toSet
+    assert(batch == expected)
+  }
+
+  test("horizon eviction: an expired bucket stops pairing") {
+    val h = 3600L * 1000 // 1 hour horizon
+    val hour = 3600L * 1000000
+    val a = Doc(1, "the quick brown fox jumps over the lazy dog again and again", 1000000L)
+    val pushes = Seq(
+      Doc(2, "completely unrelated text about database engines and parquet files", 10 * hour),
+      Doc(3, "another unrelated doc mentioning spark catalyst and tungsten", 10 * hour + 1000000L))
+    val aCopy = Doc(4, a.text, 10 * hour + 2000000L)
+    val aCopy2 = Doc(5, a.text, 10 * hour + 3000000L)
+    val got = runStream(
+      Seq(Seq(a), Seq(pushes(0)), Seq(pushes(1)), Seq(aCopy), Seq(aCopy2)), h)
+    // doc 1's buckets were evicted when the watermark passed 1h, so the
+    // identical doc 4 does NOT pair with it...
+    assert(!got.exists { case (x, y, _) => x == 1L }, s"evicted bucket still paired: $got")
+    // ...but docs 4 and 5 (both inside the horizon) do pair.
+    assert(got.exists { case (x, y, _) => x == 4L && y == 5L }, s"missing in-horizon pair: $got")
+  }
+}
