@@ -174,6 +174,14 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("qn19 assignment plans through TopKPerGroup with map-side partials") {
+    val p = planOf("qn19_kmeans_step")
+    // partial (true) heap before the exchange, final (false) after — the
+    // argmin never sorts whole groups or shuffles full vectors twice
+    assert(p.contains("TopKPerGroup true") && p.contains("TopKPerGroup false"), p)
+    assert(!p.contains("BroadcastHashJoin"), p) // centroids ride a tiny BNLJ
+  }
+
   test("pair dedup plans have no distinct over the candidate stream") {
     // The first-common / first-agreeing filters replaced the pair
     // distinct(): candidate streams must reach the output through

@@ -28,6 +28,12 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("registry names are unique (a duplicate would silently shadow in the maps)") {
+    val names = SparkEntry.registry.map(_.name)
+    val dups = names.groupBy(identity).filter(_._2.size > 1).keys
+    assert(dups.isEmpty, s"duplicate query names: ${dups.mkString(", ")}")
+  }
+
   test("oracle keys are a subset of query keys with matching names") {
     val qk = SparkEntry.queries.keySet
     val ok = SparkEntry.oracleSql.keySet
