@@ -34,7 +34,7 @@ object RangedHttp {
       maxWorkers: Int = 8,
       chunkSize: Long = 8L * 1024 * 1024,
       minChunk: Long = 1L * 1024 * 1024,
-      maxRetries: Int = 3,
+      maxRetries: Int = 5, // reference default, io.py:160
       backoffMs: Long = 1000L,
       connectTimeoutSec: Int = 30,
       algo: String = "SHA-256"): Fetched = {
