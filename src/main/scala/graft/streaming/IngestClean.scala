@@ -1,0 +1,86 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Streaming clean-corpus ingest — the qp01 pipeline rearranged for a
+  * stream: each micro-batch passes a quality gate, exact-dedups within
+  * the batch and against the lake, near-dedups against a PERSISTENT LSH
+  * BAND INDEX, and only survivors append to the lake (plus their band
+  * rows to the index).
+  *
+  * The index is the piece that makes this incremental: the lake's LSH
+  * band keys live in their own parquet table, so a batch's near-dup
+  * check is `batch-bands ⋈ index` — an equi-join whose left side is one
+  * micro-batch and whose right side is partition-prunable by band — not
+  * a recompute over the whole corpus. This is how production ingest
+  * keeps near-dup at O(batch), and it is exactly the state the
+  * [[StreamDedup]] buckets hold, persisted instead of in the state
+  * store (no horizon: the lake IS the history).
+  *
+  * Dedup rules (same spine as qp01/qn18): quality = >= minTokens
+  * whitespace tokens; exact = normalized text seen before (in-batch:
+  * keep lowest (us, doc_id)); near = shares any MinHash band with an
+  * indexed doc (the LSH candidate rule — deliberately the recall-side
+  * approximation; verification-grade J >= p/q runs in the batch engine
+  * when the workload needs it).
+  */
+object IngestClean {
+
+  final case class BatchStats(in: Long, quality: Long, exactNovel: Long, appended: Long)
+
+  private def nrm(c: org.apache.spark.sql.Column) =
+    regexp_replace(lower(trim(c)), "\\s+", " ")
+
+  /** Clean one micro-batch (doc_id, text, us) into `lakeDir`, maintaining
+    * `indexDir`. Returns the per-stage survivor counts. Call from
+    * `foreachBatch`; idempotence across retries comes from the exact and
+    * band checks themselves (a replayed doc is a dup of its own first
+    * write). */
+  def cleanBatch(spark: SparkSession, batch: DataFrame,
+      lakeDir: String, indexDir: String, minTokens: Int = 10): BatchStats = {
+    val in = batch.count()
+    val quality = batch.filter(size(split(trim(col("text")), "\\s+")) >= minTokens)
+      .withColumn("nrm", nrm(col("text")))
+    val nQuality = quality.count()
+
+    // Exact: keep the first arrival per normalized text within the batch,
+    // then drop texts the lake already holds.
+    val inBatchFirst = quality
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("nrm").orderBy(col("us").asc, col("doc_id").asc)))
+      .filter(col("rn") === 1).drop("rn")
+    val lakeExists = new java.io.File(lakeDir).exists()
+    val exactNovel =
+      if (!lakeExists) inBatchFirst
+      else inBatchFirst.join(
+        spark.read.parquet(lakeDir).select(col("nrm")).distinct(), Seq("nrm"), "left_anti")
+    val nExactNovel = exactNovel.count()
+
+    // Near: any band collision with the persisted index. In-batch near
+    // dups resolve by arrival order (earlier doc indexes first — here,
+    // both sides of the in-batch check come from the same banded frame).
+    val banded = StreamDedup.banded(exactNovel.select("doc_id", "text", "us"))
+      .toDF().localCheckpoint(true) // read three times below
+    val indexExists = new java.io.File(indexDir).exists()
+    val vsLake =
+      if (!indexExists) banded.limit(0).select(col("doc_id"))
+      else banded.join(spark.read.parquet(indexDir).select(col("band")).distinct(),
+        Seq("band"), "left_semi").select(col("doc_id"))
+    val vsBatch = banded.as("x")
+      .join(banded.as("y"), col("x.band") === col("y.band"))
+      .filter(col("y.us") < col("x.us") ||
+        (col("y.us") === col("x.us") && col("y.doc_id") < col("x.doc_id")))
+      .select(col("x.doc_id").as("doc_id"))
+    val nearDup = vsLake.unionByName(vsBatch).distinct()
+    val survivors = exactNovel.join(nearDup, Seq("doc_id"), "left_anti")
+      .localCheckpoint(true) // appended to two tables below
+
+    survivors.write.mode(SaveMode.Append).parquet(lakeDir)
+    StreamDedup.banded(survivors.select("doc_id", "text", "us")).toDF()
+      .select("band", "doc_id")
+      .write.mode(SaveMode.Append).parquet(indexDir)
+    BatchStats(in, nQuality, nExactNovel, survivors.count())
+  }
+}

@@ -68,6 +68,43 @@ class StreamDedupSpec extends AnyFunSuite {
     assert(batch == expected)
   }
 
+  test("streaming clean-corpus ingest keeps only quality, novel docs in the lake") {
+    import graft.streaming.IngestClean
+    val dir = java.nio.file.Files.createTempDirectory("graft_ingest_clean").toString
+    val (lake, idx) = (s"$dir/lake", s"$dir/index")
+    val dText = "zebra yak xylophone walrus vulture tiger snake rabbit quail panda otter"
+    val batch1 = Seq(
+      Doc(1, "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo", 1000000L),
+      Doc(2, "alpha  bravo charlie delta echo foxtrot golf hotel india juliet kilo ", 2000000L), // exact dup of 1 (whitespace)
+      Doc(3, "too short to pass", 3000000L), // fails the quality gate
+      Doc(4, dText, 4000000L))
+    val batch2 = Seq(
+      Doc(5, "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo", 5000000L), // exact dup of 1, across batches
+      Doc(6, dText.split(' ').reverse.mkString(" "), 6000000L), // same token SET as 4 -> near dup via bands
+      Doc(7, "one unique sentence mentioning parquet shuffles catalyst codegen and watermarks today", 7000000L))
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[Doc]
+    val q = ms.toDF().writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        IngestClean.cleanBatch(spark, b, lake, idx); ()
+      }.start()
+    try {
+      ms.addData(batch1); q.processAllAvailable()
+      ms.addData(batch2); q.processAllAvailable()
+      // replay batch 1 whole: idempotent, nothing re-enters
+      ms.addData(batch1); q.processAllAvailable()
+    } finally q.stop()
+
+    val kept = spark.read.parquet(lake).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 4L, 7L), s"lake holds $kept")
+    // and the index holds exactly the survivors' band rows
+    val indexed = spark.read.parquet(idx).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(indexed == Set(1L, 4L, 7L), s"index holds $indexed")
+  }
+
   test("horizon eviction: an expired bucket stops pairing") {
     val h = 3600L * 1000 // 1 hour horizon
     val hour = 3600L * 1000000
