@@ -148,7 +148,7 @@ object Dedup {
     * the join key instead of OOMing the driver. The probe is a count on
     * an already-materialized frame: the same runtime-stats trick AQE
     * plays, paid once per plan build. */
-  private def sized(s: SparkSession, df: DataFrame, probedRows: Long): DataFrame =
+  private[operators] def sized(s: SparkSession, df: DataFrame, probedRows: Long): DataFrame =
     if (probedRows <= broadcastCap(s)) broadcast(df) else df.hint("SHUFFLE_HASH")
 
   private def jaccardPairs(t: DataFrame, p: Int, q: Int): DataFrame = {
@@ -607,55 +607,71 @@ object Dedup {
     // minimum reachable doc_id along edges until fixpoint, checkpointing
     // each round so lineage stays flat. Iterations = component diameter.
     // The oracle is a DuckDB recursive CTE over the same edge set.
-    Q("qn17_dedup_components", {
-      val hs = s"[ ${sqlTokenHash60("t")} for t in toks ]"
+    Q("qn17_dedup_components",
       s"""WITH RECURSIVE
-         |t AS ($sqlTokenized),
-         |sh AS (SELECT doc_id, ${sqlSimhash(hs)} AS simhash FROM t),
-         |e AS (SELECT a.doc_id AS a, b.doc_id AS b FROM sh a, sh b
-         |      WHERE a.doc_id < b.doc_id
-         |        AND bit_count(xor(a.simhash, b.simhash)) <= 3),
-         |ed AS (SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e),
-         |walk(node, lab) AS (
-         |  SELECT doc_id, doc_id FROM documents
-         |  UNION
-         |  SELECT ed.b, walk.lab FROM walk JOIN ed ON ed.a = walk.node
-         |)
+         |$sqlComponentsCte
          |SELECT node AS doc_id, MIN(lab) AS comp FROM walk
-         |GROUP BY node ORDER BY doc_id""".stripMargin
-    }) { (s, dir) =>
-      val pairs = memoized("simhash", s, dir, 0, 0)(simhashNearPairs(s, dir))
-        .select(col("doc_a"), col("doc_b"))
-      val edges = pairs.unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-        .toDF("src", "dst").localCheckpoint(true)
-      var labels = Tables.documents(s, dir)
-        .select(col("doc_id"), col("doc_id").as("comp")).localCheckpoint(true)
-      var converged = false
-      var rounds = 0
-      while (!converged && rounds < 50) {
-        val nb = edges.join(labels, col("src") === col("doc_id"))
-          .groupBy(col("dst")).agg(min(col("comp")).as("nb_comp"))
-        // The changed flag rides the round's own join, so convergence
-        // detection is a scan of the just-materialized frame — not a
-        // second labels join (one fewer shuffle per round).
-        val next = labels.join(nb, col("doc_id") === col("dst"), "left")
-          .select(col("doc_id"),
-            least(col("comp"), coalesce(col("nb_comp"), col("comp"))).as("comp"),
-            (coalesce(col("nb_comp"), col("comp")) < col("comp")).as("changed"))
-          .localCheckpoint(true)
-        converged = next.filter(col("changed")).isEmpty
-        labels = next.select("doc_id", "comp")
-        rounds += 1
-      }
-      // The cap is a runaway bound, not a semantic: labels that have not
-      // reached fixpoint are WRONG component ids, so failing loud beats
-      // returning them (graphs with diameter > 50 need a doubling-style
-      // pointer-jumping pass, not more rounds of this).
-      if (!converged) throw new IllegalStateException(
-        s"qn17_dedup_components: min-label propagation did not converge in $rounds rounds")
-      labels.orderBy("doc_id")
+         |GROUP BY node ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      componentLabels(s, dir).orderBy("doc_id")
     }
   )
+
+  /** Shared oracle fragment: the recursive-CTE chain computing connected
+    * components of the simhash hamming<=3 near-dup graph. Callers prepend
+    * `WITH RECURSIVE` and aggregate `walk(node, lab)` by node. */
+  private[operators] lazy val sqlComponentsCte: String = {
+    val hs = s"[ ${sqlTokenHash60("t")} for t in toks ]"
+    s"""t AS ($sqlTokenized),
+       |sh AS (SELECT doc_id, ${sqlSimhash(hs)} AS simhash FROM t),
+       |e AS (SELECT a.doc_id AS a, b.doc_id AS b FROM sh a, sh b
+       |      WHERE a.doc_id < b.doc_id
+       |        AND bit_count(xor(a.simhash, b.simhash)) <= 3),
+       |ed AS (SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e),
+       |walk(node, lab) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT ed.b, walk.lab FROM walk JOIN ed ON ed.a = walk.node
+       |)""".stripMargin
+  }
+
+  /** Connected components over the simhash near-dup pair graph as
+    * `(doc_id, comp)` — iterative min-label propagation, the GraphX-style
+    * DataFrame loop: propagate the minimum reachable doc_id along edges
+    * until fixpoint, checkpointing each round so lineage stays flat.
+    * Iterations = component diameter. Shared by qn17 and the canonical-
+    * selection composition (qp02). */
+  private[graft] def componentLabels(s: SparkSession, dir: String): DataFrame = {
+    val pairs = memoized("simhash", s, dir, 0, 0)(simhashNearPairs(s, dir))
+      .select(col("doc_a"), col("doc_b"))
+    val edges = pairs.unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .toDF("src", "dst").localCheckpoint(true)
+    var labels = Tables.documents(s, dir)
+      .select(col("doc_id"), col("doc_id").as("comp")).localCheckpoint(true)
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 50) {
+      val nb = edges.join(labels, col("src") === col("doc_id"))
+        .groupBy(col("dst")).agg(min(col("comp")).as("nb_comp"))
+      // The changed flag rides the round's own join, so convergence
+      // detection is a scan of the just-materialized frame — not a
+      // second labels join (one fewer shuffle per round).
+      val next = labels.join(nb, col("doc_id") === col("dst"), "left")
+        .select(col("doc_id"),
+          least(col("comp"), coalesce(col("nb_comp"), col("comp"))).as("comp"),
+          (coalesce(col("nb_comp"), col("comp")) < col("comp")).as("changed"))
+        .localCheckpoint(true)
+      converged = next.filter(col("changed")).isEmpty
+      labels = next.select("doc_id", "comp")
+      rounds += 1
+    }
+    // The cap is a runaway bound, not a semantic: labels that have not
+    // reached fixpoint are WRONG component ids, so failing loud beats
+    // returning them (graphs with diameter > 50 need a doubling-style
+    // pointer-jumping pass, not more rounds of this).
+    if (!converged) throw new IllegalStateException(
+      s"dedup components: min-label propagation did not converge in $rounds rounds")
+    labels
+  }
 
   /** SimHash hamming<=3 pairs (unordered), shared by qn06 and the
     * component query. */

@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Self-checks for the curation compositions beyond the DuckDB hash
+  * gate: accounting invariants, sketch losslessness, permutation
+  * correctness, and canonical-choice sanity.
+  */
+class CurationSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("qn20 per-cluster accounting covers the whole corpus") {
+    val rows = SparkEntry.queries("qn20_semantic_dedup")(spark, sf).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_kept") + r.getAs[Long]("n_dropped") == r.getAs[Long]("n_vecs"))
+      assert(r.getAs[Long]("n_kept") >= 1, "a cluster must keep at least its lowest-id member")
+    }
+    val total = rows.map(_.getAs[Long]("n_vecs")).sum
+    assert(total == Tables.embeddings(spark, sf).count())
+  }
+
+  test("qn21 bloom gate is lossless: identical results to the exact-only join") {
+    // The registered query (bloom prefilter + exact verify) must emit
+    // exactly what the exact join alone emits — the sketch may only
+    // prune definite negatives.
+    val gated = SparkEntry.queries("qn21_bloom_decontamination")(spark, sf)
+      .collect().map(_.toString).sorted
+    val toks = graft.functions.TextFns.tokens(col("text"))
+    val kg = array_distinct(transform(sequence(lit(1), size(col("tk")) - 4),
+      i => concat_ws(" ", (0 until 5).map(o => element_at(col("tk"), i + o)): _*)))
+    val g = Tables.documents(spark, sf)
+      .filter(size(toks) >= 5)
+      .select(col("doc_id"), toks.as("tk"))
+      .select(col("doc_id"), kg.as("grams"))
+      .select(col("doc_id"), size(col("grams")).as("n_grams"), explode(col("grams")).as("gram"))
+    val bench = g.filter(col("doc_id") % 97 === 0).select("gram").distinct()
+    val exact = g.filter(col("doc_id") % 97 =!= 0)
+      .join(bench, "gram")
+      .groupBy("doc_id")
+      .agg(max(col("n_grams")).as("n_grams"), count(lit(1)).as("n_shared"))
+      .select(col("doc_id"), col("n_shared"), col("n_grams"),
+        graft.functions.TextFns.e6(col("n_shared").cast("double") / col("n_grams")).as("contam_e6"),
+        when(col("n_shared") * 10 >= col("n_grams"), 1L).otherwise(0L).as("flagged"))
+      .collect().map(_.toString).sorted
+    assert(gated.toSeq == exact.toSeq)
+  }
+
+  test("qn21 plan carries the might_contain sketch probe") {
+    val plan = SparkEntry.queries("qn21_bloom_decontamination")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), s"no bloom probe in plan:\n$plan")
+  }
+
+  test("qn22 epoch positions are a permutation and batches are full-size blocks") {
+    val rows = SparkEntry.queries("qn22_epoch_shuffle")(spark, sf)
+      .select("epoch_pos", "batch").collect()
+    val n = rows.length
+    assert(rows.map(_.getLong(0)).toSet == (1L to n).toSet, "epoch_pos must be 1..n exactly once")
+    rows.foreach(r => assert(r.getLong(1) == (r.getLong(0) - 1) / 32))
+  }
+
+  test("qn22 plan has no unpartitioned window (global-sort-free rank)") {
+    val plan = SparkEntry.queries("qn22_epoch_shuffle")(spark, sf)
+      .queryExecution.optimizedPlan.toString
+    // The only Window in the plan partitions by the range-partition id;
+    // a naive plan would show windowspecdefinition(hsh ...) with no
+    // partition column.
+    assert(!plan.contains("windowspecdefinition(hsh"),
+      s"global window leaked into the epoch-shuffle plan:\n$plan")
+  }
+
+  test("qp02 canonical member is the longest document of a real cluster") {
+    val canon = SparkEntry.queries("qp02_canonical_selection")(spark, sf).collect()
+    val comp = graft.operators.Dedup.componentLabels(spark, sf)
+      .join(Tables.documents(spark, sf).select("doc_id", "n_chars"), "doc_id")
+      .collect().map(r => (r.getAs[Long]("comp"), r.getAs[Long]("doc_id"), r.getAs[Long]("n_chars")))
+      .groupBy(_._1)
+    canon.foreach { r =>
+      val members = comp(r.getAs[Long]("comp"))
+      assert(members.size == r.getAs[Long]("n_members"))
+      assert(members.size > 1)
+      val best = members.maxBy(m => (m._3, -m._2))
+      assert(r.getAs[Long]("canonical_doc") == best._2)
+      assert(r.getAs[Long]("canonical_chars") == best._3)
+    }
+  }
+}
