@@ -337,6 +337,47 @@ object Relational {
           .otherwise(0L)).as("n_sessions"),
           count(lit(1)).as("n_events"))
         .orderBy(col("user_id"))
+    },
+
+    // PIVOT: order counts per year, one column per order status. The
+    // Spark side is the declarative pivot with EXPLICIT values — an
+    // unspecified value list would cost a distinct-scan job AND make the
+    // output schema data-dependent, which a production pipeline can't
+    // have. The oracle is the CASE-count expansion (the relational
+    // definition of pivot), so column names/types pin exactly.
+    Q("q27_pivot_status_by_year",
+      """SELECT EXTRACT(year FROM o_orderdate) AS o_year,
+        |       COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS st_o,
+        |       COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS st_f,
+        |       COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS st_p
+        |FROM orders GROUP BY 1 ORDER BY o_year""".stripMargin) { (s, dir) =>
+      Tables.orders(s, dir)
+        .select(year(col("o_orderdate")).cast("long").as("o_year"), col("o_orderstatus"))
+        .groupBy("o_year")
+        .pivot("o_orderstatus", Seq("O", "F", "P"))
+        .agg(count(lit(1)))
+        // pivot emits NULL (not 0) for absent (year, status) cells —
+        // COUNT(CASE ...) in the oracle emits 0; align.
+        .select(col("o_year"),
+          coalesce(col("O"), lit(0L)).as("st_o"),
+          coalesce(col("F"), lit(0L)).as("st_f"),
+          coalesce(col("P"), lit(0L)).as("st_p"))
+        .orderBy("o_year")
+    },
+
+    // INTERSECT (set semantics) — the set operation q21 doesn't cover:
+    // customers active in BOTH months.
+    Q("q28_intersect_customers",
+      """SELECT o_custkey FROM (
+        |  SELECT o_custkey FROM orders WHERE strftime(o_orderdate, '%Y-%m') = '1995-03'
+        |  INTERSECT
+        |  SELECT o_custkey FROM orders WHERE strftime(o_orderdate, '%Y-%m') = '1995-04'
+        |) ORDER BY o_custkey""".stripMargin) { (s, dir) =>
+      val o = Tables.orders(s, dir)
+      val ym = date_format(col("o_orderdate"), "yyyy-MM")
+      o.filter(ym === "1995-03").select("o_custkey")
+        .intersect(o.filter(ym === "1995-04").select("o_custkey"))
+        .orderBy("o_custkey")
     }
   )
 }
