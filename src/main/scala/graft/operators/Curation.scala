@@ -164,14 +164,22 @@ object Curation {
          |       CASE WHEN 10 * n_shared >= n_grams THEN 1 ELSE 0 END AS flagged
          |FROM hits ORDER BY doc_id""".stripMargin
     }) { (s, dir) =>
-      // Grams materialized once (feeds the benchmark build and the corpus
-      // probe; see Dedup on InferFiltersFromGenerate re-inlining).
-      val g = Tables.documents(s, dir)
+      // Materialization barrier at the TOKENIZED frame (5k rows of token
+      // arrays), not the exploded gram frame (3M string rows): the three
+      // consumers (bloom build, bench join side, corpus probe side) each
+      // re-expand grams from the cached arrays, which keeps the
+      // InferFiltersFromGenerate filter clones operating on an attribute
+      // instead of re-inlining the tokenizer per lambda iteration
+      // (quadratic per document — measured 16 s/pass), while the barrier
+      // itself materializes in <1 s (vs 14 s for the exploded frame).
+      val tk = Tables.documents(s, dir)
         .filter(size(tokens(col("text"))) >= 5)
-        .select(col("doc_id"), kgrams5(tokens(col("text"))).as("grams"))
+        .select(col("doc_id"), tokens(col("text")).as("tk"))
+        .localCheckpoint(true)
+      val g = tk
+        .select(col("doc_id"), kgrams5(col("tk")).as("grams"))
         .select(col("doc_id"), size(col("grams")).as("n_grams"),
           explode(col("grams")).as("gram"))
-        .localCheckpoint(true)
       val bench = g.filter(col("doc_id") % 97 === 0).select("gram").distinct()
       val bloom = bloomOf(bench, col("gram"), 1000000L)
       g.filter(col("doc_id") % 97 =!= 0)
