@@ -82,6 +82,36 @@ object Streaming {
         .groupBy(unix_micros(col("w.start")).as("start_us"))
         .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
         .orderBy("start_us")
+    },
+
+    // Trending detection: top-2 event types per tumbling hour — the
+    // windowed-agg + per-window top-k composition every monitoring
+    // pipeline runs. Unbounded, the windowed count is a watermarked
+    // streaming agg and the rank runs per micro-batch in foreachBatch
+    // (ranking needs the window CLOSED, which is exactly what the
+    // watermark emits); batch-mode here, where the row_number form plans
+    // through TopKPerGroup.
+    Q("qs04_trending_event_types",
+      """WITH w AS (SELECT epoch_us(ts) - epoch_us(ts) % 3600000000 AS start_us,
+        |                  event_type
+        |           FROM events),
+        |c AS (SELECT start_us, event_type, COUNT(*) AS n FROM w GROUP BY 1, 2),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY start_us
+        |                 ORDER BY n DESC, event_type) AS rnk FROM c)
+        |SELECT start_us, rnk, event_type, n FROM r WHERE rnk <= 2
+        |ORDER BY start_us, rnk""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("start_us"))
+        .orderBy(col("n").desc, col("event_type").asc)
+      Tables.events(s, dir)
+        .select(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .groupBy(unix_micros(col("w.start")).as("start_us"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 2)
+        .select(col("start_us"), col("rnk").cast("long").as("rnk"),
+          col("event_type"), col("n"))
+        .orderBy("start_us", "rnk")
     }
   )
 }
