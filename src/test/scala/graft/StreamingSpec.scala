@@ -132,4 +132,63 @@ class StreamingSpec extends AnyFunSuite {
     assert(mustEmit.subsetOf(streamed))
     assert(streamed.nonEmpty)
   }
+
+  test("streaming trending top-k matches batch qs04 on closed windows") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val evs = Tables.events(spark, sf)
+      .select(col("event_type"), unix_micros(col("ts")).as("us"))
+      .as[TypedEv].collect().sortBy(_.us).toSeq
+    val (h1, h2) = evs.splitAt(evs.length / 2)
+
+    val ms = MemoryStream[TypedEv]
+    // The streaming half of qs04: watermarked per-(window, type) counts in
+    // append mode — a count row is emitted exactly once, when its window
+    // closes. Ranking happens downstream over finalized counts (here
+    // post-hoc; in production inside foreachBatch), because top-k is only
+    // meaningful once the window's counts stop changing.
+    val counts = ms.toDS()
+      .withColumn("ts", timestamp_micros(col("us")))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_micros(col("w.start")).as("start_us"), col("event_type"), col("n"))
+    val q = counts.writeStream.format("memory").queryName("trend_out")
+      .outputMode("append").start()
+    try {
+      ms.addData(h1)
+      q.processAllAvailable()
+      ms.addData(h2)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val emitted = spark.table("trend_out")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val streamedTop = emitted.groupBy(_._1).map { case (w, rows) =>
+      w -> rows.sortBy(r => (-r._3, r._2)).take(2).zipWithIndex
+        .map { case ((_, ty, n), i) => (i + 1L, ty, n) }.toSeq
+    }
+
+    val batchTop = SparkEntry.queries("qs04_trending_event_types")(spark, sf)
+      .collect()
+      .map(r => (r.getAs[Long]("start_us"), r.getAs[Long]("rnk"),
+        r.getAs[String]("event_type"), r.getAs[Long]("n")))
+      .groupBy(_._1).map { case (w, rows) =>
+        w -> rows.sortBy(_._2).map(r => (r._2, r._3, r._4)).toSeq
+      }
+
+    // Windows safely closed by the final watermark must match batch
+    // exactly; everything emitted must agree with batch where present.
+    val maxUs = evs.map(_.us).max
+    val closed = batchTop.keySet.filter(_ + 2 * 3600L * 1000000L < maxUs - 3600L * 1000000L)
+    assert(closed.nonEmpty)
+    closed.foreach { w =>
+      assert(streamedTop.get(w).contains(batchTop(w)),
+        s"window $w: streamed ${streamedTop.get(w)} != batch ${batchTop(w)}")
+    }
+  }
 }
+
+/** Top-level so the MemoryStream encoder resolves (spec-inner case
+  * classes fail implicit derivation). */
+case class TypedEv(event_type: String, us: Long)
