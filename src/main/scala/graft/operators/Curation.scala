@@ -231,6 +231,67 @@ object Curation {
         .orderBy("epoch_pos")
     },
 
+    // Exact substring-span dedup (the "repeated long substring" modality
+    // of training-data dedup): for every document pair sharing at least
+    // one word 8-gram AT ALIGNED POSITIONS, report how many positions
+    // match and the longest shared token run. Positional 8-grams
+    // equi-join on the gram; runs come from the classic diagonal
+    // gaps-and-islands: matches on one diagonal (pa - pb) with
+    // consecutive pa form one shared substring, so grouping by
+    // (pair, diagonal, pa - row_number) counts each run's length.
+    // Every shuffle is keyed (gram join, island groupBy) — no cross
+    // join; frequent-gram skew is the known hazard at scale (drop or
+    // sample grams with document frequency above a cap — changes
+    // recall, standard practice, same escape hatch as the LSH bucket
+    // cap).
+    Q("qn23_substring_spans", {
+      val toks = sqlTokens("text")
+      val parts = (0 until 8).map(o => s"tk[i + $o]").mkString(", ")
+      s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
+         |g AS (SELECT doc_id, i AS pos, concat_ws(' ', $parts) AS gram
+         |      FROM t, (SELECT unnest(range(1, 100000)) AS i)
+         |      WHERE i + 7 <= len(tk)),
+         |m AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa, b.pos AS pb
+         |      FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id),
+         |i AS (SELECT doc_a, doc_b, pa,
+         |             pa - ROW_NUMBER() OVER (PARTITION BY doc_a, doc_b, pa - pb
+         |                                     ORDER BY pa) AS grp,
+         |             pa - pb AS diag
+         |      FROM m),
+         |r AS (SELECT doc_a, doc_b, COUNT(*) AS run_grams
+         |      FROM i GROUP BY doc_a, doc_b, diag, grp)
+         |SELECT doc_a, doc_b,
+         |       CAST(SUM(run_grams) AS BIGINT) AS n_matches,
+         |       MAX(run_grams) + 7 AS longest_run_tokens
+         |FROM r GROUP BY doc_a, doc_b
+         |ORDER BY doc_a, doc_b""".stripMargin
+    }) { (s, dir) =>
+      // Same barrier discipline as qn21: pin the token arrays, derive the
+      // positional grams per consumer.
+      val tk = Tables.documents(s, dir)
+        .select(col("doc_id"), tokens(col("text")).as("tk"))
+        .localCheckpoint(true)
+      val gramAt = transform(sequence(lit(1), greatest(size(col("tk")) - 7, lit(0))),
+        i => concat_ws(" ", (0 until 8).map(o => element_at(col("tk"), i + o)): _*))
+      val g = tk.select(col("doc_id"), posexplode(gramAt).as(Seq("p0", "gram")))
+        .select(col("doc_id"), (col("p0") + 1).as("pos"), col("gram"))
+      val nGrams = g.count() // size probe for the join-strategy choice
+      val m = g.select(col("doc_id").as("doc_a"), col("pos").as("pa"), col("gram"))
+        .join(Dedup.sized(s, g.select(col("doc_id").as("doc_b"),
+          col("pos").as("pb"), col("gram")), nGrams), "gram")
+        .filter(col("doc_a") < col("doc_b"))
+      val wDiag = Window.partitionBy(col("doc_a"), col("doc_b"), col("diag"))
+        .orderBy(col("pa"))
+      m.select(col("doc_a"), col("doc_b"), col("pa"), (col("pa") - col("pb")).as("diag"))
+        .withColumn("grp", col("pa") - row_number().over(wDiag))
+        .groupBy("doc_a", "doc_b", "diag", "grp")
+        .agg(count(lit(1)).as("run_grams"))
+        .groupBy("doc_a", "doc_b")
+        .agg(sum(col("run_grams")).as("n_matches"),
+          (max(col("run_grams")) + 7).as("longest_run_tokens"))
+        .orderBy("doc_a", "doc_b")
+    },
+
     // Canonical selection: for every near-dup cluster (connected
     // components over the simhash pair graph, shared with qn17), keep the
     // LONGEST member (chars desc, doc_id tie) — the curation rule that

@@ -70,6 +70,45 @@ class CurationSpec extends AnyFunSuite {
       s"global window leaked into the epoch-shuffle plan:\n$plan")
   }
 
+  test("qn23 longest runs equal the true longest common token substring") {
+    val reported = SparkEntry.queries("qn23_substring_spans")(spark, sf)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+        r.getAs[Long]("longest_run_tokens")).toMap
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), graft.functions.TextFns.tokens(col("text")).as("tk"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toArray).toMap
+    // Brute-force longest common substring (token-level DP) over every
+    // pair; pairs with LCS >= 8 must be reported with exactly that run.
+    def lcs(a: Array[String], b: Array[String]): Int = {
+      var best = 0
+      val prev = new Array[Int](b.length + 1)
+      for (i <- 1 to a.length) {
+        var diag = 0
+        for (j <- 1 to b.length) {
+          val tmp = prev(j)
+          if (a(i - 1) == b(j - 1)) { prev(j) = diag + 1; if (prev(j) > best) best = prev(j) }
+          else prev(j) = 0
+          diag = tmp
+        }
+      }
+      best
+    }
+    val ids = docs.keys.toSeq.sorted
+    var checkedPairs = 0
+    for (i <- ids.indices; j <- (i + 1) until ids.length) {
+      val (a, b) = (ids(i), ids(j))
+      val truth = lcs(docs(a), docs(b))
+      if (truth >= 8) {
+        assert(reported.get((a, b)).contains(truth.toLong),
+          s"pair ($a,$b): reported ${reported.get((a, b))} != true LCS $truth")
+        checkedPairs += 1
+      } else {
+        assert(!reported.contains((a, b)), s"pair ($a,$b) reported but true LCS is $truth < 8")
+      }
+    }
+    assert(checkedPairs > 0, "fixture has no >=8-token shared substrings to check")
+  }
+
   test("qp02 canonical member is the longest document of a real cluster") {
     val canon = SparkEntry.queries("qp02_canonical_selection")(spark, sf).collect()
     val comp = graft.operators.Dedup.componentLabels(spark, sf)
