@@ -209,6 +209,34 @@ object Multimodal {
           floor(lit(32.0) * 1000000 / col("meta.height")).cast("long").as("scale_y_e6"),
           least(length(col("payload")), lit(32 * 32)).cast("long").as("thumb_bytes"))
         .orderBy("asset_id")
+    },
+
+    // Content-hash dedup over the binary payloads — the multimodal
+    // analogue of qn01/qn02, and the one dedup where hashing-before-
+    // shuffling is mandatory rather than an optimization: asset rows are
+    // megabytes, so the groupBy key is sha2(payload) computed map-side
+    // and only (kind, 32-byte digest, count, length) ever shuffles — the
+    // payload column never moves. Emits per-kind dedup accounting
+    // including the bytes a dedup pass would reclaim.
+    Q("qm06_payload_dedup",
+      """WITH a AS (SELECT (['image','audio','video'])[doc_id % 3 + 1] AS kind,
+        |                  sha256(text) AS sha, strlen(text) AS bytes
+        |           FROM documents),
+        |g AS (SELECT kind, sha, COUNT(*) AS cnt, MIN(bytes) AS bytes
+        |      FROM a GROUP BY 1, 2)
+        |SELECT kind, CAST(SUM(cnt) AS BIGINT) AS n_assets,
+        |       COUNT(*) AS n_unique,
+        |       CAST(SUM((cnt - 1) * bytes) AS BIGINT) AS dup_bytes
+        |FROM g GROUP BY kind ORDER BY kind""".stripMargin) { (s, dir) =>
+      assets(s, dir)
+        .select(col("kind"), sha2(col("payload"), 256).as("sha"),
+          length(col("payload")).as("bytes"))
+        .groupBy("kind", "sha")
+        .agg(count(lit(1)).as("cnt"), min(col("bytes")).as("bytes"))
+        .groupBy("kind")
+        .agg(sum(col("cnt")).as("n_assets"), count(lit(1)).as("n_unique"),
+          sum((col("cnt") - 1) * col("bytes")).as("dup_bytes"))
+        .orderBy("kind")
     }
   )
 }
