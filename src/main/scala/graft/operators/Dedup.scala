@@ -613,6 +613,55 @@ object Dedup {
          |SELECT node AS doc_id, MIN(lab) AS comp FROM walk
          |GROUP BY node ORDER BY doc_id""".stripMargin) { (s, dir) =>
       componentLabels(s, dir).orderBy("doc_id")
+    },
+
+    // Sketch calibration: for the simhash near-pair set, compare the
+    // sketch's signal (hamming distance) against TRUE token-set Jaccard —
+    // the measurement a curation pipeline runs before trusting a sketch
+    // threshold at scale. Reuses the memoized pair frame (zero recompute
+    // in a session that ran qn06/qn17); true intersections are native
+    // merge walks over the sorted token sets, and identical-set pairs
+    // (union = 0 can't occur here, but equal sets can) calibrate at
+    // J = 1.0 exactly. Per-hamming aggregate keeps the output tiny.
+    Q("qn24_simhash_calibration", {
+      val hs = s"[ ${sqlTokenHash60("t")} for t in toks ]"
+      val inter = "len(list_intersect(a.toks, b.toks))"
+      s"""WITH t AS ($sqlTokenized),
+         |sh AS (SELECT doc_id, ${sqlSimhash(hs)} AS simhash FROM t),
+         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |             bit_count(xor(a.simhash, b.simhash)) AS hamming
+         |      FROM sh a, sh b
+         |      WHERE a.doc_id < b.doc_id
+         |        AND bit_count(xor(a.simhash, b.simhash)) <= 3),
+         |j AS (SELECT p.hamming,
+         |             CASE WHEN a.sz + b.sz - $inter = 0 THEN 1000000
+         |                  ELSE ${sqlE6(s"CAST($inter AS DOUBLE) / (a.sz + b.sz - $inter)")}
+         |             END AS j_e6
+         |      FROM p JOIN t a ON p.doc_a = a.doc_id
+         |             JOIN t b ON p.doc_b = b.doc_id)
+         |SELECT hamming, COUNT(*) AS n_pairs,
+         |       MIN(j_e6) AS min_j_e6, MAX(j_e6) AS max_j_e6,
+         |       CAST(SUM(j_e6) AS BIGINT) // COUNT(*) AS mean_j_e6
+         |FROM j GROUP BY hamming ORDER BY hamming""".stripMargin
+    }) { (s, dir) =>
+      val pairs = memoized("simhash", s, dir, 0, 0)(simhashNearPairs(s, dir))
+      val t = tokenized(s, dir).localCheckpoint(true) // joined twice
+      val nDocs = t.count()
+      val withToks = pairs
+        .join(sized(s, t.select(col("doc_id").as("doc_a"), col("toks").as("toks_a"),
+          col("sz").as("sz_a")), nDocs), "doc_a")
+        .join(sized(s, t.select(col("doc_id").as("doc_b"), col("toks").as("toks_b"),
+          col("sz").as("sz_b")), nDocs), "doc_b")
+        .withColumn("n_inter", SortedIntersectCount(col("toks_a"), col("toks_b")))
+        .withColumn("n_union", col("sz_a") + col("sz_b") - col("n_inter"))
+        .withColumn("j_e6",
+          when(col("n_union") === 0, 1000000L)
+            .otherwise(e6(col("n_inter").cast("double") / col("n_union"))))
+      withToks.groupBy("hamming")
+        .agg(count(lit(1)).as("n_pairs"),
+          min(col("j_e6")).as("min_j_e6"), max(col("j_e6")).as("max_j_e6"),
+          expr("sum(j_e6) div count(1)").as("mean_j_e6"))
+        .orderBy("hamming")
     }
   )
 

@@ -153,6 +153,28 @@ object Temporal {
         .crossJoin(v.agg(count(lit(1)).as("n_viewed")))
         .crossJoin(c.agg(count(lit(1)).as("n_clicked_after_view")))
         .crossJoin(p.agg(count(lit(1)).as("n_purchased_after_click")))
+    },
+
+    // Retention cohorts: users grouped by first-activity week; for each
+    // cohort, distinct users still active k weeks later. Two keyed aggs
+    // plus a user_id join that reuses the first agg's partitioning (same
+    // key, no extra exchange) — the analytics staple over the raw event
+    // stream, shuffles sized by users not events.
+    Q("qr04_retention_cohorts",
+      s"""WITH e AS (SELECT user_id, epoch_us(ts) // 604800000000 AS wk FROM events),
+         |f AS (SELECT user_id, MIN(wk) AS cohort_week FROM e GROUP BY 1)
+         |SELECT f.cohort_week, e.wk - f.cohort_week AS week_offset,
+         |       COUNT(DISTINCT e.user_id) AS n_users
+         |FROM e JOIN f USING (user_id)
+         |GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin) { (s, dir) =>
+      val weekUs = 604800000000L
+      val e = Tables.events(s, dir)
+        .select(col("user_id"), expr(s"unix_micros(ts) div $weekUs").as("wk"))
+      val f = e.groupBy("user_id").agg(min(col("wk")).as("cohort_week"))
+      e.join(f, "user_id")
+        .groupBy(col("cohort_week"), (col("wk") - col("cohort_week")).as("week_offset"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy("cohort_week", "week_offset")
     }
   )
 }
