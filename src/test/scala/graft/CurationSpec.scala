@@ -70,6 +70,28 @@ class CurationSpec extends AnyFunSuite {
       s"global window leaked into the epoch-shuffle plan:\n$plan")
   }
 
+  test("qn20 within-cluster join flips broadcast -> shuffled-hash over the size cap") {
+    def run() = SparkEntry.queries("qn20_semantic_dedup")(spark, sf)
+    val big = run()
+    assert(big.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+      "default cap should broadcast the cent_id side")
+    val bigRows = big.collect().map(_.toString).toSeq
+    try {
+      spark.conf.set("spark.graft.pairJoin.broadcastMaxRows", "0")
+      val small = run()
+      assert(small.queryExecution.executedPlan.toString.contains("ShuffledHashJoin"),
+        "cap=0 should shuffle-hash the cent_id join")
+      // identical rows either way: the cap changes physical strategy only
+      assert(small.collect().map(_.toString).toSeq == bigRows)
+    } finally spark.conf.unset("spark.graft.pairJoin.broadcastMaxRows")
+  }
+
+  test("qp02 per-cluster argmax plans through TopKPerGroup") {
+    val p = SparkEntry.queries("qp02_canonical_selection")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("TopKPerGroup"), p)
+  }
+
   test("qn23 longest runs equal the true longest common token substring") {
     val reported = SparkEntry.queries("qn23_substring_spans")(spark, sf)
       .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
