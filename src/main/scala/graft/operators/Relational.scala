@@ -365,6 +365,35 @@ object Relational {
         .orderBy("o_year")
     },
 
+    // UNPIVOT (melt): q27's wide per-status columns folded back to tall
+    // (year, status, cnt) rows — the inverse reshaping, via the
+    // first-class Dataset.unpivot operator (ids/values/variable/value).
+    // The oracle is the UNION ALL expansion (the relational definition).
+    Q("q29_unpivot_status_counts",
+      """WITH p AS (SELECT EXTRACT(year FROM o_orderdate) AS o_year,
+        |                  COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS st_o,
+        |                  COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS st_f,
+        |                  COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS st_p
+        |           FROM orders GROUP BY 1)
+        |SELECT o_year, status, cnt FROM (
+        |  SELECT o_year, 'st_o' AS status, st_o AS cnt FROM p
+        |  UNION ALL SELECT o_year, 'st_f', st_f FROM p
+        |  UNION ALL SELECT o_year, 'st_p', st_p FROM p
+        |) ORDER BY o_year, status""".stripMargin) { (s, dir) =>
+      Tables.orders(s, dir)
+        .select(year(col("o_orderdate")).cast("long").as("o_year"), col("o_orderstatus"))
+        .groupBy("o_year")
+        .pivot("o_orderstatus", Seq("O", "F", "P"))
+        .agg(count(lit(1)))
+        .select(col("o_year"),
+          coalesce(col("O"), lit(0L)).as("st_o"),
+          coalesce(col("F"), lit(0L)).as("st_f"),
+          coalesce(col("P"), lit(0L)).as("st_p"))
+        .unpivot(Array(col("o_year")),
+          Array(col("st_o"), col("st_f"), col("st_p")), "status", "cnt")
+        .orderBy("o_year", "status")
+    },
+
     // INTERSECT (set semantics) — the set operation q21 doesn't cover:
     // customers active in BOTH months.
     Q("q28_intersect_customers",
