@@ -43,12 +43,12 @@ object Curation {
     sqlE6(s"${sqlDot(a, b)} / ($an * $bn)")
 
   /** Word 5-gram shingles of token array `tk`, distinct (order matters). */
-  private def kgrams5(tk: Column): Column =
+  private[operators] def kgrams5(tk: Column): Column =
     array_distinct(transform(
       sequence(lit(1), size(tk) - 4),
       i => concat_ws(" ", (0 until 5).map(o => element_at(tk, i + o)): _*)))
 
-  private def sqlKgrams5(t: String): String = {
+  private[operators] def sqlKgrams5(t: String): String = {
     val parts = (0 until 5).map(o => s"($t)[i + $o]").mkString(", ")
     s"list_distinct([ concat_ws(' ', $parts) for i in range(1, len($t) - 3) ])"
   }

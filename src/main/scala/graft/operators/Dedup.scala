@@ -529,6 +529,93 @@ object Dedup {
           col("n_exact_unique"), col("sum_vocab"))
     },
 
+    // The END-TO-END training-curation manifest: qp01's stages extended
+    // through the held-out split and decontamination to the final
+    // train/val/test counts — the single query a pipeline owner runs to
+    // see where documents go. Stages: quality gate -> exact dedup ->
+    // near-dup removal (J >= 0.8, greedy keep-lowest-id) -> drop the
+    // held-out benchmark docs themselves (doc_id % 97 = 0) -> drop pool
+    // docs sharing any 5-gram with the benchmark -> deterministic
+    // 80/10/10 split. Every stage count folds in as a crossJoined scalar
+    // aggregate — one job, no driver-side counts in the plan build
+    // (except jaccardPairs' own probes).
+    Q("qp03_training_manifest", {
+      val toks = sqlTokens("text")
+      val stops = TextAnalysis.stopwordsEn.map(w => s"'$w'").mkString("[", ", ", "]")
+      val nStop = s"len(list_filter($toks, t -> list_contains($stops, t)))"
+      val sh = Curation.sqlKgrams5(toks)
+      s"""WITH q AS (SELECT * FROM documents
+         |           WHERE len($toks) >= 10 AND 10 * $nStop >= len($toks)),
+         |d AS (SELECT MIN(doc_id) AS doc_id FROM q GROUP BY $sqlNorm),
+         |t AS (SELECT doc_id, ${sqlTokenSet("text")} AS toks, len(${sqlTokenSet("text")}) AS sz
+         |      FROM documents WHERE doc_id IN (SELECT doc_id FROM d)),
+         |dup AS (SELECT DISTINCT b.doc_id FROM t a JOIN t b
+         |        ON a.doc_id < b.doc_id
+         |          AND 5 * len(list_intersect(a.toks, b.toks))
+         |              >= 4 * (a.sz + b.sz - len(list_intersect(a.toks, b.toks)))),
+         |surv AS (SELECT doc_id FROM t WHERE doc_id NOT IN (SELECT doc_id FROM dup)),
+         |pool AS (SELECT doc_id FROM surv WHERE doc_id % 97 <> 0),
+         |g AS (SELECT doc_id, unnest($sh) AS gram FROM documents WHERE len($toks) >= 5),
+         |bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),
+         |cont AS (SELECT DISTINCT g.doc_id FROM g JOIN bench USING (gram)
+         |         JOIN pool ON g.doc_id = pool.doc_id),
+         |clean AS (SELECT doc_id FROM pool WHERE doc_id NOT IN (SELECT doc_id FROM cont)),
+         |s AS (SELECT doc_id, (doc_id * 2654435761) % 100 AS bucket FROM clean)
+         |SELECT (SELECT COUNT(*) FROM documents) AS n_raw,
+         |       (SELECT COUNT(*) FROM q) AS n_quality,
+         |       (SELECT COUNT(*) FROM d) AS n_exact_unique,
+         |       (SELECT COUNT(*) FROM surv) AS n_neardup_survivors,
+         |       (SELECT COUNT(*) FROM pool) AS n_pool,
+         |       (SELECT COUNT(*) FROM clean) AS n_clean,
+         |       CAST(SUM(CASE WHEN bucket < 80 THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+         |       CAST(SUM(CASE WHEN bucket >= 80 AND bucket < 90 THEN 1 ELSE 0 END) AS BIGINT) AS n_val,
+         |       CAST(SUM(CASE WHEN bucket >= 90 THEN 1 ELSE 0 END) AS BIGINT) AS n_test
+         |FROM s""".stripMargin
+    }) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val nTok = size(tokens(col("text")))
+      val nStop = size(filter(tokens(col("text")), t =>
+        array_contains(array(TextAnalysis.stopwordsEn.map(lit): _*), t)))
+      val quality = docs.filter(nTok >= 10 && nStop * 10 >= nTok)
+      val exact = quality.groupBy(norm(col("text")).as("k"))
+        .agg(min(col("doc_id")).as("doc_id"))
+        .select("doc_id")
+      val t = docs.join(exact, "doc_id")
+        .select(col("doc_id"), tokenSet(col("text")).as("toks"))
+        .withColumn("sz", size(col("toks")))
+      val dupB = jaccardPairs(t.select("doc_id", "toks"), 4, 5)
+        .select(col("doc_b").as("doc_id")).distinct()
+      val surv = t.select("doc_id").join(dupB, Seq("doc_id"), "left_anti")
+      val pool = surv.filter(col("doc_id") % 97 =!= 0)
+      // Contamination vs the held-out docs: token barrier as qn21, grams
+      // expanded only for the bench side and the (semi-joined) pool side.
+      val tk = docs.filter(nTok >= 5)
+        .select(col("doc_id"), tokens(col("text")).as("tk"))
+        .localCheckpoint(true)
+      def grams(df: DataFrame) = df
+        .select(col("doc_id"), Curation.kgrams5(col("tk")).as("grams"))
+        .select(col("doc_id"), explode(col("grams")).as("gram"))
+      val bench = grams(tk.filter(col("doc_id") % 97 === 0)).select("gram").distinct()
+      val cont = grams(tk.join(pool, Seq("doc_id"), "left_semi"))
+        .join(broadcast(bench), "gram")
+        .select("doc_id").distinct()
+      val clean = pool.join(cont, Seq("doc_id"), "left_anti")
+      val bucket = (col("doc_id") * lit(2654435761L)) % 100
+      clean.select(bucket.as("bucket"))
+        .agg(sum(when(col("bucket") < 80, 1L).otherwise(0L)).as("n_train"),
+          sum(when(col("bucket") >= 80 && col("bucket") < 90, 1L).otherwise(0L)).as("n_val"),
+          sum(when(col("bucket") >= 90, 1L).otherwise(0L)).as("n_test"))
+        .crossJoin(docs.agg(count(lit(1)).as("n_raw")))
+        .crossJoin(quality.agg(count(lit(1)).as("n_quality")))
+        .crossJoin(exact.agg(count(lit(1)).as("n_exact_unique")))
+        .crossJoin(surv.agg(count(lit(1)).as("n_neardup_survivors")))
+        .crossJoin(pool.agg(count(lit(1)).as("n_pool")))
+        .crossJoin(clean.agg(count(lit(1)).as("n_clean")))
+        .select(col("n_raw"), col("n_quality"), col("n_exact_unique"),
+          col("n_neardup_survivors"), col("n_pool"), col("n_clean"),
+          col("n_train"), col("n_val"), col("n_test"))
+    },
+
     // SimHash near-dup pairs: Hamming distance <= 3 over the 60-bit
     // signature. Spark generates candidates by the pigeonhole principle —
     // split 60 bits into 4 chunks of 15; distance <= 3 forces at least one
