@@ -121,11 +121,18 @@ object Curation {
         .select(col("vec_id"), col("embedding"), col("nrm"), col("cent_id"))
         .localCheckpoint(true)
       // Within-cluster pairs: equi-join on cent_id, measured-size side
-      // strategy (broadcast under the cap, shuffled-hash on cent_id over
-      // it — the checkpointed frame's default stats would force SMJ).
-      val nV = asg.count()
-      val right = Dedup.sized(s, asg.select(col("vec_id").as("vec_b"),
-        col("embedding").as("eb"), col("nrm").as("nb"), col("cent_id")), nV)
+      // strategy (broadcast under the caps, shuffled-hash on cent_id over
+      // them — the checkpointed frame's default stats would force SMJ).
+      // The side carries full vectors, so the gate is BYTE-aware, not
+      // just row-counted: rows x (8 B/dim + row overhead) must also fit
+      // the broadcast budget ("keys travel, payloads rejoin" does not
+      // apply here — the payload IS the join's verify input, so over the
+      // budget the vectors ride one cent_id exchange instead).
+      val stats = asg.agg(count(lit(1)), max(size(col("embedding")))).head
+      val nV = stats.getLong(0)
+      val dim = if (stats.isNullAt(1)) 0 else stats.getInt(1)
+      val right = Dedup.sizedWide(s, asg.select(col("vec_id").as("vec_b"),
+        col("embedding").as("eb"), col("nrm").as("nb"), col("cent_id")), nV, 48L + 8L * dim)
       val drp = asg.select(col("vec_id").as("vec_a"),
           col("embedding").as("ea"), col("nrm").as("na"), col("cent_id"))
         .join(right, "cent_id")
@@ -247,10 +254,10 @@ object Curation {
     Q("qn23_substring_spans", {
       val toks = sqlTokens("text")
       val parts = (0 until 8).map(o => s"tk[i + $o]").mkString(", ")
-      s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
-         |g AS (SELECT doc_id, i AS pos, concat_ws(' ', $parts) AS gram
-         |      FROM t, (SELECT unnest(range(1, 100000)) AS i)
-         |      WHERE i + 7 <= len(tk)),
+      s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents WHERE len($toks) >= 8),
+         |g AS (SELECT doc_id, u.pos AS pos, u.gram AS gram FROM (
+         |      SELECT doc_id, unnest([{'pos': i, 'gram': concat_ws(' ', $parts)}
+         |                             for i in range(1, len(tk) - 6)]) AS u FROM t)),
          |m AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa, b.pos AS pb
          |      FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id),
          |i AS (SELECT doc_a, doc_b, pa,
@@ -267,11 +274,15 @@ object Curation {
          |ORDER BY doc_a, doc_b""".stripMargin
     }) { (s, dir) =>
       // Same barrier discipline as qn21: pin the token arrays, derive the
-      // positional grams per consumer.
+      // positional grams per consumer. Docs under 8 tokens are filtered
+      // BEFORE the gram expansion: they contribute no grams, and
+      // sequence(1, size - 7) on them would descend (Spark defaults to
+      // step -1 when start > stop) into element_at(tk, 0), which throws.
       val tk = Tables.documents(s, dir)
+        .filter(size(tokens(col("text"))) >= 8)
         .select(col("doc_id"), tokens(col("text")).as("tk"))
         .localCheckpoint(true)
-      val gramAt = transform(sequence(lit(1), greatest(size(col("tk")) - 7, lit(0))),
+      val gramAt = transform(sequence(lit(1), size(col("tk")) - 7),
         i => concat_ws(" ", (0 until 8).map(o => element_at(col("tk"), i + o)): _*))
       val g = tk.select(col("doc_id"), posexplode(gramAt).as(Seq("p0", "gram")))
         .select(col("doc_id"), (col("p0") + 1).as("pos"), col("gram"))

@@ -151,6 +151,19 @@ object Dedup {
   private[operators] def sized(s: SparkSession, df: DataFrame, probedRows: Long): DataFrame =
     if (probedRows <= broadcastCap(s)) broadcast(df) else df.hint("SHUFFLE_HASH")
 
+  /** Byte-budget refinement of [[sized]] for PAYLOAD-WIDE sides. The row
+    * cap is calibrated for ~40-byte narrow pair rows; a side carrying
+    * vectors or token arrays can blow the driver far below it (5M rows of
+    * 768-dim embeddings ≈ 15 GB). Callers pass an estimated row width;
+    * the side broadcasts only if it fits BOTH the row cap and a 300 MB
+    * byte budget, else hashes on the join key. */
+  private[operators] def sizedWide(
+      s: SparkSession, df: DataFrame, probedRows: Long, avgRowBytes: Long): DataFrame = {
+    val byteBudget = 300L * 1024 * 1024
+    if (probedRows <= broadcastCap(s) && probedRows * avgRowBytes <= byteBudget) broadcast(df)
+    else df.hint("SHUFFLE_HASH")
+  }
+
   private def jaccardPairs(t: DataFrame, p: Int, q: Int): DataFrame = {
     // Materialization barrier. The token-set expression is referenced by
     // several downstream subtrees (vocab build, encode, and — via
@@ -733,12 +746,16 @@ object Dedup {
     }) { (s, dir) =>
       val pairs = memoized("simhash", s, dir, 0, 0)(simhashNearPairs(s, dir))
       val t = tokenized(s, dir).localCheckpoint(true) // joined twice
-      val nDocs = t.count()
+      // The payload here is the token-set array itself (the verify
+      // input), so the broadcast gate is byte-aware: rows x ~16 B/token.
+      val tStats = t.agg(count(lit(1)), coalesce(avg(col("sz")), lit(0.0))).head
+      val nDocs = tStats.getLong(0)
+      val rowBytes = 48L + 16L * tStats.getDouble(1).toLong
       val withToks = pairs
-        .join(sized(s, t.select(col("doc_id").as("doc_a"), col("toks").as("toks_a"),
-          col("sz").as("sz_a")), nDocs), "doc_a")
-        .join(sized(s, t.select(col("doc_id").as("doc_b"), col("toks").as("toks_b"),
-          col("sz").as("sz_b")), nDocs), "doc_b")
+        .join(sizedWide(s, t.select(col("doc_id").as("doc_a"), col("toks").as("toks_a"),
+          col("sz").as("sz_a")), nDocs, rowBytes), "doc_a")
+        .join(sizedWide(s, t.select(col("doc_id").as("doc_b"), col("toks").as("toks_b"),
+          col("sz").as("sz_b")), nDocs, rowBytes), "doc_b")
         .withColumn("n_inter", SortedIntersectCount(col("toks_a"), col("toks_b")))
         .withColumn("n_union", col("sz_a") + col("sz_b") - col("n_inter"))
         .withColumn("j_e6",

@@ -73,7 +73,11 @@ class CurationSpec extends AnyFunSuite {
   test("qn20 within-cluster join flips broadcast -> shuffled-hash over the size cap") {
     def run() = SparkEntry.queries("qn20_semantic_dedup")(spark, sf)
     val big = run()
-    assert(big.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+    // Pin the cent_id equi-join specifically — other joins in the plan
+    // (the drp rejoin) may broadcast regardless and would make a bare
+    // BroadcastHashJoin check vacuous.
+    assert(big.queryExecution.executedPlan.toString
+      .matches("(?s).*BroadcastHashJoin \\[cent_id.*"),
       "default cap should broadcast the cent_id side")
     val bigRows = big.collect().map(_.toString).toSeq
     try {
@@ -129,6 +133,22 @@ class CurationSpec extends AnyFunSuite {
       }
     }
     assert(checkedPairs > 0, "fixture has no >=8-token shared substrings to check")
+  }
+
+  test("qn23 tolerates documents shorter than the gram width") {
+    import spark.implicits._
+    // A 7-token doc used to make sequence(1, size-7) descend through
+    // element_at(tk, 0) and throw; it must simply contribute no grams.
+    val dir = java.nio.file.Files.createTempDirectory("graft_qn23_short").toString
+    Seq(
+      (1L, "only seven tokens live in this document", "en", "t", 40L),
+      (2L, "a b c d e f g h i j k l m n o p", "en", "t", 31L),
+      (3L, "a b c d e f g h i j k l m n o p", "en", "t", 31L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val rows = SparkEntry.queries("qn23_substring_spans")(spark, dir).collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((2L, 3L)))
+    assert(rows.head.getAs[Long]("longest_run_tokens") == 16L)
   }
 
   test("qp02 canonical member is the longest document of a real cluster") {
