@@ -219,21 +219,11 @@ object Curation {
         |             ROW_NUMBER() OVER (ORDER BY hsh, doc_id) AS epoch_pos FROM h)
         |SELECT doc_id, hsh, epoch_pos, (epoch_pos - 1) // 32 AS batch
         |FROM r ORDER BY epoch_pos""".stripMargin) { (s, dir) =>
-      val ranked = Tables.documents(s, dir)
+      val hashed = Tables.documents(s, dir)
         .select(col("doc_id"), ((col("doc_id") * lit(2654435761L)) % 1000003L).as("hsh"))
-        .repartitionByRange(col("hsh"), col("doc_id"))
-        .withColumn("pid", spark_partition_id())
-        .withColumn("lr", row_number().over(Window.partitionBy("pid").orderBy("hsh", "doc_id")))
-        .localCheckpoint(true) // read twice: offset probe + final projection
-      val pidCounts = ranked.groupBy("pid").count().collect()
-        .map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
-      val offsets = pidCounts.map(_._1)
-        .zip(pidCounts.map(_._2).scanLeft(0L)(_ + _).init)
-      val offCol =
-        if (offsets.isEmpty) lit(0L)
-        else element_at(map(offsets.flatMap { case (p, o) => Seq(lit(p), lit(o)) }: _*), col("pid"))
+      val (ranked, _) = Dedup.globalRanks(hashed, col("hsh"), col("doc_id"))
       ranked
-        .select(col("doc_id"), col("hsh"), (offCol + col("lr")).as("epoch_pos"))
+        .select(col("doc_id"), col("hsh"), col("gpos").as("epoch_pos"))
         .withColumn("batch", expr("(epoch_pos - 1) div 32"))
         .orderBy("epoch_pos")
     },

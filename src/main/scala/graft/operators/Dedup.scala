@@ -164,6 +164,32 @@ object Dedup {
     else df.hint("SHUFFLE_HASH")
   }
 
+  /** Distributed global ranks with NO unpartitioned window: range-
+    * partition on the order keys, row_number within each partition, then
+    * per-partition offsets from one O(#partitions) count pass — the
+    * footprint AQE itself keeps. Returns the (checkpointed) input plus a
+    * 1-based dense `gpos` column over the given total order, and the
+    * total row count (free from the offsets pass). Shared by the vocab
+    * id assignment in [[jaccardPairs]] and the epoch-shuffle permutation
+    * (qn22). */
+  private[operators] def globalRanks(df: DataFrame, order: Column*): (DataFrame, Long) = {
+    val ranked = df
+      .repartitionByRange(order: _*)
+      .withColumn("pid", spark_partition_id())
+      .withColumn("lr", row_number().over(Window.partitionBy("pid").orderBy(order: _*)))
+      .localCheckpoint(true) // read twice: offset probe + caller consumers
+    val pidCounts = ranked.groupBy("pid").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val total = pidCounts.map(_._2).sum
+    // pid -> rank offset (counts of all lower-ranged partitions)
+    val offsets = pidCounts.map(_._1)
+      .zip(pidCounts.map(_._2).scanLeft(0L)(_ + _).init)
+    val offCol =
+      if (offsets.isEmpty) lit(0L)
+      else element_at(map(offsets.flatMap { case (p, o) => Seq(lit(p), lit(o)) }: _*), col("pid"))
+    (ranked.withColumn("gpos", offCol + col("lr")).drop("pid", "lr"), total)
+  }
+
   private def jaccardPairs(t: DataFrame, p: Int, q: Int): DataFrame = {
     // Materialization barrier. The token-set expression is referenced by
     // several downstream subtrees (vocab build, encode, and — via
@@ -186,21 +212,8 @@ object Dedup {
     // old single-partition global window it replaces.
     val dfreq = tm.select(col("doc_id"), explode(col("toks")).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("df")) // toks are sets: count = doc freq
-    val ranked = dfreq
-      .repartitionByRange(col("df"), col("tok"))
-      .withColumn("pid", spark_partition_id())
-      .withColumn("lr", row_number().over(Window.partitionBy("pid").orderBy("df", "tok")))
-      .localCheckpoint(true) // read twice: offset probe + encode join
-    val pidCounts = ranked.groupBy("pid").count().collect()
-      .map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
-    val vocabN = pidCounts.map(_._2).sum
-    // pid -> rank offset (counts of all lower-ranged partitions)
-    val offsets = pidCounts.map(_._1)
-      .zip(pidCounts.map(_._2).scanLeft(0L)(_ + _).init)
-    val offCol =
-      if (offsets.isEmpty) lit(0L)
-      else element_at(map(offsets.flatMap { case (p, o) => Seq(lit(p), lit(o)) }: _*), col("pid"))
-    val vocab = ranked.select(col("tok"), (offCol + col("lr")).cast("int").as("tid"))
+    val (ranked, vocabN) = globalRanks(dfreq, col("df"), col("tok"))
+    val vocab = ranked.select(col("tok"), col("gpos").cast("int").as("tid"))
     val enc = tm.select(col("doc_id"), explode(col("toks")).as("tok"))
       .join(sized(s, vocab, vocabN), "tok")
       .groupBy("doc_id")
@@ -493,51 +506,22 @@ object Dedup {
     // corpus stats. This is the operators above chained the way a real
     // cleaning job runs them; each stage reuses the scale-shaped plan it
     // was verified with.
-    Q("qp01_clean_corpus", {
-      val toks = sqlTokens("text")
-      val stops = TextAnalysis.stopwordsEn.map(w => s"'$w'").mkString("[", ", ", "]")
-      val nStop = s"len(list_filter($toks, t -> list_contains($stops, t)))"
-      s"""WITH q AS (SELECT * FROM documents
-         |           WHERE len($toks) >= 10 AND 10 * $nStop >= len($toks)),
-         |d AS (SELECT MIN(doc_id) AS doc_id FROM q GROUP BY $sqlNorm),
-         |t AS (SELECT doc_id, ${sqlTokenSet("text")} AS toks, len(${sqlTokenSet("text")}) AS sz
-         |      FROM documents WHERE doc_id IN (SELECT doc_id FROM d)),
-         |dup AS (SELECT DISTINCT b.doc_id FROM t a JOIN t b
-         |        ON a.doc_id < b.doc_id
-         |          AND 5 * len(list_intersect(a.toks, b.toks))
-         |              >= 4 * (a.sz + b.sz - len(list_intersect(a.toks, b.toks)))),
-         |survivors AS (SELECT doc_id FROM t
-         |              WHERE doc_id NOT IN (SELECT doc_id FROM dup))
+    Q("qp01_clean_corpus",
+      s"""WITH $sqlCleanCtes
          |SELECT COUNT(*) AS n_clean,
          |       (SELECT COUNT(*) FROM documents) AS n_raw,
          |       (SELECT COUNT(*) FROM q) AS n_quality,
          |       (SELECT COUNT(*) FROM d) AS n_exact_unique,
          |       CAST(SUM(sz) AS BIGINT) AS sum_vocab
-         |FROM survivors JOIN t USING (doc_id)""".stripMargin
-    }) { (s, dir) =>
-      val docs = Tables.documents(s, dir)
-      val nTok = size(tokens(col("text")))
-      val nStop = size(filter(tokens(col("text")), t =>
-        array_contains(array(TextAnalysis.stopwordsEn.map(lit): _*), t)))
-      val quality = docs.filter(nTok >= 10 && nStop * 10 >= nTok)
-      val exact = quality.groupBy(norm(col("text")).as("k"))
-        .agg(min(col("doc_id")).as("doc_id"))
-        .select("doc_id")
-      val t = docs.join(exact, "doc_id")
-        .select(col("doc_id"), tokenSet(col("text")).as("toks"))
-        .withColumn("sz", size(col("toks")))
-      // Near-dup pairs at jaccard >= 0.8 via the same dictionary-encoded
-      // lossless prefix filter; only the higher doc_id of each pair is
-      // dropped (greedy keep-lowest-id).
-      val dupB = jaccardPairs(t.select("doc_id", "toks"), 4, 5)
-        .select(col("doc_b").as("doc_id")).distinct()
-      val clean = t.join(dupB, Seq("doc_id"), "left_anti")
+         |FROM surv JOIN t USING (doc_id)""".stripMargin) { (s, dir) =>
+      val st = cleanStages(s, dir)
+      val clean = st.t.join(st.surv, Seq("doc_id"), "left_semi")
       // Stage counts as crossJoined single-row aggregates — one job, no
       // driver-side count() actions inside the plan build.
       clean.agg(count(lit(1)).as("n_clean"), sum(col("sz")).as("sum_vocab"))
-        .crossJoin(docs.agg(count(lit(1)).as("n_raw")))
-        .crossJoin(quality.agg(count(lit(1)).as("n_quality")))
-        .crossJoin(exact.agg(count(lit(1)).as("n_exact_unique")))
+        .crossJoin(Tables.documents(s, dir).agg(count(lit(1)).as("n_raw")))
+        .crossJoin(st.quality.agg(count(lit(1)).as("n_quality")))
+        .crossJoin(st.exact.agg(count(lit(1)).as("n_exact_unique")))
         .select(col("n_clean"), col("n_raw"), col("n_quality"),
           col("n_exact_unique"), col("sum_vocab"))
     },
@@ -554,19 +538,8 @@ object Dedup {
     // (except jaccardPairs' own probes).
     Q("qp03_training_manifest", {
       val toks = sqlTokens("text")
-      val stops = TextAnalysis.stopwordsEn.map(w => s"'$w'").mkString("[", ", ", "]")
-      val nStop = s"len(list_filter($toks, t -> list_contains($stops, t)))"
       val sh = Curation.sqlKgrams5(toks)
-      s"""WITH q AS (SELECT * FROM documents
-         |           WHERE len($toks) >= 10 AND 10 * $nStop >= len($toks)),
-         |d AS (SELECT MIN(doc_id) AS doc_id FROM q GROUP BY $sqlNorm),
-         |t AS (SELECT doc_id, ${sqlTokenSet("text")} AS toks, len(${sqlTokenSet("text")}) AS sz
-         |      FROM documents WHERE doc_id IN (SELECT doc_id FROM d)),
-         |dup AS (SELECT DISTINCT b.doc_id FROM t a JOIN t b
-         |        ON a.doc_id < b.doc_id
-         |          AND 5 * len(list_intersect(a.toks, b.toks))
-         |              >= 4 * (a.sz + b.sz - len(list_intersect(a.toks, b.toks)))),
-         |surv AS (SELECT doc_id FROM t WHERE doc_id NOT IN (SELECT doc_id FROM dup)),
+      s"""WITH $sqlCleanCtes,
          |pool AS (SELECT doc_id FROM surv WHERE doc_id % 97 <> 0),
          |g AS (SELECT doc_id, unnest($sh) AS gram FROM documents WHERE len($toks) >= 5),
          |bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),
@@ -586,23 +559,11 @@ object Dedup {
          |FROM s""".stripMargin
     }) { (s, dir) =>
       val docs = Tables.documents(s, dir)
-      val nTok = size(tokens(col("text")))
-      val nStop = size(filter(tokens(col("text")), t =>
-        array_contains(array(TextAnalysis.stopwordsEn.map(lit): _*), t)))
-      val quality = docs.filter(nTok >= 10 && nStop * 10 >= nTok)
-      val exact = quality.groupBy(norm(col("text")).as("k"))
-        .agg(min(col("doc_id")).as("doc_id"))
-        .select("doc_id")
-      val t = docs.join(exact, "doc_id")
-        .select(col("doc_id"), tokenSet(col("text")).as("toks"))
-        .withColumn("sz", size(col("toks")))
-      val dupB = jaccardPairs(t.select("doc_id", "toks"), 4, 5)
-        .select(col("doc_b").as("doc_id")).distinct()
-      val surv = t.select("doc_id").join(dupB, Seq("doc_id"), "left_anti")
-      val pool = surv.filter(col("doc_id") % 97 =!= 0)
+      val st = cleanStages(s, dir)
+      val pool = st.surv.filter(col("doc_id") % 97 =!= 0)
       // Contamination vs the held-out docs: token barrier as qn21, grams
       // expanded only for the bench side and the (semi-joined) pool side.
-      val tk = docs.filter(nTok >= 5)
+      val tk = docs.filter(size(tokens(col("text"))) >= 5)
         .select(col("doc_id"), tokens(col("text")).as("tk"))
         .localCheckpoint(true)
       def grams(df: DataFrame) = df
@@ -612,16 +573,18 @@ object Dedup {
       val cont = grams(tk.join(pool, Seq("doc_id"), "left_semi"))
         .join(broadcast(bench), "gram")
         .select("doc_id").distinct()
-      val clean = pool.join(cont, Seq("doc_id"), "left_anti")
+      // Barrier: clean feeds the split agg AND the n_clean count (and is
+      // itself derived from the twice-read pool) — a tiny id frame.
+      val clean = pool.join(cont, Seq("doc_id"), "left_anti").localCheckpoint(true)
       val bucket = (col("doc_id") * lit(2654435761L)) % 100
       clean.select(bucket.as("bucket"))
         .agg(sum(when(col("bucket") < 80, 1L).otherwise(0L)).as("n_train"),
           sum(when(col("bucket") >= 80 && col("bucket") < 90, 1L).otherwise(0L)).as("n_val"),
           sum(when(col("bucket") >= 90, 1L).otherwise(0L)).as("n_test"))
         .crossJoin(docs.agg(count(lit(1)).as("n_raw")))
-        .crossJoin(quality.agg(count(lit(1)).as("n_quality")))
-        .crossJoin(exact.agg(count(lit(1)).as("n_exact_unique")))
-        .crossJoin(surv.agg(count(lit(1)).as("n_neardup_survivors")))
+        .crossJoin(st.quality.agg(count(lit(1)).as("n_quality")))
+        .crossJoin(st.exact.agg(count(lit(1)).as("n_exact_unique")))
+        .crossJoin(st.surv.agg(count(lit(1)).as("n_neardup_survivors")))
         .crossJoin(pool.agg(count(lit(1)).as("n_pool")))
         .crossJoin(clean.agg(count(lit(1)).as("n_clean")))
         .select(col("n_raw"), col("n_quality"), col("n_exact_unique"),
@@ -768,6 +731,56 @@ object Dedup {
         .orderBy("hamming")
     }
   )
+
+  /** Shared oracle fragment for the clean-corpus compositions (qp01/qp03):
+    * quality gate `q`, exact-dedup representatives `d`, their token sets
+    * `t`, the near-dup drop set `dup` (J >= 4/5, keep-lowest-id), and the
+    * survivors `surv`. Callers prepend `WITH`. */
+  private lazy val sqlCleanCtes: String = {
+    val toks = sqlTokens("text")
+    val stops = TextAnalysis.stopwordsEn.map(w => s"'$w'").mkString("[", ", ", "]")
+    val nStop = s"len(list_filter($toks, t -> list_contains($stops, t)))"
+    s"""q AS (SELECT * FROM documents
+       |      WHERE len($toks) >= 10 AND 10 * $nStop >= len($toks)),
+       |d AS (SELECT MIN(doc_id) AS doc_id FROM q GROUP BY $sqlNorm),
+       |t AS (SELECT doc_id, ${sqlTokenSet("text")} AS toks, len(${sqlTokenSet("text")}) AS sz
+       |      FROM documents WHERE doc_id IN (SELECT doc_id FROM d)),
+       |dup AS (SELECT DISTINCT b.doc_id FROM t a JOIN t b
+       |        ON a.doc_id < b.doc_id
+       |          AND 5 * len(list_intersect(a.toks, b.toks))
+       |              >= 4 * (a.sz + b.sz - len(list_intersect(a.toks, b.toks)))),
+       |surv AS (SELECT doc_id FROM t WHERE doc_id NOT IN (SELECT doc_id FROM dup))""".stripMargin
+  }
+
+  private final case class CleanStages(
+      quality: DataFrame, exact: DataFrame, t: DataFrame, surv: DataFrame)
+
+  /** Shared Spark head of the clean-corpus compositions: quality gate ->
+    * exact dedup -> token sets -> near-dup survivors. The J >= 4/5 pair
+    * frame is memoized under its own tag (qp01 and qp03 need the
+    * identical frame), and the survivor id frame is checkpointed — it
+    * feeds several crossJoined stage counts downstream. */
+  private def cleanStages(s: SparkSession, dir: String): CleanStages = {
+    val docs = Tables.documents(s, dir)
+    val nTok = size(tokens(col("text")))
+    val nStop = size(filter(tokens(col("text")), t =>
+      array_contains(array(TextAnalysis.stopwordsEn.map(lit): _*), t)))
+    val quality = docs.filter(nTok >= 10 && nStop * 10 >= nTok)
+    val exact = quality.groupBy(norm(col("text")).as("k"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+    val t = docs.join(exact, "doc_id")
+      .select(col("doc_id"), tokenSet(col("text")).as("toks"))
+      .withColumn("sz", size(col("toks")))
+    // Near-dup pairs at jaccard >= 0.8 via the same dictionary-encoded
+    // lossless prefix filter; only the higher doc_id of each pair is
+    // dropped (greedy keep-lowest-id).
+    val dupB = memoized("clean45", s, dir, 4, 5)(jaccardPairs(t.select("doc_id", "toks"), 4, 5))
+      .select(col("doc_b").as("doc_id")).distinct()
+    val surv = t.select("doc_id").join(dupB, Seq("doc_id"), "left_anti")
+      .localCheckpoint(true)
+    CleanStages(quality, exact, t, surv)
+  }
 
   /** Shared oracle fragment: the recursive-CTE chain computing connected
     * components of the simhash hamming<=3 near-dup graph. Callers prepend
