@@ -1,0 +1,151 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming semantic dedup — the ingest-time twin of the batch qn20
+  * pipeline (SemDeDup-shaped): vectors arrive on a stream, are assigned
+  * to their nearest centroid map-side, and each arrival is compared ONLY
+  * against its own cluster's recent members, exactly as the batch plan
+  * bounds the quadratic cosine work per cluster with a cent_id
+  * equi-join.
+  *
+  * Plan shape: assignment is a pure per-row function over a
+  * closure-captured centroid table (k rows — the batch plan's
+  * `broadcast(cents)`), so the only shuffle is the groupByKey on
+  * cent_id into the state store. State per cluster = the members inside
+  * the dedup horizon; an arrival is DROPPED iff some earlier member
+  * (earlier event time, ties by vec_id — the streaming analogue of the
+  * batch rule's vec_id order) has cosine >= the threshold. Decisions are
+  * emitted exactly once, in the micro-batch where the vector arrives.
+  *
+  * Scale + state bound: state shards by cent_id (k ~ sqrt(N) keys at
+  * corpus scale); the event-time timeout evicts clusters `horizonMs`
+  * past their last arrival — "semantic-dup within the horizon" is the
+  * declared streaming semantics, the same bound StreamDedup declares for
+  * LSH buckets. Production additionally caps members per cluster
+  * (dropping the oldest), trading recall for a hard memory bound.
+  *
+  * Float policy: scores are sequential double folds over the float
+  * values, floored to e6 integers before the threshold compare —
+  * bit-identical to the batch qn20 plan, so the two paths agree exactly
+  * (StreamSemanticSpec pins streaming == batch on the same data).
+  */
+object StreamSemantic {
+
+  case class VecIn(vec_id: Long, embedding: Seq[Float], us: Long)
+  case class AsgVec(cent_id: Int, vec_id: Long, us: Long, embedding: Seq[Float],
+      ts: java.sql.Timestamp)
+  /** One decision per arrival: kept, or dropped as a semantic dup of
+    * `dup_of` (the lowest-id qualifying earlier member). */
+  case class Decision(vec_id: Long, cent_id: Int, kept: Boolean, dup_of: Long)
+  case class Cluster(members: List[(Long, Long, Seq[Float])]) // (vec_id, us, embedding)
+
+  private def dot(a: Seq[Float], b: Seq[Float]): Double = {
+    var acc = 0.0; var i = 0
+    while (i < a.length && i < b.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+    acc
+  }
+  private def nrm(a: Seq[Float]): Double = {
+    var acc = 0.0; var i = 0
+    while (i < a.length) { acc += a(i).toDouble * a(i).toDouble; i += 1 }
+    math.sqrt(acc)
+  }
+  /** Floor-scaled e6 cosine — the cross-path determinism contract. */
+  private def cosE6(a: Seq[Float], b: Seq[Float]): Long =
+    math.floor(dot(a, b) / (nrm(a) * nrm(b)) * 1000000).toLong
+
+  /** Argmax-cosine centroid id (e6 score, ties to the lowest cent_id) —
+    * the batch assignment rule as a per-row function. */
+  def assign(centroids: IndexedSeq[(Int, Seq[Float])], v: Seq[Float]): Int = {
+    var bestId = Int.MaxValue; var bestScore = Long.MinValue
+    for ((cid, ce) <- centroids) {
+      val s = cosE6(ce, v)
+      if (s > bestScore || (s == bestScore && cid < bestId)) { bestScore = s; bestId = cid }
+    }
+    bestId
+  }
+
+  /** The horizon is enforced HERE, by member age relative to the
+    * arrival's event time — not by state eviction. Timeout-based
+    * eviction only fires on a batch boundary where the group gets no
+    * data, so a cross-horizon arrival in the same batch would otherwise
+    * still see stale members; age-filtering makes the declared
+    * semantics ("dup iff an earlier member within the horizon
+    * qualifies") hold regardless of micro-batch timing. Eviction then
+    * only reclaims memory. `horizonUs < 0` means unbounded (the batch
+    * twin). */
+  private def decide(arrived: Seq[AsgVec], members0: List[(Long, Long, Seq[Float])],
+      thresholdE6: Long, horizonUs: Long): (Seq[Decision], List[(Long, Long, Seq[Float])]) = {
+    var members = members0
+    val out = Seq.newBuilder[Decision]
+    for (d <- arrived) {
+      val live = if (horizonUs < 0) members
+        else members.filter(m => m._2 + horizonUs > d.us)
+      val hit = live.filter(m => m._1 != d.vec_id && cosE6(m._3, d.embedding) >= thresholdE6)
+        .map(_._1).sorted.headOption
+      out += Decision(d.vec_id, d.cent_id, hit.isEmpty, hit.getOrElse(-1L))
+      members = (d.vec_id, d.us, d.embedding) :: members
+    }
+    (out.result(), members)
+  }
+
+  /** Streaming decisions with a bounded dedup horizon. `vecs` must be a
+    * streaming frame typed as [[VecIn]]; decisions appear in the
+    * micro-batch where the vector arrives. */
+  def semanticDedupStreaming(vecs: Dataset[VecIn],
+      centroids: IndexedSeq[(Int, Seq[Float])], thresholdE6: Long,
+      horizonMs: Long): Dataset[Decision] = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    vecs
+      .map(v => (assign(centroids, v.embedding), v.vec_id, v.us, v.embedding))
+      .toDF("cent_id", "vec_id", "us", "embedding")
+      .withColumn("ts", timestamp_micros(col("us")))
+      .withWatermark("ts", s"$horizonMs milliseconds")
+      .as[AsgVec]
+      .groupByKey(_.cent_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (key: Int, it: Iterator[AsgVec], state: GroupState[Cluster]) => {
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val arrived = it.toSeq.sortBy(d => (d.us, d.vec_id))
+            val (decisions, members) =
+              decide(arrived, state.getOption.map(_.members).getOrElse(Nil),
+                thresholdE6, horizonMs * 1000L)
+            // keep only members still reachable from future arrivals
+            // (event time never regresses past the watermark)
+            val floorUs = (state.getCurrentWatermarkMs() - horizonMs) * 1000L
+            state.update(Cluster(members.filter(_._2 >= floorUs)))
+            val newestMs = arrived.map(_.us).max / 1000L
+            state.setTimeoutTimestamp(
+              math.max(state.getCurrentWatermarkMs() + 1, newestMs + horizonMs))
+            decisions.iterator
+          }
+        })
+  }
+
+  /** Batch twin: same assignment, same decision code, full cluster at
+    * once — the reference semantics the streaming path is tested
+    * against (and the semantics of qn20's drop set, with arrival order
+    * = vec_id). */
+  def semanticDedupBatch(vecs: Dataset[VecIn],
+      centroids: IndexedSeq[(Int, Seq[Float])], thresholdE6: Long): Dataset[Decision] = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    vecs
+      .map(v => (assign(centroids, v.embedding), v.vec_id, v.us, v.embedding))
+      .toDF("cent_id", "vec_id", "us", "embedding")
+      .withColumn("ts", timestamp_micros(col("us")))
+      .as[AsgVec]
+      .groupByKey(_.cent_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (_: Int, it: Iterator[AsgVec], _: GroupState[Cluster]) => {
+          val arrived = it.toSeq.sortBy(d => (d.us, d.vec_id))
+          decide(arrived, Nil, thresholdE6, -1L)._1.iterator
+        })
+  }
+}

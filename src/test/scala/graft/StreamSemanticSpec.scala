@@ -1,0 +1,92 @@
+package graft
+
+import graft.streaming.StreamSemantic
+import graft.streaming.StreamSemantic.{Decision, VecIn}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Streaming semantic dedup vs its batch twin and vs the batch qn20
+  * operator: same data, same centroids, same threshold — identical
+  * decisions; plus horizon eviction semantics.
+  */
+class StreamSemanticSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private val T = 350000L // qn20's threshold
+
+  private def vecs(): Seq[VecIn] = {
+    import spark.implicits._
+    Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect().sortBy(_._1)
+      // event time strictly follows vec_id; start at 1s (an event AT the
+      // initial watermark epoch is dropped as late)
+      .map { case (id, e) => VecIn(id, e, (id + 1) * 1000000L) }.toSeq
+  }
+
+  private def centroids(vs: Seq[VecIn]): IndexedSeq[(Int, Seq[Float])] = {
+    // qn20's stride-seed rule
+    val stride = math.max(1L, vs.length / 8L)
+    vs.filter(v => v.vec_id % stride == 0 && v.vec_id < stride * 8)
+      .map(v => (v.vec_id.toInt, v.embedding)).toIndexedSeq
+  }
+
+  test("streaming decisions equal the batch twin and qn20's per-cluster drop counts") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val vs = vecs()
+    val cents = centroids(vs)
+    val (h1, h2) = vs.splitAt(vs.length / 2)
+
+    val ms = MemoryStream[VecIn]
+    val q = StreamSemantic.semanticDedupStreaming(ms.toDS(), cents, T, horizonMs = 1L << 50)
+      .writeStream.format("memory").queryName("sem_out").outputMode("append").start()
+    try {
+      ms.addData(h1); q.processAllAvailable()
+      ms.addData(h2); q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = spark.table("sem_out").as[Decision].collect()
+      .map(d => (d.vec_id, d.cent_id, d.kept, d.dup_of)).toSet
+    val batch = StreamSemantic.semanticDedupBatch(vs.toDS(), cents, T).collect()
+      .map(d => (d.vec_id, d.cent_id, d.kept, d.dup_of)).toSet
+    assert(streamed == batch)
+    assert(streamed.size == vs.length, "exactly one decision per vector")
+
+    // qn20's per-cluster accounting must agree (same centroids by
+    // construction: stride seeds over the same table).
+    val qn20 = SparkEntry.queries("qn20_semantic_dedup")(spark, sf).collect()
+      .map(r => r.getAs[Long]("cent_id") -> r.getAs[Long]("n_dropped")).toMap
+    val streamedDropped = streamed.toSeq.filter(!_._3)
+      .groupBy(_._2.toLong).view.mapValues(_.size.toLong).toMap
+    qn20.foreach { case (cid, nDropped) =>
+      assert(streamedDropped.getOrElse(cid, 0L) == nDropped,
+        s"cluster $cid: streaming dropped ${streamedDropped.getOrElse(cid, 0L)} != qn20 $nDropped")
+    }
+  }
+
+  test("vectors arriving beyond the horizon do not pair with evicted members") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // Two identical vectors far apart in event time, tiny horizon: the
+    // second must be KEPT (its twin's cluster was evicted), then a third
+    // identical one right after must be dropped against the second.
+    val e = Seq(1.0f, 0.0f, 0.0f, 0.0f)
+    val evs1 = Seq(VecIn(1, e, 1000000L))
+    val evs2 = Seq(VecIn(2, e, 3600L * 1000000L), VecIn(3, e, 3600L * 1000000L + 1000L))
+    val cents = IndexedSeq((0, e))
+    val ms = MemoryStream[VecIn]
+    val q = StreamSemantic.semanticDedupStreaming(ms.toDS(), cents, T, horizonMs = 1000L)
+      .writeStream.format("memory").queryName("sem_evict").outputMode("append").start()
+    try {
+      ms.addData(evs1); q.processAllAvailable()
+      ms.addData(evs2); q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("sem_evict").as[Decision].collect()
+      .map(d => d.vec_id -> (d.kept, d.dup_of)).toMap
+    assert(out(1L) == ((true, -1L)))
+    assert(out(2L) == ((true, -1L)), "twin arrived after the horizon: state must be evicted")
+    assert(out(3L) == ((false, 2L)), "same-window arrival must still be caught")
+  }
+}
