@@ -42,7 +42,7 @@ object StreamDedup {
   case class BandDocT(band: String, b: Int, doc_id: Long, us: Long, sig: Seq[Long],
       ts: java.sql.Timestamp)
   case class DupPair(doc_a: Long, doc_b: Long, n_agree: Int)
-  case class Bucket(members: List[(Long, Seq[Long])])
+  case class Bucket(members: List[(Long, Long, Seq[Long])]) // (doc_id, us, sig)
 
   /** Tokenize -> MinHash(64) -> 16 band keys, one row per (doc, band).
     * Pure Column expressions: works identically on batch and streaming
@@ -71,17 +71,27 @@ object StreamDedup {
   /** Pair the docs of one micro-batch (arrival order = event time, ties
     * by doc_id) against the bucket members, emitting only from the
     * pair's first agreeing band. Returns the pairs and the grown
-    * member list. */
+    * member list.
+    *
+    * The horizon is enforced HERE by member age relative to the
+    * arrival's event time (`horizonUs < 0` = unbounded, the batch twin).
+    * Timeout eviction only fires on a batch boundary where the bucket
+    * receives no data, so a cross-horizon arrival in the same batch
+    * would otherwise still pair against a stale member; age-filtering
+    * makes "near-dup within the horizon" hold regardless of micro-batch
+    * timing, and eviction only reclaims memory. */
   private def pairUp(bd: Int, arrived: Seq[BandDoc],
-      members0: List[(Long, Seq[Long])]): (Seq[DupPair], List[(Long, Seq[Long])]) = {
+      members0: List[(Long, Long, Seq[Long])],
+      horizonUs: Long): (Seq[DupPair], List[(Long, Long, Seq[Long])]) = {
     var members = members0
     val out = Seq.newBuilder[DupPair]
     for (d <- arrived) {
-      for ((mid, msig) <- members if mid != d.doc_id)
+      for ((mid, mus, msig) <- members
+           if mid != d.doc_id && (horizonUs < 0 || mus + horizonUs > d.us))
         if (firstAgree(msig, d.sig) == bd)
           out += DupPair(math.min(mid, d.doc_id), math.max(mid, d.doc_id),
             agreeCount(msig, d.sig))
-      members = (d.doc_id, d.sig) :: members
+      members = (d.doc_id, d.us, d.sig) :: members
     }
     (out.result(), members)
   }
@@ -107,11 +117,14 @@ object StreamDedup {
             val arrived = it.toSeq.sortBy(d => (d.us, d.doc_id))
             val bd = arrived.head.b
             val (pairs, members) =
-              pairUp(bd, arrived, state.getOption.map(_.members).getOrElse(Nil))
-            state.update(Bucket(members))
+              pairUp(bd, arrived, state.getOption.map(_.members).getOrElse(Nil),
+                horizonMs * 1000L)
+            // keep only members still reachable from future arrivals
+            val floorUs = (state.getCurrentWatermarkMs() - horizonMs) * 1000L
+            state.update(Bucket(members.filter(_._2 >= floorUs)))
             // evict the bucket horizonMs past its newest arrival (never
             // at-or-before the current watermark, which Spark rejects)
-            val newestMs = members.headOption.map(_ => arrived.map(_.us).max / 1000L).getOrElse(0L)
+            val newestMs = arrived.map(_.us).max / 1000L
             state.setTimeoutTimestamp(
               math.max(state.getCurrentWatermarkMs() + 1, newestMs + horizonMs))
             pairs.iterator
@@ -130,7 +143,7 @@ object StreamDedup {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
         (_: String, it: Iterator[BandDoc], _: GroupState[Bucket]) => {
           val arrived = it.toSeq.sortBy(d => (d.us, d.doc_id))
-          pairUp(arrived.head.b, arrived, Nil)._1.iterator
+          pairUp(arrived.head.b, arrived, Nil, -1L)._1.iterator
         })
   }
 }

@@ -122,4 +122,18 @@ class StreamDedupSpec extends AnyFunSuite {
     // ...but docs 4 and 5 (both inside the horizon) do pair.
     assert(got.exists { case (x, y, _) => x == 4L && y == 5L }, s"missing in-horizon pair: $got")
   }
+
+  test("horizon holds even with no intervening batch to fire the eviction timeout") {
+    // The identical doc arrives 10h later in the VERY NEXT batch: the
+    // bucket's timeout has not fired (the watermark only advances after
+    // batch 1, and no data-free batch ran), but the pair is still
+    // cross-horizon and must be suppressed by member age.
+    val h = 3600L * 1000
+    val a = Doc(1, "the quick brown fox jumps over the lazy dog again and again", 1000000L)
+    val late = Doc(2, a.text, 10 * 3600L * 1000000L)
+    val inside = Doc(3, a.text, 10 * 3600L * 1000000L + 1000000L)
+    val got = runStream(Seq(Seq(a), Seq(late, inside)), h)
+    assert(!got.exists { case (x, _, _) => x == 1L }, s"cross-horizon pair leaked: $got")
+    assert(got.exists { case (x, y, _) => x == 2L && y == 3L }, s"missing in-horizon pair: $got")
+  }
 }
