@@ -52,9 +52,14 @@ object Bench {
       dt
     }
     run("q12_agg_pricing_summary") // warmup
+    // SPARK_GRAFT_ONLY=qa,qb restricts the sweep (dev-time A/B timing).
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     // (name, reported seconds, max-min spread over reps)
     val results: Seq[(String, Double, Double)] =
-      SparkEntry.queries.keys.toSeq.sorted.map { name =>
+      names.map { name =>
         noisy.get(name) match {
           case None => (name, timed(name), 0.0)
           case Some(tagOpt) =>

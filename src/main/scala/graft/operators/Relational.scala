@@ -407,6 +407,87 @@ object Relational {
       o.filter(ym === "1995-03").select("o_custkey")
         .intersect(o.filter(ym === "1995-04").select("o_custkey"))
         .orderBy("o_custkey")
+    },
+
+    // GROUPING SETS — the explicit multi-set form rollup/cube (q14/q15)
+    // are sugar for: two independent one-column breakdowns plus the grand
+    // total in ONE pass over orders (Expand + a single aggregate; no
+    // union of three scans). grouping_id() disambiguates which set each
+    // row came from — both engines define it as the same
+    // most-significant-bit-first bitvector over the grouping columns.
+    Q("q30_grouping_sets",
+      """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+        |       COALESCE(o_orderpriority, 'ALL') AS priority,
+        |       CAST(GROUPING_ID(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+        |       COUNT(*) AS n,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY gid, status, priority""".stripMargin) { (s, dir) =>
+      Tables.orders(s, dir)
+        .groupingSets(
+          Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority")), Seq.empty),
+          col("o_orderstatus"), col("o_orderpriority"))
+        // grouping_id() is only defined inside the grouping-sets
+        // aggregate itself (it reads the Expand node's set id).
+        .agg(grouping_id().cast("long").as("gid"),
+          count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+        .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("gid"), col("n"), col("total"))
+        .orderBy(col("gid"), col("status"), col("priority"))
+    },
+
+    // RANGE window frame — the value-based frame q19's ROWS frame doesn't
+    // cover: per order, the customer's trailing-30-day order count and
+    // exact spend. RANGE makes same-day orders peers (all included in
+    // each other's frames), so the result is deterministic under tie
+    // reordering — a ROWS frame here would be order-dependent and
+    // un-oracle-able. The frame key is epoch DAYS of the (timezone-naive)
+    // order date — tz-free in both engines, unlike epoch microseconds of
+    // an NTZ timestamp, which Spark only exposes through a
+    // session-timezone-dependent cast.
+    Q("q31_range_frame",
+      """SELECT o_orderkey, o_custkey,
+        |       COUNT(*) OVER w AS n_30d,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS spend_30d
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |             ORDER BY datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+        |             RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(unix_date(to_date(col("o_orderdate"))))
+        .rangeBetween(-30, Window.currentRow)
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"),
+          count(lit(1)).over(w).as("n_30d"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).over(w)
+            .cast("double").as("spend_30d"))
+        .orderBy(col("o_orderkey"))
+    },
+
+    // Correlated scalar subquery, through the SQL surface: orders priced
+    // above 1.5x their customer's average. Catalyst DECORRELATES this
+    // (RewriteCorrelatedScalarSubquery) into the aggregate + join we'd
+    // write by hand — one orders scan aggregates per customer, one joins
+    // back — so there is no per-row subquery execution anywhere in the
+    // physical plan. The average is exact-decimal-sum / count, identical
+    // in both engines.
+    Q("q32_scalar_subquery",
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders o
+        |WHERE o_totalprice > 1.5 * (
+        |  SELECT CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+        |  FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+        |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      s.sql(
+        s"""SELECT o_orderkey, o_custkey, o_totalprice
+           |FROM parquet.`$dir/orders.parquet` o
+           |WHERE o_totalprice > 1.5 * (
+           |  SELECT CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+           |  FROM parquet.`$dir/orders.parquet` o2 WHERE o2.o_custkey = o.o_custkey)
+           |ORDER BY o_orderkey""".stripMargin)
     }
   )
 }

@@ -336,6 +336,79 @@ object TrainPrep {
         .orderBy("doc_id", "rnk")
     },
 
+    // Data-mixture weighting (DoReMi/temperature-sampling shape): per
+    // language, the corpus's natural token share p is flattened to
+    // p^0.5 and renormalized, then a 100M-token epoch budget is
+    // apportioned. Float discipline: sqrt and the p division are both
+    // IEEE-correctly-rounded in either engine, and each sqrt is floored
+    // to an e6 integer BEFORE the normalizing sum — so the sum is exact
+    // integer arithmetic and the final weights are bit-identical no
+    // matter what order groups aggregate in. Scale shape: one corpus
+    // aggregation, then two single-row crossJoins over the (tiny,
+    // checkpointed) group frame — the corpus is scanned exactly once.
+    Q("qn25_mixture_weights", {
+      val toks = sqlTokens("text")
+      s"""WITH g AS (SELECT lang, COUNT(*) AS n_docs,
+         |                  CAST(SUM(len($toks)) AS BIGINT) AS n_tokens
+         |           FROM documents GROUP BY lang),
+         |t AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS tot FROM g),
+         |s AS (SELECT lang, n_docs, n_tokens,
+         |             CAST(floor(sqrt(CAST(n_tokens AS DOUBLE) / tot) * 1000000) AS BIGINT) AS w_sqrt_e6
+         |      FROM g, t),
+         |w AS (SELECT CAST(SUM(w_sqrt_e6) AS BIGINT) AS wtot FROM s)
+         |SELECT lang, n_docs, n_tokens, w_sqrt_e6,
+         |       (w_sqrt_e6 * 1000000) // wtot AS w_norm_e6,
+         |       (w_sqrt_e6 * 100000000) // wtot AS budget_tokens
+         |FROM s, w ORDER BY lang""".stripMargin
+    }) { (s, dir) =>
+      val g = Tables.documents(s, dir)
+        .select(col("lang"), size(tokens(col("text"))).cast("long").as("n_tok"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+        .localCheckpoint(true) // one corpus scan: g feeds both scalar sums below
+      val sq = g.crossJoin(g.agg(sum(col("n_tokens")).as("tot")))
+        .withColumn("w_sqrt_e6",
+          floor(sqrt(col("n_tokens").cast("double") / col("tot")) * 1000000).cast("long"))
+      sq.crossJoin(sq.agg(sum(col("w_sqrt_e6")).as("wtot")))
+        .select(col("lang"), col("n_docs"), col("n_tokens"), col("w_sqrt_e6"),
+          expr("(w_sqrt_e6 * 1000000) div wtot").as("w_norm_e6"),
+          expr("(w_sqrt_e6 * 100000000) div wtot").as("budget_tokens"))
+        .orderBy("lang")
+    },
+
+    // One BPE merge-selection step — the inner loop of tokenizer vocab
+    // induction: count adjacent character pairs corpus-wide, take the
+    // top candidates. The classic scale move is applied: occurrences
+    // collapse to the DISTINCT-word frequency table first, so the
+    // per-character explode runs over |vocab| words (thousands), not
+    // corpus tokens (trillions); pair counts then weight by word
+    // frequency. Pair keys are a tiny space, the final top-10 is a
+    // TakeOrderedAndProject (k-row merge, no global sort).
+    Q("qn26_bpe_merge", {
+      val toks = sqlTokens("text")
+      s"""WITH w AS (SELECT word, COUNT(*) AS wc
+         |           FROM (SELECT unnest($toks) AS word FROM documents)
+         |           GROUP BY word),
+         |c AS (SELECT split(word, '') AS cs, wc FROM w WHERE length(word) >= 2),
+         |p AS (SELECT unnest([cs[i] || cs[i + 1] for i in range(1, len(cs))]) AS pair, wc
+         |      FROM c)
+         |SELECT pair, CAST(SUM(wc) AS BIGINT) AS cnt
+         |FROM p GROUP BY pair ORDER BY cnt DESC, pair LIMIT 10""".stripMargin
+    }) { (s, dir) =>
+      val wfreq = Tables.documents(s, dir)
+        .select(explode(tokens(col("text"))).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("wc"))
+        .filter(length(col("word")) >= 2)
+      val cs = split(col("word"), "")
+      wfreq
+        .select(col("wc"), cs.as("cs"))
+        .select(col("wc"), explode(transform(sequence(lit(1), size(col("cs")) - 1),
+          i => concat(element_at(col("cs"), i), element_at(col("cs"), i + 1)))).as("pair"))
+        .groupBy("pair").agg(sum(col("wc")).as("cnt"))
+        .orderBy(col("cnt").desc, col("pair").asc)
+        .limit(10)
+    },
+
     // Pattern redaction (PII-shaped plumbing) over the events JSON props:
     // digit runs masked, redaction volume accounted per event type.
     Q("qt06_redact_props",

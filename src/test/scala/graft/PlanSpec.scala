@@ -182,6 +182,29 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastHashJoin"), p) // centroids ride a tiny BNLJ
   }
 
+  test("q30 grouping sets is one Expand + one aggregate, not a scan union") {
+    val p = planOf("q30_grouping_sets")
+    assert(p.contains("Expand"), p)
+    assert(!p.contains("Union"), p)
+    // One orders scan feeds all three grouping sets.
+    assert("Scan parquet".r.findAllIn(p).size == 1, p)
+  }
+
+  test("q32 correlated scalar subquery decorrelates to aggregate + join") {
+    val p = planOf("q32_scalar_subquery")
+    // Decorrelation leaves a plain join against the per-customer
+    // aggregate; a surviving subquery would plan as a Subquery node
+    // re-executed per row.
+    assert(!p.contains("Subquery"), p)
+    assert(p.contains("HashAggregate") || p.contains("SortAggregate"), p)
+  }
+
+  test("qn27 linkage joins on the block key, never a nested loop") {
+    val p = planOf("qn27_record_linkage")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("levenshtein"), p)
+  }
+
   test("pair dedup plans have no distinct over the candidate stream") {
     // The first-common / first-agreeing filters replaced the pair
     // distinct(): candidate streams must reach the output through

@@ -65,6 +65,39 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("q30 grouping sets: the three sets partition the orders count") {
+    val rows = SparkEntry.queries("q30_grouping_sets")(spark, sf).collect()
+    val nOrders = Tables.orders(spark, sf).count()
+    // gid 1 = (status) set, gid 2 = (priority) set, gid 3 = grand total.
+    val byGid = rows.groupBy(_.getAs[Long]("gid"))
+    assert(byGid.keySet == Set(1L, 2L, 3L))
+    assert(byGid(1L).map(_.getAs[Long]("n")).sum == nOrders)
+    assert(byGid(2L).map(_.getAs[Long]("n")).sum == nOrders)
+    assert(byGid(3L).map(_.getAs[Long]("n")).toSeq == Seq(nOrders))
+  }
+
+  test("q31 range frame: every order sees at least itself, spend covers its price") {
+    val rows = SparkEntry.queries("q31_range_frame")(spark, sf).collect()
+    assert(rows.length == Tables.orders(spark, sf).count())
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_30d") >= 1L)
+      assert(r.getAs[Double]("spend_30d") > 0.0)
+    }
+  }
+
+  test("q32 scalar subquery: every survivor beats 1.5x its customer average") {
+    import org.apache.spark.sql.functions._
+    val avgs = Tables.orders(spark, sf).groupBy("o_custkey")
+      .agg((sum(col("o_totalprice").cast("decimal(18,2)")).cast("double") /
+        count(lit(1))).as("avg_price"))
+      .collect().map(r => r.getAs[Long]("o_custkey") -> r.getAs[Double]("avg_price")).toMap
+    val rows = SparkEntry.queries("q32_scalar_subquery")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("o_totalprice") > 1.5 * avgs(r.getAs[Long]("o_custkey")))
+    }
+  }
+
   test("entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

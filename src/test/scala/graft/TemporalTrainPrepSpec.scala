@@ -147,4 +147,39 @@ class TemporalTrainPrepSpec extends AnyFunSuite {
     val labels = Tables.embeddings(spark, sf).select("label").distinct().count()
     assert(rows.length == labels * 64)
   }
+
+  test("mixture weights normalize to ~1e6 and apportion the token budget") {
+    val rows = SparkEntry.queries("qn25_mixture_weights")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val wSum = rows.map(_.getAs[Long]("w_norm_e6")).sum
+    // Each weight floors, so the sum undershoots 1e6 by < n_groups.
+    assert(wSum <= 1000000L && wSum > 1000000L - rows.length)
+    val budget = rows.map(_.getAs[Long]("budget_tokens")).sum
+    assert(budget <= 100000000L && budget > 100000000L - rows.length * 100L)
+    // Temperature flattening: normalized weights are more uniform than
+    // the raw token shares (max weight shrinks toward the mean).
+    val tot = rows.map(_.getAs[Long]("n_tokens")).sum.toDouble
+    val maxShare = rows.map(_.getAs[Long]("n_tokens")).max / tot
+    val maxW = rows.map(_.getAs[Long]("w_norm_e6")).max / 1e6
+    assert(maxW < maxShare)
+  }
+
+  test("BPE merge step emits the top-10 two-char pairs, count-descending") {
+    val rows = SparkEntry.queries("qn26_bpe_merge")(spark, sf).collect()
+    assert(rows.length == 10)
+    rows.foreach(r => assert(r.getAs[String]("pair").length == 2))
+    val cnts = rows.map(_.getAs[Long]("cnt"))
+    assert(cnts.sliding(2).forall(p => p(0) >= p(1)))
+  }
+
+  test("record linkage: blocked on suffix bucket, verified by levenshtein") {
+    val rows = SparkEntry.queries("qn27_record_linkage")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("lev") <= 6L)
+      val cId = r.getAs[String]("c_name").replaceAll("^[^0-9]+", "").toLong
+      val sId = r.getAs[String]("s_name").replaceAll("^[^0-9]+", "").toLong
+      assert(cId % 100 == sId % 100) // pair came through the block key
+    }
+  }
 }
