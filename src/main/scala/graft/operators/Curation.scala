@@ -325,6 +325,30 @@ object Curation {
         .select(col("comp"), col("n_members"), col("doc_id").as("canonical_doc"),
           col("n_chars").as("canonical_chars"))
         .orderBy("comp")
+    },
+
+    // Dedup audit report — the cluster-size histogram a pipeline owner
+    // reads before trusting a threshold: how many near-dup clusters of
+    // each size exist, how many documents they hold, and how many are
+    // redundant copies (cluster size minus its one canonical survivor).
+    // Reuses qn17's memoized component labels; two count aggregations on
+    // top, so the audit costs nothing beyond the components themselves.
+    Q("qp04_dedup_audit",
+      s"""WITH RECURSIVE
+         |${Dedup.sqlComponentsCte},
+         |comp AS (SELECT node AS doc_id, MIN(lab) AS comp FROM walk GROUP BY node),
+         |sz AS (SELECT comp, COUNT(*) AS csize FROM comp GROUP BY comp)
+         |SELECT csize, COUNT(*) AS n_clusters,
+         |       CAST(csize * COUNT(*) AS BIGINT) AS n_docs,
+         |       CAST((csize - 1) * COUNT(*) AS BIGINT) AS n_redundant
+         |FROM sz GROUP BY csize ORDER BY csize""".stripMargin) { (s, dir) =>
+      Dedup.componentLabels(s, dir)
+        .groupBy("comp").agg(count(lit(1)).as("csize"))
+        .groupBy("csize").agg(count(lit(1)).as("n_clusters"))
+        .select(col("csize"), col("n_clusters"),
+          (col("csize") * col("n_clusters")).as("n_docs"),
+          ((col("csize") - 1) * col("n_clusters")).as("n_redundant"))
+        .orderBy("csize")
     }
   )
 }

@@ -488,6 +488,35 @@ object Relational {
            |  SELECT CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
            |  FROM parquet.`$dir/orders.parquet` o2 WHERE o2.o_custkey = o.o_custkey)
            |ORDER BY o_orderkey""".stripMargin)
+    },
+
+    // The ranking-function family q17's row_number doesn't cover: rank
+    // (gaps), dense_rank (no gaps), ntile (equal-depth quartiles),
+    // percent_rank and cume_dist (relative positions). The ordering is
+    // fully tie-broken by o_orderkey, so ntile's bucket assignment and
+    // the rank family are all deterministic; the two rational-valued
+    // functions are e6-floored doubles — (rank-1)/(n-1) and peers/n are
+    // single divisions both engines round identically.
+    Q("q33_rank_functions",
+      """SELECT o_custkey, o_orderkey,
+        |       CAST(RANK() OVER w AS BIGINT) AS rnk,
+        |       CAST(DENSE_RANK() OVER w AS BIGINT) AS drnk,
+        |       CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+        |       CAST(floor(PERCENT_RANK() OVER w * 1000000) AS BIGINT) AS prank_e6,
+        |       CAST(floor(CUME_DIST() OVER w * 1000000) AS BIGINT) AS cume_e6
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      Tables.orders(s, dir)
+        .select(col("o_custkey"), col("o_orderkey"),
+          rank().over(w).cast("long").as("rnk"),
+          dense_rank().over(w).cast("long").as("drnk"),
+          ntile(4).over(w).cast("long").as("quartile"),
+          floor(percent_rank().over(w) * 1000000).cast("long").as("prank_e6"),
+          floor(cume_dist().over(w) * 1000000).cast("long").as("cume_e6"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
     }
   )
 }

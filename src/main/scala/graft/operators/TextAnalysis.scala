@@ -206,6 +206,55 @@ object TextAnalysis {
           min(col("n_chars")).as("min_chars"),
           max(col("n_chars")).as("max_chars"))
         .orderBy("lang")
+    },
+
+    // LM-surprise quality scoring — the KenLM-shaped signal (how
+    // "expected" each document is under a corpus language model), here a
+    // bigram model in pure integer arithmetic: surprise of bigram
+    // (w1 w2) = count(w1 *) * 1e6 div count(w1 w2), i.e. the inverse
+    // conditional probability — a monotone stand-in for -log P that
+    // needs no float log (which is NOT correctly-rounded-identical
+    // across engines). Per-doc score = integer mean surprise; low =
+    // predictable/fluent under the corpus, high = unusual. Scale shape:
+    // bigram and prefix counts are corpus-derived, so the model joins
+    // back shuffled-hash on the bigram/prefix keys — no corpus-sized
+    // broadcast anywhere (the qt08 rule).
+    Q("qt10_lm_surprise", {
+      val toks = sqlTokens("text")
+      s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents WHERE len($toks) >= 2),
+         |b AS (SELECT doc_id,
+         |             unnest([ concat_ws(' ', tk[i], tk[i + 1]) for i in range(1, len(tk)) ]) AS bg
+         |      FROM t),
+         |cb AS (SELECT bg, COUNT(*) AS c_bg FROM b GROUP BY bg),
+         |cu AS (SELECT string_split(bg, ' ')[1] AS w1,
+         |              CAST(SUM(c_bg) AS BIGINT) AS c_w1 FROM cb GROUP BY 1),
+         |s AS (SELECT b.doc_id, (cu.c_w1 * 1000000) // cb.c_bg AS surprise_e6
+         |      FROM b JOIN cb USING (bg)
+         |             JOIN cu ON string_split(b.bg, ' ')[1] = cu.w1)
+         |SELECT doc_id, COUNT(*) AS n_bigrams,
+         |       CAST(SUM(surprise_e6) AS BIGINT) // COUNT(*) AS avg_surprise_e6
+         |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      val tk = tokens(col("text"))
+      val b = Tables.documents(s, dir)
+        .filter(size(tk) >= 2)
+        .select(col("doc_id"), tk.as("tk"))
+        .select(col("doc_id"), explode(transform(sequence(lit(1), size(col("tk")) - 1),
+          i => concat_ws(" ", element_at(col("tk"), i), element_at(col("tk"), i + 1))))
+          .as("bg"))
+        .localCheckpoint(true) // barrier: feeds the model counts AND the rescoring join
+      val cb = b.groupBy("bg").agg(count(lit(1)).as("c_bg"))
+      val cu = cb.groupBy(split(col("bg"), " ").getItem(0).as("w1"))
+        .agg(sum(col("c_bg")).as("c_w1"))
+      b.withColumn("w1", split(col("bg"), " ").getItem(0))
+        .join(cb.hint("SHUFFLE_HASH"), "bg")
+        .join(cu.hint("SHUFFLE_HASH"), "w1")
+        .select(col("doc_id"), expr("(c_w1 * 1000000) div c_bg").as("surprise_e6"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"), sum(col("surprise_e6")).as("ssum"))
+        .select(col("doc_id"), col("n_bigrams"),
+          expr("ssum div n_bigrams").as("avg_surprise_e6"))
+        .orderBy("doc_id")
     }
   )
 }

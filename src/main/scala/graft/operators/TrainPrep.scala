@@ -409,6 +409,107 @@ object TrainPrep {
         .limit(10)
     },
 
+    // Mixture-apply: the resampling step that turns qn25's weights into
+    // an actual training subset. Each language's token budget (here a
+    // 10k-token epoch) becomes a per-document Bernoulli rate
+    // (budget/n_tokens, capped at 1), applied as the same deterministic
+    // Knuth-hash coin as qn12 — so the "random" subset is a pure
+    // function of doc_id, stable under re-runs and reshuffles, and the
+    // realized token counts land within one document of the budget in
+    // expectation. Scale shape: one corpus aggregation for the rates
+    // (tiny, broadcast back), then a map-side filter — the selection
+    // itself never shuffles.
+    Q("qn29_mixture_apply", {
+      val toks = sqlTokens("text")
+      s"""WITH g AS (SELECT lang, CAST(SUM(len($toks)) AS BIGINT) AS n_tokens
+         |           FROM documents GROUP BY lang),
+         |t AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS tot FROM g),
+         |s AS (SELECT lang, n_tokens,
+         |             CAST(floor(sqrt(CAST(n_tokens AS DOUBLE) / tot) * 1000000) AS BIGINT) AS w_sqrt_e6
+         |      FROM g, t),
+         |w AS (SELECT CAST(SUM(w_sqrt_e6) AS BIGINT) AS wtot FROM s),
+         |r AS (SELECT lang, n_tokens,
+         |             LEAST(1000000, (((w_sqrt_e6 * 10000) // wtot) * 1000000) // n_tokens) AS rate_e6
+         |      FROM s, w),
+         |d AS (SELECT doc.lang, doc.doc_id, len($toks) AS n_tok, r.rate_e6
+         |      FROM documents doc JOIN r USING (lang))
+         |SELECT lang, rate_e6, COUNT(*) AS n_docs,
+         |       CAST(SUM(CASE WHEN (doc_id * 2654435761) % 1000000 < rate_e6
+         |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_selected,
+         |       CAST(SUM(CASE WHEN (doc_id * 2654435761) % 1000000 < rate_e6
+         |                     THEN n_tok ELSE 0 END) AS BIGINT) AS n_tokens_selected
+         |FROM d GROUP BY lang, rate_e6 ORDER BY lang""".stripMargin
+    }) { (s, dir) =>
+      val perDoc = Tables.documents(s, dir)
+        .select(col("lang"), col("doc_id"), size(tokens(col("text"))).cast("long").as("n_tok"))
+      val g = perDoc.groupBy("lang").agg(sum(col("n_tok")).as("n_tokens"))
+        .localCheckpoint(true) // one corpus scan feeds both scalar sums
+      val sq = g.crossJoin(g.agg(sum(col("n_tokens")).as("tot")))
+        .withColumn("w_sqrt_e6",
+          floor(sqrt(col("n_tokens").cast("double") / col("tot")) * 1000000).cast("long"))
+      val rates = sq.crossJoin(sq.agg(sum(col("w_sqrt_e6")).as("wtot")))
+        .select(col("lang"),
+          least(lit(1000000L),
+            expr("((w_sqrt_e6 * 10000) div wtot) * 1000000 div n_tokens")).as("rate_e6"))
+      val coin = (col("doc_id") * lit(2654435761L)) % 1000000
+      perDoc.join(broadcast(rates), "lang")
+        .groupBy("lang", "rate_e6")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(coin < col("rate_e6"), 1L).otherwise(0L)).as("n_selected"),
+          sum(when(coin < col("rate_e6"), col("n_tok")).otherwise(0L)).as("n_tokens_selected"))
+        .orderBy("lang")
+    },
+
+    // Count-min sketch heavy hitters: build a 2x64 CMS over corpus term
+    // counts with deterministic polynomial hashes, then read back the
+    // top-20 exact terms' estimates. The sketch rows are built from the
+    // exact term-count frame (one explode + one groupBy feeds both), so
+    // the whole thing — including every collision-inflated estimate — is
+    // a pure function of the corpus and replays in the oracle. At scale
+    // the sketch is what travels: 2x64 cells regardless of vocabulary,
+    // so profiling a 100 TB corpus ships KBs; width is the
+    // accuracy knob (est - exact <= N/w in expectation). The candidate
+    // top-20 is TakeOrdered (k rows to one partition, never the vocab);
+    // the cell joins broadcast genuinely bounded 64-row sides.
+    Q("qn28_countmin_hitters", {
+      val h0 = s"(${sqlPolyHash("term", 37L, P1)}) % 64"
+      val h1 = s"(${sqlPolyHash("term", 131L, P2)}) % 64"
+      val toks = sqlTokens("text")
+      s"""WITH tk AS (SELECT unnest($toks) AS term FROM documents),
+         |e AS (SELECT term, COUNT(*) AS cnt FROM tk GROUP BY term),
+         |c0 AS (SELECT $h0 AS b0, CAST(SUM(cnt) AS BIGINT) AS cell0 FROM e GROUP BY 1),
+         |c1 AS (SELECT $h1 AS b1, CAST(SUM(cnt) AS BIGINT) AS cell1 FROM e GROUP BY 1),
+         |cand AS (SELECT term, cnt,
+         |                ROW_NUMBER() OVER (ORDER BY cnt DESC, term) AS rnk FROM e)
+         |SELECT rnk, term, cnt AS exact_cnt,
+         |       LEAST(c0.cell0, c1.cell1) AS est_cnt
+         |FROM cand
+         |JOIN c0 ON ($h0) = c0.b0
+         |JOIN c1 ON ($h1) = c1.b1
+         |WHERE rnk <= 20 ORDER BY rnk""".stripMargin
+    }) { (s, dir) =>
+      val exact = Tables.documents(s, dir)
+        .select(explode(tokens(col("text"))).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("cnt"))
+        .localCheckpoint(true) // feeds both sketch rows + the candidates
+      def bucket(mult: Long, prime: Long) = polyHash(col("term"), mult, prime) % 64
+      val c0 = exact.groupBy(bucket(37L, P1).as("b0"))
+        .agg(sum(col("cnt")).as("cell0"))
+      val c1 = exact.groupBy(bucket(131L, P2).as("b1"))
+        .agg(sum(col("cnt")).as("cell1"))
+      // Top-20 candidates via TakeOrdered; the rank window then runs
+      // over exactly k rows (bounded by k, not by the vocabulary).
+      val cand = exact.orderBy(col("cnt").desc, col("term").asc).limit(20)
+        .withColumn("rnk",
+          row_number().over(Window.orderBy(col("cnt").desc, col("term").asc)))
+      cand
+        .withColumn("b0", bucket(37L, P1)).join(broadcast(c0), "b0")
+        .withColumn("b1", bucket(131L, P2)).join(broadcast(c1), "b1")
+        .select(col("rnk").cast("long").as("rnk"), col("term"),
+          col("cnt").as("exact_cnt"), least(col("cell0"), col("cell1")).as("est_cnt"))
+        .orderBy("rnk")
+    },
+
     // Pattern redaction (PII-shaped plumbing) over the events JSON props:
     // digit runs masked, redaction volume accounted per event type.
     Q("qt06_redact_props",

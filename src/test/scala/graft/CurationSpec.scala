@@ -166,4 +166,18 @@ class CurationSpec extends AnyFunSuite {
       assert(r.getAs[Long]("canonical_chars") == best._3)
     }
   }
+
+  test("qp04 audit histogram accounts for every document exactly once") {
+    val audit = SparkEntry.queries("qp04_dedup_audit")(spark, sf).collect()
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(audit.map(_.getAs[Long]("n_docs")).sum == nDocs)
+    audit.foreach { r =>
+      val (csize, nc) = (r.getAs[Long]("csize"), r.getAs[Long]("n_clusters"))
+      assert(r.getAs[Long]("n_docs") == csize * nc)
+      assert(r.getAs[Long]("n_redundant") == (csize - 1) * nc)
+    }
+    // Redundant docs = docs minus one canonical per cluster.
+    val nClusters = audit.map(_.getAs[Long]("n_clusters")).sum
+    assert(audit.map(_.getAs[Long]("n_redundant")).sum == nDocs - nClusters)
+  }
 }

@@ -205,6 +205,20 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("levenshtein"), p)
   }
 
+  test("qt10 LM model joins shuffled-hash; nothing corpus-derived broadcasts") {
+    val p = planOf("qt10_lm_surprise")
+    assert(p.contains("ShuffledHashJoin"), p)
+    assert(!p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("qn28 sketch joins broadcast only the 64-cell sides") {
+    val p = planOf("qn28_countmin_hitters")
+    // The candidate side is TakeOrdered-bounded (k=20), the cell sides
+    // are width-bounded (64): every join input is O(1) in corpus size.
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("pair dedup plans have no distinct over the candidate stream") {
     // The first-common / first-agreeing filters replaced the pair
     // distinct(): candidate streams must reach the output through

@@ -98,6 +98,20 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("q33 rank family: quartiles in [1,4], relative positions in [0,1e6], rank >= dense_rank") {
+    val rows = SparkEntry.queries("q33_rank_functions")(spark, sf).collect()
+    assert(rows.length == Tables.orders(spark, sf).count())
+    rows.foreach { r =>
+      val q = r.getAs[Long]("quartile")
+      assert(q >= 1L && q <= 4L)
+      val p = r.getAs[Long]("prank_e6")
+      assert(p >= 0L && p <= 1000000L)
+      val c = r.getAs[Long]("cume_e6")
+      assert(c > 0L && c <= 1000000L)
+      assert(r.getAs[Long]("rnk") >= r.getAs[Long]("drnk"))
+    }
+  }
+
   test("entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

@@ -172,6 +172,43 @@ class TemporalTrainPrepSpec extends AnyFunSuite {
     assert(cnts.sliding(2).forall(p => p(0) >= p(1)))
   }
 
+  test("mixture apply genuinely subsamples and never selects more than exists") {
+    val rows = SparkEntry.queries("qn29_mixture_apply")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_selected") <= r.getAs[Long]("n_docs"))
+      assert(r.getAs[Long]("rate_e6") <= 1000000L)
+    }
+    // When the corpus exceeds the 10k-token budget, at least one
+    // language must be genuinely subsampled (rate < 1); a corpus
+    // smaller than the budget caps every rate at exactly 1.
+    import org.apache.spark.sql.functions._
+    val totTok = Tables.documents(spark, sf)
+      .agg(sum(size(split(trim(col("text")), "\\s+")))).collect()(0).getLong(0)
+    if (totTok > 10000L)
+      assert(rows.exists(_.getAs[Long]("rate_e6") < 1000000L))
+    else
+      assert(rows.forall(_.getAs[Long]("rate_e6") == 1000000L))
+  }
+
+  test("count-min estimates always dominate exact counts (one-sided error)") {
+    val rows = SparkEntry.queries("qn28_countmin_hitters")(spark, sf).collect()
+    assert(rows.length == 20)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("est_cnt") >= r.getAs[Long]("exact_cnt"),
+        s"CMS underestimated ${r.getAs[String]("term")}")
+    }
+    // Ranked descending by exact count.
+    val cnts = rows.sortBy(_.getAs[Long]("rnk")).map(_.getAs[Long]("exact_cnt"))
+    assert(cnts.sliding(2).forall(p => p(0) >= p(1)))
+  }
+
+  test("LM surprise is >= 1e6 (a bigram is never more frequent than its prefix)") {
+    val rows = SparkEntry.queries("qt10_lm_surprise")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getAs[Long]("avg_surprise_e6") >= 1000000L))
+  }
+
   test("record linkage: blocked on suffix bucket, verified by levenshtein") {
     val rows = SparkEntry.queries("qn27_record_linkage")(spark, sf).collect()
     assert(rows.nonEmpty)

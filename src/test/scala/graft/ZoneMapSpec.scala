@@ -1,0 +1,54 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.ZoneMap
+
+class ZoneMapSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def mkLake(): (String, String) = {
+    val base = Files.createTempDirectory("zonemap").toString
+    val dataDir = s"$base/orders"
+    // Range-partitioned write: each of the 8 files holds a disjoint
+    // o_orderkey range, so zones are tight and a narrow predicate
+    // should touch few files.
+    Tables.orders(spark, sf)
+      .repartitionByRange(8, col("o_orderkey"))
+      .write.parquet(dataDir)
+    ZoneMap.writeStats(spark, dataDir, s"$base/stats", Seq("o_orderkey"))
+    (dataDir, s"$base/stats")
+  }
+
+  test("pruned scan reads a strict subset of files with identical results") {
+    val (dataDir, statsPath) = mkLake()
+    val full = spark.read.parquet(dataDir)
+      .filter(col("o_orderkey") >= 100L && col("o_orderkey") <= 140L)
+      .collect().map(_.getAs[Long]("o_orderkey")).sorted.toSeq
+    val pruned = ZoneMap.prunedScan(spark, dataDir, statsPath, "o_orderkey", 100L, 140L)
+    assert(pruned.nFilesTotal == 8)
+    assert(pruned.nFilesRead < pruned.nFilesTotal, "no files were skipped")
+    assert(pruned.nFilesRead >= 1)
+    val got = pruned.df.collect().map(_.getAs[Long]("o_orderkey")).sorted.toSeq
+    assert(got == full)
+  }
+
+  test("a predicate outside every zone reads zero files and zero rows") {
+    val (dataDir, statsPath) = mkLake()
+    val pruned = ZoneMap.prunedScan(spark, dataDir, statsPath, "o_orderkey",
+      Long.MaxValue - 10, Long.MaxValue)
+    assert(pruned.nFilesRead == 0)
+    assert(pruned.df.count() == 0)
+    // Schema survives the empty case (consumers can still bind columns).
+    assert(pruned.df.columns.contains("o_totalprice"))
+  }
+
+  test("stats carry one row per data file") {
+    val (dataDir, statsPath) = mkLake()
+    val nStats = spark.read.parquet(statsPath).count()
+    val nFiles = new java.io.File(dataDir).listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(nStats == nFiles)
+  }
+}
