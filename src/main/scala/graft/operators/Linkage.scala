@@ -50,10 +50,15 @@ object Linkage {
         .select(col("c_custkey"), col("c_name"), blk("c_name").as("blk"))
       val s = Tables.supplier(sp, dir)
         .select(col("s_suppkey"), col("s_name"), blk("s_name").as("blk"))
+      // The THRESHOLDED levenshtein (returns -1 when distance > k) runs
+      // the banded O(k*n) DP with early exit instead of the full O(n^2)
+      // table — the verify step's per-pair cost is bounded by the
+      // threshold, not the name length. Survivors carry their true
+      // distance, so the emitted lev matches the oracle's full compute.
       c.join(s, "blk")
-        .filter(levenshtein(col("c_name"), col("s_name")) <= 6)
-        .select(col("c_custkey"), col("s_suppkey"), col("c_name"), col("s_name"),
-          levenshtein(col("c_name"), col("s_name")).cast("long").as("lev"))
+        .withColumn("lev", levenshtein(col("c_name"), col("s_name"), 6).cast("long"))
+        .filter(col("lev") >= 0)
+        .select(col("c_custkey"), col("s_suppkey"), col("c_name"), col("s_name"), col("lev"))
         .orderBy("c_custkey", "s_suppkey")
     }
   )

@@ -517,6 +517,62 @@ object Relational {
           floor(percent_rank().over(w) * 1000000).cast("long").as("prank_e6"),
           floor(cume_dist().over(w) * 1000000).cast("long").as("cume_e6"))
         .orderBy(col("o_custkey"), col("o_orderkey"))
+    },
+
+    // FULL OUTER join — the join type E2's inner/left/semi/anti/theta
+    // set doesn't cover: monthly order activity vs monthly ship
+    // activity, keeping months present on either side only (ship months
+    // trail order months because l_shipdate = order date + lag).
+    Q("q34_full_outer",
+      """SELECT COALESCE(om.ym, lm.ym) AS ym, om.n_orders, lm.n_ships
+        |FROM (SELECT strftime(o_orderdate, '%Y-%m') AS ym, COUNT(*) AS n_orders
+        |      FROM orders GROUP BY 1) om
+        |FULL OUTER JOIN
+        |     (SELECT strftime(l_shipdate, '%Y-%m') AS ym, COUNT(*) AS n_ships
+        |      FROM lineitem GROUP BY 1) lm
+        |ON om.ym = lm.ym
+        |ORDER BY ym""".stripMargin) { (s, dir) =>
+      val om = Tables.orders(s, dir)
+        .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("o_ym"))
+        .agg(count(lit(1)).as("n_orders"))
+      val lm = Tables.lineitem(s, dir)
+        .groupBy(date_format(col("l_shipdate"), "yyyy-MM").as("l_ym"))
+        .agg(count(lit(1)).as("n_ships"))
+      om.join(lm, col("o_ym") === col("l_ym"), "full_outer")
+        .select(coalesce(col("o_ym"), col("l_ym")).as("ym"),
+          col("n_orders"), col("n_ships"))
+        .orderBy("ym")
+    },
+
+    // Date-spine gap filling — densification: hourly purchase counts
+    // over the COMPLETE hour spine of the events table, missing hours
+    // materialized as zeros (trainers and forecasters need dense series;
+    // a groupBy alone silently drops empty buckets — purchases cover
+    // only ~93% of hours). The spine is sequence(min, max, 1 hour) from
+    // one scalar aggregate — generated, never scanned; the left join is
+    // a tiny broadcast of counts onto the spine.
+    Q("q35_gap_fill",
+      """WITH b AS (SELECT date_trunc('hour', MIN(ts)) AS lo,
+        |                  date_trunc('hour', MAX(ts)) AS hi FROM events),
+        |spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h FROM b),
+        |c AS (SELECT date_trunc('hour', ts) AS h, COUNT(*) AS n
+        |      FROM events WHERE event_type = 'purchase' GROUP BY 1)
+        |SELECT strftime(spine.h, '%Y-%m-%d %H:00:00') AS hour_start,
+        |       CAST(COALESCE(c.n, 0) AS BIGINT) AS n_purchases
+        |FROM spine LEFT JOIN c ON spine.h = c.h
+        |ORDER BY hour_start""".stripMargin) { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val spine = ev
+        .agg(date_trunc("hour", min(col("ts"))).as("lo"),
+          date_trunc("hour", max(col("ts"))).as("hi"))
+        .select(explode(sequence(col("lo"), col("hi"), expr("INTERVAL 1 HOUR"))).as("h"))
+      val c = ev.filter(col("event_type") === "purchase")
+        .groupBy(date_trunc("hour", col("ts")).as("ch"))
+        .agg(count(lit(1)).as("n"))
+      spine.join(c, col("h") === col("ch"), "left")
+        .select(date_format(col("h"), "yyyy-MM-dd HH:00:00").as("hour_start"),
+          coalesce(col("n"), lit(0L)).as("n_purchases"))
+        .orderBy("hour_start")
     }
   )
 }

@@ -112,6 +112,29 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("q34 full outer keeps unmatched months and loses no counts") {
+    val rows = SparkEntry.queries("q34_full_outer")(spark, sf).collect()
+    assert(rows.forall(!_.isNullAt(0))) // ym always coalesces
+    // Ship months trail order months, so at least one side must be null
+    // somewhere.
+    assert(rows.exists(r => r.isNullAt(1) || r.isNullAt(2)))
+    val nOrders = rows.filter(!_.isNullAt(1)).map(_.getAs[Long]("n_orders")).sum
+    val nShips = rows.filter(!_.isNullAt(2)).map(_.getAs[Long]("n_ships")).sum
+    assert(nOrders == Tables.orders(spark, sf).count())
+    assert(nShips == Tables.lineitem(spark, sf).count())
+  }
+
+  test("q35 gap fill emits a dense hour spine with explicit zeros") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q35_gap_fill")(spark, sf).collect()
+    val hours = rows.map(_.getAs[String]("hour_start"))
+    assert(hours.toSeq == hours.toSeq.sorted && hours.distinct.length == hours.length)
+    val purchases = Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase").count()
+    assert(rows.map(_.getAs[Long]("n_purchases")).sum == purchases)
+    assert(rows.exists(_.getAs[Long]("n_purchases") == 0L), "no gaps were filled")
+  }
+
   test("entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
