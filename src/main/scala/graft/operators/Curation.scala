@@ -327,6 +327,33 @@ object Curation {
         .orderBy("comp")
     },
 
+    // Curriculum ordering — the trainer-facing ordering between qn22's
+    // uniform shuffle and a raw sort: documents are served short-to-long
+    // (the classic length curriculum; any integer difficulty signal
+    // slots into `band`), deterministically shuffled WITHIN each band by
+    // the same Knuth coin as qn22, then cut into fixed-size batches.
+    // The global position comes from the distributed-rank pattern
+    // (range partition on (band, hsh) + per-partition row_number +
+    // O(#partitions) offsets) — no unpartitioned window anywhere.
+    Q("qp05_curriculum",
+      """WITH h AS (SELECT doc_id, LEAST(2, n_chars // 200) AS band,
+        |                  (doc_id * 2654435761) % 1000003 AS hsh
+        |           FROM documents),
+        |r AS (SELECT doc_id, band, hsh,
+        |             ROW_NUMBER() OVER (ORDER BY band, hsh, doc_id) AS pos FROM h)
+        |SELECT doc_id, band, pos, (pos - 1) // 32 AS batch
+        |FROM r ORDER BY pos""".stripMargin) { (s, dir) =>
+      val hashed = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          least(lit(2L), expr("n_chars div 200")).as("band"),
+          ((col("doc_id") * lit(2654435761L)) % 1000003L).as("hsh"))
+      val (ranked, _) = Dedup.globalRanks(hashed, col("band"), col("hsh"), col("doc_id"))
+      ranked
+        .select(col("doc_id"), col("band"), col("gpos").as("pos"))
+        .withColumn("batch", expr("(pos - 1) div 32"))
+        .orderBy("pos")
+    },
+
     // Dedup audit report — the cluster-size histogram a pipeline owner
     // reads before trusting a threshold: how many near-dup clusters of
     // each size exist, how many documents they hold, and how many are

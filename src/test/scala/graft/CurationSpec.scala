@@ -180,4 +180,23 @@ class CurationSpec extends AnyFunSuite {
     val nClusters = audit.map(_.getAs[Long]("n_clusters")).sum
     assert(audit.map(_.getAs[Long]("n_redundant")).sum == nDocs - nClusters)
   }
+
+  test("qp05 curriculum is a band-monotone permutation with full batches") {
+    val rows = SparkEntry.queries("qp05_curriculum")(spark, sf).collect()
+    val n = Tables.documents(spark, sf).count()
+    // Positions are a permutation of 1..n.
+    assert(rows.map(_.getAs[Long]("pos")).sorted.toSeq == (1L to n).toSeq)
+    // Bands never decrease along the curriculum (short-to-long serving).
+    val byPos = rows.sortBy(_.getAs[Long]("pos"))
+    val bands = byPos.map(_.getAs[Long]("band"))
+    assert(bands.sliding(2).forall(p => p(0) <= p(1)))
+    // Every batch except the last is exactly 32 documents.
+    val sizes = byPos.groupBy(_.getAs[Long]("batch")).toSeq.sortBy(_._1).map(_._2.length)
+    assert(sizes.init.forall(_ == 32))
+    // And qn22's shuffle actually reorders within bands: doc_ids within
+    // a band are not served in ascending id order.
+    val firstBand = byPos.filter(_.getAs[Long]("band") == bands.head)
+      .map(_.getAs[Long]("doc_id"))
+    assert(firstBand.toSeq != firstBand.sorted.toSeq)
+  }
 }
