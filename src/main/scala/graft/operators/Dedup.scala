@@ -806,7 +806,16 @@ object Dedup {
     * until fixpoint, checkpointing each round so lineage stays flat.
     * Iterations = component diameter. Shared by qn17 and the canonical-
     * selection composition (qp02). */
-  private[graft] def componentLabels(s: SparkSession, dir: String): DataFrame = {
+  /** Near-dup component labels (min-label propagation to fixpoint),
+    * memoized per (session, dir) under tag "components": qn17, qp02 and
+    * qp04 all consume the identical labels, and the propagation loop is
+    * the expensive part — within a session it's a materialized view.
+    * Bench clears this tag before each qn17 rep so the measurement
+    * stays a cold propagation over warm pair inputs. */
+  private[graft] def componentLabels(s: SparkSession, dir: String): DataFrame =
+    memoized("components", s, dir, 0, 0)(componentLabelsBuild(s, dir))
+
+  private def componentLabelsBuild(s: SparkSession, dir: String): DataFrame = {
     val pairs = memoized("simhash", s, dir, 0, 0)(simhashNearPairs(s, dir))
       .select(col("doc_a"), col("doc_b"))
     val edges = pairs.unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))

@@ -181,6 +181,21 @@ class CurationSpec extends AnyFunSuite {
     assert(audit.map(_.getAs[Long]("n_redundant")).sum == nDocs - nClusters)
   }
 
+  test("component labels are a memoized view within a session") {
+    graft.operators.Dedup.clearMemo(spark, "components")
+    val a = graft.operators.Dedup.componentLabels(spark, sf)
+    val b = graft.operators.Dedup.componentLabels(spark, sf)
+    assert(a eq b, "second call re-ran the propagation loop")
+    // Read the memoized frame BEFORE eviction — clearing the tag
+    // unpersists its checkpoint blocks (that's the point of eviction).
+    val before = a.collect().map(_.toString).sorted.toSeq
+    graft.operators.Dedup.clearMemo(spark, "components")
+    val c = graft.operators.Dedup.componentLabels(spark, sf)
+    assert(!(a eq c), "tag eviction did not invalidate the memo")
+    // And the rebuild is deterministic.
+    assert(c.collect().map(_.toString).sorted.toSeq == before)
+  }
+
   test("qp05 curriculum is a band-monotone permutation with full batches") {
     val rows = SparkEntry.queries("qp05_curriculum")(spark, sf).collect()
     val n = Tables.documents(spark, sf).count()
