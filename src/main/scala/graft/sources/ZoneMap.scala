@@ -52,9 +52,13 @@ object ZoneMap {
       .filter(col(s"min_$column") <= lit(hi) && col(s"max_$column") >= lit(lo))
       .select("file").collect().map(_.getString(0))
     val rowPred = col(column) >= lit(lo) && col(column) <= lit(hi)
+    // basePath keeps Hive partition columns (year=/month=) bound when
+    // reading an explicit file subset out of a partitioned lake —
+    // without it, Spark drops the directory-derived columns.
     val df =
       if (keep.isEmpty) spark.read.parquet(dataDir).where(lit(false))
-      else spark.read.parquet(keep.toIndexedSeq: _*).filter(rowPred)
+      else spark.read.option("basePath", dataDir)
+        .parquet(keep.toIndexedSeq: _*).filter(rowPred)
     Pruned(df, nTotal, keep.length)
   }
 }

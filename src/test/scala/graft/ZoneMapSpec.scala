@@ -44,6 +44,23 @@ class ZoneMapSpec extends AnyFunSuite {
     assert(pruned.df.columns.contains("o_totalprice"))
   }
 
+  test("pruned scan keeps Hive partition columns on a partitioned lake") {
+    val base = Files.createTempDirectory("zonemap_part").toString
+    val dataDir = s"$base/orders"
+    Tables.orders(spark, sf)
+      .withColumn("o_year", year(col("o_orderdate")))
+      .repartitionByRange(4, col("o_orderkey"))
+      .write.partitionBy("o_year").parquet(dataDir)
+    ZoneMap.writeStats(spark, dataDir, s"$base/stats", Seq("o_orderkey"))
+    val pruned = ZoneMap.prunedScan(spark, dataDir, s"$base/stats", "o_orderkey", 0L, 50L)
+    assert(pruned.nFilesRead < pruned.nFilesTotal)
+    // The directory-derived partition column survives the file-subset
+    // read (basePath), and its values are real.
+    val rows = pruned.df.select("o_orderkey", "o_year").collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Int]("o_year") >= 1992))
+  }
+
   test("stats carry one row per data file") {
     val (dataDir, statsPath) = mkLake()
     val nStats = spark.read.parquet(statsPath).count()
