@@ -61,6 +61,23 @@ class ZoneMapSpec extends AnyFunSuite {
     assert(rows.forall(_.getAs[Int]("o_year") >= 1992))
   }
 
+  test("pruning is lossless across seeded-random predicate ranges") {
+    val (dataDir, statsPath) = mkLake()
+    val full = spark.read.parquet(dataDir).select("o_orderkey")
+      .collect().map(_.getLong(0)).sorted
+    val rnd = new scala.util.Random(42)
+    val maxKey = full.last
+    (1 to 12).foreach { _ =>
+      val a = rnd.nextLong().abs % (maxKey + 1)
+      val b = rnd.nextLong().abs % (maxKey + 1)
+      val (lo, hi) = (math.min(a, b), math.max(a, b))
+      val pruned = ZoneMap.prunedScan(spark, dataDir, statsPath, "o_orderkey", lo, hi)
+      val got = pruned.df.select("o_orderkey").collect().map(_.getLong(0)).sorted.toSeq
+      val want = full.filter(k => k >= lo && k <= hi).toSeq
+      assert(got == want, s"range [$lo,$hi] diverged")
+    }
+  }
+
   test("stats carry one row per data file") {
     val (dataDir, statsPath) = mkLake()
     val nStats = spark.read.parquet(statsPath).count()
