@@ -38,6 +38,45 @@ object ZoneMap {
       .write.mode("overwrite").parquet(statsPath)
   }
 
+  /** Incremental refresh: scan ONLY files not yet covered by the stats
+    * table and append their zones. This is the maintenance call a
+    * streaming ingest (or any appender) makes after each batch — cost
+    * is O(new data), never a lake rescan; the listing itself is
+    * manifest-class driver work. Idempotent: a second call with no new
+    * files appends nothing. Returns the number of newly covered files. */
+  def refreshStats(spark: SparkSession, dataDir: String, statsPath: String,
+                   cols: Seq[String]): Long = {
+    import org.apache.hadoop.fs.Path
+    // Scheme-insensitive identity: input_file_name() renders file:///p,
+    // the FS listing file:/p — compare by path only.
+    def norm(s: String) = new Path(s).toUri.getPath
+    val fs = new Path(dataDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val listing = {
+      val it = fs.listFiles(new Path(dataDir), true)
+      val b = Seq.newBuilder[String]
+      while (it.hasNext) {
+        val p = it.next().getPath
+        if (p.getName.endsWith(".parquet")) b += p.toString
+      }
+      b.result()
+    }
+    val known: Set[String] =
+      if (!fs.exists(new Path(statsPath))) Set.empty
+      else spark.read.parquet(statsPath).select("file")
+        .collect().map(r => norm(r.getString(0))).toSet
+    val newFiles = listing.filterNot(f => known(norm(f)))
+    if (newFiles.nonEmpty) {
+      val aggs = cols.flatMap(c =>
+        Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+      spark.read.option("basePath", dataDir).parquet(newFiles: _*)
+        .groupBy(input_file_name().as("file"))
+        .agg(aggs.head, aggs.tail: _*)
+        .coalesce(1)
+        .write.mode("append").parquet(statsPath)
+    }
+    newFiles.size.toLong
+  }
+
   /** A scan result plus its pruning accounting. */
   final case class Pruned(df: DataFrame, nFilesTotal: Long, nFilesRead: Long)
 

@@ -78,6 +78,33 @@ class ZoneMapSpec extends AnyFunSuite {
     }
   }
 
+  test("incremental refresh covers only new files and stays lossless") {
+    val base = Files.createTempDirectory("zonemap_incr").toString
+    val dataDir = s"$base/orders"
+    val orders = Tables.orders(spark, sf)
+    // Batch 1: the first half of the key space, then a cold refresh.
+    orders.filter(col("o_orderkey") < 750L)
+      .repartitionByRange(4, col("o_orderkey")).write.parquet(dataDir)
+    assert(ZoneMap.refreshStats(spark, dataDir, s"$base/stats", Seq("o_orderkey")) == 4L)
+    // Batch 2 appends; refresh must cover exactly the new files.
+    orders.filter(col("o_orderkey") >= 750L)
+      .repartitionByRange(4, col("o_orderkey"))
+      .write.mode("append").parquet(dataDir)
+    assert(ZoneMap.refreshStats(spark, dataDir, s"$base/stats", Seq("o_orderkey")) == 4L)
+    // Idempotent: nothing new, nothing appended.
+    assert(ZoneMap.refreshStats(spark, dataDir, s"$base/stats", Seq("o_orderkey")) == 0L)
+    val nStats = spark.read.parquet(s"$base/stats").count()
+    assert(nStats == 8L)
+    // Pruning over the incrementally built stats is still exact, and a
+    // second-batch-only range skips every batch-1 file.
+    val pruned = ZoneMap.prunedScan(spark, dataDir, s"$base/stats", "o_orderkey", 800L, 900L)
+    assert(pruned.nFilesTotal == 8L && pruned.nFilesRead <= 4L)
+    val got = pruned.df.select("o_orderkey").collect().map(_.getLong(0)).sorted.toSeq
+    val want = orders.filter(col("o_orderkey").between(800L, 900L))
+      .select("o_orderkey").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == want)
+  }
+
   test("stats carry one row per data file") {
     val (dataDir, statsPath) = mkLake()
     val nStats = spark.read.parquet(statsPath).count()
