@@ -84,13 +84,24 @@ object ZoneMap {
     * The row-level predicate is re-applied, so the result is identical
     * to a full scan + filter; only the I/O differs. */
   def prunedScan(spark: SparkSession, dataDir: String, statsPath: String,
-                 column: String, lo: Any, hi: Any): Pruned = {
+                 column: String, lo: Any, hi: Any): Pruned =
+    prunedScanAll(spark, dataDir, statsPath, Seq((column, lo, hi)))
+
+  /** Conjunctive multi-column pruning: a file survives only if EVERY
+    * predicate's zone overlaps — pruning power multiplies across
+    * independent columns. Same losslessness argument per conjunct. */
+  def prunedScanAll(spark: SparkSession, dataDir: String, statsPath: String,
+                    preds: Seq[(String, Any, Any)]): Pruned = {
+    require(preds.nonEmpty, "at least one (column, lo, hi) predicate")
     val stats = spark.read.parquet(statsPath)
     val nTotal = stats.count()
-    val keep = stats
-      .filter(col(s"min_$column") <= lit(hi) && col(s"max_$column") >= lit(lo))
-      .select("file").collect().map(_.getString(0))
-    val rowPred = col(column) >= lit(lo) && col(column) <= lit(hi)
+    val zonePred = preds.map { case (c, lo, hi) =>
+      col(s"min_$c") <= lit(hi) && col(s"max_$c") >= lit(lo)
+    }.reduce(_ && _)
+    val keep = stats.filter(zonePred).select("file").collect().map(_.getString(0))
+    val rowPred = preds.map { case (c, lo, hi) =>
+      col(c) >= lit(lo) && col(c) <= lit(hi)
+    }.reduce(_ && _)
     // basePath keeps Hive partition columns (year=/month=) bound when
     // reading an explicit file subset out of a partitioned lake —
     // without it, Spark drops the directory-derived columns.

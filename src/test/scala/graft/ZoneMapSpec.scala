@@ -108,6 +108,26 @@ class ZoneMapSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("conjunctive pruning is lossless and at least as selective as one column") {
+    val base = Files.createTempDirectory("zonemap_multi").toString
+    val dataDir = s"$base/orders"
+    Tables.orders(spark, sf)
+      .repartitionByRange(8, col("o_orderkey"))
+      .write.parquet(dataDir)
+    ZoneMap.writeStats(spark, dataDir, s"$base/stats",
+      Seq("o_orderkey", "o_custkey"))
+    val one = ZoneMap.prunedScan(spark, dataDir, s"$base/stats",
+      "o_orderkey", 100L, 400L)
+    val both = ZoneMap.prunedScanAll(spark, dataDir, s"$base/stats",
+      Seq(("o_orderkey", 100L, 400L), ("o_custkey", 0L, 40L)))
+    assert(both.nFilesRead <= one.nFilesRead)
+    val got = both.df.select("o_orderkey").collect().map(_.getLong(0)).sorted.toSeq
+    val want = spark.read.parquet(dataDir)
+      .filter(col("o_orderkey").between(100L, 400L) && col("o_custkey").between(0L, 40L))
+      .select("o_orderkey").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == want && got.nonEmpty)
+  }
+
   test("stats carry one row per data file") {
     val (dataDir, statsPath) = mkLake()
     val nStats = spark.read.parquet(statsPath).count()
