@@ -39,6 +39,13 @@ object Curation {
     * on the synthetic embeddings, whose cosine mass sits below 0.6. */
   private val semThresholdE6 = 350000L
 
+  /** qn23's frequent-gram document-frequency cap: an 8-gram appearing in
+    * more than this many documents is treated as boilerplate and dropped
+    * before the positional self-join (f docs sharing a gram emit ~f^2
+    * candidate rows on one join key). Recall-changing, documented knob;
+    * mirrored verbatim in the DuckDB oracle. */
+  private[operators] val gramDfCap = 64L
+
   private def cosE6Sql(a: String, b: String, an: String, bn: String) =
     sqlE6(s"${sqlDot(a, b)} / ($an * $bn)")
 
@@ -83,11 +90,19 @@ object Curation {
     // >= the threshold. Emits per-cluster keep/drop accounting. The
     // oracle replays the identical deterministic pipeline: e6-integer
     // assignment scores with cent_id tie-breaks, integer threshold.
+    // The centroid count is DERIVED from the measured corpus size,
+    // k = max(8, ceil(sqrt(n))) — SemDeDup's regime, keeping the
+    // within-cluster pair work ~n per cluster-member instead of
+    // (n/k_fixed)^2: 100x the corpus means 10x the clusters, so the
+    // per-cluster candidate count stays ~sqrt-bounded. IEEE sqrt is
+    // correctly rounded, so both engines compute the identical k.
     Q("qn20_semantic_dedup",
       s"""WITH v AS (SELECT vec_id, embedding, ${sqlL2norm("embedding")} AS nrm FROM embeddings),
-         |st AS (SELECT GREATEST(1, COUNT(*) // 8) AS stride FROM v),
+         |st AS (SELECT GREATEST(8, CAST(CEIL(SQRT(COUNT(*))) AS BIGINT)) AS k,
+         |              GREATEST(1, COUNT(*) // GREATEST(8, CAST(CEIL(SQRT(COUNT(*))) AS BIGINT))) AS stride
+         |       FROM v),
          |cents AS (SELECT vec_id AS cent_id, embedding AS ce, nrm AS cn FROM v, st
-         |          WHERE vec_id % stride = 0 AND vec_id < stride * 8),
+         |          WHERE vec_id % stride = 0 AND vec_id < stride * k),
          |asg AS (SELECT vec_id, embedding, nrm, cent_id FROM (
          |          SELECT v.vec_id, v.embedding, v.nrm, c.cent_id,
          |                 ROW_NUMBER() OVER (PARTITION BY v.vec_id
@@ -105,9 +120,10 @@ object Curation {
       val v = Tables.embeddings(s, dir)
         .select(col("vec_id"), col("embedding"), l2normNative(col("embedding")).as("nrm"))
       val st = v.agg(count(lit(1)).as("n_vec"))
-        .select(greatest(lit(1L), expr("n_vec div 8")).as("stride"))
+        .select(col("n_vec"), greatest(lit(8L), ceil(sqrt(col("n_vec")))).as("k"))
+        .select(greatest(lit(1L), expr("n_vec div k")).as("stride"), col("k"))
       val cents = v.crossJoin(st)
-        .filter(col("vec_id") % col("stride") === 0 && col("vec_id") < col("stride") * 8)
+        .filter(col("vec_id") % col("stride") === 0 && col("vec_id") < col("stride") * col("k"))
         .select(col("vec_id").as("cent_id"), col("embedding").as("ce"), col("nrm").as("cn"))
       val wA = Window.partitionBy(col("vec_id"))
         .orderBy(col("cscore").desc, col("cent_id").asc)
@@ -237,10 +253,13 @@ object Curation {
     // consecutive pa form one shared substring, so grouping by
     // (pair, diagonal, pa - row_number) counts each run's length.
     // Every shuffle is keyed (gram join, island groupBy) — no cross
-    // join; frequent-gram skew is the known hazard at scale (drop or
-    // sample grams with document frequency above a cap — changes
-    // recall, standard practice, same escape hatch as the LSH bucket
-    // cap).
+    // join. Frequent-gram skew is capped: grams whose DOCUMENT frequency
+    // exceeds [[gramDfCap]] (boilerplate headers, license blurbs) are
+    // dropped before the self-join — a gram in f documents emits ~f^2
+    // candidate rows on ONE join key, so without the cap a single
+    // boilerplate gram is both the skew hot-spot and a quadratic pair
+    // emitter. Recall-changing but standard (same escape hatch as the
+    // LSH bucket cap); the oracle applies the identical predicate.
     Q("qn23_substring_spans", {
       val toks = sqlTokens("text")
       val parts = (0 until 8).map(o => s"tk[i + $o]").mkString(", ")
@@ -248,8 +267,10 @@ object Curation {
          |g AS (SELECT doc_id, u.pos AS pos, u.gram AS gram FROM (
          |      SELECT doc_id, unnest([{'pos': i, 'gram': concat_ws(' ', $parts)}
          |                             for i in range(1, len(tk) - 6)]) AS u FROM t)),
+         |hot AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(DISTINCT doc_id) > $gramDfCap),
+         |gf AS (SELECT * FROM g WHERE gram NOT IN (SELECT gram FROM hot)),
          |m AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa, b.pos AS pb
-         |      FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id),
+         |      FROM gf a JOIN gf b ON a.gram = b.gram AND a.doc_id < b.doc_id),
          |i AS (SELECT doc_a, doc_b, pa,
          |             pa - ROW_NUMBER() OVER (PARTITION BY doc_a, doc_b, pa - pb
          |                                     ORDER BY pa) AS grp,
@@ -276,9 +297,16 @@ object Curation {
         i => concat_ws(" ", (0 until 8).map(o => element_at(col("tk"), i + o)): _*))
       val g = tk.select(col("doc_id"), posexplode(gramAt).as(Seq("p0", "gram")))
         .select(col("doc_id"), (col("p0") + 1).as("pos"), col("gram"))
-      val nGrams = g.count() // size probe for the join-strategy choice
-      val m = g.select(col("doc_id").as("doc_a"), col("pos").as("pa"), col("gram"))
-        .join(Dedup.sized(s, g.select(col("doc_id").as("doc_b"),
+      // Frequent-gram cap: the hot set is at most |gram rows| / cap grams
+      // (each needs > cap distinct docs), so it stays anti-joinable — AQE
+      // broadcasts it at runtime. The corpus side never shuffles for the
+      // filter; the capped frame then feeds both self-join sides.
+      val hot = g.groupBy("gram").agg(countDistinct(col("doc_id")).as("df"))
+        .filter(col("df") > gramDfCap).select("gram")
+      val gf = g.join(hot, Seq("gram"), "left_anti")
+      val nGrams = gf.count() // size probe for the join-strategy choice
+      val m = gf.select(col("doc_id").as("doc_a"), col("pos").as("pa"), col("gram"))
+        .join(Dedup.sized(s, gf.select(col("doc_id").as("doc_b"),
           col("pos").as("pb"), col("gram")), nGrams), "gram")
         .filter(col("doc_a") < col("doc_b"))
       val wDiag = Window.partitionBy(col("doc_a"), col("doc_b"), col("diag"))

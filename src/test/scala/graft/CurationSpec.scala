@@ -20,6 +20,33 @@ class CurationSpec extends AnyFunSuite {
     assert(total == Tables.embeddings(spark, sf).count())
   }
 
+  test("qn20 centroid count grows ~sqrt(N): 4x rows => 2x clusters, bounded cluster sizes") {
+    import spark.implicits._
+    // Unit vectors on a circle: evenly-spread angles make the stride-
+    // seeded centroids evenly spaced too, so nearest-centroid clusters
+    // are balanced and sizes are checkable against N/k.
+    def write(n: Int): String = {
+      val dir = java.nio.file.Files.createTempDirectory(s"graft_qn20_k$n").toString
+      (0 until n).map { i =>
+        val th = 2.0 * math.Pi * i / n
+        (i.toLong, Array(math.cos(th).toFloat, math.sin(th).toFloat), 0)
+      }.toDF("vec_id", "embedding", "label").write.parquet(s"$dir/embeddings.parquet")
+      dir
+    }
+    def clusters(n: Int): Array[org.apache.spark.sql.Row] =
+      SparkEntry.queries("qn20_semantic_dedup")(spark, write(n)).collect()
+    val small = clusters(256) // k = max(8, ceil(sqrt(256))) = 16
+    val big = clusters(1024)  // k = 32
+    assert(small.length == 16, s"expected 16 clusters at n=256, got ${small.length}")
+    assert(big.length == 32, s"expected 32 clusters at n=1024, got ${big.length}")
+    // Per-cluster candidate work stays bounded: no cluster balloons past
+    // a small multiple of the N/k average (the quadratic-per-cluster
+    // hazard the sqrt(N) regime exists to prevent).
+    assert(big.map(_.getAs[Long]("n_vecs")).max <= 2L * 1024 / 32,
+      "a cluster exceeded 2x the balanced size on an evenly-spread corpus")
+    assert(big.map(_.getAs[Long]("n_vecs")).sum == 1024L)
+  }
+
   test("qn21 bloom gate is lossless: identical results to the exact-only join") {
     // The registered query (bloom prefilter + exact verify) must emit
     // exactly what the exact join alone emits — the sketch may only
