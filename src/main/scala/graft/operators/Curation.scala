@@ -39,6 +39,32 @@ object Curation {
     * on the synthetic embeddings, whose cosine mass sits below 0.6. */
   private val semThresholdE6 = 350000L
 
+  /** qn20's centroid-seed rule — THE one definition, shared by the batch
+    * query, its DuckDB oracle (same formula in SQL), and the streaming
+    * parity spec (StreamSemanticSpec): k = max(8, ceil(sqrt(n)))
+    * stride-spaced seeds, stride = max(1, n/k). IEEE sqrt is correctly
+    * rounded and ceil/floor-div are exact, so the JVM, Spark SQL, and
+    * DuckDB all derive the identical (stride, k) from the same count. */
+  private[graft] def centroidSeeds(n: Long): (Long, Long) = {
+    val k = math.max(8L, math.ceil(math.sqrt(n.toDouble)).toLong)
+    (math.max(1L, n / k), k)
+  }
+
+  /** Byte budget for qn20's centroid broadcast. k grows ~sqrt(N), so at
+    * corpus scale the centroid table is NOT automatically broadcast-safe
+    * (1e6 centroids x 768 dims ~ 3 GB); over the budget, assignment runs
+    * in centroid chunks instead (see qn20). Conf-overridable so the
+    * chunked path is testable at spec scale. */
+  private def centroidBudgetBytes(s: SparkSession): Long =
+    s.conf.getOption("spark.graft.semdedup.centroidBroadcastMaxBytes")
+      .map(_.toLong).getOrElse(300L * 1024 * 1024)
+
+  /** Chunk count of the most recent qn20 assignment — a test probe
+    * (CurationSpec): the chunk Union collapses behind the assignment
+    * checkpoint's LogicalRDD, so the physical choice is not visible in
+    * the final plan. */
+  @volatile private[graft] var lastAssignChunks: Long = 0L
+
   /** qn23's frequent-gram document-frequency cap: an 8-gram appearing in
     * more than this many documents is treated as boilerplate and dropped
     * before the positional self-join (f docs sharing a gram emit ~f^2
@@ -119,22 +145,49 @@ object Curation {
          |GROUP BY asg.cent_id ORDER BY cent_id""".stripMargin) { (s, dir) =>
       val v = Tables.embeddings(s, dir)
         .select(col("vec_id"), col("embedding"), l2normNative(col("embedding")).as("nrm"))
-      val st = v.agg(count(lit(1)).as("n_vec"))
-        .select(col("n_vec"), greatest(lit(8L), ceil(sqrt(col("n_vec")))).as("k"))
-        .select(greatest(lit(1L), expr("n_vec div k")).as("stride"), col("k"))
-      val cents = v.crossJoin(st)
-        .filter(col("vec_id") % col("stride") === 0 && col("vec_id") < col("stride") * col("k"))
+      // One stats probe drives every driver-side decision: the seed rule
+      // (stride, k), the centroid byte gate, and the pair-join side gate.
+      val stats = v.agg(count(lit(1)), max(size(col("embedding")))).head
+      val nV = stats.getLong(0)
+      val dim = if (stats.isNullAt(1)) 0 else stats.getInt(1)
+      val (stride, k) = centroidSeeds(nV)
+      val rowBytes = 48L + 8L * dim
+      val cents0 = v
+        .filter(col("vec_id") % stride === 0 && col("vec_id") < stride * k)
         .select(col("vec_id").as("cent_id"), col("embedding").as("ce"), col("nrm").as("cn"))
-      val wA = Window.partitionBy(col("vec_id"))
-        .orderBy(col("cscore").desc, col("cent_id").asc)
-      // Assignment: centroids broadcast (k rows), scoring map-side, one
-      // row_number window. Checkpointed: feeds both pair-join sides and
-      // the final accounting (3 subtrees).
-      val asg = v.join(broadcast(cents), expr("true"))
-        .select(col("vec_id"), col("embedding"), col("nrm"), col("cent_id"),
-          e6(cosine(dotNative(col("ce"), col("embedding")), col("cn"), col("nrm"))).as("cscore"))
-        .withColumn("rn", row_number().over(wA)).filter(col("rn") === 1)
-        .select(col("vec_id"), col("embedding"), col("nrm"), col("cent_id"))
+      // Assignment: centroids ride map-side (the batch `broadcast(cents)`
+      // shape) — but k grows ~sqrt(N), so the broadcast is BYTE-gated
+      // like every other wide side here: over the budget, the centroid
+      // table splits into under-budget cent_id-range chunks, each chunk
+      // broadcasts and scores map-side, and the cross-chunk argmax is a
+      // partial-aggregating groupBy (all of one vector's candidates are
+      // co-located within a chunk's scan, so the map-side combine
+      // reduces each partition to one row per vec_id BEFORE the
+      // exchange — an N-row shuffle, not N*k). True SemDeDup scale
+      // (k ~ 1e6) would swap brute force for ANN assignment (qn10's IVF
+      // shape); chunking keeps exact assignment correct and driver-safe
+      // far past the single-broadcast ceiling.
+      val nChunks = math.max(1L, math.ceil(k * rowBytes / centroidBudgetBytes(s).toDouble).toLong)
+      lastAssignChunks = nChunks
+      val cents = if (nChunks > 1) cents0.localCheckpoint(true) else cents0
+      val perChunk = (k + nChunks - 1) / nChunks
+      val scored = (0L until nChunks).map { i =>
+        val chunk = cents.filter(col("cent_id") >= i * perChunk * stride &&
+          col("cent_id") < math.min(k, (i + 1) * perChunk) * stride)
+        v.join(broadcast(chunk), expr("true"))
+          .select(col("vec_id"), col("embedding"), col("nrm"), col("cent_id"),
+            e6(cosine(dotNative(col("ce"), col("embedding")), col("cn"), col("nrm"))).as("cscore"))
+      }.reduce(_ unionByName _)
+      // argmax by (cscore desc, cent_id asc) — max(struct) with negated
+      // cent_id; embedding/nrm ride along (compared only on full ties,
+      // i.e. between identical rows). Checkpointed: feeds both pair-join
+      // sides and the final accounting (3 subtrees).
+      val asg = scored
+        .groupBy("vec_id")
+        .agg(max(struct(col("cscore"), (-col("cent_id")).as("nc"),
+          col("embedding").as("e"), col("nrm").as("n"))).as("b"))
+        .select(col("vec_id"), (-col("b.nc")).as("cent_id"),
+          col("b.e").as("embedding"), col("b.n").as("nrm"))
         .localCheckpoint(true)
       // Within-cluster pairs: equi-join on cent_id, measured-size side
       // strategy (broadcast under the caps, shuffled-hash on cent_id over
@@ -144,9 +197,6 @@ object Curation {
       // the broadcast budget ("keys travel, payloads rejoin" does not
       // apply here — the payload IS the join's verify input, so over the
       // budget the vectors ride one cent_id exchange instead).
-      val stats = asg.agg(count(lit(1)), max(size(col("embedding")))).head
-      val nV = stats.getLong(0)
-      val dim = if (stats.isNullAt(1)) 0 else stats.getInt(1)
       val right = Dedup.sizedWide(s, asg.select(col("vec_id").as("vec_b"),
         col("embedding").as("eb"), col("nrm").as("nb"), col("cent_id")), nV, 48L + 8L * dim)
       val drp = asg.select(col("vec_id").as("vec_a"),
@@ -297,13 +347,17 @@ object Curation {
         i => concat_ws(" ", (0 until 8).map(o => element_at(col("tk"), i + o)): _*))
       val g = tk.select(col("doc_id"), posexplode(gramAt).as(Seq("p0", "gram")))
         .select(col("doc_id"), (col("p0") + 1).as("pos"), col("gram"))
-      // Frequent-gram cap: the hot set is at most |gram rows| / cap grams
-      // (each needs > cap distinct docs), so it stays anti-joinable — AQE
-      // broadcasts it at runtime. The corpus side never shuffles for the
-      // filter; the capped frame then feeds both self-join sides.
+      // Frequent-gram cap: ONE aggregation shuffle of the gram frame
+      // (countDistinct keyed on gram) builds the hot set; the hot set is
+      // at most |gram rows| / cap grams (each needs > cap distinct docs),
+      // so the anti-join PROBE then broadcasts it (AQE, at runtime) and
+      // the corpus side pays no second shuffle for the filter itself.
       val hot = g.groupBy("gram").agg(countDistinct(col("doc_id")).as("df"))
         .filter(col("df") > gramDfCap).select("gram")
-      val gf = g.join(hot, Seq("gram"), "left_anti")
+      // Pinned: the capped frame feeds the size probe and BOTH self-join
+      // sides — without the barrier the gram explode and the hot-set
+      // shuffle re-execute per consumer (measured 2.5x wall on qn23).
+      val gf = g.join(hot, Seq("gram"), "left_anti").localCheckpoint(true)
       val nGrams = gf.count() // size probe for the join-strategy choice
       val m = gf.select(col("doc_id").as("doc_a"), col("pos").as("pa"), col("gram"))
         .join(Dedup.sized(s, gf.select(col("doc_id").as("doc_b"),

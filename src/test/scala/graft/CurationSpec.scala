@@ -117,6 +117,24 @@ class CurationSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.pairJoin.broadcastMaxRows")
   }
 
+  test("qn20 centroid broadcast is byte-gated: chunked assignment matches single-broadcast") {
+    def run() = SparkEntry.queries("qn20_semantic_dedup")(spark, sf)
+    // The chunk Union collapses behind the assignment checkpoint, so the
+    // physical choice is observed via the planning probe, not the plan.
+    val wholeRows = run().collect().map(_.toString).toSeq
+    assert(graft.operators.Curation.lastAssignChunks == 1L,
+      "default budget should assign against ONE broadcast centroid table")
+    try {
+      // A one-KB budget forces k*rowBytes over it -> multiple chunks.
+      spark.conf.set("spark.graft.semdedup.centroidBroadcastMaxBytes", "1024")
+      val chunkedRows = run().collect().map(_.toString).toSeq
+      assert(graft.operators.Curation.lastAssignChunks > 1L,
+        "tiny budget should split the centroid table into chunks")
+      // identical accounting either way: chunking is physical only
+      assert(chunkedRows == wholeRows)
+    } finally spark.conf.unset("spark.graft.semdedup.centroidBroadcastMaxBytes")
+  }
+
   test("qp02 per-cluster argmax plans through TopKPerGroup") {
     val p = SparkEntry.queries("qp02_canonical_selection")(spark, sf)
       .queryExecution.executedPlan.toString

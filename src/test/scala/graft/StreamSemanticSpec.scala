@@ -26,9 +26,11 @@ class StreamSemanticSpec extends AnyFunSuite {
   }
 
   private def centroids(vs: Seq[VecIn]): IndexedSeq[(Int, Seq[Float])] = {
-    // qn20's stride-seed rule
-    val stride = math.max(1L, vs.length / 8L)
-    vs.filter(v => v.vec_id % stride == 0 && v.vec_id < stride * 8)
+    // qn20's seed rule, via the ONE shared definition (k = max(8,
+    // ceil(sqrt(n))) stride seeds) — a hardcoded copy here went stale
+    // once already when qn20 moved off the fixed-8 rule.
+    val (stride, k) = graft.operators.Curation.centroidSeeds(vs.length.toLong)
+    vs.filter(v => v.vec_id % stride == 0 && v.vec_id < stride * k)
       .map(v => (v.vec_id.toInt, v.embedding)).toIndexedSeq
   }
 
