@@ -59,32 +59,38 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
-    // (name, reported seconds, max-min spread over reps)
-    val results: Seq[(String, Double, Double)] =
+    // (name, reported seconds, max-min spread over reps, min over reps).
+    // For the noisy set the MIN is the plan floor (BENCH_NOTES: same-plan
+    // sweeps move 11s <-> 17s with host load; cold minima match) — it is
+    // what separates a plan change from load noise round-over-round.
+    val results: Seq[(String, Double, Double, Double)] =
       names.map { name =>
         noisy.get(name) match {
-          case None => (name, timed(name), 0.0)
+          case None => val t = timed(name); (name, t, 0.0, t)
           case Some(tagOpt) =>
             val ts = (1 to reps).map { _ =>
               tagOpt.foreach(t => graft.operators.Dedup.clearMemo(spark, t))
               timed(name)
             }.sorted
-            (name, ts(reps / 2), ts.last - ts.head)
+            (name, ts(reps / 2), ts.last - ts.head, ts.head)
         }
       }
     def fmt(v: Double): String = f"$v%.3f"
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + fmt(v) }
+    val qs = results.map { case (k, v, _, _) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    val spread = results.filter { case (k, _, _) => noisy.contains(k) }
-      .map { case (k, _, sp) => s"\"" + k + "\":" + fmt(sp) }.mkString("{", ",", "}")
+    val noisyResults = results.filter { case (k, _, _, _) => noisy.contains(k) }
+    val spread = noisyResults
+      .map { case (k, _, sp, _) => s"\"" + k + "\":" + fmt(sp) }.mkString("{", ",", "}")
+    val mins = noisyResults
+      .map { case (k, _, _, mn) => s"\"" + k + "\":" + fmt(mn) }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"reps_noisy":$reps,"spread":$spread,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"reps_noisy":$reps,"spread":$spread,"min":$mins,"sf":"$sfDir"}""")
     // The full line above exceeds 2 KB at 70+ queries, and harness log
     // capture may keep only the output tail — repeat the headline stats
     // in a compact trailing line so the total is never truncated away.
     val slowest = results.sortBy(-_._2).take(8)
-      .map { case (k, v, _) => s"\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"slowest":$slowest,"sf":"$sfDir"}""")
+      .map { case (k, v, _, _) => s"\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"slowest":$slowest,"min_noisy":$mins,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -78,7 +78,6 @@ object Profile {
   /** One-off phase decomposition of the shingle pair query. */
   private def phasesQn03b(spark: SparkSession, dir: String): Unit = {
     import org.apache.spark.sql.functions._
-    import org.apache.spark.sql.expressions.Window
     import graft.functions.TextFns._
     def timed[A](label: String)(f: => A): A = {
       val t0 = System.nanoTime(); val r = f
@@ -95,8 +94,13 @@ object Profile {
       .select(col("doc_id"), shingles.as("toks"))
     timed("t rows")(t.count())
     timed("t explode count")(t.select(explode(col("toks"))).count())
-    val vocab = t.select(explode(col("toks")).as("tok")).distinct()
-      .withColumn("tid", row_number().over(Window.orderBy("tok")))
+    // distributed ranks (same as the registered query) — no
+    // unpartitioned window, even in diagnostics
+    val vocab = {
+      val (r, _) = graft.operators.Dedup.globalRanks(
+        t.select(explode(col("toks")).as("tok")).distinct(), col("tok"))
+      r.withColumn("tid", col("gpos").cast("int")).drop("gpos")
+    }
     timed("vocab")(vocab.count())
     val enc = t.select(col("doc_id"), explode(col("toks")).as("tok"))
       .join(broadcast(vocab), "tok")
@@ -132,7 +136,6 @@ object Profile {
   private def phasesQn03(spark: SparkSession, dir: String): Unit = {
     import org.apache.spark.sql.functions._
     import graft.functions.TextFns._
-    import org.apache.spark.sql.expressions.Window
     val t = Tables.documents(spark, dir)
       .select(col("doc_id"), tokenSet(col("text")).as("toks"))
       .withColumn("sz", size(col("toks")))
@@ -140,8 +143,13 @@ object Profile {
       val t0 = System.nanoTime(); val r = f
       println(f"  $label: ${(System.nanoTime() - t0) / 1e9}%.2f s -> $r"); r
     }
-    val vocab = t.select(explode(col("toks")).as("tok")).distinct()
-      .withColumn("tid", row_number().over(Window.orderBy("tok")))
+    // distributed ranks (same as the registered query) — no
+    // unpartitioned window, even in diagnostics
+    val vocab = {
+      val (r, _) = graft.operators.Dedup.globalRanks(
+        t.select(explode(col("toks")).as("tok")).distinct(), col("tok"))
+      r.withColumn("tid", col("gpos").cast("int")).drop("gpos")
+    }
     val enc = t.select(col("doc_id"), explode(col("toks")).as("tok"))
       .join(broadcast(vocab), "tok")
       .groupBy("doc_id")

@@ -148,8 +148,20 @@ object Dedup {
     * the join key instead of OOMing the driver. The probe is a count on
     * an already-materialized frame: the same runtime-stats trick AQE
     * plays, paid once per plan build. */
+  /** Record of every sized()/sizedWide() decision this session:
+    * (probed rows, "broadcast" | "shuffle_hash"). A diagnostics probe —
+    * the pair frames are memoized checkpoints, so the chosen join
+    * strategy is invisible in the consumer's executed plan. */
+  val sideChoices = new scala.collection.mutable.ListBuffer[(Long, String)]
+  private def choose(rows: Long, bc: Boolean): String = {
+    val c = if (bc) "broadcast" else "shuffle_hash"
+    sideChoices.synchronized { sideChoices += ((rows, c)) }
+    c
+  }
+
   private[operators] def sized(s: SparkSession, df: DataFrame, probedRows: Long): DataFrame =
-    if (probedRows <= broadcastCap(s)) broadcast(df) else df.hint("SHUFFLE_HASH")
+    if (choose(probedRows, probedRows <= broadcastCap(s)) == "broadcast") broadcast(df)
+    else df.hint("SHUFFLE_HASH")
 
   /** Byte-budget refinement of [[sized]] for PAYLOAD-WIDE sides. The row
     * cap is calibrated for ~40-byte narrow pair rows; a side carrying
@@ -160,7 +172,9 @@ object Dedup {
   private[operators] def sizedWide(
       s: SparkSession, df: DataFrame, probedRows: Long, avgRowBytes: Long): DataFrame = {
     val byteBudget = 300L * 1024 * 1024
-    if (probedRows <= broadcastCap(s) && probedRows * avgRowBytes <= byteBudget) broadcast(df)
+    if (choose(probedRows,
+        probedRows <= broadcastCap(s) && probedRows * avgRowBytes <= byteBudget) == "broadcast")
+      broadcast(df)
     else df.hint("SHUFFLE_HASH")
   }
 
@@ -172,7 +186,7 @@ object Dedup {
     * total row count (free from the offsets pass). Shared by the vocab
     * id assignment in [[jaccardPairs]] and the epoch-shuffle permutation
     * (qn22). */
-  private[operators] def globalRanks(df: DataFrame, order: Column*): (DataFrame, Long) = {
+  private[graft] def globalRanks(df: DataFrame, order: Column*): (DataFrame, Long) = {
     val ranked = df
       .repartitionByRange(order: _*)
       .withColumn("pid", spark_partition_id())

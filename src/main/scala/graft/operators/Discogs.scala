@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Q
-import graft.sources.{DiscogsLake, DiscogsXml, Manifest}
+import graft.sources.{DiscogsLake, DiscogsXml, Manifest, ZoneMap}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -182,6 +182,44 @@ object Discogs {
         .groupBy(col("year"), col("month"))
         .agg(count(lit(1)).as("n"), sum(size(col("genres"))).as("n_genres"))
         .orderBy(col("year"), col("month"))
+    },
+
+    // Zone-map data-skipping scan (A15's planning tier, end-to-end):
+    // rewrite orders into a range-clustered multi-file copy (a
+    // partition-only transform — same rows), build the file-level
+    // [min,max] stats table, then answer a selective conjunctive range
+    // predicate through ZoneMap.prunedScanAll. Pruning is lossless by
+    // construction (candidate files are a superset; the row predicate
+    // re-applies after the scan), so the oracle is the plain filter over
+    // the ORIGINAL single-file table. The require makes "the zone maps
+    // actually skipped I/O" part of the gate, not just the spec.
+    Q("q0z_zonemap_scan",
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders
+        |WHERE o_orderkey BETWEEN 1000 AND 3000
+        |  AND o_totalprice BETWEEN 50000 AND 200000
+        |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      // Fresh dir per invocation (q0l's pattern): earlier invocations'
+      // returned plans hold a file index over their own files. The rm
+      // clears leftovers from PRIOR JVMs (the counter restarts at 0).
+      val base = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_zonemap_q_${lakeRun.incrementAndGet()}")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles.foreach(rm)
+        f.delete(): Unit
+      }
+      rm(base)
+      val dataDir = s"$base/orders"; val statsPath = s"$base/stats"
+      graft.Tables.orders(s, dir)
+        .repartitionByRange(8, col("o_orderkey"))
+        .write.parquet(dataDir)
+      ZoneMap.writeStats(s, dataDir, statsPath, Seq("o_orderkey", "o_totalprice"))
+      val pr = ZoneMap.prunedScanAll(s, dataDir, statsPath,
+        Seq(("o_orderkey", 1000L, 3000L), ("o_totalprice", 50000.0, 200000.0)))
+      require(pr.nFilesRead < pr.nFilesTotal,
+        s"zone maps skipped nothing: read ${pr.nFilesRead} of ${pr.nFilesTotal} files")
+      pr.df.select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("o_orderkey")
     }
   )
 }

@@ -37,9 +37,20 @@ object IngestClean {
     * `indexDir`. Returns the per-stage survivor counts. Call from
     * `foreachBatch`; idempotence across retries comes from the exact and
     * band checks themselves (a replayed doc is a dup of its own first
-    * write). */
+    * write).
+    *
+    * `zoneStatsPath` (optional) keeps a [[graft.sources.ZoneMap]] stats
+    * table over the lake as part of the same batch commit: after the
+    * append, [[graft.sources.ZoneMap.refreshStats]] scans ONLY the files
+    * this batch added (O(batch), never a lake rescan), so selective
+    * readers can data-skip a lake that is still ingesting. Refresh
+    * crash-safety matches the stats contract: a missed refresh is
+    * repaired by the next batch's call (refresh diffs the listing, not
+    * the batch). */
   def cleanBatch(spark: SparkSession, batch: DataFrame,
-      lakeDir: String, indexDir: String, minTokens: Int = 10): BatchStats = {
+      lakeDir: String, indexDir: String, minTokens: Int = 10,
+      zoneStatsPath: Option[String] = None,
+      zoneCols: Seq[String] = Seq("doc_id", "us")): BatchStats = {
     val in = batch.count()
     val quality = batch.filter(size(split(trim(col("text")), "\\s+")) >= minTokens)
       .withColumn("nrm", nrm(col("text")))
@@ -81,6 +92,10 @@ object IngestClean {
     StreamDedup.banded(survivors.select("doc_id", "text", "us")).toDF()
       .select("band", "doc_id")
       .write.mode(SaveMode.Append).parquet(indexDir)
+    zoneStatsPath.foreach { sp =>
+      if (new java.io.File(lakeDir).exists())
+        graft.sources.ZoneMap.refreshStats(spark, lakeDir, sp, zoneCols): Unit
+    }
     BatchStats(in, nQuality, nExactNovel, survivors.count())
   }
 }

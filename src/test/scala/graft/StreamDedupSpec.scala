@@ -105,6 +105,45 @@ class StreamDedupSpec extends AnyFunSuite {
     assert(indexed == Set(1L, 4L, 7L), s"index holds $indexed")
   }
 
+  test("ingest keeps lake zone maps current with O(new-files) refreshes") {
+    import graft.streaming.IngestClean
+    import graft.sources.ZoneMap
+    val dir = java.nio.file.Files.createTempDirectory("graft_ingest_zones").toString
+    val (lake, idx, stats) = (s"$dir/lake", s"$dir/index", s"$dir/zones")
+    def doc(id: Long, seed: String, us: Long) =
+      Doc(id, (1 to 12).map(i => s"$seed$i").mkString(" "), us)
+    val batch1 = Seq(doc(1, "alpha", 1000000L), doc(2, "bravo", 2000000L))
+    val batch2 = Seq(doc(7, "charlie", 7000000L), doc(9, "delta", 9000000L))
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[Doc]
+    val q = ms.toDF().writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        IngestClean.cleanBatch(spark, b, lake, idx, zoneStatsPath = Some(stats)); ()
+      }.start()
+    try {
+      ms.addData(batch1); q.processAllAvailable()
+      val zones1 = spark.read.parquet(stats).count()
+      assert(zones1 >= 1, "first batch produced no zone rows")
+      ms.addData(batch2); q.processAllAvailable()
+      val zones2 = spark.read.parquet(stats).count()
+      assert(zones2 > zones1, "second batch's files are not covered")
+    } finally q.stop()
+
+    // Every lake file is covered: an incremental refresh now finds
+    // nothing new (idempotence == full coverage), and the stats row
+    // count equals the lake file count.
+    assert(ZoneMap.refreshStats(spark, lake, stats, Seq("doc_id", "us")) == 0L)
+    val nFiles = new java.io.File(lake).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(spark.read.parquet(stats).count() == nFiles)
+    // And the zones actually skip: a doc_id range landed by batch 2 only
+    // reads a strict file subset, losslessly.
+    val pr = ZoneMap.prunedScan(spark, lake, stats, "doc_id", 7L, 9L)
+    assert(pr.nFilesRead < pr.nFilesTotal)
+    assert(pr.df.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq == Seq(7L, 9L))
+  }
+
   test("horizon eviction: an expired bucket stops pairing") {
     val h = 3600L * 1000 // 1 hour horizon
     val hour = 3600L * 1000000
