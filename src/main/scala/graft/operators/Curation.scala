@@ -154,40 +154,55 @@ object Curation {
       val rowBytes = 48L + 8L * dim
       val cents0 = v
         .filter(col("vec_id") % stride === 0 && col("vec_id") < stride * k)
-        .select(col("vec_id").as("cent_id"), col("embedding").as("ce"), col("nrm").as("cn"))
+        .select(expr(s"vec_id div ${stride}L").as("cent_idx"),
+          col("embedding").as("ce"), col("nrm").as("cn"))
       // Assignment: centroids ride map-side (the batch `broadcast(cents)`
       // shape) — but k grows ~sqrt(N), so the broadcast is BYTE-gated
       // like every other wide side here: over the budget, the centroid
-      // table splits into under-budget cent_id-range chunks, each chunk
-      // broadcasts and scores map-side, and the cross-chunk argmax is a
-      // partial-aggregating groupBy (all of one vector's candidates are
-      // co-located within a chunk's scan, so the map-side combine
-      // reduces each partition to one row per vec_id BEFORE the
-      // exchange — an N-row shuffle, not N*k). True SemDeDup scale
-      // (k ~ 1e6) would swap brute force for ANN assignment (qn10's IVF
-      // shape); chunking keeps exact assignment correct and driver-safe
-      // far past the single-broadcast ceiling.
+      // table splits into under-budget index-range chunks, each chunk
+      // broadcasts and scores map-side. True SemDeDup scale (k ~ 1e6)
+      // would swap brute force for ANN assignment (qn10's IVF shape);
+      // chunking keeps exact assignment correct and driver-safe far past
+      // the single-broadcast ceiling.
       val nChunks = math.max(1L, math.ceil(k * rowBytes / centroidBudgetBytes(s).toDouble).toLong)
       lastAssignChunks = nChunks
       val cents = if (nChunks > 1) cents0.localCheckpoint(true) else cents0
       val perChunk = (k + nChunks - 1) / nChunks
+      // The candidate stream is THREE LONGS per (vector, centroid) — the
+      // payload never rides it (keys travel, payloads rejoin).
       val scored = (0L until nChunks).map { i =>
-        val chunk = cents.filter(col("cent_id") >= i * perChunk * stride &&
-          col("cent_id") < math.min(k, (i + 1) * perChunk) * stride)
+        val chunk = cents.filter(col("cent_idx") >= i * perChunk &&
+          col("cent_idx") < math.min(k, (i + 1) * perChunk))
         v.join(broadcast(chunk), expr("true"))
-          .select(col("vec_id"), col("embedding"), col("nrm"), col("cent_id"),
+          .select(col("vec_id"), col("cent_idx"),
             e6(cosine(dotNative(col("ce"), col("embedding")), col("cn"), col("nrm"))).as("cscore"))
       }.reduce(_ unionByName _)
-      // argmax by (cscore desc, cent_id asc) — max(struct) with negated
-      // cent_id; embedding/nrm ride along (compared only on full ties,
-      // i.e. between identical rows). Checkpointed: feeds both pair-join
-      // sides and the final accounting (3 subtrees).
-      val asg = scored
+      // argmax by (cscore desc, cent_id asc), packed into ONE long so
+      // the aggregate stays a codegen'd HashAggregate with map-side
+      // combine — all of one vector's candidates are co-located within a
+      // chunk's scan, so each partition reduces to one row per vec_id
+      // BEFORE the exchange (an N-row shuffle, not N*k). The obvious
+      // max(struct(...)) instead plans as a SortAggregate that sorts the
+      // whole candidate stream (measured 3x qn20's cold wall at sf0.1).
+      // Layout: (cscore + 1e6) < 2^21 in the high bits; the centroid
+      // index (< k <= 2^42 for any conceivable corpus) rides the low 42
+      // bits INVERTED, so score ties break to the lowest cent_id —
+      // exactly the oracle's (cscore DESC, cent_id ASC) rank order.
+      val IdxBits = 42
+      val mask = (1L << IdxBits) - 1
+      val best = scored
         .groupBy("vec_id")
-        .agg(max(struct(col("cscore"), (-col("cent_id")).as("nc"),
-          col("embedding").as("e"), col("nrm").as("n"))).as("b"))
-        .select(col("vec_id"), (-col("b.nc")).as("cent_id"),
-          col("b.e").as("embedding"), col("b.n").as("nrm"))
+        .agg(max(shiftleft(col("cscore") + 1000000L, IdxBits) +
+          (lit(mask) - col("cent_idx"))).as("b"))
+        .select(col("vec_id"),
+          ((lit(mask) - col("b").bitwiseAND(mask)) * stride).as("cent_id"))
+      // Payload rejoin: best is N NARROW rows (two longs), so it rides
+      // the measured-size gate — broadcast under the cap makes the
+      // rejoin map-side (v never exchanges); over it, shuffled-hash on
+      // vec_id. Checkpointed: feeds both pair-join sides and the final
+      // accounting (3 subtrees).
+      val asg = v.join(Dedup.sized(s, best, nV), "vec_id")
+        .select(col("vec_id"), col("embedding"), col("nrm"), col("cent_id"))
         .localCheckpoint(true)
       // Within-cluster pairs: equi-join on cent_id, measured-size side
       // strategy (broadcast under the caps, shuffled-hash on cent_id over
