@@ -40,7 +40,12 @@ object Bench {
       "qn04_minhash_lsh_pairs" -> None,
       "qn06_simhash_near_pairs" -> Some("simhash"),
       "qn08_cosine_near_pairs" -> None,
-      "qn17_dedup_components" -> Some("components"))
+      "qn17_dedup_components" -> Some("components"),
+      // No memo in play, but twice-documented (r4/r5 bench notes) as the
+      // worst in-sweep GC artifact: its bloom build + checkpoint runs
+      // right after the pair queries' dead blocks drop, so single samples
+      // have measured eviction, not the plan.
+      "qn21_bloom_decontamination" -> None)
     val reps = 3
     def timed(name: String): Double = {
       val t0 = System.nanoTime()

@@ -253,7 +253,17 @@ object Similarity {
       .orderBy("probe_id", "rnk")
   }
 
-  /** LSH-bucketed approximate top-k, exposed for the spec's recall test. */
+  /** LSH-bucketed approximate top-k, exposed for the spec's recall test.
+    *
+    * Multi-band collision dedup is the same shuffle-free
+    * first-agreeing-band discipline as qn04: a (probe, candidate) pair
+    * joins once per agreeing band, and only the row whose band index IS
+    * the lowest agreeing band survives — a codegen'd scalar filter inside
+    * the join stage. The round-5 shape deduplicated with
+    * `dropDuplicates(probe_id, vec_id)` over rows still carrying the
+    * embedding arrays; `first()` on an array column has no mutable hash
+    * buffer, so Spark planned a SortAggregate over the whole candidate
+    * stream (the one stray SortAggregate in the round-6 plan audit). */
   def annTopK(s: SparkSession, dir: String, nPlanes: Int, bandBits: Int, k: Int): DataFrame = {
     val v = vecs(s, dir)
     // 16-bit signature: bit p = sign of <embedding, plane_p> where
@@ -267,18 +277,23 @@ object Similarity {
     }.reduce(_ + _)
     val sig = v.withColumn("sig", sigBits)
     val nBands = nPlanes / bandBits
-    val banded = sig.select(col("vec_id"), col("embedding"), col("nrm"),
-      explode(array((0 until nBands).map(bd => concat_ws(":", lit(bd),
-        shiftright(col("sig"), bd * bandBits).bitwiseAND(lit((1L << bandBits) - 1)))): _*))
-        .as("band"))
+    val mask = (1L << bandBits) - 1
+    val banded = sig.select(col("vec_id"), col("embedding"), col("nrm"), col("sig"),
+      posexplode(array((0 until nBands).map(bd => concat_ws(":", lit(bd),
+        shiftright(col("sig"), bd * bandBits).bitwiseAND(lit(mask)))): _*))
+        .as(Seq("bd", "band")))
     val probes = banded.filter(col("vec_id") < 10)
       .select(col("vec_id").as("probe_id"), col("embedding").as("pe"),
-        col("nrm").as("pn"), col("band"))
+        col("nrm").as("pn"), col("sig").as("psig"), col("band"))
+    // Lowest band where the two packed signatures agree: XOR once, then a
+    // least() over per-band zero tests — pure scalar codegen, no UDF.
+    val xorSig = col("sig").bitwiseXOR(col("psig"))
+    val firstAgree = (0 until nBands).map { bd =>
+      when(shiftright(xorSig, bd * bandBits).bitwiseAND(lit(mask)) === 0, lit(bd))
+        .otherwise(lit(nBands))
+    }.reduce(least(_, _))
     val cands = banded.join(broadcast(probes), Seq("band"))
-      .filter(col("vec_id") =!= col("probe_id"))
-      .select(col("probe_id"), col("vec_id"), col("pe"), col("pn"),
-        col("embedding"), col("nrm"))
-      .dropDuplicates("probe_id", "vec_id")
+      .filter(col("vec_id") =!= col("probe_id") && col("bd") === firstAgree)
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("score_e6").desc, col("vec_id").asc)
     cands
