@@ -230,4 +230,35 @@ class PlanSpec extends AnyFunSuite {
       assert(aggs.isEmpty, s"$name pair-level aggregate survived:\n${aggs.mkString("\n")}")
     }
   }
+
+  test("no registered query plans a SortAggregate, CartesianProduct, or undocumented nested loop") {
+    // The whole-registry sweep of the round-6 plan audit, pinned. A
+    // SortAggregate means an aggregate fell off the hash path (round 5:
+    // qn09's dropDuplicates over array payloads — first() on an array
+    // column has no mutable hash buffer, so the FULL candidate stream got
+    // sorted); a CartesianProduct means a join lost its keys. Both are
+    // silent 100x hazards at scale, invisible to the value-level oracle.
+    // BroadcastNestedLoopJoin is legitimate ONLY in the two documented
+    // patterns — a broadcast O(1)-size probe/centroid side scored against
+    // the corpus, or a single-row scalar-aggregate crossJoin — and those
+    // queries are allowlisted by name so a new one must justify itself.
+    val bnljAllowed = Set(
+      "qn07_cosine_topk",     // broadcast 10-row probe side
+      "qn10_ann_ivf_topk",    // broadcast centroid table (assignment + routing)
+      "qn19_kmeans_step",     // broadcast centroid table
+      "qn25_mixture_weights", // single-row scalar crossJoin
+      "qn29_mixture_apply",   // single-row scalar crossJoin
+      "qp01_clean_corpus",    // single-row stage-count crossJoins
+      "qp03_training_manifest", // single-row scalar crossJoin
+      "qr03_funnel_conversion", // single-row scalar crossJoin
+      "qt08_tfidf_top_terms") // single-row corpus-size crossJoin
+    val bad = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      val p = planOf(name)
+      val flags = Seq("SortAggregate", "CartesianProduct").filter(p.contains) ++
+        (if (p.contains("BroadcastNestedLoopJoin") && !bnljAllowed(name))
+           Seq("BroadcastNestedLoopJoin") else Nil)
+      if (flags.isEmpty) Nil else Seq(s"$name: ${flags.mkString(",")}")
+    }
+    assert(bad.isEmpty, s"heavy operators crept into:\n${bad.mkString("\n")}")
+  }
 }
