@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{Q, Tables}
 import graft.functions.TextFns._
+import graft.streaming.StreamSemantic
 import graft.functions.VectorExprs.{dotNative, l2normNative}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.GraftSqlBridge
@@ -108,22 +109,12 @@ object Curation {
     df.agg(agg.as("bf")).head.getAs[Array[Byte]](0)
   }
 
-  val all: Seq[Q] = Seq(
-
-    // Semantic dedup (SemDeDup-shaped): cluster embeddings to stride-
-    // seeded centroids by max cosine, then within each cluster drop every
-    // vector that has an earlier (lower vec_id) cluster-mate with cosine
-    // >= the threshold. Emits per-cluster keep/drop accounting. The
-    // oracle replays the identical deterministic pipeline: e6-integer
-    // assignment scores with cent_id tie-breaks, integer threshold.
-    // The centroid count is DERIVED from the measured corpus size,
-    // k = max(8, ceil(sqrt(n))) — SemDeDup's regime, keeping the
-    // within-cluster pair work ~n per cluster-member instead of
-    // (n/k_fixed)^2: 100x the corpus means 10x the clusters, so the
-    // per-cluster candidate count stays ~sqrt-bounded. IEEE sqrt is
-    // correctly rounded, so both engines compute the identical k.
-    Q("qn20_semantic_dedup",
-      s"""WITH v AS (SELECT vec_id, embedding, ${sqlL2norm("embedding")} AS nrm FROM embeddings),
+  /** qn20's full oracle replay, shared verbatim by the batch plan
+    * (qn20) and the streaming operator's batch-mode registration
+    * (qn20b): one SQL definition means the two engines are held to the
+    * IDENTICAL accounting, not two transcriptions of it. */
+  private lazy val semDedupOracle: String =
+    s"""WITH v AS (SELECT vec_id, embedding, ${sqlL2norm("embedding")} AS nrm FROM embeddings),
          |st AS (SELECT GREATEST(8, CAST(CEIL(SQRT(COUNT(*))) AS BIGINT)) AS k,
          |              GREATEST(1, COUNT(*) // GREATEST(8, CAST(CEIL(SQRT(COUNT(*))) AS BIGINT))) AS stride
          |       FROM v),
@@ -142,7 +133,23 @@ object Curation {
          |       COUNT(drp.vec_id) AS n_dropped,
          |       COUNT(*) - COUNT(drp.vec_id) AS n_kept
          |FROM asg LEFT JOIN drp ON asg.vec_id = drp.vec_id
-         |GROUP BY asg.cent_id ORDER BY cent_id""".stripMargin) { (s, dir) =>
+         |GROUP BY asg.cent_id ORDER BY cent_id""".stripMargin
+
+  val all: Seq[Q] = Seq(
+
+    // Semantic dedup (SemDeDup-shaped): cluster embeddings to stride-
+    // seeded centroids by max cosine, then within each cluster drop every
+    // vector that has an earlier (lower vec_id) cluster-mate with cosine
+    // >= the threshold. Emits per-cluster keep/drop accounting. The
+    // oracle replays the identical deterministic pipeline: e6-integer
+    // assignment scores with cent_id tie-breaks, integer threshold.
+    // The centroid count is DERIVED from the measured corpus size,
+    // k = max(8, ceil(sqrt(n))) — SemDeDup's regime, keeping the
+    // within-cluster pair work ~n per cluster-member instead of
+    // (n/k_fixed)^2: 100x the corpus means 10x the clusters, so the
+    // per-cluster candidate count stays ~sqrt-bounded. IEEE sqrt is
+    // correctly rounded, so both engines compute the identical k.
+    Q("qn20_semantic_dedup", semDedupOracle) { (s, dir) =>
       val v = Tables.embeddings(s, dir)
         .select(col("vec_id"), col("embedding"), l2normNative(col("embedding")).as("nrm"))
       // One stats probe drives every driver-side decision: the seed rule
@@ -226,6 +233,36 @@ object Curation {
         .agg(count(lit(1)).as("n_vecs"),
           count(col("dropped")).as("n_dropped"),
           (count(lit(1)) - count(col("dropped"))).as("n_kept"))
+        .orderBy("cent_id")
+    },
+
+    // The STREAMING semantic-dedup operator, oracle-gated: the same
+    // flatMapGroupsWithState pipeline that runs unbounded in
+    // [[graft.streaming.StreamSemantic]] executes here over the bounded
+    // corpus (qs01's registration pattern — Spark runs stateful
+    // streaming operators identically over batch input), with arrival
+    // order = vec_id, and must reproduce qn20's accounting against the
+    // SHARED oracle SQL verbatim. This turns the streaming/batch parity
+    // contract from a spec-only claim into a per-round CORRECTNESS row.
+    // The k ~ sqrt(N) centroid collect is the operator's declared
+    // deployment shape (a closure-captured centroid table — assignment
+    // rides map-side; the only shuffle is the groupByKey on cent_id into
+    // the state store), so the driver footprint is O(sqrt N), not O(N).
+    Q("qn20b_semantic_dedup_stream", semDedupOracle) { (s, dir) =>
+      import s.implicits._
+      val v = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      val (stride, k) = centroidSeeds(v.count())
+      val cents = v
+        .filter(col("vec_id") % stride === 0 && col("vec_id") < stride * k)
+        .as[(Long, Array[Float])].collect().sortBy(_._1)
+        .map { case (id, e) => (id.toInt, e) }.toIndexedSeq
+      val vin = v.as[(Long, Array[Float])]
+        .map { case (id, e) => StreamSemantic.VecIn(id, e, id) }
+      StreamSemantic.semanticDedupBatch(vin, cents, semThresholdE6)
+        .groupBy(col("cent_id").cast("long").as("cent_id"))
+        .agg(count(lit(1)).as("n_vecs"),
+          count(when(!col("kept"), lit(1))).as("n_dropped"),
+          count(when(col("kept"), lit(1))).as("n_kept"))
         .orderBy("cent_id")
     },
 

@@ -34,31 +34,31 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object StreamSemantic {
 
-  case class VecIn(vec_id: Long, embedding: Seq[Float], us: Long)
-  case class AsgVec(cent_id: Int, vec_id: Long, us: Long, embedding: Seq[Float],
+  case class VecIn(vec_id: Long, embedding: Array[Float], us: Long)
+  case class AsgVec(cent_id: Int, vec_id: Long, us: Long, embedding: Array[Float],
       ts: java.sql.Timestamp)
   /** One decision per arrival: kept, or dropped as a semantic dup of
     * `dup_of` (the lowest-id qualifying earlier member). */
   case class Decision(vec_id: Long, cent_id: Int, kept: Boolean, dup_of: Long)
-  case class Cluster(members: List[(Long, Long, Seq[Float])]) // (vec_id, us, embedding)
+  case class Cluster(members: List[(Long, Long, Array[Float])]) // (vec_id, us, embedding)
 
-  private def dot(a: Seq[Float], b: Seq[Float]): Double = {
+  private def dot(a: Array[Float], b: Array[Float]): Double = {
     var acc = 0.0; var i = 0
     while (i < a.length && i < b.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
     acc
   }
-  private def nrm(a: Seq[Float]): Double = {
+  private def nrm(a: Array[Float]): Double = {
     var acc = 0.0; var i = 0
     while (i < a.length) { acc += a(i).toDouble * a(i).toDouble; i += 1 }
     math.sqrt(acc)
   }
   /** Floor-scaled e6 cosine — the cross-path determinism contract. */
-  private def cosE6(a: Seq[Float], b: Seq[Float]): Long =
+  private def cosE6(a: Array[Float], b: Array[Float]): Long =
     math.floor(dot(a, b) / (nrm(a) * nrm(b)) * 1000000).toLong
 
   /** Argmax-cosine centroid id (e6 score, ties to the lowest cent_id) —
     * the batch assignment rule as a per-row function. */
-  def assign(centroids: IndexedSeq[(Int, Seq[Float])], v: Seq[Float]): Int = {
+  def assign(centroids: IndexedSeq[(Int, Array[Float])], v: Array[Float]): Int = {
     var bestId = Int.MaxValue; var bestScore = Long.MinValue
     for ((cid, ce) <- centroids) {
       val s = cosE6(ce, v)
@@ -76,8 +76,8 @@ object StreamSemantic {
     * qualifies") hold regardless of micro-batch timing. Eviction then
     * only reclaims memory. `horizonUs < 0` means unbounded (the batch
     * twin). */
-  private def decide(arrived: Seq[AsgVec], members0: List[(Long, Long, Seq[Float])],
-      thresholdE6: Long, horizonUs: Long): (Seq[Decision], List[(Long, Long, Seq[Float])]) = {
+  private def decide(arrived: Seq[AsgVec], members0: List[(Long, Long, Array[Float])],
+      thresholdE6: Long, horizonUs: Long): (Seq[Decision], List[(Long, Long, Array[Float])]) = {
     var members = members0
     val out = Seq.newBuilder[Decision]
     for (d <- arrived) {
@@ -95,7 +95,7 @@ object StreamSemantic {
     * streaming frame typed as [[VecIn]]; decisions appear in the
     * micro-batch where the vector arrives. */
   def semanticDedupStreaming(vecs: Dataset[VecIn],
-      centroids: IndexedSeq[(Int, Seq[Float])], thresholdE6: Long,
+      centroids: IndexedSeq[(Int, Array[Float])], thresholdE6: Long,
       horizonMs: Long): Dataset[Decision] = {
     val spark = vecs.sparkSession
     import spark.implicits._
@@ -133,7 +133,7 @@ object StreamSemantic {
     * against (and the semantics of qn20's drop set, with arrival order
     * = vec_id). */
   def semanticDedupBatch(vecs: Dataset[VecIn],
-      centroids: IndexedSeq[(Int, Seq[Float])], thresholdE6: Long): Dataset[Decision] = {
+      centroids: IndexedSeq[(Int, Array[Float])], thresholdE6: Long): Dataset[Decision] = {
     val spark = vecs.sparkSession
     import spark.implicits._
     vecs

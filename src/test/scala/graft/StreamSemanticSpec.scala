@@ -19,13 +19,13 @@ class StreamSemanticSpec extends AnyFunSuite {
     import spark.implicits._
     Tables.embeddings(spark, sf)
       .select(col("vec_id"), col("embedding"))
-      .as[(Long, Seq[Float])].collect().sortBy(_._1)
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
       // event time strictly follows vec_id; start at 1s (an event AT the
       // initial watermark epoch is dropped as late)
       .map { case (id, e) => VecIn(id, e, (id + 1) * 1000000L) }.toSeq
   }
 
-  private def centroids(vs: Seq[VecIn]): IndexedSeq[(Int, Seq[Float])] = {
+  private def centroids(vs: Seq[VecIn]): IndexedSeq[(Int, Array[Float])] = {
     // qn20's seed rule, via the ONE shared definition (k = max(8,
     // ceil(sqrt(n))) stride seeds) — a hardcoded copy here went stale
     // once already when qn20 moved off the fixed-8 rule.
@@ -74,7 +74,7 @@ class StreamSemanticSpec extends AnyFunSuite {
     // Two identical vectors far apart in event time, tiny horizon: the
     // second must be KEPT (its twin's cluster was evicted), then a third
     // identical one right after must be dropped against the second.
-    val e = Seq(1.0f, 0.0f, 0.0f, 0.0f)
+    val e = Array(1.0f, 0.0f, 0.0f, 0.0f)
     val evs1 = Seq(VecIn(1, e, 1000000L))
     val evs2 = Seq(VecIn(2, e, 3600L * 1000000L), VecIn(3, e, 3600L * 1000000L + 1000L))
     val cents = IndexedSeq((0, e))
