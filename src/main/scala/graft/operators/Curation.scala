@@ -255,7 +255,7 @@ object Curation {
       val cents = v
         .filter(col("vec_id") % stride === 0 && col("vec_id") < stride * k)
         .as[(Long, Array[Float])].collect().sortBy(_._1)
-        .map { case (id, e) => (id.toInt, e) }.toIndexedSeq
+        .map { case (id, e) => (id, e) }.toIndexedSeq
       val vin = v.as[(Long, Array[Float])]
         .map { case (id, e) => StreamSemantic.VecIn(id, e, id) }
       StreamSemantic.semanticDedupBatch(vin, cents, semThresholdE6)

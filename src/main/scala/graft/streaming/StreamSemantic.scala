@@ -35,11 +35,11 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 object StreamSemantic {
 
   case class VecIn(vec_id: Long, embedding: Array[Float], us: Long)
-  case class AsgVec(cent_id: Int, vec_id: Long, us: Long, embedding: Array[Float],
+  case class AsgVec(cent_id: Long, vec_id: Long, us: Long, embedding: Array[Float],
       ts: java.sql.Timestamp)
   /** One decision per arrival: kept, or dropped as a semantic dup of
     * `dup_of` (the lowest-id qualifying earlier member). */
-  case class Decision(vec_id: Long, cent_id: Int, kept: Boolean, dup_of: Long)
+  case class Decision(vec_id: Long, cent_id: Long, kept: Boolean, dup_of: Long)
   case class Cluster(members: List[(Long, Long, Array[Float])]) // (vec_id, us, embedding)
 
   private def dot(a: Array[Float], b: Array[Float]): Double = {
@@ -58,8 +58,8 @@ object StreamSemantic {
 
   /** Argmax-cosine centroid id (e6 score, ties to the lowest cent_id) —
     * the batch assignment rule as a per-row function. */
-  def assign(centroids: IndexedSeq[(Int, Array[Float])], v: Array[Float]): Int = {
-    var bestId = Int.MaxValue; var bestScore = Long.MinValue
+  def assign(centroids: IndexedSeq[(Long, Array[Float])], v: Array[Float]): Long = {
+    var bestId = Long.MaxValue; var bestScore = Long.MinValue
     for ((cid, ce) <- centroids) {
       val s = cosE6(ce, v)
       if (s > bestScore || (s == bestScore && cid < bestId)) { bestScore = s; bestId = cid }
@@ -95,7 +95,7 @@ object StreamSemantic {
     * streaming frame typed as [[VecIn]]; decisions appear in the
     * micro-batch where the vector arrives. */
   def semanticDedupStreaming(vecs: Dataset[VecIn],
-      centroids: IndexedSeq[(Int, Array[Float])], thresholdE6: Long,
+      centroids: IndexedSeq[(Long, Array[Float])], thresholdE6: Long,
       horizonMs: Long): Dataset[Decision] = {
     val spark = vecs.sparkSession
     import spark.implicits._
@@ -107,7 +107,7 @@ object StreamSemantic {
       .as[AsgVec]
       .groupByKey(_.cent_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
-        (key: Int, it: Iterator[AsgVec], state: GroupState[Cluster]) => {
+        (key: Long, it: Iterator[AsgVec], state: GroupState[Cluster]) => {
           if (state.hasTimedOut) {
             state.remove()
             Iterator.empty
@@ -133,7 +133,7 @@ object StreamSemantic {
     * against (and the semantics of qn20's drop set, with arrival order
     * = vec_id). */
   def semanticDedupBatch(vecs: Dataset[VecIn],
-      centroids: IndexedSeq[(Int, Array[Float])], thresholdE6: Long): Dataset[Decision] = {
+      centroids: IndexedSeq[(Long, Array[Float])], thresholdE6: Long): Dataset[Decision] = {
     val spark = vecs.sparkSession
     import spark.implicits._
     vecs
@@ -143,7 +143,7 @@ object StreamSemantic {
       .as[AsgVec]
       .groupByKey(_.cent_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
-        (_: Int, it: Iterator[AsgVec], _: GroupState[Cluster]) => {
+        (_: Long, it: Iterator[AsgVec], _: GroupState[Cluster]) => {
           val arrived = it.toSeq.sortBy(d => (d.us, d.vec_id))
           decide(arrived, Nil, thresholdE6, -1L)._1.iterator
         })

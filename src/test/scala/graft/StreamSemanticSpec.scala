@@ -25,13 +25,13 @@ class StreamSemanticSpec extends AnyFunSuite {
       .map { case (id, e) => VecIn(id, e, (id + 1) * 1000000L) }.toSeq
   }
 
-  private def centroids(vs: Seq[VecIn]): IndexedSeq[(Int, Array[Float])] = {
+  private def centroids(vs: Seq[VecIn]): IndexedSeq[(Long, Array[Float])] = {
     // qn20's seed rule, via the ONE shared definition (k = max(8,
     // ceil(sqrt(n))) stride seeds) — a hardcoded copy here went stale
     // once already when qn20 moved off the fixed-8 rule.
     val (stride, k) = graft.operators.Curation.centroidSeeds(vs.length.toLong)
     vs.filter(v => v.vec_id % stride == 0 && v.vec_id < stride * k)
-      .map(v => (v.vec_id.toInt, v.embedding)).toIndexedSeq
+      .map(v => (v.vec_id, v.embedding)).toIndexedSeq
   }
 
   test("streaming decisions equal the batch twin and qn20's per-cluster drop counts") {
@@ -77,7 +77,7 @@ class StreamSemanticSpec extends AnyFunSuite {
     val e = Array(1.0f, 0.0f, 0.0f, 0.0f)
     val evs1 = Seq(VecIn(1, e, 1000000L))
     val evs2 = Seq(VecIn(2, e, 3600L * 1000000L), VecIn(3, e, 3600L * 1000000L + 1000L))
-    val cents = IndexedSeq((0, e))
+    val cents = IndexedSeq((0L, e))
     val ms = MemoryStream[VecIn]
     val q = StreamSemantic.semanticDedupStreaming(ms.toDS(), cents, T, horizonMs = 1000L)
       .writeStream.format("memory").queryName("sem_evict").outputMode("append").start()
