@@ -192,6 +192,18 @@ object Similarity {
     * one way degrades to the honest all-pairs cost — which is then the
     * true output size anyway at this threshold.
     *
+    * DIMENSIONALITY LIMIT (measured, round 6): normalized coordinates
+    * concentrate as ~1/sqrt(dim), so at 32 dims the two grid coordinates
+    * span only ~4 cells each and a 500k-vector corpus degraded toward
+    * all-pairs candidate volume (~8B) — the curse of dimensionality, not
+    * a plan bug; no lossless sub-quadratic blocking exists for exact
+    * high-dim near-pair mining in general. The grid stays the right
+    * EXACT plan for low-dim / anisotropic embeddings; at high dim reach
+    * for the library's bounded-candidate forms instead: qn20's
+    * cluster-bounded verify (SemDeDup semantics — misses cross-cluster
+    * pairs by declaration) or qn04/qn09 signature candidates (tunable
+    * recall). Documented in docs/SCALE.md.
+    *
     * Expects (vec_id, embedding) plus anything else; emits
     * (vec_a, vec_b, ea, eb, na, nb). */
   private[graft] def nearPairCandidates(v0: DataFrame): DataFrame = {
