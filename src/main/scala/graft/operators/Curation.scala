@@ -109,31 +109,107 @@ object Curation {
     df.agg(agg.as("bf")).head.getAs[Array[Byte]](0)
   }
 
+  /** The sqrt(N)-centroid assignment CTE prefix (v -> st -> cents ->
+    * asg), shared by every oracle that replays the SemDeDup cluster
+    * structure: qn20/qn20b's drop accounting and qn08b's cluster-bounded
+    * near-pair mining. */
+  private lazy val semAsgCtes: String =
+    s"""WITH v AS (SELECT vec_id, embedding, ${sqlL2norm("embedding")} AS nrm FROM embeddings),
+       |st AS (SELECT GREATEST(8, CAST(CEIL(SQRT(COUNT(*))) AS BIGINT)) AS k,
+       |              GREATEST(1, COUNT(*) // GREATEST(8, CAST(CEIL(SQRT(COUNT(*))) AS BIGINT))) AS stride
+       |       FROM v),
+       |cents AS (SELECT vec_id AS cent_id, embedding AS ce, nrm AS cn FROM v, st
+       |          WHERE vec_id % stride = 0 AND vec_id < stride * k),
+       |asg AS (SELECT vec_id, embedding, nrm, cent_id FROM (
+       |          SELECT v.vec_id, v.embedding, v.nrm, c.cent_id,
+       |                 ROW_NUMBER() OVER (PARTITION BY v.vec_id
+       |                   ORDER BY ${cosE6Sql("c.ce", "v.embedding", "c.cn", "v.nrm")} DESC,
+       |                            c.cent_id) AS rn
+       |          FROM v, cents c) WHERE rn = 1)""".stripMargin
+
   /** qn20's full oracle replay, shared verbatim by the batch plan
     * (qn20) and the streaming operator's batch-mode registration
     * (qn20b): one SQL definition means the two engines are held to the
     * IDENTICAL accounting, not two transcriptions of it. */
   private lazy val semDedupOracle: String =
-    s"""WITH v AS (SELECT vec_id, embedding, ${sqlL2norm("embedding")} AS nrm FROM embeddings),
-         |st AS (SELECT GREATEST(8, CAST(CEIL(SQRT(COUNT(*))) AS BIGINT)) AS k,
-         |              GREATEST(1, COUNT(*) // GREATEST(8, CAST(CEIL(SQRT(COUNT(*))) AS BIGINT))) AS stride
-         |       FROM v),
-         |cents AS (SELECT vec_id AS cent_id, embedding AS ce, nrm AS cn FROM v, st
-         |          WHERE vec_id % stride = 0 AND vec_id < stride * k),
-         |asg AS (SELECT vec_id, embedding, nrm, cent_id FROM (
-         |          SELECT v.vec_id, v.embedding, v.nrm, c.cent_id,
-         |                 ROW_NUMBER() OVER (PARTITION BY v.vec_id
-         |                   ORDER BY ${cosE6Sql("c.ce", "v.embedding", "c.cn", "v.nrm")} DESC,
-         |                            c.cent_id) AS rn
-         |          FROM v, cents c) WHERE rn = 1),
-         |drp AS (SELECT DISTINCT b.vec_id FROM asg a JOIN asg b
-         |        ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
-         |        WHERE ${cosE6Sql("a.embedding", "b.embedding", "a.nrm", "b.nrm")} >= $semThresholdE6)
-         |SELECT asg.cent_id, COUNT(*) AS n_vecs,
-         |       COUNT(drp.vec_id) AS n_dropped,
-         |       COUNT(*) - COUNT(drp.vec_id) AS n_kept
-         |FROM asg LEFT JOIN drp ON asg.vec_id = drp.vec_id
-         |GROUP BY asg.cent_id ORDER BY cent_id""".stripMargin
+    s"""$semAsgCtes,
+       |drp AS (SELECT DISTINCT b.vec_id FROM asg a JOIN asg b
+       |        ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
+       |        WHERE ${cosE6Sql("a.embedding", "b.embedding", "a.nrm", "b.nrm")} >= $semThresholdE6)
+       |SELECT asg.cent_id, COUNT(*) AS n_vecs,
+       |       COUNT(drp.vec_id) AS n_dropped,
+       |       COUNT(*) - COUNT(drp.vec_id) AS n_kept
+       |FROM asg LEFT JOIN drp ON asg.vec_id = drp.vec_id
+       |GROUP BY asg.cent_id ORDER BY cent_id""".stripMargin
+
+  /** The sqrt(N)-centroid assignment pipeline shared by qn20 and qn08b:
+    * chunk-gated centroid broadcast, packed-long argmax, measured-size
+    * payload rejoin. Returns the CHECKPOINTED (vec_id, embedding, nrm,
+    * cent_id) frame plus the probed row count and max dimension (the
+    * inputs every downstream byte gate needs). */
+  private def semAssignment(s: SparkSession, dir: String): (DataFrame, Long, Int) = {
+    val v = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding"), l2normNative(col("embedding")).as("nrm"))
+    // One stats probe drives every driver-side decision: the seed rule
+    // (stride, k), the centroid byte gate, and the pair-join side gate.
+    val stats = v.agg(count(lit(1)), max(size(col("embedding")))).head
+    val nV = stats.getLong(0)
+    val dim = if (stats.isNullAt(1)) 0 else stats.getInt(1)
+    val (stride, k) = centroidSeeds(nV)
+    val rowBytes = 48L + 8L * dim
+    val cents0 = v
+      .filter(col("vec_id") % stride === 0 && col("vec_id") < stride * k)
+      .select(expr(s"vec_id div ${stride}L").as("cent_idx"),
+        col("embedding").as("ce"), col("nrm").as("cn"))
+    // Assignment: centroids ride map-side (the batch `broadcast(cents)`
+    // shape) — but k grows ~sqrt(N), so the broadcast is BYTE-gated
+    // like every other wide side here: over the budget, the centroid
+    // table splits into under-budget index-range chunks, each chunk
+    // broadcasts and scores map-side. True SemDeDup scale (k ~ 1e6)
+    // would swap brute force for ANN assignment (qn10's IVF shape);
+    // chunking keeps exact assignment correct and driver-safe far past
+    // the single-broadcast ceiling.
+    val nChunks = math.max(1L, math.ceil(k * rowBytes / centroidBudgetBytes(s).toDouble).toLong)
+    lastAssignChunks = nChunks
+    val cents = if (nChunks > 1) cents0.localCheckpoint(true) else cents0
+    val perChunk = (k + nChunks - 1) / nChunks
+    // The candidate stream is THREE LONGS per (vector, centroid) — the
+    // payload never rides it (keys travel, payloads rejoin).
+    val scored = (0L until nChunks).map { i =>
+      val chunk = cents.filter(col("cent_idx") >= i * perChunk &&
+        col("cent_idx") < math.min(k, (i + 1) * perChunk))
+      v.join(broadcast(chunk), expr("true"))
+        .select(col("vec_id"), col("cent_idx"),
+          e6(cosine(dotNative(col("ce"), col("embedding")), col("cn"), col("nrm"))).as("cscore"))
+    }.reduce(_ unionByName _)
+    // argmax by (cscore desc, cent_id asc), packed into ONE long so
+    // the aggregate stays a codegen'd HashAggregate with map-side
+    // combine — all of one vector's candidates are co-located within a
+    // chunk's scan, so each partition reduces to one row per vec_id
+    // BEFORE the exchange (an N-row shuffle, not N*k). The obvious
+    // max(struct(...)) instead plans as a SortAggregate that sorts the
+    // whole candidate stream (measured 3x qn20's cold wall at sf0.1).
+    // Layout: (cscore + 1e6) < 2^21 in the high bits; the centroid
+    // index (< k <= 2^42 for any conceivable corpus) rides the low 42
+    // bits INVERTED, so score ties break to the lowest cent_id —
+    // exactly the oracle's (cscore DESC, cent_id ASC) rank order.
+    val IdxBits = 42
+    val mask = (1L << IdxBits) - 1
+    val best = scored
+      .groupBy("vec_id")
+      .agg(max(shiftleft(col("cscore") + 1000000L, IdxBits) +
+        (lit(mask) - col("cent_idx"))).as("b"))
+      .select(col("vec_id"),
+        ((lit(mask) - col("b").bitwiseAND(mask)) * stride).as("cent_id"))
+    // Payload rejoin: best is N NARROW rows (two longs), so it rides
+    // the measured-size gate — broadcast under the cap makes the
+    // rejoin map-side (v never exchanges); over it, shuffled-hash on
+    // vec_id. Checkpointed: feeds multiple downstream subtrees.
+    val asg = v.join(Dedup.sized(s, best, nV), "vec_id")
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("cent_id"))
+      .localCheckpoint(true)
+    (asg, nV, dim)
+  }
 
   val all: Seq[Q] = Seq(
 
@@ -150,67 +226,7 @@ object Curation {
     // per-cluster candidate count stays ~sqrt-bounded. IEEE sqrt is
     // correctly rounded, so both engines compute the identical k.
     Q("qn20_semantic_dedup", semDedupOracle) { (s, dir) =>
-      val v = Tables.embeddings(s, dir)
-        .select(col("vec_id"), col("embedding"), l2normNative(col("embedding")).as("nrm"))
-      // One stats probe drives every driver-side decision: the seed rule
-      // (stride, k), the centroid byte gate, and the pair-join side gate.
-      val stats = v.agg(count(lit(1)), max(size(col("embedding")))).head
-      val nV = stats.getLong(0)
-      val dim = if (stats.isNullAt(1)) 0 else stats.getInt(1)
-      val (stride, k) = centroidSeeds(nV)
-      val rowBytes = 48L + 8L * dim
-      val cents0 = v
-        .filter(col("vec_id") % stride === 0 && col("vec_id") < stride * k)
-        .select(expr(s"vec_id div ${stride}L").as("cent_idx"),
-          col("embedding").as("ce"), col("nrm").as("cn"))
-      // Assignment: centroids ride map-side (the batch `broadcast(cents)`
-      // shape) — but k grows ~sqrt(N), so the broadcast is BYTE-gated
-      // like every other wide side here: over the budget, the centroid
-      // table splits into under-budget index-range chunks, each chunk
-      // broadcasts and scores map-side. True SemDeDup scale (k ~ 1e6)
-      // would swap brute force for ANN assignment (qn10's IVF shape);
-      // chunking keeps exact assignment correct and driver-safe far past
-      // the single-broadcast ceiling.
-      val nChunks = math.max(1L, math.ceil(k * rowBytes / centroidBudgetBytes(s).toDouble).toLong)
-      lastAssignChunks = nChunks
-      val cents = if (nChunks > 1) cents0.localCheckpoint(true) else cents0
-      val perChunk = (k + nChunks - 1) / nChunks
-      // The candidate stream is THREE LONGS per (vector, centroid) — the
-      // payload never rides it (keys travel, payloads rejoin).
-      val scored = (0L until nChunks).map { i =>
-        val chunk = cents.filter(col("cent_idx") >= i * perChunk &&
-          col("cent_idx") < math.min(k, (i + 1) * perChunk))
-        v.join(broadcast(chunk), expr("true"))
-          .select(col("vec_id"), col("cent_idx"),
-            e6(cosine(dotNative(col("ce"), col("embedding")), col("cn"), col("nrm"))).as("cscore"))
-      }.reduce(_ unionByName _)
-      // argmax by (cscore desc, cent_id asc), packed into ONE long so
-      // the aggregate stays a codegen'd HashAggregate with map-side
-      // combine — all of one vector's candidates are co-located within a
-      // chunk's scan, so each partition reduces to one row per vec_id
-      // BEFORE the exchange (an N-row shuffle, not N*k). The obvious
-      // max(struct(...)) instead plans as a SortAggregate that sorts the
-      // whole candidate stream (measured 3x qn20's cold wall at sf0.1).
-      // Layout: (cscore + 1e6) < 2^21 in the high bits; the centroid
-      // index (< k <= 2^42 for any conceivable corpus) rides the low 42
-      // bits INVERTED, so score ties break to the lowest cent_id —
-      // exactly the oracle's (cscore DESC, cent_id ASC) rank order.
-      val IdxBits = 42
-      val mask = (1L << IdxBits) - 1
-      val best = scored
-        .groupBy("vec_id")
-        .agg(max(shiftleft(col("cscore") + 1000000L, IdxBits) +
-          (lit(mask) - col("cent_idx"))).as("b"))
-        .select(col("vec_id"),
-          ((lit(mask) - col("b").bitwiseAND(mask)) * stride).as("cent_id"))
-      // Payload rejoin: best is N NARROW rows (two longs), so it rides
-      // the measured-size gate — broadcast under the cap makes the
-      // rejoin map-side (v never exchanges); over it, shuffled-hash on
-      // vec_id. Checkpointed: feeds both pair-join sides and the final
-      // accounting (3 subtrees).
-      val asg = v.join(Dedup.sized(s, best, nV), "vec_id")
-        .select(col("vec_id"), col("embedding"), col("nrm"), col("cent_id"))
-        .localCheckpoint(true)
+      val (asg, nV, dim) = semAssignment(s, dir)
       // Within-cluster pairs: equi-join on cent_id, measured-size side
       // strategy (broadcast under the caps, shuffled-hash on cent_id over
       // them — the checkpointed frame's default stats would force SMJ).
@@ -264,6 +280,37 @@ object Curation {
           count(when(!col("kept"), lit(1))).as("n_dropped"),
           count(when(col("kept"), lit(1))).as("n_kept"))
         .orderBy("cent_id")
+    },
+
+    // Cluster-bounded cosine near-pair mining — the HIGH-DIMENSION form
+    // of qn08. The round-6 250x battery measured qn08's exact angular
+    // grid collapsing at 32 dims (normalized coordinates concentrate
+    // ~1/sqrt(dim), so the grid degenerates toward all-pairs); this is
+    // the scale path for that regime: reuse the sqrt(N)-centroid
+    // assignment, emit pairs only WITHIN a cluster (declared SemDeDup
+    // semantics — cross-cluster pairs are missed by design, the same
+    // contract qn20's drop set lives with), verify with exact e6
+    // cosine. Work is bounded per cluster (~sqrt N members), never a
+    // corpus cross join; every stage is the oracle-replayed machinery
+    // qn20 already pins.
+    Q("qn08b_cluster_near_pairs",
+      s"""$semAsgCtes
+         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |       ${cosE6Sql("a.embedding", "b.embedding", "a.nrm", "b.nrm")} AS score_e6
+         |FROM asg a JOIN asg b ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
+         |WHERE ${cosE6Sql("a.embedding", "b.embedding", "a.nrm", "b.nrm")} >= 990000
+         |ORDER BY vec_a, vec_b""".stripMargin) { (s, dir) =>
+      val (asg, nV, dim) = semAssignment(s, dir)
+      val right = Dedup.sizedWide(s, asg.select(col("vec_id").as("vec_b"),
+        col("embedding").as("eb"), col("nrm").as("nb"), col("cent_id")), nV, 48L + 8L * dim)
+      asg.select(col("vec_id").as("vec_a"),
+          col("embedding").as("ea"), col("nrm").as("na"), col("cent_id"))
+        .join(right, "cent_id")
+        .filter(col("vec_a") < col("vec_b"))
+        .select(col("vec_a"), col("vec_b"),
+          e6(cosine(dotNative(col("ea"), col("eb")), col("na"), col("nb"))).as("score_e6"))
+        .filter(col("score_e6") >= 990000)
+        .orderBy("vec_a", "vec_b")
     },
 
     // Sketch-gated benchmark decontamination: same contamination relation

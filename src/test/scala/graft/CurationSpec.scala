@@ -47,6 +47,31 @@ class CurationSpec extends AnyFunSuite {
     assert(big.map(_.getAs[Long]("n_vecs")).sum == 1024L)
   }
 
+  test("qn08b finds every within-cluster twin pair with exact scores") {
+    import spark.implicits._
+    // 40 vectors = 20 exact twin pairs on a circle: identical twins
+    // assign to the same centroid by construction (same argmax), so the
+    // cluster-bounded miner must emit EXACTLY the 20 twin pairs at
+    // cos = 1.0 — distinct angles keep every non-twin pair far below
+    // the 0.99 threshold. (The sf corpus has no qualifying pairs, so
+    // the oracle row for qn08b is a zero-row hash match; this is the
+    // positive-output proof.)
+    val dir = java.nio.file.Files.createTempDirectory("graft_qn08b").toString
+    (0 until 40).map { i =>
+      val th = 2.0 * math.Pi * (i / 2) / 20
+      (i.toLong, Array(math.cos(th).toFloat, math.sin(th).toFloat), 0)
+    }.toDF("vec_id", "embedding", "label").write.parquet(s"$dir/embeddings.parquet")
+    val rows = SparkEntry.queries("qn08b_cluster_near_pairs")(spark, dir).collect()
+    assert(rows.length == 20, s"expected 20 twin pairs, got ${rows.length}")
+    rows.foreach { r =>
+      val (a, b) = (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))
+      assert(b == a + 1 && a % 2 == 0, s"non-twin pair ($a, $b) surfaced")
+      // e6 FLOORS dot/(na*nb), which can land one ulp under 1.0 for
+      // identical vectors — 999999 is a correct floor, not an error.
+      assert(r.getAs[Long]("score_e6") >= 999999L, s"twin score not ~1.0: $r")
+    }
+  }
+
   test("qn21 bloom gate is lossless: identical results to the exact-only join") {
     // The registered query (bloom prefilter + exact verify) must emit
     // exactly what the exact join alone emits — the sketch may only
