@@ -148,15 +148,27 @@ object Curation {
     * cent_id) frame plus the probed row count and max dimension (the
     * inputs every downstream byte gate needs). */
   private def semAssignment(s: SparkSession, dir: String): (DataFrame, Long, Int) = {
+    // Both the checkpointed assignment and its one-row stats probe ride
+    // the session memo (the qn17-pairs pattern): qn20, qn08b and any
+    // future consumer share ONE assignment build per (session, corpus,
+    // caps) — exactly what a production pipeline does with its cluster
+    // assignment. The centroid byte budget joins the key via `p`: it
+    // changes the physical build (chunk count), so a frame built under
+    // one budget must not answer a query posed under another
+    // (CurationSpec forces a 1 KB budget to test the chunked path).
+    val budgetKey = centroidBudgetBytes(s).toInt
     val v = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("embedding"), l2normNative(col("embedding")).as("nrm"))
     // One stats probe drives every driver-side decision: the seed rule
     // (stride, k), the centroid byte gate, and the pair-join side gate.
-    val stats = v.agg(count(lit(1)), max(size(col("embedding")))).head
+    val stats = Dedup.memoized("semstats", s, dir, budgetKey, 0)(
+      v.agg(count(lit(1)), max(size(col("embedding")))).localCheckpoint(true)).head
     val nV = stats.getLong(0)
     val dim = if (stats.isNullAt(1)) 0 else stats.getInt(1)
     val (stride, k) = centroidSeeds(nV)
     val rowBytes = 48L + 8L * dim
+    val chunkKey = (s, dir, budgetKey)
+    val asg = Dedup.memoized("semasg", s, dir, budgetKey, 0) {
     val cents0 = v
       .filter(col("vec_id") % stride === 0 && col("vec_id") < stride * k)
       .select(expr(s"vec_id div ${stride}L").as("cent_idx"),
@@ -170,7 +182,7 @@ object Curation {
     // chunking keeps exact assignment correct and driver-safe far past
     // the single-broadcast ceiling.
     val nChunks = math.max(1L, math.ceil(k * rowBytes / centroidBudgetBytes(s).toDouble).toLong)
-    lastAssignChunks = nChunks
+    chunksMemo(chunkKey) = nChunks
     val cents = if (nChunks > 1) cents0.localCheckpoint(true) else cents0
     val perChunk = (k + nChunks - 1) / nChunks
     // The candidate stream is THREE LONGS per (vector, centroid) — the
@@ -205,11 +217,20 @@ object Curation {
     // the measured-size gate — broadcast under the cap makes the
     // rejoin map-side (v never exchanges); over it, shuffled-hash on
     // vec_id. Checkpointed: feeds multiple downstream subtrees.
-    val asg = v.join(Dedup.sized(s, best, nV), "vec_id")
+    v.join(Dedup.sized(s, best, nV), "vec_id")
       .select(col("vec_id"), col("embedding"), col("nrm"), col("cent_id"))
       .localCheckpoint(true)
+    }
+    // On a memo hit the build closure never ran, so the diagnostic chunk
+    // probe reads the count recorded by whichever call built this frame.
+    lastAssignChunks = chunksMemo.getOrElse(chunkKey, 1L)
     (asg, nV, dim)
   }
+
+  /** Chunk count per (session, corpus, budget) assignment build —
+    * consulted so [[lastAssignChunks]] stays truthful on memo hits. */
+  private val chunksMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, Int), Long]
 
   val all: Seq[Q] = Seq(
 

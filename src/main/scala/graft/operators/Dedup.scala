@@ -92,7 +92,7 @@ object Dedup {
   private val pairMemo =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String, Int, Int, Long), DataFrame]
 
-  private def memoized(tag: String, s: SparkSession, dir: String, p: Int, q: Int)(
+  private[operators] def memoized(tag: String, s: SparkSession, dir: String, p: Int, q: Int)(
       build: => DataFrame): DataFrame = {
     // Hygiene: entries of stopped sessions are dead weight (their blocks
     // died with the context; the map must not pin the sessions too).
