@@ -223,6 +223,10 @@ object Curation {
     }
     // On a memo hit the build closure never ran, so the diagnostic chunk
     // probe reads the count recorded by whichever call built this frame.
+    // Same hygiene as the pair memo: drop stopped sessions' entries so
+    // the map never pins dead SparkSessions.
+    chunksMemo.keySet.filter(_._1.sparkContext.isStopped)
+      .foreach(chunksMemo.remove)
     lastAssignChunks = chunksMemo.getOrElse(chunkKey, 1L)
     (asg, nV, dim)
   }
