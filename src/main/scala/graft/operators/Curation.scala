@@ -111,10 +111,12 @@ object Curation {
 
   /** The sqrt(N)-centroid assignment CTE prefix (v -> st -> cents ->
     * asg), shared by every oracle that replays the SemDeDup cluster
-    * structure: qn20/qn20b's drop accounting and qn08b's cluster-bounded
-    * near-pair mining. */
-  private lazy val semAsgCtes: String =
-    s"""WITH v AS (SELECT vec_id, embedding, ${sqlL2norm("embedding")} AS nrm FROM embeddings),
+    * structure: qn20/qn20b's drop accounting, qn08b's cluster-bounded
+    * near-pair mining, and qn08's high-dimension dispatch branch
+    * (exposed WITHOUT the `WITH` keyword as [[semAsgCteList]] so callers
+    * can append their own CTEs). */
+  private[operators] lazy val semAsgCteList: String =
+    s"""v AS (SELECT vec_id, embedding, ${sqlL2norm("embedding")} AS nrm FROM embeddings),
        |st AS (SELECT GREATEST(8, CAST(CEIL(SQRT(COUNT(*))) AS BIGINT)) AS k,
        |              GREATEST(1, COUNT(*) // GREATEST(8, CAST(CEIL(SQRT(COUNT(*))) AS BIGINT))) AS stride
        |       FROM v),
@@ -126,6 +128,8 @@ object Curation {
        |                   ORDER BY ${cosE6Sql("c.ce", "v.embedding", "c.cn", "v.nrm")} DESC,
        |                            c.cent_id) AS rn
        |          FROM v, cents c) WHERE rn = 1)""".stripMargin
+
+  private lazy val semAsgCtes: String = "WITH " + semAsgCteList
 
   /** qn20's full oracle replay, shared verbatim by the batch plan
     * (qn20) and the streaming operator's batch-mode registration
@@ -142,6 +146,19 @@ object Curation {
        |FROM asg LEFT JOIN drp ON asg.vec_id = drp.vec_id
        |GROUP BY asg.cent_id ORDER BY cent_id""".stripMargin
 
+  /** Memoized one-row stats probe over the corpus embeddings: (row
+    * count, max dimension). Drives every driver-side decision downstream
+    * — the seed rule (stride, k), the centroid byte gate, the pair-join
+    * side gate, and qn08's grid-vs-cluster dimension dispatch. Budget-
+    * independent, so it is keyed only by (session, corpus). */
+  private[operators] def embedStats(s: SparkSession, dir: String): (Long, Int) = {
+    val v = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding"), l2normNative(col("embedding")).as("nrm"))
+    val stats = Dedup.memoized("semstats", s, dir, 0, 0)(
+      v.agg(count(lit(1)), max(size(col("embedding")))).localCheckpoint(true)).head
+    (stats.getLong(0), if (stats.isNullAt(1)) 0 else stats.getInt(1))
+  }
+
   /** The sqrt(N)-centroid assignment pipeline shared by qn20 and qn08b:
     * chunk-gated centroid broadcast, packed-long argmax, measured-size
     * payload rejoin. Returns the CHECKPOINTED (vec_id, embedding, nrm,
@@ -152,19 +169,15 @@ object Curation {
     // the session memo (the qn17-pairs pattern): qn20, qn08b and any
     // future consumer share ONE assignment build per (session, corpus,
     // caps) — exactly what a production pipeline does with its cluster
-    // assignment. The centroid byte budget joins the key via `p`: it
+    // assignment. The centroid byte budget joins the key via `p` AS A
+    // LONG (an Int key would wrap budgets >= 2 GiB onto each other): it
     // changes the physical build (chunk count), so a frame built under
     // one budget must not answer a query posed under another
     // (CurationSpec forces a 1 KB budget to test the chunked path).
-    val budgetKey = centroidBudgetBytes(s).toInt
+    val budgetKey = centroidBudgetBytes(s)
     val v = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("embedding"), l2normNative(col("embedding")).as("nrm"))
-    // One stats probe drives every driver-side decision: the seed rule
-    // (stride, k), the centroid byte gate, and the pair-join side gate.
-    val stats = Dedup.memoized("semstats", s, dir, budgetKey, 0)(
-      v.agg(count(lit(1)), max(size(col("embedding")))).localCheckpoint(true)).head
-    val nV = stats.getLong(0)
-    val dim = if (stats.isNullAt(1)) 0 else stats.getInt(1)
+    val (nV, dim) = embedStats(s, dir)
     val (stride, k) = centroidSeeds(nV)
     val rowBytes = 48L + 8L * dim
     val chunkKey = (s, dir, budgetKey)
@@ -231,10 +244,30 @@ object Curation {
     (asg, nV, dim)
   }
 
+  /** Cluster-bounded cosine near-pair mining at the 0.99 e6 threshold —
+    * qn08b's body, and the dispatch target Similarity routes qn08 to on
+    * high-dimension corpora (where the lossless angular grid is measured
+    * to degenerate toward all-pairs). Reuses the memoized sqrt(N)
+    * assignment; pairs are emitted only WITHIN a cluster (declared
+    * SemDeDup miss semantics) and verified with exact e6 cosine. */
+  private[operators] def clusterNearPairs(s: SparkSession, dir: String): DataFrame = {
+    val (asg, nV, dim) = semAssignment(s, dir)
+    val right = Dedup.sizedWide(s, asg.select(col("vec_id").as("vec_b"),
+      col("embedding").as("eb"), col("nrm").as("nb"), col("cent_id")), nV, 48L + 8L * dim)
+    asg.select(col("vec_id").as("vec_a"),
+        col("embedding").as("ea"), col("nrm").as("na"), col("cent_id"))
+      .join(right, "cent_id")
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        e6(cosine(dotNative(col("ea"), col("eb")), col("na"), col("nb"))).as("score_e6"))
+      .filter(col("score_e6") >= 990000)
+      .orderBy("vec_a", "vec_b")
+  }
+
   /** Chunk count per (session, corpus, budget) assignment build —
     * consulted so [[lastAssignChunks]] stays truthful on memo hits. */
   private val chunksMemo =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, Int), Long]
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, Long), Long]
 
   val all: Seq[Q] = Seq(
 
@@ -286,9 +319,10 @@ object Curation {
     // SHARED oracle SQL verbatim. This turns the streaming/batch parity
     // contract from a spec-only claim into a per-round CORRECTNESS row.
     // The k ~ sqrt(N) centroid collect is the operator's declared
-    // deployment shape (a closure-captured centroid table — assignment
-    // rides map-side; the only shuffle is the groupByKey on cent_id into
-    // the state store), so the driver footprint is O(sqrt N), not O(N).
+    // deployment shape (the table then rides a broadcast variable —
+    // assignment is map-side; the only shuffle is the groupByKey on
+    // cent_id into the state store), so the driver footprint is
+    // O(sqrt N), not O(N), and executors receive the table once each.
     Q("qn20b_semantic_dedup_stream", semDedupOracle) { (s, dir) =>
       import s.implicits._
       val v = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
@@ -325,17 +359,7 @@ object Curation {
          |FROM asg a JOIN asg b ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
          |WHERE ${cosE6Sql("a.embedding", "b.embedding", "a.nrm", "b.nrm")} >= 990000
          |ORDER BY vec_a, vec_b""".stripMargin) { (s, dir) =>
-      val (asg, nV, dim) = semAssignment(s, dir)
-      val right = Dedup.sizedWide(s, asg.select(col("vec_id").as("vec_b"),
-        col("embedding").as("eb"), col("nrm").as("nb"), col("cent_id")), nV, 48L + 8L * dim)
-      asg.select(col("vec_id").as("vec_a"),
-          col("embedding").as("ea"), col("nrm").as("na"), col("cent_id"))
-        .join(right, "cent_id")
-        .filter(col("vec_a") < col("vec_b"))
-        .select(col("vec_a"), col("vec_b"),
-          e6(cosine(dotNative(col("ea"), col("eb")), col("na"), col("nb"))).as("score_e6"))
-        .filter(col("score_e6") >= 990000)
-        .orderBy("vec_a", "vec_b")
+      clusterNearPairs(s, dir)
     },
 
     // Sketch-gated benchmark decontamination: same contamination relation

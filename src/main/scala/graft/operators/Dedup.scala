@@ -90,9 +90,9 @@ object Dedup {
     * frames whose blocks live for the session anyway.
     */
   private val pairMemo =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String, Int, Int, Long), DataFrame]
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String, Long, Int, Long), DataFrame]
 
-  private[operators] def memoized(tag: String, s: SparkSession, dir: String, p: Int, q: Int)(
+  private[operators] def memoized(tag: String, s: SparkSession, dir: String, p: Long, q: Int)(
       build: => DataFrame): DataFrame = {
     // Hygiene: entries of stopped sessions are dead weight (their blocks
     // died with the context; the map must not pin the sessions too).
@@ -115,7 +115,10 @@ object Dedup {
     * between corpora (or after an in-place rewrite of `dir`). Without
     * this, frames pin their localCheckpoint blocks for the session
     * lifetime. */
-  def clearMemo(s: SparkSession): Unit = clearMemoTag(s, None)
+  def clearMemo(s: SparkSession): Unit = {
+    sideChoicesBuf.synchronized { sideChoicesBuf.clear() }
+    clearMemoTag(s, None)
+  }
 
   /** Tag-scoped eviction ("tokenset" / "simhash") — Bench uses this to
     * make repeated measurements of one pair family cold without
@@ -148,14 +151,26 @@ object Dedup {
     * the join key instead of OOMing the driver. The probe is a count on
     * an already-materialized frame: the same runtime-stats trick AQE
     * plays, paid once per plan build. */
-  /** Record of every sized()/sizedWide() decision this session:
+  /** Record of recent sized()/sizedWide() decisions:
     * (probed rows, "broadcast" | "shuffle_hash"). A diagnostics probe —
     * the pair frames are memoized checkpoints, so the chosen join
-    * strategy is invisible in the consumer's executed plan. */
-  val sideChoices = new scala.collection.mutable.ListBuffer[(Long, String)]
+    * strategy is invisible in the consumer's executed plan. Bounded (a
+    * long-lived service must not grow it without limit) and read only
+    * through the synchronized [[sideChoices]] snapshot; [[clearMemo]]
+    * resets it with the rest of the session state. */
+  private val sideChoicesBuf = new scala.collection.mutable.ListBuffer[(Long, String)]
+  private val sideChoicesMax = 1024
+
+  /** Synchronized snapshot of the most recent join-side decisions. */
+  def sideChoices: Seq[(Long, String)] =
+    sideChoicesBuf.synchronized { sideChoicesBuf.toList }
+
   private def choose(rows: Long, bc: Boolean): String = {
     val c = if (bc) "broadcast" else "shuffle_hash"
-    sideChoices.synchronized { sideChoices += ((rows, c)) }
+    sideChoicesBuf.synchronized {
+      if (sideChoicesBuf.size >= sideChoicesMax) sideChoicesBuf.remove(0)
+      sideChoicesBuf += ((rows, c))
+    }
     c
   }
 

@@ -29,6 +29,24 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Max embedding dimension at which qn08's lossless angular grid is
+    * still the right plan. The grid's two cell coordinates concentrate
+    * ~1/sqrt(dim) for unit vectors, so past ~2 dozen dims the grid spans
+    * a handful of cells and candidate volume degenerates toward
+    * all-pairs (measured at 32 dims on the round-6 250x battery: the
+    * plan never finished). Above this, qn08 routes to the
+    * cluster-bounded plan. A CONSTANT, not a conf: the DuckDB oracle
+    * replays the identical dispatch predicate, so the rule must be one
+    * shared literal, never two settings that can drift. */
+  private[graft] val gridMaxDim = 23
+
+  /** Which branch qn08's dimension dispatch took on its most recent
+    * plan build ("grid" | "cluster") — a test probe, like
+    * [[Curation.lastAssignChunks]]: the cluster branch's assignment
+    * collapses behind a checkpoint, so the choice is not reliably
+    * readable from the final plan string. */
+  @volatile private[graft] var lastNearPairPath: String = ""
+
   private def vecs(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"), l2normNative(col("embedding")).as("nrm"))
@@ -73,23 +91,48 @@ object Similarity {
     },
 
     // All-pairs near-duplicate detection in embedding space:
-    // cosine >= 0.99 (integer threshold on the e6 score). The oracle is
-    // O(n^2); the Spark plan blocks LOSSLESSLY on an angular grid
-    // ([[nearPairCandidates]]) so candidate generation is an equi-join on
-    // cell keys, never a nested-loop cross product — exact results, sub-
-    // quadratic work whenever the corpus has angular diversity.
+    // cosine >= 0.99 (integer threshold on the e6 score), DISPATCHED BY
+    // MEASURED DIMENSION. At dim <= gridMaxDim the plan blocks LOSSLESSLY
+    // on an angular grid ([[nearPairCandidates]]): candidate generation
+    // is an equi-join on cell keys, never a nested-loop cross product —
+    // exact results, sub-quadratic work whenever the corpus has angular
+    // diversity. Above it the grid is MEASURED to degenerate toward
+    // all-pairs (round-6 250x battery: never finished at 32 dims —
+    // normalized coordinates concentrate ~1/sqrt(dim)), so the entry
+    // point routes to the cluster-bounded plan (qn08b's machinery:
+    // within-cluster pairs over the memoized sqrt(N) assignment, declared
+    // SemDeDup miss semantics). The oracle replays the SAME dispatch:
+    // both branches are gated on the corpus's max dimension, so engine
+    // and oracle always take the same branch — the dispatch rule is part
+    // of the declared semantics, not a hidden approximation.
     Q("qn08_cosine_near_pairs",
-      s"""WITH v AS ($sqlVecs)
-         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-         |       ${cosE6("a", "b")} AS score_e6
-         |FROM v a, v b
-         |WHERE a.vec_id < b.vec_id AND ${cosE6("a", "b")} >= 990000
+      s"""WITH ${Curation.semAsgCteList},
+         |dimp AS (SELECT MAX(len(embedding)) AS dim FROM v)
+         |SELECT vec_a, vec_b, score_e6 FROM (
+         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |         ${cosE6("a", "b")} AS score_e6
+         |  FROM v a CROSS JOIN v b CROSS JOIN dimp
+         |  WHERE dimp.dim <= $gridMaxDim
+         |    AND a.vec_id < b.vec_id AND ${cosE6("a", "b")} >= 990000
+         |  UNION ALL
+         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |         ${cosE6("a", "b")} AS score_e6
+         |  FROM asg a JOIN asg b ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
+         |  CROSS JOIN dimp
+         |  WHERE dimp.dim > $gridMaxDim AND ${cosE6("a", "b")} >= 990000)
          |ORDER BY vec_a, vec_b""".stripMargin) { (s, dir) =>
-      nearPairCandidates(Tables.embeddings(s, dir))
-        .select(col("vec_a"), col("vec_b"),
-          e6(cosine(dotNative(col("ea"), col("eb")), col("na"), col("nb"))).as("score_e6"))
-        .filter(col("score_e6") >= 990000)
-        .orderBy("vec_a", "vec_b")
+      val (_, dim) = Curation.embedStats(s, dir)
+      if (dim > gridMaxDim) {
+        lastNearPairPath = "cluster"
+        Curation.clusterNearPairs(s, dir)
+      } else {
+        lastNearPairPath = "grid"
+        nearPairCandidates(Tables.embeddings(s, dir))
+          .select(col("vec_a"), col("vec_b"),
+            e6(cosine(dotNative(col("ea"), col("eb")), col("na"), col("nb"))).as("score_e6"))
+          .filter(col("score_e6") >= 990000)
+          .orderBy("vec_a", "vec_b")
+      }
     },
 
     // ANN: 16-plane sign-random-projection LSH. Candidates = vectors

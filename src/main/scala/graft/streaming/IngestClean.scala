@@ -33,6 +33,15 @@ object IngestClean {
   private def nrm(c: org.apache.spark.sql.Column) =
     regexp_replace(lower(trim(c)), "\\s+", " ")
 
+  /** Existence through the Hadoop FileSystem API (the same resolution
+    * [[graft.sources.ZoneMap.refreshStats]] uses) — a `java.io.File`
+    * check is always false on HDFS/S3, which would silently skip the
+    * lake/index anti-joins and the zone refresh on a non-local lake. */
+  private def pathExists(spark: SparkSession, dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
+  }
+
   /** Clean one micro-batch (doc_id, text, us) into `lakeDir`, maintaining
     * `indexDir`. Returns the per-stage survivor counts. Call from
     * `foreachBatch`; idempotence across retries comes from the exact and
@@ -62,7 +71,7 @@ object IngestClean {
       .withColumn("rn", row_number().over(
         Window.partitionBy("nrm").orderBy(col("us").asc, col("doc_id").asc)))
       .filter(col("rn") === 1).drop("rn")
-    val lakeExists = new java.io.File(lakeDir).exists()
+    val lakeExists = pathExists(spark, lakeDir)
     val exactNovel =
       if (!lakeExists) inBatchFirst
       else inBatchFirst.join(
@@ -74,7 +83,7 @@ object IngestClean {
     // both sides of the in-batch check come from the same banded frame).
     val banded = StreamDedup.banded(exactNovel.select("doc_id", "text", "us"))
       .toDF().localCheckpoint(true) // read three times below
-    val indexExists = new java.io.File(indexDir).exists()
+    val indexExists = pathExists(spark, indexDir)
     val vsLake =
       if (!indexExists) banded.limit(0).select(col("doc_id"))
       else banded.join(spark.read.parquet(indexDir).select(col("band")).distinct(),
@@ -93,7 +102,7 @@ object IngestClean {
       .select("band", "doc_id")
       .write.mode(SaveMode.Append).parquet(indexDir)
     zoneStatsPath.foreach { sp =>
-      if (new java.io.File(lakeDir).exists())
+      if (pathExists(spark, lakeDir))
         graft.sources.ZoneMap.refreshStats(spark, lakeDir, sp, zoneCols): Unit
     }
     BatchStats(in, nQuality, nExactNovel, survivors.count())

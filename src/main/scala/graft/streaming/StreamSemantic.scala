@@ -12,8 +12,9 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * equi-join.
   *
   * Plan shape: assignment is a pure per-row function over a
-  * closure-captured centroid table (k rows — the batch plan's
-  * `broadcast(cents)`), so the only shuffle is the groupByKey on
+  * BROADCAST centroid table (k rows — the exact analogue of the batch
+  * plan's `broadcast(cents)`; shipped once per executor, never
+  * per-task), so the only shuffle is the groupByKey on
   * cent_id into the state store. State per cluster = the members inside
   * the dedup horizon; an arrival is DROPPED iff some earlier member
   * (earlier event time, ties by vec_id — the streaming analogue of the
@@ -93,14 +94,28 @@ object StreamSemantic {
 
   /** Streaming decisions with a bounded dedup horizon. `vecs` must be a
     * streaming frame typed as [[VecIn]]; decisions appear in the
-    * micro-batch where the vector arrives. */
+    * micro-batch where the vector arrives.
+    *
+    * The centroid table rides a BROADCAST VARIABLE, not the task
+    * closure: k grows ~sqrt(N), so closure capture would re-serialize
+    * O(sqrt(N) * dim) bytes into every task binary; the broadcast ships
+    * it once per executor (torrent blocks) and the assignment lambda
+    * reads it by reference. The remaining ceiling is the DRIVER's one
+    * copy (it must still build the table to broadcast it): at k ~ 1e6 x
+    * 768 dims that is single-digit GBs — acceptable for a driver, but
+    * the unbounded form would shard instead: route each arrival by a
+    * cheap coarse signature (qn10's IVF coarse cells) to the executor
+    * partition holding that shard of the centroid table (a broadcast
+    * per shard, or a state-store-resident centroid index), so no single
+    * process ever holds all k centroids. */
   def semanticDedupStreaming(vecs: Dataset[VecIn],
       centroids: IndexedSeq[(Long, Array[Float])], thresholdE6: Long,
       horizonMs: Long): Dataset[Decision] = {
     val spark = vecs.sparkSession
     import spark.implicits._
+    val bcCents = spark.sparkContext.broadcast(centroids)
     vecs
-      .map(v => (assign(centroids, v.embedding), v.vec_id, v.us, v.embedding))
+      .map(v => (assign(bcCents.value, v.embedding), v.vec_id, v.us, v.embedding))
       .toDF("cent_id", "vec_id", "us", "embedding")
       .withColumn("ts", timestamp_micros(col("us")))
       .withWatermark("ts", s"$horizonMs milliseconds")
@@ -136,8 +151,9 @@ object StreamSemantic {
       centroids: IndexedSeq[(Long, Array[Float])], thresholdE6: Long): Dataset[Decision] = {
     val spark = vecs.sparkSession
     import spark.implicits._
+    val bcCents = spark.sparkContext.broadcast(centroids)
     vecs
-      .map(v => (assign(centroids, v.embedding), v.vec_id, v.us, v.embedding))
+      .map(v => (assign(bcCents.value, v.embedding), v.vec_id, v.us, v.embedding))
       .toDF("cent_id", "vec_id", "us", "embedding")
       .withColumn("ts", timestamp_micros(col("us")))
       .as[AsgVec]

@@ -70,6 +70,40 @@ class NorthStarSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
   }
 
+  test("qn08 entry dispatches by dimension: grid at low dim, cluster-bounded at high dim") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    // LOW dim (2): 40 vectors = 20 exact twin pairs on a circle — the
+    // angular grid is the right plan and must find exactly the twins.
+    val dirLow = java.nio.file.Files.createTempDirectory("graft_qn08_low").toString
+    (0 until 40).map { i =>
+      val th = 2.0 * math.Pi * (i / 2) / 20
+      (i.toLong, Array(math.cos(th).toFloat, math.sin(th).toFloat), 0)
+    }.toDF("vec_id", "embedding", "label").write.parquet(s"$dirLow/embeddings.parquet")
+    val low = SparkEntry.queries("qn08_cosine_near_pairs")(spark, dirLow)
+    assert(Similarity.lastNearPairPath == "grid",
+      s"2-dim corpus must take the angular grid, took ${Similarity.lastNearPairPath}")
+    val lowPairs = low.collect().map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b")))
+    assert(lowPairs.toSeq == (0 until 40 by 2).map(a => (a.toLong, a + 1L)))
+    // HIGH dim (32 > gridMaxDim): 16 twin pairs on distinct basis
+    // directions (cross-twin cosine is exactly 0) — the entry point must
+    // route to the cluster-bounded plan, where identical twins share an
+    // argmax centroid by construction, and emit exactly the twins. This
+    // is the regime where the grid is measured to never finish at scale.
+    val dirHigh = java.nio.file.Files.createTempDirectory("graft_qn08_high").toString
+    (0 until 32).map { i =>
+      val e = new Array[Float](32); e(i / 2) = 1.0f
+      (i.toLong, e, 0)
+    }.toDF("vec_id", "embedding", "label").write.parquet(s"$dirHigh/embeddings.parquet")
+    val high = SparkEntry.queries("qn08_cosine_near_pairs")(spark, dirHigh)
+    assert(Similarity.lastNearPairPath == "cluster",
+      s"32-dim corpus must take the cluster-bounded plan, took ${Similarity.lastNearPairPath}")
+    val highRows = high.collect()
+    assert(highRows.map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))).toSeq ==
+      (0 until 32 by 2).map(a => (a.toLong, a + 1L)))
+    highRows.foreach(r => assert(r.getAs[Long]("score_e6") >= 999999L, r.toString))
+  }
+
   test("pair-frame memo evicts on clearMemo and unpersists checkpoint blocks") {
     import graft.operators.Dedup
     // Distinct dir string -> guaranteed-fresh memo entry for this test.
