@@ -51,6 +51,22 @@ object Curation {
     (math.max(1L, n / k), k)
   }
 
+  /** qn20c's coarse-quantizer shape: the k ~ sqrt(N) fine centroids are
+    * themselves clustered to k2 = max(4, ceil(sqrt(k))) ~ N^(1/4) coarse
+    * seeds by the SAME stride rule (applied to the centroid index), so
+    * the JVM, Spark SQL, and DuckDB derive identical (cstride, k2). */
+  private[graft] def coarseSeeds(k: Long): (Long, Long) = {
+    val k2 = math.max(4L, math.ceil(math.sqrt(k.toDouble)).toLong)
+    (math.max(1L, k / k2), k2)
+  }
+
+  /** How many coarse cells each vector probes in qn20c's IVF assignment.
+    * A CONSTANT shared with the DuckDB oracle (same rule as
+    * [[graft.operators.Similarity.gridMaxDim]]): the probe count changes
+    * which fine centroid a vector can see, so it is declared semantics —
+    * one literal, never two settings that can drift. */
+  private[graft] val ivfNProbe = 3
+
   /** Byte budget for qn20's centroid broadcast. k grows ~sqrt(N), so at
     * corpus scale the centroid table is NOT automatically broadcast-safe
     * (1e6 centroids x 768 dims ~ 3 GB); over the budget, assignment runs
@@ -131,13 +147,12 @@ object Curation {
 
   private lazy val semAsgCtes: String = "WITH " + semAsgCteList
 
-  /** qn20's full oracle replay, shared verbatim by the batch plan
-    * (qn20) and the streaming operator's batch-mode registration
-    * (qn20b): one SQL definition means the two engines are held to the
-    * IDENTICAL accounting, not two transcriptions of it. */
-  private lazy val semDedupOracle: String =
-    s"""$semAsgCtes,
-       |drp AS (SELECT DISTINCT b.vec_id FROM asg a JOIN asg b
+  /** The SemDeDup drop-accounting tail over an `asg(vec_id, embedding,
+    * nrm, cent_id)` CTE — shared by qn20/qn20b (exact assignment) and
+    * qn20c (IVF assignment): the accounting contract is one SQL string
+    * regardless of how the assignment was produced. */
+  private lazy val semAccountingSql: String =
+    s"""drp AS (SELECT DISTINCT b.vec_id FROM asg a JOIN asg b
        |        ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
        |        WHERE ${cosE6Sql("a.embedding", "b.embedding", "a.nrm", "b.nrm")} >= $semThresholdE6)
        |SELECT asg.cent_id, COUNT(*) AS n_vecs,
@@ -145,6 +160,54 @@ object Curation {
        |       COUNT(*) - COUNT(drp.vec_id) AS n_kept
        |FROM asg LEFT JOIN drp ON asg.vec_id = drp.vec_id
        |GROUP BY asg.cent_id ORDER BY cent_id""".stripMargin
+
+  /** qn20's full oracle replay, shared verbatim by the batch plan
+    * (qn20) and the streaming operator's batch-mode registration
+    * (qn20b): one SQL definition means the two engines are held to the
+    * IDENTICAL accounting, not two transcriptions of it. */
+  private lazy val semDedupOracle: String =
+    s"""$semAsgCtes,
+       |$semAccountingSql""".stripMargin
+
+  /** qn20c's assignment CTE prefix: the IVF (coarse-quantized) route to
+    * the SAME `asg(vec_id, embedding, nrm, cent_id)` shape. Every stage
+    * is deterministic integer/e6 arithmetic, so DuckDB replays the
+    * approximation exactly: fine centroids cluster to the k2 coarse
+    * seeds; each vector probes its [[ivfNProbe]] best coarse cells and
+    * takes the best fine centroid WITHIN those cells (declared IVF miss
+    * semantics — the exact argmax may live in an unprobed cell; engine
+    * and oracle miss it identically). */
+  private lazy val ivfAsgCteList: String = {
+    val vCos = cosE6Sql("cc.gce", "v.embedding", "cc.gcn", "v.nrm")
+    val fCos = cosE6Sql("cc.gce", "fc.ce", "cc.gcn", "fc.cn")
+    val aCos = cosE6Sql("c.ce", "vr.embedding", "c.cn", "vr.nrm")
+    s"""v AS (SELECT vec_id, embedding, ${sqlL2norm("embedding")} AS nrm FROM embeddings),
+       |st AS (SELECT GREATEST(8, CAST(CEIL(SQRT(COUNT(*))) AS BIGINT)) AS k,
+       |              GREATEST(1, COUNT(*) // GREATEST(8, CAST(CEIL(SQRT(COUNT(*))) AS BIGINT))) AS stride
+       |       FROM v),
+       |fc AS (SELECT vec_id // stride AS cent_idx, embedding AS ce, nrm AS cn FROM v, st
+       |       WHERE vec_id % stride = 0 AND vec_id < stride * k),
+       |cst AS (SELECT GREATEST(4, CAST(CEIL(SQRT(k)) AS BIGINT)) AS k2,
+       |               GREATEST(1, k // GREATEST(4, CAST(CEIL(SQRT(k)) AS BIGINT))) AS cstride
+       |        FROM st),
+       |cc AS (SELECT cent_idx // cstride AS coarse_id, ce AS gce, cn AS gcn FROM fc, cst
+       |       WHERE cent_idx % cstride = 0 AND cent_idx < cstride * k2),
+       |casg AS (SELECT cent_idx, ce, cn, coarse_id FROM (
+       |         SELECT fc.cent_idx, fc.ce, fc.cn, cc.coarse_id,
+       |                ROW_NUMBER() OVER (PARTITION BY fc.cent_idx
+       |                  ORDER BY $fCos DESC, cc.coarse_id) AS rn
+       |         FROM fc, cc) WHERE rn = 1),
+       |vr AS (SELECT vec_id, embedding, nrm, coarse_id FROM (
+       |       SELECT v.vec_id, v.embedding, v.nrm, cc.coarse_id,
+       |              ROW_NUMBER() OVER (PARTITION BY v.vec_id
+       |                ORDER BY $vCos DESC, cc.coarse_id) AS rn
+       |       FROM v, cc) WHERE rn <= $ivfNProbe),
+       |asg AS (SELECT vec_id, embedding, nrm, cent_id FROM (
+       |        SELECT vr.vec_id, vr.embedding, vr.nrm, c.cent_idx * stride AS cent_id,
+       |               ROW_NUMBER() OVER (PARTITION BY vr.vec_id
+       |                 ORDER BY $aCos DESC, c.cent_idx) AS rn
+       |        FROM vr JOIN casg c USING (coarse_id) CROSS JOIN st) WHERE rn = 1)""".stripMargin
+  }
 
   /** Memoized one-row stats probe over the corpus embeddings: (row
     * count, max dimension). Drives every driver-side decision downstream
@@ -164,7 +227,7 @@ object Curation {
     * payload rejoin. Returns the CHECKPOINTED (vec_id, embedding, nrm,
     * cent_id) frame plus the probed row count and max dimension (the
     * inputs every downstream byte gate needs). */
-  private def semAssignment(s: SparkSession, dir: String): (DataFrame, Long, Int) = {
+  private[graft] def semAssignment(s: SparkSession, dir: String): (DataFrame, Long, Int) = {
     // Both the checkpointed assignment and its one-row stats probe ride
     // the session memo (the qn17-pairs pattern): qn20, qn08b and any
     // future consumer share ONE assignment build per (session, corpus,
@@ -244,6 +307,135 @@ object Curation {
     (asg, nV, dim)
   }
 
+  /** The coarse table plus routing frames of the IVF assignment: collects
+    * the k2 ~ N^(1/4) coarse seeds to the driver (the declared deployment
+    * shape — one tier SMALLER than qn20b's k ~ sqrt(N) centroid collect;
+    * 178 rows at N = 1e9) and turns routing into ONE map-side projection:
+    * per row, k2 unrolled literal-centroid cosines, packed (-e6 score,
+    * coarse_id) structs, `array_sort` + `slice` for the top-nProbe cells
+    * — no join, no shuffle, inside whole-stage codegen. Returns
+    * (cents(cent_idx, ce, cn, coarse_id), vr(vec_id, embedding, nrm,
+    * coarse_id)): the fine-centroid side keyed by its coarse cell, and
+    * the corpus exploded to its probed cells. */
+  private def ivfRouting(s: SparkSession, v: DataFrame, stride: Long, k: Long,
+      cstride: Long, k2: Long): (DataFrame, DataFrame) = {
+    import s.implicits._
+    val cc: Array[(Long, Array[Float], Double)] = v
+      .filter(col("vec_id") % stride === 0 && col("vec_id") < stride * k)
+      .select(expr(s"vec_id div ${stride}L").as("cent_idx"), col("embedding"), col("nrm"))
+      .filter(col("cent_idx") % cstride === 0 && col("cent_idx") < cstride * k2)
+      .select(expr(s"cent_idx div ${cstride}L").as("coarse_id"), col("embedding"), col("nrm"))
+      .as[(Long, Array[Float], Double)].collect().sortBy(_._1)
+    // Top-nProbe coarse cells by (e6 cosine DESC, coarse_id ASC): the
+    // negated-score struct sort reproduces the oracle's ROW_NUMBER order
+    // exactly (e6 scores are longs, so negation cannot lose ties).
+    def routed(emb: Column, nrm: Column, nProbe: Int): Column = {
+      val cells = cc.map { case (cid, ce, cn) =>
+        struct((lit(0L) - e6(cosine(dotNative(typedlit(ce), emb), lit(cn), nrm))).as("ns"),
+          lit(cid).as("cid"))
+      }
+      transform(slice(array_sort(array(cells.toIndexedSeq: _*)), 1, nProbe),
+        c => c.getField("cid"))
+    }
+    val cents = v
+      .filter(col("vec_id") % stride === 0 && col("vec_id") < stride * k)
+      .select(expr(s"vec_id div ${stride}L").as("cent_idx"),
+        col("embedding").as("ce"), col("nrm").as("cn"))
+      .withColumn("coarse_id", element_at(routed(col("ce"), col("cn"), 1), 1))
+      .localCheckpoint(true) // k rows; feeds the equi-join (and spec probes)
+    val vr = v.select(col("vec_id"), col("embedding"), col("nrm"),
+      explode(routed(col("embedding"), col("nrm"), ivfNProbe)).as("coarse_id"))
+    (cents, vr)
+  }
+
+  /** qn20c's assignment tier: IVF (coarse-quantized) centroid assignment
+    * — the scale path past [[semAssignment]]'s brute-force N*k scoring
+    * (the documented O(N^1.5) ceiling at SemDeDup's k ~ sqrt(N)). Each
+    * vector routes map-side to its [[ivfNProbe]] best of k2 ~ N^(1/4)
+    * coarse cells, then scores ONLY the fine centroids quantized into
+    * those cells — an equi-join on coarse_id, ~nProbe * k/k2 candidates
+    * per vector, so total scoring work drops from N*k ~ N^1.5 to
+    * ~N * sqrt(k) ~ N^1.25. Approximate BY DECLARATION (the exact argmax
+    * centroid may live in an unprobed cell); the DuckDB oracle replays
+    * the identical deterministic routing, and CurationSpec measures
+    * agreement vs the exact tier. Same memo/checkpoint discipline as the
+    * exact assignment. */
+  private[graft] def semAssignmentIvf(s: SparkSession, dir: String): (DataFrame, Long, Int) = {
+    val v = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding"), l2normNative(col("embedding")).as("nrm"))
+    val (nV, dim) = embedStats(s, dir)
+    if (nV == 0) return semAssignment(s, dir) // no seeds to collect; shapes agree
+    val (stride, k) = centroidSeeds(nV)
+    val (cstride, k2) = coarseSeeds(k)
+    val asg = Dedup.memoized("semasgivf", s, dir, 0, 0) {
+      val (cents, vr) = ivfRouting(s, v, stride, k, cstride, k2)
+      // Fine scoring: equi-join on the probed cell — the fine-centroid
+      // side is k rows of full vectors, byte-gated like qn20's pair side
+      // (broadcast under the budget; shuffled-hash on coarse_id over it).
+      val rowBytes = 48L + 8L * dim
+      val scored = vr.join(Dedup.sizedWide(s, cents, k, rowBytes), "coarse_id")
+        .select(col("vec_id"), col("cent_idx"),
+          e6(cosine(dotNative(col("ce"), col("embedding")), col("cn"), col("nrm"))).as("cscore"))
+      // Packed-long argmax, identical layout to the exact tier: with the
+      // broadcast side each vector's candidates are co-located, so the
+      // HashAggregate reduces to one row per vec_id before the exchange;
+      // with the shuffled side, to at most nProbe rows.
+      val IdxBits = 42
+      val mask = (1L << IdxBits) - 1
+      val best = scored
+        .groupBy("vec_id")
+        .agg(max(shiftleft(col("cscore") + 1000000L, IdxBits) +
+          (lit(mask) - col("cent_idx"))).as("b"))
+        .select(col("vec_id"),
+          ((lit(mask) - col("b").bitwiseAND(mask)) * stride).as("cent_id"))
+      v.join(Dedup.sized(s, best, nV), "vec_id")
+        .select(col("vec_id"), col("embedding"), col("nrm"), col("cent_id"))
+        .localCheckpoint(true)
+    }
+    (asg, nV, dim)
+  }
+
+  /** Candidate volume of the IVF route (spec/battery probe): how many
+    * (vector, fine-centroid) pairs qn20c actually scores vs the N*k the
+    * brute-force tier pays. Recomputes the routing keys — product code
+    * never calls this. Returns (ivf candidates, brute-force N*k). */
+  private[graft] def ivfCandidateVolume(s: SparkSession, dir: String): (Long, Long) = {
+    val v = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding"), l2normNative(col("embedding")).as("nrm"))
+    val (nV, _) = embedStats(s, dir)
+    val (stride, k) = centroidSeeds(nV)
+    val (cstride, k2) = coarseSeeds(k)
+    val (cents, vr) = ivfRouting(s, v, stride, k, cstride, k2)
+    val cellSizes = cents.groupBy("coarse_id").agg(count(lit(1)).as("cs"))
+    val cand = vr.select("vec_id", "coarse_id").join(cellSizes, "coarse_id")
+      .agg(sum(col("cs"))).head.getLong(0)
+    (cand, nV * k)
+  }
+
+  /** qn20's within-cluster drop accounting over an assignment frame —
+    * the body shared by qn20 (exact assignment) and qn20c (IVF): within
+    * each cluster drop every vector with an earlier (lower vec_id)
+    * cluster-mate at cosine >= the threshold, then emit per-cluster
+    * keep/drop counts. Join-side strategy is measured-size, byte-aware
+    * (the side carries full vectors). */
+  private def semDedupAccounting(s: SparkSession, asg: DataFrame, nV: Long, dim: Int): DataFrame = {
+    val right = Dedup.sizedWide(s, asg.select(col("vec_id").as("vec_b"),
+      col("embedding").as("eb"), col("nrm").as("nb"), col("cent_id")), nV, 48L + 8L * dim)
+    val drp = asg.select(col("vec_id").as("vec_a"),
+        col("embedding").as("ea"), col("nrm").as("na"), col("cent_id"))
+      .join(right, "cent_id")
+      .filter(col("vec_a") < col("vec_b") &&
+        e6(cosine(dotNative(col("ea"), col("eb")), col("na"), col("nb"))) >= semThresholdE6)
+      .select(col("vec_b").as("vec_id")).distinct()
+      .withColumn("dropped", lit(true))
+    asg.join(drp, Seq("vec_id"), "left")
+      .groupBy("cent_id")
+      .agg(count(lit(1)).as("n_vecs"),
+        count(col("dropped")).as("n_dropped"),
+        (count(lit(1)) - count(col("dropped"))).as("n_kept"))
+      .orderBy("cent_id")
+  }
+
   /** Cluster-bounded cosine near-pair mining at the 0.99 e6 threshold —
     * qn08b's body, and the dispatch target Similarity routes qn08 to on
     * high-dimension corpora (where the lossless angular grid is measured
@@ -284,7 +476,6 @@ object Curation {
     // per-cluster candidate count stays ~sqrt-bounded. IEEE sqrt is
     // correctly rounded, so both engines compute the identical k.
     Q("qn20_semantic_dedup", semDedupOracle) { (s, dir) =>
-      val (asg, nV, dim) = semAssignment(s, dir)
       // Within-cluster pairs: equi-join on cent_id, measured-size side
       // strategy (broadcast under the caps, shuffled-hash on cent_id over
       // them — the checkpointed frame's default stats would force SMJ).
@@ -293,21 +484,27 @@ object Curation {
       // the broadcast budget ("keys travel, payloads rejoin" does not
       // apply here — the payload IS the join's verify input, so over the
       // budget the vectors ride one cent_id exchange instead).
-      val right = Dedup.sizedWide(s, asg.select(col("vec_id").as("vec_b"),
-        col("embedding").as("eb"), col("nrm").as("nb"), col("cent_id")), nV, 48L + 8L * dim)
-      val drp = asg.select(col("vec_id").as("vec_a"),
-          col("embedding").as("ea"), col("nrm").as("na"), col("cent_id"))
-        .join(right, "cent_id")
-        .filter(col("vec_a") < col("vec_b") &&
-          e6(cosine(dotNative(col("ea"), col("eb")), col("na"), col("nb"))) >= semThresholdE6)
-        .select(col("vec_b").as("vec_id")).distinct()
-        .withColumn("dropped", lit(true))
-      asg.join(drp, Seq("vec_id"), "left")
-        .groupBy("cent_id")
-        .agg(count(lit(1)).as("n_vecs"),
-          count(col("dropped")).as("n_dropped"),
-          (count(lit(1)) - count(col("dropped"))).as("n_kept"))
-        .orderBy("cent_id")
+      val (asg, nV, dim) = semAssignment(s, dir)
+      semDedupAccounting(s, asg, nV, dim)
+    },
+
+    // SemDeDup with the IVF assignment tier — the 100 TB regime of qn20,
+    // where k ~ sqrt(N) makes brute-force assignment O(N^1.5): vectors
+    // route map-side through k2 ~ N^(1/4) coarse cells (driver-collected
+    // literal table, one projection, no shuffle) and score only the fine
+    // centroids quantized into their ivfNProbe probed cells — an
+    // equi-join on coarse_id, total work ~N * sqrt(k). The assignment is
+    // approximate BY DECLARATION (a vector whose exact argmax centroid
+    // sits in an unprobed coarse cell lands on its best probed-cell
+    // centroid instead); the oracle replays the identical deterministic
+    // routing — same seeds, same e6 scores, same tie-breaks — so engine
+    // and oracle take the identical approximation, and CurationSpec
+    // quantifies agreement vs the exact tier rather than hiding it.
+    Q("qn20c_semantic_dedup_ivf",
+      s"""WITH $ivfAsgCteList,
+         |$semAccountingSql""".stripMargin) { (s, dir) =>
+      val (asg, nV, dim) = semAssignmentIvf(s, dir)
+      semDedupAccounting(s, asg, nV, dim)
     },
 
     // The STREAMING semantic-dedup operator, oracle-gated: the same

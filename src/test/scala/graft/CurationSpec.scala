@@ -72,6 +72,34 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("qn20c IVF accounting covers the whole corpus") {
+    val rows = SparkEntry.queries("qn20c_semantic_dedup_ivf")(spark, sf).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_kept") + r.getAs[Long]("n_dropped") == r.getAs[Long]("n_vecs"))
+      assert(r.getAs[Long]("n_kept") >= 1)
+    }
+    assert(rows.map(_.getAs[Long]("n_vecs")).sum == Tables.embeddings(spark, sf).count())
+  }
+
+  test("qn20c IVF route scores sub-N*k candidates and mostly agrees with the exact tier") {
+    import graft.operators.Curation
+    // The whole point of the tier: candidate volume must undercut the
+    // brute-force N*k the exact assignment pays (here by ~nProbe/k2).
+    val (cand, brute) = Curation.ivfCandidateVolume(spark, sf)
+    assert(cand < brute, s"IVF candidates ($cand) must undercut brute-force N*k ($brute)")
+    // Quantified agreement vs exact (the declared-miss contract made
+    // measurable): on the 64-dim synthetic corpus the top-3-of-k2 probe
+    // recovers the exact argmax centroid for the large majority of
+    // vectors. The floor is deliberately below the measured value —
+    // it pins "mostly right", not a brittle exact rate.
+    val (exact, n, _) = Curation.semAssignment(spark, sf)
+    val (ivf, _, _) = Curation.semAssignmentIvf(spark, sf)
+    val agree = exact.select(col("vec_id"), col("cent_id").as("ec"))
+      .join(ivf.select(col("vec_id"), col("cent_id").as("ic")), "vec_id")
+      .filter(col("ec") === col("ic")).count()
+    assert(agree * 10 >= n * 6, s"IVF agreement $agree/$n below the 60% floor")
+  }
+
   test("qn21 bloom gate is lossless: identical results to the exact-only join") {
     // The registered query (bloom prefilter + exact verify) must emit
     // exactly what the exact join alone emits — the sketch may only
