@@ -116,7 +116,7 @@ object Dedup {
     * this, frames pin their localCheckpoint blocks for the session
     * lifetime. */
   def clearMemo(s: SparkSession): Unit = {
-    sideChoicesBuf.synchronized { sideChoicesBuf.clear() }
+    sideChoicesBuf.synchronized { sideChoicesBuf.filterInPlace(_._1 ne s) }
     clearMemoTag(s, None)
   }
 
@@ -151,31 +151,41 @@ object Dedup {
     * the join key instead of OOMing the driver. The probe is a count on
     * an already-materialized frame: the same runtime-stats trick AQE
     * plays, paid once per plan build. */
-  /** Record of recent sized()/sizedWide() decisions:
-    * (probed rows, "broadcast" | "shuffle_hash"). A diagnostics probe —
-    * the pair frames are memoized checkpoints, so the chosen join
-    * strategy is invisible in the consumer's executed plan. Bounded (a
-    * long-lived service must not grow it without limit) and read only
-    * through the synchronized [[sideChoices]] snapshot; [[clearMemo]]
-    * resets it with the rest of the session state. */
-  private val sideChoicesBuf = new scala.collection.mutable.ListBuffer[(Long, String)]
+  /** Record of recent sized()/sizedWide() decisions, keyed by the session
+    * that made them: (session, probed rows, "broadcast" | "shuffle_hash").
+    * A diagnostics probe — the pair frames are memoized checkpoints, so
+    * the chosen join strategy is invisible in the consumer's executed
+    * plan. Bounded (a long-lived service must not grow it without limit)
+    * and read only through the synchronized [[sideChoices]] snapshot;
+    * [[clearMemo]] drops the CALLING session's entries only, matching the
+    * pair-memo eviction scope (concurrent sessions keep their
+    * diagnostics). */
+  private val sideChoicesBuf =
+    new scala.collection.mutable.ListBuffer[(SparkSession, Long, String)]
   private val sideChoicesMax = 1024
 
-  /** Synchronized snapshot of the most recent join-side decisions. */
-  def sideChoices: Seq[(Long, String)] =
-    sideChoicesBuf.synchronized { sideChoicesBuf.toList }
+  /** Synchronized snapshot of `s`'s most recent join-side decisions. */
+  def sideChoices(s: SparkSession): Seq[(Long, String)] =
+    sideChoicesBuf.synchronized {
+      sideChoicesBuf.collect { case (ss, r, c) if ss eq s => (r, c) }.toList
+    }
 
-  private def choose(rows: Long, bc: Boolean): String = {
+  /** All sessions' decisions (monitoring; tests use the scoped form). */
+  def sideChoices: Seq[(Long, String)] =
+    sideChoicesBuf.synchronized { sideChoicesBuf.map { case (_, r, c) => (r, c) }.toList }
+
+  private def choose(s: SparkSession, rows: Long, bc: Boolean): String = {
     val c = if (bc) "broadcast" else "shuffle_hash"
     sideChoicesBuf.synchronized {
+      sideChoicesBuf.filterInPlace(!_._1.sparkContext.isStopped)
       if (sideChoicesBuf.size >= sideChoicesMax) sideChoicesBuf.remove(0)
-      sideChoicesBuf += ((rows, c))
+      sideChoicesBuf += ((s, rows, c))
     }
     c
   }
 
   private[operators] def sized(s: SparkSession, df: DataFrame, probedRows: Long): DataFrame =
-    if (choose(probedRows, probedRows <= broadcastCap(s)) == "broadcast") broadcast(df)
+    if (choose(s, probedRows, probedRows <= broadcastCap(s)) == "broadcast") broadcast(df)
     else df.hint("SHUFFLE_HASH")
 
   /** Byte-budget refinement of [[sized]] for PAYLOAD-WIDE sides. The row
@@ -187,7 +197,7 @@ object Dedup {
   private[operators] def sizedWide(
       s: SparkSession, df: DataFrame, probedRows: Long, avgRowBytes: Long): DataFrame = {
     val byteBudget = 300L * 1024 * 1024
-    if (choose(probedRows,
+    if (choose(s, probedRows,
         probedRows <= broadcastCap(s) && probedRows * avgRowBytes <= byteBudget) == "broadcast")
       broadcast(df)
     else df.hint("SHUFFLE_HASH")
