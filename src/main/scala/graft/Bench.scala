@@ -45,7 +45,22 @@ object Bench {
       // worst in-sweep GC artifact: its bloom build + checkpoint runs
       // right after the pair queries' dead blocks drop, so single samples
       // have measured eviction, not the plan.
-      "qn21_bloom_decontamination" -> None)
+      "qn21_bloom_decontamination" -> None,
+      // r7 verdict: every >2s query carries a min so the artifact reads
+      // through host-load noise. qp01/qp03 share the clean45 pair memo
+      // (cold build measured each rep, warm frame left for the other);
+      // qn20 re-measures the cold semasg assignment build and leaves it
+      // warm for qn20b (the streaming consumer keeps its in-sweep warm
+      // read); qn20c owns the IVF assignment memo. q0z builds a fresh
+      // fixture dir per invocation, so its reps are uniform by design.
+      "qn05_simhash_values" -> None,
+      "qn23_substring_spans" -> None,
+      "qp01_clean_corpus" -> Some("clean45"),
+      "qp03_training_manifest" -> Some("clean45"),
+      "q0z_zonemap_scan" -> None,
+      "qn20_semantic_dedup" -> Some("semasg"),
+      "qn20b_semantic_dedup_stream" -> None,
+      "qn20c_semantic_dedup_ivf" -> Some("semasgivf"))
     val reps = 3
     def timed(name: String): Double = {
       val t0 = System.nanoTime()
