@@ -49,10 +49,12 @@ object Bench {
       // r7 verdict: every >2s query carries a min so the artifact reads
       // through host-load noise. qp01/qp03 share the clean45 pair memo
       // (cold build measured each rep, warm frame left for the other);
-      // qn20 re-measures the cold semasg assignment build and leaves it
-      // warm for qn20b (the streaming consumer keeps its in-sweep warm
-      // read); qn20c owns the IVF assignment memo. q0z builds a fresh
-      // fixture dir per invocation, so its reps are uniform by design.
+      // qn20 re-measures the cold semasg assignment build; the frame left
+      // warm after its last rep benefits qn08b only if the sweep is
+      // reordered — qn20b rebuilds its own centroid collect and has
+      // uniform reps by design. qn20c owns the IVF assignment memo. q0z
+      // builds a fresh fixture dir per invocation, so its reps are
+      // uniform by design.
       "qn05_simhash_values" -> None,
       "qn23_substring_spans" -> None,
       "qp01_clean_corpus" -> Some("clean45"),
@@ -62,18 +64,39 @@ object Bench {
       "qn20b_semantic_dedup_stream" -> None,
       "qn20c_semantic_dedup_ivf" -> Some("semasgivf"))
     val reps = 3
-    def timed(name: String): Double = {
+    // Failures are first-class output: round 8 proved that swallowing
+    // them times a dead query as a ~0s no-op and the artifact reads as
+    // "fast" — 13 analysis-failing queries inflated "106 queries, 149s"
+    // while actually exercising 93. A failed query is recorded as
+    // (name, exception class), excluded from n_queries/total, and
+    // printed in a "failed" field so the artifact can't mask an outage.
+    val failed = scala.collection.mutable.LinkedHashMap[String, String]()
+    def timed(name: String): Option[Double] = {
       val t0 = System.nanoTime()
-      try run(name) catch { case _: Throwable => () }
+      val ok = try { run(name); true } catch {
+        case e: Throwable =>
+          failed(name) = e.getClass.getSimpleName
+          System.err.println(s"BENCH FAIL $name: ${e.getClass.getName}: ${e.getMessage}")
+          false
+      }
       val dt = (System.nanoTime() - t0) / 1e9
+      // Between measurements every plan built inside this timed() is
+      // fully materialized (noop sink) and discarded, so the centroid
+      // broadcasts qn20b's batch twin accumulates are destroyable NOW
+      // rather than at whatever later point the ContextCleaner notices.
+      graft.streaming.StreamSemantic.releaseBroadcasts(spark)
       // Drop dead localCheckpoint blocks between measurements: the pair
       // queries pin materialized RDDs, and without a GC the
       // ContextCleaner never unpersists them — storage fills, later
       // queries measure eviction/GC instead of their own plan.
       System.gc()
-      dt
+      if (ok) Some(dt) else None
     }
-    run("q12_agg_pricing_summary") // warmup
+    // Warmup (session/codegen/FS init). Not measured; a failure here is
+    // loud on stderr but must not kill the sweep — q12 is also measured
+    // below and would be reported failed there.
+    try run("q12_agg_pricing_summary")
+    catch { case e: Throwable => System.err.println(s"BENCH WARMUP FAIL: $e") }
     // SPARK_GRAFT_ONLY=qa,qb restricts the sweep (dev-time A/B timing).
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
@@ -84,15 +107,18 @@ object Bench {
     // sweeps move 11s <-> 17s with host load; cold minima match) — it is
     // what separates a plan change from load noise round-over-round.
     val results: Seq[(String, Double, Double, Double)] =
-      names.map { name =>
+      names.flatMap { name =>
         noisy.get(name) match {
-          case None => val t = timed(name); (name, t, 0.0, t)
+          case None => timed(name).map(t => (name, t, 0.0, t))
           case Some(tagOpt) =>
-            val ts = (1 to reps).map { _ =>
+            // A rep that fails aborts the remaining reps — the query is
+            // dead, not noisy, and re-running a failure 3x buys nothing.
+            val ts = (1 to reps).iterator.map { _ =>
               tagOpt.foreach(t => graft.operators.Dedup.clearMemo(spark, t))
               timed(name)
-            }.sorted
-            (name, ts(reps / 2), ts.last - ts.head, ts.head)
+            }.takeWhile(_.isDefined).flatten.toSeq.sorted
+            if (ts.size < reps) None
+            else Some((name, ts(reps / 2), ts.last - ts.head, ts.head))
         }
       }
     def fmt(v: Double): String = f"$v%.3f"
@@ -104,13 +130,15 @@ object Bench {
     val mins = noisyResults
       .map { case (k, _, _, mn) => s"\"" + k + "\":" + fmt(mn) }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"reps_noisy":$reps,"spread":$spread,"min":$mins,"sf":"$sfDir"}""")
+    val failedJson = failed
+      .map { case (k, ex) => s"\"" + k + "\":\"" + ex + "\"" }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,"reps_noisy":$reps,"spread":$spread,"min":$mins,"sf":"$sfDir"}""")
     // The full line above exceeds 2 KB at 70+ queries, and harness log
     // capture may keep only the output tail — repeat the headline stats
     // in a compact trailing line so the total is never truncated away.
     val slowest = results.sortBy(-_._2).take(8)
       .map { case (k, v, _, _) => s"\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"slowest":$slowest,"min_noisy":$mins,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,"slowest":$slowest,"min_noisy":$mins,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

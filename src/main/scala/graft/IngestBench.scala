@@ -36,6 +36,37 @@ object IngestBench {
     val secs = (System.nanoTime() - t0) / 1e9
     val rows = spark.read.parquet(s"$out/$entity").count()
     println(f"""{"metric":"ingest","rows":$rows,"input_mb":${bytes / 1e6}%.1f,"sec":$secs%.2f,"rows_per_sec":${rows / secs}%.0f,"mb_per_sec":${bytes / 1e6 / secs}%.1f}""")
+    // Gz dumps are single-split: the line above measured ONE task doing
+    // everything. The pre-split path pays the sequential gunzip once,
+    // cuts the stream at record boundaries into plain blocks, and the
+    // parse then fans out (>1 task on one dump — the round-8 carried
+    // gap). Identical output is asserted, not assumed: an
+    // order-insensitive content hash over every projected column must
+    // match the single-split ingest exactly.
+    if (path.endsWith(".gz")) {
+      import org.apache.spark.sql.functions._
+      def contentHash(df: org.apache.spark.sql.DataFrame): Long = {
+        val cols = df.columns.sorted.map(col).toIndexedSeq
+        // XOR-fold: order-insensitive like sum, but cannot overflow
+        // (ANSI mode turns a long-sum overflow into a task failure).
+        df.select(xxhash64(to_json(struct(cols: _*))).as("h"))
+          .agg(expr("bit_xor(h)")).head().getLong(0)
+      }
+      val splitDir = java.nio.file.Files.createTempDirectory("graft_presplit").toString
+      val t1 = System.nanoTime()
+      val blocks = graft.sources.Ingest.preSplitGz(
+        path, splitDir, graft.sources.DiscogsSchemas.rowTags(entity), 32L * 1024 * 1024)
+      val splitSecs = (System.nanoTime() - t1) / 1e9
+      val t2 = System.nanoTime()
+      val sdf = DiscogsXml.readRecovering(spark, splitDir, entity)
+      val nTasks = sdf.rdd.getNumPartitions
+      DiscogsLake.writeDump(sdf, s"$out/presplit", entity, 2024, "03")
+      val parseSecs = (System.nanoTime() - t2) / 1e9
+      val sRows = spark.read.parquet(s"$out/presplit/$entity").count()
+      val hashMatch = contentHash(spark.read.parquet(s"$out/presplit/$entity")) ==
+        contentHash(spark.read.parquet(s"$out/$entity"))
+      println(f"""{"metric":"ingest_presplit","rows":$sRows,"blocks":${blocks.size},"tasks":$nTasks,"split_sec":$splitSecs%.2f,"parse_sec":$parseSecs%.2f,"total_sec":${splitSecs + parseSecs}%.2f,"rows_per_sec":${sRows / (splitSecs + parseSecs)}%.0f,"hash_match":$hashMatch}""")
+    }
     spark.stop()
   }
 }

@@ -17,17 +17,39 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects ([PARQUET_TYPE_ILLEGAL]). We read it as raw nanos via
-    * the legacy conf and convert with integer division (ns values ~1.7e18
-    * exceed double's exact range, so `/ 1000` must be integral `div`).
-    * Truncation toward zero matches DuckDB's ns->us narrowing, keeping the
-    * oracle comparable.
+  /** `events.ts` has shipped in two parquet encodings over time:
+    * TIMESTAMP(NANOS) (which Spark's vectorized reader rejects —
+    * [PARQUET_TYPE_ILLEGAL] — unless read as raw longs via the legacy
+    * conf) and plain TIMESTAMP(MICROS). A loader coupled to one encoding
+    * dies at analysis time when the lake is rewritten with the other, so
+    * we branch on the schema the reader actually produced:
+    *
+    *   - `LongType`: the file is nanos-annotated and the legacy conf
+    *     surfaced raw ns. Convert with integer division (ns values
+    *     ~1.7e18 exceed double's exact range, so `/ 1000` must be
+    *     integral `div`; truncation toward zero matches DuckDB's ns->us
+    *     narrowing, keeping the oracle comparable).
+    *   - timestamp (NTZ or LTZ): pass through, cast to the session
+    *     TimestampType. All entry points pin session timeZone=UTC, so an
+    *     NTZ wall-clock cast preserves the stored micros and downstream
+    *     event-time code (windows, watermarks, unix_micros) sees the
+    *     exact values DuckDB reads.
+    *
+    * Setting the nanos conf is a no-op for micros-encoded files, so it is
+    * applied unconditionally before the read. Both branches are pinned by
+    * fixture tests in RelationalSpec ("events loader survives both
+    * parquet timestamp encodings").
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(spark, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val df = load(spark, dir, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampType => df
+      case _ => // TIMESTAMP_NTZ (or future widenings): wall-clock cast under UTC
+        df.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+    }
   }
 
   def region(spark: SparkSession, dir: String): DataFrame    = load(spark, dir, "region")

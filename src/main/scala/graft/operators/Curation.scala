@@ -131,8 +131,13 @@ object Curation {
     * near-pair mining, and qn08's high-dimension dispatch branch
     * (exposed WITHOUT the `WITH` keyword as [[semAsgCteList]] so callers
     * can append their own CTEs). */
-  private[operators] lazy val semAsgCteList: String =
-    s"""v AS (SELECT vec_id, embedding, ${sqlL2norm("embedding")} AS nrm FROM embeddings),
+  private[operators] lazy val semAsgCteList: String = semAsgCteListFrom("embeddings")
+
+  /** The same CTE prefix over an arbitrary source relation `src(vec_id,
+    * embedding)` — qn08c's planted-corpus oracle routes a derived corpus
+    * through the identical machinery. */
+  private[operators] def semAsgCteListFrom(src: String): String =
+    s"""v AS (SELECT vec_id, embedding, ${sqlL2norm("embedding")} AS nrm FROM $src),
        |st AS (SELECT GREATEST(8, CAST(CEIL(SQRT(COUNT(*))) AS BIGINT)) AS k,
        |              GREATEST(1, COUNT(*) // GREATEST(8, CAST(CEIL(SQRT(COUNT(*))) AS BIGINT))) AS stride
        |       FROM v),
@@ -228,6 +233,19 @@ object Curation {
     * cent_id) frame plus the probed row count and max dimension (the
     * inputs every downstream byte gate needs). */
   private[graft] def semAssignment(s: SparkSession, dir: String): (DataFrame, Long, Int) = {
+    val v = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding"), l2normNative(col("embedding")).as("nrm"))
+    val (nV, dim) = embedStats(s, dir)
+    (semAssignmentOver(s, v, nV, dim, dir), nV, dim)
+  }
+
+  /** The assignment pipeline over an arbitrary (vec_id, embedding, nrm)
+    * corpus — qn08c routes its planted-near-dup corpus through the
+    * IDENTICAL machinery. `memoKey` keys the session memo: a derived
+    * corpus must never answer queries posed over the raw one, so callers
+    * pass a distinct key per corpus derivation. */
+  private[graft] def semAssignmentOver(s: SparkSession, v: DataFrame, nV: Long, dim: Int,
+      memoKey: String): DataFrame = {
     // Both the checkpointed assignment and its one-row stats probe ride
     // the session memo (the qn17-pairs pattern): qn20, qn08b and any
     // future consumer share ONE assignment build per (session, corpus,
@@ -238,13 +256,10 @@ object Curation {
     // one budget must not answer a query posed under another
     // (CurationSpec forces a 1 KB budget to test the chunked path).
     val budgetKey = centroidBudgetBytes(s)
-    val v = Tables.embeddings(s, dir)
-      .select(col("vec_id"), col("embedding"), l2normNative(col("embedding")).as("nrm"))
-    val (nV, dim) = embedStats(s, dir)
     val (stride, k) = centroidSeeds(nV)
     val rowBytes = 48L + 8L * dim
-    val chunkKey = (s, dir, budgetKey)
-    val asg = Dedup.memoized("semasg", s, dir, budgetKey, 0) {
+    val chunkKey = (s, memoKey, budgetKey)
+    val asg = Dedup.memoized("semasg", s, memoKey, budgetKey, 0) {
     val cents0 = v
       .filter(col("vec_id") % stride === 0 && col("vec_id") < stride * k)
       .select(expr(s"vec_id div ${stride}L").as("cent_idx"),
@@ -304,7 +319,7 @@ object Curation {
     chunksMemo.keySet.filter(_._1.sparkContext.isStopped)
       .foreach(chunksMemo.remove)
     lastAssignChunks = chunksMemo.getOrElse(chunkKey, 1L)
-    (asg, nV, dim)
+    asg
   }
 
   /** The coarse table plus routing frames of the IVF assignment: collects
@@ -444,6 +459,14 @@ object Curation {
     * SemDeDup miss semantics) and verified with exact e6 cosine. */
   private[operators] def clusterNearPairs(s: SparkSession, dir: String): DataFrame = {
     val (asg, nV, dim) = semAssignment(s, dir)
+    clusterPairsOf(s, asg, nV, dim)
+  }
+
+  /** The within-cluster pair join over any `asg(vec_id, embedding, nrm,
+    * cent_id)` frame — shared by qn08/qn08b (raw corpus) and qn08c
+    * (planted corpus). */
+  private[operators] def clusterPairsOf(s: SparkSession, asg: DataFrame,
+      nV: Long, dim: Int): DataFrame = {
     val right = Dedup.sizedWide(s, asg.select(col("vec_id").as("vec_b"),
       col("embedding").as("eb"), col("nrm").as("nb"), col("cent_id")), nV, 48L + 8L * dim)
     asg.select(col("vec_id").as("vec_a"),

@@ -24,6 +24,25 @@ object Discogs {
   val fixturesDir = "/root/repo/src/test/resources/fixtures"
 
   private[operators] val lakeRun = new java.util.concurrent.atomic.AtomicInteger(0)
+  // One-time (per JVM) reclamation of fixture dirs stranded by PRIOR
+  // JVMs. In-JVM sibling dirs must NOT be deleted: a caller may still
+  // hold (and later collect) a plan whose file index points at an
+  // earlier invocation's dir — e.g. the determinism sweep builds two
+  // plans before collecting either. At first invocation no plan of this
+  // JVM exists, so everything matching the prefixes is stale. The
+  // counter-replay rm alone misses leftovers whenever a changed sweep
+  // shape replays different counter values (round-8 advice).
+  private[operators] lazy val sweepStaleFixtures: Unit = {
+    val tmp = new java.io.File(sys.props("java.io.tmpdir"))
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(rm)
+      f.delete(): Unit
+    }
+    Option(tmp.listFiles).getOrElse(Array.empty)
+      .filter(f => f.getName.startsWith("graft_zonemap_q_") ||
+        f.getName.startsWith("graft_lake_fixture_"))
+      .foreach(rm)
+  }
 
   private val NUL = "∅"
 
@@ -166,7 +185,10 @@ object Discogs {
     Q("q0l_lake_roundtrip", DiscogsOracles.q0l) { (s, _) =>
       // Each invocation writes a fresh lake dir: plans returned by earlier
       // invocations hold a file index over their own files, so re-using (and
-      // wiping) one dir would invalidate a still-live sibling plan.
+      // wiping) one dir would invalidate a still-live sibling plan. Stale
+      // prior-JVM dirs are prefix-swept once per JVM (before any dir of
+      // this JVM exists — both fixture-writing queries trigger it first).
+      Discogs.sweepStaleFixtures
       val base = new java.io.File(sys.props("java.io.tmpdir"),
         s"graft_lake_fixture_${Discogs.lakeRun.incrementAndGet()}").toString
       def rm(f: java.io.File): Unit = {
@@ -200,8 +222,9 @@ object Discogs {
         |  AND o_totalprice BETWEEN 50000 AND 200000
         |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
       // Fresh dir per invocation (q0l's pattern): earlier invocations'
-      // returned plans hold a file index over their own files. The rm
-      // clears leftovers from PRIOR JVMs (the counter restarts at 0).
+      // returned plans hold a file index over their own files. Stale
+      // prior-JVM dirs are prefix-swept once per JVM.
+      Discogs.sweepStaleFixtures
       val base = new java.io.File(sys.props("java.io.tmpdir"),
         s"graft_zonemap_q_${lakeRun.incrementAndGet()}")
       def rm(f: java.io.File): Unit = {
@@ -218,6 +241,47 @@ object Discogs {
         Seq(("o_orderkey", 1000L, 3000L), ("o_totalprice", 50000.0, 200000.0)))
       require(pr.nFilesRead < pr.nFilesTotal,
         s"zone maps skipped nothing: read ${pr.nFilesRead} of ${pr.nFilesTotal} files")
+      pr.df.select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    },
+
+    // Zone maps COMPOSED with Hive partition pruning (the round-8 gap:
+    // q0z proved skipping on a flat table only). Orders rewrite into a
+    // year-partitioned lake, range-clustered by o_orderkey WITHIN each
+    // partition (repartitionByRange before partitionBy: each of the 4
+    // range tasks writes one orderkey-quartile file per year dir), so a
+    // (year equality AND orderkey range) query must prune twice:
+    // partition dirs first, then zones within the survivors. Both
+    // requires make the MULTIPLICATION of the prunings part of the
+    // correctness gate — partition pruning alone or zone pruning alone
+    // fails the run. Lossless as ever: the oracle is the plain filter
+    // over the ORIGINAL table.
+    Q("q0zp_zonemap_partition_pruned",
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders
+        |WHERE EXTRACT(year FROM o_orderdate) = 1996
+        |  AND o_orderkey BETWEEN 4000 AND 6000
+        |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      Discogs.sweepStaleFixtures
+      val base = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_zonemap_q_${lakeRun.incrementAndGet()}")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles.foreach(rm)
+        f.delete(): Unit
+      }
+      rm(base)
+      val dataDir = s"$base/orders_lake"; val statsPath = s"$base/stats"
+      graft.Tables.orders(s, dir)
+        .withColumn("year", year(col("o_orderdate")))
+        .repartitionByRange(4, col("o_orderkey"))
+        .write.partitionBy("year").parquet(dataDir)
+      ZoneMap.writeStats(s, dataDir, statsPath, Seq("o_orderkey"))
+      val pr = ZoneMap.prunedScanPartitioned(s, dataDir, statsPath,
+        Seq(("year", 1996)), Seq(("o_orderkey", 4000L, 6000L)))
+      require(pr.nPartFiles < pr.nFilesTotal,
+        s"partition pruning skipped nothing: ${pr.nPartFiles} of ${pr.nFilesTotal} files")
+      require(pr.nFilesRead < pr.nPartFiles,
+        s"zone maps skipped nothing within partitions: read ${pr.nFilesRead} of ${pr.nPartFiles}")
       pr.df.select("o_orderkey", "o_custkey", "o_totalprice")
         .orderBy("o_orderkey")
     }

@@ -40,6 +40,28 @@ object Similarity {
     * shared literal, never two settings that can drift. */
   private[graft] val gridMaxDim = 23
 
+  /** qn08c's plant: vectors with vec_id < plantCount gain a near-dup
+    * copy at vec_id + plantIdOffset whose first coordinate is scaled
+    * 1.02x (in double, cast back to float — bit-identical in DuckDB).
+    * cos(v, v') >= 0.99995 for every possible mass split, so each copy
+    * is a TRUE near pair at the 0.99 threshold by construction. */
+  private[graft] val plantCount = 40
+  private[graft] val plantIdOffset = 1000000L
+
+  /** The planted corpus with norms: raw embeddings plus the perturbed
+    * copies, the qn08c input on both the Spark and (via the mirrored
+    * CTE) oracle side. */
+  private[graft] def plantedVecs(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val planted = base.filter(col("vec_id") < plantCount)
+      .select((col("vec_id") + plantIdOffset).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          when(i === 0, (x.cast("double") * lit(1.02)).cast("float")).otherwise(x))
+          .as("embedding"))
+    base.unionByName(planted)
+      .select(col("vec_id"), col("embedding"), l2normNative(col("embedding")).as("nrm"))
+  }
+
   /** Which branch qn08's dimension dispatch took on its most recent
     * plan build ("grid" | "cluster") — a test probe, like
     * [[Curation.lastAssignChunks]]: the cluster branch's assignment
@@ -133,6 +155,44 @@ object Similarity {
           .filter(col("score_e6") >= 990000)
           .orderBy("vec_a", "vec_b")
       }
+    },
+
+    // RECALL EVIDENCE for the high-dimension branch. The synthetic
+    // embeddings corpus has no organic pairs at the 0.99 threshold, so
+    // qn08/qn08b's correctness rows match 0-vs-0 — structurally unable
+    // to catch a recall regression in the cluster branch (the oracle
+    // replays the same dispatch, so a branch that silently dropped every
+    // pair would still "match"). This query PLANTS near-duplicates:
+    // every vec_id < plantCount gains a copy (id + plantIdOffset) with
+    // its first coordinate scaled 1.02x — cos(v, v') =
+    // (1 + .02t)/sqrt(1 + .0404t) >= 0.99995 for all t = v1^2/|v|^2, so
+    // each of the 40 planted pairs is a TRUE near pair by construction —
+    // and routes the 540-vector corpus through the IDENTICAL
+    // sqrt(N)-centroid machinery (shared seeds rule, e6 scores,
+    // tie-breaks; the oracle replays it over the same planted CTE). The
+    // output is the within-cluster found subset: a positive-row hash
+    // check every round, plus the quantified recall floor vs brute force
+    // in CurationSpec ("cluster branch finds planted high-dim pairs").
+    Q("qn08c_planted_near_pairs",
+      s"""WITH corpus AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + $plantIdOffset AS vec_id,
+         |         [CASE WHEN i = 0 THEN CAST(CAST(embedding[i + 1] AS DOUBLE) * 1.02 AS REAL)
+         |               ELSE embedding[i + 1] END for i in range(0, len(embedding))] AS embedding
+         |  FROM embeddings WHERE vec_id < $plantCount),
+         |${Curation.semAsgCteListFrom("corpus")}
+         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |       ${cosE6("a", "b")} AS score_e6
+         |FROM asg a JOIN asg b ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
+         |WHERE ${cosE6("a", "b")} >= 990000
+         |ORDER BY vec_a, vec_b""".stripMargin) { (s, dir) =>
+      val (nV0, dim) = Curation.embedStats(s, dir)
+      // vec_id is dense [0, nV0) (pinned by the recall spec), so the
+      // plant adds exactly min(plantCount, nV0) rows — no extra count job.
+      val nV = nV0 + math.min(plantCount.toLong, nV0)
+      val asg = Curation.semAssignmentOver(s, plantedVecs(s, dir), nV, dim, dir + "#planted")
+      Curation.clusterPairsOf(s, asg, nV, dim)
     },
 
     // ANN: 16-plane sign-random-projection LSH. Candidates = vectors

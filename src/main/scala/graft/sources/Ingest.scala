@@ -69,6 +69,83 @@ object Ingest {
     (written, clean)
   }
 
+  /** Pre-split a gzipped XML dump into RECORD-ALIGNED plain-text block
+    * files, so the expensive parse parallelizes (SURVEY §7 known-hard
+    * #6). Gzip is not splittable: one `.xml.gz` dump otherwise pins the
+    * whole scan to a single task no matter how many executors exist.
+    * The decompress is inherently sequential, so we pay it ONCE here —
+    * a driver/edge-node pass in the same cost class as the reference's
+    * sequential download+decompress — and cut the stream at
+    * `</recordEndTag>` boundaries into ~blockBytes files. Every block
+    * holds whole records (the cut is after the LAST closing tag in the
+    * buffered window), so the record-recovering lineSep scan reads the
+    * block directory with one task per block minimum (maxPartitionBytes
+    * then splits further within blocks — they are plain text), and
+    * wrapper junk at the head/tail of blocks is dropped by the same
+    * rowTag matcher that drops it on a whole-file scan. At the lake,
+    * this runs per dump file as it lands; the parse stage downstream is
+    * then embarrassingly parallel.
+    *
+    * Returns the block paths written (in stream order). IngestSpec pins
+    * split-vs-whole equivalence; IngestBench reports the parallel
+    * ingest throughput over the blocks. */
+  def preSplitGz(inPath: String, outDir: String, recordEndTag: String,
+      blockBytes: Long = 64L * 1024 * 1024, bufSize: Int = 256 * 1024): Seq[String] = {
+    val endBytes = s"</$recordEndTag>".getBytes("UTF-8")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+    val in = new java.util.zip.GZIPInputStream(
+      new BufferedInputStream(new FileInputStream(inPath), bufSize))
+    val paths = Seq.newBuilder[String]
+    var blockIdx = 0
+    // Growable window of not-yet-emitted bytes. Each flush scans it
+    // once from the END for the last record boundary — O(window) per
+    // block, and the window never exceeds blockBytes + one read unless
+    // a single record does.
+    var win = new Array[Byte](math.min(blockBytes + bufSize, Int.MaxValue.toLong).toInt)
+    var winLen = 0
+    def lastBoundary(): Int = { // index AFTER the closing tag, or -1
+      var i = winLen - endBytes.length
+      while (i >= 0) {
+        var j = 0
+        while (j < endBytes.length && win(i + j) == endBytes(j)) j += 1
+        if (j == endBytes.length) return i + endBytes.length
+        i -= 1
+      }
+      -1
+    }
+    def writeBlock(until: Int): Unit = {
+      val p = f"$outDir/block-$blockIdx%05d.xml"
+      val out = new java.io.BufferedOutputStream(new java.io.FileOutputStream(p), bufSize)
+      try out.write(win, 0, until) finally out.close()
+      paths += p
+      blockIdx += 1
+      System.arraycopy(win, until, win, 0, winLen - until)
+      winLen -= until
+    }
+    try {
+      val buf = new Array[Byte](bufSize)
+      var n = in.read(buf)
+      while (n > 0) {
+        if (winLen + n > win.length) {
+          val grown = new Array[Byte](math.max(win.length * 2, winLen + n))
+          System.arraycopy(win, 0, grown, 0, winLen)
+          win = grown
+        }
+        System.arraycopy(buf, 0, win, winLen, n)
+        winLen += n
+        if (winLen >= blockBytes) {
+          val cut = lastBoundary()
+          if (cut > 0) writeBlock(cut)
+          // no boundary yet: an oversized record — keep growing until
+          // its closing tag arrives; correctness over block-size vanity.
+        }
+        n = in.read(buf)
+      }
+      if (winLen > 0) writeBlock(winLen) // trailer (+ any tail records)
+    } finally in.close()
+    paths.result()
+  }
+
   /** Ranged-download chunk plan (io.py:219-236): split `totalSize` into
     * `maxWorkers*4` target chunks, clamped to [minChunk, chunkSize];
     * returns inclusive byte ranges for `Range:` headers. Pure math — the

@@ -111,4 +111,52 @@ object ZoneMap {
         .parquet(keep.toIndexedSeq: _*).filter(rowPred)
     Pruned(df, nTotal, keep.length)
   }
+
+  /** A partition-pruned + zone-pruned scan with both prunings accounted:
+    * total files, files surviving PARTITION pruning, files actually
+    * read after zone pruning within those partitions. */
+  final case class PrunedPart(df: DataFrame, nFilesTotal: Long,
+      nPartFiles: Long, nFilesRead: Long)
+
+  /** Partition pruning COMPOSED with zone-map skipping. The stats table
+    * doubles as the file index: a Hive-layout file path embeds its
+    * partition values (`.../year=1996/part-...`), so the partition
+    * predicate applies to the stats rows first (the same directory
+    * pruning the catalog would do, decided from the one KB-scale
+    * planning read) and zone overlap then prunes WITHIN the surviving
+    * partitions — the two prunings multiply. Lossless for the same
+    * reason as [[prunedScanAll]]: each stage keeps a superset of
+    * matching files, and both the partition equalities and the range
+    * predicate re-apply to rows after the scan.
+    *
+    * `partCols` are (partitionColumn, value) equalities; `preds` the
+    * (column, lo, hi) zone ranges. Partition values re-compare through
+    * a string cast so the result is independent of the session's
+    * partition-type-inference setting. */
+  def prunedScanPartitioned(spark: SparkSession, dataDir: String, statsPath: String,
+      partCols: Seq[(String, Any)], preds: Seq[(String, Any, Any)]): PrunedPart = {
+    require(partCols.nonEmpty, "at least one (partitionColumn, value) equality")
+    require(preds.nonEmpty, "at least one (column, lo, hi) predicate")
+    val stats = spark.read.parquet(statsPath)
+    val nTotal = stats.count()
+    val partPred = partCols.map { case (k, v) =>
+      col("file").contains(s"/$k=$v/")
+    }.reduce(_ && _)
+    val partStats = stats.filter(partPred)
+    val nPart = partStats.count()
+    val zonePred = preds.map { case (c, lo, hi) =>
+      col(s"min_$c") <= lit(hi) && col(s"max_$c") >= lit(lo)
+    }.reduce(_ && _)
+    val keep = partStats.filter(zonePred).select("file").collect().map(_.getString(0))
+    val rowPred = (preds.map { case (c, lo, hi) =>
+      col(c) >= lit(lo) && col(c) <= lit(hi)
+    } ++ partCols.map { case (k, v) =>
+      col(k).cast("string") === v.toString
+    }).reduce(_ && _)
+    val df =
+      if (keep.isEmpty) spark.read.parquet(dataDir).where(lit(false))
+      else spark.read.option("basePath", dataDir)
+        .parquet(keep.toIndexedSeq: _*).filter(rowPred)
+    PrunedPart(df, nTotal, nPart, keep.length)
+  }
 }

@@ -35,6 +35,41 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object StreamSemantic {
 
+  /** Centroid broadcasts created by the two dedup entry points, per
+    * session. A broadcast's blocks live until the ContextCleaner GCs the
+    * last plan referencing it — correct, but LAZY: a bench sweep that
+    * builds the batch twin repeatedly accumulates dead centroid tables
+    * until a driver GC happens to run (round-8 advice). Callers that
+    * know a safe point — every plan built since the last release is
+    * fully materialized and discarded (Bench between measurements; a
+    * spec after stopping its queries) — call [[releaseBroadcasts]] to
+    * destroy them eagerly. Callers that don't are still safe: the
+    * registry holds the only extra reference, and stopped sessions are
+    * evicted on the next track/release. */
+  private val liveBroadcasts = scala.collection.concurrent.TrieMap
+    .empty[org.apache.spark.sql.SparkSession,
+      List[org.apache.spark.broadcast.Broadcast[IndexedSeq[(Long, Array[Float])]]]]
+
+  private def track(s: org.apache.spark.sql.SparkSession,
+      bc: org.apache.spark.broadcast.Broadcast[IndexedSeq[(Long, Array[Float])]]): Unit = {
+    liveBroadcasts.keySet.filter(_.sparkContext.isStopped).foreach(liveBroadcasts.remove)
+    liveBroadcasts.updateWith(s) { prev => Some(bc :: prev.getOrElse(Nil)) }: Unit
+  }
+
+  /** Test probe: broadcasts currently tracked for a session. */
+  private[graft] def trackedBroadcastCount(s: org.apache.spark.sql.SparkSession): Int =
+    liveBroadcasts.get(s).map(_.size).getOrElse(0)
+
+  /** Destroy every centroid broadcast this session has accumulated.
+    * ONLY safe when no un-materialized plan still references one —
+    * destroying under a live plan fails its tasks. */
+  def releaseBroadcasts(s: org.apache.spark.sql.SparkSession): Unit = {
+    liveBroadcasts.keySet.filter(_.sparkContext.isStopped).foreach(liveBroadcasts.remove)
+    liveBroadcasts.remove(s).foreach(_.foreach { bc =>
+      try bc.destroy() catch { case _: Exception => () } // already cleaned is fine
+    })
+  }
+
   case class VecIn(vec_id: Long, embedding: Array[Float], us: Long)
   case class AsgVec(cent_id: Long, vec_id: Long, us: Long, embedding: Array[Float],
       ts: java.sql.Timestamp)
@@ -114,6 +149,7 @@ object StreamSemantic {
     val spark = vecs.sparkSession
     import spark.implicits._
     val bcCents = spark.sparkContext.broadcast(centroids)
+    track(spark, bcCents)
     vecs
       .map(v => (assign(bcCents.value, v.embedding), v.vec_id, v.us, v.embedding))
       .toDF("cent_id", "vec_id", "us", "embedding")
@@ -152,6 +188,7 @@ object StreamSemantic {
     val spark = vecs.sparkSession
     import spark.implicits._
     val bcCents = spark.sparkContext.broadcast(centroids)
+    track(spark, bcCents)
     vecs
       .map(v => (assign(bcCents.value, v.embedding), v.vec_id, v.us, v.embedding))
       .toDF("cent_id", "vec_id", "us", "embedding")

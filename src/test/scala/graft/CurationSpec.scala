@@ -100,6 +100,84 @@ class CurationSpec extends AnyFunSuite {
     assert(agree * 10 >= n * 6, s"IVF agreement $agree/$n below the 60% floor")
   }
 
+  test("qn08c cluster branch finds planted high-dim pairs within a pinned recall floor") {
+    import graft.operators.Similarity
+    // The plant arithmetic assumes vec_id is dense [0, n) — pin it, or
+    // the query's nV bookkeeping silently drifts from the real corpus.
+    val ids = Tables.embeddings(spark, sf).agg(count(lit(1)), max(col("vec_id"))).head()
+    assert(ids.getLong(1) == ids.getLong(0) - 1, "vec_id is not dense [0, n)")
+
+    // Brute-force truth over the planted corpus: every planted copy is a
+    // true near pair by construction (cos >= 0.99995 for any mass
+    // split), so truth must be exactly the plantCount pairs — this also
+    // re-checks that the raw corpus has no organic pairs muddying the
+    // recall denominator.
+    val v = Similarity.plantedVecs(spark, sf)
+    val truth = v.select(col("vec_id").as("vec_a"), col("embedding").as("ea"), col("nrm").as("na"))
+      .join(v.select(col("vec_id").as("vec_b"), col("embedding").as("eb"), col("nrm").as("nb")),
+        col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        graft.functions.TextFns.e6(graft.functions.TextFns.cosine(
+          graft.functions.VectorExprs.dotNative(col("ea"), col("eb")),
+          col("na"), col("nb"))).as("score_e6"))
+      .filter(col("score_e6") >= 990000)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(truth.size == Similarity.plantCount,
+      s"expected exactly ${Similarity.plantCount} true planted pairs, got ${truth.size}")
+    truth.keys.foreach { case (a, b) =>
+      assert(b == a + Similarity.plantIdOffset, s"non-planted truth pair ($a,$b)")
+    }
+
+    // The registered query: found pairs must be a SUBSET of truth with
+    // exact scores (the cluster bound may miss, never invent), the row
+    // count must be positive (the whole point — qn08's r8 evidence gap
+    // was a 0-vs-0 oracle row), and recall carries the same 60% floor
+    // the qn20c agreement bound uses. Measured this round: 39/40.
+    val found = SparkEntry.queries("qn08c_planted_near_pairs")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(found.nonEmpty, "cluster branch found no planted pairs at all")
+    found.foreach { case (pair, score) =>
+      assert(truth.get(pair).contains(score),
+        s"found pair $pair (score $score) not in brute-force truth ${truth.get(pair)}")
+    }
+    assert(found.size * 10 >= truth.size * 6,
+      s"planted recall ${found.size}/${truth.size} below the 60% floor")
+  }
+
+  test("qn08 dispatch boundary: 23 dims routes to the grid, 24 to the cluster branch") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    // Same corpus EMBEDDED at both widths — 40 vectors = 20 exact twin
+    // pairs on a circle in the first two coordinates, zero-padded to the
+    // target dimension. Twins share an argmax centroid and the grid is
+    // lossless, so BOTH routes must emit exactly the 20 twin pairs: the
+    // boundary flips the plan, never the answer. Pins gridMaxDim = 23
+    // against drift (the oracle bakes the same literal, so an engine-side
+    // drift would silently fork the dispatch).
+    def corpus(dim: Int): String = {
+      val dir = java.nio.file.Files.createTempDirectory(s"graft_dim$dim").toString
+      (0 until 40).map { i =>
+        val th = 2.0 * math.Pi * (i / 2) / 20
+        val v = Array.fill(dim)(0.0f)
+        v(0) = math.cos(th).toFloat; v(1) = math.sin(th).toFloat
+        (i.toLong, v, 0)
+      }.toDF("vec_id", "embedding", "label").write.parquet(s"$dir/embeddings.parquet")
+      dir
+    }
+    def twinPairs(dir: String): Seq[(Long, Long)] =
+      SparkEntry.queries("qn08_cosine_near_pairs")(spark, dir)
+        .collect().map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))).toSeq
+    val atGrid = twinPairs(corpus(Similarity.gridMaxDim))
+    assert(Similarity.lastNearPairPath == "grid",
+      s"dim ${Similarity.gridMaxDim} must route to the lossless grid")
+    val atCluster = twinPairs(corpus(Similarity.gridMaxDim + 1))
+    assert(Similarity.lastNearPairPath == "cluster",
+      s"dim ${Similarity.gridMaxDim + 1} must route to the cluster branch")
+    val expected = (0 until 40 by 2).map(i => (i.toLong, i + 1L))
+    assert(atGrid == expected, s"grid route pairs: $atGrid")
+    assert(atCluster == expected, s"cluster route pairs: $atCluster")
+  }
+
   test("qn21 bloom gate is lossless: identical results to the exact-only join") {
     // The registered query (bloom prefilter + exact verify) must emit
     // exactly what the exact join alone emits — the sketch may only

@@ -135,6 +135,64 @@ class RelationalSpec extends AnyFunSuite {
     assert(rows.exists(_.getAs[Long]("n_purchases") == 0L), "no gaps were filled")
   }
 
+  test("events loader survives both parquet timestamp encodings") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.TimestampType
+    // The driver has shipped events.ts as TIMESTAMP(NANOS) and as
+    // TIMESTAMP(MICROS) across rounds; the round-8 regeneration to micros
+    // broke the then-nanos-only loader at analysis time (13 queries, 14
+    // tests). Pin both branches with tiny single-row fixtures so the next
+    // encoding flip is a no-op.
+    val usMicros = 1700000000123456L // 2023-11-14T22:13:20.123456Z
+    val base = java.nio.file.Files.createTempDirectory("graft_events_enc").toString
+
+    // Micros fixture: Spark writes TIMESTAMP_NTZ as parquet
+    // timestamp(isAdjustedToUTC=false, MICROS) — byte-identical logical
+    // type to the driver's pyarrow timestamp[us] output.
+    val microsDir = s"$base/micros"
+    spark.range(1).select(
+      lit(1L).as("event_id"),
+      timestamp_micros(lit(usMicros)).cast("timestamp_ntz").as("ts"),
+      lit(7L).as("user_id"))
+      .write.parquet(s"$microsDir/events.parquet")
+    val m = Tables.events(spark, microsDir)
+    assert(m.schema("ts").dataType == TimestampType)
+    assert(m.select(unix_micros(col("ts"))).head().getLong(0) == usMicros)
+
+    // Nanos fixture: Spark cannot write TIMESTAMP(NANOS), so drop to the
+    // parquet-java example API (same jars Spark ships).
+    val nanosDir = s"$base/nanos"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$nanosDir/events.parquet"))
+    locally {
+      import org.apache.parquet.schema.{LogicalTypeAnnotation, Types}
+      import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+      import org.apache.parquet.example.data.simple.SimpleGroupFactory
+      import org.apache.parquet.hadoop.example.ExampleParquetWriter
+      val schema = Types.buildMessage()
+        .required(PrimitiveTypeName.INT64).named("event_id")
+        .required(PrimitiveTypeName.INT64)
+          .as(LogicalTypeAnnotation.timestampType(false, LogicalTypeAnnotation.TimeUnit.NANOS))
+          .named("ts")
+        .required(PrimitiveTypeName.INT64).named("user_id")
+        .named("events")
+      val w = ExampleParquetWriter
+        .builder(new org.apache.hadoop.fs.Path(s"$nanosDir/events.parquet/part-0.parquet"))
+        .withType(schema).build()
+      // +789 ns: truncation toward zero must drop sub-microsecond digits.
+      w.write(new SimpleGroupFactory(schema).newGroup()
+        .append("event_id", 1L).append("ts", usMicros * 1000L + 789L).append("user_id", 7L))
+      w.close()
+    }
+    val n = Tables.events(spark, nanosDir)
+    assert(n.schema("ts").dataType == TimestampType)
+    assert(n.select(unix_micros(col("ts"))).head().getLong(0) == usMicros)
+
+    // And the real lake, whatever encoding this round shipped, analyzes.
+    val real = Tables.events(spark, sf)
+    assert(real.schema("ts").dataType == TimestampType)
+    assert(real.limit(1).count() == 1L)
+  }
+
   test("entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

@@ -91,4 +91,29 @@ class StreamSemanticSpec extends AnyFunSuite {
     assert(out(2L) == ((true, -1L)), "twin arrived after the horizon: state must be evicted")
     assert(out(3L) == ((false, 2L)), "same-window arrival must still be caught")
   }
+
+  test("centroid broadcasts are tracked and eagerly destroyable at safe points") {
+    import spark.implicits._
+    // Repeated batch-twin builds used to accumulate centroid broadcasts
+    // until a driver GC let the ContextCleaner notice (round-8 advice).
+    // The registry makes the accumulation observable and releasable.
+    StreamSemantic.releaseBroadcasts(spark)
+    val e = Array(1.0f, 0.0f)
+    val cents = IndexedSeq((0L, e))
+    val before = StreamSemantic.trackedBroadcastCount(spark)
+    assert(before == 0)
+    (1 to 3).foreach { i =>
+      val vin = Seq(VecIn(i.toLong, e, i.toLong)).toDS()
+      StreamSemantic.semanticDedupBatch(vin, cents, T).collect(): Unit
+    }
+    assert(StreamSemantic.trackedBroadcastCount(spark) == 3,
+      "each batch-twin build must register its centroid broadcast")
+    StreamSemantic.releaseBroadcasts(spark)
+    assert(StreamSemantic.trackedBroadcastCount(spark) == 0)
+    // And a fresh build after a release still works end-to-end.
+    val again = StreamSemantic.semanticDedupBatch(
+      Seq(VecIn(9L, e, 1L)).toDS(), cents, T).collect()
+    assert(again.length == 1 && again.head.kept)
+    StreamSemantic.releaseBroadcasts(spark)
+  }
 }
