@@ -182,7 +182,12 @@ object Curation {
     * takes the best fine centroid WITHIN those cells (declared IVF miss
     * semantics — the exact argmax may live in an unprobed cell; engine
     * and oracle miss it identically). */
-  private lazy val ivfAsgCteList: String = {
+  private lazy val ivfAsgCteList: String = ivfAsgCteListProbe(ivfNProbe)
+
+  /** The same IVF CTE prefix at an explicit probe count — qn20d's
+    * sharded-streaming oracle replays the nProbe=1 form (an arrival
+    * lives in exactly ONE coarse cell's state shard). */
+  private[operators] def ivfAsgCteListProbe(nProbe: Int): String = {
     val vCos = cosE6Sql("cc.gce", "v.embedding", "cc.gcn", "v.nrm")
     val fCos = cosE6Sql("cc.gce", "fc.ce", "cc.gcn", "fc.cn")
     val aCos = cosE6Sql("c.ce", "vr.embedding", "c.cn", "vr.nrm")
@@ -206,7 +211,7 @@ object Curation {
        |       SELECT v.vec_id, v.embedding, v.nrm, cc.coarse_id,
        |              ROW_NUMBER() OVER (PARTITION BY v.vec_id
        |                ORDER BY $vCos DESC, cc.coarse_id) AS rn
-       |       FROM v, cc) WHERE rn <= $ivfNProbe),
+       |       FROM v, cc) WHERE rn <= $nProbe),
        |asg AS (SELECT vec_id, embedding, nrm, cent_id FROM (
        |        SELECT vr.vec_id, vr.embedding, vr.nrm, c.cent_idx * stride AS cent_id,
        |               ROW_NUMBER() OVER (PARTITION BY vr.vec_id
@@ -555,6 +560,45 @@ object Curation {
         .map { case (id, e) => StreamSemantic.VecIn(id, e, id) }
       StreamSemantic.semanticDedupBatch(vin, cents, semThresholdE6)
         .groupBy(col("cent_id").cast("long").as("cent_id"))
+        .agg(count(lit(1)).as("n_vecs"),
+          count(when(!col("kept"), lit(1))).as("n_dropped"),
+          count(when(col("kept"), lit(1))).as("n_kept"))
+        .orderBy("cent_id")
+    },
+
+    // The EXECUTOR-SHARDED streaming semantic dedup, oracle-gated — the
+    // unbounded deployment shape qn20b's scaladoc could only describe:
+    // no process (driver included) ever holds the k ~ sqrt(N) fine
+    // centroids. Only the k2 ~ N^(1/4) COARSE seeds collect (the qn20c
+    // bound); the fine-centroid table stays a distributed dataset whose
+    // rows ride the same shuffle as the data as marker rows, each coarse
+    // cell's state ingesting only its own shard. Arrivals route to their
+    // top-1 coarse cell — the oracle is the IVF CTE prefix at nProbe=1
+    // (a DECLARED stronger approximation than qn20c's 3-probe form: an
+    // arrival lives in exactly one shard), with the accounting tail
+    // shared verbatim with qn20/qn20b/qn20c.
+    Q("qn20d_semantic_dedup_sharded",
+      s"""WITH ${ivfAsgCteListProbe(1)},
+         |$semAccountingSql""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val v = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      val (stride, k) = centroidSeeds(v.count())
+      // Fine centroids: a DISTRIBUTED frame — the whole point. Never
+      // collected, never broadcast.
+      val fine = v
+        .filter(col("vec_id") % stride === 0 && col("vec_id") < stride * k)
+        .as[(Long, Array[Float])]
+      // Coarse seeds: cent_idx % cstride == 0, id = cent_idx / cstride
+      // (the oracle's cc CTE) — k2 rows to the driver, declared bound.
+      val (cstride, k2) = coarseSeeds(k)
+      val coarse = fine
+        .filter(r => (r._1 / stride) % cstride == 0 && (r._1 / stride) < cstride * k2)
+        .collect().map { case (cid, ce) => (cid / stride / cstride, ce) }
+        .sortBy(_._1).toIndexedSeq
+      val vin = v.as[(Long, Array[Float])]
+        .map { case (id, e) => StreamSemantic.VecIn(id, e, id) }
+      StreamSemantic.semanticDedupSharded(vin, fine, coarse, semThresholdE6)
+        .groupBy(col("cent_id"))
         .agg(count(lit(1)).as("n_vecs"),
           count(when(!col("kept"), lit(1))).as("n_dropped"),
           count(when(col("kept"), lit(1))).as("n_kept"))

@@ -137,12 +137,10 @@ object StreamSemantic {
     * it once per executor (torrent blocks) and the assignment lambda
     * reads it by reference. The remaining ceiling is the DRIVER's one
     * copy (it must still build the table to broadcast it): at k ~ 1e6 x
-    * 768 dims that is single-digit GBs — acceptable for a driver, but
-    * the unbounded form would shard instead: route each arrival by a
-    * cheap coarse signature (qn10's IVF coarse cells) to the executor
-    * partition holding that shard of the centroid table (a broadcast
-    * per shard, or a state-store-resident centroid index), so no single
-    * process ever holds all k centroids. */
+    * 768 dims that is single-digit GBs — acceptable for a driver; past
+    * it, use [[semanticDedupSharded]]: arrivals route by the N^(1/4)
+    * coarse tier and each cell's state ingests only its shard of the
+    * fine-centroid table, so no process ever holds all k. */
   def semanticDedupStreaming(vecs: Dataset[VecIn],
       centroids: IndexedSeq[(Long, Array[Float])], thresholdE6: Long,
       horizonMs: Long): Dataset[Decision] = {
@@ -177,6 +175,92 @@ object StreamSemantic {
             decisions.iterator
           }
         })
+  }
+
+  /** One row of the SHARDED pipeline's merged input: either a fine-
+    * centroid definition (`is_cent`) or an arriving vector, both routed
+    * map-side to their coarse cell. */
+  case class ShardIn(coarse_id: Long, is_cent: Boolean, id: Long,
+      embedding: Array[Float], us: Long)
+  /** Per-coarse-cell state: this shard's fine centroids plus live
+    * members keyed by fine cent_id (flat list — member rows are
+    * (cent_id, vec_id, us, embedding)). */
+  case class ShardState(cents: List[(Long, Array[Float])],
+      members: List[(Long, Long, Long, Array[Float])])
+
+  /** Shard group logic, shared by batch and streaming: ingest this
+    * micro-batch's centroid markers (idempotent by id), then decide each
+    * arrival in (us, id) order — fine assignment by argmax e6 cosine
+    * over the SHARD's centroids (ties to the lowest cent_id, the
+    * oracle's `ORDER BY aCos DESC, cent_idx` exactly), dup iff an
+    * earlier member of that fine cluster scores >= the threshold. */
+  private def shardGroup(thresholdE6: Long)(key: Long, it: Iterator[ShardIn],
+      state: GroupState[ShardState]): Iterator[Decision] = {
+    val rows = it.toSeq
+    val st0 = state.getOption.getOrElse(ShardState(Nil, Nil))
+    val fresh = rows.filter(_.is_cent).map(r => (r.id, r.embedding))
+      .filterNot(c => st0.cents.exists(_._1 == c._1))
+    val cents = st0.cents ++ fresh
+    var members = st0.members
+    val out = Seq.newBuilder[Decision]
+    for (d <- rows.filterNot(_.is_cent).sortBy(r => (r.us, r.id))) {
+      var bestId = Long.MaxValue; var bestScore = Long.MinValue
+      for ((cid, ce) <- cents) {
+        val s = cosE6(ce, d.embedding)
+        if (s > bestScore || (s == bestScore && cid < bestId)) { bestScore = s; bestId = cid }
+      }
+      val hit = members.filter(m => m._1 == bestId && m._2 != d.id &&
+        cosE6(m._4, d.embedding) >= thresholdE6).map(_._2).sorted.headOption
+      out += Decision(d.id, bestId, hit.isEmpty, hit.getOrElse(-1L))
+      members = (bestId, d.id, d.us, d.embedding) :: members
+    }
+    state.update(ShardState(cents, members))
+    out.result().iterator
+  }
+
+  /** EXECUTOR-SHARDED semantic dedup — the unbounded form of
+    * [[semanticDedupStreaming]], closing its declared ceiling: there the
+    * driver (and every executor) holds ALL k ~ sqrt(N) fine centroids.
+    * Here NO process ever does. Only the k2 ~ N^(1/4) COARSE seeds are
+    * driver-collected and broadcast (178 rows at N = 1e9 — the qn20c
+    * bound, one tier smaller); the fine-centroid table stays a
+    * DISTRIBUTED dataset whose rows flow through the same shuffle as
+    * the data, each routed map-side to its coarse cell, and each
+    * cell's state shard ingests only ITS centroids. An arrival routes
+    * to its top-1 coarse cell (the oracle's nProbe=1 IVF form — an
+    * arrival lives in exactly one shard, a DECLARED stronger
+    * approximation than qn20c's 3-probe batch assignment) and is
+    * deduped within the fine cluster it lands in. The only shuffle is
+    * the groupByKey on coarse_id; per-shard state is ~k/k2 centroids
+    * plus the live members of its clusters.
+    *
+    * Works identically over batch input (qn20d's registration — Spark
+    * runs stateful operators over batch frames) and a MemoryStream
+    * (StreamSemanticSpec primes the centroid markers in the first
+    * micro-batch; state persists them for later arrivals). */
+  def semanticDedupSharded(vecs: Dataset[VecIn],
+      fineCents: Dataset[(Long, Array[Float])],
+      coarse: IndexedSeq[(Long, Array[Float])], thresholdE6: Long): Dataset[Decision] = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val bcCoarse = spark.sparkContext.broadcast(coarse)
+    track(spark, bcCoarse)
+    val centIn = fineCents.map { case (cid, ce) =>
+      ShardIn(assign(bcCoarse.value, ce), is_cent = true, cid, ce, Long.MinValue) }
+    val vecIn = vecs.map(v =>
+      ShardIn(assign(bcCoarse.value, v.embedding), is_cent = false, v.vec_id, v.embedding, v.us))
+    semanticDedupShardedIn(centIn.unionByName(vecIn), thresholdE6)
+  }
+
+  /** The sharded pipeline over an already-routed merged input — the
+    * entry a STREAMING caller uses (a stream cannot union a static
+    * frame, so centroid markers must ride the same stream; prime them
+    * in/before the first data micro-batch — state persists them). */
+  def semanticDedupShardedIn(rows: Dataset[ShardIn], thresholdE6: Long): Dataset[Decision] = {
+    import rows.sparkSession.implicits._
+    rows.groupByKey(_.coarse_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        shardGroup(thresholdE6))
   }
 
   /** Batch twin: same assignment, same decision code, full cluster at

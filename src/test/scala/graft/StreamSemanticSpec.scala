@@ -92,6 +92,47 @@ class StreamSemanticSpec extends AnyFunSuite {
     assert(out(3L) == ((false, 2L)), "same-window arrival must still be caught")
   }
 
+  test("sharded semantic dedup: streaming shards equal the batch form; fine centroids never collect") {
+    import spark.implicits._
+    import graft.streaming.StreamSemantic.ShardIn
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val vs = vecs()
+    val cents = centroids(vs)
+    val (stride, k) = graft.operators.Curation.centroidSeeds(vs.length.toLong)
+    val (cstride, k2) = graft.operators.Curation.coarseSeeds(k)
+    val coarse = cents
+      .filter { case (cid, _) => (cid / stride) % cstride == 0 && (cid / stride) < cstride * k2 }
+      .map { case (cid, e) => (cid / stride / cstride, e) }.sortBy(_._1).toIndexedSeq
+    assert(coarse.size < cents.size, "coarse tier must be strictly smaller than the fine tier")
+    // Batch form (qn20d's body): fine centroids ride a DISTRIBUTED
+    // dataset into the shuffle — the sharding contract.
+    val batch = StreamSemantic.semanticDedupSharded(
+      vs.toDS(), cents.toDS(), coarse, T).collect()
+      .map(d => d.vec_id -> (d.cent_id, d.kept, d.dup_of)).toMap
+    // Streaming form: markers primed in micro-batch 1, vectors split
+    // across two later batches (state must persist the shard's
+    // centroids and members across batch boundaries).
+    val markers = cents.map { case (cid, ce) =>
+      ShardIn(StreamSemantic.assign(coarse, ce), is_cent = true, cid, ce, Long.MinValue) }
+    val arrivals = vs.map(v =>
+      ShardIn(StreamSemantic.assign(coarse, v.embedding), is_cent = false,
+        v.vec_id, v.embedding, v.us))
+    val (h1, h2) = arrivals.splitAt(arrivals.length / 2)
+    val ms = MemoryStream[ShardIn]
+    val q = StreamSemantic.semanticDedupShardedIn(ms.toDS(), T)
+      .writeStream.format("memory").queryName("sem_shard").outputMode("append").start()
+    try {
+      ms.addData(markers); q.processAllAvailable()
+      ms.addData(h1); q.processAllAvailable()
+      ms.addData(h2); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("sem_shard").as[Decision].collect()
+      .map(d => d.vec_id -> (d.cent_id, d.kept, d.dup_of)).toMap
+    assert(streamed.size == vs.size, "one decision per arrival, markers emit nothing")
+    assert(streamed == batch)
+    StreamSemantic.releaseBroadcasts(spark)
+  }
+
   test("centroid broadcasts are tracked and eagerly destroyable at safe points") {
     import spark.implicits._
     // Repeated batch-twin builds used to accumulate centroid broadcasts
