@@ -201,7 +201,14 @@ object StreamSemantic {
     val fresh = rows.filter(_.is_cent).map(r => (r.id, r.embedding))
       .filterNot(c => st0.cents.exists(_._1 == c._1))
     val cents = st0.cents ++ fresh
-    var members = st0.members
+    // Index the flat member list by fine cent_id ONCE per invocation: a
+    // shard holds ~k/k2 whole clusters, so a per-arrival scan of the
+    // flat list would pay O(shard members) instead of O(cluster
+    // members) — a k2-fold regression the 500k battery exposed. Lists
+    // are rebuilt newest-first, preserving the flat encoding in state.
+    val byCluster = scala.collection.mutable.HashMap
+      .empty[Long, List[(Long, Long, Long, Array[Float])]]
+    st0.members.reverse.foreach(m => byCluster(m._1) = m :: byCluster.getOrElse(m._1, Nil))
     val out = Seq.newBuilder[Decision]
     for (d <- rows.filterNot(_.is_cent).sortBy(r => (r.us, r.id))) {
       var bestId = Long.MaxValue; var bestScore = Long.MinValue
@@ -209,12 +216,13 @@ object StreamSemantic {
         val s = cosE6(ce, d.embedding)
         if (s > bestScore || (s == bestScore && cid < bestId)) { bestScore = s; bestId = cid }
       }
-      val hit = members.filter(m => m._1 == bestId && m._2 != d.id &&
+      val mine = byCluster.getOrElse(bestId, Nil)
+      val hit = mine.filter(m => m._2 != d.id &&
         cosE6(m._4, d.embedding) >= thresholdE6).map(_._2).sorted.headOption
       out += Decision(d.id, bestId, hit.isEmpty, hit.getOrElse(-1L))
-      members = (bestId, d.id, d.us, d.embedding) :: members
+      byCluster(bestId) = (bestId, d.id, d.us, d.embedding) :: mine
     }
-    state.update(ShardState(cents, members))
+    state.update(ShardState(cents, byCluster.valuesIterator.flatten.toList))
     out.result().iterator
   }
 
