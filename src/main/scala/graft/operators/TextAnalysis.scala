@@ -74,11 +74,18 @@ object TextAnalysis {
     }) { (s, dir) =>
       val pat = """'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"""
       val nBpe = size(regexp_extract_all(col("text"), lit(pat), lit(0)))
+      // Counts land in their own projection so the pre-tokenizer regex
+      // and the whitespace split each run ONCE per row — inlining them
+      // into the fertility ratio re-evaluates both (q22's double-parse
+      // lesson: codegen does not CSE the duplicated subtree; measured 2x
+      // on the 10M battery). CollapseProject keeps the stages apart
+      // because the aliases are non-cheap and referenced twice.
       Tables.documents(s, dir)
         .select(col("doc_id"),
           nBpe.cast("long").as("n_bpe"),
-          size(toksCol).cast("long").as("n_ws"),
-          e6(nBpe.cast("double") / size(toksCol)).as("fertility_e6"))
+          size(toksCol).cast("long").as("n_ws"))
+        .select(col("doc_id"), col("n_bpe"), col("n_ws"),
+          e6(col("n_bpe").cast("double") / col("n_ws")).as("fertility_e6"))
         .orderBy("doc_id")
     },
 
@@ -97,18 +104,27 @@ object TextAnalysis {
          |       CASE WHEN len($toks) >= 10 AND 10 * $nStop >= len($toks) THEN 1 ELSE 0 END AS keep
          |FROM documents ORDER BY doc_id""".stripMargin
     }) { (s, dir) =>
-      val nTok = size(toksCol)
-      val nStop = size(filter(toksCol, t =>
-        array_contains(array(stopwordsEn.map(lit): _*), t)))
-      // mean token length from total non-space chars / token count: one
-      // regexp-free replace, no second tokenization pass.
-      val charsNoSpace = length(regexp_replace(trim(col("text")), " ", ""))
+      // Three-stage projection, each alias computed ONCE (q22's
+      // double-parse lesson — codegen does not CSE duplicated non-cheap
+      // subtrees, and the old single projection re-split `text` four
+      // times through nTok/nStop/ttr): tokenize once, count once, then
+      // ratios over the integer counts. `array_distinct(tk)` is
+      // `tokenSet(text)` by definition (tokenSet = sort∘distinct∘tokens
+      // and only the SIZE is consumed, which sorting cannot change).
       Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"), toksCol.as("tk"))
         .select(col("doc_id"),
-          e6(charsNoSpace.cast("double") / nTok).as("mean_tok_len_e6"),
-          e6(size(tokenSet(col("text"))).cast("double") / nTok).as("ttr_e6"),
-          e6(nStop.cast("double") / nTok).as("stop_ratio_e6"),
-          when(nTok >= 10 && nStop * 10 >= nTok, lit(1L)).otherwise(lit(0L)).as("keep"))
+          size(col("tk")).as("n_tok"),
+          size(filter(col("tk"), t =>
+            array_contains(array(stopwordsEn.map(lit): _*), t))).as("n_stop"),
+          length(regexp_replace(trim(col("text")), " ", "")).as("n_chr"),
+          size(array_distinct(col("tk"))).as("n_set"))
+        .select(col("doc_id"),
+          e6(col("n_chr").cast("double") / col("n_tok")).as("mean_tok_len_e6"),
+          e6(col("n_set").cast("double") / col("n_tok")).as("ttr_e6"),
+          e6(col("n_stop").cast("double") / col("n_tok")).as("stop_ratio_e6"),
+          when(col("n_tok") >= 10 && col("n_stop") * 10 >= col("n_tok"), lit(1L))
+            .otherwise(lit(0L)).as("keep"))
         .orderBy("doc_id")
     },
 
@@ -133,19 +149,27 @@ object TextAnalysis {
          |       ${scores.map { case (l, sc) => s"CAST($sc AS BIGINT) AS score_$l" }.mkString(", ")}
          |FROM documents ORDER BY doc_id""".stripMargin
     }) { (s, dir) =>
-      val tset = tokenSet(col("text"))
-      val scores: Seq[(String, Column)] = langProfiles.map { case (l, ws) =>
-        l -> size(array_intersect(tset, array(ws.map(lit): _*)))
-      }
-      val maxScore = greatest(scores.map(_._2): _*)
+      // Staged so the token set materializes ONCE and each profile score
+      // ONCE (the old single projection re-tokenized per score and then
+      // re-evaluated every score inside greatest() and again per WHEN arm
+      // of the cascade — q22's double-parse lesson at its worst). The
+      // cascade and max run over plain integer attributes, which are
+      // cheap to repeat.
+      val scored = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang").as("lang_label"), tokenSet(col("text")).as("tset"))
+        .select(col("doc_id") +: col("lang_label") +:
+          langProfiles.map { case (l, ws) =>
+            size(array_intersect(col("tset"), array(ws.map(lit): _*))).as(s"s_$l") }: _*)
+      val maxScore = greatest(langProfiles.map { case (l, _) => col(s"s_$l") }: _*)
       // First profile (in declaration order) reaching the max wins —
       // mirrors the SQL WHEN cascade.
-      val guessOrdered = scores.foldRight(lit("und"): Column) {
-        case ((l, sc), els) => when(maxScore > 0 && sc === maxScore, lit(l)).otherwise(els)
+      val guessOrdered = langProfiles.foldRight(lit("und"): Column) {
+        case ((l, _), els) =>
+          when(maxScore > 0 && col(s"s_$l") === maxScore, lit(l)).otherwise(els)
       }
-      Tables.documents(s, dir)
-        .select(col("doc_id") +: col("lang").as("lang_label") +: guessOrdered.as("lang_guess") +:
-          scores.map { case (l, sc) => sc.cast("long").as(s"score_$l") }: _*)
+      scored
+        .select(col("doc_id") +: col("lang_label") +: guessOrdered.as("lang_guess") +:
+          langProfiles.map { case (l, _) => col(s"s_$l").cast("long").as(s"score_$l") }: _*)
         .orderBy("doc_id")
     },
 
