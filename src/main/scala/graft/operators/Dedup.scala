@@ -801,10 +801,18 @@ object Dedup {
     * feeds several crossJoined stage counts downstream. */
   private def cleanStages(s: SparkSession, dir: String): CleanStages = {
     val docs = Tables.documents(s, dir)
-    val nTok = size(tokens(col("text")))
-    val nStop = size(filter(tokens(col("text")), t =>
-      array_contains(array(TextAnalysis.stopwordsEn.map(lit): _*), t)))
-    val quality = docs.filter(nTok >= 10 && nStop * 10 >= nTok)
+    // Tokenize ONCE for the gate (q22's double-parse lesson): the old
+    // inline filter re-split `text` three times per row (nTok twice via
+    // the conjunction, nStop's filter once more). The counts ride a
+    // staged projection over the materialized array; the filter then
+    // compares cheap integer attributes, and the helper columns drop out.
+    val quality = docs
+      .withColumn("tk_q", tokens(col("text")))
+      .withColumn("n_tok_q", size(col("tk_q")))
+      .withColumn("n_stop_q", size(filter(col("tk_q"), t =>
+        array_contains(array(TextAnalysis.stopwordsEn.map(lit): _*), t))))
+      .filter(col("n_tok_q") >= 10 && col("n_stop_q") * 10 >= col("n_tok_q"))
+      .drop("tk_q", "n_tok_q", "n_stop_q")
     val exact = quality.groupBy(norm(col("text")).as("k"))
       .agg(min(col("doc_id")).as("doc_id"))
       .select("doc_id")
