@@ -176,6 +176,47 @@ class IngestSpec extends AnyFunSuite {
     assert(split.nonEmpty)
   }
 
+  test("pre-split gz: random record sizes and block targets reassemble byte-identically") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // Plain ScalaCheck generators with fixed seeds (XmlPropertySpec's
+    // pattern). Invariants under arbitrary record-length mixes and
+    // pathological block targets (down to 1 byte, forcing a cut attempt
+    // at every read; records far larger than the block target, forcing
+    // the oversized-record growth path): (1) concatenated blocks equal
+    // the decompressed stream byte for byte; (2) every non-final block
+    // ends exactly at a record boundary.
+    val genDoc = for {
+      nRecs <- Gen.choose(0, 12)
+      bodies <- Gen.listOfN(nRecs, Gen.choose(0, 400).flatMap(n =>
+        Gen.listOfN(n, Gen.alphaNumChar).map(_.mkString)))
+    } yield "<artists>\n" + bodies.zipWithIndex.map { case (b, i) =>
+      s"<artist><id>$i</id><profile>$b</profile></artist>"
+    }.mkString("\n") + "\n</artists>"
+    val genBlock = Gen.oneOf(Gen.choose(1L, 64L), Gen.choose(64L, 4096L))
+    val params = Gen.Parameters.default
+    (0 until 40).foreach { i =>
+      val seed = Seed(1000L + i)
+      val doc = genDoc.pureApply(params, seed)
+      val blockBytes = genBlock.pureApply(params, seed.next)
+      val base = java.nio.file.Files.createTempDirectory(s"graft_presplit_prop$i")
+      val gz = s"$base/doc.xml.gz"
+      locally {
+        val out = new java.util.zip.GZIPOutputStream(new java.io.FileOutputStream(gz))
+        try out.write(doc.getBytes("UTF-8")) finally out.close()
+      }
+      val blocks = Ingest.preSplitGz(gz, s"$base/blocks", "artist", blockBytes)
+      val joined = blocks.map(p => new String(
+        java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)), "UTF-8")).mkString
+      assert(joined == doc, s"case $i (block=$blockBytes): reassembly diverged")
+      blocks.init.foreach { p =>
+        val s = new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)), "UTF-8")
+        assert(s.endsWith("</artist>"),
+          s"case $i (block=$blockBytes): block $p cut mid-record: ...${s.takeRight(30)}")
+      }
+    }
+  }
+
   test("Main CLI: URL in, lake out (EP1 over HTTP)") {
     import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
     import java.net.InetSocketAddress
