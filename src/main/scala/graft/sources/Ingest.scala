@@ -91,6 +91,11 @@ object Ingest {
     * ingest throughput over the blocks. */
   def preSplitGz(inPath: String, outDir: String, recordEndTag: String,
       blockBytes: Long = 64L * 1024 * 1024, bufSize: Int = 256 * 1024): Seq[String] = {
+    // The window buffers one block (plus a read) on heap; a runaway
+    // target would pre-allocate it all. 1 GiB also keeps the doubling
+    // growth path (oversized single records) inside Int array limits.
+    require(blockBytes >= 1 && blockBytes <= (1L << 30),
+      s"blockBytes must be in [1, 1 GiB], got $blockBytes")
     val endBytes = s"</$recordEndTag>".getBytes("UTF-8")
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
     val in = new java.util.zip.GZIPInputStream(
