@@ -26,9 +26,16 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    def run(name: String): Unit =
+    def run(name: String): Unit = {
+      // Failure-honesty test hook: SPARK_GRAFT_INJECT_FAIL=<query name>
+      // makes that query die, so "a dead query reports as failed, never
+      // as a ~0s timing" is demonstrable against the real artifact
+      // (round-8 lesson) without editing a query.
+      if (sys.env.get("SPARK_GRAFT_INJECT_FAIL").contains(name))
+        throw new RuntimeException(s"injected failure for $name")
       SparkEntry.queries(name)(spark, sfDir)
         .write.mode("overwrite").format("noop").save()
+    }
     // Noisy pair queries -> median-of-3. Value = memo tag to clear before
     // each rep (None: no memo in play). qn17 clears only the label memo:
     // each rep measures a cold propagation over the deliberately-warm
