@@ -88,6 +88,32 @@ class ZoneMapSpec extends AnyFunSuite {
     assert(got == full)
   }
 
+  test("incremental refresh covers a newly appended partition; composed scan stays lossless") {
+    val base = Files.createTempDirectory("zonemap_refresh_part").toString
+    val dataDir = s"$base/orders"
+    val orders = Tables.orders(spark, sf).withColumn("o_year", year(col("o_orderdate")))
+    orders.filter(col("o_year") =!= 1996)
+      .repartitionByRange(4, col("o_orderkey"))
+      .write.partitionBy("o_year").parquet(dataDir)
+    ZoneMap.writeStats(spark, dataDir, s"$base/stats", Seq("o_orderkey"))
+    // A new partition lands (the streaming-append shape); refresh must
+    // scan ONLY its files, and the composed scan must see them.
+    orders.filter(col("o_year") === 1996)
+      .repartitionByRange(4, col("o_orderkey"))
+      .write.mode("append").partitionBy("o_year").parquet(dataDir)
+    val newly = ZoneMap.refreshStats(spark, dataDir, s"$base/stats", Seq("o_orderkey"))
+    assert(newly > 0 && newly <= 4, s"refresh covered $newly files, expected the new partition's")
+    assert(ZoneMap.refreshStats(spark, dataDir, s"$base/stats", Seq("o_orderkey")) == 0,
+      "second refresh with no new files must be a no-op")
+    val pr = ZoneMap.prunedScanPartitioned(spark, dataDir, s"$base/stats",
+      Seq(("o_year", 1996)), Seq(("o_orderkey", 100L, 900L)))
+    assert(pr.nFilesRead >= 1 && pr.nPartFiles <= 4)
+    val full = orders.filter(col("o_year") === 1996 && col("o_orderkey").between(100L, 900L))
+      .collect().map(_.getAs[Long]("o_orderkey")).sorted.toSeq
+    assert(full.nonEmpty)
+    assert(pr.df.collect().map(_.getAs[Long]("o_orderkey")).sorted.toSeq == full)
+  }
+
   test("pruning is lossless across seeded-random predicate ranges") {
     val (dataDir, statsPath) = mkLake()
     val full = spark.read.parquet(dataDir).select("o_orderkey")
