@@ -211,16 +211,25 @@ object StreamSemantic {
     st0.members.reverse.foreach(m => byCluster(m._1) = m :: byCluster.getOrElse(m._1, Nil))
     val out = Seq.newBuilder[Decision]
     for (d <- rows.filterNot(_.is_cent).sortBy(r => (r.us, r.id))) {
-      var bestId = Long.MaxValue; var bestScore = Long.MinValue
-      for ((cid, ce) <- cents) {
-        val s = cosE6(ce, d.embedding)
-        if (s > bestScore || (s == bestScore && cid < bestId)) { bestScore = s; bestId = cid }
+      if (cents.isEmpty) {
+        // Unprimed cell: the arrival beat its shard's centroid markers.
+        // Pass it through UNASSIGNED (cent_id -1, kept, not retained as
+        // a member) rather than silently emitting a garbage cent_id —
+        // the declared contract is that markers precede data; this makes
+        // a violated contract visible in the output instead of wrong.
+        out += Decision(d.id, -1L, kept = true, -1L)
+      } else {
+        var bestId = Long.MaxValue; var bestScore = Long.MinValue
+        for ((cid, ce) <- cents) {
+          val s = cosE6(ce, d.embedding)
+          if (s > bestScore || (s == bestScore && cid < bestId)) { bestScore = s; bestId = cid }
+        }
+        val mine = byCluster.getOrElse(bestId, Nil)
+        val hit = mine.filter(m => m._2 != d.id &&
+          cosE6(m._4, d.embedding) >= thresholdE6).map(_._2).sorted.headOption
+        out += Decision(d.id, bestId, hit.isEmpty, hit.getOrElse(-1L))
+        byCluster(bestId) = (bestId, d.id, d.us, d.embedding) :: mine
       }
-      val mine = byCluster.getOrElse(bestId, Nil)
-      val hit = mine.filter(m => m._2 != d.id &&
-        cosE6(m._4, d.embedding) >= thresholdE6).map(_._2).sorted.headOption
-      out += Decision(d.id, bestId, hit.isEmpty, hit.getOrElse(-1L))
-      byCluster(bestId) = (bestId, d.id, d.us, d.embedding) :: mine
     }
     state.update(ShardState(cents, byCluster.valuesIterator.flatten.toList))
     out.result().iterator

@@ -133,6 +133,32 @@ class StreamSemanticSpec extends AnyFunSuite {
     StreamSemantic.releaseBroadcasts(spark)
   }
 
+  test("sharded dedup: arrivals beating their cell's markers pass through unassigned") {
+    import spark.implicits._
+    import graft.streaming.StreamSemantic.ShardIn
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val e = Array(1.0f, 0.0f)
+    val ms = MemoryStream[ShardIn]
+    val q = StreamSemantic.semanticDedupShardedIn(ms.toDS(), T)
+      .writeStream.format("memory").queryName("sem_unprimed").outputMode("append").start()
+    try {
+      // Batch 1: data BEFORE markers (contract violation) -> unassigned.
+      ms.addData(Seq(ShardIn(0L, is_cent = false, 1L, e, 1L))); q.processAllAvailable()
+      // Batch 2: markers land; the same vector re-sent now assigns and,
+      // because the unassigned arrival was NOT retained as a member,
+      // it is kept (nothing to dup against).
+      ms.addData(Seq(ShardIn(0L, is_cent = true, 0L, e, Long.MinValue),
+        ShardIn(0L, is_cent = false, 2L, e, 2L))); q.processAllAvailable()
+      // Batch 3: a twin now dups against vec 2 — state is healthy.
+      ms.addData(Seq(ShardIn(0L, is_cent = false, 3L, e, 3L))); q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("sem_unprimed").as[Decision].collect()
+      .map(d => d.vec_id -> (d.cent_id, d.kept, d.dup_of)).toMap
+    assert(out(1L) == ((-1L, true, -1L)), "pre-marker arrival must pass through unassigned")
+    assert(out(2L) == ((0L, true, -1L)))
+    assert(out(3L) == ((0L, false, 2L)))
+  }
+
   test("centroid broadcasts are tracked and eagerly destroyable at safe points") {
     import spark.implicits._
     // Repeated batch-twin builds used to accumulate centroid broadcasts
