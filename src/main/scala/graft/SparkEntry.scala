@@ -16,7 +16,8 @@ object SparkEntry {
       operators.Dedup.all ++ operators.Similarity.all ++
       operators.TextAnalysis.all ++ operators.Streaming.all ++
       operators.Multimodal.all ++ operators.Temporal.all ++
-      operators.TrainPrep.all ++ operators.Curation.all ++ operators.Linkage.all
+      operators.TrainPrep.all ++ operators.Curation.all ++ operators.Linkage.all ++
+      operators.Skew.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -39,4 +39,62 @@ class SkewSpec extends AnyFunSuite {
     assert(finalPlan.contains("isSkew=true") || finalPlan.contains("skewed=true")
       || finalPlan.contains("skew=true"), s"no skew handling in final plan:\n$finalPlan")
   }
+
+  // ---- Salted operators (operators.Skew) --------------------------------
+
+  test("qk01 salted join matches the unsalted join and stays a shuffle join") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val sf = TestSpark.sf
+    val salted = SparkEntry.queries("qk01_salted_skew_join")(spark, sf)
+
+    val dim = Seq("click" -> 0.10, "error" -> 0.00, "purchase" -> 5.00,
+      "signup" -> 1.00, "view" -> 0.05).toDF("event_type", "weight")
+    val plain = Tables.events(spark, sf).join(dim, "event_type")
+      .groupBy(col("event_type"))
+      .agg(
+        sum(col("value").cast("decimal(18,2)") * col("weight").cast("decimal(9,4)"))
+          .cast("double").as("wvalue"),
+        count(lit(1)).as("n"))
+      .orderBy(col("event_type"))
+    assert(salted.collect().toSeq == plain.collect().toSeq)
+
+    // The point of salting is a SHUFFLED join: broadcast would sidestep
+    // the skewed exchange entirely and prove nothing.
+    val p = salted.queryExecution.executedPlan.toString
+    assert(p.contains("ShuffledHashJoin"), p)
+    assert(!p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("qk02 salted distinct-set agg matches direct countDistinct") {
+    val spark = TestSpark.spark
+    val sf = TestSpark.sf
+    val salted = SparkEntry.queries("qk02_salted_distinct_users")(spark, sf)
+      .select("event_type", "n_users")
+    val direct = Tables.events(spark, sf)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("event_type"))
+    assert(salted.collect().toSeq == direct.collect().toSeq)
+  }
+
+  test("salting spreads a hot key across reducers") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val ev = Tables.events(spark, TestSpark.sf)
+      .select(col("event_type"), col("event_id"))
+
+    def maxPartitionRows(df: org.apache.spark.sql.DataFrame): Long =
+      df.mapPartitions(it => Iterator(it.size.toLong)).collect().max
+
+    // Partitioned on the 5-value key alone: >= total/5 rows pile onto the
+    // hottest reducer of 32. With a 16-way salt the same rows spread over
+    // 80 key-groups and the hottest reducer carries a fraction of that.
+    val total = ev.count()
+    val hot = maxPartitionRows(ev.repartition(32, col("event_type")))
+    val salted = maxPartitionRows(
+      ev.repartition(32, col("event_type"), pmod(hash(col("event_id")), lit(16))))
+    assert(hot >= total / 5, s"expected a hot reducer, max=$hot total=$total")
+    assert(salted * 2 <= hot, s"salting did not spread: salted=$salted hot=$hot")
+  }
 }
