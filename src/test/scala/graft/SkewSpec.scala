@@ -78,6 +78,34 @@ class SkewSpec extends AnyFunSuite {
     assert(salted.collect().toSeq == direct.collect().toSeq)
   }
 
+  test("saltedJoin equals the plain join on random data, keys, and salt counts") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val spark = TestSpark.spark
+    import spark.implicits._
+    def sample[A](g: Gen[A], seed: Long): A =
+      g.pureApply(Gen.Parameters.default, Seed(seed))
+
+    // Skewed key space (few values, geometric-ish mass), dim with partial
+    // key coverage (so unmatched fact rows drop in BOTH forms), payloads
+    // carried through both sides, S from degenerate 1 to beyond-key-count.
+    val factRow = Gen.zip(Gen.chooseNum(0, 6), Gen.chooseNum(-100L, 100L))
+    val dimKeys = Gen.someOf(0 to 6)
+    (0 until 10).foreach { trial =>
+      val facts = sample(Gen.listOfN(200, factRow), 300L + trial)
+      val dks = sample(dimKeys, 400L + trial).toSeq
+      val s = sample(Gen.chooseNum(1, 24), 500L + trial)
+      val fact = facts.zipWithIndex
+        .map { case ((k, v), i) => (k, v, i.toLong) }.toDF("k", "v", "fid")
+      val dim = dks.map(k => (k, s"d$k")).toDF("k", "attr")
+      val salted = operators.Skew.saltedJoin(fact, dim, "k", col("fid"), s)
+        .select("k", "v", "fid", "attr").collect().map(_.toString).sorted.toSeq
+      val plain = fact.join(dim, Seq("k"))
+        .select("k", "v", "fid", "attr").collect().map(_.toString).sorted.toSeq
+      assert(salted == plain, s"trial $trial (S=$s, dimKeys=$dks)")
+    }
+  }
+
   test("salting spreads a hot key across reducers") {
     val spark = TestSpark.spark
     import spark.implicits._
