@@ -245,7 +245,30 @@ object Similarity {
     // shape (two broadcast joins + window) is identical. Cell assignment
     // ranks on e6-integer scores with cent_id tie-breaks, so the entire
     // approximate pipeline replays in the oracle (round 2; was rows-only).
-    Q("qn10_ann_ivf_topk", {
+    Q("qn10_ann_ivf_topk", ivfOracleSql) { (s, dir) =>
+      annIvfTopK(s, dir, nCentroids = 16, nProbe = 4, k = 5)
+    },
+
+    // The SAME IVF semantics with the index PERSISTED as a data layout:
+    // assigned vectors land in a cent_id-partitioned parquet lake, and a
+    // probe reads ONLY its nProbe cells' files via Hive partition
+    // pruning. This is the 100 TB serving shape — the build is one batch
+    // job, each probe's IO is ~nProbe/k of the corpus — and because the
+    // build replays qn10's deterministic assignment math, the persisted
+    // probe answers hash-identically to qn10's oracle (same SQL). The
+    // index dir is rebuilt per invocation under java.io.tmpdir (q0z's
+    // fixture discipline, stale dirs reclaimed at first use).
+    Q("qn10b_ann_ivf_persisted", ivfOracleSql) { (s, dir) =>
+      val path = newIndexDir()
+      buildIvfIndex(s, dir, nCentroids = 16, path)
+      probeIvfIndex(s, dir, path, nProbe = 4, k = 5)
+    }
+  )
+
+  /** qn10/qn10b shared oracle: the full IVF pipeline as DuckDB CTEs —
+    * deterministic stride centroids, argmax-cosine assignment, nProbe
+    * routing, within-cell rescoring, top-k. */
+  private def ivfOracleSql: String = {
       val cosE6c = (a: String, b: String, an: String, bn: String) =>
         sqlE6(s"${sqlDot(a, b)} / ($an * $bn)")
       s"""WITH v AS (SELECT vec_id, embedding, ${sqlL2norm("embedding")} AS nrm FROM embeddings),
@@ -272,10 +295,7 @@ object Similarity {
          |                 ORDER BY score_e6 DESC, vec_id) AS rnk FROM s)
          |SELECT probe_id, rnk, vec_id, score_e6 FROM r
          |WHERE rnk <= 5 ORDER BY probe_id, rnk""".stripMargin
-    }) { (s, dir) =>
-      annIvfTopK(s, dir, nCentroids = 16, nProbe = 4, k = 5)
-    }
-  )
+  }
 
   /** Candidate pairs for cosine >= 0.99 via LOSSLESS angular grid
     * blocking — the exact-semantics replacement for an all-pairs
@@ -327,38 +347,55 @@ object Similarity {
     probes.join(home, "cell").filter(col("vec_a") < col("vec_b"))
   }
 
+  /** Deterministic stride-sampled coarse centroids (qn10/qn10b/spec).
+    * Stride folds in as a single-row crossJoin (mirroring the oracle's
+    * `st` CTE) — no driver-side count() job at plan build. */
+  private def ivfCents(v: DataFrame, nCentroids: Int): DataFrame = {
+    val st = v.agg(count(lit(1)).as("n_vec"))
+      .select(greatest(lit(1L), expr(s"n_vec div $nCentroids")).as("stride"))
+    v.crossJoin(st)
+      .filter(col("vec_id") % col("stride") === 0 && col("vec_id") < col("stride") * nCentroids)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("ce"), col("nrm").as("cn"))
+  }
+
   /** IVF approximate top-k, exposed for the spec's recall test. */
   def annIvfTopK(s: SparkSession, dir: String, nCentroids: Int, nProbe: Int, k: Int): DataFrame = {
     val v = vecs(s, dir)
-    // Stride folds in as a single-row crossJoin (mirroring the oracle's
-    // `st` CTE) — no driver-side count() job at plan build.
-    val st = v.agg(count(lit(1)).as("n_vec"))
-      .select(greatest(lit(1L), expr(s"n_vec div $nCentroids")).as("stride"))
-    val cents = v.crossJoin(st)
-      .filter(col("vec_id") % col("stride") === 0 && col("vec_id") < col("stride") * nCentroids)
-      .select(col("vec_id").as("cent_id"), col("embedding").as("ce"), col("nrm").as("cn"))
-    // Cell assignment: argmax cosine to a centroid (one broadcast join +
-    // per-row max; ties break to the lowest cent_id).
+    val cents = ivfCents(v, nCentroids)
+    ivfScoreTail(ivfAssigned(v, cents), ivfProbeCells(v, cents, nProbe), k)
+  }
+
+  /** Cell assignment: argmax cosine to a centroid (one broadcast join +
+    * per-row max; ties break to the lowest cent_id). */
+  private def ivfAssigned(v: DataFrame, cents: DataFrame): DataFrame = {
     val wAssign = Window.partitionBy(col("vec_id"))
       .orderBy(col("cscore").desc, col("cent_id").asc)
-    val assigned = v.join(broadcast(cents), expr("true"))
+    v.join(broadcast(cents), expr("true"))
       .select(col("vec_id"), col("embedding"), col("nrm"), col("cent_id"),
         e6(cosine(dotNative(col("ce"), col("embedding")), col("cn"), col("nrm"))).as("cscore"))
       .withColumn("rn", row_number().over(wAssign)).filter(col("rn") === 1)
       .select(col("vec_id"), col("embedding"), col("nrm"), col("cent_id"))
-    // Probe routing: each probe searches its nProbe nearest cells.
+  }
+
+  /** Probe routing: each probe vector (vec_id < 10) searches its nProbe
+    * nearest cells. */
+  private def ivfProbeCells(v: DataFrame, cents: DataFrame, nProbe: Int): DataFrame = {
     val wProbe = Window.partitionBy(col("probe_id"))
       .orderBy(col("cscore").desc, col("cent_id").asc)
-    val probeCells = v.filter(col("vec_id") < 10)
+    v.filter(col("vec_id") < 10)
       .select(col("vec_id").as("probe_id"), col("embedding").as("pe"), col("nrm").as("pn"))
       .join(broadcast(cents), expr("true"))
       .select(col("probe_id"), col("pe"), col("pn"), col("cent_id"),
         e6(cosine(dotNative(col("ce"), col("pe")), col("cn"), col("pn"))).as("cscore"))
       .withColumn("rn", row_number().over(wProbe)).filter(col("rn") <= nProbe)
       .select(col("probe_id"), col("pe"), col("pn"), col("cent_id"))
+  }
+
+  /** Exact rescoring within the probed cells + per-probe top-k. */
+  private def ivfScoreTail(candidates: DataFrame, probeCells: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("score_e6").desc, col("vec_id").asc)
-    assigned.join(broadcast(probeCells), Seq("cent_id"))
+    candidates.join(broadcast(probeCells), Seq("cent_id"))
       .filter(col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id"),
         e6(cosine(dotNative(col("pe"), col("embedding")), col("pn"), col("nrm"))).as("score_e6"))
@@ -366,6 +403,63 @@ object Similarity {
       .filter(col("rnk") <= k)
       .select(col("probe_id"), col("rnk").cast("long").as("rnk"), col("vec_id"), col("score_e6"))
       .orderBy("probe_id", "rnk")
+  }
+
+  // ---- Persisted IVF index (qn10b) ------------------------------------
+
+  private val indexRun = new java.util.concurrent.atomic.AtomicInteger(0)
+  // First-use reclamation of index dirs stranded by PRIOR JVMs (the
+  // Discogs.sweepStaleFixtures discipline: in-JVM siblings stay — an
+  // unexecuted plan may still point at an earlier invocation's dir).
+  private lazy val sweepStaleIndexes: Unit = {
+    val tmp = new java.io.File(sys.props("java.io.tmpdir"))
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(rm)
+      f.delete(): Unit
+    }
+    Option(tmp.listFiles).getOrElse(Array.empty)
+      .filter(_.getName.startsWith("graft_ivf_q_")).foreach(rm)
+  }
+
+  private[graft] def newIndexDir(): String = {
+    sweepStaleIndexes
+    new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_ivf_q_${indexRun.incrementAndGet()}").toString
+  }
+
+  /** Materialize the IVF index at `path` as a DATA LAYOUT: assigned
+    * vectors in a cent_id-partitioned parquet lake plus the tiny
+    * centroid table. One batch job (the same deterministic assignment
+    * qn10 computes in-flight); after it, a probe's IO is bounded by its
+    * probed cells' files — the other (nCentroids - nProbe)/nCentroids
+    * of the corpus is never opened. At 100 TB this is the difference
+    * between an ANN service and a full scan per query batch. */
+  def buildIvfIndex(s: SparkSession, dir: String, nCentroids: Int, path: String): Unit = {
+    val v = vecs(s, dir)
+    val cents = ivfCents(v, nCentroids)
+    ivfAssigned(v, cents).write.mode("overwrite")
+      .partitionBy("cent_id").parquet(s"$path/vectors")
+    cents.write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  /** Probe a persisted IVF index: route probes via the stored centroid
+    * table, then scan ONLY the probed cells — `cent_id IN (...)` lands
+    * as a PartitionFilter, so Hive pruning skips every other cell's
+    * files (pinned in VectorExprsSpec). The probed-cell collect is
+    * bounded by nProbe x #probes rows (manifest-class, like ZoneMap
+    * planning). Probe vectors come from the base table; results are
+    * identical to qn10's in-flight form because the index stores the
+    * same embedding floats, double norms, and assignment. */
+  def probeIvfIndex(s: SparkSession, dir: String, path: String, nProbe: Int, k: Int): DataFrame = {
+    val cents = s.read.parquet(s"$path/centroids")
+    val probeCells = ivfProbeCells(vecs(s, dir), cents, nProbe)
+    val cells = probeCells.select("cent_id").distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val candidates = s.read.parquet(s"$path/vectors")
+      .filter(col("cent_id").isin(cells: _*))
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        col("cent_id").cast("long").as("cent_id"))
+    ivfScoreTail(candidates, probeCells, k)
   }
 
   /** LSH-bucketed approximate top-k, exposed for the spec's recall test.

@@ -186,6 +186,42 @@ class NorthStarSpec extends AnyFunSuite {
     assert(ivf.groupBy(_._1).forall(_._2.size <= 5))
   }
 
+  test("qn10b persisted IVF matches the in-flight form and prunes cell files") {
+    val inFlight = SparkEntry.queries("qn10_ann_ivf_topk")(spark, sf)
+      .collect().map(_.toString).toSeq
+    val persisted = SparkEntry.queries("qn10b_ann_ivf_persisted")(spark, sf)
+    val rows = persisted.collect()
+    assert(rows.map(_.toString).toSeq == inFlight, "persisted probe diverged from qn10")
+
+    // The probe scan over the index must be partition-pruned to the
+    // probed cells: the vectors scan carries a PartitionFilter on
+    // cent_id and reads a strict subset of the index's files. (10
+    // probes x 4 probed cells cover MOST of the 16 cells — the
+    // architectural win is per probe, nProbe/nCentroids of the IO —
+    // but coverage is never total on this routing, so subset is exact.)
+    // AQE wraps the executed plan; scans hide under stages.
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def allScans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => allScans(a.executedPlan)
+      case q: QueryStageExec => allScans(q.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(allScans)
+    }
+    val scans = allScans(persisted.queryExecution.executedPlan)
+      .filter(_.partitionFilters.exists(_.toString.contains("cent_id")))
+    assert(scans.nonEmpty, persisted.queryExecution.executedPlan.toString)
+    val scan = scans.head
+    val filesRead = scan.metrics("numFiles").value
+    def countParquet(f: java.io.File): Int =
+      if (f.isDirectory) f.listFiles.map(countParquet).sum
+      else if (f.getName.endsWith(".parquet")) 1 else 0
+    val totalFiles = countParquet(
+      new java.io.File(scan.relation.location.rootPaths.head.toUri))
+    assert(filesRead > 0 && filesRead < totalFiles,
+      s"no pruning: read $filesRead of $totalFiles index files")
+  }
+
   test("qp01 clean corpus counts are consistent") {
     val r = SparkEntry.queries("qp01_clean_corpus")(spark, sf).collect()(0)
     val (clean, raw, q, uniq) = (r.getAs[Long]("n_clean"), r.getAs[Long]("n_raw"),
