@@ -245,7 +245,7 @@ object Similarity {
     // shape (two broadcast joins + window) is identical. Cell assignment
     // ranks on e6-integer scores with cent_id tie-breaks, so the entire
     // approximate pipeline replays in the oracle (round 2; was rows-only).
-    Q("qn10_ann_ivf_topk", ivfOracleSql) { (s, dir) =>
+    Q("qn10_ann_ivf_topk", ivfOracleSql()) { (s, dir) =>
       annIvfTopK(s, dir, nCentroids = 16, nProbe = 4, k = 5)
     },
 
@@ -258,22 +258,45 @@ object Similarity {
     // probe answers hash-identically to qn10's oracle (same SQL). The
     // index dir is rebuilt per invocation under java.io.tmpdir (q0z's
     // fixture discipline, stale dirs reclaimed at first use).
-    Q("qn10b_ann_ivf_persisted", ivfOracleSql) { (s, dir) =>
+    Q("qn10b_ann_ivf_persisted", ivfOracleSql()) { (s, dir) =>
       val path = newIndexDir()
       buildIvfIndex(s, dir, nCentroids = 16, path)
+      probeIvfIndex(s, dir, path, nProbe = 4, k = 5)
+    },
+
+    // Index MAINTENANCE: the lake is built from the even half of the
+    // corpus (centroids frozen there), the odd half arrives later and is
+    // appended — assigned against the STORED centroids, O(new vectors)
+    // work, only its target cells gain files (dynamic partition append;
+    // untouched-cell immutability pinned in NorthStarSpec). A probe then
+    // sees the union. The oracle replays the same lifecycle by deriving
+    // centroids from the even half and assigning everyone against them —
+    // so "append never rebuilds, never re-clusters" is a hash-checked
+    // semantic, not a convention. Centroid drift is handled by periodic
+    // REBUILD, not per-append re-clustering (re-clustering would silently
+    // stale every already-written cell).
+    Q("qn10c_ann_ivf_append", ivfOracleSql("vec_id % 2 = 0")) { (s, dir) =>
+      val path = newIndexDir()
+      buildIvfIndex(s, dir, nCentroids = 16, path, col("vec_id") % 2 === 0)
+      appendToIvfIndex(s,
+        Tables.embeddings(s, dir).filter(col("vec_id") % 2 === 1)
+          .select(col("vec_id"), col("embedding")), path)
       probeIvfIndex(s, dir, path, nProbe = 4, k = 5)
     }
   )
 
-  /** qn10/qn10b shared oracle: the full IVF pipeline as DuckDB CTEs —
-    * deterministic stride centroids, argmax-cosine assignment, nProbe
+  /** qn10/qn10b/qn10c shared oracle: the full IVF pipeline as DuckDB
+    * CTEs — deterministic stride centroids (from the rows matching
+    * `centSrcFilter`; the whole corpus for qn10/qn10b, the build half
+    * for qn10c), argmax-cosine assignment of EVERY vector, nProbe
     * routing, within-cell rescoring, top-k. */
-  private def ivfOracleSql: String = {
+  private def ivfOracleSql(centSrcFilter: String = "TRUE"): String = {
       val cosE6c = (a: String, b: String, an: String, bn: String) =>
         sqlE6(s"${sqlDot(a, b)} / ($an * $bn)")
       s"""WITH v AS (SELECT vec_id, embedding, ${sqlL2norm("embedding")} AS nrm FROM embeddings),
-         |st AS (SELECT GREATEST(1, COUNT(*) // 16) AS stride FROM v),
-         |cents AS (SELECT vec_id AS cent_id, embedding AS ce, nrm AS cn FROM v, st
+         |cs AS (SELECT * FROM v WHERE $centSrcFilter),
+         |st AS (SELECT GREATEST(1, COUNT(*) // 16) AS stride FROM cs),
+         |cents AS (SELECT vec_id AS cent_id, embedding AS ce, nrm AS cn FROM cs, st
          |          WHERE vec_id % stride = 0 AND vec_id < stride * 16),
          |asg AS (SELECT vec_id, embedding, nrm, cent_id FROM (
          |          SELECT v.vec_id, v.embedding, v.nrm, c.cent_id,
@@ -434,12 +457,28 @@ object Similarity {
     * probed cells' files — the other (nCentroids - nProbe)/nCentroids
     * of the corpus is never opened. At 100 TB this is the difference
     * between an ANN service and a full scan per query batch. */
-  def buildIvfIndex(s: SparkSession, dir: String, nCentroids: Int, path: String): Unit = {
-    val v = vecs(s, dir)
+  def buildIvfIndex(s: SparkSession, dir: String, nCentroids: Int, path: String,
+      pred: Column = lit(true)): Unit = {
+    val v = vecs(s, dir).filter(pred)
     val cents = ivfCents(v, nCentroids)
     ivfAssigned(v, cents).write.mode("overwrite")
       .partitionBy("cent_id").parquet(s"$path/vectors")
     cents.write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  /** Assign NEW vectors against the STORED centroids and append them to
+    * the index lake: O(new vectors) work, no rebuild, and only the
+    * cells the new vectors land in gain files — dynamic partition
+    * append never rewrites an untouched cell (pinned in NorthStarSpec).
+    * Centroids stay frozen at build time; drift is handled by periodic
+    * rebuild, never per-append re-clustering, which would silently
+    * stale every already-written cell's assignment. */
+  def appendToIvfIndex(s: SparkSession, newVecs: DataFrame, path: String): Unit = {
+    val cents = s.read.parquet(s"$path/centroids")
+    val v = newVecs.select(col("vec_id"), col("embedding"),
+      l2normNative(col("embedding")).as("nrm"))
+    ivfAssigned(v, cents).write.mode("append")
+      .partitionBy("cent_id").parquet(s"$path/vectors")
   }
 
   /** Probe a persisted IVF index: route probes via the stored centroid

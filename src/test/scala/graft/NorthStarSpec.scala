@@ -222,6 +222,37 @@ class NorthStarSpec extends AnyFunSuite {
       s"no pruning: read $filesRead of $totalFiles index files")
   }
 
+  test("qn10c append never rewrites an untouched cell and reaches the full corpus") {
+    import org.apache.spark.sql.functions.col
+    val path = graft.operators.Similarity.newIndexDir()
+    graft.operators.Similarity.buildIvfIndex(spark, sf, 16, path,
+      col("vec_id") % 2 === 0)
+    def files(): Map[String, Set[String]] = {
+      val root = new java.io.File(s"$path/vectors")
+      root.listFiles.filter(_.getName.startsWith("cent_id=")).map { d =>
+        d.getName -> d.listFiles.map(_.getName).filter(_.endsWith(".parquet")).toSet
+      }.toMap
+    }
+    val before = files()
+    graft.operators.Similarity.appendToIvfIndex(spark,
+      Tables.embeddings(spark, sf).filter(col("vec_id") % 2 === 1)
+        .select(col("vec_id"), col("embedding")), path)
+    val after = files()
+    // Append-only: every pre-existing file survives byte-for-byte in
+    // place (names are write-UUIDs, so name survival == no rewrite).
+    before.foreach { case (cell, fs) =>
+      assert(fs.subsetOf(after.getOrElse(cell, Set.empty)),
+        s"cell $cell lost files in append: $fs vs ${after.get(cell)}")
+    }
+    assert(after.values.map(_.size).sum > before.values.map(_.size).sum)
+    // The lake now holds the whole corpus exactly once.
+    val lakeIds = spark.read.parquet(s"$path/vectors")
+      .select("vec_id").collect().map(_.getLong(0)).sorted.toSeq
+    val allIds = Tables.embeddings(spark, sf)
+      .select("vec_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(lakeIds == allIds)
+  }
+
   test("qp01 clean corpus counts are consistent") {
     val r = SparkEntry.queries("qp01_clean_corpus")(spark, sf).collect()(0)
     val (clean, raw, q, uniq) = (r.getAs[Long]("n_clean"), r.getAs[Long]("n_raw"),

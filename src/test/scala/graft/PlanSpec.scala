@@ -246,6 +246,7 @@ class PlanSpec extends AnyFunSuite {
       "qn07_cosine_topk",     // broadcast 10-row probe side
       "qn10_ann_ivf_topk",    // broadcast centroid table (assignment + routing)
       "qn10b_ann_ivf_persisted", // same centroid routing over the persisted index
+      "qn10c_ann_ivf_append",    // same centroid routing (build-half centroids)
       "qn19_kmeans_step",     // broadcast centroid table
       "qn25_mixture_weights", // single-row scalar crossJoin
       "qn29_mixture_apply",   // single-row scalar crossJoin
