@@ -253,6 +253,26 @@ class NorthStarSpec extends AnyFunSuite {
     assert(lakeIds == allIds)
   }
 
+  test("LakeMaintenance.compact composes with the IVF index: fewer files, same probe") {
+    import org.apache.spark.sql.functions.col
+    val path = graft.operators.Similarity.newIndexDir()
+    graft.operators.Similarity.buildIvfIndex(spark, sf, 16, path,
+      col("vec_id") % 2 === 0)
+    graft.operators.Similarity.appendToIvfIndex(spark,
+      Tables.embeddings(spark, sf).filter(col("vec_id") % 2 === 1)
+        .select(col("vec_id"), col("embedding")), path)
+    val before = graft.operators.Similarity
+      .probeIvfIndex(spark, sf, path, 4, 5).collect().map(_.toString).toSeq
+    val stats = graft.sources.LakeMaintenance.compact(spark, s"$path/vectors")
+    // Build + append leave multi-file cells; KB-scale cells compact to 1.
+    assert(stats.exists(s => s.filesAfter < s.filesBefore),
+      s"nothing compacted: $stats")
+    assert(stats.forall(_.filesAfter == 1), s"cells above target: $stats")
+    val after = graft.operators.Similarity
+      .probeIvfIndex(spark, sf, path, 4, 5).collect().map(_.toString).toSeq
+    assert(after == before, "probe diverged across compaction")
+  }
+
   test("qp01 clean corpus counts are consistent") {
     val r = SparkEntry.queries("qp01_clean_corpus")(spark, sf).collect()(0)
     val (clean, raw, q, uniq) = (r.getAs[Long]("n_clean"), r.getAs[Long]("n_raw"),
