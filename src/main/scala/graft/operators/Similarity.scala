@@ -275,9 +275,15 @@ object Similarity {
     // semantic, not a convention. Centroid drift is handled by periodic
     // REBUILD, not per-append re-clustering (re-clustering would silently
     // stale every already-written cell).
-    Q("qn10c_ann_ivf_append", ivfOracleSql("vec_id % 2 = 0")) { (s, dir) =>
+    // The build half's seeds sample the RE-DENSIFIED id space
+    // (vec_id div 2): striding raw vec_id over even ids only hits even
+    // lattice points of an odd stride and silently halves the centroid
+    // count (round-10 review) — half the cells means double the probe IO.
+    Q("qn10c_ann_ivf_append",
+        ivfOracleSql("vec_id % 2 = 0", "vec_id // 2")) { (s, dir) =>
       val path = newIndexDir()
-      buildIvfIndex(s, dir, nCentroids = 16, path, col("vec_id") % 2 === 0)
+      buildIvfIndex(s, dir, nCentroids = 16, path,
+        col("vec_id") % 2 === 0, expr("vec_id div 2"))
       appendToIvfIndex(s,
         Tables.embeddings(s, dir).filter(col("vec_id") % 2 === 1)
           .select(col("vec_id"), col("embedding")), path)
@@ -290,14 +296,15 @@ object Similarity {
     * `centSrcFilter`; the whole corpus for qn10/qn10b, the build half
     * for qn10c), argmax-cosine assignment of EVERY vector, nProbe
     * routing, within-cell rescoring, top-k. */
-  private def ivfOracleSql(centSrcFilter: String = "TRUE"): String = {
+  private def ivfOracleSql(centSrcFilter: String = "TRUE",
+      sampleKeySql: String = "vec_id"): String = {
       val cosE6c = (a: String, b: String, an: String, bn: String) =>
         sqlE6(s"${sqlDot(a, b)} / ($an * $bn)")
       s"""WITH v AS (SELECT vec_id, embedding, ${sqlL2norm("embedding")} AS nrm FROM embeddings),
          |cs AS (SELECT * FROM v WHERE $centSrcFilter),
          |st AS (SELECT GREATEST(1, COUNT(*) // 16) AS stride FROM cs),
          |cents AS (SELECT vec_id AS cent_id, embedding AS ce, nrm AS cn FROM cs, st
-         |          WHERE vec_id % stride = 0 AND vec_id < stride * 16),
+         |          WHERE ($sampleKeySql) % stride = 0 AND ($sampleKeySql) < stride * 16),
          |asg AS (SELECT vec_id, embedding, nrm, cent_id FROM (
          |          SELECT v.vec_id, v.embedding, v.nrm, c.cent_id,
          |                 ROW_NUMBER() OVER (PARTITION BY v.vec_id
@@ -372,12 +379,20 @@ object Similarity {
 
   /** Deterministic stride-sampled coarse centroids (qn10/qn10b/spec).
     * Stride folds in as a single-row crossJoin (mirroring the oracle's
-    * `st` CTE) — no driver-side count() job at plan build. */
-  private def ivfCents(v: DataFrame, nCentroids: Int): DataFrame = {
+    * `st` CTE) — no driver-side count() job at plan build.
+    *
+    * `sampleKey` is the id-space the stride lattice walks. It MUST be
+    * dense over the rows of `v`: sampling a FILTERED corpus on raw
+    * vec_id hits only the lattice points that survive the filter (an
+    * even-ids build with an odd stride yields HALF the declared
+    * centroids — caught in round-10 review), so a filtered build passes
+    * the re-densified key (qn10c: `vec_id div 2`). */
+  private def ivfCents(v: DataFrame, nCentroids: Int,
+      sampleKey: Column = col("vec_id")): DataFrame = {
     val st = v.agg(count(lit(1)).as("n_vec"))
       .select(greatest(lit(1L), expr(s"n_vec div $nCentroids")).as("stride"))
     v.crossJoin(st)
-      .filter(col("vec_id") % col("stride") === 0 && col("vec_id") < col("stride") * nCentroids)
+      .filter(sampleKey % col("stride") === 0 && sampleKey < col("stride") * nCentroids)
       .select(col("vec_id").as("cent_id"), col("embedding").as("ce"), col("nrm").as("cn"))
   }
 
@@ -431,23 +446,31 @@ object Similarity {
   // ---- Persisted IVF index (qn10b) ------------------------------------
 
   private val indexRun = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  private def rmTree(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles.foreach(rmTree)
+    f.delete(): Unit
+  }
+
   // First-use reclamation of index dirs stranded by PRIOR JVMs (the
   // Discogs.sweepStaleFixtures discipline: in-JVM siblings stay — an
   // unexecuted plan may still point at an earlier invocation's dir).
   private lazy val sweepStaleIndexes: Unit = {
     val tmp = new java.io.File(sys.props("java.io.tmpdir"))
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles.foreach(rm)
-      f.delete(): Unit
-    }
     Option(tmp.listFiles).getOrElse(Array.empty)
-      .filter(_.getName.startsWith("graft_ivf_q_")).foreach(rm)
+      .filter(_.getName.startsWith("graft_ivf_q_")).foreach(rmTree)
   }
 
   private[graft] def newIndexDir(): String = {
     sweepStaleIndexes
-    new java.io.File(sys.props("java.io.tmpdir"),
-      s"graft_ivf_q_${indexRun.incrementAndGet()}").toString
+    val n = indexRun.incrementAndGet()
+    // Bounded ring (round-10 review): reclaim generation n-8 so a
+    // long-lived JVM holds at most 8 index lakes. 8 generations is far
+    // beyond the concurrent-plan window — the widest holder is the
+    // determinism sweep with 2 plans of one query alive at once.
+    val old = new java.io.File(sys.props("java.io.tmpdir"), s"graft_ivf_q_${n - 8}")
+    if (old.exists) rmTree(old)
+    new java.io.File(sys.props("java.io.tmpdir"), s"graft_ivf_q_$n").toString
   }
 
   /** Materialize the IVF index at `path` as a DATA LAYOUT: assigned
@@ -458,12 +481,18 @@ object Similarity {
     * of the corpus is never opened. At 100 TB this is the difference
     * between an ANN service and a full scan per query batch. */
   def buildIvfIndex(s: SparkSession, dir: String, nCentroids: Int, path: String,
-      pred: Column = lit(true)): Unit = {
+      pred: Column = lit(true), sampleKey: Column = col("vec_id")): Unit = {
     val v = vecs(s, dir).filter(pred)
-    val cents = ivfCents(v, nCentroids)
-    ivfAssigned(v, cents).write.mode("overwrite")
+    // Centroids are nCentroids rows by declaration: collect ONCE into a
+    // local relation so the assignment write and the centroid write
+    // don't each replay the corpus count + filter scan (round-10
+    // review: the lazy frame cost two extra full-corpus jobs per build).
+    val cents = ivfCents(v, nCentroids, sampleKey)
+    val localCents = s.createDataFrame(
+      java.util.Arrays.asList(cents.collect(): _*), cents.schema)
+    ivfAssigned(v, localCents).write.mode("overwrite")
       .partitionBy("cent_id").parquet(s"$path/vectors")
-    cents.write.mode("overwrite").parquet(s"$path/centroids")
+    localCents.coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
   }
 
   /** Assign NEW vectors against the STORED centroids and append them to
@@ -484,21 +513,26 @@ object Similarity {
   /** Probe a persisted IVF index: route probes via the stored centroid
     * table, then scan ONLY the probed cells — `cent_id IN (...)` lands
     * as a PartitionFilter, so Hive pruning skips every other cell's
-    * files (pinned in VectorExprsSpec). The probed-cell collect is
-    * bounded by nProbe x #probes rows (manifest-class, like ZoneMap
-    * planning). Probe vectors come from the base table; results are
-    * identical to qn10's in-flight form because the index stores the
-    * same embedding floats, double norms, and assignment. */
+    * files (pinned in NorthStarSpec). Routing runs as ONE job: the
+    * probe-cell frame is collected (bounded by nProbe x #probes rows —
+    * manifest-class, like ZoneMap planning) and re-enters the plan as a
+    * local relation, so the returned plan doesn't re-run the routing
+    * pipeline for the rescoring broadcast. Probe vectors come from the
+    * base table; results are identical to qn10's in-flight form because
+    * the index stores the same embedding floats, double norms, and
+    * assignment. */
   def probeIvfIndex(s: SparkSession, dir: String, path: String, nProbe: Int, k: Int): DataFrame = {
     val cents = s.read.parquet(s"$path/centroids")
-    val probeCells = ivfProbeCells(vecs(s, dir), cents, nProbe)
-    val cells = probeCells.select("cent_id").distinct()
-      .collect().map(_.getLong(0)).toSeq
+    val pc = ivfProbeCells(vecs(s, dir), cents, nProbe)
+    val pcRows = pc.collect()
+    val localPc = s.createDataFrame(java.util.Arrays.asList(pcRows: _*), pc.schema)
+    val centIdx = pc.schema.fieldIndex("cent_id")
+    val cells = pcRows.map(_.getLong(centIdx)).distinct.toSeq
     val candidates = s.read.parquet(s"$path/vectors")
       .filter(col("cent_id").isin(cells: _*))
       .select(col("vec_id"), col("embedding"), col("nrm"),
         col("cent_id").cast("long").as("cent_id"))
-    ivfScoreTail(candidates, probeCells, k)
+    ivfScoreTail(candidates, localPc, k)
   }
 
   /** LSH-bucketed approximate top-k, exposed for the spec's recall test.

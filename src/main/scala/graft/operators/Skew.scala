@@ -57,6 +57,10 @@ object Skew {
     */
   def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
       saltSrc: Column, s: Int): DataFrame = {
+    // s = 0 would be SILENT data loss, not an error: pmod(x, 0) is null
+    // under non-ANSI eval and sequence(0, -1) descends, so no salt ever
+    // matches and the join returns empty.
+    require(s >= 1, s"saltedJoin: salt count must be >= 1, got $s")
     val sf = fact.withColumn("__salt", pmod(hash(saltSrc), lit(s)))
     val sd = dim.withColumn("__salt",
       explode(sequence(lit(0), lit(s - 1)))).hint("shuffle_hash")
