@@ -253,6 +253,18 @@ class NorthStarSpec extends AnyFunSuite {
     assert(lakeIds == allIds)
   }
 
+  test("qn10c's filtered build still seeds the full centroid count") {
+    // The oracle replays the build's sampling, so a centroid shortfall
+    // is hash-INVISIBLE (round-10 review: raw-vec_id striding over the
+    // even half hit only even lattice points — 8 of 16 cells, double
+    // probe IO, green gate). The invariant needs its own pin.
+    import org.apache.spark.sql.functions.{col, expr}
+    val path = graft.operators.Similarity.newIndexDir()
+    graft.operators.Similarity.buildIvfIndex(spark, sf, 16, path,
+      col("vec_id") % 2 === 0, expr("vec_id div 2"))
+    assert(spark.read.parquet(s"$path/centroids").count() == 16)
+  }
+
   test("LakeMaintenance.compact composes with the IVF index: fewer files, same probe") {
     import org.apache.spark.sql.functions.col
     val path = graft.operators.Similarity.newIndexDir()

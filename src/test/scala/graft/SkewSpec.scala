@@ -106,6 +106,16 @@ class SkewSpec extends AnyFunSuite {
     }
   }
 
+  test("saltedJoin rejects a non-positive salt count instead of returning empty") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val f = Seq((1, 2L)).toDF("k", "v")
+    val d = Seq((1, "a")).toDF("k", "attr")
+    intercept[IllegalArgumentException] {
+      operators.Skew.saltedJoin(f, d, "k", col("v"), 0)
+    }
+  }
+
   test("salting spreads a hot key across reducers") {
     val spark = TestSpark.spark
     import spark.implicits._
