@@ -415,13 +415,16 @@ object Similarity {
       .select(col("vec_id"), col("embedding"), col("nrm"), col("cent_id"))
   }
 
-  /** Probe routing: each probe vector (vec_id < 10) searches its nProbe
-    * nearest cells. */
-  private def ivfProbeCells(v: DataFrame, cents: DataFrame, nProbe: Int): DataFrame = {
+  /** Probe routing: the declared-query probe set (vec_id < 10). */
+  private def ivfProbeCells(v: DataFrame, cents: DataFrame, nProbe: Int): DataFrame =
+    ivfRoute(v.filter(col("vec_id") < 10), cents, nProbe)
+
+  /** Route an arbitrary (vec_id, embedding, nrm) probe frame to its
+    * nProbe nearest cells. */
+  private def ivfRoute(pv: DataFrame, cents: DataFrame, nProbe: Int): DataFrame = {
     val wProbe = Window.partitionBy(col("probe_id"))
       .orderBy(col("cscore").desc, col("cent_id").asc)
-    v.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("probe_id"), col("embedding").as("pe"), col("nrm").as("pn"))
+    pv.select(col("vec_id").as("probe_id"), col("embedding").as("pe"), col("nrm").as("pn"))
       .join(broadcast(cents), expr("true"))
       .select(col("probe_id"), col("pe"), col("pn"), col("cent_id"),
         e6(cosine(dotNative(col("ce"), col("pe")), col("cn"), col("pn"))).as("cscore"))
@@ -521,9 +524,21 @@ object Similarity {
     * base table; results are identical to qn10's in-flight form because
     * the index stores the same embedding floats, double norms, and
     * assignment. */
-  def probeIvfIndex(s: SparkSession, dir: String, path: String, nProbe: Int, k: Int): DataFrame = {
+  def probeIvfIndex(s: SparkSession, dir: String, path: String, nProbe: Int, k: Int): DataFrame =
+    probeIvfIndexWith(s,
+      vecs(s, dir).filter(col("vec_id") < 10).select("vec_id", "embedding"),
+      path, nProbe, k)
+
+  /** [[probeIvfIndex]] for an ARBITRARY probe frame of (vec_id,
+    * embedding) — the serving entry: a probe batch (or one micro-batch
+    * of a probe stream via foreachBatch — streaming == batch parity
+    * pinned in StreamSemanticSpec) against a standing index. */
+  def probeIvfIndexWith(s: SparkSession, probes: DataFrame, path: String,
+      nProbe: Int, k: Int): DataFrame = {
     val cents = s.read.parquet(s"$path/centroids")
-    val pc = ivfProbeCells(vecs(s, dir), cents, nProbe)
+    val pv = probes.select(col("vec_id"), col("embedding"),
+      l2normNative(col("embedding")).as("nrm"))
+    val pc = ivfRoute(pv, cents, nProbe)
     val pcRows = pc.collect()
     val localPc = s.createDataFrame(java.util.Arrays.asList(pcRows: _*), pc.schema)
     val centIdx = pc.schema.fieldIndex("cent_id")

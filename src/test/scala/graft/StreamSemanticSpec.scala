@@ -183,4 +183,41 @@ class StreamSemanticSpec extends AnyFunSuite {
     assert(again.length == 1 && again.head.kept)
     StreamSemantic.releaseBroadcasts(spark)
   }
+
+  test("a probe stream over the persisted IVF index matches the batch probe") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val sf = TestSpark.sf
+    val path = graft.operators.Similarity.newIndexDir()
+    graft.operators.Similarity.buildIvfIndex(spark, sf, 16, path)
+
+    // The serving loop is plain foreachBatch over probeIvfIndexWith: a
+    // standing index, probe batches as they arrive. Feed the declared
+    // probe set in two micro-batches and compare with one batch probe.
+    val probes = Tables.embeddings(spark, sf)
+      .filter(col("vec_id") < 10).select("vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val ms = MemoryStream[(Long, Array[Float])]
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    val q = ms.toDF().toDF("vec_id", "embedding")
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        out.synchronized {
+          out ++= graft.operators.Similarity
+            .probeIvfIndexWith(spark, batch, path, 4, 5)
+            .collect().map(_.toString)
+        }: Unit
+      }.start()
+    try {
+      ms.addData(probes.take(5).toSeq); q.processAllAvailable()
+      ms.addData(probes.drop(5).toSeq); q.processAllAvailable()
+    } finally q.stop()
+
+    val batchRows = graft.operators.Similarity
+      .probeIvfIndex(spark, sf, path, 4, 5).collect().map(_.toString)
+    assert(batchRows.nonEmpty)
+    assert(out.sorted.toSeq == batchRows.sorted.toSeq,
+      s"stream/batch diverged: stream=${out.size} batch=${batchRows.length}")
+  }
 }
