@@ -532,14 +532,24 @@ object Similarity {
   /** [[probeIvfIndex]] for an ARBITRARY probe frame of (vec_id,
     * embedding) — the serving entry: a probe batch (or one micro-batch
     * of a probe stream via foreachBatch — streaming == batch parity
-    * pinned in StreamSemanticSpec) against a standing index. */
+    * pinned in StreamSemanticSpec) against a standing index.
+    *
+    * Contract: the routed cells are collected to the driver
+    * (nProbe x #probes rows), so this is for probe BATCHES — up to the
+    * order of 1e5 probes per call. A corpus-sized probe set should be
+    * an assignment join instead (route both sides to cells and
+    * equi-join on cent_id — the qn20 shape); the bound below fails
+    * loudly rather than letting the collect OOM the driver. */
   def probeIvfIndexWith(s: SparkSession, probes: DataFrame, path: String,
       nProbe: Int, k: Int): DataFrame = {
     val cents = s.read.parquet(s"$path/centroids")
     val pv = probes.select(col("vec_id"), col("embedding"),
       l2normNative(col("embedding")).as("nrm"))
     val pc = ivfRoute(pv, cents, nProbe)
-    val pcRows = pc.collect()
+    val pcRows = pc.limit(1000001).collect()
+    require(pcRows.length <= 1000000,
+      "probeIvfIndexWith: probe batch routes to >1e6 (probe, cell) rows — " +
+        "use a cent_id assignment JOIN for corpus-sized probe sets")
     val localPc = s.createDataFrame(java.util.Arrays.asList(pcRows: _*), pc.schema)
     val centIdx = pc.schema.fieldIndex("cent_id")
     val cells = pcRows.map(_.getLong(centIdx)).distinct.toSeq
