@@ -870,6 +870,51 @@ object Curation {
           (col("csize") * col("n_clusters")).as("n_docs"),
           ((col("csize") - 1) * col("n_clusters")).as("n_redundant"))
         .orderBy("csize")
+    },
+
+    // Corpus content fingerprint — the dataset-versioning primitive a
+    // 100 TB pipeline signs its snapshots with: an ORDER-INDEPENDENT,
+    // ADDITIVE content hash per language partition. Each row digests to
+    // 60 bits of its sha-256 (every field folded in, so any value edit
+    // moves the digest), and the partition fingerprint is the digest SUM
+    // mod 2^61-1. Sum, not hash-of-sorted-concat: commutativity makes
+    // the fingerprint independent of file layout, partition count, and
+    // scan order — compaction and repartitioning provably preserve it —
+    // and additivity makes maintenance O(new data): fp(A ∪ B) =
+    // (fp(A) + fp(B)) mod p, so an ingest batch updates a snapshot
+    // signature without rescanning the corpus (pinned in CurationSpec).
+    // Plan shape: one map-side digest projection + one partially
+    // aggregated hash agg on a tiny key (lang) — a single 1-row-per-lang
+    // shuffle, nothing else. Digests sum as DECIMAL(38,0) (DuckDB:
+    // HUGEINT) so no intermediate overflow at any corpus size.
+    Q("qp06_corpus_fingerprint",
+      """SELECT lang, COUNT(*) AS n_docs,
+        |       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        |       CAST(SUM(CAST('0x' || substr(sha256(
+        |                concat_ws('|', doc_id, text, lang, source, n_chars)),
+        |              1, 15) AS BIGINT)) % 2305843009213693951 AS BIGINT) AS fp
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
+      corpusFingerprint(Tables.documents(s, dir))
     }
   )
+
+  /** 2^61 - 1 (Mersenne prime): the fingerprint modulus. Row digests are
+    * 60-bit (15 hex chars of sha-256), so every digest is already < p and
+    * the per-partition sums reduce with one final mod.
+    */
+  val fpModulus: Long = 2305843009213693951L
+
+  /** qp06's frame: (lang, n_docs, total_chars, fp) — see the Q scaladoc. */
+  def corpusFingerprint(docs: DataFrame): DataFrame = {
+    val digest = conv(substring(sha2(concat_ws("|",
+      col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars")), 256),
+      1, 15), 16, 10).cast("decimal(38,0)")
+    docs
+      .select(col("lang"), col("n_chars"), digest.as("d"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        (sum(col("d")) % lit(fpModulus)).cast("long").as("fp"))
+      .orderBy("lang")
+  }
 }

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Q
-import graft.sources.{DiscogsLake, DiscogsXml, Manifest, ZoneMap}
+import graft.sources.{BloomLake, DiscogsLake, DiscogsXml, Manifest, ZoneMap}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -283,6 +283,50 @@ object Discogs {
       require(pr.nFilesRead < pr.nPartFiles,
         s"zone maps skipped nothing within partitions: read ${pr.nFilesRead} of ${pr.nPartFiles}")
       pr.df.select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    },
+
+    // Parquet split-block bloom filters — the POINT-predicate complement
+    // to q0z's zone maps. The lake copy is range-clustered by o_orderkey
+    // (the realistic layout: time/PK-clustered), so every file's
+    // o_custkey [min,max] spans nearly the whole domain and zone maps
+    // exclude NOTHING for a customer lookup; the per-row-group blooms
+    // written on o_custkey do. The probed key is the rarest customer
+    // (fewest orders, min custkey tie-break — deterministic in both
+    // engines), so only a couple of row groups can genuinely contain it.
+    // The requires make "blooms were written" and "blooms excluded row
+    // groups" part of the gate; lossless as ever (no false negatives),
+    // so the oracle is the plain filter over the ORIGINAL table.
+    Q("q0b_bloom_point_lookup",
+      """WITH pick AS (SELECT o_custkey FROM orders GROUP BY o_custkey
+        |              ORDER BY COUNT(*) ASC, o_custkey ASC LIMIT 1)
+        |SELECT o_orderkey, o_orderdate, o_totalprice
+        |FROM orders WHERE o_custkey = (SELECT o_custkey FROM pick)
+        |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      Discogs.sweepStaleFixtures
+      val base = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_zonemap_q_${lakeRun.incrementAndGet()}")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles.foreach(rm)
+        f.delete(): Unit
+      }
+      rm(base)
+      val dataDir = s"$base/orders_bloom"
+      val orders = graft.Tables.orders(s, dir)
+      BloomLake.write(orders.repartitionByRange(32, col("o_orderkey")),
+        dataDir, "o_custkey", expectedNdv = 200000L)
+      // Rarest customer: a 1-row bounded collect (the probe itself is a
+      // driver-side footer walk, so a driver-known key is inherent here).
+      val key = orders.groupBy("o_custkey").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").asc, col("o_custkey").asc).limit(1)
+        .head.getLong(0)
+      val probe = BloomLake.probeLong(s, dataDir, "o_custkey", key)
+      require(probe.nBloomPresent == probe.nRowGroups,
+        s"bloom filters missing: ${probe.nBloomPresent} of ${probe.nRowGroups} row groups")
+      require(probe.nMaybe < probe.nRowGroups,
+        s"blooms excluded nothing: ${probe.nMaybe} of ${probe.nRowGroups} row groups might contain $key")
+      s.read.parquet(dataDir).filter(col("o_custkey") === key)
+        .select("o_orderkey", "o_orderdate", "o_totalprice")
         .orderBy("o_orderkey")
     }
   )

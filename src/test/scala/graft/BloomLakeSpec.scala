@@ -1,0 +1,64 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.BloomLake
+
+class BloomLakeSpec extends AnyFunSuite {
+  import TestSpark._
+
+  // Orders clustered by o_orderkey (the realistic layout) so o_custkey is
+  // scattered: the exact shape where zone maps cannot prune a customer
+  // point lookup and bloom filters are the only exclusion signal.
+  private def mkLake(): String = {
+    val dataDir = s"${Files.createTempDirectory("bloomlake")}/orders"
+    BloomLake.write(
+      Tables.orders(spark, sf).repartitionByRange(16, col("o_orderkey")),
+      dataDir, "o_custkey", expectedNdv = 10000L)
+    dataDir
+  }
+
+  test("blooms are written on every row group and exclude groups for a rare key") {
+    val dataDir = mkLake()
+    // Rarest customer: fewest orders, min-custkey tie-break (q0b's pick).
+    val key = Tables.orders(spark, sf)
+      .groupBy("o_custkey").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").asc, col("o_custkey").asc).limit(1).head.getLong(0)
+    val probe = BloomLake.probeLong(spark, dataDir, "o_custkey", key)
+    assert(probe.nRowGroups >= 16, "expected one row group per range file")
+    assert(probe.nBloomPresent == probe.nRowGroups, "a row group is missing its bloom")
+    assert(probe.nMaybe < probe.nRowGroups, "blooms excluded no row group")
+    assert(probe.nMaybe >= 1, "the key's own row group must answer maybe")
+  }
+
+  test("no false negatives: the probed scan equals the full scan for every key") {
+    val dataDir = mkLake()
+    // For a sample of real keys, every row group that truly holds the key
+    // must answer "maybe" — i.e. the bloom-pruned row count can never
+    // drop below the true count. Checked end-to-end: the filter result
+    // over the bloom lake (reader applies row-group bloom pruning on the
+    // pushed equality predicate) matches the original table's rows.
+    val orig = Tables.orders(spark, sf)
+    val keys = orig.select("o_custkey").distinct().orderBy("o_custkey")
+      .limit(5).collect().map(_.getLong(0))
+    val lake = spark.read.parquet(dataDir)
+    keys.foreach { k =>
+      val want = orig.filter(col("o_custkey") === k)
+        .select("o_orderkey").collect().map(_.getLong(0)).sorted.toSeq
+      val got = lake.filter(col("o_custkey") === k)
+        .select("o_orderkey").collect().map(_.getLong(0)).sorted.toSeq
+      assert(got == want, s"bloom lake lost rows for custkey $k")
+    }
+  }
+
+  test("a key absent from the table is excluded by (almost) every row group") {
+    val dataDir = mkLake()
+    val probe = BloomLake.probeLong(spark, dataDir, "o_custkey", -987654321L)
+    // Only split-block false positives may answer maybe; at ~1% FPP over
+    // a handful of groups, "at most a couple" is a safe deterministic
+    // bound (the corpus and bloom seeds are fixed by the testdata).
+    assert(probe.nMaybe <= probe.nRowGroups / 4,
+      s"absent key not excluded: ${probe.nMaybe} of ${probe.nRowGroups}")
+  }
+}

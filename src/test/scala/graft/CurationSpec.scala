@@ -390,4 +390,39 @@ class CurationSpec extends AnyFunSuite {
       .map(_.getAs[Long]("doc_id"))
     assert(firstBand.toSeq != firstBand.sorted.toSeq)
   }
+
+  test("qp06 fingerprint is additive and layout-invariant") {
+    import operators.Curation
+    val docs = Tables.documents(spark, sf)
+    def fps(df: org.apache.spark.sql.DataFrame): Map[String, (Long, Long)] =
+      Curation.corpusFingerprint(df).collect()
+        .map(r => r.getAs[String]("lang") ->
+          (r.getAs[Long]("n_docs"), r.getAs[Long]("fp"))).toMap
+    val full = fps(docs)
+    // Additivity: an even/odd doc_id split is an arbitrary "old snapshot
+    // + ingest batch" partition; per lang the fingerprints must add mod
+    // p and the counts must add exactly. This is the property that makes
+    // snapshot maintenance O(new data) at lake scale.
+    val even = fps(docs.filter(col("doc_id") % 2 === 0))
+    val odd = fps(docs.filter(col("doc_id") % 2 === 1))
+    val p = BigInt(Curation.fpModulus)
+    full.foreach { case (lang, (n, fp)) =>
+      val (ne, fe) = even.getOrElse(lang, (0L, 0L))
+      val (no, fo) = odd.getOrElse(lang, (0L, 0L))
+      assert(ne + no == n, s"$lang doc counts don't add")
+      assert(((BigInt(fe) + BigInt(fo)) mod p) == BigInt(fp),
+        s"$lang fingerprints don't add mod p")
+    }
+    // Layout invariance: a repartitioned (different files, different
+    // scan order) copy of the same rows fingerprints identically —
+    // compaction provably preserves the signature.
+    assert(fps(docs.repartition(7)) == full)
+    // Sensitivity: flipping one character of one document moves that
+    // lang's fingerprint.
+    val tampered = docs.withColumn("text",
+      when(col("doc_id") === docs.agg(min("doc_id")).head.getLong(0),
+        concat(col("text"), lit("x"))).otherwise(col("text")))
+    val tlang = docs.orderBy("doc_id").select("lang").head.getString(0)
+    assert(fps(tampered)(tlang)._2 != full(tlang)._2, "tampered doc did not move fp")
+  }
 }
