@@ -887,6 +887,52 @@ object Curation {
     // aggregated hash agg on a tiny key (lang) — a single 1-row-per-lang
     // shuffle, nothing else. Digests sum as DECIMAL(38,0) (DuckDB:
     // HUGEINT) so no intermediate overflow at any corpus size.
+    // One-pass data-validation gate (Deequ-style): every expectation a
+    // training pipeline checks before trusting an ingest — key
+    // uniqueness, domain membership, derived-column consistency, null/
+    // empty and minimum-quality rules — evaluated in ONE corpus scan.
+    // Each constraint is a conditional sum inside a single aggregate
+    // (the distinct-count for uniqueness rides the same pass via
+    // Expand); the per-constraint report rows then unpivot from the
+    // 1-row aggregate with stack(), so adding a constraint adds a
+    // column to the agg, never a scan. At 100 TB that is the difference
+    // between a validation suite that costs one pass and one that costs
+    // one pass PER RULE.
+    Q("qp07_quality_constraints",
+      """WITH m AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |         CAST(COUNT(*) - COUNT(DISTINCT doc_id) AS BIGINT) AS dup_id,
+        |         CAST(SUM(CASE WHEN text IS NULL OR text = '' THEN 1 ELSE 0 END) AS BIGINT) AS empty_text,
+        |         CAST(SUM(CASE WHEN lang NOT IN ('de','en','es','fr','zh') THEN 1 ELSE 0 END) AS BIGINT) AS bad_lang,
+        |         CAST(SUM(CASE WHEN n_chars <> LENGTH(text) THEN 1 ELSE 0 END) AS BIGINT) AS len_mismatch,
+        |         CAST(SUM(CASE WHEN LENGTH(text) < 50 THEN 1 ELSE 0 END) AS BIGINT) AS short_text
+        |  FROM documents)
+        |SELECT 'doc_id_unique' AS check_name, dup_id AS n_violations, n AS n_checked, dup_id = 0 AS ok FROM m
+        |UNION ALL SELECT 'lang_in_set', bad_lang, n, bad_lang = 0 FROM m
+        |UNION ALL SELECT 'n_chars_consistent', len_mismatch, n, len_mismatch = 0 FROM m
+        |UNION ALL SELECT 'text_min_50_chars', short_text, n, short_text = 0 FROM m
+        |UNION ALL SELECT 'text_nonempty', empty_text, n, empty_text = 0 FROM m
+        |ORDER BY check_name""".stripMargin) { (s, dir) =>
+      val viol = (c: Column) => sum(when(c, 1L).otherwise(0L))
+      val m = Tables.documents(s, dir).agg(
+        count(lit(1)).as("n"),
+        (count(lit(1)) - countDistinct(col("doc_id"))).as("dup_id"),
+        viol(col("text").isNull || col("text") === "").as("empty_text"),
+        viol(!col("lang").isin("de", "en", "es", "fr", "zh")).as("bad_lang"),
+        viol(col("n_chars") =!= length(col("text"))).as("len_mismatch"),
+        viol(length(col("text")) < 50).as("short_text"))
+      m.select(
+        expr("""stack(5,
+                |  'doc_id_unique',      dup_id,
+                |  'lang_in_set',        bad_lang,
+                |  'n_chars_consistent', len_mismatch,
+                |  'text_min_50_chars',  short_text,
+                |  'text_nonempty',      empty_text) AS (check_name, n_violations)""".stripMargin),
+        col("n").as("n_checked"))
+        .withColumn("ok", col("n_violations") === 0L)
+        .orderBy("check_name")
+    },
+
     Q("qp06_corpus_fingerprint",
       """SELECT lang, COUNT(*) AS n_docs,
         |       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
@@ -897,6 +943,29 @@ object Curation {
       corpusFingerprint(Tables.documents(s, dir))
     }
   )
+
+  /** qp07's constraint sums attached to `df` as observed metrics: the
+    * validation suite riding an EXISTING job's pass instead of costing
+    * its own. `observe` metrics accumulate per-partition and merge at
+    * the action — zero extra scans, zero extra shuffles; any pipeline
+    * stage that already streams the corpus (clean-corpus, fingerprint,
+    * lake write) reports corpus health as a side effect. Uniqueness is
+    * the one rule that changes form: observed metrics must be
+    * merge-able, so exact COUNT(DISTINCT) becomes approx_count_distinct
+    * (HLL — mergeable by construction); run qp07 itself when exactness
+    * matters. CurationSpec pins observed == dedicated-pass counts.
+    */
+  def withValidationObserved(df: DataFrame,
+      obs: org.apache.spark.sql.Observation): DataFrame = {
+    val viol = (c: Column) => sum(when(c, 1L).otherwise(0L))
+    df.observe(obs,
+      count(lit(1)).as("n"),
+      viol(col("text").isNull || col("text") === "").as("empty_text"),
+      viol(!col("lang").isin("de", "en", "es", "fr", "zh")).as("bad_lang"),
+      viol(col("n_chars") =!= length(col("text"))).as("len_mismatch"),
+      viol(length(col("text")) < 50).as("short_text"),
+      approx_count_distinct("doc_id").as("approx_distinct_ids"))
+  }
 
   /** 2^61 - 1 (Mersenne prime): the fingerprint modulus. Row digests are
     * 60-bit (15 hex chars of sha-256), so every digest is already < p and

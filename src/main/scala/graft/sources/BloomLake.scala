@@ -65,16 +65,34 @@ object BloomLake {
     * artifact the same shape at every scale.
     */
   def write(df: DataFrame, path: String, bloomCol: String, expectedNdv: Long): Unit =
-    df.write
-      .option(s"parquet.bloom.filter.enabled#$bloomCol", "true")
-      .option(s"parquet.bloom.filter.expected.ndv#$bloomCol", expectedNdv.toString)
-      .option(s"parquet.enable.dictionary#$bloomCol", "false")
-      .parquet(path)
+    df.write.options(writerOptions(bloomCol, expectedNdv)).parquet(path)
+
+  /** The writer options as a map — the ONE definition both ingest and
+    * maintenance use. Bloom filters are write-time artifacts: any rewrite
+    * of the lake (compaction, backfill) that omits these silently drops
+    * them, so `LakeMaintenance.compact(..., writerOptions = ...)` takes
+    * this map through the rewrite.
+    */
+  def writerOptions(bloomCol: String, expectedNdv: Long): Map[String, String] = Map(
+    s"parquet.bloom.filter.enabled#$bloomCol" -> "true",
+    s"parquet.bloom.filter.expected.ndv#$bloomCol" -> expectedNdv.toString,
+    s"parquet.enable.dictionary#$bloomCol" -> "false")
 
   /** Probe every row group's bloom filter for a long `value`. Driver-side
     * footer metadata walk — O(row groups), no data pages (see class doc).
     */
-  def probeLong(spark: SparkSession, path: String, colName: String, value: Long): BloomProbe = {
+  def probeLong(spark: SparkSession, path: String, colName: String, value: Long): BloomProbe =
+    probe(spark, path, colName)(bf => bf.hash(value))
+
+  /** String-key variant — the content-address lookup ("which row groups
+    * could hold THIS sha?") over BINARY/UTF8 columns.
+    */
+  def probeString(spark: SparkSession, path: String, colName: String, value: String): BloomProbe =
+    probe(spark, path, colName)(bf =>
+      bf.hash(org.apache.parquet.io.api.Binary.fromString(value)))
+
+  private def probe(spark: SparkSession, path: String, colName: String)(
+      hashOf: org.apache.parquet.column.values.bloomfilter.BloomFilter => Long): BloomProbe = {
     val conf = spark.sessionState.newHadoopConf()
     val root = new Path(path)
     val fs = root.getFileSystem(conf)
@@ -92,7 +110,7 @@ object BloomLake {
           if (bf == null) { maybe += 1 } // no bloom -> cannot exclude
           else {
             present += 1
-            if (bf.findHash(bf.hash(value))) maybe += 1
+            if (bf.findHash(hashOf(bf))) maybe += 1
           }
         }
       } finally reader.close()

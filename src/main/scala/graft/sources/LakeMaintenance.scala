@@ -40,9 +40,19 @@ object LakeMaintenance {
   final case class CompactStat(partition: String, filesBefore: Int, filesAfter: Int, bytes: Long)
 
   /** Compact every leaf partition under `root`. Returns one stat per leaf
-    * (rewritten or not). */
+    * (rewritten or not).
+    *
+    * `writerOptions` carries per-column parquet writer config through the
+    * rewrite — without it, compacting a bloom-enabled lake silently DROPS
+    * the bloom filters (the rewrite is a fresh parquet write; filters are
+    * write-time artifacts, not data), and point lookups degrade from
+    * row-group skipping to full scans with no correctness signal. Pass
+    * the same `parquet.bloom.filter.*` options the ingest writer used
+    * (BloomLakeSpec pins survival through a compaction).
+    */
   def compact(spark: SparkSession, root: String,
-              targetBytes: Long = 128L * 1024 * 1024): Seq[CompactStat] = {
+              targetBytes: Long = 128L * 1024 * 1024,
+              writerOptions: Map[String, String] = Map.empty): Seq[CompactStat] = {
     val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val stats = leafDirs(fs, new Path(root)).map { dir =>
       recoverSwap(fs, dir)
@@ -61,7 +71,7 @@ object LakeMaintenance {
         // whichever single footer the reader happens to pick.
         spark.read.option("mergeSchema", "true").parquet(dir.toString)
           .coalesce(target)
-          .write.parquet(tmp.toString)
+          .write.options(writerOptions).parquet(tmp.toString)
         // Phase 1: move originals aside (recoverable — roll back restores them).
         fs.mkdirs(aside)
         files.foreach(f => require(fs.rename(f.getPath, new Path(aside, f.getPath.getName)),

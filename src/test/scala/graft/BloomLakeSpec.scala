@@ -52,6 +52,54 @@ class BloomLakeSpec extends AnyFunSuite {
     }
   }
 
+  test("string keys: content-sha lookup excludes row groups, present sha answers maybe") {
+    // The content-addressable case: documents keyed by sha2(text), lake
+    // clustered by doc_id — "which row groups could hold THIS digest?"
+    val dataDir = s"${Files.createTempDirectory("bloomlake")}/docs"
+    val docs = Tables.documents(spark, sf)
+      .withColumn("sha", sha2(col("text"), 256))
+    BloomLake.write(docs.repartitionByRange(8, col("doc_id")),
+      dataDir, "sha", expectedNdv = 10000L)
+    val someSha = docs.orderBy("doc_id").select("sha").head.getString(0)
+    val hit = BloomLake.probeString(spark, dataDir, "sha", someSha)
+    assert(hit.nBloomPresent == hit.nRowGroups)
+    assert(hit.nMaybe >= 1, "the digest's own row group must answer maybe")
+    assert(hit.nMaybe < hit.nRowGroups, "a unique sha should not hit every group")
+    val miss = BloomLake.probeString(spark, dataDir, "sha",
+      "0000000000000000000000000000000000000000000000000000000000000000")
+    assert(miss.nMaybe <= miss.nRowGroups / 4,
+      s"absent sha not excluded: ${miss.nMaybe} of ${miss.nRowGroups}")
+  }
+
+  test("compaction preserves blooms when given the writer options — and drops them otherwise") {
+    import graft.sources.LakeMaintenance
+    def mkSmallFiles(): String = {
+      val dir = s"${Files.createTempDirectory("bloomcompact")}/orders"
+      BloomLake.write(Tables.orders(spark, sf).repartition(12),
+        dir, "o_custkey", expectedNdv = 10000L)
+      dir
+    }
+    val key = Tables.orders(spark, sf).select(min("o_custkey")).head.getLong(0)
+    // With the options: fewer files, blooms on every surviving row group.
+    val withOpts = mkSmallFiles()
+    val before = BloomLake.probeLong(spark, withOpts, "o_custkey", key)
+    assert(before.nBloomPresent == before.nRowGroups)
+    val stats = LakeMaintenance.compact(spark, withOpts, targetBytes = 512L * 1024 * 1024,
+      writerOptions = BloomLake.writerOptions("o_custkey", 10000L))
+    assert(stats.exists(s => s.filesAfter < s.filesBefore), "compaction was a no-op")
+    val after = BloomLake.probeLong(spark, withOpts, "o_custkey", key)
+    assert(after.nRowGroups < before.nRowGroups)
+    assert(after.nBloomPresent == after.nRowGroups,
+      "compaction dropped bloom filters despite writer options")
+    // Without: same rewrite silently drops every bloom (the hazard the
+    // parameter exists for — a probe can no longer exclude anything).
+    val plain = mkSmallFiles()
+    LakeMaintenance.compact(spark, plain, targetBytes = 512L * 1024 * 1024)
+    val dropped = BloomLake.probeLong(spark, plain, "o_custkey", key)
+    assert(dropped.nBloomPresent == 0)
+    assert(dropped.nMaybe == dropped.nRowGroups)
+  }
+
   test("a key absent from the table is excluded by (almost) every row group") {
     val dataDir = mkLake()
     val probe = BloomLake.probeLong(spark, dataDir, "o_custkey", -987654321L)

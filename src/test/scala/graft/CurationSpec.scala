@@ -391,6 +391,48 @@ class CurationSpec extends AnyFunSuite {
     assert(firstBand.toSeq != firstBand.sorted.toSeq)
   }
 
+  test("qp07 validates in ONE corpus pass and its counts match brute force") {
+    val df = SparkEntry.queries("qp07_quality_constraints")(spark, sf)
+    // One scan: every constraint is a column of a single aggregate, so
+    // the plan reads documents.parquet exactly once (the uniqueness
+    // distinct rides the same pass via Expand). A per-rule-scan
+    // regression would show up as a second file scan here.
+    val plan = df.queryExecution.executedPlan.toString
+    val scans = "documents\\.parquet".r.findAllIn(plan).length
+    assert(scans == 1, s"validation suite scans the corpus $scans times:\n$plan")
+    val rows = df.collect().map(r => r.getAs[String]("check_name") ->
+      (r.getAs[Long]("n_violations"), r.getAs[Long]("n_checked"), r.getAs[Boolean]("ok"))).toMap
+    val docs = Tables.documents(spark, sf)
+    val n = docs.count()
+    assert(rows.values.forall(_._2 == n))
+    assert(rows("doc_id_unique") == ((0L, n, true)))
+    val short = docs.filter(length(col("text")) < 50).count()
+    assert(rows("text_min_50_chars") == ((short, n, short == 0L)))
+    assert(rows.forall { case (_, (v, _, ok)) => ok == (v == 0L) })
+  }
+
+  test("observed validation rides another job's pass and matches qp07's counts") {
+    import operators.Curation
+    val obs = new org.apache.spark.sql.Observation("corpus_health")
+    // The "existing job" here is the fingerprint aggregation; validation
+    // attaches to its input scan and costs no extra pass.
+    val fp = Curation.corpusFingerprint(
+      Curation.withValidationObserved(Tables.documents(spark, sf), obs))
+    assert(fp.collect().nonEmpty) // the action that populates the metrics
+    val m = obs.get
+    val dedicated = SparkEntry.queries("qp07_quality_constraints")(spark, sf)
+      .collect().map(r => r.getAs[String]("check_name") -> r.getAs[Long]("n_violations")).toMap
+    assert(m("n") == Tables.documents(spark, sf).count())
+    assert(m("empty_text") == dedicated("text_nonempty"))
+    assert(m("bad_lang") == dedicated("lang_in_set"))
+    assert(m("len_mismatch") == dedicated("n_chars_consistent"))
+    assert(m("short_text") == dedicated("text_min_50_chars"))
+    // HLL stand-in for exact uniqueness: within its error bound.
+    val n = m("n").asInstanceOf[Long]
+    val approx = m("approx_distinct_ids").asInstanceOf[Long]
+    assert(math.abs(approx - n).toDouble / n < 0.1)
+  }
+
   test("qp06 fingerprint is additive and layout-invariant") {
     import operators.Curation
     val docs = Tables.documents(spark, sf)
