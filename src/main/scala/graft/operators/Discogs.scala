@@ -328,6 +328,62 @@ object Discogs {
       s.read.parquet(dataDir).filter(col("o_custkey") === key)
         .select("o_orderkey", "o_orderdate", "o_totalprice")
         .orderBy("o_orderkey")
+    },
+
+    // The full skipping hierarchy composed in one lookup — the capstone
+    // of the three-tier story (SCALE.md "File-level data skipping"):
+    // "orders of customer K in year 1996 with orderkey below the global
+    // mean". year= prunes partition dirs, o_orderkey zones prune the
+    // range-clustered files within the surviving year, and the custkey
+    // blooms exclude zone survivors that definitely lack K. Every tier
+    // must strictly prune (three requires — any tier going inert fails
+    // the gate), the tiers multiply (blooms probe only zone survivors),
+    // and the whole stack is lossless, so the oracle is the plain
+    // triple filter over the ORIGINAL table. K is the rarest customer
+    // IN the filtered subset (fewest orders, min-custkey tie-break), so
+    // results are non-empty and the bloom tier has something to prune.
+    Q("q0bz_three_tier_lookup",
+      """WITH mid AS (SELECT CAST(FLOOR(AVG(o_orderkey)) AS BIGINT) AS m FROM orders),
+        |sub AS (SELECT o_orderkey, o_orderdate, o_totalprice, o_custkey
+        |        FROM orders, mid
+        |        WHERE EXTRACT(year FROM o_orderdate) = 1996 AND o_orderkey <= m),
+        |pick AS (SELECT o_custkey FROM sub GROUP BY o_custkey
+        |         ORDER BY COUNT(*) ASC, o_custkey ASC LIMIT 1)
+        |SELECT o_orderkey, o_orderdate, o_totalprice
+        |FROM sub WHERE o_custkey = (SELECT o_custkey FROM pick)
+        |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      Discogs.sweepStaleFixtures
+      val base = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_zonemap_q_${lakeRun.incrementAndGet()}")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles.foreach(rm)
+        f.delete(): Unit
+      }
+      rm(base)
+      val dataDir = s"$base/orders_lake"; val statsPath = s"$base/stats"
+      val orders = graft.Tables.orders(s, dir)
+      orders.withColumn("year", year(col("o_orderdate")))
+        .repartitionByRange(4, col("o_orderkey"))
+        .write.options(BloomLake.writerOptions("o_custkey", 200000L))
+        .partitionBy("year").parquet(dataDir)
+      ZoneMap.writeStats(s, dataDir, statsPath, Seq("o_orderkey"))
+      val mid = orders.agg(floor(avg("o_orderkey")).cast("long")).head.getLong(0)
+      val key = orders
+        .filter(year(col("o_orderdate")) === 1996 && col("o_orderkey") <= mid)
+        .groupBy("o_custkey").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").asc, col("o_custkey").asc).limit(1)
+        .head.getLong(0)
+      val pr = ZoneMap.prunedScanThreeTier(s, dataDir, statsPath,
+        Seq(("year", 1996)), Seq(("o_orderkey", Long.MinValue, mid)),
+        "o_custkey", key)
+      require(pr.nPartFiles < pr.nFilesTotal,
+        s"partition tier inert: ${pr.nPartFiles} of ${pr.nFilesTotal}")
+      require(pr.nZoneFiles < pr.nPartFiles,
+        s"zone tier inert: ${pr.nZoneFiles} of ${pr.nPartFiles}")
+      require(pr.nFilesRead < pr.nZoneFiles,
+        s"bloom tier inert: read ${pr.nFilesRead} of ${pr.nZoneFiles} zone survivors")
+      pr.df.select("o_orderkey", "o_orderdate", "o_totalprice")
+        .orderBy("o_orderkey")
     }
   )
 }

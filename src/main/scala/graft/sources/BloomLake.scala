@@ -82,22 +82,34 @@ object BloomLake {
     * footer metadata walk — O(row groups), no data pages (see class doc).
     */
   def probeLong(spark: SparkSession, path: String, colName: String, value: Long): BloomProbe =
-    probe(spark, path, colName)(bf => bf.hash(value))
+    probe(spark, listParquet(spark, path), colName)(bf => bf.hash(value))
 
   /** String-key variant — the content-address lookup ("which row groups
     * could hold THIS sha?") over BINARY/UTF8 columns.
     */
   def probeString(spark: SparkSession, path: String, colName: String, value: String): BloomProbe =
-    probe(spark, path, colName)(bf =>
+    probe(spark, listParquet(spark, path), colName)(bf =>
       bf.hash(org.apache.parquet.io.api.Binary.fromString(value)))
 
-  private def probe(spark: SparkSession, path: String, colName: String)(
+  /** Explicit-file-list variant: the composition hook — a planner that
+    * has already pruned to a candidate file set (partition dirs, zone
+    * maps) probes ONLY the survivors, so the tiers multiply
+    * (`ZoneMap.prunedScanThreeTier`).
+    */
+  def probeLongAt(spark: SparkSession, files: Seq[String], colName: String,
+      value: Long): BloomProbe =
+    probe(spark, files.map(new Path(_)), colName)(bf => bf.hash(value))
+
+  private def listParquet(spark: SparkSession, path: String): Seq[Path] = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.listStatus(root).map(_.getPath)
+      .filter(p => p.getName.endsWith(".parquet") && !p.getName.startsWith("_")).toSeq
+  }
+
+  private def probe(spark: SparkSession, files: Seq[Path], colName: String)(
       hashOf: org.apache.parquet.column.values.bloomfilter.BloomFilter => Long): BloomProbe = {
     val conf = spark.sessionState.newHadoopConf()
-    val root = new Path(path)
-    val fs = root.getFileSystem(conf)
-    val files = fs.listStatus(root).map(_.getPath)
-      .filter(p => p.getName.endsWith(".parquet") && !p.getName.startsWith("_"))
     var groups = 0; var present = 0; var maybe = 0
     files.foreach { p =>
       val reader = ParquetFileReader.open(HadoopInputFile.fromPath(p, conf))

@@ -159,4 +159,51 @@ object ZoneMap {
         .parquet(keep.toIndexedSeq: _*).filter(rowPred)
     PrunedPart(df, nTotal, nPart, keep.length)
   }
+
+  /** All three skipping tiers accounted: total files, survivors of
+    * PARTITION pruning, survivors of ZONE pruning within those, files
+    * actually read after the BLOOM point probe on the zone survivors. */
+  final case class PrunedThree(df: DataFrame, nFilesTotal: Long,
+      nPartFiles: Long, nZoneFiles: Long, nFilesRead: Long)
+
+  /** The full skipping hierarchy in one planned scan: partition
+    * equalities prune directories (from the stats table — the KB-scale
+    * planning read), zone overlap prunes files within the surviving
+    * partitions, and the parquet bloom filters then exclude zone
+    * survivors that definitely lack `pointCol = pointValue` (a
+    * footer-walk over ONLY the zone survivors — the tiers multiply, so
+    * the bloom cost is O(files the zones couldn't exclude), not O(lake)).
+    * Lossless end to end: partitions/zones keep supersets, blooms have
+    * no false negatives, and every predicate — including the point
+    * equality — re-applies to rows after the scan.
+    */
+  def prunedScanThreeTier(spark: SparkSession, dataDir: String, statsPath: String,
+      partCols: Seq[(String, Any)], preds: Seq[(String, Any, Any)],
+      pointCol: String, pointValue: Long): PrunedThree = {
+    require(partCols.nonEmpty && preds.nonEmpty)
+    val stats = spark.read.parquet(statsPath)
+    val nTotal = stats.count()
+    val partPred = partCols.map { case (k, v) =>
+      col("file").contains(s"/$k=$v/")
+    }.reduce(_ && _)
+    val nPart = stats.filter(partPred).count()
+    val zonePred = preds.map { case (c, lo, hi) =>
+      col(s"min_$c") <= lit(hi) && col(s"max_$c") >= lit(lo)
+    }.reduce(_ && _)
+    val zoneKeep = stats.filter(partPred && zonePred)
+      .select("file").collect().map(_.getString(0)).toSeq
+    val bloomKeep = zoneKeep.filter { f =>
+      graft.sources.BloomLake.probeLongAt(spark, Seq(f), pointCol, pointValue).nMaybe > 0
+    }
+    val rowPred = (preds.map { case (c, lo, hi) =>
+      col(c) >= lit(lo) && col(c) <= lit(hi)
+    } ++ partCols.map { case (k, v) =>
+      col(k).cast("string") === v.toString
+    } :+ (col(pointCol) === lit(pointValue))).reduce(_ && _)
+    val df =
+      if (bloomKeep.isEmpty) spark.read.parquet(dataDir).where(lit(false))
+      else spark.read.option("basePath", dataDir)
+        .parquet(bloomKeep.toIndexedSeq: _*).filter(rowPred)
+    PrunedThree(df, nTotal, nPart, zoneKeep.length, bloomKeep.length)
+  }
 }

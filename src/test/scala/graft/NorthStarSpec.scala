@@ -186,6 +186,26 @@ class NorthStarSpec extends AnyFunSuite {
     assert(ivf.groupBy(_._1).forall(_._2.size <= 5))
   }
 
+  test("qn10 recall dial: more probed cells never hurts, full probe recovers exact") {
+    // The accuracy knob of the IVF tier, quantified: candidate cells
+    // nest as nProbe grows (nearest-first), so recall vs the exact
+    // top-k is monotone (up to tie reshuffles) and a FULL probe scores
+    // every cell — the exact computation through the IVF plumbing.
+    def keySet(df: org.apache.spark.sql.DataFrame) =
+      df.select("probe_id", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = keySet(SparkEntry.queries("qn07_cosine_topk")(spark, sf))
+    def recallAt(p: Int): Double = {
+      val ivf = keySet(operators.Similarity.annIvfTopK(spark, sf, 16, p, 5))
+      (exact & ivf).size.toDouble / exact.size
+    }
+    val r1 = recallAt(1); val r4 = recallAt(4); val r16 = recallAt(16)
+    assert(r1 <= r4 + 0.05 && r4 <= r16 + 0.05,
+      s"recall not monotone in nProbe: $r1, $r4, $r16")
+    assert(r16 >= 0.95, s"full probe should recover the exact top-k, got $r16")
+    assert(r1 < r16, "the dial is inert: probing 1 cell matched probing all 16")
+  }
+
   test("qn10b persisted IVF matches the in-flight form and prunes cell files") {
     val inFlight = SparkEntry.queries("qn10_ann_ivf_topk")(spark, sf)
       .collect().map(_.toString).toSeq
