@@ -956,9 +956,21 @@ object Curation {
     * matters. CurationSpec pins observed == dedicated-pass counts.
     */
   def withValidationObserved(df: DataFrame,
-      obs: org.apache.spark.sql.Observation): DataFrame = {
+      obs: org.apache.spark.sql.Observation): DataFrame =
+    df.observe(obs, validationMetrics.head, validationMetrics.tail: _*)
+
+  /** Streaming form: `Observation` is batch-only, so streams attach the
+    * same metrics under a NAME and read them per micro-batch from
+    * `StreamingQueryProgress.observedMetrics(name)` — corpus health per
+    * trigger, riding whatever the stream already computes (pinned in
+    * CurationSpec against the batch counts).
+    */
+  def withValidationObserved(df: DataFrame, name: String): DataFrame =
+    df.observe(name, validationMetrics.head, validationMetrics.tail: _*)
+
+  private def validationMetrics: Seq[Column] = {
     val viol = (c: Column) => sum(when(c, 1L).otherwise(0L))
-    df.observe(obs,
+    Seq(
       count(lit(1)).as("n"),
       viol(col("text").isNull || col("text") === "").as("empty_text"),
       viol(!col("lang").isin("de", "en", "es", "fr", "zh")).as("bad_lang"),

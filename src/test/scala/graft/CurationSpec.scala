@@ -7,6 +7,10 @@ import org.scalatest.funsuite.AnyFunSuite
   * gate: accounting invariants, sketch losslessness, permutation
   * correctness, and canonical-choice sanity.
   */
+object CurationSpec {
+  case class HealthDoc(doc_id: Long, text: String, lang: String, source: String, n_chars: Long)
+}
+
 class CurationSpec extends AnyFunSuite {
   import TestSpark._
 
@@ -431,6 +435,35 @@ class CurationSpec extends AnyFunSuite {
     val n = m("n").asInstanceOf[Long]
     val approx = m("approx_distinct_ids").asInstanceOf[Long]
     assert(math.abs(approx - n).toDouble / n < 0.1)
+  }
+
+  test("observed validation reports per micro-batch on a stream") {
+    import operators.Curation
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import CurationSpec.HealthDoc
+    import spark.implicits._
+    val rows = Tables.documents(spark, sf).collect().map(r => HealthDoc(
+      r.getAs[Long]("doc_id"), r.getAs[String]("text"), r.getAs[String]("lang"),
+      r.getAs[String]("source"), r.getAs[Long]("n_chars")))
+    val (b1, b2) = rows.splitAt(rows.length / 2)
+    val ms = MemoryStream[HealthDoc]
+    val q = Curation.withValidationObserved(ms.toDF(), "corpus_health")
+      .writeStream.format("noop").outputMode("append").start()
+    try {
+      ms.addData(b1.toSeq); q.processAllAvailable()
+      ms.addData(b2.toSeq); q.processAllAvailable()
+      val perBatch = q.recentProgress.toSeq
+        .flatMap(p => Option(p.observedMetrics.get("corpus_health")))
+      assert(perBatch.size == 2, s"expected 2 observed batches, got ${perBatch.size}")
+      // Per-trigger counts sum to the batch-engine totals: the health
+      // stream is the same suite qp07 runs, sliced by micro-batch.
+      assert(perBatch.map(_.getAs[Long]("n")).sum == rows.length.toLong)
+      val shortTotal = Tables.documents(spark, sf)
+        .filter(length(col("text")) < 50).count()
+      assert(perBatch.map(_.getAs[Long]("short_text")).sum == shortTotal)
+      assert(perBatch.map(_.getAs[Long]("len_mismatch")).sum == 0L)
+    } finally q.stop()
   }
 
   test("qp06 fingerprint is additive and layout-invariant") {
