@@ -100,6 +100,44 @@ object BloomLake {
       value: Long): BloomProbe =
     probe(spark, files.map(new Path(_)), colName)(bf => bf.hash(value))
 
+  /** Which of `files` might contain `colName = value` — the planning
+    * filter of the three-tier scan. Small candidate sets (<= driverMax,
+    * the common case once partitions and zones have pruned) walk
+    * footers on the driver; larger sets fan the walk out as one Spark
+    * job (a footer+bitset read per file, no data pages), so planning
+    * cost scales with the CLUSTER, not the driver, when a predicate is
+    * too weak for the earlier tiers. Executor-side filesystem access
+    * uses `new Configuration()` — the standard deployment contract
+    * (core-site.xml/hdfs-site.xml on the executor classpath, exactly
+    * what spark-submit ships); input order is preserved either way.
+    */
+  def probeLongWhere(spark: SparkSession, files: Seq[String], colName: String,
+      value: Long, driverMax: Int = 64): Seq[String] = {
+    if (files.length <= driverMax)
+      files.filter(f => probeLongAt(spark, Seq(f), colName, value).nMaybe > 0)
+    else {
+      val keep = spark.sparkContext
+        .parallelize(files, math.min(files.length, 256))
+        .mapPartitions { it =>
+          val conf = new org.apache.hadoop.conf.Configuration()
+          it.filter { f =>
+            val reader = ParquetFileReader.open(
+              HadoopInputFile.fromPath(new Path(f), conf))
+            try {
+              reader.getFooter.getBlocks.asScala.exists { block =>
+                val cc = block.getColumns.asScala
+                  .find(_.getPath.toDotString == colName)
+                  .getOrElse(sys.error(s"column $colName not found in $f"))
+                val bf = reader.getBloomFilterDataReader(block).readBloomFilter(cc)
+                bf == null || bf.findHash(bf.hash(value))
+              }
+            } finally reader.close()
+          }
+        }.collect().toSet
+      files.filter(keep)
+    }
+  }
+
   private def listParquet(spark: SparkSession, path: String): Seq[Path] = {
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())

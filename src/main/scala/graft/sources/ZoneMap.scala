@@ -192,9 +192,8 @@ object ZoneMap {
     }.reduce(_ && _)
     val zoneKeep = stats.filter(partPred && zonePred)
       .select("file").collect().map(_.getString(0)).toSeq
-    val bloomKeep = zoneKeep.filter { f =>
-      graft.sources.BloomLake.probeLongAt(spark, Seq(f), pointCol, pointValue).nMaybe > 0
-    }
+    val bloomKeep =
+      graft.sources.BloomLake.probeLongWhere(spark, zoneKeep, pointCol, pointValue)
     val rowPred = (preds.map { case (c, lo, hi) =>
       col(c) >= lit(lo) && col(c) <= lit(hi)
     } ++ partCols.map { case (k, v) =>

@@ -100,6 +100,20 @@ class BloomLakeSpec extends AnyFunSuite {
     assert(dropped.nMaybe == dropped.nRowGroups)
   }
 
+  test("distributed probe filter agrees with the driver walk, order preserved") {
+    val dataDir = mkLake()
+    val files = spark.read.parquet(dataDir).inputFiles.toSeq.sorted
+    val key = Tables.orders(spark, sf)
+      .groupBy("o_custkey").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").asc, col("o_custkey").asc).limit(1).head.getLong(0)
+    // driverMax = 0 forces the executor fan-out; a huge cap forces the
+    // driver walk. Same candidate set, same order, either path.
+    val dist = BloomLake.probeLongWhere(spark, files, "o_custkey", key, driverMax = 0)
+    val drv = BloomLake.probeLongWhere(spark, files, "o_custkey", key, driverMax = 1000)
+    assert(dist == drv)
+    assert(dist.nonEmpty && dist.size < files.size)
+  }
+
   test("a key absent from the table is excluded by (almost) every row group") {
     val dataDir = mkLake()
     val probe = BloomLake.probeLong(spark, dataDir, "o_custkey", -987654321L)
