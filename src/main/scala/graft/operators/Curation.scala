@@ -872,21 +872,6 @@ object Curation {
         .orderBy("csize")
     },
 
-    // Corpus content fingerprint — the dataset-versioning primitive a
-    // 100 TB pipeline signs its snapshots with: an ORDER-INDEPENDENT,
-    // ADDITIVE content hash per language partition. Each row digests to
-    // 60 bits of its sha-256 (every field folded in, so any value edit
-    // moves the digest), and the partition fingerprint is the digest SUM
-    // mod 2^61-1. Sum, not hash-of-sorted-concat: commutativity makes
-    // the fingerprint independent of file layout, partition count, and
-    // scan order — compaction and repartitioning provably preserve it —
-    // and additivity makes maintenance O(new data): fp(A ∪ B) =
-    // (fp(A) + fp(B)) mod p, so an ingest batch updates a snapshot
-    // signature without rescanning the corpus (pinned in CurationSpec).
-    // Plan shape: one map-side digest projection + one partially
-    // aggregated hash agg on a tiny key (lang) — a single 1-row-per-lang
-    // shuffle, nothing else. Digests sum as DECIMAL(38,0) (DuckDB:
-    // HUGEINT) so no intermediate overflow at any corpus size.
     // One-pass data-validation gate (Deequ-style): every expectation a
     // training pipeline checks before trusting an ingest — key
     // uniqueness, domain membership, derived-column consistency, null/
@@ -897,7 +882,10 @@ object Curation {
     // 1-row aggregate with stack(), so adding a constraint adds a
     // column to the agg, never a scan. At 100 TB that is the difference
     // between a validation suite that costs one pass and one that costs
-    // one pass PER RULE.
+    // one pass PER RULE. The rule expressions come from the shared
+    // [[validationRules]] so this pass and the observed-metrics form
+    // cannot drift; the oracle SQL is hand-written — that is the
+    // independent check.
     Q("qp07_quality_constraints",
       """WITH m AS (
         |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
@@ -913,32 +901,47 @@ object Curation {
         |UNION ALL SELECT 'text_min_50_chars', short_text, n, short_text = 0 FROM m
         |UNION ALL SELECT 'text_nonempty', empty_text, n, empty_text = 0 FROM m
         |ORDER BY check_name""".stripMargin) { (s, dir) =>
-      val viol = (c: Column) => sum(when(c, 1L).otherwise(0L))
-      val m = Tables.documents(s, dir).agg(
-        count(lit(1)).as("n"),
-        (count(lit(1)) - countDistinct(col("doc_id"))).as("dup_id"),
-        viol(col("text").isNull || col("text") === "").as("empty_text"),
-        viol(!col("lang").isin("de", "en", "es", "fr", "zh")).as("bad_lang"),
-        viol(col("n_chars") =!= length(col("text"))).as("len_mismatch"),
-        viol(length(col("text")) < 50).as("short_text"))
+      val aggs = (count(lit(1)) - countDistinct(col("doc_id"))).as("dup_id") +:
+        validationRules.map { case (metric, _, cond) => violations(cond).as(metric) }
+      val m = Tables.documents(s, dir).agg(count(lit(1)).as("n"), aggs: _*)
+      val pairs = ("doc_id_unique", "dup_id") +:
+        validationRules.map { case (metric, check, _) => (check, metric) }
+      val stackArgs = pairs.map { case (check, metric) => s"'$check', $metric" }
       m.select(
-        expr("""stack(5,
-                |  'doc_id_unique',      dup_id,
-                |  'lang_in_set',        bad_lang,
-                |  'n_chars_consistent', len_mismatch,
-                |  'text_min_50_chars',  short_text,
-                |  'text_nonempty',      empty_text) AS (check_name, n_violations)""".stripMargin),
+        expr(s"stack(${pairs.size}, ${stackArgs.mkString(", ")}) AS (check_name, n_violations)"),
         col("n").as("n_checked"))
         .withColumn("ok", col("n_violations") === 0L)
         .orderBy("check_name")
     },
 
+    // Corpus content fingerprint — the dataset-versioning primitive a
+    // 100 TB pipeline signs its snapshots with: an ORDER-INDEPENDENT,
+    // ADDITIVE content hash per language partition. Each row digests to
+    // 60 bits of the sha-256 of its BYTE-LENGTH-PREFIXED field encoding
+    // (`len:value` per field, NULL as a marker, '|'-joined — a shifted
+    // field boundary or a null/value swap cannot collide, because the
+    // prefix pins where every field ends), and the partition fingerprint
+    // is the digest SUM mod 2^61-1. Sum, not hash-of-sorted-concat:
+    // commutativity makes the fingerprint independent of file layout,
+    // partition count, and scan order — compaction and repartitioning
+    // provably preserve it — and additivity makes maintenance
+    // O(new data): fp(A ∪ B) = (fp(A) + fp(B)) mod p, so an ingest
+    // batch updates a snapshot signature without rescanning the corpus
+    // (pinned in CurationSpec). Plan shape: one map-side digest
+    // projection + one partially aggregated hash agg on a tiny key
+    // (lang) — a single 1-row-per-lang shuffle, nothing else. Digests
+    // sum as DECIMAL(38,0) (DuckDB: HUGEINT) so no intermediate
+    // overflow at any corpus size.
     Q("qp06_corpus_fingerprint",
       """SELECT lang, COUNT(*) AS n_docs,
         |       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
-        |       CAST(SUM(CAST('0x' || substr(sha256(
-        |                concat_ws('|', doc_id, text, lang, source, n_chars)),
-        |              1, 15) AS BIGINT)) % 2305843009213693951 AS BIGINT) AS fp
+        |       CAST(SUM(CAST('0x' || substr(sha256(concat_ws('|',
+        |           COALESCE(CAST(STRLEN(CAST(doc_id AS VARCHAR)) AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR), '∅'),
+        |           COALESCE(CAST(STRLEN(text) AS VARCHAR) || ':' || text, '∅'),
+        |           COALESCE(CAST(STRLEN(lang) AS VARCHAR) || ':' || lang, '∅'),
+        |           COALESCE(CAST(STRLEN(source) AS VARCHAR) || ':' || source, '∅'),
+        |           COALESCE(CAST(STRLEN(CAST(n_chars AS VARCHAR)) AS VARCHAR) || ':' || CAST(n_chars AS VARCHAR), '∅')
+        |         )), 1, 15) AS BIGINT)) % 2305843009213693951 AS BIGINT) AS fp
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
       corpusFingerprint(Tables.documents(s, dir))
     }
@@ -968,16 +971,24 @@ object Curation {
   def withValidationObserved(df: DataFrame, name: String): DataFrame =
     df.observe(name, validationMetrics.head, validationMetrics.tail: _*)
 
-  private def validationMetrics: Seq[Column] = {
-    val viol = (c: Column) => sum(when(c, 1L).otherwise(0L))
-    Seq(
-      count(lit(1)).as("n"),
-      viol(col("text").isNull || col("text") === "").as("empty_text"),
-      viol(!col("lang").isin("de", "en", "es", "fr", "zh")).as("bad_lang"),
-      viol(col("n_chars") =!= length(col("text"))).as("len_mismatch"),
-      viol(length(col("text")) < 50).as("short_text"),
-      approx_count_distinct("doc_id").as("approx_distinct_ids"))
-  }
+  /** The validation rule set — ONE definition for qp07's dedicated pass
+    * and both observed-metrics forms, so the counts cannot drift:
+    * (metric column name, qp07 check name, violation condition).
+    * Uniqueness is separate — its two forms differ by necessity (exact
+    * COUNT(DISTINCT) in qp07, mergeable HLL when observed).
+    */
+  private val validationRules: Seq[(String, String, Column)] = Seq(
+    ("empty_text", "text_nonempty", col("text").isNull || col("text") === ""),
+    ("bad_lang", "lang_in_set", !col("lang").isin("de", "en", "es", "fr", "zh")),
+    ("len_mismatch", "n_chars_consistent", col("n_chars") =!= length(col("text"))),
+    ("short_text", "text_min_50_chars", length(col("text")) < 50))
+
+  private def violations(cond: Column): Column = sum(when(cond, 1L).otherwise(0L))
+
+  private def validationMetrics: Seq[Column] =
+    count(lit(1)).as("n") +:
+      validationRules.map { case (metric, _, cond) => violations(cond).as(metric) } :+
+      approx_count_distinct("doc_id").as("approx_distinct_ids")
 
   /** 2^61 - 1 (Mersenne prime): the fingerprint modulus. Row digests are
     * 60-bit (15 hex chars of sha-256), so every digest is already < p and
@@ -987,8 +998,19 @@ object Curation {
 
   /** qp06's frame: (lang, n_docs, total_chars, fp) — see the Q scaladoc. */
   def corpusFingerprint(docs: DataFrame): DataFrame = {
+    // Byte-length-prefixed field encoding (`len:value`, NULL marker,
+    // '|'-joined): the prefix pins where each field ends, so a '|'
+    // inside a value or content shifting across field boundaries (or a
+    // null/value swap) cannot produce a colliding row encoding. Byte
+    // length (octet_length / DuckDB STRLEN) because both engines agree
+    // on it exactly for any UTF-8 content.
+    def enc(c: Column): Column = {
+      val s = c.cast("string")
+      coalesce(concat(octet_length(s).cast("string"), lit(":"), s), lit("∅"))
+    }
     val digest = conv(substring(sha2(concat_ws("|",
-      col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars")), 256),
+      enc(col("doc_id")), enc(col("text")), enc(col("lang")),
+      enc(col("source")), enc(col("n_chars"))), 256),
       1, 15), 16, 10).cast("decimal(38,0)")
     docs
       .select(col("lang"), col("n_chars"), digest.as("d"))

@@ -34,14 +34,28 @@ object Discogs {
   // shape replays different counter values (round-8 advice).
   private[operators] lazy val sweepStaleFixtures: Unit = {
     val tmp = new java.io.File(sys.props("java.io.tmpdir"))
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles.foreach(rm)
-      f.delete(): Unit
-    }
     Option(tmp.listFiles).getOrElse(Array.empty)
       .filter(f => f.getName.startsWith("graft_zonemap_q_") ||
         f.getName.startsWith("graft_lake_fixture_"))
-      .foreach(rm)
+      .foreach(rmTree)
+  }
+
+  private[operators] def rmTree(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles).getOrElse(Array.empty).foreach(rmTree)
+    f.delete(): Unit
+  }
+
+  /** A fresh fixture dir under java.io.tmpdir — one per invocation,
+    * because a plan returned by an earlier invocation still holds a file
+    * index over its own dir (see [[sweepStaleFixtures]], which reclaims
+    * prior-JVM leftovers on first use). Prefixes must stay in the sweep
+    * filter above. */
+  private[operators] def freshFixtureDir(prefix: String = "graft_zonemap_q_"): java.io.File = {
+    sweepStaleFixtures
+    val base = new java.io.File(sys.props("java.io.tmpdir"),
+      s"$prefix${lakeRun.incrementAndGet()}")
+    rmTree(base)
+    base
   }
 
   private val NUL = "∅"
@@ -183,19 +197,7 @@ object Discogs {
     // Parse -> partitioned lake write -> partition-pruned read-back
     // (A12 + A15): two month partitions written, one read back.
     Q("q0l_lake_roundtrip", DiscogsOracles.q0l) { (s, _) =>
-      // Each invocation writes a fresh lake dir: plans returned by earlier
-      // invocations hold a file index over their own files, so re-using (and
-      // wiping) one dir would invalidate a still-live sibling plan. Stale
-      // prior-JVM dirs are prefix-swept once per JVM (before any dir of
-      // this JVM exists — both fixture-writing queries trigger it first).
-      Discogs.sweepStaleFixtures
-      val base = new java.io.File(sys.props("java.io.tmpdir"),
-        s"graft_lake_fixture_${Discogs.lakeRun.incrementAndGet()}").toString
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles.foreach(rm)
-        f.delete(): Unit
-      }
-      rm(new java.io.File(base))
+      val base = Discogs.freshFixtureDir("graft_lake_fixture_").toString
       val rel = DiscogsXml.releases(s, s"$fixturesDir/releases.xml")
       DiscogsLake.writeDump(rel, base, "release", 1996, "03")
       DiscogsLake.writeDump(rel, base, "release", 1996, "04")
@@ -221,17 +223,7 @@ object Discogs {
         |WHERE o_orderkey BETWEEN 1000 AND 3000
         |  AND o_totalprice BETWEEN 50000 AND 200000
         |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
-      // Fresh dir per invocation (q0l's pattern): earlier invocations'
-      // returned plans hold a file index over their own files. Stale
-      // prior-JVM dirs are prefix-swept once per JVM.
-      Discogs.sweepStaleFixtures
-      val base = new java.io.File(sys.props("java.io.tmpdir"),
-        s"graft_zonemap_q_${lakeRun.incrementAndGet()}")
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles.foreach(rm)
-        f.delete(): Unit
-      }
-      rm(base)
+      val base = Discogs.freshFixtureDir()
       val dataDir = s"$base/orders"; val statsPath = s"$base/stats"
       graft.Tables.orders(s, dir)
         .repartitionByRange(8, col("o_orderkey"))
@@ -262,14 +254,7 @@ object Discogs {
         |WHERE EXTRACT(year FROM o_orderdate) = 1996
         |  AND o_orderkey BETWEEN 4000 AND 6000
         |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
-      Discogs.sweepStaleFixtures
-      val base = new java.io.File(sys.props("java.io.tmpdir"),
-        s"graft_zonemap_q_${lakeRun.incrementAndGet()}")
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles.foreach(rm)
-        f.delete(): Unit
-      }
-      rm(base)
+      val base = Discogs.freshFixtureDir()
       val dataDir = s"$base/orders_lake"; val statsPath = s"$base/stats"
       graft.Tables.orders(s, dir)
         .withColumn("year", year(col("o_orderdate")))
@@ -303,14 +288,7 @@ object Discogs {
         |SELECT o_orderkey, o_orderdate, o_totalprice
         |FROM orders WHERE o_custkey = (SELECT o_custkey FROM pick)
         |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
-      Discogs.sweepStaleFixtures
-      val base = new java.io.File(sys.props("java.io.tmpdir"),
-        s"graft_zonemap_q_${lakeRun.incrementAndGet()}")
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles.foreach(rm)
-        f.delete(): Unit
-      }
-      rm(base)
+      val base = Discogs.freshFixtureDir()
       val dataDir = s"$base/orders_bloom"
       val orders = graft.Tables.orders(s, dir)
       BloomLake.write(orders.repartitionByRange(32, col("o_orderkey")),
@@ -352,14 +330,7 @@ object Discogs {
         |SELECT o_orderkey, o_orderdate, o_totalprice
         |FROM sub WHERE o_custkey = (SELECT o_custkey FROM pick)
         |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
-      Discogs.sweepStaleFixtures
-      val base = new java.io.File(sys.props("java.io.tmpdir"),
-        s"graft_zonemap_q_${lakeRun.incrementAndGet()}")
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles.foreach(rm)
-        f.delete(): Unit
-      }
-      rm(base)
+      val base = Discogs.freshFixtureDir()
       val dataDir = s"$base/orders_lake"; val statsPath = s"$base/stats"
       val orders = graft.Tables.orders(s, dir)
       orders.withColumn("year", year(col("o_orderdate")))

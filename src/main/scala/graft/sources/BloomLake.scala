@@ -1,8 +1,11 @@
 package graft.sources
 
+import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
+import org.apache.parquet.column.values.bloomfilter.BloomFilter
 import org.apache.parquet.hadoop.ParquetFileReader
 import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import scala.jdk.CollectionConverters._
@@ -30,12 +33,24 @@ import scala.jdk.CollectionConverters._
   * "bloom filters were written and they excluded row groups" instead of
   * trusting the reader silently.
   *
+  * Probe safety contract: blooms hash the PLAIN-encoded physical value,
+  * so probing an INT32 column with a long hash (or a non-BINARY column
+  * with a string hash) would return "definitely absent" everywhere — a
+  * SILENT false negative. The walk therefore checks the column's
+  * physical type and fails loudly on a mismatch; a schema-evolved file
+  * that predates the column holds only NULLs for it, so its row groups
+  * are excluded (correctly — they cannot match a point equality), while
+  * a column found in NO probed file is treated as a caller typo and
+  * errors.
+  *
   * Scale shape: the probe reads footer metadata + one bloom bitset
   * (kilobytes) per row group — O(row groups), never data pages; the same
   * planning-cost class as the zone-map stats table. At 100 TB the driver
   * never does this per-query — the reader applies blooms inside each
-  * task — the probe exists for evidence and for offline "would this key
-  * hit?" tooling.
+  * task — the probe exists for evidence, for offline "would this key
+  * hit?" tooling, and as the planning filter of
+  * [[ZoneMap.prunedScanThreeTier]] (where big candidate sets fan out,
+  * see [[probeLongWhere]]).
   */
 object BloomLake {
 
@@ -45,7 +60,9 @@ object BloomLake {
     * @param nBloomPresent row groups that carry a bloom filter on the column
     * @param nMaybe        row groups the probe could NOT exclude ("might
     *                      contain" + any group without a bloom filter —
-    *                      absence means no exclusion, never a skip)
+    *                      absence means no exclusion, never a skip; row
+    *                      groups of schema-evolved files that predate the
+    *                      column are excluded, not maybes)
     */
   final case class BloomProbe(nRowGroups: Int, nBloomPresent: Int, nMaybe: Int)
 
@@ -80,16 +97,16 @@ object BloomLake {
 
   /** Probe every row group's bloom filter for a long `value`. Driver-side
     * footer metadata walk — O(row groups), no data pages (see class doc).
+    * `path` may be flat or Hive-partitioned: listing is recursive.
     */
   def probeLong(spark: SparkSession, path: String, colName: String, value: Long): BloomProbe =
-    probe(spark, listParquet(spark, path), colName)(bf => bf.hash(value))
+    probeAll(spark, listParquet(spark, path), colName, LongKey(value))
 
   /** String-key variant — the content-address lookup ("which row groups
     * could hold THIS sha?") over BINARY/UTF8 columns.
     */
   def probeString(spark: SparkSession, path: String, colName: String, value: String): BloomProbe =
-    probe(spark, listParquet(spark, path), colName)(bf =>
-      bf.hash(org.apache.parquet.io.api.Binary.fromString(value)))
+    probeAll(spark, listParquet(spark, path), colName, StringKey(value))
 
   /** Explicit-file-list variant: the composition hook — a planner that
     * has already pruned to a candidate file set (partition dirs, zone
@@ -98,73 +115,120 @@ object BloomLake {
     */
   def probeLongAt(spark: SparkSession, files: Seq[String], colName: String,
       value: Long): BloomProbe =
-    probe(spark, files.map(new Path(_)), colName)(bf => bf.hash(value))
+    probeAll(spark, files.map(new Path(_)), colName, LongKey(value))
 
   /** Which of `files` might contain `colName = value` — the planning
-    * filter of the three-tier scan. Small candidate sets (<= driverMax,
-    * the common case once partitions and zones have pruned) walk
-    * footers on the driver; larger sets fan the walk out as one Spark
-    * job (a footer+bitset read per file, no data pages), so planning
-    * cost scales with the CLUSTER, not the driver, when a predicate is
-    * too weak for the earlier tiers. Executor-side filesystem access
-    * uses `new Configuration()` — the standard deployment contract
-    * (core-site.xml/hdfs-site.xml on the executor classpath, exactly
-    * what spark-submit ships); input order is preserved either way.
+    * filter of the three-tier scan; returns the empty list for empty
+    * input (a filter, not a dir probe). Small candidate sets
+    * (<= driverMax, the common case once partitions and zones have
+    * pruned) walk footers on the driver; larger sets fan the walk out
+    * as one Spark job (a footer+bitset read per file, no data pages),
+    * so planning cost scales with the CLUSTER, not the driver, when a
+    * predicate is too weak for the earlier tiers. Executor-side
+    * filesystem access uses `new Configuration()` — the standard
+    * deployment contract (core-site.xml/hdfs-site.xml on the executor
+    * classpath, exactly what spark-submit ships); input order is
+    * preserved either way.
     */
   def probeLongWhere(spark: SparkSession, files: Seq[String], colName: String,
       value: Long, driverMax: Int = 64): Seq[String] = {
-    if (files.length <= driverMax)
-      files.filter(f => probeLongAt(spark, Seq(f), colName, value).nMaybe > 0)
-    else {
-      val keep = spark.sparkContext
-        .parallelize(files, math.min(files.length, 256))
-        .mapPartitions { it =>
-          val conf = new org.apache.hadoop.conf.Configuration()
-          it.filter { f =>
-            val reader = ParquetFileReader.open(
-              HadoopInputFile.fromPath(new Path(f), conf))
-            try {
-              reader.getFooter.getBlocks.asScala.exists { block =>
-                val cc = block.getColumns.asScala
-                  .find(_.getPath.toDotString == colName)
-                  .getOrElse(sys.error(s"column $colName not found in $f"))
-                val bf = reader.getBloomFilterDataReader(block).readBloomFilter(cc)
-                bf == null || bf.findHash(bf.hash(value))
-              }
-            } finally reader.close()
-          }
-        }.collect().toSet
-      files.filter(keep)
-    }
+    if (files.isEmpty) return Seq.empty
+    val key = LongKey(value)
+    val walked: Seq[(String, FileProbe)] =
+      if (files.length <= driverMax) {
+        val conf = spark.sessionState.newHadoopConf()
+        files.map(f => f -> walkFile(conf, new Path(f), colName, key))
+      } else {
+        val byFile = spark.sparkContext
+          .parallelize(files, math.min(files.length, 256))
+          .map { f =>
+            f -> walkFile(new Configuration(), new Path(f), colName, key)
+          }.collect().toMap
+        files.map(f => f -> byFile(f)) // restore input order
+      }
+    require(walked.exists(_._2.columnSeen),
+      s"column $colName not found in any of ${files.length} probed files — caller typo?")
+    walked.filter(_._2.maybe > 0).map(_._1)
   }
 
+  /** The probe key, carrying its hash AND the physical type it is valid
+    * against — see the class doc's probe-safety contract.
+    */
+  private sealed trait ProbeKey extends Serializable {
+    def hashIn(bf: BloomFilter): Long
+    def accepts(t: PrimitiveTypeName): Boolean
+    def expected: String
+  }
+  private final case class LongKey(v: Long) extends ProbeKey {
+    def hashIn(bf: BloomFilter): Long = bf.hash(v)
+    def accepts(t: PrimitiveTypeName): Boolean = t == PrimitiveTypeName.INT64
+    def expected: String = "INT64"
+  }
+  private final case class StringKey(v: String) extends ProbeKey {
+    def hashIn(bf: BloomFilter): Long =
+      bf.hash(org.apache.parquet.io.api.Binary.fromString(v))
+    def accepts(t: PrimitiveTypeName): Boolean = t == PrimitiveTypeName.BINARY
+    def expected: String = "BINARY"
+  }
+
+  private final case class FileProbe(groups: Int, present: Int, maybe: Int,
+      columnSeen: Boolean)
+
+  /** One file's footer walk — static and spark-free so the distributed
+    * path ships it to executors as-is.
+    */
+  private def walkFile(conf: Configuration, file: Path, colName: String,
+      key: ProbeKey): FileProbe = {
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
+    try {
+      var g = 0; var p = 0; var m = 0; var seen = false
+      reader.getFooter.getBlocks.asScala.foreach { block =>
+        g += 1
+        block.getColumns.asScala.find(_.getPath.toDotString == colName) match {
+          case None => () // pre-column file: all NULLs, cannot match a point equality
+          case Some(cc) =>
+            seen = true
+            val t = cc.getPrimitiveType.getPrimitiveTypeName
+            require(key.accepts(t),
+              s"bloom probe type mismatch on $colName in $file: column is $t, probe hashes " +
+                s"${key.expected} — hashes would never collide (silent false negatives)")
+            val bf = reader.getBloomFilterDataReader(block).readBloomFilter(cc)
+            if (bf == null) { m += 1 } // no bloom -> cannot exclude
+            else {
+              p += 1
+              if (bf.findHash(key.hashIn(bf))) m += 1
+            }
+        }
+      }
+      FileProbe(g, p, m, seen)
+    } finally reader.close()
+  }
+
+  private def probeAll(spark: SparkSession, files: Seq[Path], colName: String,
+      key: ProbeKey): BloomProbe = {
+    require(files.nonEmpty, "no parquet files to probe — wrong directory?")
+    val conf = spark.sessionState.newHadoopConf()
+    val walked = files.map(walkFile(conf, _, colName, key))
+    require(walked.exists(_.columnSeen),
+      s"column $colName not found in any of ${files.length} probed files — caller typo?")
+    BloomProbe(walked.map(_.groups).sum, walked.map(_.present).sum, walked.map(_.maybe).sum)
+  }
+
+  /** Recursive listing (flat or Hive-partitioned lakes); skips hidden
+    * files and anything under a hidden dir (compaction tmp/aside dirs).
+    */
   private def listParquet(spark: SparkSession, path: String): Seq[Path] = {
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-    fs.listStatus(root).map(_.getPath)
-      .filter(p => p.getName.endsWith(".parquet") && !p.getName.startsWith("_")).toSeq
-  }
-
-  private def probe(spark: SparkSession, files: Seq[Path], colName: String)(
-      hashOf: org.apache.parquet.column.values.bloomfilter.BloomFilter => Long): BloomProbe = {
-    val conf = spark.sessionState.newHadoopConf()
-    var groups = 0; var present = 0; var maybe = 0
-    files.foreach { p =>
-      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(p, conf))
-      try {
-        reader.getFooter.getBlocks.asScala.foreach { block =>
-          groups += 1
-          val cc = block.getColumns.asScala.find(_.getPath.toDotString == colName)
-            .getOrElse(sys.error(s"column $colName not found in $p"))
-          val bf = reader.getBloomFilterDataReader(block).readBloomFilter(cc)
-          if (bf == null) { maybe += 1 } // no bloom -> cannot exclude
-          else {
-            present += 1
-            if (bf.findHash(hashOf(bf))) maybe += 1
-          }
-        }
-      } finally reader.close()
+    val rootUri = root.toUri.getPath
+    val out = Seq.newBuilder[Path]
+    val it = fs.listFiles(root, true)
+    while (it.hasNext) {
+      val p = it.next().getPath
+      val rel = p.toUri.getPath.stripPrefix(rootUri)
+      val hidden = rel.split("/").exists(s => s.startsWith(".") || s.startsWith("_"))
+      if (p.getName.endsWith(".parquet") && !hidden) out += p
     }
-    BloomProbe(groups, present, maybe)
+    out.result()
   }
 }

@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** File-level zone maps: a per-file min/max stats table enabling
@@ -95,21 +95,61 @@ object ZoneMap {
     require(preds.nonEmpty, "at least one (column, lo, hi) predicate")
     val stats = spark.read.parquet(statsPath)
     val nTotal = stats.count()
-    val zonePred = preds.map { case (c, lo, hi) =>
+    val keep = stats.filter(zoneOverlap(preds))
+      .select("file").collect().map(_.getString(0)).toIndexedSeq
+    val df = scanKeep(spark, dataDir, keep, rangeRowPreds(preds).reduce(_ && _))
+    Pruned(df, nTotal, keep.length)
+  }
+
+  /** The zone-overlap predicate over the stats table: a file survives
+    * only if EVERY conjunct's [min,max] intersects its range. */
+  private def zoneOverlap(preds: Seq[(String, Any, Any)]): Column =
+    preds.map { case (c, lo, hi) =>
       col(s"min_$c") <= lit(hi) && col(s"max_$c") >= lit(lo)
     }.reduce(_ && _)
-    val keep = stats.filter(zonePred).select("file").collect().map(_.getString(0))
-    val rowPred = preds.map { case (c, lo, hi) =>
-      col(c) >= lit(lo) && col(c) <= lit(hi)
+
+  /** The row-level re-application of the range predicates (losslessness:
+    * pruning hands the scan a superset; these make the rows exact). */
+  private def rangeRowPreds(preds: Seq[(String, Any, Any)]): Seq[Column] =
+    preds.map { case (c, lo, hi) => col(c) >= lit(lo) && col(c) <= lit(hi) }
+
+  /** Partition equalities re-applied to rows, compared through a string
+    * cast so the result is independent of the session's
+    * partition-type-inference setting. */
+  private def partRowPreds(partCols: Seq[(String, Any)]): Seq[Column] =
+    partCols.map { case (k, v) => col(k).cast("string") === v.toString }
+
+  /** Scan an explicit surviving-file subset. basePath keeps Hive
+    * partition columns (year=/month=) bound when reading file subsets
+    * out of a partitioned lake — without it, Spark drops the
+    * directory-derived columns. */
+  private def scanKeep(spark: SparkSession, dataDir: String,
+      keep: Seq[String], rowPred: Column): DataFrame =
+    if (keep.isEmpty) spark.read.parquet(dataDir).where(lit(false))
+    else spark.read.option("basePath", dataDir)
+      .parquet(keep.toIndexedSeq: _*).filter(rowPred)
+
+  /** The shared planning read of the partitioned scans: total stats
+    * rows, partition survivors, and the zone survivors WITHIN them.
+    * A Hive-layout file path embeds its partition values
+    * (`.../year=1996/part-...`), so the partition equalities apply to
+    * the stats rows first — the same directory pruning the catalog
+    * would do, decided from the one KB-scale planning read. */
+  private final case class Survivors(nTotal: Long, nPart: Long, zoneKeep: Seq[String])
+  private def partZoneSurvivors(spark: SparkSession, statsPath: String,
+      partCols: Seq[(String, Any)], preds: Seq[(String, Any, Any)]): Survivors = {
+    require(partCols.nonEmpty, "at least one (partitionColumn, value) equality")
+    require(preds.nonEmpty, "at least one (column, lo, hi) predicate")
+    val stats = spark.read.parquet(statsPath)
+    val nTotal = stats.count()
+    val partPred = partCols.map { case (k, v) =>
+      col("file").contains(s"/$k=$v/")
     }.reduce(_ && _)
-    // basePath keeps Hive partition columns (year=/month=) bound when
-    // reading an explicit file subset out of a partitioned lake —
-    // without it, Spark drops the directory-derived columns.
-    val df =
-      if (keep.isEmpty) spark.read.parquet(dataDir).where(lit(false))
-      else spark.read.option("basePath", dataDir)
-        .parquet(keep.toIndexedSeq: _*).filter(rowPred)
-    Pruned(df, nTotal, keep.length)
+    val partStats = stats.filter(partPred)
+    val nPart = partStats.count()
+    val zoneKeep = partStats.filter(zoneOverlap(preds))
+      .select("file").collect().map(_.getString(0)).toIndexedSeq
+    Survivors(nTotal, nPart, zoneKeep)
   }
 
   /** A partition-pruned + zone-pruned scan with both prunings accounted:
@@ -135,29 +175,10 @@ object ZoneMap {
     * partition-type-inference setting. */
   def prunedScanPartitioned(spark: SparkSession, dataDir: String, statsPath: String,
       partCols: Seq[(String, Any)], preds: Seq[(String, Any, Any)]): PrunedPart = {
-    require(partCols.nonEmpty, "at least one (partitionColumn, value) equality")
-    require(preds.nonEmpty, "at least one (column, lo, hi) predicate")
-    val stats = spark.read.parquet(statsPath)
-    val nTotal = stats.count()
-    val partPred = partCols.map { case (k, v) =>
-      col("file").contains(s"/$k=$v/")
-    }.reduce(_ && _)
-    val partStats = stats.filter(partPred)
-    val nPart = partStats.count()
-    val zonePred = preds.map { case (c, lo, hi) =>
-      col(s"min_$c") <= lit(hi) && col(s"max_$c") >= lit(lo)
-    }.reduce(_ && _)
-    val keep = partStats.filter(zonePred).select("file").collect().map(_.getString(0))
-    val rowPred = (preds.map { case (c, lo, hi) =>
-      col(c) >= lit(lo) && col(c) <= lit(hi)
-    } ++ partCols.map { case (k, v) =>
-      col(k).cast("string") === v.toString
-    }).reduce(_ && _)
-    val df =
-      if (keep.isEmpty) spark.read.parquet(dataDir).where(lit(false))
-      else spark.read.option("basePath", dataDir)
-        .parquet(keep.toIndexedSeq: _*).filter(rowPred)
-    PrunedPart(df, nTotal, nPart, keep.length)
+    val s = partZoneSurvivors(spark, statsPath, partCols, preds)
+    val rowPred = (rangeRowPreds(preds) ++ partRowPreds(partCols)).reduce(_ && _)
+    PrunedPart(scanKeep(spark, dataDir, s.zoneKeep, rowPred),
+      s.nTotal, s.nPart, s.zoneKeep.length)
   }
 
   /** All three skipping tiers accounted: total files, survivors of
@@ -180,29 +201,12 @@ object ZoneMap {
   def prunedScanThreeTier(spark: SparkSession, dataDir: String, statsPath: String,
       partCols: Seq[(String, Any)], preds: Seq[(String, Any, Any)],
       pointCol: String, pointValue: Long): PrunedThree = {
-    require(partCols.nonEmpty && preds.nonEmpty)
-    val stats = spark.read.parquet(statsPath)
-    val nTotal = stats.count()
-    val partPred = partCols.map { case (k, v) =>
-      col("file").contains(s"/$k=$v/")
-    }.reduce(_ && _)
-    val nPart = stats.filter(partPred).count()
-    val zonePred = preds.map { case (c, lo, hi) =>
-      col(s"min_$c") <= lit(hi) && col(s"max_$c") >= lit(lo)
-    }.reduce(_ && _)
-    val zoneKeep = stats.filter(partPred && zonePred)
-      .select("file").collect().map(_.getString(0)).toSeq
+    val s = partZoneSurvivors(spark, statsPath, partCols, preds)
     val bloomKeep =
-      graft.sources.BloomLake.probeLongWhere(spark, zoneKeep, pointCol, pointValue)
-    val rowPred = (preds.map { case (c, lo, hi) =>
-      col(c) >= lit(lo) && col(c) <= lit(hi)
-    } ++ partCols.map { case (k, v) =>
-      col(k).cast("string") === v.toString
-    } :+ (col(pointCol) === lit(pointValue))).reduce(_ && _)
-    val df =
-      if (bloomKeep.isEmpty) spark.read.parquet(dataDir).where(lit(false))
-      else spark.read.option("basePath", dataDir)
-        .parquet(bloomKeep.toIndexedSeq: _*).filter(rowPred)
-    PrunedThree(df, nTotal, nPart, zoneKeep.length, bloomKeep.length)
+      BloomLake.probeLongWhere(spark, s.zoneKeep, pointCol, pointValue)
+    val rowPred = (rangeRowPreds(preds) ++ partRowPreds(partCols) :+
+      (col(pointCol) === lit(pointValue))).reduce(_ && _)
+    PrunedThree(scanKeep(spark, dataDir, bloomKeep, rowPred),
+      s.nTotal, s.nPart, s.zoneKeep.length, bloomKeep.length)
   }
 }

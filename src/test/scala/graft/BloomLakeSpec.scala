@@ -114,6 +114,36 @@ class BloomLakeSpec extends AnyFunSuite {
     assert(dist.nonEmpty && dist.size < files.size)
   }
 
+  test("probe guards: type mismatch and typo'd columns fail loudly; pre-column files exclude") {
+    // Blooms hash the PLAIN-encoded physical value, so probing an INT32
+    // column with a long hash would answer "definitely absent"
+    // everywhere — a silent false negative. The walk must refuse.
+    val intDir = s"${Files.createTempDirectory("bloomguard")}/labels"
+    BloomLake.write(Tables.embeddings(spark, sf).select("vec_id", "label"),
+      intDir, "label", expectedNdv = 100L)
+    val mismatch = intercept[IllegalArgumentException] {
+      BloomLake.probeLong(spark, intDir, "label", 1L)
+    }
+    assert(mismatch.getMessage.contains("type mismatch"))
+    // A column no probed file carries is a caller typo, not an exclusion.
+    val typo = intercept[IllegalArgumentException] {
+      BloomLake.probeLong(spark, intDir, "no_such_column", 1L)
+    }
+    assert(typo.getMessage.contains("not found in any"))
+    // Schema evolution: files predating the column hold only NULLs for
+    // it — their row groups are counted and EXCLUDED, never crashed on.
+    val mixed = Files.createTempDirectory("bloomevolve").toString
+    Tables.orders(spark, sf).select("o_orderkey").repartition(2)
+      .write.parquet(s"$mixed/old")
+    BloomLake.write(Tables.orders(spark, sf).repartition(2),
+      s"$mixed/new", "o_custkey", expectedNdv = 10000L)
+    val key = Tables.orders(spark, sf).select(min("o_custkey")).head.getLong(0)
+    val pr = BloomLake.probeLong(spark, mixed, "o_custkey", key)
+    assert(pr.nRowGroups == 4, "recursive listing must see both generations")
+    assert(pr.nBloomPresent == 2, "only the new generation carries blooms")
+    assert(pr.nMaybe <= 2, "pre-column row groups must be excluded, not maybes")
+  }
+
   test("a key absent from the table is excluded by (almost) every row group") {
     val dataDir = mkLake()
     val probe = BloomLake.probeLong(spark, dataDir, "o_custkey", -987654321L)
