@@ -131,9 +131,19 @@ object BloomLake {
     * preserved either way.
     */
   def probeLongWhere(spark: SparkSession, files: Seq[String], colName: String,
-      value: Long, driverMax: Int = 64): Seq[String] = {
+      value: Long, driverMax: Int = 64): Seq[String] =
+    probeWhere(spark, files, colName, LongKey(value), driverMax)
+
+  /** String-key variant of [[probeLongWhere]] — the content-address
+    * filter ("which candidate files could hold THIS sha?").
+    */
+  def probeStringWhere(spark: SparkSession, files: Seq[String], colName: String,
+      value: String, driverMax: Int = 64): Seq[String] =
+    probeWhere(spark, files, colName, StringKey(value), driverMax)
+
+  private def probeWhere(spark: SparkSession, files: Seq[String], colName: String,
+      key: ProbeKey, driverMax: Int): Seq[String] = {
     if (files.isEmpty) return Seq.empty
-    val key = LongKey(value)
     val walked: Seq[(String, FileProbe)] =
       if (files.length <= driverMax) {
         val conf = spark.sessionState.newHadoopConf()

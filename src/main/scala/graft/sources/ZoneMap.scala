@@ -200,12 +200,26 @@ object ZoneMap {
     */
   def prunedScanThreeTier(spark: SparkSession, dataDir: String, statsPath: String,
       partCols: Seq[(String, Any)], preds: Seq[(String, Any, Any)],
-      pointCol: String, pointValue: Long): PrunedThree = {
+      pointCol: String, pointValue: Long): PrunedThree =
+    threeTier(spark, dataDir, statsPath, partCols, preds, pointCol, lit(pointValue),
+      BloomLake.probeLongWhere(spark, _, pointCol, pointValue))
+
+  /** String-point-key overload — the content-address lookup ("fetch THIS
+    * sha") over a sha/digest column. */
+  def prunedScanThreeTier(spark: SparkSession, dataDir: String, statsPath: String,
+      partCols: Seq[(String, Any)], preds: Seq[(String, Any, Any)],
+      pointCol: String, pointValue: String): PrunedThree =
+    threeTier(spark, dataDir, statsPath, partCols, preds, pointCol, lit(pointValue),
+      BloomLake.probeStringWhere(spark, _, pointCol, pointValue))
+
+  private def threeTier(spark: SparkSession, dataDir: String, statsPath: String,
+      partCols: Seq[(String, Any)], preds: Seq[(String, Any, Any)],
+      pointCol: String, pointLit: Column,
+      bloomFilterFiles: Seq[String] => Seq[String]): PrunedThree = {
     val s = partZoneSurvivors(spark, statsPath, partCols, preds)
-    val bloomKeep =
-      BloomLake.probeLongWhere(spark, s.zoneKeep, pointCol, pointValue)
+    val bloomKeep = bloomFilterFiles(s.zoneKeep)
     val rowPred = (rangeRowPreds(preds) ++ partRowPreds(partCols) :+
-      (col(pointCol) === lit(pointValue))).reduce(_ && _)
+      (col(pointCol) === pointLit)).reduce(_ && _)
     PrunedThree(scanKeep(spark, dataDir, bloomKeep, rowPred),
       s.nTotal, s.nPart, s.zoneKeep.length, bloomKeep.length)
   }

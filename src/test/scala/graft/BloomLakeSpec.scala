@@ -144,6 +144,36 @@ class BloomLakeSpec extends AnyFunSuite {
     assert(pr.nMaybe <= 2, "pre-column row groups must be excluded, not maybes")
   }
 
+  test("three-tier string lookup: lang partition + doc_id zones + sha blooms") {
+    import graft.sources.ZoneMap
+    // The content-address serving shape: documents lake partitioned by
+    // lang, range-clustered by doc_id within partitions, sha blooms for
+    // "fetch THIS digest" lookups.
+    val base = Files.createTempDirectory("threetier_sha").toString
+    val dataDir = s"$base/docs"; val statsPath = s"$base/stats"
+    val docs = Tables.documents(spark, sf).withColumn("sha", sha2(col("text"), 256))
+    docs.repartitionByRange(4, col("doc_id"))
+      .write.options(graft.sources.BloomLake.writerOptions("sha", 10000L))
+      .partitionBy("lang").parquet(dataDir)
+    ZoneMap.writeStats(spark, dataDir, statsPath, Seq("doc_id"))
+    // Target: a document in the lower doc_id half of one lang.
+    val mid = docs.agg(floor(avg("doc_id")).cast("long")).head.getLong(0)
+    val t = docs.filter(col("doc_id") <= mid).orderBy("doc_id")
+      .select("lang", "sha", "doc_id").head
+    val pr = ZoneMap.prunedScanThreeTier(spark, dataDir, statsPath,
+      Seq(("lang", t.getString(0))), Seq(("doc_id", 0L, mid)),
+      "sha", t.getString(1))
+    assert(pr.nPartFiles < pr.nFilesTotal, "lang partition tier inert")
+    assert(pr.nZoneFiles < pr.nPartFiles, "doc_id zone tier inert")
+    assert(pr.nFilesRead <= pr.nZoneFiles)
+    // The corpus deliberately contains duplicate texts (it is a dedup
+    // testbed), so match on membership: the target doc comes back, and
+    // only same-sha rows ride along.
+    val got = pr.df.select("doc_id", "sha").collect()
+    assert(got.map(_.getLong(0)).contains(t.getLong(2)), "target document missing")
+    assert(got.forall(_.getString(1) == t.getString(1)), "a non-matching sha leaked through")
+  }
+
   test("a key absent from the table is excluded by (almost) every row group") {
     val dataDir = mkLake()
     val probe = BloomLake.probeLong(spark, dataDir, "o_custkey", -987654321L)
