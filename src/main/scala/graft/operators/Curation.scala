@@ -933,19 +933,66 @@ object Curation {
     // sum as DECIMAL(38,0) (DuckDB: HUGEINT) so no intermediate
     // overflow at any corpus size.
     Q("qp06_corpus_fingerprint",
-      """SELECT lang, COUNT(*) AS n_docs,
-        |       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
-        |       CAST(SUM(CAST('0x' || substr(sha256(concat_ws('|',
-        |           COALESCE(CAST(STRLEN(CAST(doc_id AS VARCHAR)) AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR), '∅'),
-        |           COALESCE(CAST(STRLEN(text) AS VARCHAR) || ':' || text, '∅'),
-        |           COALESCE(CAST(STRLEN(lang) AS VARCHAR) || ':' || lang, '∅'),
-        |           COALESCE(CAST(STRLEN(source) AS VARCHAR) || ':' || source, '∅'),
-        |           COALESCE(CAST(STRLEN(CAST(n_chars AS VARCHAR)) AS VARCHAR) || ':' || CAST(n_chars AS VARCHAR), '∅')
-        |         )), 1, 15) AS BIGINT)) % 2305843009213693951 AS BIGINT) AS fp
-        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
+      s"""SELECT lang, COUNT(*) AS n_docs,
+         |       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+         |       $fpDigestSumSql AS fp
+         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
       corpusFingerprint(Tables.documents(s, dir))
+    },
+
+    // The additive property AS an oracle-gated query — the snapshot
+    // MAINTENANCE contract: an old snapshot's stored fingerprint plus
+    // the ingest batch's fingerprint must equal the full corpus
+    // fingerprint, per lang, with modular addition only. Here all three
+    // frames derive from one table (old = doc_id % 3 != 0, batch = the
+    // rest) so DuckDB can replay every column; in production fp_old is
+    // a STORED value and only the batch is scanned — the update is
+    // O(new data), and `consistent` is the audit bit a pipeline owner
+    // checks before trusting an incrementally-maintained signature.
+    Q("qp08_snapshot_fingerprint_update",
+      s"""WITH f_old AS (SELECT lang, $fpDigestSumSql AS fp
+         |              FROM documents WHERE doc_id % 3 <> 0 GROUP BY lang),
+         |f_batch AS (SELECT lang, $fpDigestSumSql AS fp
+         |            FROM documents WHERE doc_id % 3 = 0 GROUP BY lang),
+         |f_full AS (SELECT lang, $fpDigestSumSql AS fp
+         |           FROM documents GROUP BY lang)
+         |SELECT f.lang, COALESCE(o.fp, 0) AS fp_old, COALESCE(b.fp, 0) AS fp_batch,
+         |       CAST((COALESCE(o.fp, 0) + COALESCE(b.fp, 0)) % 2305843009213693951 AS BIGINT) AS fp_updated,
+         |       f.fp AS fp_full,
+         |       CAST((COALESCE(o.fp, 0) + COALESCE(b.fp, 0)) % 2305843009213693951 AS BIGINT) = f.fp AS consistent
+         |FROM f_full f
+         |LEFT JOIN f_old o ON f.lang = o.lang
+         |LEFT JOIN f_batch b ON f.lang = b.lang
+         |ORDER BY f.lang""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      def fpOf(d: DataFrame, as: String) =
+        corpusFingerprint(d).select(col("lang"), col("fp").as(as))
+      fpOf(docs, "fp_full")
+        .join(fpOf(docs.filter(col("doc_id") % 3 =!= 0), "fp_o"), Seq("lang"), "left")
+        .join(fpOf(docs.filter(col("doc_id") % 3 === 0), "fp_b"), Seq("lang"), "left")
+        .select(col("lang"),
+          coalesce(col("fp_o"), lit(0L)).as("fp_old"),
+          coalesce(col("fp_b"), lit(0L)).as("fp_batch"),
+          ((coalesce(col("fp_o"), lit(0L)) + coalesce(col("fp_b"), lit(0L))) % lit(fpModulus))
+            .as("fp_updated"),
+          col("fp_full"))
+        .withColumn("consistent", col("fp_updated") === col("fp_full"))
+        .orderBy("lang")
     }
   )
+
+  /** The digest-sum SQL fragment shared by qp06/qp08's oracles — the
+    * DuckDB twin of [[corpusFingerprint]]'s digest: byte-length-prefixed
+    * fields, 60-bit sha prefix, HUGEINT sum, mod 2^61-1.
+    */
+  private lazy val fpDigestSumSql: String =
+    """CAST(SUM(CAST('0x' || substr(sha256(concat_ws('|',
+      |           COALESCE(CAST(STRLEN(CAST(doc_id AS VARCHAR)) AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR), '∅'),
+      |           COALESCE(CAST(STRLEN(text) AS VARCHAR) || ':' || text, '∅'),
+      |           COALESCE(CAST(STRLEN(lang) AS VARCHAR) || ':' || lang, '∅'),
+      |           COALESCE(CAST(STRLEN(source) AS VARCHAR) || ':' || source, '∅'),
+      |           COALESCE(CAST(STRLEN(CAST(n_chars AS VARCHAR)) AS VARCHAR) || ':' || CAST(n_chars AS VARCHAR), '∅')
+      |         )), 1, 15) AS BIGINT)) % 2305843009213693951 AS BIGINT)""".stripMargin
 
   /** qp07's constraint sums attached to `df` as observed metrics: the
     * validation suite riding an EXISTING job's pass instead of costing
