@@ -39,11 +39,16 @@ object ZoneMap {
   }
 
   /** Incremental refresh: scan ONLY files not yet covered by the stats
-    * table and append their zones. This is the maintenance call a
-    * streaming ingest (or any appender) makes after each batch — cost
-    * is O(new data), never a lake rescan; the listing itself is
-    * manifest-class driver work. Idempotent: a second call with no new
-    * files appends nothing. Returns the number of newly covered files. */
+    * table and append their zones, and DROP stats rows whose files no
+    * longer exist (compaction and 2-phase swaps delete originals — a
+    * phantom stats row would hand [[prunedScanAll]] a dead path and
+    * fail the scan at plan time). Appends cost O(new data); the drop
+    * rewrites the stats table, which is manifest-class KBs by design
+    * (collected to the driver like every stats read here). This is the
+    * maintenance call a streaming ingest makes after each batch and a
+    * compactor makes after a rewrite. Idempotent: a second call with
+    * nothing new appends and drops nothing. Returns the number of
+    * newly covered files. */
   def refreshStats(spark: SparkSession, dataDir: String, statsPath: String,
                    cols: Seq[String]): Long = {
     import org.apache.hadoop.fs.Path
@@ -60,10 +65,23 @@ object ZoneMap {
       }
       b.result()
     }
+    val listingNorm = listing.map(norm).toSet
     val known: Set[String] =
       if (!fs.exists(new Path(statsPath))) Set.empty
       else spark.read.parquet(statsPath).select("file")
         .collect().map(r => norm(r.getString(0))).toSet
+    if (known.exists(!listingNorm(_))) {
+      // Deleted files: rebuild the stats table without them. The rows
+      // materialize on the driver BEFORE the overwrite, so reading and
+      // rewriting the same path is safe.
+      val statsDf = spark.read.parquet(statsPath)
+      val schema = statsDf.schema
+      val fileIdx = schema.fieldIndex("file")
+      val kept = statsDf.collect().filter(r => listingNorm(norm(r.getString(fileIdx))))
+      spark.createDataFrame(java.util.Arrays.asList(kept: _*), schema)
+        .coalesce(1)
+        .write.mode("overwrite").parquet(statsPath)
+    }
     val newFiles = listing.filterNot(f => known(norm(f)))
     if (newFiles.nonEmpty) {
       val aggs = cols.flatMap(c =>

@@ -185,4 +185,29 @@ class ZoneMapSpec extends AnyFunSuite {
       .count(f => f.getName.endsWith(".parquet"))
     assert(nStats == nFiles)
   }
+
+  test("refresh drops stats rows for files compaction deleted; pruned scan survives") {
+    import graft.sources.LakeMaintenance
+    val (dataDir, statsPath) = mkLake() // 8 range files + stats
+    // Compaction rewrites 8 small files into 1 and deletes the
+    // originals — without the drop, the stats table keeps 8 phantom
+    // paths and the next pruned scan dies at plan time on a dead file.
+    val stats = LakeMaintenance.compact(spark, dataDir, targetBytes = 512L * 1024 * 1024)
+    assert(stats.exists(s => s.filesAfter < s.filesBefore), "compaction was a no-op")
+    val added = ZoneMap.refreshStats(spark, dataDir, statsPath, Seq("o_orderkey"))
+    assert(added >= 1, "the compacted file must be newly covered")
+    val statFiles = spark.read.parquet(statsPath).select("file")
+      .collect().map(r => new org.apache.hadoop.fs.Path(r.getString(0)).toUri.getPath).toSet
+    val live = spark.read.parquet(dataDir).inputFiles
+      .map(f => new org.apache.hadoop.fs.Path(f).toUri.getPath).toSet
+    assert(statFiles == live, "stats must cover exactly the live files")
+    // End to end: the scan over the refreshed stats equals the filter.
+    val want = spark.read.parquet(dataDir)
+      .filter(col("o_orderkey") >= 100L && col("o_orderkey") <= 140L)
+      .collect().map(_.getAs[Long]("o_orderkey")).sorted.toSeq
+    val pr = ZoneMap.prunedScan(spark, dataDir, statsPath, "o_orderkey", 100L, 140L)
+    assert(pr.df.collect().map(_.getAs[Long]("o_orderkey")).sorted.toSeq == want)
+    // Idempotent: nothing new, nothing dropped on a second call.
+    assert(ZoneMap.refreshStats(spark, dataDir, statsPath, Seq("o_orderkey")) == 0L)
+  }
 }
