@@ -58,6 +58,17 @@ object LakeMaintenance {
       recoverSwap(fs, dir)
       val files = fs.listStatus(dir).filter(f =>
         f.isFile && f.getPath.getName.endsWith(".parquet"))
+      // Bucketed-table guard: bucket identity lives in the FILE NAME
+      // (`part-...-<uuid>_00003.c000...` — the _NNNNN is the bucket id,
+      // resolved against the metastore spec). A coalesce rewrite would
+      // produce unbucketed names and silently break every zero-exchange
+      // join planned against the table. Rewrite bucketed data through
+      // the table (INSERT OVERWRITE), never through this file-level path.
+      files.find(f => bucketedName.matches(f.getPath.getName)).foreach { f =>
+        throw new IllegalArgumentException(
+          s"compact: $dir holds bucketed-table files (${f.getPath.getName}) — " +
+            "file-level compaction would destroy bucket identity")
+      }
       val bytes = files.map(_.getLen).sum
       val target = math.max(1, ((bytes + targetBytes - 1) / targetBytes).toInt)
       if (files.length <= target) {
@@ -95,6 +106,10 @@ object LakeMaintenance {
     spark.catalog.refreshByPath(root)
     stats
   }
+
+  /** Spark bucketed part files: `part-00000-<uuid>_00003.c000.snappy.parquet`
+    * (bucket id `_NNNNN` before the `.c`); plain writes use `-c000`. */
+  private val bucketedName = "part-\\d+-.*_\\d{5}\\.c\\d+.*\\.parquet".r
 
   private val CommitMarker = "_committed"
   private def tmpDir(dir: Path) = new Path(dir.getParent, s".${dir.getName}_compact_tmp")

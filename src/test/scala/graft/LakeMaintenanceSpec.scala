@@ -123,4 +123,21 @@ class LakeMaintenanceSpec extends AnyFunSuite {
     val p = merged.filter(col("n_chars") > 100).queryExecution.executedPlan.toString
     assert(p.contains("PushedFilters") && p.contains("GreaterThan(n_chars,100"), p)
   }
+
+  test("compact refuses bucketed-table file layouts") {
+    // Bucket identity lives in the file NAME (_NNNNN before .c000); a
+    // coalesce rewrite would silently unbucket the table and break
+    // every zero-exchange join planned against it. The guard must fire
+    // regardless of whether the dir is fragmented enough to rewrite.
+    val dir = java.nio.file.Files.createTempDirectory("graft_bucket_guard").toString + "/t"
+    Tables.orders(spark, sf).limit(10).coalesce(1).write.parquet(dir)
+    val f = new java.io.File(dir).listFiles
+      .find(_.getName.endsWith(".parquet")).get
+    assert(f.renameTo(new java.io.File(dir,
+      "part-00000-0a1b2c3d_00003.c000.snappy.parquet")))
+    val e = intercept[IllegalArgumentException] {
+      graft.sources.LakeMaintenance.compact(spark, dir)
+    }
+    assert(e.getMessage.contains("bucket"))
+  }
 }
