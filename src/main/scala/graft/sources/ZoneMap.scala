@@ -57,11 +57,19 @@ object ZoneMap {
     def norm(s: String) = new Path(s).toUri.getPath
     val fs = new Path(dataDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val listing = {
+      // Skip hidden files and anything under a hidden dir: Spark
+      // readers never see them, and a compaction crash window leaves a
+      // `.<dir>_compact_old` aside holding COPIES of live rows — a
+      // stats row over an aside file would make the pruned scan read
+      // those rows twice.
+      val rootPath = new Path(dataDir).toUri.getPath
       val it = fs.listFiles(new Path(dataDir), true)
       val b = Seq.newBuilder[String]
       while (it.hasNext) {
         val p = it.next().getPath
-        if (p.getName.endsWith(".parquet")) b += p.toString
+        val rel = p.toUri.getPath.stripPrefix(rootPath)
+        val hidden = rel.split("/").exists(s => s.startsWith(".") || s.startsWith("_"))
+        if (p.getName.endsWith(".parquet") && !hidden) b += p.toString
       }
       b.result()
     }

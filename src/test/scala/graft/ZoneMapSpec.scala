@@ -210,4 +210,18 @@ class ZoneMapSpec extends AnyFunSuite {
     // Idempotent: nothing new, nothing dropped on a second call.
     assert(ZoneMap.refreshStats(spark, dataDir, statsPath, Seq("o_orderkey")) == 0L)
   }
+
+  test("refresh ignores hidden dirs: a crash-window compaction aside never enters the stats") {
+    val (dataDir, statsPath) = mkLake()
+    // Simulate the 2-phase-swap crash window: an aside dir holding a
+    // COPY of live data. Spark readers skip hidden dirs; a stats row
+    // over the aside would make the pruned scan read those rows twice.
+    Tables.orders(spark, sf).limit(50).coalesce(1)
+      .write.parquet(s"$dataDir/.orders_compact_old")
+    assert(ZoneMap.refreshStats(spark, dataDir, statsPath, Seq("o_orderkey")) == 0L,
+      "hidden-dir files must not be newly covered")
+    val statFiles = spark.read.parquet(statsPath).select("file")
+      .collect().map(_.getString(0))
+    assert(!statFiles.exists(_.contains("compact_old")), "aside file leaked into stats")
+  }
 }
