@@ -224,18 +224,33 @@ object BloomLake {
     BloomProbe(walked.map(_.groups).sum, walked.map(_.present).sum, walked.map(_.maybe).sum)
   }
 
-  /** Recursive listing (flat or Hive-partitioned lakes); skips hidden
-    * files and anything under a hidden dir (compaction tmp/aside dirs).
-    */
-  private def listParquet(spark: SparkSession, path: String): Seq[Path] = {
-    val root = new Path(path)
-    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-    val rootUri = root.toUri.getPath
+  private def listParquet(spark: SparkSession, path: String): Seq[Path] =
+    LakeListing.dataFiles(spark.sessionState.newHadoopConf(), new Path(path))
+}
+
+/** Recursive data-file listing shared by the planning-side walkers
+  * ([[BloomLake]] probes, [[ZoneMap.refreshStats]]): every `.parquet`
+  * file under the root EXCEPT hidden files and anything under a hidden
+  * dir — compaction tmp/aside dirs, `_spark_metadata` — because Spark
+  * readers never see those, and a planner that does (e.g. a stats row
+  * over a compaction aside holding copies of live rows) double-reads.
+  *
+  * Hidden-ness is judged on the path RELATIVE to the root: the root is
+  * qualified through the filesystem first so a relative or
+  * differently-schemed input still strips cleanly — judging the
+  * absolute path would mark every file hidden whenever an ANCESTOR of
+  * the lake is dot- or underscore-prefixed (a CI `_work` dir, a
+  * `~/.cache` lake) and silently empty the listing.
+  */
+private[sources] object LakeListing {
+  def dataFiles(conf: org.apache.hadoop.conf.Configuration, root: Path): Seq[Path] = {
+    val fs = root.getFileSystem(conf)
+    val qualifiedRoot = fs.makeQualified(root).toUri.getPath
     val out = Seq.newBuilder[Path]
     val it = fs.listFiles(root, true)
     while (it.hasNext) {
       val p = it.next().getPath
-      val rel = p.toUri.getPath.stripPrefix(rootUri)
+      val rel = p.toUri.getPath.stripPrefix(qualifiedRoot)
       val hidden = rel.split("/").exists(s => s.startsWith(".") || s.startsWith("_"))
       if (p.getName.endsWith(".parquet") && !hidden) out += p
     }

@@ -54,21 +54,29 @@ object LakeMaintenance {
               targetBytes: Long = 128L * 1024 * 1024,
               writerOptions: Map[String, String] = Map.empty): Seq[CompactStat] = {
     val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val stats = leafDirs(fs, new Path(root)).map { dir =>
+    val leaves = leafDirs(fs, new Path(root))
+    // Bucketed-table guard, as a PRE-PASS over every leaf before any
+    // rewrite touches the lake: bucket identity lives in the FILE NAME
+    // (`part-...-<uuid>_00003.c000...` — the _NNNNN is the bucket id,
+    // resolved against the metastore spec). A coalesce rewrite would
+    // produce unbucketed names and silently break every zero-exchange
+    // join planned against the table. Guarding mid-loop would abort a
+    // mixed root HALF-compacted; failing up front leaves it untouched.
+    // Rewrite bucketed data through the table (INSERT OVERWRITE), never
+    // through this file-level path.
+    leaves.foreach { dir =>
+      fs.listStatus(dir)
+        .find(f => f.isFile && bucketedName.matches(f.getPath.getName))
+        .foreach { f =>
+          throw new IllegalArgumentException(
+            s"compact: $dir holds bucketed-table files (${f.getPath.getName}) — " +
+              "file-level compaction would destroy bucket identity")
+        }
+    }
+    val stats = try leaves.map { dir =>
       recoverSwap(fs, dir)
       val files = fs.listStatus(dir).filter(f =>
         f.isFile && f.getPath.getName.endsWith(".parquet"))
-      // Bucketed-table guard: bucket identity lives in the FILE NAME
-      // (`part-...-<uuid>_00003.c000...` — the _NNNNN is the bucket id,
-      // resolved against the metastore spec). A coalesce rewrite would
-      // produce unbucketed names and silently break every zero-exchange
-      // join planned against the table. Rewrite bucketed data through
-      // the table (INSERT OVERWRITE), never through this file-level path.
-      files.find(f => bucketedName.matches(f.getPath.getName)).foreach { f =>
-        throw new IllegalArgumentException(
-          s"compact: $dir holds bucketed-table files (${f.getPath.getName}) — " +
-            "file-level compaction would destroy bucket identity")
-      }
       val bytes = files.map(_.getLen).sum
       val target = math.max(1, ((bytes + targetBytes - 1) / targetBytes).toInt)
       if (files.length <= target) {
@@ -100,10 +108,14 @@ object LakeMaintenance {
           f.isFile && f.getPath.getName.endsWith(".parquet"))
         CompactStat(dir.toString, files.length, after, bytes)
       }
+    } finally {
+      // The session's InMemoryFileIndex caches listings; readers planned
+      // after an in-place rewrite would otherwise chase deleted part
+      // files. In a finally: even a failure partway through a multi-leaf
+      // run has already rewritten EARLIER leaves in place, and those
+      // must not be served from the stale cache.
+      spark.catalog.refreshByPath(root)
     }
-    // The session's InMemoryFileIndex caches listings; readers planned
-    // after an in-place rewrite would otherwise chase deleted part files.
-    spark.catalog.refreshByPath(root)
     stats
   }
 

@@ -56,37 +56,28 @@ object ZoneMap {
     // the FS listing file:/p — compare by path only.
     def norm(s: String) = new Path(s).toUri.getPath
     val fs = new Path(dataDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val listing = {
-      // Skip hidden files and anything under a hidden dir: Spark
-      // readers never see them, and a compaction crash window leaves a
-      // `.<dir>_compact_old` aside holding COPIES of live rows — a
-      // stats row over an aside file would make the pruned scan read
-      // those rows twice.
-      val rootPath = new Path(dataDir).toUri.getPath
-      val it = fs.listFiles(new Path(dataDir), true)
-      val b = Seq.newBuilder[String]
-      while (it.hasNext) {
-        val p = it.next().getPath
-        val rel = p.toUri.getPath.stripPrefix(rootPath)
-        val hidden = rel.split("/").exists(s => s.startsWith(".") || s.startsWith("_"))
-        if (p.getName.endsWith(".parquet") && !hidden) b += p.toString
-      }
-      b.result()
-    }
+    // Hidden dirs skipped (see LakeListing): a compaction crash window
+    // leaves a `.<dir>_compact_old` aside holding COPIES of live rows —
+    // a stats row over an aside file would double-read them.
+    val listing = LakeListing
+      .dataFiles(spark.sparkContext.hadoopConfiguration, new Path(dataDir))
+      .map(_.toString)
     val listingNorm = listing.map(norm).toSet
-    val known: Set[String] =
-      if (!fs.exists(new Path(statsPath))) Set.empty
-      else spark.read.parquet(statsPath).select("file")
-        .collect().map(r => norm(r.getString(0))).toSet
+    // One stats read serves both the known-set and the drop rebuild.
+    val (statsRows, statsSchema, fileIdx) =
+      if (!fs.exists(new Path(statsPath)))
+        (Array.empty[org.apache.spark.sql.Row], null: org.apache.spark.sql.types.StructType, -1)
+      else {
+        val df = spark.read.parquet(statsPath)
+        (df.collect(), df.schema, df.schema.fieldIndex("file"))
+      }
+    val known: Set[String] = statsRows.map(r => norm(r.getString(fileIdx))).toSet
     if (known.exists(!listingNorm(_))) {
       // Deleted files: rebuild the stats table without them. The rows
-      // materialize on the driver BEFORE the overwrite, so reading and
-      // rewriting the same path is safe.
-      val statsDf = spark.read.parquet(statsPath)
-      val schema = statsDf.schema
-      val fileIdx = schema.fieldIndex("file")
-      val kept = statsDf.collect().filter(r => listingNorm(norm(r.getString(fileIdx))))
-      spark.createDataFrame(java.util.Arrays.asList(kept: _*), schema)
+      // are already materialized on the driver, so overwriting the path
+      // they came from is safe.
+      val kept = statsRows.filter(r => listingNorm(norm(r.getString(fileIdx))))
+      spark.createDataFrame(java.util.Arrays.asList(kept: _*), statsSchema)
         .coalesce(1)
         .write.mode("overwrite").parquet(statsPath)
     }

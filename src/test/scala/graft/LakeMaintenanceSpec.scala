@@ -124,20 +124,27 @@ class LakeMaintenanceSpec extends AnyFunSuite {
     assert(p.contains("PushedFilters") && p.contains("GreaterThan(n_chars,100"), p)
   }
 
-  test("compact refuses bucketed-table file layouts") {
+  test("compact refuses bucketed-table file layouts BEFORE touching any leaf") {
     // Bucket identity lives in the file NAME (_NNNNN before .c000); a
     // coalesce rewrite would silently unbucket the table and break
-    // every zero-exchange join planned against it. The guard must fire
-    // regardless of whether the dir is fragmented enough to rewrite.
-    val dir = java.nio.file.Files.createTempDirectory("graft_bucket_guard").toString + "/t"
-    Tables.orders(spark, sf).limit(10).coalesce(1).write.parquet(dir)
-    val f = new java.io.File(dir).listFiles
+    // every zero-exchange join planned against it. The guard is a
+    // pre-pass: a mixed root (plain fragmented leaf + bucketed leaf)
+    // must fail with the PLAIN leaf untouched, never half-compacted.
+    val root = java.nio.file.Files.createTempDirectory("graft_bucket_guard").toString + "/t"
+    Tables.orders(spark, sf).limit(100).repartition(4).write.parquet(s"$root/k=plain")
+    Tables.orders(spark, sf).limit(10).coalesce(1).write.parquet(s"$root/k=bucketed")
+    val bf = new java.io.File(s"$root/k=bucketed").listFiles
       .find(_.getName.endsWith(".parquet")).get
-    assert(f.renameTo(new java.io.File(dir,
+    assert(bf.renameTo(new java.io.File(s"$root/k=bucketed",
       "part-00000-0a1b2c3d_00003.c000.snappy.parquet")))
+    val plainBefore = new java.io.File(s"$root/k=plain").listFiles
+      .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
     val e = intercept[IllegalArgumentException] {
-      graft.sources.LakeMaintenance.compact(spark, dir)
+      graft.sources.LakeMaintenance.compact(spark, root)
     }
     assert(e.getMessage.contains("bucket"))
+    val plainAfter = new java.io.File(s"$root/k=plain").listFiles
+      .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+    assert(plainAfter == plainBefore, "pre-pass guard must leave the plain leaf untouched")
   }
 }

@@ -224,4 +224,23 @@ class ZoneMapSpec extends AnyFunSuite {
       .collect().map(_.getString(0))
     assert(!statFiles.exists(_.contains("compact_old")), "aside file leaked into stats")
   }
+
+  test("hidden-ness is judged relative to the lake root, not the absolute path") {
+    // A lake living UNDER a dot/underscore-prefixed ancestor (a CI
+    // `_work` dir, a `~/.cache` path) is a normal lake: judging the
+    // absolute path would mark every file hidden, empty the listing,
+    // and — with the deletion sync — wipe the stats table, silently
+    // emptying every pruned scan thereafter.
+    val base = java.nio.file.Files.createTempDirectory("zonehidden").toString
+    val dataDir = s"$base/_work/.cache/lake"
+    Tables.orders(spark, sf).repartitionByRange(4, col("o_orderkey"))
+      .write.parquet(dataDir)
+    val statsPath = s"$base/stats"
+    assert(ZoneMap.refreshStats(spark, dataDir, statsPath, Seq("o_orderkey")) == 4L,
+      "all four lake files must be covered despite the hidden ancestors")
+    // And a second call must not misread the now-covered files as a
+    // deletion and wipe the table.
+    assert(ZoneMap.refreshStats(spark, dataDir, statsPath, Seq("o_orderkey")) == 0L)
+    assert(spark.read.parquet(statsPath).count() == 4L)
+  }
 }
