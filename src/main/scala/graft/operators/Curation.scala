@@ -940,6 +940,32 @@ object Curation {
       corpusFingerprint(Tables.documents(s, dir))
     },
 
+    // The ENFORCEMENT form of qp07: which documents fail which rules.
+    // One projection computes a deterministic comma-joined reasons
+    // string (rule order = declaration order; concat_ws skips the
+    // non-violated NULLs identically in both engines), and only
+    // violating docs surface. The production split writes BOTH
+    // populations in ONE pass — [[writeQuarantined]] partitions the
+    // output by the quarantined flag, so the lake write and the
+    // quarantine sink are two directories of the same single-scan job,
+    // not two scans (pinned in CurationSpec).
+    Q("qp09_quarantine_report",
+      """SELECT doc_id, concat_ws(',',
+        |  CASE WHEN text IS NULL OR text = '' THEN 'text_nonempty' END,
+        |  CASE WHEN lang NOT IN ('de','en','es','fr','zh') THEN 'lang_in_set' END,
+        |  CASE WHEN n_chars <> LENGTH(text) THEN 'n_chars_consistent' END,
+        |  CASE WHEN LENGTH(text) < 50 THEN 'text_min_50_chars' END) AS reasons
+        |FROM documents
+        |WHERE (text IS NULL OR text = '') OR lang NOT IN ('de','en','es','fr','zh')
+        |   OR n_chars <> LENGTH(text) OR LENGTH(text) < 50
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Tables.documents(s, dir)
+        .withColumn("reasons", reasonsCol)
+        .filter(col("reasons") =!= "")
+        .select("doc_id", "reasons")
+        .orderBy("doc_id")
+    },
+
     // The additive property AS an oracle-gated query — the snapshot
     // MAINTENANCE contract: an old snapshot's stored fingerprint plus
     // the ingest batch's fingerprint must equal the full corpus
@@ -1031,6 +1057,24 @@ object Curation {
     ("short_text", "text_min_50_chars", length(col("text")) < 50))
 
   private def violations(cond: Column): Column = sum(when(cond, 1L).otherwise(0L))
+
+  /** Per-row failed-rule list as a deterministic comma-joined string
+    * (declaration order; concat_ws skips the non-violated NULLs). */
+  private def reasonsCol: Column =
+    concat_ws(",", validationRules.map { case (_, check, cond) => when(cond, lit(check)) }: _*)
+
+  /** The one-pass enforcement split: every document lands in
+    * `outDir/quarantined=false` (the clean lake) or
+    * `outDir/quarantined=true` (with its `reasons`), from a SINGLE scan
+    * — the partitioned write routes rows by the flag, so enforcement
+    * costs one pass regardless of how many rules run, exactly like
+    * qp07's report. Readers of the clean lake partition-prune to
+    * `quarantined=false` and never touch the quarantine files.
+    */
+  def writeQuarantined(docs: DataFrame, outDir: String): Unit =
+    docs.withColumn("reasons", reasonsCol)
+      .withColumn("quarantined", col("reasons") =!= "")
+      .write.partitionBy("quarantined").parquet(outDir)
 
   private def validationMetrics: Seq[Column] =
     count(lit(1)).as("n") +:

@@ -466,6 +466,30 @@ class CurationSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("qp09 quarantine split: one pass, two populations, report agrees") {
+    import operators.Curation
+    val outDir = s"${java.nio.file.Files.createTempDirectory("quarantine")}/lake"
+    Curation.writeQuarantined(Tables.documents(spark, sf), outDir)
+    val back = spark.read.parquet(outDir)
+    val n = Tables.documents(spark, sf).count()
+    assert(back.count() == n, "the split must lose no rows")
+    // The quarantined partition matches qp09's oracle-checked report.
+    val report = SparkEntry.queries("qp09_quarantine_report")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val quarantined = back.filter(col("quarantined") === true)
+      .select("doc_id", "reasons").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(quarantined == report)
+    // Clean rows carry no reasons, and a clean-lake reader
+    // partition-prunes: only quarantined=false files are scanned.
+    val clean = back.filter(col("quarantined") === false)
+    assert(clean.count() == n - report.size)
+    assert(clean.filter(col("reasons") =!= "").count() == 0)
+    val plan = clean.select("doc_id").queryExecution.executedPlan.toString()
+    assert(plan.contains("PartitionFilters") && plan.contains("quarantined"),
+      s"clean-lake read must partition-prune on the quarantined flag:\n$plan")
+  }
+
   test("qp06 fingerprint is additive and layout-invariant") {
     import operators.Curation
     val docs = Tables.documents(spark, sf)
