@@ -35,10 +35,14 @@ object Discogs {
   private[operators] lazy val sweepStaleFixtures: Unit = {
     val tmp = new java.io.File(sys.props("java.io.tmpdir"))
     Option(tmp.listFiles).getOrElse(Array.empty)
-      .filter(f => f.getName.startsWith("graft_zonemap_q_") ||
-        f.getName.startsWith("graft_lake_fixture_"))
+      .filter(f => fixturePrefixes.exists(f.getName.startsWith))
       .foreach(rmTree)
   }
+
+  /** Every fixture-dir prefix in one set: the sweep reclaims exactly
+    * these, and [[freshFixtureDir]] refuses a prefix the sweep would
+    * never clean up (the strand-a-new-prefix footgun). */
+  private val fixturePrefixes = Set("graft_zonemap_q_", "graft_lake_fixture_")
 
   private[operators] def rmTree(f: java.io.File): Unit = {
     if (f.isDirectory) Option(f.listFiles).getOrElse(Array.empty).foreach(rmTree)
@@ -48,9 +52,10 @@ object Discogs {
   /** A fresh fixture dir under java.io.tmpdir — one per invocation,
     * because a plan returned by an earlier invocation still holds a file
     * index over its own dir (see [[sweepStaleFixtures]], which reclaims
-    * prior-JVM leftovers on first use). Prefixes must stay in the sweep
-    * filter above. */
+    * prior-JVM leftovers on first use). */
   private[operators] def freshFixtureDir(prefix: String = "graft_zonemap_q_"): java.io.File = {
+    require(fixturePrefixes(prefix),
+      s"fixture prefix $prefix is not in the sweep filter — it would strand dirs across JVMs")
     sweepStaleFixtures
     val base = new java.io.File(sys.props("java.io.tmpdir"),
       s"$prefix${lakeRun.incrementAndGet()}")
