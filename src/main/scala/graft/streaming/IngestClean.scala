@@ -59,7 +59,8 @@ object IngestClean {
   def cleanBatch(spark: SparkSession, batch: DataFrame,
       lakeDir: String, indexDir: String, minTokens: Int = 10,
       zoneStatsPath: Option[String] = None,
-      zoneCols: Seq[String] = Seq("doc_id", "us")): BatchStats = {
+      zoneCols: Seq[String] = Seq("doc_id", "us"),
+      quarantineDir: Option[String] = None): BatchStats = {
     val in = batch.count()
     val quality = batch.filter(size(split(trim(col("text")), "\\s+")) >= minTokens)
       .withColumn("nrm", nrm(col("text")))
@@ -96,6 +97,25 @@ object IngestClean {
     val nearDup = vsLake.unionByName(vsBatch).distinct()
     val survivors = exactNovel.join(nearDup, Seq("doc_id"), "left_anti")
       .localCheckpoint(true) // appended to two tables below
+
+    // Audit trail: every dropped row lands in the quarantine with the
+    // stage that rejected it — the answer to "why is doc X not in the
+    // lake?" without re-running the pipeline. Extra joins only when a
+    // quarantine is configured. The quarantine is an append-only log:
+    // a REPLAYED batch re-appends its rows (the lake and index stay
+    // idempotent through their own checks) — readers treating it as a
+    // log of decisions, not a set of documents, is the contract.
+    quarantineDir.foreach { qd =>
+      def tagged(df: DataFrame, reason: String) =
+        df.select(col("doc_id"), col("text"), col("us"))
+          .withColumn("reason", lit(reason))
+      tagged(batch.join(quality.select("doc_id"), Seq("doc_id"), "left_anti"), "quality")
+        .unionByName(tagged(
+          quality.join(exactNovel.select("doc_id"), Seq("doc_id"), "left_anti"), "exact_dup"))
+        .unionByName(tagged(
+          exactNovel.join(nearDup, Seq("doc_id"), "left_semi"), "near_dup"))
+        .write.mode(SaveMode.Append).parquet(qd)
+    }
 
     survivors.write.mode(SaveMode.Append).parquet(lakeDir)
     StreamDedup.banded(survivors.select("doc_id", "text", "us")).toDF()

@@ -105,6 +105,43 @@ class StreamDedupSpec extends AnyFunSuite {
     assert(indexed == Set(1L, 4L, 7L), s"index holds $indexed")
   }
 
+  test("quarantine audit trail records every drop with its rejecting stage") {
+    import graft.streaming.IngestClean
+    val dir = java.nio.file.Files.createTempDirectory("graft_ingest_quar").toString
+    val (lake, idx, quar) = (s"$dir/lake", s"$dir/index", s"$dir/quarantine")
+    val dText = "zebra yak xylophone walrus vulture tiger snake rabbit quail panda otter"
+    val batch1 = Seq(
+      Doc(1, "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo", 1000000L),
+      Doc(2, "alpha  bravo charlie delta echo foxtrot golf hotel india juliet kilo ", 2000000L),
+      Doc(3, "too short to pass", 3000000L),
+      Doc(4, dText, 4000000L))
+    val batch2 = Seq(
+      Doc(5, "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo", 5000000L),
+      Doc(6, dText.split(' ').reverse.mkString(" "), 6000000L),
+      Doc(7, "one unique sentence mentioning parquet shuffles catalyst codegen and watermarks today", 7000000L))
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[Doc]
+    val q = ms.toDF().writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        IngestClean.cleanBatch(spark, b, lake, idx, quarantineDir = Some(quar)); ()
+      }.start()
+    try {
+      ms.addData(batch1); q.processAllAvailable()
+      ms.addData(batch2); q.processAllAvailable()
+    } finally q.stop()
+    // Every drop is explainable: in-batch exact dup, quality reject,
+    // cross-batch exact dup, near dup — each with its stage.
+    val rows = spark.read.parquet(quar).select("doc_id", "reason")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toSet
+    assert(rows == Set(2L -> "exact_dup", 3L -> "quality",
+      5L -> "exact_dup", 6L -> "near_dup"), s"quarantine held $rows")
+    // Survivors never appear in the quarantine; lake unchanged by it.
+    val kept = spark.read.parquet(lake).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 4L, 7L))
+    assert(rows.map(_._1).intersect(kept).isEmpty)
+  }
+
   test("ingest keeps lake zone maps current with O(new-files) refreshes") {
     import graft.streaming.IngestClean
     import graft.sources.ZoneMap
