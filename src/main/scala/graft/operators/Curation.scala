@@ -1072,8 +1072,11 @@ object Curation {
     * `quarantined=false` and never touch the quarantine files.
     */
   def writeQuarantined(docs: DataFrame, outDir: String): Unit =
-    docs.withColumn("reasons", reasonsCol)
-      .withColumn("quarantined", col("reasons") =!= "")
+    docs.withColumn("quarantined", reasonsCol =!= "")
+      // Clean rows carry a NULL reasons column, not '': the single
+      // partitionBy write cannot drop the column for one partition, but
+      // nulls compress to nothing and read back unambiguous.
+      .withColumn("reasons", when(col("quarantined"), reasonsCol))
       .write.partitionBy("quarantined").parquet(outDir)
 
   private def validationMetrics: Seq[Column] =

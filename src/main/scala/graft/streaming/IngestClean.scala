@@ -60,23 +60,31 @@ object IngestClean {
       lakeDir: String, indexDir: String, minTokens: Int = 10,
       zoneStatsPath: Option[String] = None,
       zoneCols: Seq[String] = Seq("doc_id", "us"),
-      quarantineDir: Option[String] = None): BatchStats = {
+      quarantineDir: Option[String] = None,
+      batchId: Long = -1L): BatchStats = {
     val in = batch.count()
-    val quality = batch.filter(size(split(trim(col("text")), "\\s+")) >= minTokens)
-      .withColumn("nrm", nrm(col("text")))
+    val qualityPred = size(split(trim(col("text")), "\\s+")) >= minTokens
+    val quality = batch.filter(qualityPred).withColumn("nrm", nrm(col("text")))
     val nQuality = quality.count()
 
     // Exact: keep the first arrival per normalized text within the batch,
-    // then drop texts the lake already holds.
-    val inBatchFirst = quality
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("nrm").orderBy(col("us").asc, col("doc_id").asc)))
-      .filter(col("rn") === 1).drop("rn")
+    // then drop texts the lake already holds. The in-batch dup frame and
+    // the lake-nrm frame stay addressable for the quarantine tags; the
+    // lake read materializes ONCE when a quarantine will re-consume it.
+    val withRn = quality.withColumn("rn", row_number().over(
+      Window.partitionBy("nrm").orderBy(col("us").asc, col("doc_id").asc)))
+    val inBatchFirst = withRn.filter(col("rn") === 1).drop("rn")
     val lakeExists = pathExists(spark, lakeDir)
-    val exactNovel =
-      if (!lakeExists) inBatchFirst
-      else inBatchFirst.join(
-        spark.read.parquet(lakeDir).select(col("nrm")).distinct(), Seq("nrm"), "left_anti")
+    val lakeNrm: Option[DataFrame] =
+      if (!lakeExists) None
+      else {
+        val nrms = spark.read.parquet(lakeDir).select(col("nrm")).distinct()
+        Some(if (quarantineDir.nonEmpty) nrms.localCheckpoint(true) else nrms)
+      }
+    val exactNovel = lakeNrm match {
+      case None => inBatchFirst
+      case Some(nrms) => inBatchFirst.join(nrms, Seq("nrm"), "left_anti")
+    }
     val nExactNovel = exactNovel.count()
 
     // Near: any band collision with the persisted index. In-batch near
@@ -100,21 +108,33 @@ object IngestClean {
 
     // Audit trail: every dropped row lands in the quarantine with the
     // stage that rejected it — the answer to "why is doc X not in the
-    // lake?" without re-running the pipeline. Extra joins only when a
-    // quarantine is configured. The quarantine is an append-only log:
-    // a REPLAYED batch re-appends its rows (the lake and index stay
-    // idempotent through their own checks) — readers treating it as a
-    // log of decisions, not a set of documents, is the contract.
+    // lake?" without re-running the pipeline. Stage tags are ROW-level
+    // (the quality tag re-evaluates the predicate; the exact tags come
+    // from the rn>1 frame and the materialized lake-nrm semi-join), so
+    // two same-doc_id rows in one batch each get their own verdict.
+    // With `batchId` set (the foreachBatch id), each attempt OVERWRITES
+    // its own batch=<id> partition, so a replay after a partial failure
+    // leaves one record per decision; the log then reflects the LAST
+    // attempt's view — a doc both in the lake and logged exact_dup is a
+    // replay artifact (a dup of its own first write; the lake row wins).
+    // Without a batchId the log is append-only and replays re-append.
     quarantineDir.foreach { qd =>
       def tagged(df: DataFrame, reason: String) =
         df.select(col("doc_id"), col("text"), col("us"))
           .withColumn("reason", lit(reason))
-      tagged(batch.join(quality.select("doc_id"), Seq("doc_id"), "left_anti"), "quality")
-        .unionByName(tagged(
-          quality.join(exactNovel.select("doc_id"), Seq("doc_id"), "left_anti"), "exact_dup"))
-        .unionByName(tagged(
-          exactNovel.join(nearDup, Seq("doc_id"), "left_semi"), "near_dup"))
-        .write.mode(SaveMode.Append).parquet(qd)
+      val droppedQuality = tagged(batch.filter(!qualityPred), "quality")
+      val inBatchDups = tagged(withRn.filter(col("rn") > 1), "exact_dup")
+      val lakeDups = lakeNrm match {
+        case None => None
+        case Some(nrms) =>
+          Some(tagged(inBatchFirst.join(nrms, Seq("nrm"), "left_semi"), "exact_dup"))
+      }
+      val droppedNear = tagged(exactNovel.join(nearDup, Seq("doc_id"), "left_semi"), "near_dup")
+      val log = Seq(Some(droppedQuality), Some(inBatchDups), lakeDups, Some(droppedNear))
+        .flatten.reduce(_ unionByName _)
+      if (batchId >= 0)
+        log.write.mode(SaveMode.Overwrite).parquet(s"$qd/batch=$batchId")
+      else log.write.mode(SaveMode.Append).parquet(qd)
     }
 
     survivors.write.mode(SaveMode.Append).parquet(lakeDir)

@@ -484,9 +484,13 @@ class CurationSpec extends AnyFunSuite {
     // partition-prunes: only quarantined=false files are scanned.
     val clean = back.filter(col("quarantined") === false)
     assert(clean.count() == n - report.size)
-    assert(clean.filter(col("reasons") =!= "").count() == 0)
+    assert(clean.filter(col("reasons").isNotNull).count() == 0,
+      "clean rows must carry NULL reasons, never a value")
+    // The quarantined predicate must land INSIDE the PartitionFilters
+    // bracket — 'PartitionFilters: []' plus a post-scan Filter would
+    // also contain both substrings, so match the bracket itself.
     val plan = clean.select("doc_id").queryExecution.executedPlan.toString()
-    assert(plan.contains("PartitionFilters") && plan.contains("quarantined"),
+    assert("PartitionFilters: \\[[^\\]]*quarantined".r.findFirstIn(plan).isDefined,
       s"clean-lake read must partition-prune on the quarantined flag:\n$plan")
   }
 

@@ -122,8 +122,9 @@ class StreamDedupSpec extends AnyFunSuite {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val ms = MemoryStream[Doc]
     val q = ms.toDF().writeStream
-      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        IngestClean.cleanBatch(spark, b, lake, idx, quarantineDir = Some(quar)); ()
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        IngestClean.cleanBatch(spark, b, lake, idx,
+          quarantineDir = Some(quar), batchId = id); ()
       }.start()
     try {
       ms.addData(batch1); q.processAllAvailable()
@@ -140,6 +141,18 @@ class StreamDedupSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSet
     assert(kept == Set(1L, 4L, 7L))
     assert(rows.map(_._1).intersect(kept).isEmpty)
+    // Replay idempotence: re-running a batch under ITS OWN batchId
+    // overwrites that batch's partition — one record per decision, no
+    // duplicate log rows (the at-least-once foreachBatch contract).
+    import org.apache.spark.sql.functions.{col => c}
+    val replayed = spark.createDataFrame(spark.sparkContext.parallelize(
+      batch1.map(d => org.apache.spark.sql.Row(d.doc_id, d.text, d.us))),
+      ms.toDF().schema)
+    IngestClean.cleanBatch(spark, replayed, lake, idx,
+      quarantineDir = Some(quar), batchId = 0L)
+    val batch0 = spark.read.parquet(quar).filter(c("batch") === 0)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(batch0.distinct.size == batch0.size, s"duplicate log rows in batch 0: $batch0")
   }
 
   test("ingest keeps lake zone maps current with O(new-files) refreshes") {
