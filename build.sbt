@@ -14,6 +14,11 @@ Test / fork := true
 // concurrent conf changes from sibling suites.
 Test / parallelExecution := false
 run / fork := true
+// Forked-run output goes RAW to stdout, not through sbt's logger: the
+// bench/verify harness greps machine-readable JSON lines from `sbt
+// runMain` output, and the logger's "[info] " prefix breaks any strict
+// JSON parse of them (BENCH_r09 landed unparsed for exactly this reason).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

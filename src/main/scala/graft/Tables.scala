@@ -35,14 +35,31 @@ object Tables {
     *     event-time code (windows, watermarks, unix_micros) sees the
     *     exact values DuckDB reads.
     *
-    * Setting the nanos conf is a no-op for micros-encoded files, so it is
-    * applied unconditionally before the read. Both branches are pinned by
-    * fixture tests in RelationalSpec ("events loader survives both
-    * parquet timestamp encodings").
+    * The nanos conf is SCOPED to this read, never set on the caller's
+    * session — a loader must not silently repoint parquet semantics for
+    * every subsequent read in the session. A reader option cannot do it
+    * (ParquetFileFormat.setupHadoopConf overwrites the per-relation
+    * Hadoop conf from the session SQLConf at plan time), so the read is
+    * issued on a sibling session (`newSession()` — shared SparkContext
+    * and cache, fresh SQLConf) that mirrors the caller's runtime conf
+    * plus the nanos flag. The relation pins that session
+    * (FileSourceScanExec builds its reader from `relation.sparkSession`),
+    * so execution stays nanos-aware even when the frame is later joined
+    * under, and executed by, the caller's session. A no-op for
+    * micros-encoded files. Both branches plus the no-session-delta
+    * contract are pinned by fixture tests in RelationalSpec ("events
+    * loader survives both parquet timestamp encodings").
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = load(spark, dir, "events")
+    val nanosSession = spark.newSession()
+    // newSession starts from the builder-time conf; re-apply the caller's
+    // runtime deltas so the only divergence is the nanos flag. Static
+    // confs in getAll refuse runtime set — skip them, they already match.
+    spark.conf.getAll.foreach { case (k, v) =>
+      try nanosSession.conf.set(k, v) catch { case _: Exception => () }
+    }
+    nanosSession.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = nanosSession.read.parquet(s"$dir/events.parquet")
     df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         df.withColumn("ts", timestamp_micros(expr("ts div 1000")))

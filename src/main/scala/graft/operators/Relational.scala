@@ -129,11 +129,22 @@ object Relational {
         .agg(countDistinct(col("o_custkey")).as("n_cust"), count(lit(1)).as("n_orders"))
     },
 
-    // approx_count_distinct is engine-specific HLL — no exact oracle, rows-only.
-    Q.rowsOnly("q13b_approx_distinct") { (s, dir) =>
+    // approx_count_distinct is engine-specific HLL, so the raw estimate has
+    // no cross-engine oracle — but its CONTRACT does: the estimate must land
+    // within a bound derived from the requested precision (rsd=1%, gate=5%
+    // — a 5-sigma margin, and deterministic for a fixed input since HLL++
+    // hashes are seedless). Emitting the exact count plus the bound-check
+    // boolean makes the query hash-gateable: DuckDB computes the same exact
+    // count and a literal TRUE, so a drifting estimator flips the hash.
+    Q("q13b_approx_distinct",
+      """SELECT COUNT(DISTINCT o_custkey) AS exact_cust, TRUE AS within_bound
+        |FROM orders""".stripMargin) { (s, dir) =>
       Tables.orders(s, dir)
-        .agg(approx_count_distinct(col("o_custkey")).as("approx_cust"),
+        .agg(approx_count_distinct(col("o_custkey"), 0.01).as("approx_cust"),
           countDistinct(col("o_custkey")).as("exact_cust"))
+        .select(col("exact_cust"),
+          (abs(col("approx_cust") - col("exact_cust"))
+            <= lit(0.05) * col("exact_cust")).as("within_bound"))
     },
 
     Q("q14_rollup_orders",

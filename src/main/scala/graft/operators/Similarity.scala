@@ -288,16 +288,35 @@ object Similarity {
         Tables.embeddings(s, dir).filter(col("vec_id") % 2 === 1)
           .select(col("vec_id"), col("embedding")), path)
       probeIvfIndex(s, dir, path, nProbe = 4, k = 5)
+    },
+
+    // The corpus-sized probe path against the SAME persisted index: every
+    // vector in the corpus probes at once, so the collect-based routing of
+    // qn10b (bounded at 1e6 routes) is the wrong shape — instead the
+    // routed probes stay a DISTRIBUTED frame and the index lake joins on
+    // cent_id (the plan the probeIvfIndexWith contract names for
+    // over-bound probe sets). The oracle replays the identical pipeline
+    // with the probe filter widened to the whole corpus, so the
+    // assignment-join path is hash-checked, not just shape-checked.
+    Q("qn10d_ann_ivf_probe_join", ivfOracleSql(probeFilter = "TRUE")) { (s, dir) =>
+      val path = newIndexDir()
+      buildIvfIndex(s, dir, nCentroids = 16, path)
+      probeIvfIndexJoined(s,
+        Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")),
+        path, nProbe = 4, k = 5)
     }
   )
 
-  /** qn10/qn10b/qn10c shared oracle: the full IVF pipeline as DuckDB
-    * CTEs — deterministic stride centroids (from the rows matching
-    * `centSrcFilter`; the whole corpus for qn10/qn10b, the build half
-    * for qn10c), argmax-cosine assignment of EVERY vector, nProbe
-    * routing, within-cell rescoring, top-k. */
+  /** qn10/qn10b/qn10c/qn10d shared oracle: the full IVF pipeline as
+    * DuckDB CTEs — deterministic stride centroids (from the rows
+    * matching `centSrcFilter`; the whole corpus for qn10/qn10b/qn10d,
+    * the build half for qn10c), argmax-cosine assignment of EVERY
+    * vector, nProbe routing of the probe set (`probeFilter`; the 10
+    * declared probes, or the whole corpus for qn10d), within-cell
+    * rescoring, top-k. */
   private def ivfOracleSql(centSrcFilter: String = "TRUE",
-      sampleKeySql: String = "vec_id"): String = {
+      sampleKeySql: String = "vec_id",
+      probeFilter: String = "vec_id < 10"): String = {
       val cosE6c = (a: String, b: String, an: String, bn: String) =>
         sqlE6(s"${sqlDot(a, b)} / ($an * $bn)")
       s"""WITH v AS (SELECT vec_id, embedding, ${sqlL2norm("embedding")} AS nrm FROM embeddings),
@@ -316,7 +335,7 @@ object Similarity {
          |                 ROW_NUMBER() OVER (PARTITION BY p.vec_id
          |                   ORDER BY ${cosE6c("c.ce", "p.embedding", "c.cn", "p.nrm")} DESC,
          |                            c.cent_id) AS rn
-         |          FROM (SELECT * FROM v WHERE vec_id < 10) p, cents c) WHERE rn <= 4),
+         |          FROM (SELECT * FROM v WHERE $probeFilter) p, cents c) WHERE rn <= 4),
          |s AS (SELECT pc.probe_id, a.vec_id,
          |             ${cosE6c("pc.pe", "a.embedding", "pc.pn", "a.nrm")} AS score_e6
          |      FROM asg a JOIN pc USING (cent_id)
@@ -432,11 +451,17 @@ object Similarity {
       .select(col("probe_id"), col("pe"), col("pn"), col("cent_id"))
   }
 
-  /** Exact rescoring within the probed cells + per-probe top-k. */
-  private def ivfScoreTail(candidates: DataFrame, probeCells: DataFrame, k: Int): DataFrame = {
+  /** Exact rescoring within the probed cells + per-probe top-k.
+    * `broadcastProbes` hints the probe-cell side broadcast (right for
+    * the declared-probe queries, where it is ~10 rows); the
+    * corpus-sized assignment-join path (qn10d) passes false and lets
+    * Catalyst/AQE pick — at scale that is a shuffled join on cent_id. */
+  private def ivfScoreTail(candidates: DataFrame, probeCells: DataFrame, k: Int,
+      broadcastProbes: Boolean = true): DataFrame = {
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("score_e6").desc, col("vec_id").asc)
-    candidates.join(broadcast(probeCells), Seq("cent_id"))
+    val probeSide = if (broadcastProbes) broadcast(probeCells) else probeCells
+    candidates.join(probeSide, Seq("cent_id"))
       .filter(col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id"),
         e6(cosine(dotNative(col("pe"), col("embedding")), col("pn"), col("nrm"))).as("score_e6"))
@@ -558,6 +583,36 @@ object Similarity {
       .select(col("vec_id"), col("embedding"), col("nrm"),
         col("cent_id").cast("long").as("cent_id"))
     ivfScoreTail(candidates, localPc, k)
+  }
+
+  /** The CORPUS-SIZED probe path the [[probeIvfIndexWith]] contract
+    * points at: route the probe frame to its nProbe cells as a
+    * DISTRIBUTED frame and equi-join the index lake on cent_id — the
+    * driver never collects a route, so the probe set can be as large as
+    * the corpus itself (the "re-embed everything and find each vector's
+    * neighbors" batch, the qn20 shape).
+    *
+    * Fully lazy: calling this runs ZERO jobs (pinned in NorthStarSpec);
+    * routing, the cell join, and the rescore all execute inside the one
+    * action the caller runs. Plan shape at scale: centroid broadcast for
+    * routing, then a join on cent_id between the routed probes
+    * (O(probes x nProbe) rows) and the cent_id-partitioned lake — for a
+    * SELECTIVE probe batch Spark's dynamic partition pruning can skip
+    * unprobed cells at runtime; for a corpus-sized batch every cell is
+    * genuinely needed and the join shuffles on cent_id (nCentroids ~
+    * sqrt(N) keys at scale — enough reducers). Results are
+    * hash-identical to the collect path: same routing math, same
+    * rescore, same ordering keys. */
+  def probeIvfIndexJoined(s: SparkSession, probes: DataFrame, path: String,
+      nProbe: Int, k: Int): DataFrame = {
+    val cents = s.read.parquet(s"$path/centroids")
+    val pv = probes.select(col("vec_id"), col("embedding"),
+      l2normNative(col("embedding")).as("nrm"))
+    val pc = ivfRoute(pv, cents, nProbe)
+    val candidates = s.read.parquet(s"$path/vectors")
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        col("cent_id").cast("long").as("cent_id"))
+    ivfScoreTail(candidates, pc, k, broadcastProbes = false)
   }
 
   /** LSH-bucketed approximate top-k, exposed for the spec's recall test.

@@ -124,11 +124,12 @@ object BloomLake {
     * pruned) walk footers on the driver; larger sets fan the walk out
     * as one Spark job (a footer+bitset read per file, no data pages),
     * so planning cost scales with the CLUSTER, not the driver, when a
-    * predicate is too weak for the earlier tiers. Executor-side
-    * filesystem access uses `new Configuration()` — the standard
-    * deployment contract (core-site.xml/hdfs-site.xml on the executor
-    * classpath, exactly what spark-submit ships); input order is
-    * preserved either way.
+    * predicate is too weak for the earlier tiers. The executors walk
+    * with the SESSION's Hadoop conf, serialized into the closure — a
+    * fresh `new Configuration()` would drop programmatic
+    * `spark.hadoop.*` session settings (object-store credentials set on
+    * the SparkSession), making the fan-out fail on S3/ABFS lakes where
+    * the driver-side walk works. Input order is preserved either way.
     */
   def probeLongWhere(spark: SparkSession, files: Seq[String], colName: String,
       value: Long, driverMax: Int = 64): Seq[String] =
@@ -149,10 +150,11 @@ object BloomLake {
         val conf = spark.sessionState.newHadoopConf()
         files.map(f => f -> walkFile(conf, new Path(f), colName, key))
       } else {
+        val serConf = new SerializableHadoopConf(spark.sessionState.newHadoopConf())
         val byFile = spark.sparkContext
           .parallelize(files, math.min(files.length, 256))
           .map { f =>
-            f -> walkFile(new Configuration(), new Path(f), colName, key)
+            f -> walkFile(serConf.value, new Path(f), colName, key)
           }.collect().toMap
         files.map(f => f -> byFile(f)) // restore input order
       }
@@ -226,6 +228,25 @@ object BloomLake {
 
   private def listParquet(spark: SparkSession, path: String): Seq[Path] =
     LakeListing.dataFiles(spark.sessionState.newHadoopConf(), new Path(path))
+
+  /** Hadoop `Configuration` is not `Serializable`; this wrapper ships one
+    * inside a task closure via Hadoop's own Writable encoding (the same
+    * trick as Spark's private `SerializableConfiguration`), so executor
+    * tasks see the session's programmatic `spark.hadoop.*` settings.
+    */
+  private final class SerializableHadoopConf(@transient private var conf: Configuration)
+      extends Serializable {
+    def value: Configuration = conf
+    private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+      out.defaultWriteObject()
+      conf.write(out)
+    }
+    private def readObject(in: java.io.ObjectInputStream): Unit = {
+      in.defaultReadObject()
+      conf = new Configuration(false)
+      conf.readFields(in)
+    }
+  }
 }
 
 /** Recursive data-file listing shared by the planning-side walkers
@@ -242,7 +263,7 @@ object BloomLake {
   * the lake is dot- or underscore-prefixed (a CI `_work` dir, a
   * `~/.cache` lake) and silently empty the listing.
   */
-private[sources] object LakeListing {
+private[graft] object LakeListing {
   def dataFiles(conf: org.apache.hadoop.conf.Configuration, root: Path): Seq[Path] = {
     val fs = root.getFileSystem(conf)
     val qualifiedRoot = fs.makeQualified(root).toUri.getPath

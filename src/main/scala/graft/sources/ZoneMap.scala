@@ -73,13 +73,28 @@ object ZoneMap {
       }
     val known: Set[String] = statsRows.map(r => norm(r.getString(fileIdx))).toSet
     if (known.exists(!listingNorm(_))) {
-      // Deleted files: rebuild the stats table without them. The rows
-      // are already materialized on the driver, so overwriting the path
-      // they came from is safe.
+      // Deleted files: rebuild the stats table without them. The rows are
+      // already materialized on the driver, so reusing them is safe — but
+      // an in-place overwrite is NOT: Spark's overwrite deletes the dir
+      // before the new files commit, and a concurrent prunedScan reading
+      // the stats table in that window would see an empty/partial table
+      // and silently return zero survivors. Two-phase swap instead (the
+      // LakeMaintenance pattern): write the rebuilt table to a hidden
+      // sibling, rename the live table aside, rename the rebuild in,
+      // drop the aside. A reader in the (two-rename) window fails LOUDLY
+      // on a missing path — never silently empty — and the aside makes
+      // a crash recoverable by hand.
       val kept = statsRows.filter(r => listingNorm(norm(r.getString(fileIdx))))
+      val statsP = fs.makeQualified(new Path(statsPath))
+      val tmp = new Path(statsP.getParent, s".${statsP.getName}_rebuild_tmp")
+      val aside = new Path(statsP.getParent, s".${statsP.getName}_rebuild_old")
+      fs.delete(tmp, true); fs.delete(aside, true)
       spark.createDataFrame(java.util.Arrays.asList(kept: _*), statsSchema)
         .coalesce(1)
-        .write.mode("overwrite").parquet(statsPath)
+        .write.mode("overwrite").parquet(tmp.toString)
+      require(fs.rename(statsP, aside), s"stats swap: could not move $statsP aside")
+      require(fs.rename(tmp, statsP), s"stats swap: could not move rebuilt table into $statsP")
+      fs.delete(aside, true): Unit
     }
     val newFiles = listing.filterNot(f => known(norm(f)))
     if (newFiles.nonEmpty) {

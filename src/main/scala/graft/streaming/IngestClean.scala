@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Observation, SaveMode, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -20,17 +20,27 @@ import org.apache.spark.sql.functions._
   * store (no horizon: the lake IS the history).
   *
   * Dedup rules (same spine as qp01/qn18): quality = >= minTokens
-  * whitespace tokens; exact = normalized text seen before (in-batch:
-  * keep lowest (us, doc_id)); near = shares any MinHash band with an
-  * indexed doc (the LSH candidate rule — deliberately the recall-side
-  * approximation; verification-grade J >= p/q runs in the batch engine
-  * when the workload needs it).
+  * whitespace tokens (NULL text fails the gate — predicates are
+  * null-safe on BOTH sides, so a NULL-text row is dropped AND lands in
+  * the quarantine tagged 'quality', never silently lost between two
+  * three-valued filters); exact = normalized text seen before
+  * (in-batch: keep lowest (us, doc_id)); near = shares any MinHash band
+  * with an indexed doc (the LSH candidate rule — deliberately the
+  * recall-side approximation; verification-grade J >= p/q runs in the
+  * batch engine when the workload needs it).
+  *
+  * Job discipline: the per-stage counts ride the lake-write pass as
+  * `observe` metrics — a micro-batch executes TWO actions (lake append +
+  * index append; the optional quarantine and zone refresh each add their
+  * own), never a `.count()` per stage. The in-batch near check is a
+  * per-band window (min arrival per band), not a band self-join — linear
+  * in a hot band's bucket size where the self-join was quadratic.
   */
 object IngestClean {
 
   final case class BatchStats(in: Long, quality: Long, exactNovel: Long, appended: Long)
 
-  private def nrm(c: org.apache.spark.sql.Column) =
+  private def nrm(c: Column) =
     regexp_replace(lower(trim(c)), "\\s+", " ")
 
   /** Existence through the Hadoop FileSystem API (the same resolution
@@ -62,89 +72,141 @@ object IngestClean {
       zoneCols: Seq[String] = Seq("doc_id", "us"),
       quarantineDir: Option[String] = None,
       batchId: Long = -1L): BatchStats = {
-    val in = batch.count()
-    val qualityPred = size(split(trim(col("text")), "\\s+")) >= minTokens
-    val quality = batch.filter(qualityPred).withColumn("nrm", nrm(col("text")))
-    val nQuality = quality.count()
+    // Null-safe on BOTH polarities: under ANSI semantics
+    // size(split(trim(NULL))) is NULL, so filter(p) AND filter(!p) each
+    // drop the row — it would vanish with no quarantine record.
+    val qualityOk = coalesce(size(split(trim(col("text")), "\\s+")) >= minTokens, lit(false))
 
-    // Exact: keep the first arrival per normalized text within the batch,
-    // then drop texts the lake already holds. The in-batch dup frame and
-    // the lake-nrm frame stay addressable for the quarantine tags; the
-    // lake read materializes ONCE when a quarantine will re-consume it.
-    val withRn = quality.withColumn("rn", row_number().over(
-      Window.partitionBy("nrm").orderBy(col("us").asc, col("doc_id").asc)))
-    val inBatchFirst = withRn.filter(col("rn") === 1).drop("rn")
+    // The exact-dedup spine, built twice from `batch`: once UNOBSERVED
+    // (feeding the band/dup analysis and the quarantine tags, which run
+    // as their own actions and must not re-fire the lake write's
+    // observations) and once OBSERVED (the lake-write lineage, where one
+    // pass collects every stage count for free).
+    def spine(qualityRows: DataFrame): (DataFrame, DataFrame) = {
+      val withRn = qualityRows.withColumn("nrm", nrm(col("text")))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("nrm").orderBy(col("us").asc, col("doc_id").asc)))
+      (withRn, withRn.filter(col("rn") === 1).drop("rn"))
+    }
+
     val lakeExists = pathExists(spark, lakeDir)
+    // cache(), not localCheckpoint: no eager job; the first pass through
+    // job 1 materializes it, the quarantine pass (when enabled) reuses it
+    // instead of re-scanning + re-distincting the whole lake.
     val lakeNrm: Option[DataFrame] =
       if (!lakeExists) None
-      else {
-        val nrms = spark.read.parquet(lakeDir).select(col("nrm")).distinct()
-        Some(if (quarantineDir.nonEmpty) nrms.localCheckpoint(true) else nrms)
-      }
-    val exactNovel = lakeNrm match {
-      case None => inBatchFirst
-      case Some(nrms) => inBatchFirst.join(nrms, Seq("nrm"), "left_anti")
+      else Some(spark.read.parquet(lakeDir).select(col("nrm")).distinct().cache())
+    def novel(firstPerNrm: DataFrame): DataFrame = lakeNrm match {
+      case None => firstPerNrm
+      case Some(nrms) => firstPerNrm.join(nrms, Seq("nrm"), "left_anti")
     }
-    val nExactNovel = exactNovel.count()
 
-    // Near: any band collision with the persisted index. In-batch near
-    // dups resolve by arrival order (earlier doc indexes first — here,
-    // both sides of the in-batch check come from the same banded frame).
-    val banded = StreamDedup.banded(exactNovel.select("doc_id", "text", "us"))
-      .toDF().localCheckpoint(true) // read three times below
+    val (withRn, inBatchFirst) = spine(batch.filter(qualityOk))
+    val exactNovel = novel(inBatchFirst)
+
+    // Near-dup doc_ids, decided per band WITHOUT a self-join: a doc is an
+    // in-batch near-dup iff some band it occupies saw an earlier arrival
+    // (min (us, doc_id) over the band partition — linear where the
+    // band⋈band join was quadratic in a hot bucket), and a lake near-dup
+    // iff any of its bands is in the persisted index (left join a marker
+    // on the distinct index bands). Same verdicts as the join
+    // formulation: if any earlier y shares a band, that band's min ≤ y.
+    val banded = StreamDedup.banded(exactNovel.select("doc_id", "text", "us")).toDF()
     val indexExists = pathExists(spark, indexDir)
-    val vsLake =
-      if (!indexExists) banded.limit(0).select(col("doc_id"))
-      else banded.join(spark.read.parquet(indexDir).select(col("band")).distinct(),
-        Seq("band"), "left_semi").select(col("doc_id"))
-    val vsBatch = banded.as("x")
-      .join(banded.as("y"), col("x.band") === col("y.band"))
-      .filter(col("y.us") < col("x.us") ||
-        (col("y.us") === col("x.us") && col("y.doc_id") < col("x.doc_id")))
-      .select(col("x.doc_id").as("doc_id"))
-    val nearDup = vsLake.unionByName(vsBatch).distinct()
-    val survivors = exactNovel.join(nearDup, Seq("doc_id"), "left_anti")
-      .localCheckpoint(true) // appended to two tables below
+    val withIdx =
+      if (!indexExists) banded.withColumn("idx_hit", lit(0))
+      else banded.join(
+        spark.read.parquet(indexDir).select(col("band")).distinct()
+          .withColumn("idx_hit", lit(1)),
+        Seq("band"), "left")
+    val arrival = struct(col("us"), col("doc_id"))
+    val dupIds = withIdx
+      .withColumn("band_first", min(arrival).over(Window.partitionBy("band")))
+      .groupBy(col("doc_id"), col("us"))
+      .agg(max(col("idx_hit")).as("lake_hit"), min(col("band_first")).as("earliest"))
+      .filter(coalesce(col("lake_hit"), lit(0)) === 1 || col("earliest") < arrival)
+      .select(col("doc_id"))
 
-    // Audit trail: every dropped row lands in the quarantine with the
-    // stage that rejected it — the answer to "why is doc X not in the
-    // lake?" without re-running the pipeline. Stage tags are ROW-level
-    // (the quality tag re-evaluates the predicate; the exact tags come
-    // from the rn>1 frame and the materialized lake-nrm semi-join), so
+    // Audit trail FIRST — before the lake append: every dropped row
+    // lands in the quarantine with the stage that rejected it — the
+    // answer to "why is doc X not in the lake?" without re-running the
+    // pipeline. Ordering matters: the append below fires Spark's
+    // recacheByPath, refreshing every cached relation over lakeDir —
+    // including lakeNrm — to a listing that CONTAINS this batch's own
+    // survivors; a post-append quarantine would then mis-tag every
+    // survivor as its own exact_dup. Stage tags are ROW-level (the
+    // quality tag re-evaluates the null-safe predicate; the exact tags
+    // come from the rn>1 frame and the cached lake-nrm semi-join), so
     // two same-doc_id rows in one batch each get their own verdict.
-    // With `batchId` set (the foreachBatch id), each attempt OVERWRITES
-    // its own batch=<id> partition, so a replay after a partial failure
-    // leaves one record per decision; the log then reflects the LAST
-    // attempt's view — a doc both in the lake and logged exact_dup is a
-    // replay artifact (a dup of its own first write; the lake row wins).
-    // Without a batchId the log is append-only and replays re-append.
+    // Layout is uniformly Hive-partitioned by batch: with `batchId` set
+    // (the foreachBatch id) each attempt OVERWRITES its own batch=<id>
+    // partition, so a replay after a partial failure leaves one record
+    // per decision — the log reflects the LAST attempt's view (a doc
+    // both in the lake and logged exact_dup is a replay artifact; the
+    // lake row wins). Without a batchId, drops append under batch=-1 —
+    // same directory shape, so the quarantine always reads as ONE
+    // partitioned table (mixing bare files with batch= dirs would split
+    // it into conflicting layouts Spark refuses to read together).
     quarantineDir.foreach { qd =>
       def tagged(df: DataFrame, reason: String) =
         df.select(col("doc_id"), col("text"), col("us"))
           .withColumn("reason", lit(reason))
-      val droppedQuality = tagged(batch.filter(!qualityPred), "quality")
+      val droppedQuality = tagged(batch.filter(!qualityOk), "quality")
       val inBatchDups = tagged(withRn.filter(col("rn") > 1), "exact_dup")
-      val lakeDups = lakeNrm match {
-        case None => None
-        case Some(nrms) =>
-          Some(tagged(inBatchFirst.join(nrms, Seq("nrm"), "left_semi"), "exact_dup"))
-      }
-      val droppedNear = tagged(exactNovel.join(nearDup, Seq("doc_id"), "left_semi"), "near_dup")
+      val lakeDups = lakeNrm.map(nrms =>
+        tagged(inBatchFirst.join(nrms, Seq("nrm"), "left_semi"), "exact_dup"))
+      val droppedNear = tagged(exactNovel.join(dupIds, Seq("doc_id"), "left_semi"), "near_dup")
       val log = Seq(Some(droppedQuality), Some(inBatchDups), lakeDups, Some(droppedNear))
         .flatten.reduce(_ unionByName _)
-      if (batchId >= 0)
-        log.write.mode(SaveMode.Overwrite).parquet(s"$qd/batch=$batchId")
-      else log.write.mode(SaveMode.Append).parquet(qd)
+      val mode = if (batchId >= 0) SaveMode.Overwrite else SaveMode.Append
+      log.write.mode(mode).parquet(s"$qd/batch=$batchId")
     }
 
+    // The observed lake-write lineage: every stage count rides this ONE
+    // pass as a CollectMetrics node (no per-stage .count() actions). The
+    // dup analysis joins in UNOBSERVED, so each observation appears
+    // exactly once in the plan.
+    val obsIn = Observation(); val obsQuality = Observation()
+    val obsNovel = Observation(); val obsApp = Observation()
+    val (_, inBatchFirstObs) = spine(
+      batch.observe(obsIn, count(lit(1)).as("n"))
+        .filter(qualityOk).observe(obsQuality, count(lit(1)).as("n")))
+    val survivors = novel(inBatchFirstObs).observe(obsNovel, count(lit(1)).as("n"))
+      .join(dupIds, Seq("doc_id"), "left_anti")
+      .observe(obsApp, count(lit(1)).as("n"))
+    val hadoopConf = spark.sessionState.newHadoopConf()
+    val lakePath = new org.apache.hadoop.fs.Path(lakeDir)
+    def lakeFiles(): Set[String] =
+      if (!pathExists(spark, lakeDir)) Set.empty
+      else graft.sources.LakeListing.dataFiles(hadoopConf, lakePath).map(_.toString).toSet
+    val preAppend = lakeFiles()
     survivors.write.mode(SaveMode.Append).parquet(lakeDir)
-    StreamDedup.banded(survivors.select("doc_id", "text", "us")).toDF()
-      .select("band", "doc_id")
-      .write.mode(SaveMode.Append).parquet(indexDir)
+
+    // Index append — LAKE-FIRST for crash consistency (a crash here
+    // leaves lake rows the next batch still exact-dedups; index-first
+    // would leave phantom bands that suppress their own replay forever).
+    // The band rows derive from the files THIS append added (an fs
+    // listing diff — manifest-class, like the zone refresh), not from
+    // the survivors frame: after the append, recacheByPath has refreshed
+    // lakeNrm, so re-running the survivors lineage would anti-join the
+    // batch against itself and index nothing.
+    val newFiles = (lakeFiles() -- preAppend).toSeq.sorted
+    if (newFiles.nonEmpty) {
+      val appended = spark.read.option("basePath", lakeDir).parquet(newFiles: _*)
+      StreamDedup.banded(appended.select("doc_id", "text", "us")).toDF()
+        .select("band", "doc_id")
+        .write.mode(SaveMode.Append).parquet(indexDir)
+    }
     zoneStatsPath.foreach { sp =>
       if (pathExists(spark, lakeDir))
         graft.sources.ZoneMap.refreshStats(spark, lakeDir, sp, zoneCols): Unit
     }
-    BatchStats(in, nQuality, nExactNovel, survivors.count())
+    val stats = BatchStats(
+      obsIn.get("n").asInstanceOf[Long],
+      obsQuality.get("n").asInstanceOf[Long],
+      obsNovel.get("n").asInstanceOf[Long],
+      obsApp.get("n").asInstanceOf[Long])
+    lakeNrm.foreach(_.unpersist(): Unit)
+    stats
   }
 }

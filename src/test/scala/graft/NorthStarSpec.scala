@@ -242,6 +242,42 @@ class NorthStarSpec extends AnyFunSuite {
       s"no pruning: read $filesRead of $totalFiles index files")
   }
 
+  test("qn10d assignment-join probe: no driver collect, agrees with the collect path") {
+    import org.apache.spark.sql.functions.col
+    val path = graft.operators.Similarity.newIndexDir()
+    graft.operators.Similarity.buildIvfIndex(spark, sf, 16, path)
+    val probes = Tables.embeddings(spark, sf)
+      .filter(col("vec_id") < 10).select("vec_id", "embedding")
+
+    // Fully lazy: building the joined-probe plan must run ZERO SQL
+    // executions (the collect path runs the routing eagerly at call
+    // time — exactly what a corpus-sized probe set cannot afford).
+    val execs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onOtherEvent(event: org.apache.spark.scheduler.SparkListenerEvent): Unit =
+        event match {
+          case _: org.apache.spark.sql.execution.ui.SparkListenerSQLExecutionStart =>
+            execs.incrementAndGet(); ()
+          case _ => ()
+        }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val joined =
+      try {
+        val df = graft.operators.Similarity.probeIvfIndexJoined(spark, probes, path, 4, 5)
+        Thread.sleep(500) // listener bus is async
+        assert(execs.get() == 0,
+          s"probeIvfIndexJoined ran ${execs.get()} executions at plan-build time")
+        df
+      } finally spark.sparkContext.removeSparkListener(listener)
+
+    // Same routing math, same rescore: identical rows to the collect path.
+    val viaCollect = graft.operators.Similarity.probeIvfIndex(spark, sf, path, 4, 5)
+      .collect().map(_.toString).toSeq
+    assert(joined.collect().map(_.toString).toSeq == viaCollect,
+      "assignment-join probe diverged from the collect-routing probe")
+  }
+
   test("qn10c append never rewrites an untouched cell and reaches the full corpus") {
     import org.apache.spark.sql.functions.col
     val path = graft.operators.Similarity.newIndexDir()

@@ -187,6 +187,18 @@ class RelationalSpec extends AnyFunSuite {
     assert(n.schema("ts").dataType == TimestampType)
     assert(n.select(unix_micros(col("ts"))).head().getLong(0) == usMicros)
 
+    // No persistent session-conf delta: the nanos handling is scoped to the
+    // events read (a reader option, not spark.conf.set), so a LATER read of
+    // a nanos-annotated parquet by other code still sees the session's own
+    // semantics — here, the default (unset) conf rejects the nanos file at
+    // analysis time exactly as it did before any Tables.events call.
+    val nanosKey = "spark.sql.legacy.parquet.nanosAsLong"
+    assert(spark.conf.getOption(nanosKey).forall(_ == "false"),
+      s"Tables.events leaked $nanosKey into the session conf")
+    intercept[Exception] {
+      spark.read.parquet(s"$nanosDir/events.parquet").schema
+    }
+
     // And the real lake, whatever encoding this round shipped, analyzes.
     val real = Tables.events(spark, sf)
     assert(real.schema("ts").dataType == TimestampType)

@@ -155,6 +155,79 @@ class StreamDedupSpec extends AnyFunSuite {
     assert(batch0.distinct.size == batch0.size, s"duplicate log rows in batch 0: $batch0")
   }
 
+  test("NULL text fails the quality gate AND lands in the quarantine (null-safe predicates)") {
+    // Under ANSI semantics size(split(trim(NULL))) is NULL — a naive
+    // filter(p) / filter(!p) pair drops a NULL-text row from BOTH sides,
+    // violating the 'every drop is explainable' audit contract.
+    import graft.streaming.IngestClean
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ingest_null").toString
+    val (lake, idx, quar) = (s"$dir/lake", s"$dir/index", s"$dir/quarantine")
+    val schema = StructType(Seq(StructField("doc_id", LongType, nullable = false),
+      StructField("text", StringType, nullable = true),
+      StructField("us", LongType, nullable = false)))
+    val batch = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      org.apache.spark.sql.Row(1L, "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo", 1000000L),
+      org.apache.spark.sql.Row(2L, null, 2000000L))), schema)
+    val stats = IngestClean.cleanBatch(spark, batch, lake, idx,
+      quarantineDir = Some(quar), batchId = 0L)
+    assert(stats == IngestClean.BatchStats(2, 1, 1, 1))
+    val quarRows = spark.read.parquet(quar).select("doc_id", "reason")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toSet
+    assert(quarRows == Set(2L -> "quality"), s"quarantine held $quarRows")
+    val kept = spark.read.parquet(lake).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L))
+  }
+
+  test("cleanBatch runs two actions per micro-batch; stage counts ride the write as observe metrics") {
+    import graft.streaming.IngestClean
+    val dir = java.nio.file.Files.createTempDirectory("graft_ingest_jobs").toString
+    val (lake, idx) = (s"$dir/lake", s"$dir/index")
+    val dText = "zebra yak xylophone walrus vulture tiger snake rabbit quail panda otter"
+    def df(docs: Seq[Doc]) = spark.createDataFrame(docs)
+    val batch1 = Seq(
+      Doc(1, "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo", 1000000L),
+      Doc(2, "alpha  bravo charlie delta echo foxtrot golf hotel india juliet kilo ", 2000000L),
+      Doc(3, "too short to pass", 3000000L),
+      Doc(4, dText, 4000000L))
+    val batch2 = Seq(
+      Doc(5, "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo", 5000000L),
+      Doc(6, dText.split(' ').reverse.mkString(" "), 6000000L),
+      Doc(7, "one unique sentence mentioning parquet shuffles catalyst codegen and watermarks today", 7000000L))
+    val s1 = IngestClean.cleanBatch(spark, df(batch1), lake, idx)
+    assert(s1 == IngestClean.BatchStats(in = 4, quality = 3, exactNovel = 2, appended = 2))
+
+    // Steady state (lake + index exist): exactly two top-level SQL
+    // executions — the lake append and the index append. Every stage
+    // count arrives via CollectMetrics on the lake-write pass; a
+    // .count() action per stage would show up here as extra executions.
+    val execs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onOtherEvent(event: org.apache.spark.scheduler.SparkListenerEvent): Unit =
+        event match {
+          case _: org.apache.spark.sql.execution.ui.SparkListenerSQLExecutionStart =>
+            execs.incrementAndGet(); ()
+          case _ => ()
+        }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val s2 = IngestClean.cleanBatch(spark, df(batch2), lake, idx)
+      assert(s2 == IngestClean.BatchStats(in = 3, quality = 3, exactNovel = 2, appended = 1))
+      // listener bus is async: wait for the count to go quiet
+      var last = -1; var same = 0
+      val deadline = System.nanoTime() + 10000000000L
+      while (same < 5 && System.nanoTime() < deadline) {
+        Thread.sleep(100)
+        val cur = execs.get()
+        if (cur == last) same += 1 else { same = 0; last = cur }
+      }
+      assert(execs.get() == 2, s"expected 2 SQL executions (lake + index append), saw ${execs.get()}")
+    } finally spark.sparkContext.removeSparkListener(listener)
+    val kept = spark.read.parquet(lake).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 4L, 7L))
+  }
+
   test("ingest keeps lake zone maps current with O(new-files) refreshes") {
     import graft.streaming.IngestClean
     import graft.sources.ZoneMap
@@ -192,6 +265,82 @@ class StreamDedupSpec extends AnyFunSuite {
     val pr = ZoneMap.prunedScan(spark, lake, stats, "doc_id", 7L, 9L)
     assert(pr.nFilesRead < pr.nFilesTotal)
     assert(pr.df.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq == Seq(7L, 9L))
+  }
+
+  test("checkpoint restart: crash after batch side effects converges to the uninterrupted run") {
+    // The at-least-once foreachBatch contract, driven end to end: a file
+    // source + checkpoint stream crashes AFTER batch 1's lake/index/
+    // quarantine writes but BEFORE the checkpoint commits, restarts from
+    // the same checkpoint (batch 1 REPLAYS), and the final lake + index
+    // must equal an uninterrupted run's. The quarantine matches up to the
+    // documented replay artifact: a replayed survivor is an exact-dup of
+    // its own first write, so its batch partition may log exact_dup rows
+    // for docs that ARE in the lake — the lake row wins.
+    import graft.streaming.IngestClean
+    import org.apache.spark.sql.types._
+    val root = java.nio.file.Files.createTempDirectory("graft_ingest_cp").toString
+    val schema = StructType(Seq(StructField("doc_id", LongType, nullable = false),
+      StructField("text", StringType, nullable = true),
+      StructField("us", LongType, nullable = false)))
+    val textA = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo"
+    val textB = "zebra yak xylophone walrus vulture tiger snake rabbit quail panda otter"
+    val textC = "one unique sentence mentioning parquet shuffles catalyst codegen and watermarks today"
+    val files = Seq(
+      Seq(Doc(1, textA, 1000000L), Doc(2, "too short", 2000000L)),
+      Seq(Doc(3, textB, 3000000L), Doc(4, textA, 4000000L)),
+      Seq(Doc(5, textB.split(' ').reverse.mkString(" "), 5000000L), Doc(6, textC, 6000000L)),
+      Seq(Doc(7, textC, 7000000L)))
+    val src = s"$root/src"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(src))
+    files.zipWithIndex.foreach { case (docs, i) =>
+      val stage = s"$root/stage$i"
+      spark.createDataFrame(docs).coalesce(1).write.parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(src, f"b$i%03d.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      // one file per micro-batch, in write order (source sorts by mtime)
+      assert(dst.setLastModified(1700000000000L + i * 60000L))
+    }
+
+    def run(tag: String, crashAtBatch: Option[Long]): (String, String, String) = {
+      val (lake, idx, quar, cp) =
+        (s"$root/$tag/lake", s"$root/$tag/index", s"$root/$tag/quar", s"$root/$tag/cp")
+      val crashed = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val q = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+        .writeStream.option("checkpointLocation", cp)
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+          IngestClean.cleanBatch(spark, b, lake, idx,
+            quarantineDir = Some(quar), batchId = id)
+          if (crashAtBatch.contains(id) && !crashed.getAndSet(true))
+            throw new RuntimeException("injected crash: side effects done, commit pending")
+          ()
+        }.start()
+      try { q.processAllAvailable(); q.stop() }
+      catch { case _: Exception => () } // the injected crash kills the query
+      (lake, idx, quar)
+    }
+
+    val (lakeU, idxU, quarU) = run("uninterrupted", None)
+    val (lakeI, idxI, quarI) = run("interrupted", Some(1L))
+    // restart from the same checkpoint: batch 1 replays, 2..3 complete
+    run("interrupted", None)
+
+    def lakeSet(p: String) = spark.read.parquet(p).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    def idxSet(p: String) = spark.read.parquet(p).select("band", "doc_id")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    def quarSet(p: String) = spark.read.parquet(p).select("doc_id", "reason")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(lakeSet(lakeI) == lakeSet(lakeU), "lake diverged after crash+restart")
+    assert(idxSet(idxI) == idxSet(idxU), "band index diverged after crash+restart")
+    val (qU, qI) = (quarSet(quarU), quarSet(quarI))
+    assert(qU.subsetOf(qI), s"restart lost quarantine records: ${qU.diff(qI)}")
+    val lakeIds = lakeSet(lakeI).map(_._1)
+    val extras = qI.diff(qU)
+    assert(extras.forall { case (id, reason) => reason == "exact_dup" && lakeIds(id) },
+      s"unexplained quarantine extras beyond the replay artifact: $extras")
   }
 
   test("horizon eviction: an expired bucket stops pairing") {

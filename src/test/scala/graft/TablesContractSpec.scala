@@ -58,7 +58,10 @@ class TablesContractSpec extends AnyFunSuite {
     // The nanos conf mirrors Tables.events: without it a nanos-encoded
     // ts would throw PARQUET_TYPE_ILLEGAL at schema read instead of
     // reporting drift (it reads as LongType, which the contract allows).
+    // Restored in the finally — the shared session must not leak it into
+    // sibling suites (RelationalSpec pins the loader's no-delta contract).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    try {
     val drift = contract.toSeq.sortBy(_._1).flatMap { case (table, cols) =>
       val schema = Tables.load(spark, sf, table).schema
       cols.toSeq.sortBy(_._1).flatMap { case (c, allowed) =>
@@ -76,6 +79,7 @@ class TablesContractSpec extends AnyFunSuite {
         "\nUpdate the matching loader (see Tables.events for the round-9" +
         "\nprecedent: branch on the read schema, add a fixture) and this" +
         "\ncontract:\n  " + drift.mkString("\n  "))
+    } finally spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
   }
 
   test("events loader OUTPUT contract: ts is session TimestampType whatever the file held") {
