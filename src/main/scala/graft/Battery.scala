@@ -1,0 +1,353 @@
+package graft
+
+import graft.functions.TextFns._
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** At-scale evidence batteries: `runMain graft.Battery <name> [args]`.
+  *
+  * The sf0.1 bench proves plans are CORRECT and fast at 5k docs / 2k
+  * vectors; these batteries prove the SHAPES hold when the declared
+  * scale hazards actually materialize — a genuinely hot join key, a
+  * lake with more candidate files than the planner's driver walk
+  * accepts, a corpus big enough that fingerprint recomputation is the
+  * wrong answer, and a REALISTIC mostly-dissimilar corpus where the
+  * pair queries' candidate pruning must bite (the sf0.1 documents
+  * table is all-similar by construction, so every bench number there
+  * is Θ(true pairs) output-bound — pruning never gets to show).
+  * Results are recorded per round in docs/BENCH_NOTES.md.
+  *
+  * Batteries:
+  *   skew [rows=20000000]       salted vs unsalted hot-key join with
+  *                              per-task reducer-spread measurement
+  *   bloom [files=256]          three-tier scan over a lake whose zone
+  *                              survivors exceed the 64-file driver
+  *                              walk, engaging the Spark-job fan-out
+  *   governance [docs=2000000]  O(batch) fingerprint maintenance +
+  *                              qp06/qp07/qp09 at corpus scale
+  *   paircurve [sizes=250000,500000,1000000,2000000]
+  *                              qn03/qn04 wall time + CANDIDATE volume
+  *                              on ~2%-near-dup corpora
+  *
+  * All generation is deterministic (xxhash64 of ids — no RNG state), so
+  * any number here reproduces bit-identically.
+  */
+object Battery {
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .withExtensions(new GraftExtensions)
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    args.headOption match {
+      case Some("skew")       => skew(spark, args.lift(1).map(_.toLong).getOrElse(20000000L))
+      case Some("bloom")      => bloom(spark, args.lift(1).map(_.toInt).getOrElse(256))
+      case Some("governance") => governance(spark, args.lift(1).map(_.toLong).getOrElse(2000000L))
+      case Some("paircurve")  => paircurve(spark, args.lift(1)
+        .getOrElse("250000,500000,1000000,2000000").split(",").toSeq.map(_.trim.toLong))
+      case Some("ivfjoin")    => ivfjoin(spark, args.lift(1).map(_.toLong).getOrElse(260000L))
+      case other => sys.error(s"unknown battery: $other (skew|bloom|governance|paircurve|ivfjoin)")
+    }
+    spark.stop()
+  }
+
+  private def timed[A](f: => A): (A, Double) = {
+    val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+  }
+
+  // ---- skew ------------------------------------------------------------
+
+  /** Per-task shuffle-read record counts, by stage — the reducer-spread
+    * instrument. The skewed stage is the one with the largest total.
+    */
+  private final class SpreadListener extends SparkListener {
+    val byStage = scala.collection.concurrent.TrieMap[Int, scala.collection.mutable.ArrayBuffer[Long]]()
+    override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+      val recs = Option(t.taskMetrics).map(_.shuffleReadMetrics.recordsRead).getOrElse(0L)
+      byStage.getOrElseUpdate(t.stageId,
+        scala.collection.mutable.ArrayBuffer.empty[Long]).synchronized {
+        byStage(t.stageId) += recs
+      }
+    }
+    def reset(): Unit = byStage.clear()
+    /** (max, mean-of-nonzero, n-nonzero-tasks) for the heaviest shuffle-read stage. */
+    def spread(): (Long, Double, Int) = {
+      val heaviest = byStage.values.filter(_.exists(_ > 0)).maxByOption(_.sum)
+        .getOrElse(scala.collection.mutable.ArrayBuffer(0L))
+      val nz = heaviest.filter(_ > 0)
+      (heaviest.maxOption.getOrElse(0L),
+        if (nz.isEmpty) 0.0 else nz.sum.toDouble / nz.size, nz.size)
+    }
+  }
+
+  /** A genuinely hot key: 90% of `n` fact rows carry event_type 'view';
+    * an unsalted shuffle join sends them all to ONE reducer. The salted
+    * form must (a) return identical results and (b) spread the hot
+    * key's shuffle-read records across ~S reducers.
+    */
+  private def skew(s: SparkSession, n: Long): Unit = {
+    val types = array(lit("view"), lit("click"), lit("error"), lit("purchase"), lit("signup"))
+    val fact = s.range(n).select(
+      col("id").as("event_id"),
+      // id-hash in [0,100): 90 -> view, rest uniform over the other 4
+      when(pmod(xxhash64(col("id"), lit(1)), lit(100)) < 90, lit("view"))
+        .otherwise(element_at(types, (pmod(xxhash64(col("id"), lit(2)), lit(4)) + 2).cast("int")))
+        .as("event_type"),
+      (pmod(xxhash64(col("id"), lit(3)), lit(1000)).cast("double") / 100.0).as("value"))
+    val dim = operators.Skew.weightsDF(s)
+    def agg(j: DataFrame) = j.groupBy(col("event_type"))
+      .agg(sum(col("value").cast("decimal(18,2)") * col("weight").cast("decimal(9,4)"))
+        .cast("double").as("wvalue"), count(lit(1)).as("n"))
+      .orderBy(col("event_type"))
+    def unsalted = agg(fact.join(dim.hint("shuffle_hash"), Seq("event_type")))
+    def salted = agg(operators.Skew.saltedJoin(fact, dim, "event_type", col("event_id"), 16))
+
+    val listener = new SpreadListener
+    s.sparkContext.addSparkListener(listener)
+    def run(tag: String, df: => DataFrame): (Seq[String], Double) = {
+      listener.reset()
+      val (rows, secs) = timed(df.collect().map(_.toString).toSeq)
+      val (mx, mean, k) = listener.spread()
+      println(f"""{"battery":"skew","form":"$tag","rows":$n,"sec":$secs%.2f,"reduce_max_records":$mx,"reduce_mean_records":$mean%.0f,"reduce_tasks":$k,"spread":${mx / math.max(mean, 1.0)}%.1f}""")
+      (rows, secs)
+    }
+    // alternate 3 reps each (single samples on this host carry up to 3x
+    // noise — the round-2 lesson)
+    var (u, sl) = (Seq.empty[String], Seq.empty[String])
+    (1 to 3).foreach { _ =>
+      u = run("unsalted", unsalted)._1
+      sl = run("salted", salted)._1
+    }
+    require(u == sl, "salted join diverged from unsalted results")
+    s.sparkContext.removeSparkListener(listener)
+  }
+
+  // ---- bloom -----------------------------------------------------------
+
+  /** A 2-partition lake with `files/2` files per partition, bloom
+    * filters on o_custkey, rows range-clustered by o_orderkey. The
+    * three-tier probe keeps one partition (partition pruning), a wide
+    * o_orderkey range keeps ~all of its files (zone maps can't help a
+    * full-partition range — that is the point: the candidate set
+    * EXCEEDS the 64-file driver walk), and the bloom walk fans out as a
+    * Spark job to exclude nearly every file for a single o_custkey.
+    */
+  private def bloom(s: SparkSession, files: Int): Unit = {
+    import graft.sources.{BloomLake, ZoneMap}
+    val perPart = files / 2
+    val n = 20000000L
+    val root = java.nio.file.Files.createTempDirectory("graft_battery_bloom").toString
+    val lake = s"$root/lake"; val stats = s"$root/stats"
+    val (_, wSec) = timed {
+      Seq(1996, 1997).foreach { y =>
+        s.range(n / 2).select(
+          (col("id") * 2 + (y - 1996)).as("o_orderkey"),
+          pmod(xxhash64(col("id"), lit(y)), lit(5000000L)).as("o_custkey"),
+          pmod(xxhash64(col("id"), lit(7)), lit(1000)).cast("double").as("o_totalprice"))
+          .repartitionByRange(perPart, col("o_orderkey"))
+          .write.options(BloomLake.writerOptions("o_custkey", 200000L))
+          .parquet(s"$lake/year=$y")
+      }
+    }
+    val (_, zSec) = timed(ZoneMap.writeStats(s, lake, stats, Seq("o_orderkey")))
+    // a key that exists in year=1997 (derived, not scanned-for)
+    val probeKey = s.read.parquet(s"$lake/year=1997").select(col("o_custkey"))
+      .limit(1).head.getLong(0)
+    val (pr, pSec) = timed {
+      val r = ZoneMap.prunedScanThreeTier(s, lake, stats,
+        Seq(("year", 1997)), Seq(("o_orderkey", 1L, n * 2)), "o_custkey", probeKey)
+      (r, r.df.count())
+    }
+    val fanout = pr._1.nZoneFiles > 64
+    println(f"""{"battery":"bloom","files":${pr._1.nFilesTotal},"part_survivors":${pr._1.nPartFiles},"zone_survivors":${pr._1.nZoneFiles},"bloom_survivors":${pr._1.nFilesRead},"rows":${pr._2},"fanout_engaged":$fanout,"probe_sec":$pSec%.2f,"write_sec":$wSec%.1f,"stats_sec":$zSec%.1f}""")
+    require(fanout, s"zone survivors ${pr._1.nZoneFiles} <= 64: the fan-out path never engaged")
+    // same candidate set, driver walk vs executor fan-out, timed head to head
+    val cand = s.read.parquet(stats)
+      .filter(col("file").contains("/year=1997/"))
+      .select("file").collect().map(_.getString(0)).toSeq
+    val (drv, dSec) = timed(BloomLake.probeLongWhere(s, cand, "o_custkey", probeKey, driverMax = Int.MaxValue))
+    val (dist, xSec) = timed(BloomLake.probeLongWhere(s, cand, "o_custkey", probeKey, driverMax = 0))
+    require(drv == dist, "driver walk and fan-out disagree on surviving files")
+    println(f"""{"battery":"bloom_walk","candidates":${cand.size},"survivors":${drv.size},"driver_sec":$dSec%.2f,"fanout_sec":$xSec%.2f}""")
+  }
+
+  // ---- shared corpus generator ----------------------------------------
+
+  /** Deterministic mostly-dissimilar corpus: 48 tokens/doc — 4 drawn
+    * Zipf-ish from a 200-word stopword pool (the realistic shared head;
+    * log-uniform, so "s1" tops every df ranking) and 44 drawn UNIFORMLY
+    * from a 10n-word rare vocabulary (expected df ~4.4, independent of
+    * n). A random pair then shares ~a stopword and ~nothing rare:
+    * J ~ 0.003 — LSH band collisions are essentially only true
+    * near-dups, and the df-ascending prefix filter never admits a
+    * stopword. Every 50th doc (`i % 50 == 1`) copies the previous doc's
+    * tokens 8..47 and redraws 0..7: a planted near-dup pair at
+    * J >= 40/56 = 0.71 — above the qn03 threshold 0.6, detected by
+    * 16x4 minhash-LSH with prob ~0.99 — so ~2% of docs have a true
+    * near-dup, the realistic rate, vs the sf0.1 documents table where
+    * near-everything matches and every pair query is output-bound.
+    */
+  private def corpus(s: SparkSession, n: Long, nearDups: Boolean): DataFrame = {
+    val langs = array(Seq("en", "de", "fr", "es", "pt", "it", "nl", "pl").map(lit): _*)
+    val rareVocab = math.max(10L * n, 10000L).toDouble
+    val toks = transform(sequence(lit(0), lit(47)), j => {
+      val src =
+        if (!nearDups) col("id")
+        else when(col("id") % 50 === 1 && j >= 8, col("id") - 1).otherwise(col("id"))
+      val u = pmod(xxhash64(src, j, lit(42)), lit(1000000L)).cast("double") / 1e6
+      when(j < 4,
+        concat(lit("s"), floor(pow(lit(200.0), u)).cast("long").cast("string")))
+        .otherwise(
+          concat(lit("t"), floor(u * lit(rareVocab)).cast("long").cast("string")))
+    })
+    s.range(n).select(
+      col("id").as("doc_id"),
+      array_join(toks, " ").as("text"),
+      element_at(langs, (pmod(xxhash64(col("id"), lit(9)), lit(8)) + 1).cast("int")).as("lang"),
+      concat(lit("src"), pmod(xxhash64(col("id"), lit(11)), lit(4))).as("source"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+  }
+
+  // ---- governance ------------------------------------------------------
+
+  /** The additive-fingerprint maintenance contract at corpus scale:
+    * updating a 2M-doc snapshot for a 20k batch must cost O(batch) —
+    * fingerprint the BATCH, add mod p — and equal the full recompute
+    * (checked here value-for-value). Plus qp06/qp07/qp09 wall times at
+    * the same corpus via the registered entry points.
+    */
+  private def governance(s: SparkSession, n: Long): Unit = {
+    import operators.Curation
+    val root = java.nio.file.Files.createTempDirectory("graft_battery_gov").toString
+    corpus(s, n, nearDups = false)
+      .write.parquet(s"$root/documents.parquet")
+    val batchN = 20000L
+    corpus(s, batchN, nearDups = false)
+      .withColumn("doc_id", col("doc_id") + n) // new docs, ids beyond the lake
+      .write.parquet(s"$root/batch.parquet")
+
+    val lake = s.read.parquet(s"$root/documents.parquet")
+    val batch = s.read.parquet(s"$root/batch.parquet")
+    def fpMap(df: DataFrame): Map[String, (Long, Long, Long)] =
+      Curation.corpusFingerprint(df).collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val (snap, fullSec) = timed(fpMap(lake))
+    val (bfp, batchSec) = timed(fpMap(batch))
+    // O(1) driver-side merge — the entire snapshot update
+    val merged = (snap.keySet ++ bfp.keySet).map { l =>
+      val (an, ac, af) = snap.getOrElse(l, (0L, 0L, 0L))
+      val (bn, bc, bf) = bfp.getOrElse(l, (0L, 0L, 0L))
+      l -> ((an + bn, ac + bc, (af + bf) % Curation.fpModulus))
+    }.toMap
+    val (recomputed, unionSec) = timed(fpMap(lake.unionByName(batch)))
+    require(merged == recomputed,
+      "additive fingerprint: snapshot + batch != recomputed union")
+    println(f"""{"battery":"governance_fp","docs":$n,"batch":$batchN,"full_sec":$fullSec%.2f,"batch_sec":$batchSec%.2f,"union_recompute_sec":$unionSec%.2f,"speedup":${fullSec / math.max(batchSec, 0.001)}%.0f}""")
+
+    Seq("qp06_corpus_fingerprint", "qp07_quality_constraints", "qp09_quarantine_report")
+      .foreach { q =>
+        val (_, sec) = timed(
+          SparkEntry.queries(q)(s, root).write.mode("overwrite").format("noop").save())
+        println(f"""{"battery":"governance","query":"$q","docs":$n,"sec":$sec%.2f}""")
+      }
+  }
+
+  // ---- ivfjoin ---------------------------------------------------------
+
+  /** The corpus-sized IVF probe beyond the collect path's declared bound:
+    * `n` vectors probe a persisted sqrt(n)-cell index at nProbe=4, so the
+    * routing table is 4n rows — past 1e6 the collect-based
+    * probeIvfIndexWith must REFUSE (its loud `require`) and the
+    * assignment-join path (qn10d's probeIvfIndexJoined) must carry the
+    * full batch. This is the demonstration the qn10d contract points at:
+    * the driver never holds a route, and the rescore is an equi-join on
+    * cent_id whose output is n x nProbe x (n/cells) rows — the honest
+    * cost of all-pairs-via-cells ANN, executed distributively.
+    */
+  private def ivfjoin(s: SparkSession, n: Long): Unit = {
+    import operators.Similarity
+    require(n * 4 > 1000000L, s"ivfjoin needs > 250k vectors to exceed the 1e6 route bound, got $n")
+    val dim = 16
+    val root = java.nio.file.Files.createTempDirectory("graft_battery_ivf").toString
+    val emb = transform(sequence(lit(0), lit(dim - 1)), i =>
+      ((pmod(xxhash64(col("id"), i, lit(5)), lit(2000)).cast("double") / 1000.0) - 1.0).cast("float"))
+    s.range(n).select(col("id").as("vec_id"), emb.as("embedding"), lit(0).as("label"))
+      .write.parquet(s"$root/embeddings.parquet")
+    val nCent = math.max(16, math.sqrt(n.toDouble).toInt)
+    val path = Similarity.newIndexDir()
+    val (_, bSec) = timed(Similarity.buildIvfIndex(s, root, nCent, path))
+    val probes = Tables.embeddings(s, root).select(col("vec_id"), col("embedding"))
+    val refused =
+      try { Similarity.probeIvfIndexWith(s, probes, path, 4, 5).count(); false }
+      catch { case _: IllegalArgumentException => true }
+    val ((rows, topOk), jSec) = timed {
+      val r = Similarity.probeIvfIndexJoined(s, probes, path, 4, 5)
+      val cnt = r.count()
+      (cnt, cnt <= n * 5)
+    }
+    println(f"""{"battery":"ivfjoin","vectors":$n,"cells":$nCent,"routes":${n * 4},"collect_path_refused":$refused,"build_sec":$bSec%.1f,"probe_join_sec":$jSec%.1f,"result_rows":$rows,"rows_le_nk":$topOk}""")
+    require(refused, "collect path accepted an over-bound probe batch — the guard is gone")
+  }
+
+  // ---- paircurve -------------------------------------------------------
+
+  /** qn03/qn04 on mostly-dissimilar corpora of increasing size: wall
+    * time, emitted pairs, and the CANDIDATE volume each plan's pruning
+    * admits (prefix-token collisions for qn03, band-bucket collisions
+    * for qn04) — the number that must grow sub-quadratically for the
+    * plans to survive a corpus that is NOT all-similar. Candidate
+    * volume is computed analytically from the group sizes (sum of
+    * C(n,2) over prefix tokens / band buckets) with the exact pipeline
+    * expressions, so it is the join's true output cardinality without
+    * running the join twice.
+    */
+  private def paircurve(s: SparkSession, sizes: Seq[Long]): Unit = {
+    sizes.foreach { n =>
+      val root = java.nio.file.Files.createTempDirectory(s"graft_battery_pair_$n").toString
+      corpus(s, n, nearDups = true)
+        .write.parquet(s"$root/documents.parquet")
+      val docs = s.read.parquet(s"$root/documents.parquet")
+
+      // qn03 candidate volume: identical-set collapse, df-ascending vocab
+      // ranks, prefix for J >= 3/5 — the registered pipeline's own head.
+      val tm = docs.select(col("doc_id"), tokenSet(col("text")).as("toks"))
+      val dfreq = tm.select(col("doc_id"), explode(col("toks")).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("df"))
+      val (ranked, _) = operators.Dedup.globalRanks(dfreq, col("df"), col("tok"))
+      val vocabIds = ranked.select(col("tok"), col("gpos").cast("int").as("tid"))
+      val grp = tm.select(col("doc_id"), explode(col("toks")).as("tok"))
+        .join(vocabIds, "tok")
+        .groupBy("doc_id").agg(array_sort(collect_list(col("tid"))).as("ids"))
+        .groupBy("ids").agg(count(lit(1)).as("members"))
+        .withColumn("sz", size(col("ids")))
+      val prefixLen = col("sz") - ((lit(3) * col("sz") + lit(4)) / lit(5)).cast("int") + lit(1)
+      val c03 = grp.select(explode(slice(col("ids"), lit(1), prefixLen)).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("k"))
+        .agg(sum(col("k") * (col("k") - 1))).head.getLong(0) / 2
+
+      // qn04 candidate volume: 16x4 LSH band buckets over MinHash(64).
+      val c04 = docs
+        .select(col("doc_id"), transform(tokenSet(col("text")), tokenHash(_)).as("hs"))
+        .filter(size(col("hs")) > 0)
+        .select(explode(lshBands(minhashSig(col("hs"), 64), 16, 4)).as("band"))
+        .groupBy("band").agg(count(lit(1)).as("k"))
+        .agg(sum(col("k") * (col("k") - 1))).head.getLong(0) / 2
+
+      def runQ(q: String): (Long, Double) = {
+        val (cnt, sec) = timed(SparkEntry.queries(q)(s, root).count())
+        (cnt, sec)
+      }
+      val (p03, s03) = runQ("qn03_jaccard_pairs")
+      val (p04, s04) = runQ("qn04_minhash_lsh_pairs")
+      println(f"""{"battery":"paircurve","docs":$n,"qn03_sec":$s03%.1f,"qn03_pairs":$p03,"qn03_candidates":$c03,"qn04_sec":$s04%.1f,"qn04_pairs":$p04,"qn04_candidates":$c04}""")
+      operators.Dedup.clearMemo(s)
+      s.catalog.clearCache()
+    }
+  }
+}

@@ -81,13 +81,33 @@ object TextFns {
     * part of an oracle-compared result or an ordering key. */
   def e6(c: Column): Column = floor(c * lit(1000000L)).cast("long")
 
-  /** MinHash permutation constants: large multiplicative-hash multipliers
-    * (Knuth/xxhash constants scaled per permutation index) so each affine
-    * map `a_i*h + b_i mod MHP` scrambles the order of token hashes — a
-    * small multiplier (e.g. 2i+1) would preserve argmin across
-    * "permutations" and fake near-perfect signature agreement. */
-  def mhA(i: Int): Long = ((i + 1L) * 2654435761L) % MHP
-  def mhB(i: Int): Long = ((i + 1L) * 2246822519L) % MHP
+  /** MinHash permutation constants, drawn per plane through a splitmix64
+    * finalizer — each plane's affine map `a_i*h + b_i mod MHP` must be
+    * INDEPENDENT of the others, not just "scrambling".
+    *
+    * The first cut used `a_i = (i+1)*c1 % MHP, b_i = (i+1)*c2 % MHP` —
+    * which makes plane i's map exactly `(i+1) x (plane-0 map) mod MHP`, a
+    * SCALAR MULTIPLE of one permutation. If a token's plane-0 value v is
+    * small, `2v, 3v, 4v` don't wrap, so the SAME token stays argmin for
+    * planes 1..3 and band 0 (planes 0-3) agrees between two docs with
+    * probability ~J instead of J^4 — the banding loses its AND-amplifier
+    * on exactly the low bands. Invisible on the all-similar sf0.1 corpus
+    * (extra candidates were true pairs anyway) and to the value oracle
+    * (DuckDB replays the same constants); exposed by the round-12
+    * realistic-corpus battery, where a 250k-doc mostly-dissimilar corpus
+    * produced 1.8M band collisions against a few-thousand theoretical
+    * floor, every giant bucket keyed by an arithmetic progression
+    * `(v, 2v, 3v, 4v)`. splitmix64's finalizer has no such linear
+    * structure across i; `a_i` is forced nonzero so no plane collapses.
+    */
+  private def mix64(x0: Long): Long = {
+    var z = x0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+  def mhA(i: Int): Long = Math.floorMod(mix64(2L * i), MHP - 1) + 1
+  def mhB(i: Int): Long = Math.floorMod(mix64(2L * i + 1), MHP)
 
   /** MinHash signature: for permutation i in [0, n), min over the token
     * hash array of `(a_i*h + b_i) mod (2^31-1)`. Returns array<long> of
@@ -164,11 +184,15 @@ object TextFns {
   def sqlE6(x: String): String = s"CAST(floor(($x) * 1000000) AS BIGINT)"
 
   /** DuckDB: minhash signature list of length n over token-hash list
-    * expression `hs` (nested comprehension — an inner lambda cannot
-    * capture the comprehension variable in DuckDB). */
+    * expression `hs`. The per-plane constants are EMBEDDED as literals
+    * from [[mhA]]/[[mhB]] — one definition, two engines — so the
+    * splitmix64 draw cannot drift between the Spark plan and the oracle
+    * (the old form re-derived the constants in SQL arithmetic, which
+    * works only for formulas DuckDB can replay). */
   def sqlMinhashSig(hs: String, n: Int): String =
-    s"[ list_min([ ((((i+1) * 2654435761) % $MHP) * h + ((i+1) * 2246822519) % $MHP) % $MHP " +
-      s"for h in $hs ]) for i in range(0, $n) ]"
+    (0 until n).map(i =>
+      s"list_min([ (${mhA(i)} * h + ${mhB(i)}) % $MHP for h in $hs ])")
+      .mkString("[ ", ", ", " ]")
 
   /** DuckDB: 60-bit simhash over token-hash-60 list expression `hs` —
     * sum of per-bit majority terms with literal bit indices. */

@@ -69,6 +69,13 @@ object Skew {
 
   private val S = 16
 
+  /** The dim side as a frame — shared with the Battery's at-scale rig so
+    * the battery measures the REGISTERED query's exact join shape. */
+  private[graft] def weightsDF(s: org.apache.spark.sql.SparkSession): DataFrame = {
+    import s.implicits._
+    weights.toDF("event_type", "weight")
+  }
+
   val all: Seq[Q] = Seq(
 
     // Salted shuffle join on the 5-value event_type key. The aggregate
