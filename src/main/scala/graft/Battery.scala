@@ -195,7 +195,13 @@ object Battery {
     */
   private def corpus(s: SparkSession, n: Long, nearDups: Boolean): DataFrame = {
     val langs = array(Seq("en", "de", "fr", "es", "pt", "it", "nl", "pl").map(lit): _*)
-    val rareVocab = math.max(10L * n, 10000L).toDouble
+    // Rare ids by DIRECT modulo, not a scaled unit float: the float path
+    // (`u = hash%1e6 / 1e6; floor(u*V)`) has only 1e6 distinct values, so
+    // past 1M docs it silently CAPS the vocabulary at 1e6 tokens — dfs
+    // then grow with n and the qn03 candidate curve turns quadratic for
+    // a generator reason, not an algorithmic one (measured: 1.42B
+    // candidates at 2M docs under the cap vs linear growth without).
+    val rareVocab = math.max(10L * n, 10000L)
     val toks = transform(sequence(lit(0), lit(47)), j => {
       val src =
         if (!nearDups) col("id")
@@ -204,7 +210,7 @@ object Battery {
       when(j < 4,
         concat(lit("s"), floor(pow(lit(200.0), u)).cast("long").cast("string")))
         .otherwise(
-          concat(lit("t"), floor(u * lit(rareVocab)).cast("long").cast("string")))
+          concat(lit("t"), pmod(xxhash64(src, j, lit(44)), lit(rareVocab)).cast("string")))
     })
     s.range(n).select(
       col("id").as("doc_id"),

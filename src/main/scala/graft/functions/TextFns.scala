@@ -100,7 +100,7 @@ object TextFns {
     * `(v, 2v, 3v, 4v)`. splitmix64's finalizer has no such linear
     * structure across i; `a_i` is forced nonzero so no plane collapses.
     */
-  private def mix64(x0: Long): Long = {
+  private[graft] def mix64(x0: Long): Long = {
     var z = x0 + 0x9E3779B97F4A7C15L
     z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
     z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL

@@ -81,9 +81,22 @@ object Similarity {
 
   /** Deterministic pseudo-random hyperplane component for (plane p, dim
     * d): an affine hash folded to {-1, +1}. Shared by the Spark plan and
-    * (conceptually) reproducible anywhere — no RNG state. */
+    * the oracle (literal per-plane constants on both sides) — no RNG
+    * state.
+    *
+    * Per-plane phase AND stride, both splitmix64-drawn: the first cut
+    * used one fixed stride (`p*c + d*40503 mod 97`), which makes every
+    * plane the SAME period-97 sign sequence at a different phase — two
+    * of the 16 planes landed PERFECTLY correlated, inflating band
+    * collision probability 0.091 vs the 0.0625 design (measured,
+    * round-12; the minhash battery's lesson applied here). Independent
+    * strides (any of 1..96 is coprime to the prime 97) cut mean
+    * inter-plane correlation 8x and restore the designed bucket sizes.
+    */
+  private[graft] def signA(p: Int): Long = Math.floorMod(mix64(1000L + 2L * p), 97L)
+  private[graft] def signB(p: Int): Long = Math.floorMod(mix64(1001L + 2L * p), 96L) + 1L
   private def sign(p: Int, d: Column): Column =
-    when(((lit(p * 2654435761L) + d * lit(40503L)) % 97L) < 48L, lit(1.0))
+    when(((lit(signA(p)) + d * lit(signB(p))) % 97L) < 48L, lit(1.0))
       .otherwise(lit(-1.0))
 
   val all: Seq[Q] = Seq(
@@ -209,7 +222,7 @@ object Similarity {
     // rescore — replays exactly in the oracle (round 2; was rows-only).
     Q("qn09_ann_lsh_topk", {
       val signCase = (p: Int) =>
-        s"(CASE WHEN ((${p.toLong * 2654435761L} + i * 40503) % 97) < 48 THEN 1.0 ELSE -1.0 END)"
+        s"(CASE WHEN ((${signA(p)} + i * ${signB(p)}) % 97) < 48 THEN 1.0 ELSE -1.0 END)"
       val proj = (p: Int) =>
         s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
           s"[CAST(embedding[i + 1] AS DOUBLE) * ${signCase(p)} for i in range(0, len(embedding))]), " +

@@ -1,5 +1,6 @@
 package graft.sources
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -56,6 +57,7 @@ object ZoneMap {
     // the FS listing file:/p — compare by path only.
     def norm(s: String) = new Path(s).toUri.getPath
     val fs = new Path(dataDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverSwap(fs, new Path(statsPath))
     // Hidden dirs skipped (see LakeListing): a compaction crash window
     // leaves a `.<dir>_compact_old` aside holding COPIES of live rows —
     // a stats row over an aside file would double-read them.
@@ -86,8 +88,8 @@ object ZoneMap {
       // a crash recoverable by hand.
       val kept = statsRows.filter(r => listingNorm(norm(r.getString(fileIdx))))
       val statsP = fs.makeQualified(new Path(statsPath))
-      val tmp = new Path(statsP.getParent, s".${statsP.getName}_rebuild_tmp")
-      val aside = new Path(statsP.getParent, s".${statsP.getName}_rebuild_old")
+      val tmp = rebuildTmp(statsP)
+      val aside = rebuildAside(statsP)
       fs.delete(tmp, true); fs.delete(aside, true)
       spark.createDataFrame(java.util.Arrays.asList(kept: _*), statsSchema)
         .coalesce(1)
@@ -107,6 +109,32 @@ object ZoneMap {
         .write.mode("append").parquet(statsPath)
     }
     newFiles.size.toLong
+  }
+
+  private def rebuildTmp(statsP: Path) =
+    new Path(statsP.getParent, s".${statsP.getName}_rebuild_tmp")
+  private def rebuildAside(statsP: Path) =
+    new Path(statsP.getParent, s".${statsP.getName}_rebuild_old")
+
+  /** Repair a swap interrupted between its two renames: the live table
+    * moved aside but the rebuild never moved in, so `statsPath` is
+    * missing while the aside holds the (pre-rebuild, still-correct —
+    * merely unpruned of deleted files) table. Restore the aside and let
+    * the caller's normal diff re-run the rebuild; without this, a crash
+    * in the rename window silently degrades the next refresh to a
+    * full-lake rescan. A LEFTOVER aside next to a live table is the
+    * post-swap crash (cleanup never ran) — the rebuild committed, so the
+    * aside is just deleted. */
+  private def recoverSwap(fs: org.apache.hadoop.fs.FileSystem, statsPath: Path): Unit = {
+    val statsP = fs.makeQualified(statsPath)
+    val aside = rebuildAside(statsP)
+    if (fs.exists(aside)) {
+      if (!fs.exists(statsP))
+        require(fs.rename(aside, statsP), s"stats swap recovery: could not restore $aside")
+      else fs.delete(aside, true): Unit
+    }
+    val tmp = rebuildTmp(statsP)
+    if (fs.exists(tmp)) fs.delete(tmp, true): Unit // crash mid-write: rebuild is re-derivable
   }
 
   /** A scan result plus its pruning accounting. */

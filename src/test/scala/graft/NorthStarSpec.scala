@@ -172,6 +172,31 @@ class NorthStarSpec extends AnyFunSuite {
     }
   }
 
+  test("minhash planes are independent: dissimilar corpus stays at the J^4 collision floor") {
+    // The round-12 battery regression, pinned small: with the original
+    // constants (a_i = (i+1)*c1 mod M) every plane was a scalar multiple
+    // of plane 0, so band 0 collided with probability ~J instead of J^4 —
+    // on THIS fixture that is ~40k collisions; independent permutations
+    // give ~0 plus hash flukes. 2000 docs, 28 rare tokens from a 600k
+    // vocab + 2 Zipf stopwords from a 20-word pool: random-pair J ~ 0.02,
+    // exactly the regime where the multiplier structure exploded.
+    import graft.functions.TextFns._
+    val toks = transform(sequence(lit(0), lit(29)), j => {
+      val u = pmod(xxhash64(col("id"), j, lit(77)), lit(1000000L)).cast("double") / 1e6
+      when(j < 2, concat(lit("s"), floor(pow(lit(20.0), u)).cast("long").cast("string")))
+        .otherwise(concat(lit("t"), floor(u * 600000).cast("long").cast("string")))
+    })
+    val docs = spark.range(2000).select(col("id").as("doc_id"), array_join(toks, " ").as("text"))
+    val collisions = docs
+      .select(transform(tokenSet(col("text")), tokenHash(_)).as("hs"))
+      .filter(size(col("hs")) > 0)
+      .select(explode(lshBands(minhashSig(col("hs"), 64), 16, 4)).as("band"))
+      .groupBy("band").agg(count(lit(1)).as("k"))
+      .agg(sum(col("k") * (col("k") - 1))).head.getLong(0) / 2
+    assert(collisions < 200,
+      s"$collisions band collisions on a dissimilar corpus — minhash planes are correlated")
+  }
+
   test("qn10 IVF ANN returns usable neighbors with bounded candidate work") {
     def keySet(name: String) = SparkEntry.queries(name)(spark, sf)
       .select("probe_id", "vec_id").collect()

@@ -211,6 +211,30 @@ class ZoneMapSpec extends AnyFunSuite {
     assert(ZoneMap.refreshStats(spark, dataDir, statsPath, Seq("o_orderkey")) == 0L)
   }
 
+  test("stats-swap crash recovery: a refresh restores the moved-aside table and re-runs the diff") {
+    import org.apache.hadoop.fs.Path
+    val (dataDir, statsPath) = mkLake()
+    val fs = new Path(dataDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val statsP = fs.makeQualified(new Path(statsPath))
+    val aside = new Path(statsP.getParent, s".${statsP.getName}_rebuild_old")
+    // Crash between the two renames: live table moved aside, rebuild
+    // never moved in — statsPath is missing, readers fail loudly. The
+    // next refresh must restore the aside (the pre-rebuild table is
+    // still correct, merely unpruned) instead of degrading to a
+    // full-lake rescan.
+    require(fs.rename(statsP, aside))
+    assert(ZoneMap.refreshStats(spark, dataDir, statsPath, Seq("o_orderkey")) == 0L,
+      "recovery must restore the aside, leaving nothing newly covered")
+    assert(fs.exists(statsP) && !fs.exists(aside))
+    val pr = ZoneMap.prunedScan(spark, dataDir, statsPath, "o_orderkey", 100L, 140L)
+    assert(pr.nFilesRead > 0 && pr.nFilesRead < pr.nFilesTotal)
+    // Crash AFTER the swap committed (cleanup never ran): a leftover
+    // aside next to a live table is just deleted.
+    fs.mkdirs(aside)
+    assert(ZoneMap.refreshStats(spark, dataDir, statsPath, Seq("o_orderkey")) == 0L)
+    assert(!fs.exists(aside), "committed-swap aside must be cleaned up")
+  }
+
   test("refresh ignores hidden dirs: a crash-window compaction aside never enters the stats") {
     val (dataDir, statsPath) = mkLake()
     // Simulate the 2-phase-swap crash window: an aside dir holding a
