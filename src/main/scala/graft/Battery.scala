@@ -76,6 +76,20 @@ object Battery {
       }
     }
     def reset(): Unit = byStage.clear()
+    /** Drain the async listener bus before reading or resetting: task-end
+      * events can trail collect() by a beat, and a reset racing a prior
+      * rep's stragglers would misattribute records across forms. Waits
+      * until the observed event count is stable for 3 consecutive
+      * 100 ms checks (10 s cap). */
+    def quiesce(): Unit = {
+      var last = -1L; var same = 0
+      val deadline = System.nanoTime() + 10000000000L
+      while (same < 3 && System.nanoTime() < deadline) {
+        Thread.sleep(100)
+        val cur = byStage.values.map(_.size.toLong).sum
+        if (cur == last) same += 1 else { same = 0; last = cur }
+      }
+    }
     /** (max, mean-of-nonzero, n-nonzero-tasks) for the heaviest shuffle-read stage. */
     def spread(): (Long, Double, Int) = {
       val heaviest = byStage.values.filter(_.exists(_ > 0)).maxByOption(_.sum)
@@ -111,8 +125,9 @@ object Battery {
     val listener = new SpreadListener
     s.sparkContext.addSparkListener(listener)
     def run(tag: String, df: => DataFrame): (Seq[String], Double) = {
-      listener.reset()
+      listener.quiesce(); listener.reset()
       val (rows, secs) = timed(df.collect().map(_.toString).toSeq)
+      listener.quiesce()
       val (mx, mean, k) = listener.spread()
       println(f"""{"battery":"skew","form":"$tag","rows":$n,"sec":$secs%.2f,"reduce_max_records":$mx,"reduce_mean_records":$mean%.0f,"reduce_tasks":$k,"spread":${mx / math.max(mean, 1.0)}%.1f}""")
       (rows, secs)

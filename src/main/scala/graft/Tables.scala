@@ -50,13 +50,30 @@ object Tables {
     * contract are pinned by fixture tests in RelationalSpec ("events
     * loader survives both parquet timestamp encodings").
     */
+  /** One nanos sibling per caller session, created lazily and reused —
+    * events() is on the hot path of ~15 registered queries, and a fresh
+    * SessionState per call is needless churn. Weak keys: a discarded
+    * caller session must not pin its sibling. */
+  private val nanosSessions =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, SparkSession]())
+
   def events(spark: SparkSession, dir: String): DataFrame = {
-    val nanosSession = spark.newSession()
-    // newSession starts from the builder-time conf; re-apply the caller's
-    // runtime deltas so the only divergence is the nanos flag. Static
-    // confs in getAll refuse runtime set — skip them, they already match.
+    val nanosSession = nanosSessions.synchronized {
+      val cached = nanosSessions.get(spark)
+      if (cached != null) cached
+      else { val s = spark.newSession(); nanosSessions.put(spark, s); s }
+    }
+    // Re-sync the caller's runtime conf on every call (the sibling starts
+    // from builder-time conf; later runtime changes must follow) — only
+    // entries that actually differ, so the steady-state cost is a map
+    // walk, not hundreds of set() calls. Static confs refuse runtime set
+    // and cannot differ (both sessions share the builder values) — the
+    // narrow catch documents exactly that case.
     spark.conf.getAll.foreach { case (k, v) =>
-      try nanosSession.conf.set(k, v) catch { case _: Exception => () }
+      if (nanosSession.conf.getOption(k) != Some(v))
+        try nanosSession.conf.set(k, v)
+        catch { case _: org.apache.spark.sql.AnalysisException => () }
     }
     nanosSession.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = nanosSession.read.parquet(s"$dir/events.parquet")

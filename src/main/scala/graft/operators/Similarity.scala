@@ -89,12 +89,32 @@ object Similarity {
     * plane the SAME period-97 sign sequence at a different phase — two
     * of the 16 planes landed PERFECTLY correlated, inflating band
     * collision probability 0.091 vs the 0.0625 design (measured,
-    * round-12; the minhash battery's lesson applied here). Independent
-    * strides (any of 1..96 is coprime to the prime 97) cut mean
-    * inter-plane correlation 8x and restore the designed bucket sizes.
+    * round-12; the minhash battery's lesson applied here).
+    *
+    * The strides are DISTINCT and drawn from 1..48 only, by rejection
+    * over the mix64 stream: a repeated stride recreates the original
+    * defect between that pair (same sequence, shifted phase), and
+    * strides b and 97-b walk the same period-97 sequence in opposite
+    * directions (sign patterns that are reverses of each other —
+    * measured |corr| 0.84 between two such planes in the first
+    * independent-draw cut, round-12 review). Restricting to the lower
+    * half eliminates complementary pairs structurally; 16 distinct
+    * strides from 48 leave the measured bucket balance at the 0.0625
+    * design and pairwise sequence correlations at the random-±1
+    * baseline (max 0.375 at 64 dims). Both properties are spec-pinned.
     */
   private[graft] def signA(p: Int): Long = Math.floorMod(mix64(1000L + 2L * p), 97L)
-  private[graft] def signB(p: Int): Long = Math.floorMod(mix64(1001L + 2L * p), 96L) + 1L
+  private[graft] lazy val signStrides: IndexedSeq[Long] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var k = 0L
+    while (out.size < 16) {
+      val c = Math.floorMod(mix64(5000L + k), 48L) + 1L
+      if (!out.contains(c)) out += c
+      k += 1
+    }
+    out.toIndexedSeq
+  }
+  private[graft] def signB(p: Int): Long = signStrides(p)
   private def sign(p: Int, d: Column): Column =
     when(((lit(signA(p)) + d * lit(signB(p))) % 97L) < 48L, lit(1.0))
       .otherwise(lit(-1.0))

@@ -103,6 +103,7 @@ object IngestClean {
 
     val (withRn, inBatchFirst) = spine(batch.filter(qualityOk))
     val exactNovel = novel(inBatchFirst)
+    try {
 
     // Near-dup doc_ids, decided per band WITHOUT a self-join: a doc is an
     // in-batch near-dup iff some band it occupies saw an earlier arrival
@@ -201,12 +202,43 @@ object IngestClean {
       if (pathExists(spark, lakeDir))
         graft.sources.ZoneMap.refreshStats(spark, lakeDir, sp, zoneCols): Unit
     }
-    val stats = BatchStats(
+    BatchStats(
       obsIn.get("n").asInstanceOf[Long],
       obsQuality.get("n").asInstanceOf[Long],
       obsNovel.get("n").asInstanceOf[Long],
       obsApp.get("n").asInstanceOf[Long])
-    lakeNrm.foreach(_.unpersist(): Unit)
-    stats
+    // The finally matters: a transient failure in any write above must
+    // not leave the corpus-sized lake-nrm distinct pinned in storage
+    // memory across foreachBatch retries.
+    } finally lakeNrm.foreach(_.unpersist(): Unit)
+  }
+
+  /** Repair the band index after the one crash window [[cleanBatch]]
+    * cannot self-heal: a failure BETWEEN the lake append and the index
+    * append commits survivors to the lake whose bands never reach the
+    * index — and the replay can't fill them in, because the replayed
+    * rows are exact-dups of their own first write and never reach the
+    * index append. Without repair, every future near-dup of those docs
+    * passes the band check: silent, unbounded recall loss.
+    *
+    * The repair is the set difference the crashed batch lost: lake docs
+    * absent from the index get their band rows appended. O(lake ⋈
+    * index) on doc_id — a startup/periodic maintenance call (run it on
+    * recovery before resuming the stream), NOT a per-batch cost.
+    * Idempotent: a second call finds nothing missing. Docs that band to
+    * nothing (empty token sets) are re-examined each call and re-append
+    * nothing — harmless. Returns the number of docs re-indexed. */
+  def repairIndex(spark: SparkSession, lakeDir: String, indexDir: String): Long = {
+    if (!pathExists(spark, lakeDir)) return 0L
+    val lake = spark.read.parquet(lakeDir).select("doc_id", "text", "us")
+    val missing =
+      if (!pathExists(spark, indexDir)) lake
+      else lake.join(spark.read.parquet(indexDir).select("doc_id").distinct(),
+        Seq("doc_id"), "left_anti")
+    val bands = StreamDedup.banded(missing).toDF()
+      .select("band", "doc_id").localCheckpoint(true)
+    val n = bands.select("doc_id").distinct().count()
+    if (n > 0) bands.write.mode(SaveMode.Append).parquet(indexDir)
+    n
   }
 }

@@ -197,6 +197,19 @@ class NorthStarSpec extends AnyFunSuite {
       s"$collisions band collisions on a dissimilar corpus — minhash planes are correlated")
   }
 
+  test("sign-LSH strides are distinct and non-complementary (no phase-shifted plane pairs)") {
+    // Two planes with the SAME stride are one period-97 sign sequence at
+    // two phases — the original correlated-plane defect; strides b and
+    // 97-b walk that sequence in opposite directions (measured |corr|
+    // 0.84 between such a pair in the first independent-draw cut). The
+    // draw restricts to 1..48 (structurally no complementary pair) and
+    // rejects duplicates.
+    val strides = graft.operators.Similarity.signStrides
+    assert(strides.size == 16)
+    assert(strides.distinct.size == strides.size, s"duplicate stride: $strides")
+    assert(strides.forall(s => s >= 1 && s <= 48), s"stride outside 1..48: $strides")
+  }
+
   test("qn10 IVF ANN returns usable neighbors with bounded candidate work") {
     def keySet(name: String) = SparkEntry.queries(name)(spark, sf)
       .select("probe_id", "vec_id").collect()

@@ -343,6 +343,83 @@ class StreamDedupSpec extends AnyFunSuite {
       s"unexplained quarantine extras beyond the replay artifact: $extras")
   }
 
+  test("repairIndex fills the lake->index crash hole and restores near-dup detection") {
+    // The one window cleanBatch cannot self-heal: a crash between the
+    // lake append and the index append leaves lake docs with no band
+    // rows — and the replay can't fill them (the replayed rows are
+    // exact-dups of their own first write). Simulate the hole by
+    // writing lake rows directly, then repair and verify a near-dup
+    // arriving afterwards is actually caught.
+    import graft.streaming.IngestClean
+    val dir = java.nio.file.Files.createTempDirectory("graft_ingest_repair").toString
+    val (lake, idx) = (s"$dir/lake", s"$dir/index")
+    val dText = "zebra yak xylophone walrus vulture tiger snake rabbit quail panda otter"
+    // the crashed batch: survivors reached the lake, bands never reached the index
+    spark.createDataFrame(Seq(Doc(1, dText, 1000000L)))
+      .withColumn("nrm", org.apache.spark.sql.functions.lower(col("text")))
+      .write.parquet(lake)
+    // without repair, the near-dup of doc 1 sails through
+    assert(IngestClean.repairIndex(spark, lake, idx) == 1L)
+    assert(IngestClean.repairIndex(spark, lake, idx) == 0L, "repair must be idempotent")
+    val indexed = spark.read.parquet(idx).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(indexed == Set(1L), s"index holds $indexed")
+    val batch = spark.createDataFrame(Seq(
+      Doc(2, dText.split(' ').reverse.mkString(" "), 2000000L)))
+    val stats = IngestClean.cleanBatch(spark, batch, lake, idx)
+    assert(stats.appended == 0L, "near-dup of the repaired doc was not caught")
+    val kept = spark.read.parquet(lake).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L))
+  }
+
+  test("state-store restart: band buckets survive a checkpoint stop/start and still pair") {
+    // The OTHER recovery surface: IngestClean's crash test proves
+    // foreachBatch idempotence; this proves flatMapGroupsWithState's
+    // keyed state (the LSH band buckets) is restored from the state
+    // store — a doc ingested BEFORE the stop must pair with its
+    // near-dup arriving AFTER the restart, which only happens if the
+    // bucket membership survived, and the restarted run must emit no
+    // duplicate pairs.
+    import org.apache.spark.sql.types._
+    val root = java.nio.file.Files.createTempDirectory("graft_sdedup_cp").toString
+    val schema = StructType(Seq(StructField("doc_id", LongType, nullable = false),
+      StructField("text", StringType, nullable = false),
+      StructField("us", LongType, nullable = false)))
+    val textA = "the quick brown fox jumps over the lazy dog again and again"
+    val files = Seq(
+      Seq(Doc(1, textA, 1000000L),
+        Doc(2, "completely unrelated text about database engines and parquet files", 2000000L)),
+      Seq(Doc(3, textA, 3000000L)))  // pairs with doc 1 ACROSS the restart
+    val src = s"$root/src"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(src))
+    def addFile(i: Int): Unit = {
+      val stage = s"$root/stage$i"
+      spark.createDataFrame(files(i)).coalesce(1).write.parquet(stage)
+      val part = new java.io.File(stage).listFiles().find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(src, f"b$i%03d.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      assert(dst.setLastModified(1700000000000L + i * 60000L))
+    }
+    val (cp, out) = (s"$root/cp", s"$root/pairs")
+    def runOnce(): Unit = {
+      val q = StreamDedup.nearDupPairsStreaming(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src),
+        horizonMs = 1000L * 3600 * 24 * 365)
+        .writeStream.option("checkpointLocation", cp)
+        .format("parquet").option("path", out)
+        .outputMode("append").start()
+      try { q.processAllAvailable() } finally q.stop()
+    }
+    addFile(0); runOnce()                  // doc 1's buckets enter the state store
+    addFile(1); runOnce()                  // restart from checkpoint, doc 3 arrives
+    val pairs = spark.read.parquet(out).select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(pairs.distinct.size == pairs.size, s"duplicate pairs after restart: $pairs")
+    assert(pairs.contains((1L, 3L)),
+      s"state lost across restart: doc 3 failed to pair with pre-restart doc 1 ($pairs)")
+  }
+
   test("horizon eviction: an expired bucket stops pairing") {
     val h = 3600L * 1000 // 1 hour horizon
     val hour = 3600L * 1000000
