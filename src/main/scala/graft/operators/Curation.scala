@@ -1004,6 +1004,59 @@ object Curation {
           col("fp_full"))
         .withColumn("consistent", col("fp_updated") === col("fp_full"))
         .orderBy("lang")
+    },
+
+    // Snapshot DRIFT report — the question qp08's additive audit cannot
+    // answer: which partitions changed between two corpus VERSIONS when
+    // the change is arbitrary (edits, deletions), not an append. Edits
+    // are not additive, so the answer is a per-partition fingerprint
+    // COMPARE: fingerprint both versions (one single-scan aggregate
+    // each), full-outer join on the partition key, and a lang drifts iff
+    // its fp or count differs (null-safe — a lang present in only one
+    // version drifts by definition). This is the incremental-pipeline
+    // gate: only drifted partitions re-validate / re-dedup / re-shard.
+    // The "new version" derives deterministically from the same table
+    // (docs at doc_id%97=0 edited, doc_id%101=0 deleted) so DuckDB can
+    // replay every byte; in production the old side is the STORED
+    // per-partition fingerprint table — an O(partitions) read, with only
+    // the new version scanned.
+    Q("qp10_snapshot_drift",
+      s"""WITH v_new AS (
+         |  SELECT doc_id,
+         |         CASE WHEN doc_id % 97 = 0 THEN text || ' v2' ELSE text END AS text,
+         |         lang, source,
+         |         CASE WHEN doc_id % 97 = 0 THEN n_chars + 3 ELSE n_chars END AS n_chars
+         |  FROM documents WHERE doc_id % 101 <> 0),
+         |f_old AS (SELECT lang, COUNT(*) AS n_docs_old, $fpDigestSumSql AS fp_old
+         |          FROM documents GROUP BY lang),
+         |f_new AS (SELECT lang, COUNT(*) AS n_docs_new, $fpDigestSumSql AS fp_new
+         |          FROM v_new GROUP BY lang)
+         |SELECT COALESCE(o.lang, n.lang) AS lang,
+         |       COALESCE(n_docs_old, 0) AS n_docs_old,
+         |       COALESCE(n_docs_new, 0) AS n_docs_new,
+         |       COALESCE(fp_old, 0) AS fp_old, COALESCE(fp_new, 0) AS fp_new,
+         |       (fp_old IS DISTINCT FROM fp_new)
+         |         OR (n_docs_old IS DISTINCT FROM n_docs_new) AS drifted
+         |FROM f_old o FULL OUTER JOIN f_new n ON o.lang = n.lang
+         |ORDER BY lang""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val edited = col("doc_id") % 97 === 0
+      val vNew = docs.filter(col("doc_id") % 101 =!= 0)
+        .withColumn("text", when(edited, concat(col("text"), lit(" v2"))).otherwise(col("text")))
+        .withColumn("n_chars", when(edited, col("n_chars") + 3).otherwise(col("n_chars")))
+      val fOld = corpusFingerprint(docs)
+        .select(col("lang"), col("n_docs").as("n_docs_old"), col("fp").as("fp_old"))
+      val fNew = corpusFingerprint(vNew)
+        .select(col("lang"), col("n_docs").as("n_docs_new"), col("fp").as("fp_new"))
+      fOld.join(fNew, Seq("lang"), "full_outer")
+        .select(col("lang"),
+          coalesce(col("n_docs_old"), lit(0L)).as("n_docs_old"),
+          coalesce(col("n_docs_new"), lit(0L)).as("n_docs_new"),
+          coalesce(col("fp_old"), lit(0L)).as("fp_old"),
+          coalesce(col("fp_new"), lit(0L)).as("fp_new"),
+          (not(col("fp_old") <=> col("fp_new")) ||
+            not(col("n_docs_old") <=> col("n_docs_new"))).as("drifted"))
+        .orderBy("lang")
     }
   )
 
