@@ -314,6 +314,16 @@ class NorthStarSpec extends AnyFunSuite {
       .collect().map(_.toString).toSeq
     assert(joined.collect().map(_.toString).toSeq == viaCollect,
       "assignment-join probe diverged from the collect-routing probe")
+
+    // And a SELECTIVE probe batch through the join path still prunes the
+    // index lake — at RUNTIME, via dynamic partition pruning on the
+    // cent_id equi-join (the collect path prunes with a static IN-list;
+    // the join path gets the same skip from Spark's DPP without ever
+    // collecting a route). Corpus-sized batches genuinely need every
+    // cell, so this is exactly the two-regime behavior the serving path
+    // wants.
+    assert(joined.queryExecution.executedPlan.toString.contains("dynamicpruning"),
+      "no dynamic partition pruning on the index lake for a selective probe")
   }
 
   test("qn10c append never rewrites an untouched cell and reaches the full corpus") {

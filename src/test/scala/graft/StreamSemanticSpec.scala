@@ -220,4 +220,56 @@ class StreamSemanticSpec extends AnyFunSuite {
     assert(out.sorted.toSeq == batchRows.sorted.toSeq,
       s"stream/batch diverged: stream=${out.size} batch=${batchRows.length}")
   }
+
+  test("state-store restart: cluster members survive a checkpoint stop/start") {
+    // The semantic twin of StreamDedupSpec's restart pin: a vector
+    // ingested BEFORE the stop must still suppress its semantic dup
+    // arriving AFTER the restart — only possible if the cluster-member
+    // state (mapGroupsWithState keyed by cent_id) was restored from the
+    // state store; and the restarted run must emit exactly one decision
+    // per vector.
+    import org.apache.spark.sql.types._
+    val root = java.nio.file.Files.createTempDirectory("graft_sem_cp").toString
+    val schema = StructType(Seq(StructField("vec_id", LongType, nullable = false),
+      StructField("embedding", ArrayType(FloatType, containsNull = false), nullable = false),
+      StructField("us", LongType, nullable = false)))
+    val e1 = Array(1.0f, 0.0f, 0.0f, 0.0f)
+    val e2 = Array(0.0f, 1.0f, 0.0f, 0.0f)
+    val cents = IndexedSeq(1L -> e1, 2L -> e2)
+    val files = Seq(
+      Seq((1L, e1.toSeq, 1000000L), (2L, e2.toSeq, 2000000L)),
+      Seq((3L, e1.toSeq, 3000000L)))  // semantic dup of vec 1, ACROSS the restart
+    val src = s"$root/src"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(src))
+    def addFile(i: Int): Unit = {
+      val stage = s"$root/stage$i"
+      val rows = files(i).map { case (id, e, us) => org.apache.spark.sql.Row(id, e, us) }
+      spark.createDataFrame(spark.sparkContext.parallelize(rows), schema)
+        .coalesce(1).write.parquet(stage)
+      val part = new java.io.File(stage).listFiles().find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(src, f"b$i%03d.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      assert(dst.setLastModified(1700000000000L + i * 60000L))
+    }
+    val (cp, out) = (s"$root/cp", s"$root/decisions")
+    def runOnce(): Unit = {
+      import spark.implicits._
+      val q = StreamSemantic.semanticDedupStreaming(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src).as[VecIn],
+        cents, T, horizonMs = 1000L * 3600 * 24 * 365)
+        .writeStream.option("checkpointLocation", cp)
+        .format("parquet").option("path", out)
+        .outputMode("append").start()
+      try { q.processAllAvailable() } finally q.stop()
+    }
+    addFile(0); runOnce()                  // vec 1 becomes cluster 1's member
+    addFile(1); runOnce()                  // restart; vec 3 must hit restored state
+    import spark.implicits._
+    val decisions = spark.read.parquet(out).as[Decision].collect()
+      .map(d => d.vec_id -> (d.kept, d.dup_of)).toMap
+    assert(decisions.size == 3, s"expected one decision per vector, got $decisions")
+    assert(decisions(1L) == (true, -1L) || decisions(1L)._1, s"vec 1 should be kept: $decisions")
+    assert(decisions(3L) == (false, 1L),
+      s"state lost across restart: vec 3 was not suppressed against pre-restart vec 1 ($decisions)")
+  }
 }
