@@ -276,11 +276,29 @@ object Dedup {
     // both broadcast payloads (3 subtrees).
     val ep = grp.withColumn("pids", slice(col("ids"), lit(1), prefixLen))
       .localCheckpoint(true)
-    // Size probe for the join-strategy choice: distinct-set count and
-    // total prefix-index rows, one agg over the materialized frame.
-    val epStats = ep.agg(count(lit(1)), coalesce(sum(size(col("pids"))), lit(0L))).head
+    // Size probe for the join-strategy choice: distinct-set count, total
+    // prefix-index rows, AND the array mass of the wide payload columns
+    // — one agg over the materialized frame. The array sums feed
+    // sizedWide's byte budget: the row-count cap alone is calibrated for
+    // narrow rows, and a 4M-group payload side carrying two ~48-int
+    // arrays per row passes 8M rows while its broadcast collect blows
+    // spark.driver.maxResultSize (found by the round-12 paircurve
+    // battery at 4M docs — the exact failure sizedWide's scaladoc
+    // predicted for token arrays).
+    val epStats = ep.agg(count(lit(1)),
+      coalesce(sum(size(col("pids"))), lit(0L)),
+      coalesce(sum(size(col("ids"))), lit(0L)),
+      coalesce(sum(size(col("members"))), lit(0L))).head
     val nGroups = epStats.getLong(0)
     val nPrefixRows = epStats.getLong(1)
+    val nIdElems = epStats.getLong(2)
+    val nMemberElems = epStats.getLong(3)
+    // UnsafeRow-ish estimate: fixed row overhead + 8B per array element
+    // plus array headers; deliberately round up (12B/elem).
+    def avgBytes(elems: Long*): Long =
+      48L + elems.map(e => 12L * (e / math.max(nGroups, 1L))).sum
+    val payRowBytes = avgBytes(nIdElems, nPrefixRows)
+    val memberRowBytes = avgBytes(nMemberElems)
 
     // Shared candidate-occurrence head: one row per shared prefix token.
     def candidates(pay: String => DataFrame): DataFrame = {
@@ -312,9 +330,10 @@ object Dedup {
           .filter(col("tok") === firstCommon)
           .withColumn("n_inter", bit_count(col("bm_a").bitwiseAND(col("bm_b"))))
       } else {
-        def pay(side: String) = sized(s, ep.select(
+        def pay(side: String) = sizedWide(s, ep.select(
           col("doc_id").as(s"doc_$side"), col("ids").as(s"ids_$side"),
-          col("pids").as(s"pids_$side"), col("sz").as(s"sz_$side")), nGroups)
+          col("pids").as(s"pids_$side"), col("sz").as(s"sz_$side")),
+          nGroups, payRowBytes)
         candidates(pay)
           // Exactly-once per pair, merge-walk form of the same filter.
           .filter(col("tok") === SortedFirstCommon(col("pids_a"), col("pids_b")))
@@ -334,8 +353,10 @@ object Dedup {
     // every threshold.
     val members = ep.select(col("doc_id").as("rep"), col("members"), col("sz"))
     val cross = repPairs
-      .join(sized(s, members.select(col("rep").as("doc_a"), col("members").as("ma")), nGroups), "doc_a")
-      .join(sized(s, members.select(col("rep").as("doc_b"), col("members").as("mb")), nGroups), "doc_b")
+      .join(sizedWide(s, members.select(col("rep").as("doc_a"), col("members").as("ma")),
+        nGroups, memberRowBytes), "doc_a")
+      .join(sizedWide(s, members.select(col("rep").as("doc_b"), col("members").as("mb")),
+        nGroups, memberRowBytes), "doc_b")
       .select(explode(col("ma")).as("a"), col("mb"), col("n_inter"), col("n_union"))
       .select(col("a"), explode(col("mb")).as("b"), col("n_inter"), col("n_union"))
       .select(least(col("a"), col("b")).as("doc_a"),
@@ -468,7 +489,12 @@ object Dedup {
         .agg(min(col("doc_id")).as("doc_id"),
           array_sort(collect_list(col("doc_id"))).as("members"))
         .localCheckpoint(true)
-      val nGrp = grp.count() // size probe on the materialized frame
+      // Size probe on the materialized frame: group count + member-array
+      // mass (the byte-budget input for the wide sides) in one pass.
+      val grpStats = grp.agg(count(lit(1)),
+        coalesce(sum(size(col("members"))), lit(0L))).head
+      val nGrp = grpStats.getLong(0)
+      val memberElems = grpStats.getLong(1)
       // Band key = struct(bandIdx, the 4 signature rows): tuple equality
       // is EXACTLY the oracle's string-key equality (fixed arity, numeric
       // fields) without building/compare of concat'd strings. One row per
@@ -482,8 +508,14 @@ object Dedup {
           struct((lit(b).as("b") +: (0 until 4).map(r =>
             col("sig").getItem(b * 4 + r).as(s"h$r"))): _*)
         }: _*)).as("band"))
-      val pay = (side: String) => sized(s, grp.select(
-        col("doc_id").as(s"doc_$side"), col("sig").as(s"sig_$side")), nGrp)
+      // sizedWide, not sized: a signature row is a 64-long array
+      // (~600 B serialized), so the narrow-row count cap alone lets a
+      // multi-million-group corpus broadcast gigabytes into the driver
+      // (the round-12 paircurve battery hit spark.driver.maxResultSize
+      // at 4M docs — the qn03 payload-side lesson, same fix).
+      val sigRowBytes = 48L + 12L * 64L
+      val pay = (side: String) => sizedWide(s, grp.select(
+        col("doc_id").as(s"doc_$side"), col("sig").as(s"sig_$side")), nGrp, sigRowBytes)
       // Measured-size strategy — banded derives from a localCheckpoint
       // whose default stats would otherwise force a sort-merge join (see
       // [[sized]]). DELIBERATELY narrow: the banded rows do carry their
@@ -507,9 +539,14 @@ object Dedup {
       // Expand rep pairs to doc pairs (cross-group: one unordered group
       // pair per doc pair; within-group: full agreement on all 64 rows).
       val members = grp.select(col("doc_id").as("rep"), col("members"), size(col("sig")).as("n_sig"))
+      // members arrays are ~1 element on a realistic corpus but unbounded
+      // on a dup-heavy one — byte-budget them from the measured average.
+      val memberRowBytes = 48L + 12L * (memberElems / math.max(nGrp, 1L))
       val cross = repPairs
-        .join(sized(s, members.select(col("rep").as("doc_a"), col("members").as("ma")), nGrp), "doc_a")
-        .join(sized(s, members.select(col("rep").as("doc_b"), col("members").as("mb")), nGrp), "doc_b")
+        .join(sizedWide(s, members.select(col("rep").as("doc_a"), col("members").as("ma")),
+          nGrp, memberRowBytes), "doc_a")
+        .join(sizedWide(s, members.select(col("rep").as("doc_b"), col("members").as("mb")),
+          nGrp, memberRowBytes), "doc_b")
         .select(explode(col("ma")).as("a"), col("mb"), col("n_agree"))
         .select(col("a"), explode(col("mb")).as("b"), col("n_agree"))
         .select(least(col("a"), col("b")).as("doc_a"),

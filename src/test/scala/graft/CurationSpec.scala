@@ -528,4 +528,32 @@ class CurationSpec extends AnyFunSuite {
     val tlang = docs.orderBy("doc_id").select("lang").head.getString(0)
     assert(fps(tampered)(tlang)._2 != full(tlang)._2, "tampered doc did not move fp")
   }
+
+  test("qp10 drift localization: an edit moves ONLY its partition's fingerprint, counts unchanged") {
+    // The property the drift report is built on: comparing per-partition
+    // fingerprints localizes an arbitrary edit to exactly the partitions
+    // it touched — and detects it with row counts UNCHANGED, the case a
+    // count-based diff is structurally blind to.
+    import operators.Curation
+    val docs = Tables.documents(spark, sf)
+    def fps(df: org.apache.spark.sql.DataFrame): Map[String, (Long, Long)] =
+      Curation.corpusFingerprint(df).collect()
+        .map(r => r.getAs[String]("lang") ->
+          (r.getAs[Long]("n_docs"), r.getAs[Long]("fp"))).toMap
+    val full = fps(docs)
+    val editLang = docs.orderBy("doc_id").select("lang").head.getString(0)
+    val editedId = docs.filter(col("lang") === editLang)
+      .agg(min("doc_id")).head.getLong(0)
+    val edited = fps(docs.withColumn("text",
+      when(col("doc_id") === editedId, concat(col("text"), lit(" v2")))
+        .otherwise(col("text"))))
+    full.foreach { case (lang, (n, fp)) =>
+      val (ne, fe) = edited(lang)
+      assert(ne == n, s"$lang count moved on an edit")
+      if (lang == editLang)
+        assert(fe != fp, s"edited partition $lang did not drift")
+      else
+        assert(fe == fp, s"untouched partition $lang drifted")
+    }
+  }
 }
