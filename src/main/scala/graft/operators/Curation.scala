@@ -772,8 +772,10 @@ object Curation {
       val gf = g.join(hot, Seq("gram"), "left_anti").localCheckpoint(true)
       val nGrams = gf.count() // size probe for the join-strategy choice
       val m = gf.select(col("doc_id").as("doc_a"), col("pos").as("pa"), col("gram"))
-        .join(Dedup.sized(s, gf.select(col("doc_id").as("doc_b"),
-          col("pos").as("pb"), col("gram")), nGrams), "gram")
+        // ~96 B/row: gram rows carry the 3-token shingle string — byte-
+        // budgeted so a near-cap gram table can't broadcast ~0.8 GB.
+        .join(Dedup.sizedWide(s, gf.select(col("doc_id").as("doc_b"),
+          col("pos").as("pb"), col("gram")), nGrams, 96L), "gram")
         .filter(col("doc_a") < col("doc_b"))
       val wDiag = Window.partitionBy(col("doc_a"), col("doc_b"), col("diag"))
         .orderBy(col("pa"))

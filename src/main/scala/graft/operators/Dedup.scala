@@ -254,7 +254,10 @@ object Dedup {
     val (ranked, vocabN) = globalRanks(dfreq, col("df"), col("tok"))
     val vocab = ranked.select(col("tok"), col("gpos").cast("int").as("tid"))
     val enc = tm.select(col("doc_id"), explode(col("toks")).as("tok"))
-      .join(sized(s, vocab, vocabN), "tok")
+      // ~64 B/row budget: vocab rows carry the token STRING (3-word
+      // shingles in qn03b), so the narrow-row count cap alone could
+      // broadcast ~0.6 GB of a near-cap vocabulary.
+      .join(sizedWide(s, vocab, vocabN, 64L), "tok")
       .groupBy("doc_id")
       .agg(array_sort(collect_list(col("tid"))).as("ids"))
       .withColumn("sz", size(col("ids")))
@@ -527,7 +530,9 @@ object Dedup {
       // payload maps afterward. Same lesson as the round-1 shuffle rule:
       // keys travel, payloads rejoin.
       val repPairs = banded.as("x")
-        .join(sized(s, banded.as("y"), 16L * nGrp), col("x.band") === col("y.band"))
+        // ~96 B/row: the 5-field band struct is wider than a narrow pair
+        // row, so the count cap alone under-budgets the build side.
+        .join(sizedWide(s, banded.as("y"), 16L * nGrp, 96L), col("x.band") === col("y.band"))
         .filter(col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
           col("x.band").getField("b").as("b"))
