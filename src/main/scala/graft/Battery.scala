@@ -360,13 +360,32 @@ object Battery {
         .groupBy("band").agg(count(lit(1)).as("k"))
         .agg(sum(col("k") * (col("k") - 1))).head.getLong(0) / 2
 
+      // qn06 candidate volume: 4x15-bit simhash chunk buckets. NOTE the
+      // structural expectation differs from qn03/qn04: pigeonhole
+      // blocking on ~uniform hashes divides the all-pairs count by a
+      // CONSTANT (2^15/4), it does not linearize — candidates grow ~N^2
+      // by design, and the honest scale story is widening the chunks as
+      // the corpus grows (the radius/width tradeoff). Measured here so
+      // the curve states it rather than implying qn06 matches the
+      // linear plans.
+      val c06 = docs
+        .select(col("doc_id"), transform(tokenSet(col("text")), tokenHash60(_)).as("hs"))
+        .filter(size(col("hs")) > 0)
+        .select(simhash(col("hs")).as("sim"))
+        .select(explode(array((0 until 4).map(c =>
+          lit(c.toLong << 15).bitwiseOR(
+            shiftright(col("sim"), c * 15).bitwiseAND(lit((1L << 15) - 1)))): _*)).as("key"))
+        .groupBy("key").agg(count(lit(1)).as("k"))
+        .agg(sum(col("k") * (col("k") - 1))).head.getLong(0) / 2
+
       def runQ(q: String): (Long, Double) = {
         val (cnt, sec) = timed(SparkEntry.queries(q)(s, root).count())
         (cnt, sec)
       }
       val (p03, s03) = runQ("qn03_jaccard_pairs")
       val (p04, s04) = runQ("qn04_minhash_lsh_pairs")
-      println(f"""{"battery":"paircurve","docs":$n,"qn03_sec":$s03%.1f,"qn03_pairs":$p03,"qn03_candidates":$c03,"qn04_sec":$s04%.1f,"qn04_pairs":$p04,"qn04_candidates":$c04}""")
+      val (p06, s06) = runQ("qn06_simhash_near_pairs")
+      println(f"""{"battery":"paircurve","docs":$n,"qn03_sec":$s03%.1f,"qn03_pairs":$p03,"qn03_candidates":$c03,"qn04_sec":$s04%.1f,"qn04_pairs":$p04,"qn04_candidates":$c04,"qn06_sec":$s06%.1f,"qn06_pairs":$p06,"qn06_candidates":$c06}""")
       operators.Dedup.clearMemo(s)
       s.catalog.clearCache()
     }
