@@ -142,6 +142,67 @@ object BloomLake {
       value: String, driverMax: Int = 64): Seq[String] =
     probeWhere(spark, files, colName, StringKey(value), driverMax)
 
+  /** SET-probe: which of `files` might contain `colName = v` for ANY of
+    * `values` — the per-micro-batch pruning filter of the streaming
+    * ingest (`IngestClean`): the batch's key set (shas, LSH bands)
+    * excludes every index/lake file that provably holds none of them, so
+    * the dedup joins scan O(touched files), not O(corpus).
+    *
+    * Two deliberate semantic differences from the single-key
+    * [[probeStringWhere]], both because the probed column may POSTDATE
+    * old files (the sha column is added to an already-running lake):
+    *
+    *  - a row group whose column is ABSENT is a MAYBE (must be scanned —
+    *    its rows exist, their key values are simply not indexed), where
+    *    the single-key probe excludes it (there the column is declared
+    *    table schema, so absence means all-NULL);
+    *  - no `columnSeen` require: a lake with zero post-upgrade files has
+    *    the column nowhere, and the correct answer is "scan everything",
+    *    not an error.
+    *
+    * Row groups short-circuit on the first hitting key. Empty `values`
+    * means no key can hit anywhere EXCEPT in column-absent row groups —
+    * callers should treat an empty batch as "nothing to probe" instead.
+    * Cost: O(files) footer walks (fanned out as one Spark job past
+    * `driverMax`) x O(|values|) hash probes per row group worst case —
+    * metadata-class, no data pages.
+    */
+  def pruneByStringSet(spark: SparkSession, files: Seq[String], colName: String,
+      values: Seq[String], driverMax: Int = 64): Seq[String] = {
+    if (files.isEmpty) return Seq.empty
+    val keys = values.toArray
+    def anyMaybe(conf: Configuration, file: Path): Boolean = {
+      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
+      try {
+        reader.getFooter.getBlocks.asScala.exists { block =>
+          block.getColumns.asScala.find(_.getPath.toDotString == colName) match {
+            case None => true // pre-column file: values unknown, must scan
+            case Some(cc) =>
+              val t = cc.getPrimitiveType.getPrimitiveTypeName
+              require(t == PrimitiveTypeName.BINARY,
+                s"bloom set-probe type mismatch on $colName in $file: column is $t, probe " +
+                  "hashes BINARY — hashes would never collide (silent false negatives)")
+              val bf = reader.getBloomFilterDataReader(block).readBloomFilter(cc)
+              if (bf == null) true // no bloom -> cannot exclude
+              else keys.exists(v =>
+                bf.findHash(bf.hash(org.apache.parquet.io.api.Binary.fromString(v))))
+          }
+        }
+      } finally reader.close()
+    }
+    if (files.length <= driverMax) {
+      val conf = spark.sessionState.newHadoopConf()
+      files.filter(f => anyMaybe(conf, new Path(f)))
+    } else {
+      val serConf = new SerializableHadoopConf(spark.sessionState.newHadoopConf())
+      val maybe = spark.sparkContext
+        .parallelize(files, math.min(files.length, 256))
+        .map(f => f -> anyMaybe(serConf.value, new Path(f)))
+        .collect().toMap
+      files.filter(maybe) // preserve input order
+    }
+  }
+
   private def probeWhere(spark: SparkSession, files: Seq[String], colName: String,
       key: ProbeKey, driverMax: Int): Seq[String] = {
     if (files.isEmpty) return Seq.empty

@@ -1,5 +1,6 @@
 package graft.streaming
 
+import graft.sources.{BloomLake, LakeListing}
 import org.apache.spark.sql.{Column, DataFrame, Observation, SaveMode, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -10,14 +11,35 @@ import org.apache.spark.sql.functions._
   * BAND INDEX, and only survivors append to the lake (plus their band
   * rows to the index).
   *
-  * The index is the piece that makes this incremental: the lake's LSH
-  * band keys live in their own parquet table, so a batch's near-dup
-  * check is `batch-bands ⋈ index` — an equi-join whose left side is one
-  * micro-batch and whose right side is partition-prunable by band — not
-  * a recompute over the whole corpus. This is how production ingest
-  * keeps near-dup at O(batch), and it is exactly the state the
-  * [[StreamDedup]] buckets hold, persisted instead of in the state
-  * store (no horizon: the lake IS the history).
+  * The index is the piece that makes this incremental, and — since
+  * round 13 — every per-batch probe is PRUNED to O(batch + touched
+  * files), never a corpus scan:
+  *
+  *  - EXACT tier: lake appends carry `sha = sha2(nrm, 256)` written
+  *    with a parquet split-block bloom filter on that column
+  *    ([[BloomLake.writerOptions]]). A batch's exact check collects its
+  *    own distinct shas (one bounded O(batch) action), bloom-walks the
+  *    lake's FOOTERS ([[BloomLake.pruneByStringSet]] — metadata only,
+  *    executor fan-out past 64 files), and anti-joins the batch against
+  *    ONLY the surviving files' `nrm` column. A mostly-novel batch — the
+  *    steady state — excludes nearly every file and scans almost
+  *    nothing. No `distinct()` over the lake: an anti-join needs no
+  *    deduplicated right side, so the corpus-wide shuffle the round-10
+  *    shape paid per batch is gone. Pre-upgrade lake files have no sha
+  *    column; the set-probe treats them as un-excludable (always
+  *    scanned) — correct, and self-amortizing as the lake turns over.
+  *  - NEAR tier: band-index appends carry a bloom filter on `band`; the
+  *    batch's band keys (collected in the same O(batch) action) prune
+  *    the index files the same way, and the `distinct()` that feeds the
+  *    membership join runs over the PRUNED subset only.
+  *
+  * A batch too large for the bounded key collect (see `maxProbeKeys`)
+  * falls back to probing every file — the pre-round-13 cost, still
+  * correct. The index also stores a SIGNATURE-FAMILY marker
+  * ([[StreamDedup.signatureFamily]]): band strings are only comparable
+  * under the constants that produced them, so a constant change
+  * triggers a full index REBUILD (reband the lake) instead of appending
+  * incomparable keys — silent recall loss repairIndex could never see.
   *
   * Dedup rules (same spine as qp01/qn18): quality = >= minTokens
   * whitespace tokens (NULL text fails the gate — predicates are
@@ -30,8 +52,9 @@ import org.apache.spark.sql.functions._
   * batch engine when the workload needs it).
   *
   * Job discipline: the per-stage counts ride the lake-write pass as
-  * `observe` metrics — a micro-batch executes TWO actions (lake append +
-  * index append; the optional quarantine and zone refresh each add their
+  * `observe` metrics — a steady-state micro-batch executes THREE
+  * actions (the O(batch) probe-key collect, the lake append, the index
+  * append; the optional quarantine and zone refresh each add their
   * own), never a `.count()` per stage. The in-batch near check is a
   * per-band window (min arrival per band), not a band self-join — linear
   * in a hot band's bucket size where the self-join was quadratic.
@@ -43,6 +66,33 @@ object IngestClean {
   private def nrm(c: Column) =
     regexp_replace(lower(trim(c)), "\\s+", " ")
 
+  /** Bound on the per-batch probe-key collect (1 sha + NBands band keys
+    * per first-per-nrm doc). Over the bound, pruning is skipped — every
+    * file is probed, the pre-pruning cost — rather than letting the
+    * collect grow with an unbounded batch. */
+  private def maxProbeKeys(spark: SparkSession): Long =
+    spark.conf.getOption("spark.graft.ingest.maxProbeKeys")
+      .map(_.toLong).getOrElse(2000000L)
+
+  /** Expected distinct keys per written file, sizing the bloom bitsets
+    * (~1.2 MB at 1M ndv; oversizing wastes kilobytes, undersizing
+    * raises the false-positive rate — both safe). */
+  private def bloomNdv(spark: SparkSession): Long =
+    spark.conf.getOption("spark.graft.ingest.bloomNdv")
+      .map(_.toLong).getOrElse(100000L)
+
+  // Test probes (the lastNearPairPath pattern): how many candidate files
+  // each tier saw and how many survived its bloom walk on the most
+  // recent cleanBatch — the O(batch + touched files) contract is pinned
+  // on these in StreamDedupSpec.
+  @volatile private[graft] var lastExactFiles: (Int, Int) = (0, 0)
+  @volatile private[graft] var lastBandFiles: (Int, Int) = (0, 0)
+
+  /** Failpoint for crash-window tests and the qp11 registration: set to
+    * "after_lake_append" to throw BETWEEN the lake append and the index
+    * append — the one window [[repairIndex]] exists for. */
+  @volatile private[graft] var failpoint: Option[String] = None
+
   /** Existence through the Hadoop FileSystem API (the same resolution
     * [[graft.sources.ZoneMap.refreshStats]] uses) — a `java.io.File`
     * check is always false on HDFS/S3, which would silently skip the
@@ -50,6 +100,81 @@ object IngestClean {
   private def pathExists(spark: SparkSession, dir: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(dir)
     p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
+  }
+
+  // ---- signature-family marker ----------------------------------------
+
+  private def markerPath(indexDir: String) =
+    new org.apache.hadoop.fs.Path(indexDir, "_sigfamily")
+
+  private def readMarker(spark: SparkSession, indexDir: String): Option[String] = {
+    val p = markerPath(indexDir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+        java.nio.charset.StandardCharsets.UTF_8).trim)
+      finally in.close()
+    }
+  }
+
+  private def writeMarker(spark: SparkSession, indexDir: String): Unit = {
+    val p = markerPath(indexDir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(p, true)
+    try out.write(StreamDedup.signatureFamily.getBytes(
+      java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    ()
+  }
+
+  /** Hold the index to the CURRENT signature family. A marker that
+    * disagrees triggers [[rebuildIndex]] — appending bands drawn from
+    * different constants would silently zero the pre-change corpus's
+    * near-dup recall (old and new band strings never collide, and
+    * repairIndex matches by doc_id so it cannot notice). A legacy index
+    * with no marker adopts the current family (the constants it was
+    * built under are unknowable; the documented assumption is that a
+    * marker-less index predates versioning, not a constant change). */
+  private def ensureSignatureFamily(spark: SparkSession, lakeDir: String,
+      indexDir: String): Unit = {
+    if (!pathExists(spark, indexDir)) return
+    readMarker(spark, indexDir) match {
+      case Some(m) if m == StreamDedup.signatureFamily => ()
+      case Some(_) => rebuildIndex(spark, lakeDir, indexDir)
+      case None => writeMarker(spark, indexDir)
+    }
+  }
+
+  /** Reband the WHOLE lake into a fresh index — the signature-family
+    * migration path. Two-phase (the ZoneMap stats-swap discipline):
+    * band rows land in a hidden staging dir (readers skip it), the old
+    * data files are removed, the staged files move into place, and the
+    * marker is written LAST — a crash anywhere before that leaves a
+    * stale or absent marker, so the next call re-runs the (idempotent)
+    * rebuild instead of trusting a half-swapped index. */
+  def rebuildIndex(spark: SparkSession, lakeDir: String, indexDir: String): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    val idxPath = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = idxPath.getFileSystem(conf)
+    val staging = new org.apache.hadoop.fs.Path(indexDir, ".rebuild_tmp")
+    if (fs.exists(staging)) fs.delete(staging, true)
+    if (pathExists(spark, lakeDir)) {
+      val lake = spark.read.parquet(lakeDir).select("doc_id", "text", "us")
+      StreamDedup.banded(lake).toDF().select("band", "doc_id")
+        .write.options(BloomLake.writerOptions("band", bloomNdv(spark)))
+        .mode(SaveMode.Overwrite).parquet(staging.toString)
+    }
+    if (fs.exists(idxPath))
+      LakeListing.dataFiles(conf, idxPath).foreach(f => fs.delete(f, false))
+    if (fs.exists(staging)) {
+      LakeListing.dataFiles(conf, staging).foreach { f =>
+        fs.rename(f, new org.apache.hadoop.fs.Path(idxPath, f.getName)); ()
+      }
+      fs.delete(staging, true)
+    }
+    writeMarker(spark, indexDir)
   }
 
   /** Clean one micro-batch (doc_id, text, us) into `lakeDir`, maintaining
@@ -77,6 +202,8 @@ object IngestClean {
     // drop the row — it would vanish with no quarantine record.
     val qualityOk = coalesce(size(split(trim(col("text")), "\\s+")) >= minTokens, lit(false))
 
+    ensureSignatureFamily(spark, lakeDir, indexDir)
+
     // The exact-dedup spine, built twice from `batch`: once UNOBSERVED
     // (feeding the band/dup analysis and the quarantine tags, which run
     // as their own actions and must not re-fire the lake write's
@@ -84,42 +211,97 @@ object IngestClean {
     // pass collects every stage count for free).
     def spine(qualityRows: DataFrame): (DataFrame, DataFrame) = {
       val withRn = qualityRows.withColumn("nrm", nrm(col("text")))
+        .withColumn("sha", sha2(col("nrm"), 256))
         .withColumn("rn", row_number().over(
           Window.partitionBy("nrm").orderBy(col("us").asc, col("doc_id").asc)))
       (withRn, withRn.filter(col("rn") === 1).drop("rn"))
     }
+    val (withRn, inBatchFirst) = spine(batch.filter(qualityOk))
 
+    val hadoopConf = spark.sessionState.newHadoopConf()
+    val lakePath = new org.apache.hadoop.fs.Path(lakeDir)
+    def lakeFiles(): Set[String] =
+      if (!pathExists(spark, lakeDir)) Set.empty
+      else LakeListing.dataFiles(hadoopConf, lakePath).map(_.toString).toSet
     val lakeExists = pathExists(spark, lakeDir)
-    // cache(), not localCheckpoint: no eager job; the first pass through
-    // job 1 materializes it, the quarantine pass (when enabled) reuses it
-    // instead of re-scanning + re-distincting the whole lake.
-    val lakeNrm: Option[DataFrame] =
-      if (!lakeExists) None
-      else Some(spark.read.parquet(lakeDir).select(col("nrm")).distinct().cache())
-    def novel(firstPerNrm: DataFrame): DataFrame = lakeNrm match {
+    val indexExists = pathExists(spark, indexDir)
+    val preAppend = lakeFiles()
+
+    // ONE bounded O(batch) action collects the probe keys both tiers
+    // prune with: the batch's distinct shas (exact tier) and its band
+    // keys (near tier — banded over inBatchFirst, a SUPERSET of the
+    // exact-novel docs that are actually band-checked, so pruning with
+    // it is conservative). Skipped entirely when there is nothing to
+    // prune; over maxProbeKeys, both tiers fall back to all-files.
+    val probeKeys: Option[(Seq[String], Seq[String])] =
+      if (!lakeExists && !indexExists) None
+      else {
+        val maxDocs = math.max(1L, maxProbeKeys(spark) / (1L + StreamDedup.NBands))
+        val rows = inBatchFirst
+          .select(col("sha"), StreamDedup.bandsOf(col("text")).as("bands"))
+          .limit(math.min(maxDocs + 1, Int.MaxValue.toLong).toInt).collect()
+        if (rows.length > maxDocs) None
+        else Some((
+          rows.map(_.getString(0)).toSeq.distinct,
+          rows.flatMap(_.getSeq[String](1)).toSeq.distinct))
+      }
+
+    // EXACT tier: bloom-prune the lake's files with the batch's shas,
+    // then anti-join on nrm against ONLY the survivors. No distinct —
+    // the anti/semi joins are multiplicity-blind, so the corpus-wide
+    // shuffle the distinct() cost is simply not needed.
+    val seenNrm: Option[DataFrame] =
+      if (!lakeExists) { lastExactFiles = (0, 0); None }
+      else {
+        val all = preAppend.toSeq.sorted
+        val pruned = probeKeys match {
+          case Some((shas, _)) if shas.nonEmpty =>
+            BloomLake.pruneByStringSet(spark, all, "sha", shas)
+          case Some(_) => Seq.empty // no quality docs: nothing can be a dup
+          case None => all
+        }
+        lastExactFiles = (all.size, pruned.size)
+        if (pruned.isEmpty) None
+        else Some(spark.read.parquet(pruned: _*).select(col("nrm")))
+      }
+    def novel(firstPerNrm: DataFrame): DataFrame = seenNrm match {
       case None => firstPerNrm
       case Some(nrms) => firstPerNrm.join(nrms, Seq("nrm"), "left_anti")
     }
 
-    val (withRn, inBatchFirst) = spine(batch.filter(qualityOk))
     val exactNovel = novel(inBatchFirst)
-    try {
 
     // Near-dup doc_ids, decided per band WITHOUT a self-join: a doc is an
     // in-batch near-dup iff some band it occupies saw an earlier arrival
     // (min (us, doc_id) over the band partition — linear where the
     // band⋈band join was quadratic in a hot bucket), and a lake near-dup
     // iff any of its bands is in the persisted index (left join a marker
-    // on the distinct index bands). Same verdicts as the join
+    // on the distinct PRUNED index bands). Same verdicts as the join
     // formulation: if any earlier y shares a band, that band's min ≤ y.
     val banded = StreamDedup.banded(exactNovel.select("doc_id", "text", "us")).toDF()
-    val indexExists = pathExists(spark, indexDir)
-    val withIdx =
-      if (!indexExists) banded.withColumn("idx_hit", lit(0))
-      else banded.join(
-        spark.read.parquet(indexDir).select(col("band")).distinct()
-          .withColumn("idx_hit", lit(1)),
-        Seq("band"), "left")
+    val idxBands: Option[DataFrame] =
+      if (!indexExists) { lastBandFiles = (0, 0); None }
+      else {
+        val all = LakeListing.dataFiles(hadoopConf,
+          new org.apache.hadoop.fs.Path(indexDir)).map(_.toString)
+        val pruned = probeKeys match {
+          case Some((_, bands)) if bands.nonEmpty =>
+            BloomLake.pruneByStringSet(spark, all, "band", bands)
+          case Some(_) => Seq.empty
+          case None => all
+        }
+        lastBandFiles = (all.size, pruned.size)
+        if (pruned.isEmpty) None
+        // distinct over the PRUNED subset only — O(touched files), and
+        // needed here (unlike the exact tier) because the membership
+        // LEFT join would otherwise multiply batch rows per index hit.
+        else Some(spark.read.parquet(pruned: _*).select(col("band")).distinct()
+          .withColumn("idx_hit", lit(1)))
+      }
+    val withIdx = idxBands match {
+      case None => banded.withColumn("idx_hit", lit(0))
+      case Some(ib) => banded.join(ib, Seq("band"), "left")
+    }
     val arrival = struct(col("us"), col("doc_id"))
     val dupIds = withIdx
       .withColumn("band_first", min(arrival).over(Window.partitionBy("band")))
@@ -131,30 +313,46 @@ object IngestClean {
     // Audit trail FIRST — before the lake append: every dropped row
     // lands in the quarantine with the stage that rejected it — the
     // answer to "why is doc X not in the lake?" without re-running the
-    // pipeline. Ordering matters: the append below fires Spark's
-    // recacheByPath, refreshing every cached relation over lakeDir —
-    // including lakeNrm — to a listing that CONTAINS this batch's own
-    // survivors; a post-append quarantine would then mis-tag every
-    // survivor as its own exact_dup. Stage tags are ROW-level (the
-    // quality tag re-evaluates the null-safe predicate; the exact tags
-    // come from the rn>1 frame and the cached lake-nrm semi-join), so
-    // two same-doc_id rows in one batch each get their own verdict.
-    // Layout is uniformly Hive-partitioned by batch: with `batchId` set
-    // (the foreachBatch id) each attempt OVERWRITES its own batch=<id>
-    // partition, so a replay after a partial failure leaves one record
-    // per decision — the log reflects the LAST attempt's view (a doc
-    // both in the lake and logged exact_dup is a replay artifact; the
-    // lake row wins). Without a batchId, drops append under batch=-1 —
-    // same directory shape, so the quarantine always reads as ONE
-    // partitioned table (mixing bare files with batch= dirs would split
-    // it into conflicting layouts Spark refuses to read together).
+    // pipeline. Ordering matters: the lake/index reads above list
+    // explicit pre-append files, so nothing here can see this batch's
+    // own survivors — but the quarantine must still precede the append
+    // so a crash between them never loses the explanation for a row the
+    // lake already rejected. Stage tags are ROW-level (the quality tag
+    // re-evaluates the null-safe predicate; the exact tags come from the
+    // rn>1 frame and the pruned-lake semi-join), so two same-doc_id rows
+    // in one batch each get their own verdict. Layout is uniformly
+    // Hive-partitioned by batch: with `batchId` set (the foreachBatch
+    // id) each attempt OVERWRITES its own batch=<id> partition, so a
+    // replay after a partial failure leaves one record per decision —
+    // the log reflects the LAST attempt's view (a doc both in the lake
+    // and logged exact_dup is a replay artifact; the lake row wins).
+    // Without a batchId, drops append under batch=-1 — same directory
+    // shape, so the quarantine always reads as ONE partitioned table. A
+    // quarantine dir written by the pre-partitioned layout (bare parquet
+    // files at the root) is MIGRATED on first touch: the bare files move
+    // into a batch=-1 partition, because mixing the two layouts makes
+    // Spark refuse to read the directory as one table.
     quarantineDir.foreach { qd =>
+      val qRoot = new org.apache.hadoop.fs.Path(qd)
+      val qfs = qRoot.getFileSystem(hadoopConf)
+      if (qfs.exists(qRoot)) {
+        val bare = qfs.listStatus(qRoot).filter(st =>
+          st.isFile && st.getPath.getName.endsWith(".parquet"))
+        if (bare.nonEmpty) {
+          val legacy = new org.apache.hadoop.fs.Path(qRoot, "batch=-1")
+          qfs.mkdirs(legacy)
+          bare.foreach { st =>
+            qfs.rename(st.getPath,
+              new org.apache.hadoop.fs.Path(legacy, st.getPath.getName)); ()
+          }
+        }
+      }
       def tagged(df: DataFrame, reason: String) =
         df.select(col("doc_id"), col("text"), col("us"))
           .withColumn("reason", lit(reason))
       val droppedQuality = tagged(batch.filter(!qualityOk), "quality")
       val inBatchDups = tagged(withRn.filter(col("rn") > 1), "exact_dup")
-      val lakeDups = lakeNrm.map(nrms =>
+      val lakeDups = seenNrm.map(nrms =>
         tagged(inBatchFirst.join(nrms, Seq("nrm"), "left_semi"), "exact_dup"))
       val droppedNear = tagged(exactNovel.join(dupIds, Seq("doc_id"), "left_semi"), "near_dup")
       val log = Seq(Some(droppedQuality), Some(inBatchDups), lakeDups, Some(droppedNear))
@@ -166,7 +364,9 @@ object IngestClean {
     // The observed lake-write lineage: every stage count rides this ONE
     // pass as a CollectMetrics node (no per-stage .count() actions). The
     // dup analysis joins in UNOBSERVED, so each observation appears
-    // exactly once in the plan.
+    // exactly once in the plan. The append carries the sha column under
+    // a bloom filter — the artifact the NEXT batch's exact tier prunes
+    // with.
     val obsIn = Observation(); val obsQuality = Observation()
     val obsNovel = Observation(); val obsApp = Observation()
     val (_, inBatchFirstObs) = spine(
@@ -175,28 +375,31 @@ object IngestClean {
     val survivors = novel(inBatchFirstObs).observe(obsNovel, count(lit(1)).as("n"))
       .join(dupIds, Seq("doc_id"), "left_anti")
       .observe(obsApp, count(lit(1)).as("n"))
-    val hadoopConf = spark.sessionState.newHadoopConf()
-    val lakePath = new org.apache.hadoop.fs.Path(lakeDir)
-    def lakeFiles(): Set[String] =
-      if (!pathExists(spark, lakeDir)) Set.empty
-      else graft.sources.LakeListing.dataFiles(hadoopConf, lakePath).map(_.toString).toSet
-    val preAppend = lakeFiles()
-    survivors.write.mode(SaveMode.Append).parquet(lakeDir)
+    survivors.write.options(BloomLake.writerOptions("sha", bloomNdv(spark)))
+      .mode(SaveMode.Append).parquet(lakeDir)
+
+    failpoint.filter(_ == "after_lake_append").foreach { _ =>
+      throw new IllegalStateException(
+        "injected failpoint: lake appended, index append pending")
+    }
 
     // Index append — LAKE-FIRST for crash consistency (a crash here
     // leaves lake rows the next batch still exact-dedups; index-first
     // would leave phantom bands that suppress their own replay forever).
     // The band rows derive from the files THIS append added (an fs
     // listing diff — manifest-class, like the zone refresh), not from
-    // the survivors frame: after the append, recacheByPath has refreshed
-    // lakeNrm, so re-running the survivors lineage would anti-join the
-    // batch against itself and index nothing.
+    // the survivors frame: re-running the survivors lineage after the
+    // append would re-run its probe-pruned anti-joins against a listing
+    // that may have been refreshed, so the written files are the one
+    // authoritative record of what landed.
     val newFiles = (lakeFiles() -- preAppend).toSeq.sorted
     if (newFiles.nonEmpty) {
       val appended = spark.read.option("basePath", lakeDir).parquet(newFiles: _*)
       StreamDedup.banded(appended.select("doc_id", "text", "us")).toDF()
         .select("band", "doc_id")
-        .write.mode(SaveMode.Append).parquet(indexDir)
+        .write.options(BloomLake.writerOptions("band", bloomNdv(spark)))
+        .mode(SaveMode.Append).parquet(indexDir)
+      if (!indexExists) writeMarker(spark, indexDir)
     }
     zoneStatsPath.foreach { sp =>
       if (pathExists(spark, lakeDir))
@@ -207,10 +410,6 @@ object IngestClean {
       obsQuality.get("n").asInstanceOf[Long],
       obsNovel.get("n").asInstanceOf[Long],
       obsApp.get("n").asInstanceOf[Long])
-    // The finally matters: a transient failure in any write above must
-    // not leave the corpus-sized lake-nrm distinct pinned in storage
-    // memory across foreachBatch retries.
-    } finally lakeNrm.foreach(_.unpersist(): Unit)
   }
 
   /** Repair the band index after the one crash window [[cleanBatch]]
@@ -222,14 +421,19 @@ object IngestClean {
     * passes the band check: silent, unbounded recall loss.
     *
     * The repair is the set difference the crashed batch lost: lake docs
-    * absent from the index get their band rows appended. O(lake ⋈
-    * index) on doc_id — a startup/periodic maintenance call (run it on
+    * absent from the index get their band rows appended (under the same
+    * band bloom the per-batch pruning probes — a repaired file is as
+    * prunable as an appended one). A signature-family mismatch found
+    * here rebuilds the whole index first (see [[ensureSignatureFamily]])
+    * — after which nothing is missing by construction. O(lake ⋈ index)
+    * on doc_id — a startup/periodic maintenance call (run it on
     * recovery before resuming the stream), NOT a per-batch cost.
     * Idempotent: a second call finds nothing missing. Docs that band to
     * nothing (empty token sets) are re-examined each call and re-append
     * nothing — harmless. Returns the number of docs re-indexed. */
   def repairIndex(spark: SparkSession, lakeDir: String, indexDir: String): Long = {
     if (!pathExists(spark, lakeDir)) return 0L
+    ensureSignatureFamily(spark, lakeDir, indexDir)
     val lake = spark.read.parquet(lakeDir).select("doc_id", "text", "us")
     val missing =
       if (!pathExists(spark, indexDir)) lake
@@ -238,7 +442,11 @@ object IngestClean {
     val bands = StreamDedup.banded(missing).toDF()
       .select("band", "doc_id").localCheckpoint(true)
     val n = bands.select("doc_id").distinct().count()
-    if (n > 0) bands.write.mode(SaveMode.Append).parquet(indexDir)
+    if (n > 0) {
+      bands.write.options(BloomLake.writerOptions("band", bloomNdv(spark)))
+        .mode(SaveMode.Append).parquet(indexDir)
+      if (readMarker(spark, indexDir).isEmpty) writeMarker(spark, indexDir)
+    }
     n
   }
 }

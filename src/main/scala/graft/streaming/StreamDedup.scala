@@ -1,7 +1,7 @@
 package graft.streaming
 
 import graft.functions.TextFns._
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -35,6 +35,34 @@ object StreamDedup {
   val NPlanes = 64
   val NBands = 16
   val RowsPerBand = 4
+
+  /** Stable fingerprint of the SIGNATURE FAMILY — the banding shape plus
+    * every splitmix64-drawn permutation constant. A persisted band index
+    * is only meaningful under the constants that produced it: change
+    * mhA/mhB (or the shape) and old band strings never collide with
+    * newly banded docs, so every pre-change lake doc silently loses
+    * near-dup recall — and [[IngestClean.repairIndex]] cannot heal it
+    * (it matches by doc_id; the stale-banded docs ARE present).
+    * [[IngestClean]] stores this value next to the index and REBUILDS
+    * (rebands the whole lake) on mismatch instead of appending.
+    */
+  lazy val signatureFamily: String = {
+    val parts = Seq(NPlanes.toLong, NBands.toLong, RowsPerBand.toLong) ++
+      (0 until NPlanes).flatMap(i => Seq(mhA(i), mhB(i)))
+    f"sigfam-${parts.foldLeft(0x5DEECE66DL)((acc, v) => mix64(acc ^ v))}%016x"
+  }
+
+  /** The band keys of one document as an ARRAY column (empty when the
+    * text has no tokens) — the probe-key projection [[IngestClean]]
+    * collects per micro-batch. Same tokenization, signature, and band
+    * string format as [[banded]]; this form just skips the explode (and
+    * the per-band index) because the caller only needs the key SET.
+    */
+  def bandsOf(text: Column): Column = {
+    val hs = transform(tokenSet(text), tokenHash(_))
+    when(size(hs) > 0, lshBands(minhashSig(hs, NPlanes), NBands, RowsPerBand))
+      .otherwise(array().cast("array<string>"))
+  }
 
   case class BandDoc(band: String, b: Int, doc_id: Long, us: Long, sig: Seq[Long])
   /** BandDoc + the event-time column the watermark/timeout machinery

@@ -179,7 +179,7 @@ class StreamDedupSpec extends AnyFunSuite {
     assert(kept == Set(1L))
   }
 
-  test("cleanBatch runs two actions per micro-batch; stage counts ride the write as observe metrics") {
+  test("cleanBatch runs three actions per micro-batch; stage counts ride the write as observe metrics") {
     import graft.streaming.IngestClean
     val dir = java.nio.file.Files.createTempDirectory("graft_ingest_jobs").toString
     val (lake, idx) = (s"$dir/lake", s"$dir/index")
@@ -197,10 +197,12 @@ class StreamDedupSpec extends AnyFunSuite {
     val s1 = IngestClean.cleanBatch(spark, df(batch1), lake, idx)
     assert(s1 == IngestClean.BatchStats(in = 4, quality = 3, exactNovel = 2, appended = 2))
 
-    // Steady state (lake + index exist): exactly two top-level SQL
-    // executions — the lake append and the index append. Every stage
-    // count arrives via CollectMetrics on the lake-write pass; a
-    // .count() action per stage would show up here as extra executions.
+    // Steady state (lake + index exist): exactly three top-level SQL
+    // executions — the bounded O(batch) probe-key collect (the input to
+    // both tiers' bloom pruning), the lake append, and the index append.
+    // Every stage count arrives via CollectMetrics on the lake-write
+    // pass; a .count() action per stage would show up here as extra
+    // executions.
     val execs = new java.util.concurrent.atomic.AtomicInteger(0)
     val listener = new org.apache.spark.scheduler.SparkListener {
       override def onOtherEvent(event: org.apache.spark.scheduler.SparkListenerEvent): Unit =
@@ -222,7 +224,8 @@ class StreamDedupSpec extends AnyFunSuite {
         val cur = execs.get()
         if (cur == last) same += 1 else { same = 0; last = cur }
       }
-      assert(execs.get() == 2, s"expected 2 SQL executions (lake + index append), saw ${execs.get()}")
+      assert(execs.get() == 3,
+        s"expected 3 SQL executions (probe collect + lake + index append), saw ${execs.get()}")
     } finally spark.sparkContext.removeSparkListener(listener)
     val kept = spark.read.parquet(lake).select("doc_id").collect().map(_.getLong(0)).toSet
     assert(kept == Set(1L, 4L, 7L))
@@ -436,6 +439,113 @@ class StreamDedupSpec extends AnyFunSuite {
     assert(!got.exists { case (x, y, _) => x == 1L }, s"evicted bucket still paired: $got")
     // ...but docs 4 and 5 (both inside the horizon) do pair.
     assert(got.exists { case (x, y, _) => x == 4L && y == 5L }, s"missing in-horizon pair: $got")
+  }
+
+  test("per-batch probes stay O(batch + touched files) as the lake grows") {
+    // The round-13 scale contract: a micro-batch's exact and near checks
+    // must not scan the whole lake/index. Grow a lake over many batches
+    // of mutually-dissimilar docs, then ingest one more NOVEL batch: the
+    // bloom walks must exclude (almost) every file in both tiers, while
+    // a DUPLICATE batch must still be caught through whatever files
+    // survive its probe (no false negatives — blooms only ever
+    // over-scan).
+    import graft.streaming.IngestClean
+    val dir = java.nio.file.Files.createTempDirectory("graft_ingest_prune").toString
+    val (lake, idx) = (s"$dir/lake", s"$dir/index")
+    // 12-token docs, all-distinct vocabulary per doc -> no band overlap
+    def doc(id: Long) =
+      Doc(id, (0 until 12).map(i => s"w${id}x$i").mkString(" "), id * 1000000L)
+    val nBatches = 6
+    (0 until nBatches).foreach { b =>
+      val batch = spark.createDataFrame((0 until 20).map(i => doc(b * 100L + i)))
+      IngestClean.cleanBatch(spark, batch, lake, idx); ()
+    }
+    // Novel batch: every file in both tiers should be bloom-excluded.
+    val novel = spark.createDataFrame((0 until 20).map(i => doc(9000L + i)))
+    val s1 = IngestClean.cleanBatch(spark, novel, lake, idx)
+    assert(s1.appended == 20L)
+    val (exTotal, exScanned) = IngestClean.lastExactFiles
+    val (bdTotal, bdScanned) = IngestClean.lastBandFiles
+    assert(exTotal >= nBatches, s"lake should have >= $nBatches files, saw $exTotal")
+    assert(bdTotal >= nBatches, s"index should have >= $nBatches files, saw $bdTotal")
+    // sha/band keys are effectively random: expected false-positive
+    // survivors ~0; allow a little slack but demand real exclusion.
+    assert(exScanned <= exTotal / 2,
+      s"exact tier scanned $exScanned of $exTotal files for a novel batch")
+    assert(bdScanned <= bdTotal / 2,
+      s"near tier scanned $bdScanned of $bdTotal files for a novel batch")
+    // Duplicate + near-dup batch: still caught (bloom pruning is
+    // conservative — the files that matter always survive the walk).
+    val dupBatch = spark.createDataFrame(Seq(
+      doc(101).copy(doc_id = 8000L, us = 999000000L), // exact dup of batch-1 doc
+      Doc(8001L, doc(202).text.split(' ').reverse.mkString(" "), 999100000L))) // near dup
+    val s2 = IngestClean.cleanBatch(spark, dupBatch, lake, idx)
+    assert(s2 == IngestClean.BatchStats(2, 2, 1, 0), s"dup batch stats: $s2")
+    assert(IngestClean.lastExactFiles._2 >= 1, "the dup's home file was bloom-excluded")
+  }
+
+  test("signature-family mismatch rebuilds the band index instead of appending incomparable keys") {
+    // A persisted band index is only meaningful under the constants that
+    // produced it: simulate an index written under DIFFERENT constants
+    // by corrupting the marker — the next batch must REBUILD (reband the
+    // lake under the current family) and near-dup detection must still
+    // work. repairIndex cannot heal this case (it matches by doc_id and
+    // the stale-banded docs are present), which is why the marker
+    // exists.
+    import graft.streaming.IngestClean
+    val dir = java.nio.file.Files.createTempDirectory("graft_ingest_sigfam").toString
+    val (lake, idx) = (s"$dir/lake", s"$dir/index")
+    val dText = "zebra yak xylophone walrus vulture tiger snake rabbit quail panda otter"
+    IngestClean.cleanBatch(spark,
+      spark.createDataFrame(Seq(Doc(1, dText, 1000000L))), lake, idx)
+    // the marker was written with the index
+    val marker = new java.io.File(idx, "_sigfamily")
+    assert(marker.exists, "index append did not write the signature-family marker")
+    assert(new String(java.nio.file.Files.readAllBytes(marker.toPath)).trim ==
+      graft.streaming.StreamDedup.signatureFamily)
+    // corrupt it: pretend the index was banded under an older family
+    // (written through the Hadoop FS so the local-FS checksum sidecar
+    // stays consistent — a raw java.nio write would fail the CRC)
+    locally {
+      val p = new org.apache.hadoop.fs.Path(idx, "_sigfamily")
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      val out = fs.create(p, true)
+      out.write("sigfam-0000000000000000".getBytes); out.close()
+    }
+    val stats = IngestClean.cleanBatch(spark,
+      spark.createDataFrame(Seq(
+        Doc(2, dText.split(' ').reverse.mkString(" "), 2000000L))), lake, idx)
+    assert(stats.appended == 0L, "near-dup sailed through a rebuilt index")
+    assert(new String(java.nio.file.Files.readAllBytes(marker.toPath)).trim ==
+      graft.streaming.StreamDedup.signatureFamily, "rebuild did not refresh the marker")
+    val kept = spark.read.parquet(lake).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L))
+  }
+
+  test("legacy bare-file quarantine dirs migrate into the batch=-1 partition on first touch") {
+    import graft.streaming.IngestClean
+    val dir = java.nio.file.Files.createTempDirectory("graft_ingest_qmig").toString
+    val (lake, idx, quar) = (s"$dir/lake", s"$dir/index", s"$dir/quarantine")
+    // a quarantine dir written by the pre-partitioned layout: bare
+    // parquet files at the root
+    val stage = s"$dir/stage"
+    spark.createDataFrame(Seq(Doc(99, "legacy dropped doc", 1000L)))
+      .withColumn("reason", org.apache.spark.sql.functions.lit("quality"))
+      .coalesce(1).write.parquet(stage)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(quar))
+    new java.io.File(stage).listFiles.filter(_.getName.endsWith(".parquet")).foreach { f =>
+      java.nio.file.Files.move(f.toPath, new java.io.File(quar, f.getName).toPath); ()
+    }
+    val batch = spark.createDataFrame(Seq(
+      Doc(1, "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo", 1000000L),
+      Doc(2, "too short", 2000000L)))
+    IngestClean.cleanBatch(spark, batch, lake, idx,
+      quarantineDir = Some(quar), batchId = 0L)
+    // one partitioned table holding BOTH generations
+    val rows = spark.read.parquet(quar)
+      .select("doc_id", "reason", "batch")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    assert(rows == Set((99L, "quality", -1), (2L, "quality", 0)), s"quarantine held $rows")
   }
 
   test("horizon holds even with no intervening batch to fire the eviction timeout") {
