@@ -52,7 +52,9 @@ object Battery {
       case Some("paircurve")  => paircurve(spark, args.lift(1)
         .getOrElse("250000,500000,1000000,2000000").split(",").toSeq.map(_.trim.toLong))
       case Some("ivfjoin")    => ivfjoin(spark, args.lift(1).map(_.toLong).getOrElse(260000L))
-      case other => sys.error(s"unknown battery: $other (skew|bloom|governance|paircurve|ivfjoin)")
+      case Some("ingest")     => ingest(spark, args.lift(1)
+        .getOrElse("100000,1000000,4000000").split(",").toSeq.map(_.trim.toLong))
+      case other => sys.error(s"unknown battery: $other (skew|bloom|governance|paircurve|ivfjoin|ingest)")
     }
     spark.stop()
   }
@@ -314,6 +316,139 @@ object Battery {
     }
     println(f"""{"battery":"ivfjoin","vectors":$n,"cells":$nCent,"routes":${n * 4},"collect_path_refused":$refused,"build_sec":$bSec%.1f,"probe_join_sec":$jSec%.1f,"result_rows":$rows,"rows_le_nk":$topOk}""")
     require(refused, "collect path accepted an over-bound probe batch — the guard is gone")
+    // ROUTING-STAGE head-to-head at the same n: the flat route scores
+    // every probe against all sqrt(n) fine centroids (n x sqrt(n)); the
+    // coarse tier scores n x (n^(1/4) + 2 x sqrt(n)/n^(1/4)) — the
+    // round-13 cut. Counted without the rescore tail so the routing
+    // cost is isolated (the rescore output is Theta(n^1.5) by the IVF
+    // law and would swamp the measurement).
+    import graft.functions.VectorExprs.l2normNative
+    val cents = s.read.parquet(s"$path/centroids")
+    val pv = probes.select(col("vec_id"), col("embedding"),
+      l2normNative(col("embedding")).as("nrm"))
+    val (fr, flatSec) = timed(Similarity.ivfRouteFlat(pv, cents, 4).count())
+    val (cr, coarseSec) = timed(Similarity.ivfRouteCoarse(pv, cents, 4).count())
+    println(f"""{"battery":"ivfroute","vectors":$n,"cells":$nCent,"flat_sec":$flatSec%.1f,"coarse_sec":$coarseSec%.1f,"flat_routes":$fr,"coarse_routes":$cr}""")
+  }
+
+  // ---- ingest ----------------------------------------------------------
+
+  /** The streaming-ingest cost CURVE: a fixed 5k-doc micro-batch against
+    * lakes of increasing size, per-batch wall + input bytes + files
+    * scanned, with the bloom pruning ON (the round-13 shape) and OFF
+    * (forced fallback = every file probed and scanned — the
+    * pre-round-13 cost, which is linear in the lake). The contract this
+    * measures: pruned per-batch cost stays ~flat as the lake grows,
+    * because a mostly-novel batch's keys exclude nearly every lake and
+    * index file at the footer walk. Lakes are written directly in the
+    * exact format cleanBatch appends (nrm + sha under a sha bloom; band
+    * index under a band bloom + family marker), so the probe exercises
+    * the real artifact, not a simplification. Each batch carries two
+    * planted dups (one exact, one near) whose detection is REQUIRED —
+    * pruning must never cost a false negative.
+    */
+  private def ingest(s: SparkSession, sizes: Seq[Long]): Unit = {
+    import graft.streaming.{IngestClean, StreamDedup}
+    import graft.sources.BloomLake
+    val bytesRead = new java.util.concurrent.atomic.AtomicLong(0)
+    val listener = new SparkListener {
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+        Option(t.taskMetrics).foreach(m => bytesRead.addAndGet(m.inputMetrics.bytesRead): Unit)
+      }
+    }
+    s.sparkContext.addSparkListener(listener)
+    sizes.foreach { n =>
+      val root = java.nio.file.Files.createTempDirectory(s"graft_battery_ingest_$n").toString
+      val lake = s"$root/lake"; val idx = s"$root/index"
+      // The lake exactly as cleanBatch would have left it: corpus text is
+      // already whitespace-normalized lowercase, so nrm == text. The
+      // corpus here is STOPWORD-FREE (all-rare tokens), unlike the
+      // paircurve generator: a Zipf head creates bands whose 4 minhash
+      // rows are all stopword-determined — shared by ~0.1% of docs and
+      // therefore present in EVERY file — but a lake actually built by
+      // sequential cleanBatch can never reach that state (once a band
+      // is indexed, every later carrier is rejected by the any-band
+      // rule), so direct-writing a Zipfian corpus puts the index in a
+      // pipeline-unreachable state whose hot bands defeat file pruning
+      // for a reason the real pipeline structurally prevents. Measured
+      // before this change: 7 stopword bands true-hit 32/32 files at 1M
+      // docs while bloom false positives were 2/32.
+      def ingestCorpus(nn: Long): DataFrame = {
+        val rareVocab = math.max(10L * nn, 10000L)
+        val toks = transform(sequence(lit(0), lit(47)), j =>
+          concat(lit("t"), pmod(xxhash64(col("id"), j, lit(44)), lit(rareVocab)).cast("string")))
+        s.range(nn).select(col("id").as("doc_id"), array_join(toks, " ").as("text"))
+      }
+      val docs = ingestCorpus(n)
+        .select(col("doc_id"), col("text"), (col("doc_id") * 1000000L).as("us"))
+        .withColumn("nrm", col("text"))
+        .withColumn("sha", sha2(col("nrm"), 256))
+      // ndv must track the ACTUAL per-file key count (32 files here): an
+      // undersized bitset saturates and excludes nothing — the silent
+      // failure writerOptions' max-bytes note documents.
+      val shaNdv = math.max(100000L, n / 32)
+      val bandNdv = math.max(100000L, n * 16 / 32)
+      val (_, wSec) = timed {
+        docs.write.options(BloomLake.writerOptions("sha", shaNdv, 1e-8)).parquet(lake)
+        StreamDedup.banded(docs.select("doc_id", "text", "us")).toDF()
+          .select("band", "doc_id")
+          .write.options(BloomLake.writerOptions("band", bandNdv, 1e-8)).parquet(idx)
+      }
+      // one 5k batch: 4998 novel docs (fresh generator ids past the
+      // lake's, so their TEXTS are genuinely new — a plain id shift
+      // would replay the lake's own texts) + 1 exact dup + 1 near dup
+      // of lake docs. Random cross-corpus band collisions are genuine
+      // LSH semantics and grow with the lake, so the assertions pin
+      // (a) both planted dups caught and (b) pruned == unpruned stats,
+      // not an exact survivor count.
+      val batchN = 5000L
+      val plantedIds = Seq(11L + n + 5000000L, 22L + n + 5000000L)
+      val novel = ingestCorpus(n + batchN - 2)
+        .filter(col("doc_id") >= n)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"),
+          (col("doc_id") + 7L).cast("long").as("us"))
+      val planted = docs.filter(col("doc_id").isin(11L, 22L))
+        .select((col("doc_id") + n + 5000000L).as("doc_id"),
+          when(col("doc_id") === 22L,
+            concat(col("text"), lit(" tailtok1 tailtok2"))) // J = 48/50: bands still agree
+            .otherwise(col("text")).as("text"),
+          lit(999999999L).as("us"))
+      val batch = novel.unionByName(planted).localCheckpoint(true)
+      val conf = s.sessionState.newHadoopConf()
+      def listing(dir: String): Set[String] =
+        graft.sources.LakeListing.dataFiles(conf,
+          new org.apache.hadoop.fs.Path(dir)).map(_.toString).toSet
+      val (preLake, preIdx) = (listing(lake), listing(idx))
+      println(s"""{"battery":"ingest_setup","lake_docs":$n,"write_sec":${math.round(wSec)},"lake_files":${preLake.size},"index_files":${preIdx.size}}""")
+      def run(tag: String, maxKeys: Long): IngestClean.BatchStats = {
+        s.conf.set("spark.graft.ingest.maxProbeKeys", maxKeys.toString)
+        bytesRead.set(0)
+        val (stats, sec) = timed(IngestClean.cleanBatch(s, batch, lake, idx))
+        Thread.sleep(500) // quiesce the async listener before reading bytes
+        val (exT, exS) = IngestClean.lastExactFiles
+        val (bdT, bdS) = IngestClean.lastBandFiles
+        // the planted dups MUST be dropped — pruning never costs recall
+        val added = (listing(lake) -- preLake).toSeq.sorted
+        val leaked =
+          if (added.isEmpty) 0L
+          else s.read.parquet(added: _*).filter(col("doc_id").isin(plantedIds: _*)).count()
+        require(leaked == 0L, s"$tag: $leaked planted dups reached the lake")
+        println(f"""{"battery":"ingest","form":"$tag","lake_docs":$n,"batch_docs":$batchN,"sec":$sec%.2f,"input_mb":${bytesRead.get / 1e6}%.1f,"exact_files":"$exS/$exT","band_files":"$bdS/$bdT","appended":${stats.appended}}""")
+        // undo the append so the next form sees the identical lake
+        val fs = new org.apache.hadoop.fs.Path(lake).getFileSystem(conf)
+        (listing(lake) -- preLake).foreach(f =>
+          fs.delete(new org.apache.hadoop.fs.Path(f), false))
+        (listing(idx) -- preIdx).foreach(f =>
+          fs.delete(new org.apache.hadoop.fs.Path(f), false))
+        stats
+      }
+      val pruned = run("pruned", 2000000L)
+      val unpruned = run("unpruned", 0L)
+      require(pruned == unpruned,
+        s"pruning changed batch semantics: $pruned vs $unpruned")
+      s.conf.set("spark.graft.ingest.maxProbeKeys", "2000000")
+    }
+    s.sparkContext.removeSparkListener(listener)
   }
 
   // ---- paircurve -------------------------------------------------------
@@ -360,23 +495,30 @@ object Battery {
         .groupBy("band").agg(count(lit(1)).as("k"))
         .agg(sum(col("k") * (col("k") - 1))).head.getLong(0) / 2
 
-      // qn06 candidate volume: 4x15-bit simhash chunk buckets. NOTE the
-      // structural expectation differs from qn03/qn04: pigeonhole
-      // blocking on ~uniform hashes divides the all-pairs count by a
-      // CONSTANT (2^15/4), it does not linearize — candidates grow ~N^2
-      // by design, and the honest scale story is widening the chunks as
-      // the corpus grows (the radius/width tradeoff). Measured here so
-      // the curve states it rather than implying qn06 matches the
-      // linear plans.
-      val c06 = docs
+      // qn06 candidate volume under the scheme the dispatch actually
+      // picks at these sizes: 2x30-bit super-chunks with radius-1 probe
+      // expansion (the round-13 replacement for the 4x15 pigeonhole,
+      // whose ~N^2/870 constant-divisor curve the round-12 battery
+      // recorded). Join output = exact chunk matches (sum C(k,2)) plus
+      // single-bit-flip matches (sum_v sum_b k_v * k_{v xor 2^b} / 2) —
+      // computed analytically from the per-chunk value histograms, the
+      // join's true cardinality without running it twice.
+      val ch = docs
         .select(col("doc_id"), transform(tokenSet(col("text")), tokenHash60(_)).as("hs"))
         .filter(size(col("hs")) > 0)
         .select(simhash(col("hs")).as("sim"))
-        .select(explode(array((0 until 4).map(c =>
-          lit(c.toLong << 15).bitwiseOR(
-            shiftright(col("sim"), c * 15).bitwiseAND(lit((1L << 15) - 1)))): _*)).as("key"))
+        .select(explode(array((0 until 2).map(c =>
+          lit(c.toLong << 30).bitwiseOR(
+            shiftright(col("sim"), c * 30).bitwiseAND(lit((1L << 30) - 1)))): _*)).as("key"))
         .groupBy("key").agg(count(lit(1)).as("k"))
-        .agg(sum(col("k") * (col("k") - 1))).head.getLong(0) / 2
+        .localCheckpoint(true)
+      val c06exact = ch.agg(sum(col("k") * (col("k") - 1))).head.getLong(0) / 2
+      val c06flip = ch
+        .select(col("k"), explode(array((0 until 30).map(b =>
+          col("key").bitwiseXOR(lit(1L << b))): _*)).as("fkey"))
+        .join(ch.select(col("key").as("fkey"), col("k").as("k2")), "fkey")
+        .agg(coalesce(sum(col("k") * col("k2")), lit(0L))).head.getLong(0) / 2
+      val c06 = c06exact + c06flip
 
       def runQ(q: String): (Long, Double) = {
         val (cnt, sec) = timed(SparkEntry.queries(q)(s, root).count())

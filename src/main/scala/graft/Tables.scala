@@ -69,12 +69,24 @@ object Tables {
     // entries that actually differ, so the steady-state cost is a map
     // walk, not hundreds of set() calls. Static confs refuse runtime set
     // and cannot differ (both sessions share the builder values) — the
-    // narrow catch documents exactly that case.
-    spark.conf.getAll.foreach { case (k, v) =>
+    // narrow catch documents exactly that case. The diff runs BOTH
+    // directions: a key the caller has since UNSET must not keep its
+    // stale value in the cached sibling (round-10 review), so sibling
+    // keys absent from the caller's conf are unset too — except the
+    // nanos flag itself, which is this sibling's entire reason to exist
+    // and is re-pinned below.
+    val callerConf = spark.conf.getAll
+    callerConf.foreach { case (k, v) =>
       if (nanosSession.conf.getOption(k) != Some(v))
         try nanosSession.conf.set(k, v)
         catch { case _: org.apache.spark.sql.AnalysisException => () }
     }
+    nanosSession.conf.getAll.keys
+      .filter(k => k != "spark.sql.legacy.parquet.nanosAsLong" && !callerConf.contains(k))
+      .foreach { k =>
+        try nanosSession.conf.unset(k)
+        catch { case _: org.apache.spark.sql.AnalysisException => () }
+      }
     nanosSession.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = nanosSession.read.parquet(s"$dir/events.parquet")
     df.schema("ts").dataType match {

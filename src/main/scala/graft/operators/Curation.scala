@@ -1059,8 +1059,139 @@ object Curation {
           (not(col("fp_old") <=> col("fp_new")) ||
             not(col("n_docs_old") <=> col("n_docs_new"))).as("drifted"))
         .orderBy("lang")
+    },
+
+    // The streaming clean-corpus pipeline's MAINTENANCE CONTRACT as an
+    // oracle-gated query (the qp08 pattern, round-10 verdict ask #5):
+    // three deterministic micro-batches (doc_id % 3, arrival us =
+    // doc_id x 1e6) flow through the REAL IngestClean.cleanBatch into a
+    // fresh lake + band index; batch 1 CRASHES in the one window the
+    // pipeline cannot self-heal (after its lake append, before its
+    // index append — a failpoint at the exact production crash site);
+    // repairIndex runs, batch 1 REPLAYS (the at-least-once contract),
+    // batch 2 completes. The emitted per-doc verdict (in_lake, indexed)
+    // must match DuckDB replaying the dedup RULES alone — quality gate,
+    // first-per-nrm, lake-nrm exactness, any-shared-band near rule,
+    // batch by batch — with no crash in sight: crash + repair + replay
+    // is OBSERVATIONALLY EQUIVALENT to an uninterrupted run, which is
+    // the whole recovery story in one hash.
+    Q("qp11_ingest_crash_repair", sqlIngestCrashOracle) { (s, dir) =>
+      import graft.streaming.IngestClean
+      val root = newIngestRunDir()
+      val (lake, idx) = (s"$root/lake", s"$root/index")
+      val base = Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"), (col("doc_id") * 1000000L).as("us"))
+      def batchOf(b: Int) = base.filter(col("doc_id") % 3 === b)
+      // failpoint is process-global state: serialize against any
+      // concurrent plan build of this same query (determinism sweeps).
+      IngestClean.synchronized {
+        IngestClean.cleanBatch(s, batchOf(0), lake, idx)
+        IngestClean.failpoint = Some("after_lake_append")
+        try {
+          try { IngestClean.cleanBatch(s, batchOf(1), lake, idx); () }
+          catch { case e: IllegalStateException if e.getMessage.contains("failpoint") => () }
+        } finally IngestClean.failpoint = None
+        IngestClean.repairIndex(s, lake, idx)
+        IngestClean.cleanBatch(s, batchOf(1), lake, idx) // at-least-once replay
+        IngestClean.cleanBatch(s, batchOf(2), lake, idx)
+      }
+      val lakeIds = s.read.parquet(lake).select(col("doc_id")).withColumn("lk", lit(true))
+      val idxIds = s.read.parquet(idx).select(col("doc_id")).distinct()
+        .withColumn("ix", lit(true))
+      base.select(col("doc_id"))
+        .join(lakeIds, Seq("doc_id"), "left")
+        .join(idxIds, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("lk"), lit(false)).as("in_lake"),
+          (coalesce(col("lk"), lit(false)) && coalesce(col("ix"), lit(false))).as("indexed"))
+        .orderBy("doc_id")
     }
   )
+
+  // ---- qp11 support ----------------------------------------------------
+
+  private val ingestRun = new java.util.concurrent.atomic.AtomicInteger(0)
+  private def rmIngestTree(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles).getOrElse(Array.empty).foreach(rmIngestTree)
+    f.delete(): Unit
+  }
+  // First-use reclamation of prior JVMs' run dirs + a bounded in-JVM
+  // ring — the Similarity.newIndexDir fixture discipline.
+  private lazy val sweepStaleIngestRuns: Unit = {
+    val tmp = new java.io.File(sys.props("java.io.tmpdir"))
+    Option(tmp.listFiles).getOrElse(Array.empty)
+      .filter(_.getName.startsWith("graft_ingq_")).foreach(rmIngestTree)
+  }
+  private def newIngestRunDir(): String = {
+    sweepStaleIngestRuns
+    val n = ingestRun.incrementAndGet()
+    val old = new java.io.File(sys.props("java.io.tmpdir"), s"graft_ingq_${n - 8}")
+    if (old.exists) rmIngestTree(old)
+    new java.io.File(sys.props("java.io.tmpdir"), s"graft_ingq_$n").toString
+  }
+
+  /** qp11's oracle: the three-batch ingest unrolled in SQL — quality
+    * gate, in-batch first-per-nrm, lake-nrm exact dedup, and the
+    * any-shared-band near rule (in-batch earlier-arrival bands + the
+    * persisted index's bands = bands of every previously KEPT doc),
+    * batch by batch. The banding replays [[graft.streaming.StreamDedup]]
+    * exactly through the shared TextFns literals (qn04's band string
+    * format). The crash/repair/replay choreography has no counterpart
+    * here BY DESIGN: recovery must be observationally invisible. */
+  private lazy val sqlIngestCrashOracle: String = {
+    val tokset = sqlTokenSet("text")
+    val hs = s"[ ${sqlTokenHash("t")} for t in $tokset ]"
+    // Per-batch CTE block: fb = quality + first-per-nrm; eb = minus
+    // lake-exact dups; nb = near-dups (index bands + earlier in-batch);
+    // kb = kept. `prevKept` is the union subquery of earlier batches'
+    // kept doc_ids ("" for batch 0).
+    def batchCtes(b: Int, prevKept: String): String = {
+      val (f, e, n, k) = (s"f$b", s"e$b", s"n$b", s"k$b")
+      val eDef =
+        if (prevKept.isEmpty) s"$e AS (SELECT * FROM $f)"
+        else
+          s"""$e AS (SELECT * FROM $f WHERE nrm NOT IN (
+             |       SELECT base.nrm FROM base JOIN ($prevKept) pk USING (doc_id)))""".stripMargin
+      val idxArm =
+        if (prevKept.isEmpty) ""
+        else
+          s"""SELECT DISTINCT x.doc_id FROM $e x JOIN bnd bx ON bx.doc_id = x.doc_id
+             |       WHERE bx.band IN (SELECT DISTINCT band FROM bnd JOIN ($prevKept) pk2 USING (doc_id))
+             |       UNION
+             |       """.stripMargin
+      s"""$f AS (SELECT doc_id, nrm, us FROM base WHERE b = $b AND q
+         |       QUALIFY ROW_NUMBER() OVER (PARTITION BY nrm ORDER BY us, doc_id) = 1),
+         |$eDef,
+         |$n AS ($idxArm
+         |       SELECT DISTINCT x.doc_id FROM $e x JOIN bnd bx ON bx.doc_id = x.doc_id
+         |       JOIN bnd by2 ON by2.band = bx.band JOIN $e y ON y.doc_id = by2.doc_id
+         |       WHERE (y.us, y.doc_id) < (x.us, x.doc_id)),
+         |$k AS (SELECT doc_id FROM $e WHERE doc_id NOT IN (SELECT doc_id FROM $n))""".stripMargin
+    }
+    val kept01 = "SELECT doc_id FROM k0 UNION ALL SELECT doc_id FROM k1"
+    s"""WITH base AS (
+       |  SELECT doc_id, text, doc_id % 3 AS b, doc_id * 1000000 AS us,
+       |         regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS nrm,
+       |         COALESCE(len(string_split_regex(trim(text), '\\s+')) >= 10, false) AS q
+       |  FROM documents),
+       |sig AS (SELECT doc_id, ${sqlMinhashSig("hs", 64)} AS sig FROM (
+       |        SELECT doc_id, $hs AS hs FROM base WHERE q) WHERE len(hs) > 0),
+       |bnd AS (SELECT doc_id,
+       |               unnest([ concat_ws('-', bb, sig[4*bb+1], sig[4*bb+2], sig[4*bb+3], sig[4*bb+4])
+       |                        for bb in range(0, 16) ]) AS band FROM sig),
+       |${batchCtes(0, "")},
+       |${batchCtes(1, "SELECT doc_id FROM k0")},
+       |${batchCtes(2, kept01)},
+       |kept AS (SELECT doc_id FROM k0 UNION ALL SELECT doc_id FROM k1
+       |         UNION ALL SELECT doc_id FROM k2)
+       |SELECT d.doc_id,
+       |       k.doc_id IS NOT NULL AS in_lake,
+       |       (k.doc_id IS NOT NULL AND bd.doc_id IS NOT NULL) AS indexed
+       |FROM documents d
+       |LEFT JOIN kept k ON d.doc_id = k.doc_id
+       |LEFT JOIN (SELECT DISTINCT doc_id FROM bnd) bd ON d.doc_id = bd.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+  }
 
   /** The digest-sum SQL fragment shared by qp06/qp08's oracles — the
     * DuckDB twin of [[corpusFingerprint]]'s digest: byte-length-prefixed

@@ -297,9 +297,12 @@ object Dedup {
     val nIdElems = epStats.getLong(2)
     val nMemberElems = epStats.getLong(3)
     // UnsafeRow-ish estimate: fixed row overhead + 8B per array element
-    // plus array headers; deliberately round up (12B/elem).
+    // plus array headers; deliberately round up (12B/elem, CEILING
+    // division — a truncating per-row average would contribute 0 bytes
+    // for e.g. 0.9 elements/row and quietly loosen the byte budget).
     def avgBytes(elems: Long*): Long =
-      48L + elems.map(e => 12L * (e / math.max(nGroups, 1L))).sum
+      48L + elems.map(e =>
+        12L * ((e + math.max(nGroups, 1L) - 1) / math.max(nGroups, 1L))).sum
     val payRowBytes = avgBytes(nIdElems, nPrefixRows)
     val memberRowBytes = avgBytes(nMemberElems)
 
@@ -677,18 +680,25 @@ object Dedup {
     // signature. Spark generates candidates by the pigeonhole principle —
     // split 60 bits into 4 chunks of 15; distance <= 3 forces at least one
     // identical chunk — so candidates come from 4 equi-joins, not O(n^2).
-    Q("qn06_simhash_near_pairs", {
-      val hs = s"[ ${sqlTokenHash60("t")} for t in toks ]"
-      s"""WITH t AS ($sqlTokenized),
-         |sh AS (SELECT doc_id, ${sqlSimhash(hs)} AS simhash FROM t)
-         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |       bit_count(xor(a.simhash, b.simhash)) AS hamming
-         |FROM sh a, sh b
-         |WHERE a.doc_id < b.doc_id AND bit_count(xor(a.simhash, b.simhash)) <= 3
-         |ORDER BY doc_a, doc_b""".stripMargin
-    }) { (s, dir) =>
+    Q("qn06_simhash_near_pairs", sqlSimhashPairsOracle) { (s, dir) =>
       memoized("simhash", s, dir, 0, 0)(simhashNearPairs(s, dir))
         .orderBy("doc_a", "doc_b")
+    },
+
+    // The at-scale branch of qn06's dispatch, FORCED at fixture size so
+    // the 2x30-bit radius-1 scheme is hash-gated every round (the
+    // dispatch threshold would otherwise keep it untested until a 1e5
+    // corpus): identical declared semantics, identical oracle — both
+    // chunkings are lossless for hamming <= 3, so the pair sets must
+    // hash-match exactly.
+    Q("qn06b_simhash_super_chunks", sqlSimhashPairsOracle) { (s, dir) =>
+      memoized("simhashsuper", s, dir, 0, 0) {
+        val sh = tokenized(s, dir)
+          .select(col("doc_id"), transform(col("toks"), tokenHash60(_)).as("hs"))
+          .select(col("doc_id"), simhash(col("hs")).as("simhash"))
+          .localCheckpoint(true)
+        simhashPairsSuperChunk(s, sh, sh.count()).localCheckpoint(true)
+      }.orderBy("doc_a", "doc_b")
     },
 
     // Incremental-ingest dedup: classify an incoming batch (doc_id % 10
@@ -937,8 +947,40 @@ object Dedup {
     labels
   }
 
+  /** qn06/qn06b's shared oracle: the brute-force all-pairs hamming
+    * filter — blocking scheme-independent, so both branches of the
+    * dispatch are held to the same answer. */
+  private lazy val sqlSimhashPairsOracle: String = {
+    val hs = s"[ ${sqlTokenHash60("t")} for t in toks ]"
+    s"""WITH t AS ($sqlTokenized),
+       |sh AS (SELECT doc_id, ${sqlSimhash(hs)} AS simhash FROM t)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |       bit_count(xor(a.simhash, b.simhash)) AS hamming
+       |FROM sh a, sh b
+       |WHERE a.doc_id < b.doc_id AND bit_count(xor(a.simhash, b.simhash)) <= 3
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  /** Corpus-size threshold where [[simhashNearPairs]] switches chunking
+    * schemes. The 4x15-bit pigeonhole's candidate volume is ~N^2 / 2^15
+    * x 4 on uniform hashes — a CONSTANT divisor of all-pairs (measured
+    * ~N^2/870 in the round-12 trio battery: 4.59B candidates at 2M
+    * docs), so past ~1e5 docs the blocking stops being sub-quadratic in
+    * any useful sense. The 2x30-bit radius-1 scheme divides by ~2^30/61
+    * instead (~2000x fewer random collisions) at a fixed 62-rows/doc
+    * probe expansion. Both schemes are LOSSLESS for hamming <= 3, so
+    * the dispatch never changes results — only the plan. A constant
+    * (not a conf): the value oracle replays results, not plans, so no
+    * cross-engine drift is possible, but determinism sweeps still want
+    * one literal. */
+  private[operators] val simhashSuperChunkMinDocs = 100000L
+
   /** SimHash hamming<=3 pairs (unordered), shared by qn06 and the
-    * component query. */
+    * component query, DISPATCHED BY MEASURED CORPUS SIZE (see
+    * [[simhashSuperChunkMinDocs]]). Both branches emit the identical
+    * pair set — the pigeonhole guarantee holds in each — so the oracle
+    * SQL (all-pairs hamming filter) is one definition regardless of
+    * branch. */
   private def simhashNearPairs(s: SparkSession, dir: String): DataFrame = {
       val sh = tokenized(s, dir)
         .select(col("doc_id"), transform(col("toks"), tokenHash60(_)).as("hs"))
@@ -946,10 +988,22 @@ object Dedup {
         // Materialization barrier: both sides of the chunk self-join
         // would otherwise re-run the 60-bit SimHash per document.
         .localCheckpoint(true)
-      // Chunk join key packs (chunkIdx, 15 chunk bits) into one long —
-      // exact tuple equality, no string concat. The first-equal-chunk
-      // filter keeps one occurrence per pair (<= 4 chunks, so a plain
-      // when-chain — no merge walk needed), replacing round 1's distinct.
+      val nDocs = sh.count()
+      val pairs =
+        if (nDocs >= simhashSuperChunkMinDocs) simhashPairsSuperChunk(s, sh, nDocs)
+        else simhashPairs4x15(s, sh, nDocs)
+      // Materialize the (shuffle-free) pair stream before the global
+      // sort — see jaccardPairs.
+      pairs.localCheckpoint(true)
+  }
+
+  /** The small-corpus branch: 4 chunks of 15 bits, distance <= 3 forces
+    * at least one IDENTICAL chunk — candidates from 4 equi-joins.
+    * Chunk join key packs (chunkIdx, 15 chunk bits) into one long —
+    * exact tuple equality, no string concat. The first-equal-chunk
+    * filter keeps one occurrence per pair (<= 4 chunks, so a plain
+    * when-chain — no merge walk needed), replacing round 1's distinct. */
+  private def simhashPairs4x15(s: SparkSession, sh: DataFrame, nDocs: Long): DataFrame = {
       def chunkOf(sim: Column, c: Int): Column =
         shiftright(sim, c * 15).bitwiseAND(lit((1L << 15) - 1))
       val chunked = sh.select(col("doc_id"), col("simhash"),
@@ -964,14 +1018,57 @@ object Dedup {
       // Measured-size strategy — chunked derives from a localCheckpoint
       // whose default stats would otherwise force a sort-merge join (see
       // [[sized]]). 4 chunk rows per document.
-      val nDocs = sh.count()
       chunked.as("x").join(sized(s, chunked.as("y"), 4L * nDocs), col("x.key") === col("y.key"))
         .filter(col("x.doc_id") < col("y.doc_id") && ham <= 3 &&
           shiftright(col("x.key"), 15) === firstEqChunk)
         .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
           ham.cast("long").as("hamming"))
-        // Materialize the (shuffle-free) pair stream before the global
-        // sort — see jaccardPairs.
-        .localCheckpoint(true)
+  }
+
+  /** The at-scale branch: 2 super-chunks of 30 bits with RADIUS-1 probe
+    * expansion. Pigeonhole at two levels: hamming <= 3 over two chunks
+    * forces one chunk with hamming <= 1, and "within hamming 1 of a
+    * 30-bit value" is an exact-match problem after enumerating the
+    * value plus its 30 single-bit flips (multi-index hashing). The
+    * index side emits 2 rows/doc (exact chunk values); the probe side
+    * 62 rows/doc (2 x (1 + 30)); the join is exact equality on a packed
+    * (chunkIdx, 30-bit value) long. A random pair collides with
+    * probability ~2 x 61/2^30 instead of 4/2^15 — the ~2000x blocking
+    * gain that keeps candidates near-linear at millions of docs
+    * (measured in the paircurve battery), for a fixed 15.5x row
+    * expansion over the 4x15 scheme's 4 rows/doc.
+    *
+    * Exactly-once per pair without a distinct: within a qualifying
+    * chunk exactly ONE probe variant of x matches y's exact value (the
+    * flip of the single differing bit, or the unflipped value), the
+    * doc_id order filter kills the mirrored orientation, and the
+    * first-chunk-with-hamming<=1 filter picks one chunk when both
+    * qualify. */
+  private def simhashPairsSuperChunk(s: SparkSession, sh: DataFrame, nDocs: Long): DataFrame = {
+      val mask30 = (1L << 30) - 1
+      def chunkOf(sim: Column, c: Int): Column =
+        shiftright(sim, c * 30).bitwiseAND(lit(mask30))
+      val idx = sh.select(col("doc_id"), col("simhash"),
+        explode(array((0 until 2).map(c =>
+          lit(c.toLong << 30).bitwiseOR(chunkOf(col("simhash"), c))): _*))
+          .as("key"))
+      val probes = sh.select(col("doc_id"), col("simhash"),
+        explode(array((0 until 2).flatMap { c =>
+          val tag = lit(c.toLong << 30)
+          tag.bitwiseOR(chunkOf(col("simhash"), c)) +:
+            (0 until 30).map(b =>
+              tag.bitwiseOR(chunkOf(col("simhash"), c).bitwiseXOR(lit(1L << b))))
+        }: _*)).as("key"))
+      val ham = bit_count(col("x.simhash").bitwiseXOR(col("y.simhash")))
+      def chunkHam(c: Int) =
+        bit_count(chunkOf(col("x.simhash"), c).bitwiseXOR(chunkOf(col("y.simhash"), c)))
+      val firstNearChunk = (0 until 2).foldRight(lit(-1L)) { (c, rest) =>
+        when(chunkHam(c) <= 1, lit(c.toLong)).otherwise(rest)
+      }
+      probes.as("x").join(sized(s, idx.as("y"), 2L * nDocs), col("x.key") === col("y.key"))
+        .filter(col("x.doc_id") < col("y.doc_id") && ham <= 3 &&
+          shiftright(col("x.key"), 30) === firstNearChunk)
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+          ham.cast("long").as("hamming"))
   }
 }

@@ -40,6 +40,16 @@ object Similarity {
     * shared literal, never two settings that can drift. */
   private[graft] val gridMaxDim = 23
 
+  /** How many COARSE cells a corpus-sized probe explores before picking
+    * its nProbe fine cells ([[ivfRouteCoarse]]). A constant shared with
+    * the qn10d oracle (the gridMaxDim rule): the value changes which
+    * fine centroids a probe can see — declared IVF-miss semantics, one
+    * literal on both engines. Declared ABOVE `all` — the oracle string
+    * interpolates it at object init, which runs in declaration order
+    * (a below-`all` declaration interpolated as 0 and emptied the
+    * oracle's probe routing; caught by the round-13 verify gate). */
+  private[graft] val coarseProbeCells = 2
+
   /** qn08c's plant: vectors with vec_id < plantCount gain a near-dup
     * copy at vec_id + plantIdOffset whose first coordinate is scaled
     * 1.02x (in double, cast back to float — bit-identical in DuckDB).
@@ -331,7 +341,8 @@ object Similarity {
     // over-bound probe sets). The oracle replays the identical pipeline
     // with the probe filter widened to the whole corpus, so the
     // assignment-join path is hash-checked, not just shape-checked.
-    Q("qn10d_ann_ivf_probe_join", ivfOracleSql(probeFilter = "TRUE")) { (s, dir) =>
+    Q("qn10d_ann_ivf_probe_join",
+        ivfOracleSql(probeFilter = "TRUE", coarseRoute = true)) { (s, dir) =>
       val path = newIndexDir()
       buildIvfIndex(s, dir, nCentroids = 16, path)
       probeIvfIndexJoined(s,
@@ -349,9 +360,49 @@ object Similarity {
     * rescoring, top-k. */
   private def ivfOracleSql(centSrcFilter: String = "TRUE",
       sampleKeySql: String = "vec_id",
-      probeFilter: String = "vec_id < 10"): String = {
+      probeFilter: String = "vec_id < 10",
+      coarseRoute: Boolean = false): String = {
       val cosE6c = (a: String, b: String, an: String, bn: String) =>
         sqlE6(s"${sqlDot(a, b)} / ($an * $bn)")
+      // Flat routing (qn10/qn10b/qn10c): each probe argsorts ALL 16
+      // centroids. Coarse routing (qn10d): the two-tier replay of
+      // [[ivfRouteCoarse]] — dense cent_idx over cent_id order, the
+      // coarseSeeds stride rule, fine->coarse argmax, probe ->
+      // coarseProbeCells coarse cells -> nProbe fine cells within them.
+      val pcCte =
+        if (!coarseRoute)
+          s"""pc AS (SELECT probe_id, pe, pn, cent_id FROM (
+             |          SELECT p.vec_id AS probe_id, p.embedding AS pe, p.nrm AS pn, c.cent_id,
+             |                 ROW_NUMBER() OVER (PARTITION BY p.vec_id
+             |                   ORDER BY ${cosE6c("c.ce", "p.embedding", "c.cn", "p.nrm")} DESC,
+             |                            c.cent_id) AS rn
+             |          FROM (SELECT * FROM v WHERE $probeFilter) p, cents c) WHERE rn <= 4)""".stripMargin
+        else
+          s"""cidx AS (SELECT cent_id, ce, cn,
+             |                ROW_NUMBER() OVER (ORDER BY cent_id) - 1 AS cent_idx FROM cents),
+             |cst AS (SELECT GREATEST(4, CAST(CEIL(SQRT(COUNT(*))) AS BIGINT)) AS k2,
+             |               GREATEST(1, COUNT(*) // GREATEST(4, CAST(CEIL(SQRT(COUNT(*))) AS BIGINT))) AS cstride
+             |        FROM cidx),
+             |cc AS (SELECT cent_idx // cstride AS coarse_id, ce AS gce, cn AS gcn FROM cidx, cst
+             |       WHERE cent_idx % cstride = 0 AND cent_idx < cstride * k2),
+             |casg AS (SELECT cent_id, ce, cn, coarse_id FROM (
+             |         SELECT x.cent_id, x.ce, x.cn, cc.coarse_id,
+             |                ROW_NUMBER() OVER (PARTITION BY x.cent_id
+             |                  ORDER BY ${cosE6c("cc.gce", "x.ce", "cc.gcn", "x.cn")} DESC,
+             |                           cc.coarse_id) AS rn
+             |         FROM cidx x, cc) WHERE rn = 1),
+             |pr AS (SELECT probe_id, pe, pn, coarse_id FROM (
+             |       SELECT p.vec_id AS probe_id, p.embedding AS pe, p.nrm AS pn, cc.coarse_id,
+             |              ROW_NUMBER() OVER (PARTITION BY p.vec_id
+             |                ORDER BY ${cosE6c("cc.gce", "p.embedding", "cc.gcn", "p.nrm")} DESC,
+             |                         cc.coarse_id) AS rn
+             |       FROM (SELECT * FROM v WHERE $probeFilter) p, cc) WHERE rn <= $coarseProbeCells),
+             |pc AS (SELECT probe_id, pe, pn, cent_id FROM (
+             |       SELECT pr.probe_id, pr.pe, pr.pn, c.cent_id,
+             |              ROW_NUMBER() OVER (PARTITION BY pr.probe_id
+             |                ORDER BY ${cosE6c("c.ce", "pr.pe", "c.cn", "pr.pn")} DESC,
+             |                         c.cent_id) AS rn
+             |       FROM pr JOIN casg c USING (coarse_id)) WHERE rn <= 4)""".stripMargin
       s"""WITH v AS (SELECT vec_id, embedding, ${sqlL2norm("embedding")} AS nrm FROM embeddings),
          |cs AS (SELECT * FROM v WHERE $centSrcFilter),
          |st AS (SELECT GREATEST(1, COUNT(*) // 16) AS stride FROM cs),
@@ -363,12 +414,7 @@ object Similarity {
          |                   ORDER BY ${cosE6c("c.ce", "v.embedding", "c.cn", "v.nrm")} DESC,
          |                            c.cent_id) AS rn
          |          FROM v, cents c) WHERE rn = 1),
-         |pc AS (SELECT probe_id, pe, pn, cent_id FROM (
-         |          SELECT p.vec_id AS probe_id, p.embedding AS pe, p.nrm AS pn, c.cent_id,
-         |                 ROW_NUMBER() OVER (PARTITION BY p.vec_id
-         |                   ORDER BY ${cosE6c("c.ce", "p.embedding", "c.cn", "p.nrm")} DESC,
-         |                            c.cent_id) AS rn
-         |          FROM (SELECT * FROM v WHERE $probeFilter) p, cents c) WHERE rn <= 4),
+         |$pcCte,
          |s AS (SELECT pc.probe_id, a.vec_id,
          |             ${cosE6c("pc.pe", "a.embedding", "pc.pn", "a.nrm")} AS score_e6
          |      FROM asg a JOIN pc USING (cent_id)
@@ -471,8 +517,75 @@ object Similarity {
   private def ivfProbeCells(v: DataFrame, cents: DataFrame, nProbe: Int): DataFrame =
     ivfRoute(v.filter(col("vec_id") < 10), cents, nProbe)
 
+  /** Two-tier probe routing — the corpus-sized path's replacement for
+    * the flat probe x all-centroids nested loop ([[ivfRoute]]): the
+    * k fine centroids are themselves stride-clustered to
+    * k2 = max(4, ceil(sqrt(k))) ~ N^(1/4) coarse seeds (the qn20c
+    * shape, applied to the PERSISTED centroid table via a dense
+    * row-number index over cent_id); a probe scores only the k2 coarse
+    * seeds, keeps its [[coarseProbeCells]] best coarse cells, and picks
+    * its nProbe fine cells among the fine centroids ASSIGNED to those
+    * cells — reached through an equi-join on coarse_id, never a nested
+    * loop over all k. Routing work per probe drops from k ~ sqrt(N) to
+    * k2 + coarseProbeCells x k/k2 ~ N^(1/4) — ~30x less at 1e9 vectors.
+    * Declared miss semantics: a fine centroid living in an unprobed
+    * coarse cell is invisible to that probe; the oracle replays the
+    * identical two-tier argmax (e6 scores, coarse_id/cent_id
+    * tie-breaks), so engine and oracle miss identically.
+    *
+    * Fully lazy like everything on this path: k2/cstride fold in as
+    * single-row crossJoined aggregates (the oracle's cst CTE), and the
+    * dense cent_idx is a window over the centroid table — k rows, the
+    * one tier small enough that a single-partition window is the
+    * deployment shape. */
+  private[graft] def ivfRouteCoarse(pv: DataFrame, cents: DataFrame, nProbe: Int): DataFrame = {
+    val cidx = cents.withColumn("cent_idx",
+      row_number().over(Window.orderBy(col("cent_id"))) - 1)
+    val cst = cidx.agg(count(lit(1)).as("ck"))
+      .select(greatest(lit(4L), ceil(sqrt(col("ck"))).cast("long")).as("k2"), col("ck"))
+      .select(col("k2"), greatest(lit(1L), expr("ck div k2")).as("cstride"))
+    val cc = cidx.crossJoin(cst)
+      .filter(col("cent_idx") % col("cstride") === 0 &&
+        col("cent_idx") < col("cstride") * col("k2"))
+      .select(expr("cent_idx div cstride").as("coarse_id"),
+        col("ce").as("gce"), col("cn").as("gcn"))
+    // fine centroid -> its coarse cell (argmax cosine, ties to low id)
+    val wFine = Window.partitionBy(col("cent_id"))
+      .orderBy(col("gscore").desc, col("coarse_id").asc)
+    val casg = cidx.join(broadcast(cc), expr("true"))
+      .select(col("cent_id"), col("ce"), col("cn"), col("coarse_id"),
+        e6(cosine(dotNative(col("gce"), col("ce")), col("gcn"), col("cn"))).as("gscore"))
+      .withColumn("rn", row_number().over(wFine)).filter(col("rn") === 1)
+      .select(col("cent_id"), col("ce"), col("cn"), col("coarse_id"))
+    // probe -> its best coarse cells
+    val wCoarse = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cscore").desc, col("coarse_id").asc)
+    val routed = pv
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pe"), col("nrm").as("pn"))
+      .join(broadcast(cc), expr("true"))
+      .select(col("probe_id"), col("pe"), col("pn"), col("coarse_id"),
+        e6(cosine(dotNative(col("gce"), col("pe")), col("gcn"), col("pn"))).as("cscore"))
+      .withColumn("rn", row_number().over(wCoarse)).filter(col("rn") <= coarseProbeCells)
+      .select(col("probe_id"), col("pe"), col("pn"), col("coarse_id"))
+    // probe -> nProbe fine cells WITHIN the probed coarse cells: an
+    // equi-join on coarse_id — the nested loop this tier exists to kill
+    val wProbe = Window.partitionBy(col("probe_id"))
+      .orderBy(col("fscore").desc, col("cent_id").asc)
+    routed.join(casg, Seq("coarse_id"))
+      .select(col("probe_id"), col("pe"), col("pn"), col("cent_id"),
+        e6(cosine(dotNative(col("ce"), col("pe")), col("cn"), col("pn"))).as("fscore"))
+      .withColumn("rn", row_number().over(wProbe)).filter(col("rn") <= nProbe)
+      .select(col("probe_id"), col("pe"), col("pn"), col("cent_id"))
+  }
+
   /** Route an arbitrary (vec_id, embedding, nrm) probe frame to its
-    * nProbe nearest cells. */
+    * nProbe nearest cells — FLAT (probe x all centroids): right for
+    * declared probe batches against a 16-cell fixture index; the
+    * corpus-sized path goes through [[ivfRouteCoarse]]. Exposed to the
+    * ivfjoin battery for the routing head-to-head. */
+  private[graft] def ivfRouteFlat(pv: DataFrame, cents: DataFrame, nProbe: Int): DataFrame =
+    ivfRoute(pv, cents, nProbe)
+
   private def ivfRoute(pv: DataFrame, cents: DataFrame, nProbe: Int): DataFrame = {
     val wProbe = Window.partitionBy(col("probe_id"))
       .orderBy(col("cscore").desc, col("cent_id").asc)
@@ -625,23 +738,28 @@ object Similarity {
     * the corpus itself (the "re-embed everything and find each vector's
     * neighbors" batch, the qn20 shape).
     *
+    * Routing goes through the COARSE tier ([[ivfRouteCoarse]]) — a
+    * corpus-sized probe batch against all sqrt(N) fine centroids was
+    * the last flat N x sqrt(N) stage on this path (round-10 verdict);
+    * the two-tier route cuts it to ~N^(1/4) per probe at the declared
+    * coarse-miss semantics, which the qn10d oracle replays exactly.
+    *
     * Fully lazy: calling this runs ZERO jobs (pinned in NorthStarSpec);
     * routing, the cell join, and the rescore all execute inside the one
-    * action the caller runs. Plan shape at scale: centroid broadcast for
-    * routing, then a join on cent_id between the routed probes
+    * action the caller runs. Plan shape at scale: coarse-seed broadcast
+    * for routing (k2 ~ N^(1/4) rows), fine cells via an equi-join on
+    * coarse_id, then a join on cent_id between the routed probes
     * (O(probes x nProbe) rows) and the cent_id-partitioned lake — for a
     * SELECTIVE probe batch Spark's dynamic partition pruning can skip
     * unprobed cells at runtime; for a corpus-sized batch every cell is
     * genuinely needed and the join shuffles on cent_id (nCentroids ~
-    * sqrt(N) keys at scale — enough reducers). Results are
-    * hash-identical to the collect path: same routing math, same
-    * rescore, same ordering keys. */
+    * sqrt(N) keys at scale — enough reducers). */
   def probeIvfIndexJoined(s: SparkSession, probes: DataFrame, path: String,
       nProbe: Int, k: Int): DataFrame = {
     val cents = s.read.parquet(s"$path/centroids")
     val pv = probes.select(col("vec_id"), col("embedding"),
       l2normNative(col("embedding")).as("nrm"))
-    val pc = ivfRoute(pv, cents, nProbe)
+    val pc = ivfRouteCoarse(pv, cents, nProbe)
     val candidates = s.read.parquet(s"$path/vectors")
       .select(col("vec_id"), col("embedding"), col("nrm"),
         col("cent_id").cast("long").as("cent_id"))

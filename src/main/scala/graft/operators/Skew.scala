@@ -69,6 +69,37 @@ object Skew {
 
   private val S = 16
 
+  /** Below this expected DISTINCT-values-per-hot-key, hierarchical
+    * salted distinct aggregation LOSES to the plain one-level form —
+    * measured in the round-12 skew battery (20M rows, 90% hot key): the
+    * S-fold shard pass plus the flatten merge cost more than the single
+    * overloaded reducer saves until per-key distinct state is roughly
+    * a million values. Salting fixes REDUCER-STATE skew, not small
+    * aggregations. */
+  val saltedDistinctMinPerKey = 1000000L
+
+  /** Distinct-set aggregation on a skew-prone key with the measured
+    * salt gate applied: above [[saltedDistinctMinPerKey]] expected
+    * distinct values per key, the qk02 hierarchical shape (each of `s`
+    * salt shards builds its own collect_set — a value always hashes to
+    * the same shard, so shards PARTITION the distinct set — then the
+    * per-key merge concatenates pre-deduplicated arrays); below it,
+    * plain collect_set. Both branches return identical (key,
+    * sorted-distinct array) rows; the estimate only picks the plan.
+    * `est` comes from whatever the caller knows — an HLL sketch
+    * (qn11's machinery), table stats, or the previous run. */
+  def saltedDistinctAuto(df: DataFrame, key: String, value: String,
+      s: Int, estDistinctPerKey: Long): DataFrame = {
+    require(s >= 1, s"saltedDistinctAuto: salt count must be >= 1, got $s")
+    if (estDistinctPerKey < saltedDistinctMinPerKey)
+      df.groupBy(col(key)).agg(array_sort(collect_set(col(value))).as("values"))
+    else
+      df.groupBy(col(key), pmod(hash(col(value)), lit(s)).as("__salt"))
+        .agg(collect_set(col(value)).as("vs"))
+        .groupBy(col(key))
+        .agg(array_sort(flatten(collect_list(col("vs")))).as("values"))
+  }
+
   /** The dim side as a frame — shared with the Battery's at-scale rig so
     * the battery measures the REGISTERED query's exact join shape. */
   private[graft] def weightsDF(s: org.apache.spark.sql.SparkSession): DataFrame = {

@@ -89,11 +89,35 @@ object BloomLake {
     * of the lake (compaction, backfill) that omits these silently drops
     * them, so `LakeMaintenance.compact(..., writerOptions = ...)` takes
     * this map through the rewrite.
+    *
+    * `fpp` sizes the bitset together with `expectedNdv`. The parquet-mr
+    * default (0.01) is tuned for SINGLE-key point probes; a SET probe
+    * ([[pruneByStringSet]]) tests K keys per row group, so its expected
+    * false positives are K x fpp — at K ~ 1e5 batch keys a 1% bloom
+    * excludes NOTHING (measured: 32/32 index files survived a 5k-doc
+    * batch's 80k band keys). Callers on the set-probe path pass
+    * fpp <= 1/(expected K) / 10; the bits cost is log-linear
+    * (~1.44 log2(1/fpp) bits per key: 14 at 1e-3, 38 at 1e-8).
     */
-  def writerOptions(bloomCol: String, expectedNdv: Long): Map[String, String] = Map(
-    s"parquet.bloom.filter.enabled#$bloomCol" -> "true",
-    s"parquet.bloom.filter.expected.ndv#$bloomCol" -> expectedNdv.toString,
-    s"parquet.enable.dictionary#$bloomCol" -> "false")
+  def writerOptions(bloomCol: String, expectedNdv: Long,
+      fpp: Double = 0.01): Map[String, String] = {
+    // parquet-mr clamps the bitset to parquet.bloom.filter.max.bytes
+    // (default 1 MB) SILENTLY — an ndv x fpp pair that needs more bits
+    // would degrade to a saturated filter that excludes nothing
+    // (measured: a 100k-ndv cap under 500k actual keys returned every
+    // file as a maybe). Raise the cap to what the request actually
+    // needs: optimal bits = -n ln(p) / (ln 2)^2, rounded up to the
+    // power-of-2 block split size.
+    val optimalBits = (-expectedNdv * math.log(fpp) / (math.log(2) * math.log(2))).toLong
+    val maxBytes = math.max(1L << 20, java.lang.Long.highestOneBit(
+      math.max(1L, optimalBits / 8 - 1)) * 2)
+    Map(
+      s"parquet.bloom.filter.enabled#$bloomCol" -> "true",
+      s"parquet.bloom.filter.expected.ndv#$bloomCol" -> expectedNdv.toString,
+      s"parquet.bloom.filter.fpp#$bloomCol" -> fpp.toString,
+      "parquet.bloom.filter.max.bytes" -> maxBytes.toString,
+      s"parquet.enable.dictionary#$bloomCol" -> "false")
+  }
 
   /** Probe every row group's bloom filter for a long `value`. Driver-side
     * footer metadata walk — O(row groups), no data pages (see class doc).

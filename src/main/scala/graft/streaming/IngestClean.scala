@@ -51,13 +51,26 @@ import org.apache.spark.sql.functions._
   * recall-side approximation; verification-grade J >= p/q runs in the
   * batch engine when the workload needs it).
   *
+  * Any-band-rule precision caveat, measured in the ingest battery: on a
+  * Zipfian corpus a band can be entirely STOPWORD-determined (all 4
+  * minhash rows achieved by common tokens), making low-Jaccard docs
+  * band-collide — the rule then drops the later carriers of each such
+  * band (~0.1%-frequency bands at 1M docs in the paircurve generator's
+  * head). This also self-limits: a cleanBatch-built index holds each
+  * band's FIRST carrier only, so hot bands cannot accumulate. A
+  * workload that cannot afford the over-drop should route near-dup
+  * through the verified batch pipeline (qn03/qn04's J >= p/q check) on
+  * the quarantined candidates rather than widening this rule.
+  *
   * Job discipline: the per-stage counts ride the lake-write pass as
-  * `observe` metrics — a steady-state micro-batch executes THREE
-  * actions (the O(batch) probe-key collect, the lake append, the index
-  * append; the optional quarantine and zone refresh each add their
-  * own), never a `.count()` per stage. The in-batch near check is a
-  * per-band window (min arrival per band), not a band self-join — linear
-  * in a hot band's bucket size where the self-join was quadratic.
+  * `observe` metrics — a steady-state micro-batch executes FOUR
+  * actions, every one O(batch): the band checkpoint (the single MinHash
+  * pass, reused by three consumers), the probe-key collect, the lake
+  * append, and the index append (the optional quarantine and zone
+  * refresh each add their own). Never a `.count()` per stage. The
+  * in-batch near check is a per-band window (min arrival per band), not
+  * a band self-join — linear in a hot band's bucket size where the
+  * self-join was quadratic.
   */
 object IngestClean {
 
@@ -74,12 +87,23 @@ object IngestClean {
     spark.conf.getOption("spark.graft.ingest.maxProbeKeys")
       .map(_.toLong).getOrElse(2000000L)
 
-  /** Expected distinct keys per written file, sizing the bloom bitsets
-    * (~1.2 MB at 1M ndv; oversizing wastes kilobytes, undersizing
-    * raises the false-positive rate — both safe). */
+  /** Expected distinct keys per written file, sizing the bloom bitsets.
+    * With [[bloomFpp]] at its 1e-8 default, 100k ndv costs ~480 KB per
+    * file — under parquet-mr's 1 MB bloom cap; a much larger ndv would
+    * silently hit the cap and degrade the real fpp. Oversizing wastes
+    * kilobytes, undersizing raises the false-positive rate — both safe. */
   private def bloomNdv(spark: SparkSession): Long =
     spark.conf.getOption("spark.graft.ingest.bloomNdv")
       .map(_.toLong).getOrElse(100000L)
+
+  /** Bloom false-positive rate. A SET probe tests up to maxProbeKeys
+    * keys per row group, so expected false survivors per file are
+    * K x fpp — the parquet default 0.01 excludes NOTHING under a 1e5-key
+    * batch (measured in the ingest battery). 1e-8 keeps K x fpp << 1 at
+    * the default key bound for ~38 bits/key. */
+  private def bloomFpp(spark: SparkSession): Double =
+    spark.conf.getOption("spark.graft.ingest.bloomFpp")
+      .map(_.toDouble).getOrElse(1e-8)
 
   // Test probes (the lastNearPairPath pattern): how many candidate files
   // each tier saw and how many survived its bloom walk on the most
@@ -163,7 +187,7 @@ object IngestClean {
     if (pathExists(spark, lakeDir)) {
       val lake = spark.read.parquet(lakeDir).select("doc_id", "text", "us")
       StreamDedup.banded(lake).toDF().select("band", "doc_id")
-        .write.options(BloomLake.writerOptions("band", bloomNdv(spark)))
+        .write.options(BloomLake.writerOptions("band", bloomNdv(spark), bloomFpp(spark)))
         .mode(SaveMode.Overwrite).parquet(staging.toString)
     }
     if (fs.exists(idxPath))
@@ -227,23 +251,40 @@ object IngestClean {
     val indexExists = pathExists(spark, indexDir)
     val preAppend = lakeFiles()
 
+    // The batch's band rows, computed ONCE per batch and checkpointed:
+    // the 64-plane MinHash is the single most expensive per-batch
+    // expression, and three consumers need its output — the probe-key
+    // collect, the near-dup analysis, and the index append. Banding
+    // inBatchFirst (not exactNovel) breaks the cycle with the pruned
+    // lake read; the dup analysis re-restricts to exact-novel docs
+    // below, so verdicts are unchanged. Only (band, doc_id, us)
+    // survives into the checkpoint — the signature arrays would
+    // multiply its footprint ~10x for nothing.
+    val bandedFirst = StreamDedup.banded(inBatchFirst.select("doc_id", "text", "us"))
+      .toDF().select("band", "doc_id", "us").localCheckpoint(true)
+
     // ONE bounded O(batch) action collects the probe keys both tiers
-    // prune with: the batch's distinct shas (exact tier) and its band
-    // keys (near tier — banded over inBatchFirst, a SUPERSET of the
-    // exact-novel docs that are actually band-checked, so pruning with
-    // it is conservative). Skipped entirely when there is nothing to
-    // prune; over maxProbeKeys, both tiers fall back to all-files.
+    // prune with: the batch's shas (exact tier; already distinct —
+    // inBatchFirst is first-per-nrm) and its distinct band keys (near
+    // tier — from inBatchFirst, a SUPERSET of the exact-novel docs that
+    // are actually band-checked, so pruning with it is conservative),
+    // tagged into one column so one job serves both. Skipped entirely
+    // when there is nothing to prune; over maxProbeKeys, both tiers
+    // fall back to all-files.
     val probeKeys: Option[(Seq[String], Seq[String])] =
       if (!lakeExists && !indexExists) None
       else {
-        val maxDocs = math.max(1L, maxProbeKeys(spark) / (1L + StreamDedup.NBands))
-        val rows = inBatchFirst
-          .select(col("sha"), StreamDedup.bandsOf(col("text")).as("bands"))
-          .limit(math.min(maxDocs + 1, Int.MaxValue.toLong).toInt).collect()
-        if (rows.length > maxDocs) None
-        else Some((
-          rows.map(_.getString(0)).toSeq.distinct,
-          rows.flatMap(_.getSeq[String](1)).toSeq.distinct))
+        val maxKeys = maxProbeKeys(spark)
+        val rows = inBatchFirst.select(concat(lit("s:"), col("sha")).as("k"))
+          .unionByName(bandedFirst.select(concat(lit("b:"), col("band")).as("k")).distinct())
+          .limit(math.min(maxKeys + 1, Int.MaxValue.toLong).toInt).collect()
+        if (rows.length > maxKeys) None
+        else {
+          val ks = rows.map(_.getString(0))
+          Some((
+            ks.collect { case k if k.startsWith("s:") => k.drop(2) }.toSeq,
+            ks.collect { case k if k.startsWith("b:") => k.drop(2) }.toSeq))
+        }
       }
 
     // EXACT tier: bloom-prune the lake's files with the batch's shas,
@@ -278,7 +319,10 @@ object IngestClean {
     // iff any of its bands is in the persisted index (left join a marker
     // on the distinct PRUNED index bands). Same verdicts as the join
     // formulation: if any earlier y shares a band, that band's min ≤ y.
-    val banded = StreamDedup.banded(exactNovel.select("doc_id", "text", "us")).toDF()
+    // The semi-join re-restricts the checkpointed bands to exact-novel
+    // docs BEFORE the window: a lake-exact-dup's bands must not become a
+    // band's earliest arrival and mark a genuinely novel doc near-dup.
+    val banded = bandedFirst.join(exactNovel.select("doc_id"), Seq("doc_id"), "left_semi")
     val idxBands: Option[DataFrame] =
       if (!indexExists) { lastBandFiles = (0, 0); None }
       else {
@@ -375,8 +419,31 @@ object IngestClean {
     val survivors = novel(inBatchFirstObs).observe(obsNovel, count(lit(1)).as("n"))
       .join(dupIds, Seq("doc_id"), "left_anti")
       .observe(obsApp, count(lit(1)).as("n"))
-    survivors.write.options(BloomLake.writerOptions("sha", bloomNdv(spark)))
-      .mode(SaveMode.Append).parquet(lakeDir)
+    // AQE's empty-relation propagation is excluded for THIS write only:
+    // when a replayed batch dedups to zero survivors, the rule replaces
+    // the empty join stage's whole subtree — CollectMetrics nodes
+    // included — and Spark then completes the matched Observations with
+    // EMPTY maps (the in/quality/novel counts vanish; measured in
+    // StreamDedupSpec's replay). Empty-propagation buys nothing on an
+    // append that would write zero rows anyway; the rest of AQE (skew,
+    // coalescing) stays on for the at-scale anti-joins.
+    // ... and it must be set on the session the WRITE executes under:
+    // inside foreachBatch the lineage is bound to the micro-batch's
+    // cloned session, whose SQLConf is independent of the caller's.
+    val execSession = survivors.sparkSession
+    val aqeExcludedKey = "spark.sql.adaptive.optimizer.excludedRules"
+    val prevExcluded = execSession.conf.getOption(aqeExcludedKey)
+    execSession.conf.set(aqeExcludedKey,
+      (prevExcluded.toSeq :+
+        "org.apache.spark.sql.execution.adaptive.AQEPropagateEmptyRelation")
+        .mkString(","))
+    try
+      survivors.write.options(BloomLake.writerOptions("sha", bloomNdv(spark), bloomFpp(spark)))
+        .mode(SaveMode.Append).parquet(lakeDir)
+    finally prevExcluded match {
+      case Some(v) => execSession.conf.set(aqeExcludedKey, v)
+      case None => execSession.conf.unset(aqeExcludedKey)
+    }
 
     failpoint.filter(_ == "after_lake_append").foreach { _ =>
       throw new IllegalStateException(
@@ -386,18 +453,21 @@ object IngestClean {
     // Index append — LAKE-FIRST for crash consistency (a crash here
     // leaves lake rows the next batch still exact-dedups; index-first
     // would leave phantom bands that suppress their own replay forever).
-    // The band rows derive from the files THIS append added (an fs
-    // listing diff — manifest-class, like the zone refresh), not from
-    // the survivors frame: re-running the survivors lineage after the
-    // append would re-run its probe-pruned anti-joins against a listing
-    // that may have been refreshed, so the written files are the one
-    // authoritative record of what landed.
+    // The doc_ids derive from the files THIS append added (an fs listing
+    // diff — manifest-class, like the zone refresh), not from the
+    // survivors frame: re-running the survivors lineage after the append
+    // would re-run its probe-pruned anti-joins against a listing that
+    // may have been refreshed, so the written files are the one
+    // authoritative record of what landed. The bands come from the
+    // checkpoint (same deterministic expression — no second MinHash
+    // pass), restricted to those authoritative ids.
     val newFiles = (lakeFiles() -- preAppend).toSeq.sorted
     if (newFiles.nonEmpty) {
-      val appended = spark.read.option("basePath", lakeDir).parquet(newFiles: _*)
-      StreamDedup.banded(appended.select("doc_id", "text", "us")).toDF()
+      val appendedIds = spark.read.option("basePath", lakeDir).parquet(newFiles: _*)
+        .select("doc_id")
+      bandedFirst.join(appendedIds, Seq("doc_id"), "left_semi")
         .select("band", "doc_id")
-        .write.options(BloomLake.writerOptions("band", bloomNdv(spark)))
+        .write.options(BloomLake.writerOptions("band", bloomNdv(spark), bloomFpp(spark)))
         .mode(SaveMode.Append).parquet(indexDir)
       if (!indexExists) writeMarker(spark, indexDir)
     }
@@ -443,7 +513,7 @@ object IngestClean {
       .select("band", "doc_id").localCheckpoint(true)
     val n = bands.select("doc_id").distinct().count()
     if (n > 0) {
-      bands.write.options(BloomLake.writerOptions("band", bloomNdv(spark)))
+      bands.write.options(BloomLake.writerOptions("band", bloomNdv(spark), bloomFpp(spark)))
         .mode(SaveMode.Append).parquet(indexDir)
       if (readMarker(spark, indexDir).isEmpty) writeMarker(spark, indexDir)
     }

@@ -53,16 +53,22 @@ object StreamDedup {
   }
 
   /** The band keys of one document as an ARRAY column (empty when the
-    * text has no tokens) — the probe-key projection [[IngestClean]]
-    * collects per micro-batch. Same tokenization, signature, and band
-    * string format as [[banded]]; this form just skips the explode (and
-    * the per-band index) because the caller only needs the key SET.
+    * doc has no tokens) — the probe-key projection [[IngestClean]]
+    * collects per micro-batch. Same signature and band string format as
+    * [[banded]]; this form just skips the explode (and the per-band
+    * index) because the caller only needs the key SET.
+    *
+    * Takes the MATERIALIZED token-hash array, not text: minhashSig
+    * references its input once per plane, so an inlined
+    * `transform(tokenSet(text), tokenHash)` would re-hash every token
+    * 64 times (qn04's projection discipline; measured 3x the whole
+    * batch cost when the first cut inlined it). Compute
+    * `transform(tokenSet(text), tokenHash(_))` in its own projection
+    * and pass that column here.
     */
-  def bandsOf(text: Column): Column = {
-    val hs = transform(tokenSet(text), tokenHash(_))
+  def bandsOfHashes(hs: Column): Column =
     when(size(hs) > 0, lshBands(minhashSig(hs, NPlanes), NBands, RowsPerBand))
       .otherwise(array().cast("array<string>"))
-  }
 
   case class BandDoc(band: String, b: Int, doc_id: Long, us: Long, sig: Seq[Long])
   /** BandDoc + the event-time column the watermark/timeout machinery

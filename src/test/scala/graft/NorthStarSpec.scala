@@ -280,7 +280,7 @@ class NorthStarSpec extends AnyFunSuite {
       s"no pruning: read $filesRead of $totalFiles index files")
   }
 
-  test("qn10d assignment-join probe: no driver collect, agrees with the collect path") {
+  test("qn10d assignment-join probe: lazy, coarse-routed, agrees with a driver-side replay") {
     import org.apache.spark.sql.functions.col
     val path = graft.operators.Similarity.newIndexDir()
     graft.operators.Similarity.buildIvfIndex(spark, sf, 16, path)
@@ -309,11 +309,65 @@ class NorthStarSpec extends AnyFunSuite {
         df
       } finally spark.sparkContext.removeSparkListener(listener)
 
-    // Same routing math, same rescore: identical rows to the collect path.
-    val viaCollect = graft.operators.Similarity.probeIvfIndex(spark, sf, path, 4, 5)
-      .collect().map(_.toString).toSeq
-    assert(joined.collect().map(_.toString).toSeq == viaCollect,
-      "assignment-join probe diverged from the collect-routing probe")
+    // Independent ORACLE: replay the ENTIRE two-tier pipeline on the
+    // driver in plain Scala — same sequential double folds, same e6
+    // floors, same tie-breaks — from the PERSISTED index artifacts.
+    // This is deliberately not a comparison against another Spark plan:
+    // a routing bug shared by two plans would cancel out; it cannot
+    // survive an arithmetic replay.
+    def dot(a: Seq[Float], b: Seq[Float]): Double =
+      a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + x.toDouble * y.toDouble }
+    def e6(x: Double): Long = math.floor(x * 1000000L).toLong
+    val cents = spark.read.parquet(s"$path/centroids")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1), r.getDouble(2)))
+      .sortBy(_._1)
+    val k = cents.length
+    val k2 = math.max(4L, math.ceil(math.sqrt(k.toDouble)).toLong)
+    val cstride = math.max(1L, k / k2)
+    // coarse seeds over the dense cent_idx (= sorted position)
+    val cc = cents.zipWithIndex.collect {
+      case ((cid, ce, cn), i) if i % cstride == 0 && i < cstride * k2 =>
+        (i / cstride, ce, cn)
+    }
+    def bestCoarse(e: Seq[Float], n: Double, take: Int): Seq[Long] =
+      cc.map { case (gid, gce, gcn) => (e6(dot(gce, e) / (gcn * n)), gid) }
+        .sortBy { case (s, gid) => (-s, gid) }.take(take).map(_._2)
+    // fine centroid -> its coarse cell
+    val casg: Map[Long, Seq[(Long, Seq[Float], Double)]] =
+      cents.groupBy { case (cid, ce, cn) => bestCoarse(ce, cn, 1).head }
+        .view.mapValues(_.toSeq).toMap
+    val lake = spark.read.parquet(s"$path/vectors")
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        col("cent_id").cast("long").as("cent_id"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1), r.getDouble(2), r.getLong(3)))
+    val probeRows = Tables.embeddings(spark, sf).filter(col("vec_id") < 10)
+      .select("vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+    def l2(a: Seq[Float]): Double =
+      math.sqrt(a.foldLeft(0.0)((acc, x) => acc + x.toDouble * x.toDouble))
+    val expected = probeRows.sortBy(_._1).flatMap { case (pid, pe) =>
+      val pn = l2(pe)
+      val coarse = bestCoarse(pe, pn, graft.operators.Similarity.coarseProbeCells)
+      val fineCands = coarse.flatMap(casg.getOrElse(_, Seq.empty))
+      val cells = fineCands
+        .map { case (cid, ce, cn) => (e6(dot(ce, pe) / (cn * pn)), cid) }
+        .sortBy { case (s, cid) => (-s, cid) }.take(4).map(_._2).toSet
+      lake.filter(v => cells(v._4) && v._1 != pid)
+        .map { case (vid, ve, vn, _) => (e6(dot(pe, ve) / (pn * vn)), vid) }
+        .sortBy { case (s, vid) => (-s, vid) }.take(5).zipWithIndex
+        .map { case ((s, vid), i) => (pid, (i + 1).toLong, vid, s) }
+    }.toSeq
+    val got = joined.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == expected, "assignment-join probe diverged from the scala replay")
+
+    // Plan shape: the fine cells are reached through an EQUI-JOIN on
+    // coarse_id — the flat probe x all-fine-centroids nested loop this
+    // tier replaces must be gone. The only nested-loop joins left are
+    // against the k2-row coarse table.
+    val planStr = joined.queryExecution.executedPlan.toString
+    assert(planStr.contains("coarse_id"),
+      "no coarse_id equi-join in the probe plan — routing is flat again")
 
     // And a SELECTIVE probe batch through the join path still prunes the
     // index lake — at RUNTIME, via dynamic partition pruning on the
@@ -322,7 +376,7 @@ class NorthStarSpec extends AnyFunSuite {
     // collecting a route). Corpus-sized batches genuinely need every
     // cell, so this is exactly the two-regime behavior the serving path
     // wants.
-    assert(joined.queryExecution.executedPlan.toString.contains("dynamicpruning"),
+    assert(planStr.contains("dynamicpruning"),
       "no dynamic partition pruning on the index lake for a selective probe")
   }
 

@@ -135,4 +135,30 @@ class SkewSpec extends AnyFunSuite {
     assert(hot >= total / 5, s"expected a hot reducer, max=$hot total=$total")
     assert(salted * 2 <= hot, s"salting did not spread: salted=$salted hot=$hot")
   }
+
+  test("saltedDistinctAuto: identical results either side of the measured gate") {
+    import graft.operators.Skew
+    val spark = TestSpark.spark
+    import org.apache.spark.sql.functions._
+    val df = spark.range(2000).select(
+      (col("id") % 3).cast("string").as("k"),
+      (col("id") % 700).as("v")) // duplicate values per key -> real distinct work
+    def canon(d: org.apache.spark.sql.DataFrame) =
+      d.orderBy("k").collect()
+        .map(r => r.getString(0) -> r.getSeq[Long](1).toSeq).toSeq
+    // force both branches via the estimate; the gate must never change
+    // the answer — only the plan (hierarchical merge vs one-level agg)
+    val plain = Skew.saltedDistinctAuto(df, "k", "v", 8, estDistinctPerKey = 1L)
+    val salted = Skew.saltedDistinctAuto(df, "k", "v", 8,
+      estDistinctPerKey = Skew.saltedDistinctMinPerKey)
+    assert(canon(plain) == canon(salted))
+    // and the plans actually differ where it matters: the salted form
+    // aggregates twice (shards, then merge), the plain form once
+    def aggCount(d: org.apache.spark.sql.DataFrame) =
+      d.queryExecution.optimizedPlan.collect {
+        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+      }.size
+    assert(aggCount(plain) == 1 && aggCount(salted) == 2,
+      s"gate did not switch plans: plain=${aggCount(plain)} salted=${aggCount(salted)}")
+  }
 }

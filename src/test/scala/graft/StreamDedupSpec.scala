@@ -179,7 +179,7 @@ class StreamDedupSpec extends AnyFunSuite {
     assert(kept == Set(1L))
   }
 
-  test("cleanBatch runs three actions per micro-batch; stage counts ride the write as observe metrics") {
+  test("cleanBatch runs four O(batch) actions per micro-batch; stage counts ride the write as observe metrics") {
     import graft.streaming.IngestClean
     val dir = java.nio.file.Files.createTempDirectory("graft_ingest_jobs").toString
     val (lake, idx) = (s"$dir/lake", s"$dir/index")
@@ -197,12 +197,12 @@ class StreamDedupSpec extends AnyFunSuite {
     val s1 = IngestClean.cleanBatch(spark, df(batch1), lake, idx)
     assert(s1 == IngestClean.BatchStats(in = 4, quality = 3, exactNovel = 2, appended = 2))
 
-    // Steady state (lake + index exist): exactly three top-level SQL
-    // executions — the bounded O(batch) probe-key collect (the input to
-    // both tiers' bloom pruning), the lake append, and the index append.
-    // Every stage count arrives via CollectMetrics on the lake-write
-    // pass; a .count() action per stage would show up here as extra
-    // executions.
+    // Steady state (lake + index exist): exactly four top-level SQL
+    // executions, each O(batch) — the band checkpoint (the ONE MinHash
+    // pass), the bounded probe-key collect (the input to both tiers'
+    // bloom pruning), the lake append, and the index append. Every
+    // stage count arrives via CollectMetrics on the lake-write pass; a
+    // .count() action per stage would show up here as extra executions.
     val execs = new java.util.concurrent.atomic.AtomicInteger(0)
     val listener = new org.apache.spark.scheduler.SparkListener {
       override def onOtherEvent(event: org.apache.spark.scheduler.SparkListenerEvent): Unit =
@@ -224,8 +224,8 @@ class StreamDedupSpec extends AnyFunSuite {
         val cur = execs.get()
         if (cur == last) same += 1 else { same = 0; last = cur }
       }
-      assert(execs.get() == 3,
-        s"expected 3 SQL executions (probe collect + lake + index append), saw ${execs.get()}")
+      assert(execs.get() == 4,
+        s"expected 4 SQL executions (band checkpoint + probe collect + lake + index append), saw ${execs.get()}")
     } finally spark.sparkContext.removeSparkListener(listener)
     val kept = spark.read.parquet(lake).select("doc_id").collect().map(_.getLong(0)).toSet
     assert(kept == Set(1L, 4L, 7L))
@@ -541,9 +541,11 @@ class StreamDedupSpec extends AnyFunSuite {
       Doc(2, "too short", 2000000L)))
     IngestClean.cleanBatch(spark, batch, lake, idx,
       quarantineDir = Some(quar), batchId = 0L)
-    // one partitioned table holding BOTH generations
+    // one partitioned table holding BOTH generations (partition-type
+    // inference can be conf-toggled by sibling suites, so pin the cast)
+    import org.apache.spark.sql.functions.{col => cc}
     val rows = spark.read.parquet(quar)
-      .select("doc_id", "reason", "batch")
+      .select(cc("doc_id"), cc("reason"), cc("batch").cast("int").as("batch"))
       .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
     assert(rows == Set((99L, "quality", -1), (2L, "quality", 0)), s"quarantine held $rows")
   }
