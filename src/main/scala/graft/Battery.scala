@@ -54,7 +54,9 @@ object Battery {
       case Some("ivfjoin")    => ivfjoin(spark, args.lift(1).map(_.toLong).getOrElse(260000L))
       case Some("ingest")     => ingest(spark, args.lift(1)
         .getOrElse("100000,1000000,4000000").split(",").toSeq.map(_.trim.toLong))
-      case other => sys.error(s"unknown battery: $other (skew|bloom|governance|paircurve|ivfjoin|ingest)")
+      case Some("ingestgrow") => ingestGrow(spark,
+        args.lift(1).map(_.toInt).getOrElse(40))
+      case other => sys.error(s"unknown battery: $other (skew|bloom|governance|paircurve|ivfjoin|ingest|ingestgrow)")
     }
     spark.stop()
   }
@@ -373,13 +375,7 @@ object Battery {
       // for a reason the real pipeline structurally prevents. Measured
       // before this change: 7 stopword bands true-hit 32/32 files at 1M
       // docs while bloom false positives were 2/32.
-      def ingestCorpus(nn: Long): DataFrame = {
-        val rareVocab = math.max(10L * nn, 10000L)
-        val toks = transform(sequence(lit(0), lit(47)), j =>
-          concat(lit("t"), pmod(xxhash64(col("id"), j, lit(44)), lit(rareVocab)).cast("string")))
-        s.range(nn).select(col("id").as("doc_id"), array_join(toks, " ").as("text"))
-      }
-      val docs = ingestCorpus(n)
+      val docs = ingestCorpus(s, n)
         .select(col("doc_id"), col("text"), (col("doc_id") * 1000000L).as("us"))
         .withColumn("nrm", col("text"))
         .withColumn("sha", sha2(col("nrm"), 256))
@@ -403,7 +399,7 @@ object Battery {
       // not an exact survivor count.
       val batchN = 5000L
       val plantedIds = Seq(11L + n + 5000000L, 22L + n + 5000000L)
-      val novel = ingestCorpus(n + batchN - 2)
+      val novel = ingestCorpus(s, n + batchN - 2)
         .filter(col("doc_id") >= n)
         .select((col("doc_id") + 1000000L).as("doc_id"), col("text"),
           (col("doc_id") + 7L).cast("long").as("us"))
@@ -449,6 +445,62 @@ object Battery {
       s.conf.set("spark.graft.ingest.maxProbeKeys", "2000000")
     }
     s.sparkContext.removeSparkListener(listener)
+  }
+
+  // ---- ingestgrow ------------------------------------------------------
+
+  /** Stopword-free all-distinct corpus for the ingest batteries (see the
+    * `ingest` battery's comment on why the Zipf-head generator puts the
+    * index in a pipeline-unreachable state). */
+  private def ingestCorpus(s: SparkSession, nn: Long): DataFrame = {
+    val rareVocab = math.max(10L * nn, 10000L)
+    val toks = transform(sequence(lit(0), lit(47)), j =>
+      concat(lit("t"), pmod(xxhash64(col("id"), j, lit(44)), lit(rareVocab)).cast("string")))
+    s.range(nn).select(col("id").as("doc_id"), array_join(toks, " ").as("text"))
+  }
+
+  /** The LONG-RUNNING ingest shape: `nBatches` sequential cleanBatch
+    * appends into one growing lake — the real pipeline, not a
+    * direct-written fixture — with and without periodic compaction
+    * (every 10 batches, blooms threaded through the rewrite). What this
+    * measures that the `ingest` battery cannot: per-batch cost as FILE
+    * COUNT grows with batch count (each append adds files; every later
+    * batch's footer walk and listing pays for all of them), and whether
+    * compactIngest actually flattens that curve while keeping verdicts
+    * identical (asserted per batch via BatchStats equality between
+    * forms).
+    */
+  private def ingestGrow(s: SparkSession, nBatches: Int): Unit = {
+    val batchN = 5000L
+    val total = nBatches * batchN
+    val forms = Seq("plain", "compacted")
+    val statsByForm = forms.map { form =>
+      val root = java.nio.file.Files.createTempDirectory(s"graft_battery_grow_$form").toString
+      val lake = s"$root/lake"; val idx = s"$root/index"
+      val perBatch = (0 until nBatches).map { b =>
+        val batch = ingestCorpus(s, total)
+          .filter(col("doc_id") >= b * batchN && col("doc_id") < (b + 1) * batchN)
+          .select(col("doc_id"), col("text"), (col("doc_id") + 1L).as("us"))
+        val (st, sec) = timed(graft.streaming.IngestClean.cleanBatch(s, batch, lake, idx))
+        val compactSec =
+          if (form == "compacted" && (b + 1) % 10 == 0)
+            timed(graft.streaming.IngestClean.compactIngest(s, lake, idx))._2
+          else 0.0
+        (st, sec, compactSec,
+          graft.streaming.IngestClean.lastExactFiles,
+          graft.streaming.IngestClean.lastBandFiles)
+      }
+      // per-decile means: the growth curve in 4 numbers per form
+      perBatch.grouped(10).zipWithIndex.foreach { case (g, i) =>
+        val meanSec = g.map(_._2).sum / g.size
+        val cSec = g.map(_._3).sum
+        val lastEx = g.last._4; val lastBd = g.last._5
+        println(f"""{"battery":"ingestgrow","form":"$form","batches":"${i * 10 + 1}-${i * 10 + g.size}","mean_batch_sec":$meanSec%.2f,"compact_sec":$cSec%.1f,"exact_files":"${lastEx._2}/${lastEx._1}","band_files":"${lastBd._2}/${lastBd._1}"}""")
+      }
+      perBatch.map(_._1)
+    }
+    require(statsByForm(0) == statsByForm(1),
+      "compaction changed batch verdicts — the rewrite is not transparent")
   }
 
   // ---- paircurve -------------------------------------------------------

@@ -262,6 +262,7 @@ object IngestClean {
     // multiply its footprint ~10x for nothing.
     val bandedFirst = StreamDedup.banded(inBatchFirst.select("doc_id", "text", "us"))
       .toDF().select("band", "doc_id", "us").localCheckpoint(true)
+    try {
 
     // ONE bounded O(batch) action collects the probe keys both tiers
     // prune with: the batch's shas (exact tier; already distinct —
@@ -290,7 +291,18 @@ object IngestClean {
     // EXACT tier: bloom-prune the lake's files with the batch's shas,
     // then anti-join on nrm against ONLY the survivors. No distinct —
     // the anti/semi joins are multiplicity-blind, so the corpus-wide
-    // shuffle the distinct() cost is simply not needed.
+    // shuffle the distinct() cost is simply not needed. Surviving files
+    // are additionally semi-joined against the BATCH's keys map-side
+    // (broadcast — the keys were already collected): file-level
+    // exclusion is the wrong granularity once compaction merges a lake
+    // into few big files (a 100 MB file with millions of keys survives
+    // almost any probe, and feeding it whole into the anti-join made
+    // post-compaction batches SLOWER than uncompacted ones — measured
+    // in the ingestgrow battery), so the scan keeps only rows whose key
+    // the batch actually probes before any join shuffle. The sha here
+    // is recomputed from nrm, never read: pre-upgrade lake files have
+    // no sha column, and sha2 over the scanned nrm is exactly the same
+    // deterministic key.
     val seenNrm: Option[DataFrame] =
       if (!lakeExists) { lastExactFiles = (0, 0); None }
       else {
@@ -303,7 +315,16 @@ object IngestClean {
         }
         lastExactFiles = (all.size, pruned.size)
         if (pruned.isEmpty) None
-        else Some(spark.read.parquet(pruned: _*).select(col("nrm")))
+        else {
+          val scan = spark.read.parquet(pruned: _*).select(col("nrm"))
+          Some(probeKeys match {
+            case Some((shas, _)) =>
+              import spark.implicits._
+              scan.join(broadcast(shas.toDF("sha")),
+                sha2(col("nrm"), 256) === col("sha"), "left_semi")
+            case None => scan
+          })
+        }
       }
     def novel(firstPerNrm: DataFrame): DataFrame = seenNrm match {
       case None => firstPerNrm
@@ -339,8 +360,21 @@ object IngestClean {
         // distinct over the PRUNED subset only — O(touched files), and
         // needed here (unlike the exact tier) because the membership
         // LEFT join would otherwise multiply batch rows per index hit.
-        else Some(spark.read.parquet(pruned: _*).select(col("band")).distinct()
-          .withColumn("idx_hit", lit(1)))
+        // Same granularity discipline as the exact tier: semi-join the
+        // scan against the batch's own band keys FIRST (map-side,
+        // broadcast), so the distinct shuffles only bands the batch can
+        // actually hit — a compacted index file would otherwise feed
+        // its whole multi-million-row key set into the shuffle.
+        else {
+          val scan = spark.read.parquet(pruned: _*).select(col("band"))
+          val filtered = probeKeys match {
+            case Some((_, bands)) =>
+              import spark.implicits._
+              scan.join(broadcast(bands.toDF("band")), Seq("band"), "left_semi")
+            case None => scan
+          }
+          Some(filtered.distinct().withColumn("idx_hit", lit(1)))
+        }
       }
     val withIdx = idxBands match {
       case None => banded.withColumn("idx_hit", lit(0))
@@ -480,6 +514,48 @@ object IngestClean {
       obsQuality.get("n").asInstanceOf[Long],
       obsNovel.get("n").asInstanceOf[Long],
       obsApp.get("n").asInstanceOf[Long])
+    // The finally matters for a LONG-RUNNING stream: the band
+    // checkpoint pins ~NBands x batch rows in block storage per batch,
+    // and relying on GC/ContextCleaner to release them lets thousands
+    // of micro-batches accumulate dead blocks (the clearMemo pattern,
+    // applied per batch).
+    } finally {
+      try bandedFirst.queryExecution.analyzed.foreach {
+        case lr: org.apache.spark.sql.execution.LogicalRDD =>
+          lr.rdd.unpersist(blocking = false)
+        case _ => ()
+      } catch { case _: Exception => () } // stopped context: blocks are gone
+    }
+  }
+
+  /** Periodic maintenance for an ingest lake + band index: small-file
+    * compaction with the BLOOM writer options threaded through the
+    * rewrite — compacting either table without them would silently drop
+    * the very filters the per-batch pruning probes (the
+    * [[graft.sources.LakeMaintenance.compact]] contract). An
+    * append-per-micro-batch lake accumulates one-plus files per batch,
+    * so the footer walk (and eventually the listing) grows linearly
+    * with BATCH COUNT even though each walk is metadata-only; running
+    * this every K batches caps both at O(lake bytes / targetBytes).
+    *
+    * `expectedKeysPerFile` sizes the post-compaction blooms: a merged
+    * file holds the keys of every file it swallowed, and a bitset sized
+    * for a batch-sized append would saturate (exclude nothing) on a
+    * 128 MB compacted file. Default 1M keys ~ a 40 B/row index file at
+    * the default target; at 1e-8 fpp that is a ~4.8 MB bloom per file
+    * (~4% overhead) — the price of keeping a compacted lake as
+    * probe-prunable as a fresh one (pinned in StreamDedupSpec).
+    * Crash-safety is compact's own two-phase swap; the signature-family
+    * marker is not a data file and survives in place. */
+  def compactIngest(spark: SparkSession, lakeDir: String, indexDir: String,
+      targetBytes: Long = 128L * 1024 * 1024,
+      expectedKeysPerFile: Long = 1000000L): Unit = {
+    if (pathExists(spark, lakeDir))
+      graft.sources.LakeMaintenance.compact(spark, lakeDir, targetBytes,
+        BloomLake.writerOptions("sha", expectedKeysPerFile, bloomFpp(spark))): Unit
+    if (pathExists(spark, indexDir))
+      graft.sources.LakeMaintenance.compact(spark, indexDir, targetBytes,
+        BloomLake.writerOptions("band", expectedKeysPerFile, bloomFpp(spark))): Unit
   }
 
   /** Repair the band index after the one crash window [[cleanBatch]]

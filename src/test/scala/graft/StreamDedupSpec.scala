@@ -484,6 +484,47 @@ class StreamDedupSpec extends AnyFunSuite {
     assert(IngestClean.lastExactFiles._2 >= 1, "the dup's home file was bloom-excluded")
   }
 
+  test("compaction keeps the ingest lake + index probe-prunable and dup detection intact") {
+    // The composition a long-running ingest needs: appends accumulate a
+    // file per batch (the footer walk grows with batch count), periodic
+    // compactIngest collapses them — and the REWRITTEN files must stay
+    // as bloom-prunable as fresh appends (writer options threaded), the
+    // signature-family marker must survive in place, and dedup verdicts
+    // must be unchanged.
+    import graft.streaming.IngestClean
+    val dir = java.nio.file.Files.createTempDirectory("graft_ingest_compact").toString
+    val (lake, idx) = (s"$dir/lake", s"$dir/index")
+    def doc(id: Long) =
+      Doc(id, (0 until 12).map(i => s"c${id}w$i").mkString(" "), id * 1000000L)
+    (0 until 6).foreach { b =>
+      val batch = spark.createDataFrame((0 until 20).map(i => doc(b * 100L + i)))
+      IngestClean.cleanBatch(spark, batch, lake, idx); ()
+    }
+    def files(p: String) = new java.io.File(p).listFiles
+      .count(_.getName.endsWith(".parquet"))
+    val (lakeBefore, idxBefore) = (files(lake), files(idx))
+    IngestClean.compactIngest(spark, lake, idx, targetBytes = 512L * 1024 * 1024)
+    assert(files(lake) < lakeBefore, s"lake not compacted: ${files(lake)} vs $lakeBefore")
+    assert(files(idx) < idxBefore, s"index not compacted: ${files(idx)} vs $idxBefore")
+    assert(new java.io.File(idx, "_sigfamily").exists, "marker lost in compaction")
+    // novel batch: the (single) compacted files can no longer be
+    // excluded against their own keys -- but a novel batch's keys must
+    // still bloom-exclude them (rewritten blooms are real, not absent)
+    val novel = spark.createDataFrame((0 until 20).map(i => doc(7000L + i)))
+    val s1 = IngestClean.cleanBatch(spark, novel, lake, idx)
+    assert(s1.appended == 20L)
+    assert(IngestClean.lastExactFiles._2 == 0,
+      s"novel batch scanned ${IngestClean.lastExactFiles} — compacted sha blooms are gone")
+    assert(IngestClean.lastBandFiles._2 == 0,
+      s"novel batch scanned ${IngestClean.lastBandFiles} — compacted band blooms are gone")
+    // dup batch: detection intact through the rewrite
+    val dupBatch = spark.createDataFrame(Seq(
+      doc(101).copy(doc_id = 8000L, us = 999000000L),
+      Doc(8001L, doc(202).text.split(' ').reverse.mkString(" "), 999100000L)))
+    val s2 = IngestClean.cleanBatch(spark, dupBatch, lake, idx)
+    assert(s2 == IngestClean.BatchStats(2, 2, 1, 0), s"dup batch stats after compaction: $s2")
+  }
+
   test("signature-family mismatch rebuilds the band index instead of appending incomparable keys") {
     // A persisted band index is only meaningful under the constants that
     // produced it: simulate an index written under DIFFERENT constants
