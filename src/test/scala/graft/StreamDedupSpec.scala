@@ -484,6 +484,38 @@ class StreamDedupSpec extends AnyFunSuite {
     assert(IngestClean.lastExactFiles._2 >= 1, "the dup's home file was bloom-excluded")
   }
 
+  test("over-bound batches fall back to unpruned probes with identical verdicts") {
+    // maxProbeKeys caps the per-batch key collect; past it, both tiers
+    // probe every file (the pre-pruning cost) — CORRECTNESS must be
+    // untouched, only the plan. Run the same dup-carrying batch under a
+    // normal bound and a zero bound and require identical stats + the
+    // fallback's all-files probe signature.
+    import graft.streaming.IngestClean
+    def run(maxKeys: String): (IngestClean.BatchStats, (Int, Int), (Int, Int)) = {
+      val dir = java.nio.file.Files.createTempDirectory("graft_ingest_fb").toString
+      val (lake, idx) = (s"$dir/lake", s"$dir/index")
+      def doc(id: Long) =
+        Doc(id, (0 until 12).map(i => s"f${id}x$i").mkString(" "), id * 1000000L)
+      IngestClean.cleanBatch(spark,
+        spark.createDataFrame((0 until 20).map(i => doc(i.toLong))), lake, idx)
+      spark.conf.set("spark.graft.ingest.maxProbeKeys", maxKeys)
+      try {
+        val batch = spark.createDataFrame(Seq(
+          doc(100L), doc(101L),
+          doc(3).copy(doc_id = 200L, us = 999000000L), // exact dup
+          Doc(201L, doc(7).text.split(' ').reverse.mkString(" "), 999100000L))) // near dup
+        val st = IngestClean.cleanBatch(spark, batch, lake, idx)
+        (st, IngestClean.lastExactFiles, IngestClean.lastBandFiles)
+      } finally spark.conf.unset("spark.graft.ingest.maxProbeKeys")
+    }
+    val (stPruned, _, _) = run("2000000")
+    val (stFallback, ex, bd) = run("0")
+    assert(stPruned == IngestClean.BatchStats(4, 4, 3, 2), s"pruned stats: $stPruned")
+    assert(stFallback == stPruned, s"fallback changed verdicts: $stFallback vs $stPruned")
+    assert(ex._1 == ex._2 && ex._1 > 0, s"fallback should probe ALL lake files, saw $ex")
+    assert(bd._1 == bd._2 && bd._1 > 0, s"fallback should probe ALL index files, saw $bd")
+  }
+
   test("compaction keeps the ingest lake + index probe-prunable and dup detection intact") {
     // The composition a long-running ingest needs: appends accumulate a
     // file per batch (the footer walk grows with batch count), periodic
