@@ -316,7 +316,8 @@ object IngestClean {
         lastExactFiles = (all.size, pruned.size)
         if (pruned.isEmpty) None
         else {
-          val scan = spark.read.parquet(pruned: _*).select(col("nrm"))
+          // doc_id rides along for the quarantine's dup_of provenance
+          val scan = spark.read.parquet(pruned: _*).select(col("nrm"), col("doc_id"))
           Some(probeKeys match {
             case Some((shas, _)) =>
               import spark.implicits._
@@ -366,27 +367,38 @@ object IngestClean {
         // actually hit — a compacted index file would otherwise feed
         // its whole multi-million-row key set into the shuffle.
         else {
-          val scan = spark.read.parquet(pruned: _*).select(col("band"))
+          val scan = spark.read.parquet(pruned: _*)
+            .select(col("band"), col("doc_id").as("idx_doc"))
           val filtered = probeKeys match {
             case Some((_, bands)) =>
               import spark.implicits._
               scan.join(broadcast(bands.toDF("band")), Seq("band"), "left_semi")
             case None => scan
           }
-          Some(filtered.distinct().withColumn("idx_hit", lit(1)))
+          // per-band dedup (the old distinct), keeping the lowest member
+          // doc as the band's provenance witness for dup_of
+          Some(filtered.groupBy(col("band"))
+            .agg(min(col("idx_doc")).as("idx_dup_of"))
+            .withColumn("idx_hit", lit(1)))
         }
       }
     val withIdx = idxBands match {
       case None => banded.withColumn("idx_hit", lit(0))
+        .withColumn("idx_dup_of", lit(null).cast("long"))
       case Some(ib) => banded.join(ib, Seq("band"), "left")
     }
     val arrival = struct(col("us"), col("doc_id"))
     val dupIds = withIdx
       .withColumn("band_first", min(arrival).over(Window.partitionBy("band")))
       .groupBy(col("doc_id"), col("us"))
-      .agg(max(col("idx_hit")).as("lake_hit"), min(col("band_first")).as("earliest"))
+      .agg(max(col("idx_hit")).as("lake_hit"), min(col("band_first")).as("earliest"),
+        min(col("idx_dup_of")).as("idx_partner"))
       .filter(coalesce(col("lake_hit"), lit(0)) === 1 || col("earliest") < arrival)
-      .select(col("doc_id"))
+      // provenance: the lake doc whose band was hit, else the earliest
+      // in-batch band partner — the "because of doc Y" the audit needs
+      .select(col("doc_id"),
+        when(coalesce(col("lake_hit"), lit(0)) === 1, col("idx_partner"))
+          .otherwise(col("earliest.doc_id")).as("dup_of"))
 
     // Audit trail FIRST — before the lake append: every dropped row
     // lands in the quarantine with the stage that rejected it — the
@@ -425,14 +437,26 @@ object IngestClean {
           }
         }
       }
-      def tagged(df: DataFrame, reason: String) =
-        df.select(col("doc_id"), col("text"), col("us"))
+      // Every non-quality drop carries dup_of PROVENANCE — the specific
+      // document it duplicated (in-batch keeper, lake doc with the same
+      // nrm, or the band partner/indexed doc for near-dups), so "why is
+      // doc X not in the lake" has a one-row answer. dup_of is an
+      // additive schema change: pre-provenance quarantine files lack the
+      // column (read the mixed table with mergeSchema to surface it).
+      def tagged(df: DataFrame, reason: String, dupOf: Column) =
+        df.select(col("doc_id"), col("text"), col("us"), dupOf.cast("long").as("dup_of"))
           .withColumn("reason", lit(reason))
-      val droppedQuality = tagged(batch.filter(!qualityOk), "quality")
-      val inBatchDups = tagged(withRn.filter(col("rn") > 1), "exact_dup")
-      val lakeDups = seenNrm.map(nrms =>
-        tagged(inBatchFirst.join(nrms, Seq("nrm"), "left_semi"), "exact_dup"))
-      val droppedNear = tagged(exactNovel.join(dupIds, Seq("doc_id"), "left_semi"), "near_dup")
+      val droppedQuality = tagged(batch.filter(!qualityOk), "quality", lit(null))
+      val withKeep = withRn.withColumn("keep",
+        min(struct(col("us"), col("doc_id"))).over(Window.partitionBy("nrm")))
+      val inBatchDups = tagged(withKeep.filter(col("rn") > 1), "exact_dup",
+        col("keep.doc_id"))
+      val lakeDups = seenNrm.map { nrms =>
+        val seenMin = nrms.groupBy(col("nrm")).agg(min(col("doc_id")).as("lake_doc"))
+        tagged(inBatchFirst.join(seenMin, Seq("nrm")), "exact_dup", col("lake_doc"))
+      }
+      val droppedNear = tagged(exactNovel.join(dupIds, Seq("doc_id")), "near_dup",
+        col("dup_of"))
       val log = Seq(Some(droppedQuality), Some(inBatchDups), lakeDups, Some(droppedNear))
         .flatten.reduce(_ unionByName _)
       val mode = if (batchId >= 0) SaveMode.Overwrite else SaveMode.Append

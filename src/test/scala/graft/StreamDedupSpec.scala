@@ -131,11 +131,17 @@ class StreamDedupSpec extends AnyFunSuite {
       ms.addData(batch2); q.processAllAvailable()
     } finally q.stop()
     // Every drop is explainable: in-batch exact dup, quality reject,
-    // cross-batch exact dup, near dup — each with its stage.
+    // cross-batch exact dup, near dup — each with its stage AND the
+    // specific document it duplicated (dup_of provenance).
     val rows = spark.read.parquet(quar).select("doc_id", "reason")
       .collect().map(r => r.getLong(0) -> r.getString(1)).toSet
     assert(rows == Set(2L -> "exact_dup", 3L -> "quality",
       5L -> "exact_dup", 6L -> "near_dup"), s"quarantine held $rows")
+    val prov = spark.read.parquet(quar).select("doc_id", "dup_of")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(prov == Map(2L -> Some(1L), 3L -> None, 5L -> Some(1L), 6L -> Some(4L)),
+      s"dup_of provenance was $prov")
     // Survivors never appear in the quarantine; lake unchanged by it.
     val kept = spark.read.parquet(lake).select("doc_id")
       .collect().map(_.getLong(0)).toSet
