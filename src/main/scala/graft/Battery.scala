@@ -540,10 +540,14 @@ object Battery {
         .agg(sum(col("k") * (col("k") - 1))).head.getLong(0) / 2
 
       // qn04 candidate volume: 16x4 LSH band buckets over MinHash(64).
+      // sig materialized in its own projection — the StreamDedup
+      // projection-discipline note (inlining the native signature into
+      // lshBands' 64 getItems re-runs all planes per item).
       val c04 = docs
         .select(col("doc_id"), transform(tokenSet(col("text")), tokenHash(_)).as("hs"))
         .filter(size(col("hs")) > 0)
-        .select(explode(lshBands(minhashSig(col("hs"), 64), 16, 4)).as("band"))
+        .select(functions.VectorExprs.minhashSigNative(col("hs"), 64).as("sig"))
+        .select(explode(lshBands(col("sig"), 16, 4)).as("band"))
         .groupBy("band").agg(count(lit(1)).as("k"))
         .agg(sum(col("k") * (col("k") - 1))).head.getLong(0) / 2
 

@@ -48,7 +48,7 @@ object Profile {
     val sig = Tables.documents(spark, dir)
       .select(col("doc_id"), tokenSet(col("text")).as("toks"))
       .select(col("doc_id"), transform(col("toks"), tokenHash(_)).as("hs"))
-      .select(col("doc_id"), minhashSig(col("hs"), 64).as("sig"))
+      .select(col("doc_id"), functions.VectorExprs.minhashSigNative(col("hs"), 64).as("sig"))
       .localCheckpoint(true)
     timed("sig rows")(sig.count())
     val banded = sig.select(col("doc_id"), col("sig"),

@@ -3,6 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionDescription}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.GraftSqlBridge
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
@@ -86,6 +87,130 @@ case class DotProductFF(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native codegen'd MinHash signature over an `array<long>` of token
+  * hashes — the single hottest expression in the engine (qn04, the
+  * streaming band index, every ingest micro-batch).
+  *
+  * Why a custom Expression (the [[DotProductFF]] rationale, amplified):
+  * the declarative form is `nPlanes` separate
+  * `array_min(transform(hs, h => (a_i*h + b_i) % p))` columns — 64
+  * traversals of the hash array per document, each allocating an
+  * intermediate array and running its lambda through the HOF paths.
+  * This expression makes ONE pass: for each element, all plane minima
+  * update in a local long[] — no allocation per plane, no virtual
+  * calls, and the loop body is plain long arithmetic inside whole-stage
+  * codegen.
+  *
+  * Semantics match the HOF stack exactly (and therefore the DuckDB
+  * oracle literals from [[TextFns.sqlMinhashSig]]):
+  *  - a NULL input array yields the ALL-NULL-PLANES signature, never a
+  *    null array — the HOF form is `array(array_min(transform(hs, ..)),
+  *    ...)` and `array(...)` of 64 nulls is an array, not null;
+  *  - per plane, min over NON-NULL permuted values (`array_min` skips
+  *    nulls), so a null hash element is skipped, and an array with no
+  *    non-null elements yields a NULL at every plane (empty array ->
+  *    array of nulls, the HOF's shape);
+  *  - arithmetic is `(a_i * h + b_i) % p` in Java long math — a_i < p
+  *    < 2^31 and h < 2^31 keep the product under 2^62, exactly the
+  *    non-overflowing range the Column form evaluates in.
+  * The plane constants are baked from [[TextFns.mhA]]/[[TextFns.mhB]]
+  * at plan time — one draw, three consumers (HOF, native, oracle).
+  */
+@ExpressionDescription(
+  usage = "minhash_sig(hs, n) - n-plane MinHash signature of a long-hash array.")
+case class MinHashSig(child: Expression, nPlanes: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = true)
+  override def nullable: Boolean = false // null/empty inputs -> all-null planes
+
+  private val as: Array[Long] = Array.tabulate(nPlanes)(TextFns.mhA)
+  private val bs: Array[Long] = Array.tabulate(nPlanes)(TextFns.mhB)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(org.apache.spark.sql.types.LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"minhash_sig requires array<bigint>, got $other")
+    }
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        new Array[Any](nPlanes)) // array(64 x array_min(transform(NULL,..))) = all nulls
+    val hs = v.asInstanceOf[ArrayData]
+    val n = hs.numElements()
+    val mins = new Array[Long](nPlanes)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    var any = false
+    var j = 0
+    while (j < n) {
+      if (!hs.isNullAt(j)) {
+        any = true
+        val h = hs.getLong(j)
+        var i = 0
+        while (i < nPlanes) {
+          val vv = (as(i) * h + bs(i)) % TextFns.MHP
+          if (vv < mins(i)) mins(i) = vv
+          i += 1
+        }
+      }
+      j += 1
+    }
+    if (!any) new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      new Array[Any](nPlanes)) // all-null planes: the HOF's empty-array shape
+    else new org.apache.spark.sql.catalyst.util.GenericArrayData(mins)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val aRef = ctx.addReferenceObj("mhAs", as, "long[]")
+    val bRef = ctx.addReferenceObj("mhBs", bs, "long[]")
+    val childGen = child.genCode(ctx)
+    val n = ctx.freshName("n")
+    val i = ctx.freshName("i")
+    val j = ctx.freshName("j")
+    val mins = ctx.freshName("mins")
+    val any = ctx.freshName("any")
+    val h = ctx.freshName("h")
+    val v = ctx.freshName("v")
+    val code =
+      code"""
+         |${childGen.code}
+         |org.apache.spark.sql.catalyst.util.ArrayData ${ev.value};
+         |if (${childGen.isNull}) {
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(new Object[$nPlanes]);
+         |} else {
+         |  final int $n = ${childGen.value}.numElements();
+         |  final long[] $mins = new long[$nPlanes];
+         |  java.util.Arrays.fill($mins, Long.MAX_VALUE);
+         |  boolean $any = false;
+         |  for (int $j = 0; $j < $n; $j++) {
+         |    if (!${childGen.value}.isNullAt($j)) {
+         |      $any = true;
+         |      final long $h = ${childGen.value}.getLong($j);
+         |      for (int $i = 0; $i < $nPlanes; $i++) {
+         |        final long $v = ($aRef[$i] * $h + $bRef[$i]) % ${TextFns.MHP}L;
+         |        if ($v < $mins[$i]) $mins[$i] = $v;
+         |      }
+         |    }
+         |  }
+         |  ${ev.value} = $any
+         |    ? new org.apache.spark.sql.catalyst.util.GenericArrayData($mins)
+         |    : new org.apache.spark.sql.catalyst.util.GenericArrayData(new Object[$nPlanes]);
+         |}
+       """.stripMargin
+    ev.copy(code = code,
+      isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
 object VectorExprs {
   /** Column wrapper for [[DotProductFF]]. */
   def dotNative(a: Column, b: Column): Column =
@@ -96,4 +221,9 @@ object VectorExprs {
     * [[TextFns.l2norm]] (x_i * x_i accumulated left to right). */
   def l2normNative(a: Column): Column =
     org.apache.spark.sql.functions.sqrt(dotNative(a, a))
+
+  /** Column wrapper for [[MinHashSig]] — drop-in for
+    * [[TextFns.minhashSig]] (equality pinned in VectorExprsSpec). */
+  def minhashSigNative(hs: Column, nPlanes: Int): Column =
+    GraftSqlBridge.column(MinHashSig(GraftSqlBridge.expression(hs), nPlanes))
 }

@@ -482,7 +482,8 @@ object Dedup {
       // re-evaluated (full re-hash of every token) per permutation.
       val sig = tokenized(s, dir)
         .select(col("doc_id"), transform(col("toks"), tokenHash(_)).as("hs"))
-        .select(col("doc_id"), minhashSig(col("hs"), 64).as("sig"))
+        .select(col("doc_id"),
+          graft.functions.VectorExprs.minhashSigNative(col("hs"), 64).as("sig"))
         // Materialization barrier: sig feeds the band explode and both
         // broadcast payloads (3 subtrees), and each would otherwise
         // re-run the 64-permutation MinHash over every document.

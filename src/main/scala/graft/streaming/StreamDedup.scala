@@ -52,23 +52,17 @@ object StreamDedup {
     f"sigfam-${parts.foldLeft(0x5DEECE66DL)((acc, v) => mix64(acc ^ v))}%016x"
   }
 
-  /** The band keys of one document as an ARRAY column (empty when the
-    * doc has no tokens) — the probe-key projection [[IngestClean]]
-    * collects per micro-batch. Same signature and band string format as
-    * [[banded]]; this form just skips the explode (and the per-band
-    * index) because the caller only needs the key SET.
-    *
-    * Takes the MATERIALIZED token-hash array, not text: minhashSig
-    * references its input once per plane, so an inlined
-    * `transform(tokenSet(text), tokenHash)` would re-hash every token
-    * 64 times (qn04's projection discipline; measured 3x the whole
-    * batch cost when the first cut inlined it). Compute
-    * `transform(tokenSet(text), tokenHash(_))` in its own projection
-    * and pass that column here.
-    */
-  def bandsOfHashes(hs: Column): Column =
-    when(size(hs) > 0, lshBands(minhashSig(hs, NPlanes), NBands, RowsPerBand))
-      .otherwise(array().cast("array<string>"))
+  // PROJECTION DISCIPLINE for the native MinHashSig (the qn04 rule,
+  // sharpened): `lshBands(sig, ...)` extracts 64 items from `sig`. The
+  // HOF form's `array(e_0..e_63).getItem(k)` folded to `e_k` via
+  // SimplifyExtractValueOps, so inlining it cost one plane per item;
+  // the native expression is OPAQUE to that rule, so an inlined
+  // `lshBands(minhashSigNative(hs), ...)` re-runs ALL 64 planes per
+  // extracted item — 64x the work (measured as a ~30 min stall on the
+  // 1M-doc battery when a candidate calc inlined it). ALWAYS
+  // materialize the signature in its own .select() before banding;
+  // CollapseProject will not re-inline an expression referenced 64
+  // times. [[banded]] below is the reference shape.
 
   case class BandDoc(band: String, b: Int, doc_id: Long, us: Long, sig: Seq[Long])
   /** BandDoc + the event-time column the watermark/timeout machinery
@@ -88,7 +82,8 @@ object StreamDedup {
       .select(col("doc_id"), col("us"),
         transform(tokenSet(col("text")), tokenHash(_)).as("hs"))
       .filter(size(col("hs")) > 0)
-      .select(col("doc_id"), col("us"), minhashSig(col("hs"), NPlanes).as("sig"))
+      .select(col("doc_id"), col("us"),
+        graft.functions.VectorExprs.minhashSigNative(col("hs"), NPlanes).as("sig"))
       .select(col("doc_id"), col("us"), col("sig"),
         posexplode(lshBands(col("sig"), NBands, RowsPerBand)).as(Seq("b", "band")))
       .select(col("band"), col("b"), col("doc_id"), col("us"), col("sig"))

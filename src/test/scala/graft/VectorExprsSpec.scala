@@ -64,6 +64,39 @@ class VectorExprsSpec extends AnyFunSuite {
     rows.foreach(r => assert(r.getInt(0) == r.getInt(1)))
   }
 
+  test("native minhash signature is bit-identical to the HOF stack (incl. edge shapes)") {
+    import spark.implicits._
+    import graft.functions.{TextFns, VectorExprs}
+    // deterministic pseudo-random hash arrays of assorted lengths, plus
+    // the edge shapes: empty array, array with nulls, all-null, null
+    val base = (0 until 200).map { i =>
+      Seq.tabulate(1 + i % 17)(j => ((i * 2654435761L + j * 40503L) % TextFns.P1): java.lang.Long)
+    } ++ Seq(
+      Seq.empty[java.lang.Long],
+      Seq[java.lang.Long](7L, null, 11L),
+      Seq[java.lang.Long](null, null),
+      null)
+    val df = base.toDF("hs")
+    val rows = df.select(
+      TextFns.minhashSig(col("hs"), 64).as("hof"),
+      VectorExprs.minhashSigNative(col("hs"), 64).as("nat")).collect()
+    rows.zip(base).foreach { case (r, in) =>
+      def get(i: Int): Option[Seq[Any]] =
+        if (r.isNullAt(i)) None
+        else Some((0 until 64).map { k =>
+          val a = r.getSeq[Any](i); a(k)
+        })
+      assert(get(0) == get(1), s"minhash divergence on input $in: ${get(0)} vs ${get(1)}")
+    }
+    // and the interpreted eval path agrees with codegen (filter forces a
+    // non-codegen context for the expression inside a local relation)
+    val interp = df.filter(col("hs").isNotNull)
+      .select(VectorExprs.minhashSigNative(col("hs"), 8).as("n8"),
+        TextFns.minhashSig(col("hs"), 8).as("h8"))
+      .collect()
+    interp.foreach(r => assert(r.getSeq[Any](0) == r.getSeq[Any](1)))
+  }
+
   test("sorted intersect count edge cases") {
     import spark.implicits._
     val d = Seq(
