@@ -438,11 +438,19 @@ object Battery {
           fs.delete(new org.apache.hadoop.fs.Path(f), false))
         stats
       }
-      val pruned = run("pruned", 2000000L)
-      val unpruned = run("unpruned", 0L)
-      require(pruned == unpruned,
-        s"pruning changed batch semantics: $pruned vs $unpruned")
-      s.conf.set("spark.graft.ingest.maxProbeKeys", "2000000")
+      // restore the PRIOR conf state, not a literal: setting the code
+      // default here would shadow any future change to it for the rest
+      // of the session (the StreamDedupSpec fallback-test discipline)
+      val priorMaxKeys = s.conf.getOption("spark.graft.ingest.maxProbeKeys")
+      try {
+        val pruned = run("pruned", 2000000L)
+        val unpruned = run("unpruned", 0L)
+        require(pruned == unpruned,
+          s"pruning changed batch semantics: $pruned vs $unpruned")
+      } finally priorMaxKeys match {
+        case Some(v) => s.conf.set("spark.graft.ingest.maxProbeKeys", v)
+        case None => s.conf.unset("spark.graft.ingest.maxProbeKeys")
+      }
     }
     s.sparkContext.removeSparkListener(listener)
   }

@@ -50,6 +50,30 @@ object Similarity {
     * oracle's probe routing; caught by the round-13 verify gate). */
   private[graft] val coarseProbeCells = 2
 
+  /** Centroid count at which [[probeIvfIndexJoined]] switches its probe
+    * routing from FLAT (probe x all k centroids) to the two-tier COARSE
+    * route ([[ivfRouteCoarse]]). The coarse tier's win is asymptotic —
+    * k -> ~3 sqrt(k) score work per probe — but it costs two extra
+    * windows and a join; at the 16-cell fixture that fixed overhead is
+    * +0.5s against a routing stage that is already trivial (measured in
+    * the ivfjoin battery: flat wins until ~500k vectors ~ 700
+    * centroids; coarse's lead grows past it). 256 centroids ~ a 65k+
+    * vector index at the sqrt(N) rule — safely past where flat's k-per-
+    * probe work still beats the coarse tier's constants, well before it
+    * loses. The qn06 dispatch pattern: measured size picks the branch,
+    * and BOTH branches stay oracle-gated every round (qn10d pins flat,
+    * qn10e forces coarse at fixture size).
+    *
+    * Branch semantics are NOT identical (the gridMaxDim contrast):
+    * below the threshold the joined path returns exactly the flat
+    * routing's neighbors ([[probeIvfIndexWith]]'s hash-identity
+    * contract, re-pinned in NorthStarSpec); at-or-above it, coarse-MISS
+    * semantics apply — a fine centroid in an unprobed coarse cell is
+    * invisible. A caller crossing the threshold (growing index) sees
+    * that drift by design; this doc and the dispatch site are the
+    * declared contract. */
+  private[graft] val coarseRouteMinCentroids = 256L
+
   /** qn08c's plant: vectors with vec_id < plantCount gain a near-dup
     * copy at vec_id + plantIdOffset whose first coordinate is scaled
     * 1.02x (in double, cast back to float — bit-identical in DuckDB).
@@ -338,16 +362,35 @@ object Similarity {
     // qn10b (bounded at 1e6 routes) is the wrong shape — instead the
     // routed probes stay a DISTRIBUTED frame and the index lake joins on
     // cent_id (the plan the probeIvfIndexWith contract names for
-    // over-bound probe sets). The oracle replays the identical pipeline
-    // with the probe filter widened to the whole corpus, so the
-    // assignment-join path is hash-checked, not just shape-checked.
+    // over-bound probe sets). At the 16-cell fixture the routing
+    // DISPATCH ([[coarseRouteMinCentroids]]) picks FLAT routing — the
+    // coarse tier's fixed overhead loses until ~256 centroids — so the
+    // oracle replays the flat route; the coarse branch is pinned by
+    // qn10e below. The oracle replays the identical pipeline with the
+    // probe filter widened to the whole corpus, so the assignment-join
+    // path is hash-checked, not just shape-checked.
     Q("qn10d_ann_ivf_probe_join",
-        ivfOracleSql(probeFilter = "TRUE", coarseRoute = true)) { (s, dir) =>
+        ivfOracleSql(probeFilter = "TRUE")) { (s, dir) =>
       val path = newIndexDir()
       buildIvfIndex(s, dir, nCentroids = 16, path)
       probeIvfIndexJoined(s,
         Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")),
         path, nProbe = 4, k = 5)
+    },
+
+    // The at-scale branch of qn10d's dispatch, FORCED at fixture size so
+    // the two-tier coarse routing (N^(1/4) score work per probe, declared
+    // coarse-miss semantics) stays hash-gated every round — the qn06b
+    // discipline. The oracle replays the coarse tier's dense cent_idx,
+    // stride seeds, fine->coarse argmax, and two-level probe argsort
+    // bit-exactly.
+    Q("qn10e_ann_ivf_probe_join_coarse",
+        ivfOracleSql(probeFilter = "TRUE", coarseRoute = true)) { (s, dir) =>
+      val path = newIndexDir()
+      buildIvfIndex(s, dir, nCentroids = 16, path)
+      probeIvfIndexJoined(s,
+        Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")),
+        path, nProbe = 4, k = 5, forceRoute = Some(true))
     }
   )
 
@@ -694,7 +737,14 @@ object Similarity {
     * pipeline for the rescoring broadcast. Probe vectors come from the
     * base table; results are identical to qn10's in-flight form because
     * the index stores the same embedding floats, double norms, and
-    * assignment. */
+    * assignment.
+    *
+    * Routing here is always FLAT (probe x all centroids — right for a
+    * declared probe batch against a fixture-sized centroid table).
+    * [[probeIvfIndexJoined]] returns the identical neighbors below its
+    * [[coarseRouteMinCentroids]] dispatch threshold and coarse-MISS
+    * results at or above it — see its doc before migrating between the
+    * two entry points. */
   def probeIvfIndex(s: SparkSession, dir: String, path: String, nProbe: Int, k: Int): DataFrame =
     probeIvfIndexWith(s,
       vecs(s, dir).filter(col("vec_id") < 10).select("vec_id", "embedding"),
@@ -738,11 +788,18 @@ object Similarity {
     * the corpus itself (the "re-embed everything and find each vector's
     * neighbors" batch, the qn20 shape).
     *
-    * Routing goes through the COARSE tier ([[ivfRouteCoarse]]) — a
+    * Routing is DISPATCHED by measured centroid count
+    * ([[coarseRouteMinCentroids]]): below the threshold it is FLAT —
+    * identical results to [[probeIvfIndexWith]] on the same arguments
+    * (the hash-identity contract, pinned in NorthStarSpec) — and at or
+    * above it the COARSE tier ([[ivfRouteCoarse]]) engages: a
     * corpus-sized probe batch against all sqrt(N) fine centroids was
     * the last flat N x sqrt(N) stage on this path (round-10 verdict);
     * the two-tier route cuts it to ~N^(1/4) per probe at the declared
-    * coarse-miss semantics, which the qn10d oracle replays exactly.
+    * coarse-MISS semantics (a fine centroid in an unprobed coarse cell
+    * is invisible), which the qn10e oracle replays exactly. Callers
+    * migrating a growing index across the threshold see that result
+    * drift by design — it is the dispatch contract, not a bug.
     *
     * Fully lazy: calling this runs ZERO jobs (pinned in NorthStarSpec);
     * routing, the cell join, and the rescore all execute inside the one
@@ -755,15 +812,41 @@ object Similarity {
     * genuinely needed and the join shuffles on cent_id (nCentroids ~
     * sqrt(N) keys at scale — enough reducers). */
   def probeIvfIndexJoined(s: SparkSession, probes: DataFrame, path: String,
-      nProbe: Int, k: Int): DataFrame = {
+      nProbe: Int, k: Int, forceRoute: Option[Boolean] = None): DataFrame = {
     val cents = s.read.parquet(s"$path/centroids")
     val pv = probes.select(col("vec_id"), col("embedding"),
       l2normNative(col("embedding")).as("nrm"))
-    val pc = ivfRouteCoarse(pv, cents, nProbe)
+    // Routing DISPATCH by measured centroid count (the qn06 pattern —
+    // see [[coarseRouteMinCentroids]] for the threshold rationale and
+    // the declared flat-vs-coarse semantics). The count comes from the
+    // centroid table's parquet FOOTERS (driver metadata, one tiny file
+    // by construction) — a .count() here would break this path's
+    // zero-jobs-at-plan-build contract (pinned in NorthStarSpec).
+    // `forceRoute` pins a branch for its oracle gate (qn10e) and the
+    // routing battery; production callers leave it None.
+    val useCoarse = forceRoute.getOrElse(
+      parquetRowCount(s, s"$path/centroids") >= coarseRouteMinCentroids)
+    val pc =
+      if (useCoarse) ivfRouteCoarse(pv, cents, nProbe)
+      else ivfRoute(pv, cents, nProbe)
     val candidates = s.read.parquet(s"$path/vectors")
       .select(col("vec_id"), col("embedding"), col("nrm"),
         col("cent_id").cast("long").as("cent_id"))
     ivfScoreTail(candidates, pc, k, broadcastProbes = false)
+  }
+
+  /** Total row count of a parquet dir from file footers — driver-side
+    * metadata, ZERO Spark jobs (the BloomLake footer-walk class). Sized
+    * for manifest-scale tables (the centroid table: sqrt(N) rows, one
+    * coalesced file); never call it on a data lake. */
+  private def parquetRowCount(s: SparkSession, dir: String): Long = {
+    val conf = s.sessionState.newHadoopConf()
+    graft.sources.LakeListing.dataFiles(conf, new org.apache.hadoop.fs.Path(dir))
+      .map { f =>
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f, conf))
+        try r.getRecordCount finally r.close()
+      }.sum
   }
 
   /** LSH-bucketed approximate top-k, exposed for the spec's recall test.

@@ -107,10 +107,23 @@ object BloomLake {
     // (measured: a 100k-ndv cap under 500k actual keys returned every
     // file as a maybe). Raise the cap to what the request actually
     // needs: optimal bits = -n ln(p) / (ln 2)^2, rounded up to the
-    // power-of-2 block split size.
+    // power-of-2 block split size — and fail LOUDLY when the request
+    // cannot be honored at all: parquet-mr's own upper bound on the
+    // bitset is 128 MB (BlockSplitBloomFilter.UPPER_BOUND_BYTES), so an
+    // ndv x fpp needing more (~28M keys at 1e-8) would silently saturate
+    // no matter what cap we ask for, and past ~224M keys the Long cap
+    // would overflow the Int the Hadoop conf reads. The caller's fix is
+    // structural (smaller files via compaction targetBytes, or a looser
+    // fpp), so an exception beats a degraded filter.
     val optimalBits = (-expectedNdv * math.log(fpp) / (math.log(2) * math.log(2))).toLong
+    val parquetUpperBound = 128L * 1024 * 1024 // parquet-mr's hard bitset cap, bytes
     val maxBytes = math.max(1L << 20, java.lang.Long.highestOneBit(
       math.max(1L, optimalBits / 8 - 1)) * 2)
+    require(maxBytes <= parquetUpperBound && maxBytes <= Int.MaxValue,
+      s"bloom filter for ndv=$expectedNdv at fpp=$fpp needs a $maxBytes-byte bitset, " +
+        s"over parquet-mr's $parquetUpperBound-byte cap — it would silently saturate " +
+        "and exclude nothing; lower the per-file key count (compaction targetBytes) " +
+        "or raise fpp")
     Map(
       s"parquet.bloom.filter.enabled#$bloomCol" -> "true",
       s"parquet.bloom.filter.expected.ndv#$bloomCol" -> expectedNdv.toString,

@@ -58,9 +58,14 @@ import org.apache.spark.sql.functions._
   * band (~0.1%-frequency bands at 1M docs in the paircurve generator's
   * head). This also self-limits: a cleanBatch-built index holds each
   * band's FIRST carrier only, so hot bands cannot accumulate. A
-  * workload that cannot afford the over-drop should route near-dup
-  * through the verified batch pipeline (qn03/qn04's J >= p/q check) on
-  * the quarantined candidates rather than widening this rule.
+  * workload that cannot afford the over-drop passes
+  * `verifyNearDups = Some((p, q))`: band-collided candidates then get
+  * the exact token-set J >= p/q check against their collision partners
+  * before dropping — O(candidate pairs), see [[verifiedDups]] for the
+  * declared precision/recall trade and the partner-text fetch
+  * discipline. (Under verify, a band CAN accumulate carriers — each
+  * unverified collider survives and appends its bands — which is
+  * exactly why the verified tier checks content, not band membership.)
   *
   * Job discipline: the per-stage counts ride the lake-write pass as
   * `observe` metrics — a steady-state micro-batch executes FOUR
@@ -82,10 +87,26 @@ object IngestClean {
   /** Bound on the per-batch probe-key collect (1 sha + NBands band keys
     * per first-per-nrm doc). Over the bound, pruning is skipped — every
     * file is probed, the pre-pruning cost — rather than letting the
-    * collect grow with an unbounded batch. */
+    * collect grow with an unbounded batch. The default bounds the
+    * driver-side key bytes, not just rows: at ~80 B per sha/band string
+    * 500k keys is ~40 MB on the driver — a 2M default would have let one
+    * micro-batch pin ~150-250 MB before the fallback engaged (round-11
+    * review). 500k keys = ~29k docs/batch at 17 keys/doc; a larger
+    * micro-batch should raise this consciously, not inherit it. */
   private def maxProbeKeys(spark: SparkSession): Long =
     spark.conf.getOption("spark.graft.ingest.maxProbeKeys")
-      .map(_.toLong).getOrElse(2000000L)
+      .map(_.toLong).getOrElse(500000L)
+
+  /** Separate, smaller bound on the BROADCAST semi-joins that re-filter
+    * surviving files' rows map-side (the post-compaction granularity
+    * fix): a broadcast ships every key to every executor, so its safe
+    * ceiling is well under the collect's. Between this and
+    * [[maxProbeKeys]], file-level bloom pruning still runs on the
+    * collected keys but the scan feeds the anti-join whole files — the
+    * pre-compaction cost, still correct. */
+  private def maxSemiJoinKeys(spark: SparkSession): Long =
+    spark.conf.getOption("spark.graft.ingest.maxSemiJoinKeys")
+      .map(_.toLong).getOrElse(100000L)
 
   /** Expected distinct keys per written file, sizing the bloom bitsets.
     * With [[bloomFpp]] at its 1e-8 default, 100k ndv costs ~480 KB per
@@ -220,7 +241,8 @@ object IngestClean {
       zoneStatsPath: Option[String] = None,
       zoneCols: Seq[String] = Seq("doc_id", "us"),
       quarantineDir: Option[String] = None,
-      batchId: Long = -1L): BatchStats = {
+      batchId: Long = -1L,
+      verifyNearDups: Option[(Int, Int)] = None): BatchStats = {
     // Null-safe on BOTH polarities: under ANSI semantics
     // size(split(trim(NULL))) is NULL, so filter(p) AND filter(!p) each
     // drop the row — it would vanish with no quarantine record.
@@ -319,11 +341,11 @@ object IngestClean {
           // doc_id rides along for the quarantine's dup_of provenance
           val scan = spark.read.parquet(pruned: _*).select(col("nrm"), col("doc_id"))
           Some(probeKeys match {
-            case Some((shas, _)) =>
+            case Some((shas, _)) if shas.size <= maxSemiJoinKeys(spark) =>
               import spark.implicits._
               scan.join(broadcast(shas.toDF("sha")),
                 sha2(col("nrm"), 256) === col("sha"), "left_semi")
-            case None => scan
+            case _ => scan // over the broadcast bound: whole files, still correct
           })
         }
       }
@@ -370,10 +392,10 @@ object IngestClean {
           val scan = spark.read.parquet(pruned: _*)
             .select(col("band"), col("doc_id").as("idx_doc"))
           val filtered = probeKeys match {
-            case Some((_, bands)) =>
+            case Some((_, bands)) if bands.size <= maxSemiJoinKeys(spark) =>
               import spark.implicits._
               scan.join(broadcast(bands.toDF("band")), Seq("band"), "left_semi")
-            case None => scan
+            case _ => scan // over the broadcast bound: whole files, still correct
           }
           // per-band dedup (the old distinct), keeping the lowest member
           // doc as the band's provenance witness for dup_of
@@ -388,8 +410,9 @@ object IngestClean {
       case Some(ib) => banded.join(ib, Seq("band"), "left")
     }
     val arrival = struct(col("us"), col("doc_id"))
-    val dupIds = withIdx
+    val bandFirsted = withIdx
       .withColumn("band_first", min(arrival).over(Window.partitionBy("band")))
+    val anyBandDups = bandFirsted
       .groupBy(col("doc_id"), col("us"))
       .agg(max(col("idx_hit")).as("lake_hit"), min(col("band_first")).as("earliest"),
         min(col("idx_dup_of")).as("idx_partner"))
@@ -399,6 +422,11 @@ object IngestClean {
       .select(col("doc_id"),
         when(coalesce(col("lake_hit"), lit(0)) === 1, col("idx_partner"))
           .otherwise(col("earliest.doc_id")).as("dup_of"))
+    val dupIds = verifyNearDups match {
+      case None => anyBandDups
+      case Some((p, q)) => verifiedDups(spark, bandFirsted, inBatchFirst,
+        lakeDir, lakeExists, arrival, p, q)
+    }
 
     // Audit trail FIRST — before the lake append: every dropped row
     // lands in the quarantine with the stage that rejected it — the
@@ -550,6 +578,93 @@ object IngestClean {
         case _ => ()
       } catch { case _: Exception => () } // stopped context: blocks are gone
     }
+  }
+
+  /** The VERIFIED near-dup tier (`verifyNearDups = Some((p, q))`): every
+    * band-collision CANDIDATE gets the exact token-set Jaccard >= p/q
+    * check (qn03/qn04's rule) against its collision partner before the
+    * drop — the any-band rule's known over-drop on stopword-determined
+    * bands (object doc) becomes a verified decision. Cost is
+    * O(candidate pairs), never O(batch^2): candidates are one pair per
+    * (doc, band-with-a-hit) — the band's earliest in-batch arrival, and
+    * the indexed band's lowest carrier — exactly the rows the any-band
+    * rule already computes.
+    *
+    * Declared semantics (precision over the any-band rule's recall): a
+    * doc is dropped iff SOME candidate partner passes the exact check.
+    * The candidate per band is its FIRST carrier — a true dup whose
+    * only shared band is carried first by an unrelated doc is not
+    * dropped (it survives, carrying its own content bands into the
+    * index, so its later dups verify against IT). That under-drop is
+    * bounded and self-healing where the any-band over-drop was neither:
+    * a wrongly dropped doc is gone forever; a wrongly kept one is one
+    * more lake row the batch engine's full J >= p/q dedup (qn18) can
+    * still reconcile.
+    *
+    * Partner text fetch: in-batch partners read from the batch frame;
+    * lake partners (a bounded id set — one per hit band) are fetched by
+    * a pushed-down `doc_id IN (...)` scan when the set fits
+    * [[maxSemiJoinKeys]] (row-group stats prune a doc_id-clustered lake)
+    * and by a semi-join otherwise. Verify mode therefore adds ONE
+    * bounded collect (the partner ids) to the batch's action count —
+    * priced per batch in the ingest battery. */
+  private def verifiedDups(spark: SparkSession, bandFirsted: DataFrame,
+      inBatchFirst: DataFrame, lakeDir: String, lakeExists: Boolean,
+      arrival: Column, p: Int, q: Int): DataFrame = {
+    import graft.functions.TextFns.tokenSet
+    // one candidate row per (doc, hit band): the lake carrier and/or the
+    // in-batch first arrival
+    val cand = bandFirsted.select(col("doc_id"),
+      when(coalesce(col("idx_hit"), lit(0)) === 1, col("idx_dup_of")).as("lake_p"),
+      when(col("band_first") < arrival, col("band_first.doc_id")).as("batch_p"))
+    val pairs = cand.select(col("doc_id"), col("lake_p").as("partner"),
+        lit(true).as("from_lake"))
+      .unionByName(cand.select(col("doc_id"), col("batch_p").as("partner"),
+        lit(false).as("from_lake")))
+      .filter(col("partner").isNotNull && col("partner") =!= col("doc_id"))
+      .distinct()
+    val batchTexts = inBatchFirst
+      .select(col("doc_id").as("partner"), col("text").as("p_text"))
+    val lakeScan: Option[DataFrame] =
+      if (!lakeExists) None
+      else {
+        // the bounded collect: lake-partner ids, one per hit band
+        val idRows = pairs.filter(col("from_lake")).select(col("partner")).distinct()
+          .limit(math.min(maxSemiJoinKeys(spark) + 1, Int.MaxValue.toLong).toInt)
+          .collect()
+        if (idRows.isEmpty) None
+        else {
+          val base = spark.read.parquet(lakeDir)
+            .select(col("doc_id").as("partner"), col("text").as("p_text"))
+          if (idRows.length <= maxSemiJoinKeys(spark))
+            // pushed-down IN: parquet row-group stats prune a
+            // doc_id-clustered lake to the touched groups
+            Some(base.filter(col("partner").isin(idRows.map(_.getLong(0)).toSeq: _*)))
+          else
+            Some(base.join(pairs.filter(col("from_lake")).select("partner").distinct(),
+              Seq("partner"), "left_semi"))
+        }
+      }
+    val partnerTexts = lakeScan match {
+      case None => batchTexts.withColumn("p_lake", lit(false))
+      case Some(lk) => batchTexts.withColumn("p_lake", lit(false))
+        .unionByName(lk.withColumn("p_lake", lit(true)))
+    }
+    // exact J >= p/q on token SETS — the qn03 rule verbatim. The join on
+    // (partner, from_lake == p_lake) keys each pair to the right text
+    // source: batch and lake doc_id spaces may overlap.
+    val dToks = inBatchFirst.select(col("doc_id"), tokenSet(col("text")).as("d_toks"))
+    pairs.join(partnerTexts,
+        pairs("partner") === partnerTexts("partner") &&
+          pairs("from_lake") === partnerTexts("p_lake"))
+      .drop(partnerTexts("partner"))
+      .join(dToks, Seq("doc_id"))
+      .withColumn("p_toks", tokenSet(col("p_text")))
+      .withColumn("n_inter", size(array_intersect(col("d_toks"), col("p_toks"))))
+      .withColumn("n_union",
+        size(col("d_toks")) + size(col("p_toks")) - col("n_inter"))
+      .filter(col("n_union") > 0 && lit(q) * col("n_inter") >= lit(p) * col("n_union"))
+      .groupBy(col("doc_id")).agg(min(col("partner")).as("dup_of"))
   }
 
   /** Periodic maintenance for an ingest lake + band index: small-file

@@ -280,7 +280,7 @@ class NorthStarSpec extends AnyFunSuite {
       s"no pruning: read $filesRead of $totalFiles index files")
   }
 
-  test("qn10d assignment-join probe: lazy, coarse-routed, agrees with a driver-side replay") {
+  test("qn10d/e assignment-join probe: lazy, branch-dispatched, agrees with a driver-side replay") {
     import org.apache.spark.sql.functions.col
     val path = graft.operators.Similarity.newIndexDir()
     graft.operators.Similarity.buildIvfIndex(spark, sf, 16, path)
@@ -302,7 +302,10 @@ class NorthStarSpec extends AnyFunSuite {
     spark.sparkContext.addSparkListener(listener)
     val joined =
       try {
-        val df = graft.operators.Similarity.probeIvfIndexJoined(spark, probes, path, 4, 5)
+        // Force the COARSE branch: the 16-cell fixture is below the
+        // coarseRouteMinCentroids dispatch, which would pick flat.
+        val df = graft.operators.Similarity.probeIvfIndexJoined(spark, probes, path, 4, 5,
+          forceRoute = Some(true))
         Thread.sleep(500) // listener bus is async
         assert(execs.get() == 0,
           s"probeIvfIndexJoined ran ${execs.get()} executions at plan-build time")
@@ -378,6 +381,18 @@ class NorthStarSpec extends AnyFunSuite {
     // wants.
     assert(planStr.contains("dynamicpruning"),
       "no dynamic partition pruning on the index lake for a selective probe")
+
+    // FLAT branch (what the dispatch picks at 16 cells): the joined path
+    // must return exactly the collect path's neighbors — the
+    // hash-identity contract between the two public probe entry points
+    // below the coarse threshold — and its plan must carry no coarse
+    // tier.
+    val flat = graft.operators.Similarity.probeIvfIndexJoined(spark, probes, path, 4, 5)
+    assert(!flat.queryExecution.executedPlan.toString.contains("coarse_id"),
+      "16-cell dispatch engaged the coarse tier — flat routing should win here")
+    val viaCollect = graft.operators.Similarity.probeIvfIndexWith(spark, probes, path, 4, 5)
+    assert(flat.collect().toSeq.map(_.toSeq) == viaCollect.collect().toSeq.map(_.toSeq),
+      "flat joined path diverged from probeIvfIndexWith on identical arguments")
   }
 
   test("qn10c append never rewrites an untouched cell and reaches the full corpus") {

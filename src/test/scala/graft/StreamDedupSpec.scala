@@ -447,6 +447,64 @@ class StreamDedupSpec extends AnyFunSuite {
     assert(got.exists { case (x, y, _) => x == 4L && y == 5L }, s"missing in-horizon pair: $got")
   }
 
+  test("verified near-dup tier drops zero false positives and still catches true dups") {
+    import graft.streaming.IngestClean
+    // The any-band rule's measured over-drop (IngestClean object doc):
+    // a band whose 4 minhash rows are all achieved by SHARED tokens
+    // makes a low-Jaccard pair band-collide. These colliders were found
+    // by searching candidate token sets under the FROZEN signature
+    // family (StreamDedup.signatureFamily) — deterministic forever; the
+    // precondition assert below fails loudly if the constants move.
+    val tokA = (0 until 20).map(i => s"alpha$i")
+    val tokE = (0 until 20).map(i => s"epsilon$i")
+    val a = Doc(1, tokA.mkString(" "), 1000000L)
+    val e = Doc(10, tokE.mkString(" "), 10000000L)
+    // J = 10/30 with A / with E — both well under the 3/5 verify rule
+    val bFalse = Doc(11,
+      (tokA.take(10) ++ (0 until 10).map(j => s"beta0x$j")).mkString(" "), 11000000L)
+    val gFalse = Doc(12,
+      (tokE.take(10) ++ (0 until 10).map(j => s"gamma11x$j")).mkString(" "), 12000000L)
+    // true near-dups: J = 20/22
+    val cTrue = Doc(13, (tokA ++ Seq("extraa", "extrab")).mkString(" "), 13000000L)
+    val hTrue = Doc(14, (tokE ++ Seq("extrac", "extrad")).mkString(" "), 14000000L)
+    val dExact = Doc(15, tokA.mkString("  ") + " ", 15000000L)
+    // precondition: the false positives DO band-collide with their targets
+    val collisions = brute(Seq(a, e, bFalse, gFalse)).map(p => (p._1, p._2))
+    assert(collisions.contains((1L, 11L)) && collisions.contains((10L, 12L)),
+      s"fixture colliders no longer band-collide (signature family moved?): $collisions")
+
+    def run(verify: Option[(Int, Int)]): (Set[Long], Set[(Long, String)]) = {
+      val dir = java.nio.file.Files.createTempDirectory("graft_ingest_verify").toString
+      val (lake, idx, quar) = (s"$dir/lake", s"$dir/index", s"$dir/quarantine")
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val ms = MemoryStream[Doc]
+      val q = ms.toDF().writeStream
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+          IngestClean.cleanBatch(spark, b, lake, idx,
+            quarantineDir = Some(quar), batchId = id, verifyNearDups = verify); ()
+        }.start()
+      try {
+        ms.addData(Seq(a)); q.processAllAvailable()
+        ms.addData(Seq(e, bFalse, gFalse, cTrue, hTrue, dExact)); q.processAllAvailable()
+      } finally q.stop()
+      (spark.read.parquet(lake).select("doc_id").collect().map(_.getLong(0)).toSet,
+        spark.read.parquet(quar).select("doc_id", "reason")
+          .collect().map(r => r.getLong(0) -> r.getString(1)).toSet)
+    }
+
+    // any-band rule: the low-J colliders are over-dropped (the caveat)
+    val (lakeOff, quarOff) = run(None)
+    assert(lakeOff == Set(1L, 10L), s"any-band lake held $lakeOff")
+    assert(quarOff.contains(11L -> "near_dup") && quarOff.contains(12L -> "near_dup"))
+    // verified tier: ZERO false positives dropped; both true near-dups
+    // still quarantine (lake partner A and in-batch partner E), exact
+    // dup unaffected
+    val (lakeOn, quarOn) = run(Some((3, 5)))
+    assert(lakeOn == Set(1L, 10L, 11L, 12L), s"verified lake held $lakeOn")
+    assert(quarOn == Set(13L -> "near_dup", 14L -> "near_dup", 15L -> "exact_dup"),
+      s"verified quarantine held $quarOn")
+  }
+
   test("per-batch probes stay O(batch + touched files) as the lake grows") {
     // The round-13 scale contract: a micro-batch's exact and near checks
     // must not scan the whole lake/index. Grow a lake over many batches
