@@ -416,10 +416,12 @@ object Battery {
           new org.apache.hadoop.fs.Path(dir)).map(_.toString).toSet
       val (preLake, preIdx) = (listing(lake), listing(idx))
       println(s"""{"battery":"ingest_setup","lake_docs":$n,"write_sec":${math.round(wSec)},"lake_files":${preLake.size},"index_files":${preIdx.size}}""")
-      def run(tag: String, maxKeys: Long): IngestClean.BatchStats = {
+      def run(tag: String, maxKeys: Long,
+          verify: Option[(Int, Int)] = None): IngestClean.BatchStats = {
         s.conf.set("spark.graft.ingest.maxProbeKeys", maxKeys.toString)
         bytesRead.set(0)
-        val (stats, sec) = timed(IngestClean.cleanBatch(s, batch, lake, idx))
+        val (stats, sec) = timed(IngestClean.cleanBatch(s, batch, lake, idx,
+          verifyNearDups = verify))
         Thread.sleep(500) // quiesce the async listener before reading bytes
         val (exT, exS) = IngestClean.lastExactFiles
         val (bdT, bdS) = IngestClean.lastBandFiles
@@ -447,6 +449,15 @@ object Battery {
         val unpruned = run("unpruned", 0L)
         require(pruned == unpruned,
           s"pruning changed batch semantics: $pruned vs $unpruned")
+        // the verified tier's per-batch PRICE, same lake and batch: its
+        // appended count may legitimately exceed the any-band forms'
+        // (random cross-corpus band collisions are kept once verified
+        // as non-duplicates — that is the tier's point); the planted
+        // TRUE dups must still be dropped (checked inside run). The
+        // near-dup plant's exact J is 48/50, far over the 3/5 rule.
+        val verified = run("verified", 2000000L, verify = Some((3, 5)))
+        require(verified.appended >= pruned.appended,
+          s"verified tier dropped more than any-band: $verified vs $pruned")
       } finally priorMaxKeys match {
         case Some(v) => s.conf.set("spark.graft.ingest.maxProbeKeys", v)
         case None => s.conf.unset("spark.graft.ingest.maxProbeKeys")
@@ -481,7 +492,12 @@ object Battery {
   private def ingestGrow(s: SparkSession, nBatches: Int): Unit = {
     val batchN = 5000L
     val total = nBatches * batchN
-    val forms = Seq("plain", "compacted")
+    // "auto" = the MEASURED trigger (autoCompact = Some(8)): no caller
+    // cadence at all — cleanBatch compacts itself whenever a table's
+    // file count exceeds 8x its ideal compacted count. The gate: its
+    // per-batch cost and file counts stay flat like the manual form's,
+    // and its verdicts are identical to both.
+    val forms = Seq("plain", "compacted", "auto")
     val statsByForm = forms.map { form =>
       val root = java.nio.file.Files.createTempDirectory(s"graft_battery_grow_$form").toString
       val lake = s"$root/lake"; val idx = s"$root/index"
@@ -489,7 +505,8 @@ object Battery {
         val batch = ingestCorpus(s, total)
           .filter(col("doc_id") >= b * batchN && col("doc_id") < (b + 1) * batchN)
           .select(col("doc_id"), col("text"), (col("doc_id") + 1L).as("us"))
-        val (st, sec) = timed(graft.streaming.IngestClean.cleanBatch(s, batch, lake, idx))
+        val (st, sec) = timed(graft.streaming.IngestClean.cleanBatch(s, batch, lake, idx,
+          autoCompact = if (form == "auto") Some(8) else None))
         val compactSec =
           if (form == "compacted" && (b + 1) % 10 == 0)
             timed(graft.streaming.IngestClean.compactIngest(s, lake, idx))._2
@@ -507,7 +524,7 @@ object Battery {
       }
       perBatch.map(_._1)
     }
-    require(statsByForm(0) == statsByForm(1),
+    require(statsByForm(0) == statsByForm(1) && statsByForm(0) == statsByForm(2),
       "compaction changed batch verdicts — the rewrite is not transparent")
   }
 

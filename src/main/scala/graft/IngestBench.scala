@@ -5,10 +5,13 @@ import org.apache.spark.sql.SparkSession
 
 /** Ingest-throughput measurement: XML dump -> typed parse -> partitioned
   * parquet lake, end to end. Prints one JSON line with rows/sec and
-  * MB/sec. Usage: `runMain graft.IngestBench <dump.xml[.gz]> [entity]`.
-  * Compare against the reference's operating shape (2 vCPU AWS Batch,
-  * chunk_size 5000 — BASELINE.md); generate inputs with
-  * tools/gen_ingest_bench.py.
+  * MB/sec. Usage: `runMain graft.IngestBench <dump.xml[.gz]> [entity]`,
+  * or `runMain graft.IngestBench backfill <stagedRoot>` to time the EP2
+  * yearly-backfill driver over a staged multi-month tree (the
+  * BackfillSpec layout: data/<year>/discogs_YYYYMMDD_<type>s.xml.gz +
+  * per-month CHECKSUM.txt). Compare against the reference's operating
+  * shape (2 vCPU AWS Batch, chunk_size 5000 — BASELINE.md); generate
+  * inputs with tools/gen_ingest_bench.py.
   */
 object IngestBench {
   def main(args: Array[String]): Unit = {
@@ -26,6 +29,20 @@ object IngestBench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if (path == "backfill") {
+      // EP2 driver over a staged tree: months run sequentially (the
+      // reference's loop), each dump's parse/write fully distributed.
+      val root = args(1)
+      val lake = java.nio.file.Files.createTempDirectory("graft_backfill_bench").toString
+      val t0 = System.nanoTime()
+      val done = graft.sources.Backfill.run(spark, root, lake)
+      val secs = (System.nanoTime() - t0) / 1e9
+      val rows = done.map(_._2).distinct.map(t =>
+        DiscogsLake.read(spark, lake, t).count()).sum
+      println(f"""{"metric":"backfill","months":${done.size},"rows":$rows,"sec":$secs%.2f,"rows_per_sec":${rows / secs}%.0f}""")
+      spark.stop()
+      return
+    }
     val out = java.nio.file.Files.createTempDirectory("graft_ingest_bench").toString
     val bytes = new java.io.File(path).length()
     // warmup: session + codegen on a tiny slice

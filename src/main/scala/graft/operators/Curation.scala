@@ -1085,7 +1085,21 @@ object Curation {
       // failpoint is process-global state: serialize against any
       // concurrent plan build of this same query (determinism sweeps).
       IngestClean.synchronized {
-        IngestClean.cleanBatch(s, batchOf(0), lake, idx)
+        // Batch 0 is deterministic and CRASH-FREE — its post-state is
+        // memoized on disk once per corpus dir and copied in (the
+        // memoized-pair-frame discipline applied to a fixture lake:
+        // ~5s/invocation of identical recompute gone from the sweep).
+        // Everything the gate exists for — the crash, repairIndex, the
+        // replay, batch 2 — still executes LIVE below, every invocation.
+        val pre = preCrashBase.computeIfAbsent(dir, _ => {
+          val b = new java.io.File(sys.props("java.io.tmpdir"),
+            s"graft_ingbase_${Integer.toHexString(dir.hashCode)}")
+          rmIngestTree(b)
+          IngestClean.cleanBatch(s, batchOf(0), s"$b/lake", s"$b/index")
+          b.toString
+        })
+        copyTree(new java.io.File(s"$pre/lake"), new java.io.File(lake))
+        copyTree(new java.io.File(s"$pre/index"), new java.io.File(idx))
         IngestClean.failpoint = Some("after_lake_append")
         try {
           try { IngestClean.cleanBatch(s, batchOf(1), lake, idx); () }
@@ -1115,12 +1129,30 @@ object Curation {
     if (f.isDirectory) Option(f.listFiles).getOrElse(Array.empty).foreach(rmIngestTree)
     f.delete(): Unit
   }
+  /** qp11's memoized pre-crash state: corpus dir -> the on-disk
+    * lake+index left by batch 0 (deterministic, crash-free — safe to
+    * reuse across invocations within one JVM; the testdata dir is
+    * immutable for a sweep's lifetime). Built under the same
+    * IngestClean lock as the choreography so a concurrent invocation's
+    * armed failpoint can never crash the base build. */
+  private val preCrashBase = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def copyTree(src: java.io.File, dst: java.io.File): Unit = {
+    if (src.isDirectory) {
+      dst.mkdirs()
+      Option(src.listFiles).getOrElse(Array.empty)
+        .foreach(f => copyTree(f, new java.io.File(dst, f.getName)))
+    } else java.nio.file.Files.copy(src.toPath, dst.toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
+  }
   // First-use reclamation of prior JVMs' run dirs + a bounded in-JVM
-  // ring — the Similarity.newIndexDir fixture discipline.
+  // ring — the Similarity.newIndexDir fixture discipline. Prior JVMs'
+  // base snapshots go too (this JVM's memo map is empty at that point,
+  // so nothing live is swept).
   private lazy val sweepStaleIngestRuns: Unit = {
     val tmp = new java.io.File(sys.props("java.io.tmpdir"))
     Option(tmp.listFiles).getOrElse(Array.empty)
-      .filter(_.getName.startsWith("graft_ingq_")).foreach(rmIngestTree)
+      .filter(f => f.getName.startsWith("graft_ingq_") ||
+        f.getName.startsWith("graft_ingbase_")).foreach(rmIngestTree)
   }
   private def newIngestRunDir(): String = {
     sweepStaleIngestRuns

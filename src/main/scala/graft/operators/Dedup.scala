@@ -702,6 +702,23 @@ object Dedup {
       }.orderBy("doc_a", "doc_b")
     },
 
+    // The GIANT-corpus branch of qn06's dispatch (>= ~1.3e10 docs:
+    // 1 chunk x radius-3 full enumeration, join output == true pairs
+    // exactly), FORCED here on a fixture subset — the 36k-variant probe
+    // expansion over the whole fixture corpus would cost sweep seconds
+    // for no extra coverage, and the branch's semantics are
+    // subset-independent. Same brute-force oracle, restricted
+    // identically: all three tiers are lossless for hamming <= 3, so
+    // the pair sets hash-match whichever branch runs.
+    Q("qn06c_simhash_probe_enum", sqlSimhashPairsOracleWhere("doc_id < 500")) { (s, dir) =>
+      val sh = tokenized(s, dir).filter(col("doc_id") < 500)
+        .select(col("doc_id"), transform(col("toks"), tokenHash60(_)).as("hs"))
+        .select(col("doc_id"), simhash(col("hs")).as("simhash"))
+        .localCheckpoint(true)
+      simhashPairsProbeEnum(s, sh, sh.count())
+        .localCheckpoint(true).orderBy("doc_a", "doc_b")
+    },
+
     // Incremental-ingest dedup: classify an incoming batch (doc_id % 10
     // >= 8) against the existing corpus — exact duplicate (normalized
     // text seen before), near duplicate (token Jaccard >= 0.6 with any
@@ -948,19 +965,22 @@ object Dedup {
     labels
   }
 
-  /** qn06/qn06b's shared oracle: the brute-force all-pairs hamming
-    * filter — blocking scheme-independent, so both branches of the
-    * dispatch are held to the same answer. */
-  private lazy val sqlSimhashPairsOracle: String = {
+  /** qn06/qn06b/qn06c's shared oracle: the brute-force all-pairs hamming
+    * filter — blocking scheme-independent, so every branch of the
+    * dispatch is held to the same answer. `docFilter` restricts the
+    * corpus for branches whose fixture-size forcing needs a subset
+    * (qn06c's 36k-variant probe expansion). */
+  private def sqlSimhashPairsOracleWhere(docFilter: String): String = {
     val hs = s"[ ${sqlTokenHash60("t")} for t in toks ]"
     s"""WITH t AS ($sqlTokenized),
-       |sh AS (SELECT doc_id, ${sqlSimhash(hs)} AS simhash FROM t)
+       |sh AS (SELECT doc_id, ${sqlSimhash(hs)} AS simhash FROM t WHERE $docFilter)
        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |       bit_count(xor(a.simhash, b.simhash)) AS hamming
        |FROM sh a, sh b
        |WHERE a.doc_id < b.doc_id AND bit_count(xor(a.simhash, b.simhash)) <= 3
        |ORDER BY doc_a, doc_b""".stripMargin
   }
+  private lazy val sqlSimhashPairsOracle: String = sqlSimhashPairsOracleWhere("TRUE")
 
   /** Corpus-size threshold where [[simhashNearPairs]] switches chunking
     * schemes. The 4x15-bit pigeonhole's candidate volume is ~N^2 / 2^15
@@ -976,12 +996,31 @@ object Dedup {
     * one literal. */
   private[operators] val simhashSuperChunkMinDocs = 100000L
 
+  /** Corpus size where the dispatch leaves 2x30 super-chunks for the
+    * FULL-ENUMERATION tier ([[simhashPairsProbeEnum]]): 1 chunk of all
+    * 60 bits, radius-3 probe expansion. The cost model (BENCH_NOTES):
+    * the 2x30 scheme's candidates are ~N^2 x (2 x 61^2 / 2^30) — a
+    * divisor of all-pairs of ~3.7e5, measured — while full enumeration
+    * pays a FIXED |ball(60,3)| = 36,051 probe rows per doc and emits
+    * candidates == true pairs exactly (a probe variant equals an index
+    * value iff the pair's distance is <= 3 — the blocking is perfect,
+    * see the method doc). N x 36051 crosses N^2/3.7e5 at N ~ 1.3e10
+    * docs; past it the enumeration's linear probe volume beats the
+    * super-chunks' quadratic candidate tail, with the SAME lossless
+    * semantics, so the dispatch keeps qn06 exact at any corpus size
+    * instead of handing >1e10-doc corpora to an approximate path. All
+    * three tiers are instances of one family — k chunks of 60/k bits
+    * probed to radius floor(3/k) — dispatched at the measured
+    * crossovers; each tier is oracle-forced at fixture size
+    * (qn06/qn06b/qn06c). */
+  private[operators] val simhashProbeEnumMinDocs = 13000000000L
+
   /** SimHash hamming<=3 pairs (unordered), shared by qn06 and the
     * component query, DISPATCHED BY MEASURED CORPUS SIZE (see
-    * [[simhashSuperChunkMinDocs]]). Both branches emit the identical
-    * pair set — the pigeonhole guarantee holds in each — so the oracle
-    * SQL (all-pairs hamming filter) is one definition regardless of
-    * branch. */
+    * [[simhashSuperChunkMinDocs]] and [[simhashProbeEnumMinDocs]]). All
+    * branches emit the identical pair set — the pigeonhole guarantee
+    * holds in each — so the oracle SQL (all-pairs hamming filter) is
+    * one definition regardless of branch. */
   private def simhashNearPairs(s: SparkSession, dir: String): DataFrame = {
       val sh = tokenized(s, dir)
         .select(col("doc_id"), transform(col("toks"), tokenHash60(_)).as("hs"))
@@ -991,7 +1030,8 @@ object Dedup {
         .localCheckpoint(true)
       val nDocs = sh.count()
       val pairs =
-        if (nDocs >= simhashSuperChunkMinDocs) simhashPairsSuperChunk(s, sh, nDocs)
+        if (nDocs >= simhashProbeEnumMinDocs) simhashPairsProbeEnum(s, sh, nDocs)
+        else if (nDocs >= simhashSuperChunkMinDocs) simhashPairsSuperChunk(s, sh, nDocs)
         else simhashPairs4x15(s, sh, nDocs)
       // Materialize the (shuffle-free) pair stream before the global
       // sort — see jaccardPairs.
@@ -1069,6 +1109,61 @@ object Dedup {
       probes.as("x").join(sized(s, idx.as("y"), 2L * nDocs), col("x.key") === col("y.key"))
         .filter(col("x.doc_id") < col("y.doc_id") && ham <= 3 &&
           shiftright(col("x.key"), 30) === firstNearChunk)
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+          ham.cast("long").as("hamming"))
+  }
+
+  /** Every 60-bit mask with at most 3 bits set — the radius-3 Hamming
+    * ball's XOR offsets, |ball| = 1 + 60 + C(60,2) + C(60,3) = 36,051.
+    * Driver-side once, shipped into the plan as ONE array literal
+    * (~288 KB), so the probe expansion is a codegen'd `transform` over
+    * a foldable array — no 36k-branch expression tree, no UDF. */
+  private lazy val radius3Masks60: Seq[Long] = {
+    val out = Seq.newBuilder[Long]
+    out += 0L
+    for (i <- 0 until 60) {
+      out += (1L << i)
+      for (j <- i + 1 until 60) {
+        out += (1L << i) | (1L << j)
+        for (k <- j + 1 until 60) out += (1L << i) | (1L << j) | (1L << k)
+      }
+    }
+    out.result()
+  }
+
+  /** The giant-corpus branch: 1 chunk of all 60 bits, radius-3 probe
+    * enumeration — multi-index hashing collapsed to a single index. The
+    * index side emits each doc's exact simhash (1 row/doc); the probe
+    * side emits the doc's whole radius-3 ball (36,051 rows/doc, the
+    * simhash XOR each [[radius3Masks60]] offset); the join is exact
+    * equality on the 60-bit value. The blocking is PERFECT: a probe
+    * variant of x equals y's value iff x^y is one of the masks, i.e.
+    * iff hamming(x,y) <= 3 — so join output == true pairs, with no
+    * candidate tail at all (the property neither chunked tier has: their
+    * random chunk collisions scale with N^2/divisor; here the only
+    * quadratic term is true pairs themselves). Exactly-once per
+    * unordered pair without a distinct: exactly ONE mask maps x to y
+    * (their XOR), and the doc_id order filter kills the mirrored
+    * (y-probes-x) orientation.
+    *
+    * Cost shape: probe volume is a FIXED 36,051 rows/doc — linear in N,
+    * ~2.9 MB/doc shuffled pre-AQE-compression — which loses to the
+    * super-chunks' tiny expansion until candidates ~N^2/3.7e5 out-grow
+    * it at ~1.3e10 docs ([[simhashProbeEnumMinDocs]]); past that this
+    * tier is the only lossless plan whose work stays near-linear.
+    * Forced at fixture size on a subset by qn06c (the full fixture
+    * corpus x 36k rows would dominate the sweep for no extra
+    * coverage). */
+  private[operators] def simhashPairsProbeEnum(s: SparkSession, sh: DataFrame,
+      nDocs: Long): DataFrame = {
+      val probes = sh.select(col("doc_id"), col("simhash"),
+        explode(transform(typedlit(radius3Masks60),
+          m => col("simhash").bitwiseXOR(m))).as("key"))
+      val idx = sh.select(col("doc_id"), col("simhash"),
+        col("simhash").as("key"))
+      val ham = bit_count(col("x.simhash").bitwiseXOR(col("y.simhash")))
+      probes.as("x").join(sized(s, idx.as("y"), nDocs), col("x.key") === col("y.key"))
+        .filter(col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
           ham.cast("long").as("hamming"))
   }

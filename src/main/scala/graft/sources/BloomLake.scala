@@ -314,6 +314,59 @@ object BloomLake {
     } finally reader.close()
   }
 
+  /** Post-write bloom CAPACITY audit: fail loudly if any row group's
+    * written bitset is too small for the keys it actually holds — the
+    * silent failure mode [[writerOptions]]' sizing exists to prevent. A
+    * caller-supplied `expectedNdv` bounds only what the caller EXPECTED;
+    * nothing at write time checks it against the rows a file really got
+    * (an undersized bitset saturates and excludes nothing — measured:
+    * a 100k-ndv cap under 500k actual keys returned every file as a
+    * maybe, and the battery only caught it because the prune counts are
+    * observable). This reads each footer's row count as the per-group
+    * key upper bound (scaled by `keysPerRow` when the column is known
+    * to repeat, e.g. exact-dup-heavy lakes), computes the bits
+    * -n ln(p)/(ln 2)^2 those keys need at `fpp`, and requires the
+    * written bitset to be at least that — so an undersized write fails
+    * the run that produced it instead of degrading every future probe.
+    * Row count over-estimates ndv under multiplicity, so the audit errs
+    * strict — the safe direction for a pruning structure. Call it from
+    * spec paths and after compaction rewrites ([[graft.streaming
+    * .IngestClean.compactIngest]]'s expectedKeysPerFile is exactly the
+    * number this audits); it is O(row groups) footer metadata, never
+    * data pages. A row group missing its bloom entirely (e.g. writer
+    * options dropped in a rewrite) also fails: absence un-prunes just
+    * as silently as saturation. Pre-column files are skipped — their
+    * groups are legitimately un-excludable. */
+  def assertBloomCapacity(spark: SparkSession, path: String, colName: String,
+      fpp: Double, keysPerRow: Double = 1.0): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    val files = listParquet(spark, path)
+    require(files.nonEmpty, s"no parquet files under $path — wrong directory?")
+    val bad = Seq.newBuilder[String]
+    var seen = false
+    files.foreach { f =>
+      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(f, conf))
+      try reader.getFooter.getBlocks.asScala.zipWithIndex.foreach { case (block, gi) =>
+        block.getColumns.asScala.find(_.getPath.toDotString == colName).foreach { cc =>
+          seen = true
+          val keys = math.max(1L, math.ceil(block.getRowCount * keysPerRow).toLong)
+          val neededBits = (-keys * math.log(fpp) / (math.log(2) * math.log(2))).toLong
+          val bf = reader.getBloomFilterDataReader(block).readBloomFilter(cc)
+          if (bf == null)
+            bad += s"$f group $gi: no bloom filter on $colName (${block.getRowCount} rows)"
+          else if (bf.getBitsetSize.toLong * 8 < neededBits)
+            bad += s"$f group $gi: bitset ${bf.getBitsetSize} B < ${neededBits / 8} B " +
+              s"needed for $keys keys at fpp=$fpp"
+        }
+      } finally reader.close()
+    }
+    require(seen, s"column $colName absent from every file under $path — caller typo?")
+    val problems = bad.result()
+    require(problems.isEmpty,
+      s"bloom capacity audit failed on $path — an undersized bitset saturates and " +
+        "excludes NOTHING (probes silently stop pruning):\n" + problems.mkString("\n"))
+  }
+
   private def probeAll(spark: SparkSession, files: Seq[Path], colName: String,
       key: ProbeKey): BloomProbe = {
     require(files.nonEmpty, "no parquet files to probe — wrong directory?")
@@ -362,16 +415,25 @@ object BloomLake {
   * `~/.cache` lake) and silently empty the listing.
   */
 private[graft] object LakeListing {
-  def dataFiles(conf: org.apache.hadoop.conf.Configuration, root: Path): Seq[Path] = {
+  def dataFiles(conf: org.apache.hadoop.conf.Configuration, root: Path): Seq[Path] =
+    dataFileSizes(conf, root).map(_._1)
+
+  /** Same walk, keeping each file's byte length from the listing itself
+    * (the RemoteIterator already carries it — no per-file RPC), so
+    * callers that need both the count and the total bytes (the
+    * auto-compaction trigger) pay one listing. */
+  def dataFileSizes(conf: org.apache.hadoop.conf.Configuration,
+      root: Path): Seq[(Path, Long)] = {
     val fs = root.getFileSystem(conf)
     val qualifiedRoot = fs.makeQualified(root).toUri.getPath
-    val out = Seq.newBuilder[Path]
+    val out = Seq.newBuilder[(Path, Long)]
     val it = fs.listFiles(root, true)
     while (it.hasNext) {
-      val p = it.next().getPath
+      val st = it.next()
+      val p = st.getPath
       val rel = p.toUri.getPath.stripPrefix(qualifiedRoot)
       val hidden = rel.split("/").exists(s => s.startsWith(".") || s.startsWith("_"))
-      if (p.getName.endsWith(".parquet") && !hidden) out += p
+      if (p.getName.endsWith(".parquet") && !hidden) out += ((p, st.getLen))
     }
     out.result()
   }

@@ -235,14 +235,21 @@ object IngestClean {
     * readers can data-skip a lake that is still ingesting. Refresh
     * crash-safety matches the stats contract: a missed refresh is
     * repaired by the next batch's call (refresh diffs the listing, not
-    * the batch). */
+    * the batch).
+    *
+    * `verifyNearDups = Some((p, q))` upgrades the near tier's any-band
+    * drop rule to the exact-verified tier ([[verifiedDups]]).
+    * `autoCompact = Some(k)` arms the measured compaction trigger (see
+    * the inline doc at the trigger site): the caller stops owning
+    * compaction cadence entirely. */
   def cleanBatch(spark: SparkSession, batch: DataFrame,
       lakeDir: String, indexDir: String, minTokens: Int = 10,
       zoneStatsPath: Option[String] = None,
       zoneCols: Seq[String] = Seq("doc_id", "us"),
       quarantineDir: Option[String] = None,
       batchId: Long = -1L,
-      verifyNearDups: Option[(Int, Int)] = None): BatchStats = {
+      verifyNearDups: Option[(Int, Int)] = None,
+      autoCompact: Option[Int] = None): BatchStats = {
     // Null-safe on BOTH polarities: under ANSI semantics
     // size(split(trim(NULL))) is NULL, so filter(p) AND filter(!p) each
     // drop the row — it would vanish with no quarantine record.
@@ -561,6 +568,29 @@ object IngestClean {
       if (pathExists(spark, lakeDir))
         graft.sources.ZoneMap.refreshStats(spark, lakeDir, sp, zoneCols): Unit
     }
+    // MEASURED compaction trigger (`autoCompact = Some(k)`): compact when
+    // either table's data-file count exceeds k x its ideal compacted
+    // count — ideal derived STATELESSLY from the same listing the batch
+    // already walks (ceil(total bytes / targetBytes)), so no
+    // "batches since last compaction" counter to persist or lose on
+    // restart. An append-per-batch lake otherwise grows its file count
+    // (and every later batch's footer walk) linearly with batch count —
+    // the ingestgrow battery's unpicked curve; with the trigger the
+    // count saw-tooths between ideal and k x ideal regardless of how
+    // long the stream runs or how it crashes. Runs AFTER the index
+    // append (compaction must never sit inside the lake->index crash
+    // window); crash-safety is compact's own two-phase swap.
+    autoCompact.foreach { k =>
+      def over(dir: String): Boolean =
+        pathExists(spark, dir) && {
+          val sizes = LakeListing.dataFileSizes(hadoopConf,
+            new org.apache.hadoop.fs.Path(dir)).map(_._2)
+          val ideal = math.max(1L,
+            (sizes.sum + defaultTargetBytes - 1) / defaultTargetBytes)
+          sizes.size > k * ideal
+        }
+      if (over(lakeDir) || over(indexDir)) compactIngest(spark, lakeDir, indexDir)
+    }
     BatchStats(
       obsIn.get("n").asInstanceOf[Long],
       obsQuality.get("n").asInstanceOf[Long],
@@ -683,11 +713,22 @@ object IngestClean {
     * 128 MB compacted file. Default 1M keys ~ a 40 B/row index file at
     * the default target; at 1e-8 fpp that is a ~4.8 MB bloom per file
     * (~4% overhead) — the price of keeping a compacted lake as
-    * probe-prunable as a fresh one (pinned in StreamDedupSpec).
+    * probe-prunable as a fresh one (pinned in StreamDedupSpec). An
+    * `expectedKeysPerFile` that undersells the real per-file keys makes
+    * the rewritten bitsets saturate and silently stop excluding —
+    * [[BloomLake.assertBloomCapacity]] audits exactly this from footers
+    * (fails loudly, BloomLakeSpec); run it after a cadence change or
+    * whenever targetBytes grows.
     * Crash-safety is compact's own two-phase swap; the signature-family
     * marker is not a data file and survives in place. */
+  /** The compaction target file size — shared by [[compactIngest]]'s
+    * default and the [[cleanBatch]] auto-compaction trigger's ideal-
+    * file-count derivation (the two must agree or the trigger's "ideal"
+    * drifts from what compaction actually produces). */
+  private[streaming] val defaultTargetBytes: Long = 128L * 1024 * 1024
+
   def compactIngest(spark: SparkSession, lakeDir: String, indexDir: String,
-      targetBytes: Long = 128L * 1024 * 1024,
+      targetBytes: Long = defaultTargetBytes,
       expectedKeysPerFile: Long = 1000000L): Unit = {
     if (pathExists(spark, lakeDir))
       graft.sources.LakeMaintenance.compact(spark, lakeDir, targetBytes,

@@ -174,6 +174,36 @@ class BloomLakeSpec extends AnyFunSuite {
     assert(got.forall(_.getString(1) == t.getString(1)), "a non-matching sha leaked through")
   }
 
+  test("capacity audit fails on an undersized ndv instead of silently un-pruning") {
+    // An expectedNdv far under the keys a file really receives makes
+    // parquet-mr write a bitset that saturates — every probe answers
+    // "maybe" and pruning silently stops. The audit turns that into a
+    // loud failure of the run that wrote the file.
+    val base = Files.createTempDirectory("bloomcap").toString
+    val keys = spark.range(60000)
+      .select(concat(lit("k"), col("id")).as("k"))
+    // undersized: bitset sized for 4k keys, file holds 60k distinct
+    keys.coalesce(1).write
+      .options(BloomLake.writerOptions("k", expectedNdv = 4000L, fpp = 1e-8))
+      .parquet(s"$base/under")
+    val err = intercept[IllegalArgumentException] {
+      BloomLake.assertBloomCapacity(spark, s"$base/under", "k", fpp = 1e-8)
+    }
+    assert(err.getMessage.contains("bitset"), err.getMessage)
+    // properly sized: same data, ndv covers the real key count — passes
+    keys.coalesce(1).write
+      .options(BloomLake.writerOptions("k", expectedNdv = 100000L, fpp = 1e-8))
+      .parquet(s"$base/sized")
+    BloomLake.assertBloomCapacity(spark, s"$base/sized", "k", fpp = 1e-8)
+    // and a bloom-less write fails too: absence un-prunes just as
+    // silently as saturation
+    keys.coalesce(1).write.parquet(s"$base/none")
+    val err2 = intercept[IllegalArgumentException] {
+      BloomLake.assertBloomCapacity(spark, s"$base/none", "k", fpp = 1e-8)
+    }
+    assert(err2.getMessage.contains("no bloom filter"), err2.getMessage)
+  }
+
   test("a key absent from the table is excluded by (almost) every row group") {
     val dataDir = mkLake()
     val probe = BloomLake.probeLong(spark, dataDir, "o_custkey", -987654321L)

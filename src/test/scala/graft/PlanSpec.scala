@@ -248,6 +248,7 @@ class PlanSpec extends AnyFunSuite {
       "qn10b_ann_ivf_persisted", // same centroid routing over the persisted index
       "qn10c_ann_ivf_append",    // same centroid routing (build-half centroids)
       "qn10d_ann_ivf_probe_join", // same centroid routing; the INDEX join is an equi-join on cent_id
+      "qn10e_ann_ivf_probe_join_coarse", // coarse tier: k2-row seed broadcast + 1-row cstride scalar; fine cells via coarse_id equi-join
       "qn19_kmeans_step",     // broadcast centroid table
       "qn25_mixture_weights", // single-row scalar crossJoin
       "qn29_mixture_apply",   // single-row scalar crossJoin

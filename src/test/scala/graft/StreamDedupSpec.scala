@@ -621,6 +621,42 @@ class StreamDedupSpec extends AnyFunSuite {
     assert(s2 == IngestClean.BatchStats(2, 2, 1, 0), s"dup batch stats after compaction: $s2")
   }
 
+  test("auto-compaction trigger bounds file count with no caller cadence") {
+    // autoCompact = Some(k): cleanBatch compacts ITSELF when a table's
+    // file count exceeds k x its ideal compacted count (derived from the
+    // listing the batch already walks — stateless, so a restarted stream
+    // keeps the property without remembering when it last compacted).
+    import graft.streaming.IngestClean
+    val dir = java.nio.file.Files.createTempDirectory("graft_ingest_autocompact").toString
+    val (lake, idx) = (s"$dir/lake", s"$dir/index")
+    def doc(id: Long) =
+      Doc(id, (0 until 12).map(i => s"a${id}w$i").mkString(" "), id * 1000000L)
+    def files(p: String) = new java.io.File(p).listFiles
+      .count(_.getName.endsWith(".parquet"))
+    var maxLakeFiles = 0
+    (0 until 9).foreach { b =>
+      val batch = spark.createDataFrame((0 until 20).map(i => doc(b * 100L + i)))
+      IngestClean.cleanBatch(spark, batch, lake, idx, autoCompact = Some(2))
+      maxLakeFiles = math.max(maxLakeFiles, files(lake))
+    }
+    // bytes here are far under one targetBytes, so ideal = 1 file: the
+    // count must saw-tooth under the k=2 trigger (compact fires when a
+    // batch observes > 2 files), never reach the 9+ an append-per-batch
+    // lake accumulates
+    assert(maxLakeFiles <= 4, s"trigger never fired: lake peaked at $maxLakeFiles files")
+    assert(files(lake) <= 3, s"final lake has ${files(lake)} files")
+    assert(files(idx) <= 3, s"final index has ${files(idx)} files")
+    assert(new java.io.File(idx, "_sigfamily").exists, "marker lost in auto-compaction")
+    // dedup verdicts intact through the self-triggered rewrites: an
+    // exact dup and a token-permuted near dup of compacted-away batches
+    val dupBatch = spark.createDataFrame(Seq(
+      doc(101).copy(doc_id = 9000L, us = 999000000L),
+      Doc(9001L, doc(202).text.split(' ').reverse.mkString(" "), 999100000L)))
+    val st = IngestClean.cleanBatch(spark, dupBatch, lake, idx, autoCompact = Some(2))
+    assert(st == IngestClean.BatchStats(2, 2, 1, 0),
+      s"dup batch stats after auto-compaction: $st")
+  }
+
   test("signature-family mismatch rebuilds the band index instead of appending incomparable keys") {
     // A persisted band index is only meaningful under the constants that
     // produced it: simulate an index written under DIFFERENT constants
