@@ -44,7 +44,9 @@ object Plans {
     "qk01_salted_skew_join" -> "salted shuffle join: exchange hash-partitions (event_type, salt) so each hot key spreads over 16 reducers; dim replicated by explode, ShuffledHashJoin forced",
     "qk02_salted_distinct_users" -> "salted non-algebraic agg: per-(key, salt) collect_set shards, final merge concatenates pre-deduplicated arrays — no single-reducer distinct assembly",
     "qn10b_ann_ivf_persisted" -> "persisted IVF probe: cent_id IN (...) as a PartitionFilter on the index lake — unprobed cells' files never open; broadcast probe-cell rescoring + top-k",
-    "qn10d_ann_ivf_probe_join" -> "corpus-sized IVF probe: routed probes stay distributed, index lake equi-joins on cent_id — no collect, no IN-list; the serving shape past the 1e6-route collect bound",
+    "qn10d_ann_ivf_probe_join" -> "corpus-sized IVF probe: routed probes stay distributed, index lake equi-joins on cent_id — no collect, no IN-list; the serving shape past the 1e6-route collect bound (routing dispatched FLAT at the 16-cell fixture)",
+    "qn10e_ann_ivf_probe_join_coarse" -> "forced coarse branch of qn10d's dispatch: k2-seed broadcast routing, fine cells via coarse_id equi-join — no probe x all-centroids nested loop",
+    "qn06c_simhash_probe_enum" -> "radius-3 ball enumeration: one 36,051-mask literal-array transform, exact-equality join — join output IS the answer (no candidate filter, no pair-dedup state)",
     "qp06_corpus_fingerprint" -> "snapshot signature: map-side sha digest projection + one partially aggregated hash agg on lang — a 1-row-per-lang shuffle and nothing else")
 
   def main(args: Array[String]): Unit = {
