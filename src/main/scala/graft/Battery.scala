@@ -29,6 +29,8 @@ import org.apache.spark.sql.functions._
   *   paircurve [sizes=250000,500000,1000000,2000000]
   *                              qn03/qn04 wall time + CANDIDATE volume
   *                              on ~2%-near-dup corpora
+  *   pq [vectors=500000]        IVFADC two-temperature index: disk +
+  *                              rank-stage bytes ADC vs exact, recall
   *
   * All generation is deterministic (xxhash64 of ids — no RNG state), so
   * any number here reproduces bit-identically.
@@ -56,7 +58,8 @@ object Battery {
         .getOrElse("100000,1000000,4000000").split(",").toSeq.map(_.trim.toLong))
       case Some("ingestgrow") => ingestGrow(spark,
         args.lift(1).map(_.toInt).getOrElse(40))
-      case other => sys.error(s"unknown battery: $other (skew|bloom|governance|paircurve|ivfjoin|ingest|ingestgrow)")
+      case Some("pq")         => pq(spark, args.lift(1).map(_.toLong).getOrElse(500000L))
+      case other => sys.error(s"unknown battery: $other (skew|bloom|governance|paircurve|ivfjoin|ingest|ingestgrow|pq)")
     }
     spark.stop()
   }
@@ -331,6 +334,108 @@ object Battery {
     val (fr, flatSec) = timed(Similarity.ivfRouteFlat(pv, cents, 4).count())
     val (cr, coarseSec) = timed(Similarity.ivfRouteCoarse(pv, cents, 4).count())
     println(f"""{"battery":"ivfroute","vectors":$n,"cells":$nCent,"flat_sec":$flatSec%.1f,"coarse_sec":$coarseSec%.1f,"flat_routes":$fr,"coarse_routes":$cr}""")
+  }
+
+  // ---- pq --------------------------------------------------------------
+
+  /** The IVFADC two-temperature promise, measured: build a persisted PQ
+    * index over n 64-dim vectors at sqrt(n) coarse cells, then race the
+    * four probe arms — pruned ADC (hot codes, probed cells only) vs
+    * pruned exact (cold floats, same cells), and full-scan ADC vs
+    * full-scan exact — with per-arm input bytes from task metrics. The
+    * contract: the codes lake is a small fraction of the float lake ON
+    * DISK, the ADC arms read commensurately fewer bytes, and the
+    * route-conditional recall@5 (PQ top-5 vs exact top-5 over the SAME
+    * probed cells — isolating ADC fidelity from the IVF miss rate,
+    * which on this unstructured corpus is nProbe/cells by construction)
+    * stays above the floor the PQSpec fixture pins. */
+  private def pq(s: SparkSession, n: Long): Unit = {
+    import operators.PQ
+    import graft.functions.VectorExprs.{dotNative, l2normNative}
+    val dim = 64
+    val root = java.nio.file.Files.createTempDirectory("graft_battery_pq").toString
+    // CLUSTERED corpus — the shape real embedding spaces have and the
+    // one PQ's promise is stated on. n/8 clusters of 8 near-identical
+    // members (cluster direction hashed per dim, members wiggled 1e-3):
+    // a probe's exact top-5 is its 7 co-members, so end-to-end recall
+    // measures the route + table + shortlist + refine chain, not the
+    // corpus. (On uniform noise every pairwise cosine is a near-tie
+    // inside the quantization error and ANY compressed index scores
+    // ~nothing — measured 4/50 here before the fixture changed.)
+    val nClusters = math.max(16L, n / 8)
+    val cl = col("id") % nClusters
+    val emb = transform(sequence(lit(0), lit(dim - 1)), i =>
+      (((pmod(xxhash64(cl, i, lit(7)), lit(2000)).cast("double") / 1000.0) - 1.0) +
+        (pmod(xxhash64(col("id"), i, lit(11)), lit(2000)).cast("double") / 1000000.0)).cast("float"))
+    s.range(n).select(col("id").as("vec_id"), emb.as("embedding"), lit(0).as("label"))
+      // Range-partitioned files: the declared vec_id < 10 probe set
+      // stays in ONE small file, so the probe-side read is a constant,
+      // not a corpus-sized term in the byte measurements below.
+      .repartitionByRange(256, col("vec_id"))
+      .write.parquet(s"$root/embeddings.parquet")
+    val nCells = math.max(16, math.sqrt(n.toDouble).toInt)
+    val path = operators.Similarity.newIndexDir()
+    val (_, bSec) = timed(PQ.buildPqIndex(s, root, path, nCells))
+    def dirBytes(f: java.io.File): Long =
+      if (f.isDirectory) Option(f.listFiles).getOrElse(Array.empty).map(dirBytes).sum
+      else if (f.getName.endsWith(".parquet")) f.length else 0L
+    val codesBytes = dirBytes(new java.io.File(s"$path/codes"))
+    val vecBytes = dirBytes(new java.io.File(s"$path/vectors"))
+    println(f"""{"battery":"pq","vectors":$n,"cells":$nCells,"build_sec":$bSec%.1f,"codes_bytes":$codesBytes,"vectors_bytes":$vecBytes,"bytes_ratio":${vecBytes.toDouble / codesBytes}%.1f}""")
+
+    // IO accounting is FILESYSTEM-DERIVED: bytes of the probed cells'
+    // files per lake side — the rank-stage read each arm cannot avoid
+    // at any storage tier. Runtime byte metrics are not usable for
+    // this comparison in local mode: task inputMetrics.bytesRead
+    // reported 41 KB for an 18.5 MB local-fs parquet full scan, and
+    // the scan node's filesSize counts whole non-partitioned
+    // relations before row-group pruning. File bytes of the selected
+    // cent_id partitions are exact for both arms by layout.
+    def cellFiles(sub: String, cs: Seq[Long]): Long =
+      cs.map(c => dirBytes(new java.io.File(s"$path/$sub/cent_id=$c"))).sum
+    locally {
+      // The exact arm over the SAME probed cells as the PQ probe.
+      val cents = s.read.parquet(s"$path/centroids")
+      val probesRaw = Tables.embeddings(s, root).filter(col("vec_id") < 10)
+        .select(col("vec_id"), col("embedding"), l2normNative(col("embedding")).as("nrm"))
+      val probesV = s.createDataFrame( // local, like probePqIndexWith's own probe side
+        java.util.Arrays.asList(probesRaw.collect(): _*), probesRaw.schema)
+      def exactArm(cellFilter: Option[Seq[Long]]): Array[(Long, Long)] = {
+        val cold0 = s.read.parquet(s"$path/vectors")
+        val cold = cellFilter.fold(cold0)(cs => cold0.filter(col("cent_id").isin(cs: _*)))
+          .select(col("vec_id"), col("embedding").as("de"), col("nrm").as("dn"))
+        val sc = e6(cosine(dotNative(col("qe"), col("de")), col("qn"), col("dn")))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("qid")).orderBy(col("score_e6").desc, col("vec_id").asc)
+        cold.join(broadcast(probesV.select(col("vec_id").as("qid"),
+            col("embedding").as("qe"), col("nrm").as("qn"))), expr("true"))
+          .filter(col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id"), sc.as("score_e6"))
+          .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 5)
+          .select(col("qid"), col("vec_id"))
+          .collect().map(r => (r.getLong(0), r.getLong(1)))
+      }
+      val probeFrame = probesV.select("vec_id", "embedding")
+      val (_, cells) = PQ.routeCells(s, probesV, cents, 4)
+      val (pqTop, pqSec) = timed(
+        PQ.probePqIndexWith(s, probeFrame, path, 4, 5).select("qid", "vec_id")
+          .collect().map(r => (r.getLong(0), r.getLong(1))))
+      val (exTop, exSec) = timed(exactArm(Some(cells)))
+      def recall(a: Array[(Long, Long)], b: Array[(Long, Long)]): Int = {
+        val bm = b.groupBy(_._1).map { case (q, xs) => q -> xs.map(_._2).toSet }
+        a.count { case (q, v) => bm.getOrElse(q, Set.empty)(v) }
+      }
+      val prunedRecall = recall(pqTop, exTop)
+      println(f"""{"battery":"pqprobe","arm":"pruned","vectors":$n,"probed_cells":${cells.size},"adc_sec":$pqSec%.1f,"rank_bytes_adc":${cellFiles("codes", cells)},"exact_sec":$exSec%.1f,"rank_bytes_exact":${cellFiles("vectors", cells)},"recall_at5_in_cell":"$prunedRecall/${exTop.length}"}""")
+      val (fpqTop, fpqSec) = timed(
+        PQ.probePqIndexWith(s, probeFrame, path, nCells, 5).select("qid", "vec_id")
+          .collect().map(r => (r.getLong(0), r.getLong(1))))
+      val (fexTop, fexSec) = timed(exactArm(None))
+      val fullRecall: Int = recall(fpqTop, fexTop)
+      val cb2: Long = codesBytes
+      val vb2: Long = vecBytes
+      println(f"""{"battery":"pqprobe","arm":"fullscan","vectors":$n,"adc_sec":$fpqSec%.1f,"rank_bytes_adc":$cb2,"exact_sec":$fexSec%.1f,"rank_bytes_exact":$vb2,"recall_at5":"$fullRecall/${fexTop.length}"}""")
+    }
   }
 
   // ---- ingest ----------------------------------------------------------

@@ -47,6 +47,9 @@ object Plans {
     "qn10d_ann_ivf_probe_join" -> "corpus-sized IVF probe: routed probes stay distributed, index lake equi-joins on cent_id — no collect, no IN-list; the serving shape past the 1e6-route collect bound (routing dispatched FLAT at the 16-cell fixture)",
     "qn10e_ann_ivf_probe_join_coarse" -> "forced coarse branch of qn10d's dispatch: k2-seed broadcast routing, fine cells via coarse_id equi-join — no probe x all-centroids nested loop",
     "qn06c_simhash_probe_enum" -> "radius-3 ball enumeration: one 36,051-mask literal-array transform, exact-equality join — join output IS the answer (no candidate filter, no pair-dedup state)",
+    "qn30_pq_codebooks" -> "PQ codebook training: broadcast seed join + rn=1 argmin through TopKPerGroup (map-side partial top-1 per (vec, subspace)) + one partial-agg mean shuffle — no N x K shuffle, no SortAggregate",
+    "qn32_ann_pq_adc" -> "ADC scan: per-probe 64-slot lookup arrays broadcast; candidate scoring is 4 element_at's over the code column inside one codegen stage; only shuffle is the per-probe top-k",
+    "qn33_ann_ivfpq_refine" -> "IVFADC + refine: coarse route bounds candidates to probed cells, ADC ranks codes, top-16 shortlist alone pays the full-precision read for the exact cosine re-rank",
     "qp06_corpus_fingerprint" -> "snapshot signature: map-side sha digest projection + one partially aggregated hash agg on lang — a 1-row-per-lang shuffle and nothing else")
 
   def main(args: Array[String]): Unit = {

@@ -13,7 +13,7 @@ object SparkEntry {
   /** The full declared query inventory. */
   val registry: Seq[Q] =
     operators.Relational.all ++ operators.Discogs.all ++
-      operators.Dedup.all ++ operators.Similarity.all ++
+      operators.Dedup.all ++ operators.Similarity.all ++ operators.PQ.all ++
       operators.TextAnalysis.all ++ operators.Streaming.all ++
       operators.Multimodal.all ++ operators.Temporal.all ++
       operators.TrainPrep.all ++ operators.Curation.all ++ operators.Linkage.all ++

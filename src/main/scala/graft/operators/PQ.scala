@@ -1,0 +1,539 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import graft.functions.TextFns._
+import graft.functions.VectorExprs.{dotNative, l2normNative}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Product quantization (PQ) over the `embeddings` table — the
+  * compressed-index tier of the similarity-search family (qn07–qn10:
+  * exact, sign-LSH, IVF). A 64-dim float vector (256 bytes) becomes a
+  * 4-code word (2 bytes at 4 bits/code): the 64x compression that makes
+  * a 100 TB embedding corpus scannable — the ADC scoring pass reads ONLY
+  * the code column, never the floats.
+  *
+  * The reference engine has no PQ; this extends its ANN surface
+  * (reference `README.md` query section) with the standard
+  * IVFADC construction (Jegou et al., "Product Quantization for Nearest
+  * Neighbor Search", TPAMI 2011): split D=64 dims into M=4 subspaces of
+  * 16, k-means each subspace to K=16 codewords, encode = per-subspace
+  * argmin, query via Asymmetric Distance Computation — the probe
+  * precomputes an M x K table of subspace distances and every
+  * candidate's approximate distance is M table lookups, no float math
+  * per candidate. (Fixture-sized M/K; at scale M=16, K=256 — one byte
+  * per code — changes no plan shape.)
+  *
+  * Float policy (the Similarity contract, applied harder): PQ runs in
+  * PURE INTEGER space. Vectors enter as e6-floored longs
+  * (`floor(x * 1e6)`), codebook training is one deterministic Lloyd
+  * step from stride seeds (the qn19 rule: no RNG anywhere), distances
+  * are integer squared-euclidean, every argmin ties to the lowest
+  * code — so the DuckDB oracle replays bit-exactly with no epsilon.
+  *
+  * Scale shapes, per query:
+  *  - training (qn30): seeds are K rows/subspace (broadcast); the
+  *    assignment is a map-side broadcast join + rn=1 window planned as
+  *    TopKPerGroup with MAP-SIDE partial top-1 — the N x K candidate
+  *    stream collapses map-side, so the shuffle carries N x M
+  *    pre-reduced rows, then the (sub, cid, pos) mean is a second
+  *    partial agg over N x D rows. No N x K shuffle anywhere.
+  *  - encode (qn31): same TopKPerGroup shape against the TRAINED codebook
+  *    (M x K rows, broadcast). At 100 TB this runs once per corpus and
+  *    persists ([[buildPqIndex]]); queries never re-encode.
+  *  - ADC (qn32): the probe side collapses to one 64-slot lookup array
+  *    per probe (M x K subspace distances, sub-major), broadcast; the
+  *    scan side reads codes only, scores via 4 `element_at`s per
+  *    (candidate, probe) — all inside one codegen stage — and the only
+  *    shuffle is the per-probe top-k window.
+  *  - IVFADC + refine (qn33): IVF coarse route bounds the candidate set
+  *    to nProbe cells, ADC ranks the cells' codes, the top-R shortlist
+  *    (R=16) alone pays a full-precision read for the exact cosine
+  *    re-rank — the two-stage retrieval a production vector store runs.
+  */
+object PQ {
+
+  /** Subspace count M. `pqM * pqSubDim` must equal the embedding dim. */
+  private[graft] val pqM = 4
+  /** Dims per subspace. */
+  private[graft] val pqSubDim = 16
+  /** Codewords per subspace K (16 = 4-bit codes at fixture scale). */
+  private[graft] val pqK = 16
+  /** ADC shortlist width the refine tier re-ranks at full precision. */
+  private[graft] val adcTopR = 16
+
+  // ---- Spark side ---------------------------------------------------
+
+  /** e6-floored integer view of the corpus: (vec_id, emb6[D]). */
+  private def ve(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir).select(col("vec_id"),
+      transform(col("embedding"),
+        x => floor(x.cast("double") * 1000000).cast("long")).as("emb6"))
+
+  /** Long-form subspace view: (vec_id, sub, v6[pqSubDim]) — M rows per
+    * vector, built by a static explode over the M literal slices (no
+    * runtime arithmetic picks the slice bounds, so column pruning and
+    * codegen see plain literals). */
+  private def vsub(veF: DataFrame): DataFrame =
+    veF.select(col("vec_id"), explode(array((0 until pqM).map(m =>
+        struct(lit(m.toLong).as("sub"),
+          slice(col("emb6"), m * pqSubDim + 1, pqSubDim).as("v6"))): _*)).as("sv"))
+      .select(col("vec_id"), col("sv.sub").as("sub"), col("sv.v6").as("v6"))
+
+  /** Integer squared euclidean between two e6 long arrays. */
+  private def d2(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), (acc, x) => acc + x)
+
+  /** Per-(vector, subspace) argmin against a broadcast candidate set:
+    * map-side d2, then the rn=1 window — which [[graft.plans
+    * .TopKRewriteRule]] plans as TopKPerGroup with MAP-SIDE partial
+    * top-1 per (vec_id, sub), so the shuffle carries one pre-reduced
+    * row per (vector, subspace), never the N x K candidate stream (the
+    * qn19 assignment shape, pinned in PlanSpec). NOT `min_by`: its
+    * struct buffer has no mutable hash form, so the aggregate falls
+    * off the hash path onto SortAggregate — the round-5 qn09 hazard
+    * PlanSpec sweeps for. Ties break to the lowest `ordCol` (cid in
+    * training, code in encode) — the oracle's ROW_NUMBER ORDER BY
+    * (d2, ord). */
+  private def argminBySub(vsubF: DataFrame, cands: DataFrame, ordCol: String,
+      keep: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(col("vec_id"), col("sub"))
+      .orderBy(col("d2v").asc, col(ordCol).asc)
+    vsubF.join(broadcast(cands), Seq("sub"))
+      .withColumn("d2v", d2(col("v6"), col("ce6")))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(Seq("vec_id", "sub", ordCol).map(col) ++ keep.map(col) :+
+        col("d2v").as("d2min"): _*)
+  }
+
+  /** The trained codebook, memoized per (session, corpus): one
+    * deterministic Lloyd step per subspace from stride seeds. Returns
+    * (sub, cid, code, c6[pqSubDim]) — `code` is the dense 0..K-1 rank
+    * of the seed id within its subspace, the value the packed word and
+    * the ADC table index. K*M rows: localCheckpoint'd (a
+    * materialization barrier — three queries and the persisted build
+    * all consume it). */
+  private[graft] def codebook(s: SparkSession, dir: String): DataFrame =
+    Dedup.memoized("pqcb", s, dir, 0, 0) {
+      val cbl = codebookLong(s, dir)
+      val wCode = Window.partitionBy(col("sub")).orderBy(col("cid"))
+      cbl.groupBy("sub", "cid")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("centroid_e6")))),
+          p => p.getField("centroid_e6")).as("c6"))
+        .withColumn("code", (row_number().over(wCode) - 1).cast("long"))
+        .select(col("sub"), col("cid"), col("code"), col("c6"))
+        .localCheckpoint(true)
+    }
+
+  /** qn30's long form: (sub, cid, pos, n, centroid_e6) — the Lloyd-step
+    * means per (subspace, seed cell, dimension). A cell that attracted
+    * ZERO members keeps its SEED centroid (n = 0) — the standard
+    * empty-cluster rule, and load-bearing for the ADC layout: duplicate
+    * seeds (near-identical vectors on the stride lattice — a clustered
+    * corpus hits this immediately, caught by PQSpec's recall fixture)
+    * lose every argmin tie to the lower cid, and dropping their empty
+    * cells would leave the codebook short of K entries per subspace —
+    * shifting every later code's slot in the packed sub-major lookup
+    * array and mis-addressing [[adcScore]]. */
+  private def codebookLong(s: SparkSession, dir: String): DataFrame = {
+    val veF = ve(s, dir)
+    val vsubF = vsub(veF)
+    val strideF = veF.agg(count(lit(1)).as("n_vec"))
+      .select(greatest(lit(1L), expr(s"n_vec div $pqK")).as("stride"))
+    val seeds = vsubF.crossJoin(strideF)
+      .filter(col("vec_id") % col("stride") === 0 && col("vec_id") < col("stride") * pqK)
+      .select(col("sub"), col("vec_id").as("cid"), col("v6").as("ce6"))
+    val means = argminBySub(vsubF, seeds, "cid", Seq("v6"))
+      .select(col("sub"), col("cid"), posexplode(col("v6")).as(Seq("pos", "vv")))
+      .groupBy("sub", "cid", "pos")
+      .agg(count(lit(1)).as("n"),
+        floor(sum(col("vv")).cast("double") / count(lit(1))).cast("long").as("m6"))
+    seeds.select(col("sub"), col("cid"), posexplode(col("ce6")).as(Seq("pos", "sv")))
+      .join(means, Seq("sub", "cid", "pos"), "left")
+      .select(col("sub"), col("cid"), col("pos").cast("long").as("pos"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        coalesce(col("m6"), col("sv")).as("centroid_e6"))
+  }
+
+  /** Per-vector PQ codes in long form: (vec_id, sub, code, d2min) —
+    * argmin against the trained codebook. */
+  private[graft] def encoded(s: SparkSession, dir: String): DataFrame = {
+    val cands = codebook(s, dir).select(col("sub"), col("code"), col("c6").as("ce6"))
+    argminBySub(vsub(ve(s, dir)), cands, "code", Seq.empty)
+      .select(col("vec_id"), col("sub"), col("code"), col("d2min"))
+  }
+
+  /** Codes pivoted to the stored shape: (vec_id, codes[pqM]) — the
+    * column a PQ index lake persists (sub-major, one small int per
+    * subspace; 4 bits each at fixture K). */
+  private[graft] def codesArr(s: SparkSession, dir: String): DataFrame =
+    encoded(s, dir).groupBy("vec_id")
+      .agg(transform(array_sort(collect_list(struct(col("sub"), col("code")))),
+        p => p.getField("code")).as("codes"))
+
+  /** The ADC lookup tables for a probe frame: (qid, tab[pqM * pqK]) —
+    * one integer subspace-distance per (sub, code), laid out sub-major
+    * so a candidate's approximate distance is
+    * sum_m tab[m * K + code_m]. O(probes x M x K) rows — broadcast. */
+  private def adcTables(probes: DataFrame, cb: DataFrame): DataFrame =
+    probes.join(broadcast(cb), Seq("sub"))
+      .select(col("vec_id").as("qid"), (col("sub") * pqK + col("code")).as("idx"),
+        d2(col("v6"), col("c6")).as("td"))
+      .groupBy("qid")
+      .agg(transform(array_sort(collect_list(struct(col("idx"), col("td")))),
+        p => p.getField("td")).as("tab"))
+
+  /** sum_m tab[m * K + codes[m]] — the ADC score: M array lookups per
+    * (candidate, probe), pure codegen, no float math. */
+  private def adcScore(tab: Column, codes: Column): Column =
+    aggregate(sequence(lit(0), lit(pqM - 1)), lit(0L), (acc, m) =>
+      acc + element_at(tab, (m * pqK + element_at(codes, m + 1) + 1).cast("int")))
+
+  // ---- DuckDB oracle fragments ---------------------------------------
+
+  /** Integer fold sum (the qn16 q_sum pattern). */
+  private def sqlISum(xs: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), $xs), (acc, x) -> acc + x)"
+
+  /** Integer squared euclidean over two e6 BIGINT lists. */
+  private def sqlD2(a: String, b: String): String =
+    sqlISum(s"list_transform(list_zip($a, $b), p -> (p[1]-p[2])*(p[1]-p[2]))")
+
+  /** Shared CTE prefix: e6 view, subspace slices, stride seeds, one
+    * Lloyd step (sasg -> cbl), the trained codebook cb with dense code
+    * ranks, and the per-vector encoding enc. Mirrors [[codebook]] /
+    * [[encoded]] term for term. */
+  private def sqlPqCtes: String =
+    s"""ve AS (SELECT vec_id, [CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT) for x in embedding] AS emb6
+       |       FROM embeddings),
+       |subs AS (SELECT unnest(range(0, $pqM)) AS sub),
+       |vsub AS (SELECT vec_id, sub, list_slice(emb6, sub*$pqSubDim + 1, sub*$pqSubDim + $pqSubDim) AS v6
+       |         FROM ve, subs),
+       |pst AS (SELECT GREATEST(1, COUNT(*) // $pqK) AS stride FROM ve),
+       |seeds AS (SELECT sub, vec_id AS cid, v6 AS ce6 FROM vsub, pst
+       |          WHERE vec_id % stride = 0 AND vec_id < stride * $pqK),
+       |sasg AS (SELECT vec_id, sub, v6, cid FROM (
+       |         SELECT v.vec_id, v.sub, v.v6, sd.cid,
+       |                ROW_NUMBER() OVER (PARTITION BY v.vec_id, v.sub
+       |                  ORDER BY ${sqlD2("v.v6", "sd.ce6")}, sd.cid) AS rn
+       |         FROM vsub v JOIN seeds sd USING (sub)) WHERE rn = 1),
+       |ml AS (SELECT sub, cid, i AS pos, COUNT(*) AS n,
+       |              CAST(floor(CAST(SUM(v6[i+1]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS m6
+       |       FROM sasg, (SELECT unnest(range(0, $pqSubDim)) AS i) GROUP BY 1, 2, 3),
+       |cbl AS (SELECT sdl.sub, sdl.cid, sdl.pos,
+       |               COALESCE(ml.n, 0) AS n, COALESCE(ml.m6, sdl.sv) AS centroid_e6
+       |        FROM (SELECT sd.sub, sd.cid, i AS pos, sd.ce6[i+1] AS sv
+       |              FROM seeds sd, (SELECT unnest(range(0, $pqSubDim)) AS i)) sdl
+       |        LEFT JOIN ml ON ml.sub = sdl.sub AND ml.cid = sdl.cid AND ml.pos = sdl.pos),
+       |cb AS (SELECT sub, cid, ROW_NUMBER() OVER (PARTITION BY sub ORDER BY cid) - 1 AS code,
+       |              list(centroid_e6 ORDER BY pos) AS c6
+       |       FROM cbl GROUP BY sub, cid),
+       |enc AS (SELECT vec_id, sub, code, d2 FROM (
+       |        SELECT v.vec_id, v.sub, cb.code, ${sqlD2("v.v6", "cb.c6")} AS d2,
+       |               ROW_NUMBER() OVER (PARTITION BY v.vec_id, v.sub
+       |                 ORDER BY ${sqlD2("v.v6", "cb.c6")}, cb.code) AS rn
+       |        FROM vsub v JOIN cb USING (sub)) WHERE rn = 1)""".stripMargin
+
+  /** Probe-side ADC tables in long form: (qid, sub, code, td). */
+  private def sqlProbeTab(probeFilter: String): String =
+    s"""pt AS (SELECT p.vec_id AS qid, cb.sub, cb.code, ${sqlD2("p.v6", "cb.c6")} AS td
+       |       FROM (SELECT * FROM vsub WHERE $probeFilter) p JOIN cb ON cb.sub = p.sub)""".stripMargin
+
+  private def sqlCosE6(a: String, b: String, an: String, bn: String) =
+    sqlE6(s"${sqlDot(a, b)} / ($an * $bn)")
+
+  // ---- the declared queries -------------------------------------------
+
+  val all: Seq[Q] = Seq(
+    // PQ codebook training: one deterministic Lloyd step per subspace.
+    Q("qn30_pq_codebooks",
+      s"""WITH $sqlPqCtes
+         |SELECT sub, cid, pos, n, centroid_e6 FROM cbl
+         |ORDER BY sub, cid, pos""".stripMargin) { (s, dir) =>
+      codebookLong(s, dir).orderBy("sub", "cid", "pos")
+    },
+
+    // PQ encoding: the packed code word + integer reconstruction error.
+    Q("qn31_pq_encode",
+      s"""WITH $sqlPqCtes
+         |SELECT vec_id,
+         |       CAST(SUM(code * (CASE sub WHEN 0 THEN 1 WHEN 1 THEN 16
+         |                                 WHEN 2 THEN 256 ELSE 4096 END)) AS BIGINT) AS code_packed,
+         |       CAST(SUM(d2) AS BIGINT) AS err_e12
+         |FROM enc GROUP BY 1 ORDER BY vec_id""".stripMargin) { (s, dir) =>
+      // sub-major base-K digits: the 2-byte word a PQ lake would store
+      // (emitted unpacked as codes[] by the index build; packed here so
+      // the oracle can hash one integer per vector).
+      val weight = (0 until pqM).map(m => when(col("sub") === m,
+          lit(Seq.fill(m)(pqK.toLong).product)))
+        .reduce((a, b) => coalesce(a, b))
+      encoded(s, dir)
+        .groupBy("vec_id")
+        .agg(sum(col("code") * weight).as("code_packed"),
+          sum(col("d2min")).as("err_e12"))
+        .orderBy("vec_id")
+    },
+
+    // ADC brute scan: every vector scored against every probe via M
+    // table lookups over the codes — the compressed full-scan baseline
+    // (what a PQ store falls back to when no IVF route exists).
+    Q("qn32_ann_pq_adc",
+      s"""WITH $sqlPqCtes,
+         |${sqlProbeTab("vec_id < 10")},
+         |adc AS (SELECT pt.qid, e.vec_id, CAST(SUM(pt.td) AS BIGINT) AS adist_e12
+         |        FROM enc e JOIN pt ON pt.sub = e.sub AND pt.code = e.code
+         |        WHERE e.vec_id <> pt.qid GROUP BY 1, 2),
+         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+         |               ORDER BY adist_e12, vec_id) AS rnk FROM adc)
+         |SELECT qid, rnk, vec_id, adist_e12 FROM r WHERE rnk <= 5
+         |ORDER BY qid, rnk""".stripMargin) { (s, dir) =>
+      val cb = codebook(s, dir)
+      val probes = vsub(ve(s, dir)).filter(col("vec_id") < 10)
+      val tabs = adcTables(probes, cb)
+      val w = Window.partitionBy(col("qid")).orderBy(col("adist_e12").asc, col("vec_id").asc)
+      codesArr(s, dir).join(broadcast(tabs), expr("true"))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"), adcScore(col("tab"), col("codes")).as("adist_e12"))
+        .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 5)
+        .select(col("qid"), col("rnk").cast("long").as("rnk"), col("vec_id"), col("adist_e12"))
+        .orderBy("qid", "rnk")
+    },
+
+    // IVFADC + exact refine: coarse route bounds candidates to nProbe
+    // cells, ADC ranks the cells' codes, only the top-R shortlist pays
+    // a full-precision read for the exact cosine re-rank.
+    Q("qn33_ann_ivfpq_refine",
+      s"""WITH $sqlPqCtes,
+         |${sqlProbeTab("vec_id < 10")},
+         |v AS (SELECT vec_id, embedding, ${sqlL2norm("embedding")} AS nrm FROM embeddings),
+         |ist AS (SELECT GREATEST(1, COUNT(*) // 16) AS stride FROM v),
+         |cents AS (SELECT vec_id AS cent_id, embedding AS ce, nrm AS cn FROM v, ist
+         |          WHERE vec_id % stride = 0 AND vec_id < stride * 16),
+         |asg AS (SELECT vec_id, cent_id FROM (
+         |        SELECT v.vec_id, c.cent_id,
+         |               ROW_NUMBER() OVER (PARTITION BY v.vec_id
+         |                 ORDER BY ${sqlCosE6("c.ce", "v.embedding", "c.cn", "v.nrm")} DESC,
+         |                          c.cent_id) AS rn
+         |        FROM v, cents c) WHERE rn = 1),
+         |pc AS (SELECT probe_id, cent_id FROM (
+         |       SELECT p.vec_id AS probe_id, c.cent_id,
+         |              ROW_NUMBER() OVER (PARTITION BY p.vec_id
+         |                ORDER BY ${sqlCosE6("c.ce", "p.embedding", "c.cn", "p.nrm")} DESC,
+         |                         c.cent_id) AS rn
+         |       FROM (SELECT * FROM v WHERE vec_id < 10) p, cents c) WHERE rn <= 4),
+         |cand AS (SELECT pc.probe_id AS qid, a.vec_id FROM asg a JOIN pc USING (cent_id)
+         |         WHERE a.vec_id <> pc.probe_id),
+         |adcc AS (SELECT c.qid, c.vec_id, CAST(SUM(pt.td) AS BIGINT) AS adist_e12
+         |         FROM cand c JOIN enc e ON e.vec_id = c.vec_id
+         |              JOIN pt ON pt.qid = c.qid AND pt.sub = e.sub AND pt.code = e.code
+         |         GROUP BY 1, 2),
+         |sl AS (SELECT qid, vec_id FROM (
+         |       SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+         |                   ORDER BY adist_e12, vec_id) AS rnk FROM adcc)
+         |       WHERE rnk <= $adcTopR),
+         |ref AS (SELECT sl.qid, sl.vec_id,
+         |               ${sqlCosE6("q.embedding", "d.embedding", "q.nrm", "d.nrm")} AS score_e6
+         |        FROM sl JOIN v q ON q.vec_id = sl.qid JOIN v d ON d.vec_id = sl.vec_id),
+         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+         |               ORDER BY score_e6 DESC, vec_id) AS rnk FROM ref)
+         |SELECT qid, rnk, vec_id, score_e6 FROM r WHERE rnk <= 5
+         |ORDER BY qid, rnk""".stripMargin) { (s, dir) =>
+      val v = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("embedding"), l2normNative(col("embedding")).as("nrm"))
+      // IVF coarse tier: the Similarity stride rule, cosine argmax.
+      val cents = coarseCents(v)
+      val asg = coarseAssign(v, cents)
+      val cScore = e6(cosine(dotNative(col("ce"), col("embedding")), col("cn"), col("nrm")))
+      val probesV = v.filter(col("vec_id") < 10)
+      val wRoute = Window.partitionBy(col("probe_id")).orderBy(col("cscore").desc, col("cent_id").asc)
+      val pc = probesV.select(col("vec_id").as("probe_id"), col("embedding"), col("nrm"))
+        .join(broadcast(cents), expr("true"))
+        .select(col("probe_id"), col("cent_id"), cScore.as("cscore"))
+        .withColumn("rn", row_number().over(wRoute)).filter(col("rn") <= 4)
+        .select(col("probe_id"), col("cent_id"))
+      val cand = asg.join(broadcast(pc), Seq("cent_id"))
+        .filter(col("vec_id") =!= col("probe_id"))
+        .select(col("probe_id").as("qid"), col("vec_id"))
+      // ADC over the candidates: codes ride a broadcast-table lookup.
+      val tabs = adcTables(vsub(ve(s, dir)).filter(col("vec_id") < 10), codebook(s, dir))
+      val scored = cand.join(codesArr(s, dir), Seq("vec_id"))
+        .join(broadcast(tabs), Seq("qid"))
+        .select(col("qid"), col("vec_id"), adcScore(col("tab"), col("codes")).as("adist_e12"))
+      val wSl = Window.partitionBy(col("qid")).orderBy(col("adist_e12").asc, col("vec_id").asc)
+      val sl = scored.withColumn("rnk", row_number().over(wSl))
+        .filter(col("rnk") <= adcTopR).select(col("qid"), col("vec_id"))
+      // Exact refine: only the shortlist reads full-precision floats.
+      val refScore = e6(cosine(dotNative(col("qe"), col("de")), col("qn"), col("dn")))
+      val wRef = Window.partitionBy(col("qid")).orderBy(col("score_e6").desc, col("vec_id").asc)
+      sl.join(broadcast(probesV.select(col("vec_id").as("qid"),
+          col("embedding").as("qe"), col("nrm").as("qn"))), Seq("qid"))
+        .join(v.select(col("vec_id"), col("embedding").as("de"), col("nrm").as("dn")),
+          Seq("vec_id"))
+        .select(col("qid"), col("vec_id"), refScore.as("score_e6"))
+        .withColumn("rnk", row_number().over(wRef)).filter(col("rnk") <= 5)
+        .select(col("qid"), col("rnk").cast("long").as("rnk"), col("vec_id"), col("score_e6"))
+        .orderBy("qid", "rnk")
+    }
+  )
+
+  // ---- persisted IVFADC index ----------------------------------------
+
+  /** Materialize the IVFADC index at `path` as a DATA LAYOUT — the
+    * two-temperature shape a 100 TB vector store runs:
+    *
+    *  - `$path/codes`: the HOT side — (vec_id, codes[pqM]) partitioned
+    *    by coarse cent_id. At scale this is the only table a probe
+    *    scans: M small ints per vector (64x under the floats), and
+    *    partition pruning opens only the probed cells' files.
+    *  - `$path/vectors`: the COLD side — full-precision (vec_id,
+    *    embedding, nrm), same cent_id partitioning. Only the ADC
+    *    shortlist's rows are ever read (the refine re-rank), and the
+    *    probed-cell partition filter bounds even that scan.
+    *  - `$path/codebooks` (M x K rows) and `$path/centroids` (one row
+    *    per coarse cell): driver-manifest-class metadata.
+    *
+    * The assignment, codebook, and encoding are the qn30/qn31/qn33
+    * pipelines verbatim, so a probe of the persisted index replays
+    * qn33 bit-exactly (pinned in PQSpec; `nCells` = 16, the fixture
+    * default — a real index passes ~sqrt(N)). Both lakes repartition
+    * on cent_id before the partitioned write so every cell lands as
+    * ONE file instead of (cells x writer-tasks) fragments — at
+    * sqrt(N) cells the un-repartitioned write is a small-file
+    * explosion. */
+  def buildPqIndex(s: SparkSession, dir: String, path: String,
+      nCells: Int = 16): Unit = {
+    val v = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding"), l2normNative(col("embedding")).as("nrm"))
+    val cents = coarseCents(v, nCells)
+    val localCents = s.createDataFrame(
+      java.util.Arrays.asList(cents.collect(): _*), cents.schema)
+    val asg = coarseAssign(v, localCents)
+    val cb = codebook(s, dir)
+    asg.join(codesArr(s, dir), Seq("vec_id"))
+      .select(col("vec_id"), col("codes"), col("cent_id"))
+      .repartition(col("cent_id"))
+      .write.mode("overwrite").partitionBy("cent_id").parquet(s"$path/codes")
+    // Cold-side layout is POINT-READ shaped: the refine only ever wants
+    // ~topR rows per probe by vec_id, so rows sort by vec_id within
+    // each cell and row groups stay small — the vec_id IN (shortlist)
+    // pushdown then skips every row group whose min/max misses the ids,
+    // instead of paying the whole cell's floats per probe.
+    v.join(asg, Seq("vec_id"))
+      .repartition(col("cent_id")).sortWithinPartitions(col("vec_id"))
+      .write.mode("overwrite").option("parquet.block.size", 1L << 20)
+      .partitionBy("cent_id").parquet(s"$path/vectors")
+    cb.coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
+    localCents.coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  /** Probe a persisted IVFADC index: route each probe to its `nProbe`
+    * coarse cells via the stored centroids (manifest-class collect, the
+    * probeIvfIndex contract), scan ONLY those cells' CODES under a
+    * `cent_id IN (...)` PartitionFilter, ADC-rank them with the
+    * broadcast lookup tables, and re-rank the top-[[adcTopR]] shortlist
+    * with the exact cosine read from the cold side — itself bounded by
+    * the same probed-cell partition filter. Returns (qid, rnk, vec_id,
+    * score_e6): identical rows to qn33 when the index was built from
+    * the same corpus (PQSpec). */
+  def probePqIndex(s: SparkSession, dir: String, path: String,
+      nProbe: Int, k: Int): DataFrame =
+    probePqIndexWith(s,
+      Tables.embeddings(s, dir).filter(col("vec_id") < 10)
+        .select("vec_id", "embedding"),
+      path, nProbe, k)
+
+  /** [[probePqIndex]] for an ARBITRARY probe frame of (vec_id,
+    * embedding) — the serving entry (the probeIvfIndexWith pattern).
+    * Probe batches only: the probes, the routing, and the ADC
+    * shortlist each collect driver-side (all bounded by
+    * #probes x nProbe / x topR rows — manifest-class). */
+  def probePqIndexWith(s: SparkSession, probes: DataFrame, path: String,
+      nProbe: Int, k: Int): DataFrame = {
+    val cents = s.read.parquet(s"$path/centroids")
+    val cb = s.read.parquet(s"$path/codebooks")
+    // Probes materialize ONCE as a local relation (manifest-class):
+    // the routing, the ADC-table build, the shortlist, and the refine
+    // each run their own action, and a lazy probe frame would re-scan
+    // a corpus file per action.
+    val probesRaw = probes
+      .select(col("vec_id"), col("embedding"), l2normNative(col("embedding")).as("nrm"))
+    val probesV = s.createDataFrame(
+      java.util.Arrays.asList(probesRaw.collect(): _*), probesRaw.schema)
+    val (localPc, cells) = routeCells(s, probesV, cents, nProbe)
+    // Probe-side ADC tables from the probes' e6 subspace slices.
+    val probes6 = vsub(probesV.select(col("vec_id"),
+      transform(col("embedding"),
+        x => floor(x.cast("double") * 1000000).cast("long")).as("emb6")))
+    val tabs = adcTables(probes6, cb)
+    val codes = s.read.parquet(s"$path/codes").filter(col("cent_id").isin(cells: _*))
+    val cand = codes.join(broadcast(localPc), Seq("cent_id"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id").as("qid"), col("vec_id"), col("codes"))
+    val scored = cand.join(broadcast(tabs), Seq("qid"))
+      .select(col("qid"), col("vec_id"), adcScore(col("tab"), col("codes")).as("adist_e12"))
+    val wSl = Window.partitionBy(col("qid")).orderBy(col("adist_e12").asc, col("vec_id").asc)
+    val sl = scored.withColumn("rnk", row_number().over(wSl))
+      .filter(col("rnk") <= adcTopR).select(col("qid"), col("vec_id"))
+    // The shortlist is manifest-class (probes x topR rows — the same
+    // bound as the routing collect), so it comes back to the driver and
+    // the cold read carries BOTH pushable predicates: the probed-cell
+    // partition filter AND vec_id IN (shortlist) — against the
+    // point-read layout [[buildPqIndex]] writes, row groups without a
+    // shortlisted id never leave disk. A distributed shortlist join
+    // here would read every probed cell's floats whole, making the
+    // refine cost what the ADC tier just saved.
+    val slRows = sl.collect()
+    val slIds = slRows.map(_.getLong(1)).distinct.toSeq
+    val localSl = s.createDataFrame(java.util.Arrays.asList(slRows: _*), sl.schema)
+    val cold = s.read.parquet(s"$path/vectors")
+      .filter(col("cent_id").isin(cells: _*) && col("vec_id").isin(slIds: _*))
+      .select(col("vec_id"), col("embedding").as("de"), col("nrm").as("dn"))
+    val refScore = e6(cosine(dotNative(col("qe"), col("de")), col("qn"), col("dn")))
+    val wRef = Window.partitionBy(col("qid")).orderBy(col("score_e6").desc, col("vec_id").asc)
+    broadcast(localSl).join(broadcast(probesV.select(col("vec_id").as("qid"),
+        col("embedding").as("qe"), col("nrm").as("qn"))), Seq("qid"))
+      .join(cold, Seq("vec_id"))
+      .select(col("qid"), col("vec_id"), refScore.as("score_e6"))
+      .withColumn("rnk", row_number().over(wRef)).filter(col("rnk") <= k)
+      .select(col("qid"), col("rnk").cast("long").as("rnk"), col("vec_id"), col("score_e6"))
+      .orderBy("qid", "rnk")
+  }
+
+  /** Route a probe frame to its nProbe coarse cells and collect the
+    * (probe_id, cent_id) pairs — manifest-class, bounded by
+    * nProbe x #probes rows (the probeIvfIndex contract). Returns the
+    * local routed frame plus the distinct probed cells. */
+  private[graft] def routeCells(s: SparkSession, probesV: DataFrame,
+      cents: DataFrame, nProbe: Int): (DataFrame, Seq[Long]) = {
+    val cScore = e6(cosine(dotNative(col("ce"), col("embedding")), col("cn"), col("nrm")))
+    val wRoute = Window.partitionBy(col("probe_id")).orderBy(col("cscore").desc, col("cent_id").asc)
+    val pc = probesV.select(col("vec_id").as("probe_id"), col("embedding"), col("nrm"))
+      .join(broadcast(cents), expr("true"))
+      .select(col("probe_id"), col("cent_id"), cScore.as("cscore"))
+      .withColumn("rn", row_number().over(wRoute)).filter(col("rn") <= nProbe)
+      .select(col("probe_id"), col("cent_id"))
+    val pcRows = pc.collect()
+    (s.createDataFrame(java.util.Arrays.asList(pcRows: _*), pc.schema),
+      pcRows.map(_.getLong(1)).distinct.toSeq)
+  }
+
+  /** The coarse IVF tier shared by qn33 and the persisted build: the
+    * Similarity stride rule. */
+  private[graft] def coarseCents(v: DataFrame, nCells: Int = 16): DataFrame = {
+    val strideF = v.agg(count(lit(1)).as("n_vec"))
+      .select(greatest(lit(1L), expr(s"n_vec div $nCells")).as("stride"))
+    v.crossJoin(strideF)
+      .filter(col("vec_id") % col("stride") === 0 && col("vec_id") < col("stride") * nCells)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("ce"), col("nrm").as("cn"))
+  }
+
+  private[graft] def coarseAssign(v: DataFrame, cents: DataFrame): DataFrame = {
+    val cScore = e6(cosine(dotNative(col("ce"), col("embedding")), col("cn"), col("nrm")))
+    val wAsg = Window.partitionBy(col("vec_id")).orderBy(col("cscore").desc, col("cent_id").asc)
+    v.join(broadcast(cents), expr("true"))
+      .select(col("vec_id"), col("cent_id"), cScore.as("cscore"))
+      .withColumn("rn", row_number().over(wAsg)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("cent_id"))
+  }
+}

@@ -716,15 +716,131 @@ object Similarity {
     * the index lake: O(new vectors) work, no rebuild, and only the
     * cells the new vectors land in gain files — dynamic partition
     * append never rewrites an untouched cell (pinned in NorthStarSpec).
-    * Centroids stay frozen at build time; drift is handled by periodic
-    * rebuild, never per-append re-clustering, which would silently
-    * stale every already-written cell's assignment. */
-  def appendToIvfIndex(s: SparkSession, newVecs: DataFrame, path: String): Unit = {
+    * Centroids stay frozen at build time; drift is handled by rebuild,
+    * never per-append re-clustering, which would silently stale every
+    * already-written cell's assignment.
+    *
+    * `autoRebalance = Some(k)` makes the rebuild cadence MEASURED
+    * instead of caller discipline (the cleanBatch autoCompact pattern):
+    * after the append, per-cell row counts come off the lake's parquet
+    * FOOTERS (driver metadata — O(files), the zone/bloom walk class),
+    * and if the hottest cell holds more than k x the mean over the
+    * DECLARED cell count, [[rebalanceIvfIndex]] runs. A drifting stream
+    * otherwise concentrates appends into a few stale cells, and every
+    * probe routed there degrades toward a linear scan of the drift —
+    * unbounded for any fixed k threshold without the trigger. */
+  def appendToIvfIndex(s: SparkSession, newVecs: DataFrame, path: String,
+      autoRebalance: Option[Int] = None): Unit = {
+    recoverRebalance(s, path) // heal any interrupted prior swap first
     val cents = s.read.parquet(s"$path/centroids")
     val v = newVecs.select(col("vec_id"), col("embedding"),
       l2normNative(col("embedding")).as("nrm"))
     ivfAssigned(v, cents).write.mode("append")
       .partitionBy("cent_id").parquet(s"$path/vectors")
+    autoRebalance.foreach { k =>
+      val stats = ivfCellStats(s, path)
+      if (stats.nonEmpty) {
+        val nCells = math.max(1L, parquetRowCount(s, s"$path/centroids"))
+        val mean = math.max(1.0, stats.values.sum.toDouble / nCells)
+        if (stats.values.max > k * mean) rebalanceIvfIndex(s, path)
+      }
+    }
+  }
+
+  /** Per-cell row counts of a persisted IVF index, from the vector
+    * lake's parquet footers — the occupancy audit the rebalance trigger
+    * reads. Driver-side metadata walk, O(files); no Spark job. */
+  def ivfCellStats(s: SparkSession, path: String): Map[Long, Long] = {
+    val conf = s.sessionState.newHadoopConf()
+    graft.sources.LakeListing.dataFiles(conf,
+        new org.apache.hadoop.fs.Path(s"$path/vectors"))
+      .groupBy(_.getParent.getName)
+      .collect { case (dir, files) if dir.startsWith("cent_id=") =>
+        dir.stripPrefix("cent_id=").toLong -> files.map { f =>
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f, conf))
+          try r.getRecordCount finally r.close()
+        }.sum
+      }
+  }
+
+  /** Re-cluster a persisted IVF index IN PLACE from its own lake — the
+    * drift answer ([[appendToIvfIndex]]'s trigger calls this; a caller
+    * can also run it on a cadence).
+    *
+    * Seeds: the build-time stride rule needs a DENSE sample key, and an
+    * appended lake's id space is arbitrary — so the rebuild seeds are
+    * the sqrt(N) vectors with the lowest `xxhash64(vec_id)` (a global
+    * top-k: TakeOrderedAndProject, no sort materialization), which is
+    * deterministic, distribution-free over the ids, and adapts the cell
+    * count to the GROWN corpus instead of freezing the build-time k.
+    *
+    * Crash safety is the LakeMaintenance two-phase discipline: both new
+    * lakes write COMPLETELY into dot-prefixed tmp siblings, a
+    * `.rebal_committed` marker lands, and only then do the live dirs
+    * swap (live -> .old aside, tmp -> live, asides deleted, marker
+    * deleted). Every interrupted state heals on the next
+    * [[recoverRebalance]] (run by append and rebalance entry): marker
+    * present rolls FORWARD, marker absent rolls BACK — no state loses
+    * the only copy of the index. */
+  def rebalanceIvfIndex(s: SparkSession, path: String): Unit = {
+    recoverRebalance(s, path)
+    val v = s.read.parquet(s"$path/vectors")
+      .select(col("vec_id"), col("embedding"), col("nrm"))
+    val total = ivfCellStats(s, path).values.sum
+    val k = math.max(16L, math.ceil(math.sqrt(total.toDouble)).toLong)
+    val seeds = v.orderBy(xxhash64(col("vec_id"), lit(1002)).asc, col("vec_id").asc)
+      .limit(k.toInt)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("ce"), col("nrm").as("cn"))
+    val localCents = s.createDataFrame(
+      java.util.Arrays.asList(seeds.collect(): _*), seeds.schema)
+    ivfAssigned(v, localCents).write.mode("overwrite")
+      .partitionBy("cent_id").parquet(s"$path/.vectors_rebal_tmp")
+    localCents.coalesce(1).write.mode("overwrite").parquet(s"$path/.centroids_rebal_tmp")
+    val fs = rebalFs(s, path)
+    val marker = rebalMarker(path)
+    fs.create(marker, true).close()
+    finishRebalSwap(s, path)
+  }
+
+  private def rebalFs(s: SparkSession, path: String) =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(s.sessionState.newHadoopConf())
+  private def rebalMarker(path: String) =
+    new org.apache.hadoop.fs.Path(s"$path/.rebal_committed")
+
+  /** Complete the marker-committed swap: idempotent per side, so a
+    * crash at ANY rename resumes here. */
+  private def finishRebalSwap(s: SparkSession, path: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val fs = rebalFs(s, path)
+    Seq("vectors", "centroids").foreach { side =>
+      val live = new Path(s"$path/$side")
+      val tmp = new Path(s"$path/.${side}_rebal_tmp")
+      val old = new Path(s"$path/.${side}_rebal_old")
+      if (fs.exists(tmp)) {
+        if (fs.exists(live)) {
+          if (!fs.exists(old)) require(fs.rename(live, old), s"rebalance: aside of $live failed")
+          else fs.delete(live, true): Unit // live was a partial tmp move of a resumed swap
+        }
+        require(fs.rename(tmp, live), s"rebalance: swap-in of $tmp failed")
+      }
+      if (fs.exists(old)) fs.delete(old, true): Unit
+    }
+    fs.delete(rebalMarker(path), false): Unit
+  }
+
+  /** Heal an interrupted [[rebalanceIvfIndex]]: committed marker ->
+    * roll FORWARD (finish the swap); no marker -> roll BACK (drop any
+    * half-written tmp siblings; the live dirs were never touched). */
+  def recoverRebalance(s: SparkSession, path: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val fs = rebalFs(s, path)
+    if (fs.exists(rebalMarker(path))) finishRebalSwap(s, path)
+    else Seq("vectors", "centroids").foreach { side =>
+      val tmp = new Path(s"$path/.${side}_rebal_tmp")
+      if (fs.exists(tmp)) fs.delete(tmp, true): Unit
+    }
   }
 
   /** Probe a persisted IVF index: route probes via the stored centroid

@@ -250,6 +250,9 @@ class PlanSpec extends AnyFunSuite {
       "qn10d_ann_ivf_probe_join", // same centroid routing; the INDEX join is an equi-join on cent_id
       "qn10e_ann_ivf_probe_join_coarse", // coarse tier: k2-row seed broadcast + 1-row cstride scalar; fine cells via coarse_id equi-join
       "qn19_kmeans_step",     // broadcast centroid table
+      "qn30_pq_codebooks",    // single-row stride-scalar crossJoin (seed lattice)
+      "qn32_ann_pq_adc",      // broadcast 10-row ADC-table side scored against the codes
+      "qn33_ann_ivfpq_refine", // stride scalar + broadcast centroid/probe/ADC-table sides
       "qn25_mixture_weights", // single-row scalar crossJoin
       "qn29_mixture_apply",   // single-row scalar crossJoin
       "qp01_clean_corpus",    // single-row stage-count crossJoins
