@@ -382,6 +382,10 @@ object Battery {
     val codesBytes = dirBytes(new java.io.File(s"$path/codes"))
     val vecBytes = dirBytes(new java.io.File(s"$path/vectors"))
     println(f"""{"battery":"pq","vectors":$n,"cells":$nCells,"build_sec":$bSec%.1f,"codes_bytes":$codesBytes,"vectors_bytes":$vecBytes,"bytes_ratio":${vecBytes.toDouble / codesBytes}%.1f}""")
+    // The fast-build arm: two-tier assignment (N x 2 sqrt(cells) score
+    // rows instead of N x cells) — build wall vs the recall it costs.
+    val pathFast = operators.Similarity.newIndexDir()
+    val (_, bfSec) = timed(PQ.buildPqIndex(s, root, pathFast, nCells, fastAssign = true))
 
     // IO accounting is FILESYSTEM-DERIVED: bytes of the probed cells'
     // files per lake side — the rank-stage read each arm cannot avoid
@@ -435,6 +439,11 @@ object Battery {
       val cb2: Long = codesBytes
       val vb2: Long = vecBytes
       println(f"""{"battery":"pqprobe","arm":"fullscan","vectors":$n,"adc_sec":$fpqSec%.1f,"rank_bytes_adc":$cb2,"exact_sec":$fexSec%.1f,"rank_bytes_exact":$vb2,"recall_at5":"$fullRecall/${fexTop.length}"}""")
+      val (ffTop, ffSec) = timed(
+        PQ.probePqIndexWith(s, probeFrame, pathFast, nCells, 5).select("qid", "vec_id")
+          .collect().map(r => (r.getLong(0), r.getLong(1))))
+      val fastRecall = recall(ffTop, fexTop)
+      println(f"""{"battery":"pqprobe","arm":"fullscan_fastbuild","vectors":$n,"build_sec":$bfSec%.1f,"adc_sec":$ffSec%.1f,"recall_at5":"$fastRecall/${fexTop.length}"}""")
     }
   }
 

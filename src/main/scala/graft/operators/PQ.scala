@@ -166,11 +166,16 @@ object PQ {
 
   /** Codes pivoted to the stored shape: (vec_id, codes[pqM]) — the
     * column a PQ index lake persists (sub-major, one small int per
-    * subspace; 4 bits each at fixture K). */
+    * subspace; 4 bits each at fixture K). Memoized per (session,
+    * corpus) like the codebook: qn32, qn33, and the persisted build
+    * all consume the identical deterministic frame. */
   private[graft] def codesArr(s: SparkSession, dir: String): DataFrame =
-    encoded(s, dir).groupBy("vec_id")
-      .agg(transform(array_sort(collect_list(struct(col("sub"), col("code")))),
-        p => p.getField("code")).as("codes"))
+    Dedup.memoized("pqcodes", s, dir, 0, 0) {
+      encoded(s, dir).groupBy("vec_id")
+        .agg(transform(array_sort(collect_list(struct(col("sub"), col("code")))),
+          p => p.getField("code")).as("codes"))
+        .localCheckpoint(true)
+    }
 
   /** The ADC lookup tables for a probe frame: (qid, tab[pqM * pqK]) —
     * one integer subspace-distance per (sub, code), laid out sub-major
@@ -400,15 +405,29 @@ object PQ {
     * on cent_id before the partitioned write so every cell lands as
     * ONE file instead of (cells x writer-tasks) fragments — at
     * sqrt(N) cells the un-repartitioned write is a small-file
-    * explosion. */
+    * explosion.
+    *
+    * `fastAssign = true` swaps the flat N x nCells assignment argmax
+    * (the build-wall dominator: N x sqrt(N) rows through the window at
+    * scale) for the two-tier coarse route ([[Similarity.ivfRouteCoarse]]
+    * with nProbe = 1): ~N x 2 sqrt(nCells) score rows — an N^(1/4)
+    * factor saved. APPROXIMATE by declaration: a vector whose true
+    * nearest fine cell sits outside its 2 probed coarse cells lands in
+    * a near-optimal cell instead (the qn10e coarse-MISS semantics,
+    * applied to layout). Probes still find it whenever their nProbe
+    * cells cover where it LANDED, so the cost is a small recall dip,
+    * not correctness — priced in the pq battery; the qn33 bit-parity
+    * contract holds only for the default flat build. */
   def buildPqIndex(s: SparkSession, dir: String, path: String,
-      nCells: Int = 16): Unit = {
+      nCells: Int = 16, fastAssign: Boolean = false): Unit = {
     val v = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("embedding"), l2normNative(col("embedding")).as("nrm"))
     val cents = coarseCents(v, nCells)
     val localCents = s.createDataFrame(
       java.util.Arrays.asList(cents.collect(): _*), cents.schema)
-    val asg = coarseAssign(v, localCents)
+    val asg =
+      if (fastAssign) fastCoarseAssign(v, localCents)
+      else coarseAssign(v, localCents)
     val cb = codebook(s, dir)
     asg.join(codesArr(s, dir), Seq("vec_id"))
       .select(col("vec_id"), col("codes"), col("cent_id"))
@@ -526,6 +545,64 @@ object PQ {
     v.crossJoin(strideF)
       .filter(col("vec_id") % col("stride") === 0 && col("vec_id") < col("stride") * nCells)
       .select(col("vec_id").as("cent_id"), col("embedding").as("ce"), col("nrm").as("cn"))
+  }
+
+  /** Two-tier coarse assignment for [[buildPqIndex]]'s `fastAssign`:
+    * the qn10e routing shape recast for an N-SIZED input frame. Every
+    * window input here is SKINNY — the embedding drops before any
+    * shuffle and re-joins by vec_id exactly once, and the fine tier
+    * scores through a per-coarse-cell ARRAY under a fold instead of an
+    * N x fine-cells row explosion. (The probe-batch router
+    * [[Similarity.ivfRouteCoarse]] carries the probe vector through
+    * its windows and joins — right for 10-row probe frames, and an
+    * OOM at a 500k-vector assignment, measured: its fine join held
+    * 26M rows each with a full embedding.) Semantics match the flat
+    * argmax whenever the true cell's coarse parent is among the
+    * vector's [[Similarity.coarseProbeCells]] probed coarse cells —
+    * the declared coarse-MISS rule. */
+  private def fastCoarseAssign(v: DataFrame, cents: DataFrame): DataFrame = {
+    val cidx = cents.withColumn("cent_idx",
+      row_number().over(Window.orderBy(col("cent_id"))) - 1)
+    val cst = cidx.agg(count(lit(1)).as("ck"))
+      .select(greatest(lit(4L), ceil(sqrt(col("ck"))).cast("long")).as("k2"), col("ck"))
+      .select(col("k2"), greatest(lit(1L), expr("ck div k2")).as("cstride"))
+    val cc = cidx.crossJoin(cst)
+      .filter(col("cent_idx") % col("cstride") === 0 &&
+        col("cent_idx") < col("cstride") * col("k2"))
+      .select(expr("cent_idx div cstride").as("coarse_id"),
+        col("ce").as("gce"), col("cn").as("gcn"))
+    val wFine = Window.partitionBy(col("cent_id"))
+      .orderBy(col("gscore").desc, col("coarse_id").asc)
+    val casg = cidx.join(broadcast(cc), expr("true"))
+      .select(col("cent_id"), col("ce"), col("cn"), col("coarse_id"),
+        e6(cosine(dotNative(col("gce"), col("ce")), col("gcn"), col("cn"))).as("gscore"))
+      .withColumn("rn", row_number().over(wFine)).filter(col("rn") === 1)
+      .select(col("coarse_id"), col("cent_id"), col("ce"), col("cn"))
+    val fineByCoarse = casg.groupBy("coarse_id")
+      .agg(collect_list(struct(col("cent_id"), col("ce"), col("cn"))).as("fines"))
+    val wCoarse = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cscore").desc, col("coarse_id").asc)
+    val picks = v.join(broadcast(cc), expr("true"))
+      .select(col("vec_id"), col("coarse_id"),
+        e6(cosine(dotNative(col("gce"), col("embedding")), col("gcn"), col("nrm"))).as("cscore"))
+      .withColumn("rn", row_number().over(wCoarse))
+      .filter(col("rn") <= Similarity.coarseProbeCells)
+      .select(col("vec_id"), col("coarse_id"))
+    val scored = picks.join(v, Seq("vec_id"))
+      .join(broadcast(fineByCoarse), Seq("coarse_id"))
+    val best = aggregate(col("fines"),
+      struct(lit(Long.MinValue).as("sc"), lit(Long.MaxValue).as("cid")),
+      (acc, f) => {
+        val sc = e6(cosine(dotNative(f.getField("ce"), col("embedding")),
+          f.getField("cn"), col("nrm")))
+        when(sc > acc.getField("sc") ||
+            (sc === acc.getField("sc") && f.getField("cent_id") < acc.getField("cid")),
+          struct(sc.as("sc"), f.getField("cent_id").as("cid"))).otherwise(acc)
+      })
+    val wBest = Window.partitionBy(col("vec_id")).orderBy(col("sc").desc, col("cid").asc)
+    scored.select(col("vec_id"), best.getField("sc").as("sc"), best.getField("cid").as("cid"))
+      .withColumn("rn", row_number().over(wBest)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("cid").as("cent_id"))
   }
 
   private[graft] def coarseAssign(v: DataFrame, cents: DataFrame): DataFrame = {

@@ -94,6 +94,43 @@ class IvfRebalanceSpec extends AnyFunSuite {
     assert(Similarity.ivfCellStats(spark, path) == stats1)
   }
 
+  test("streaming vector ingest: foreachBatch append maintains the index, trigger fires mid-stream") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val path = Similarity.newIndexDir()
+    Similarity.buildIvfIndex(spark, sf, 16, path)
+    val total0 = Similarity.ivfCellStats(spark, path).values.sum
+    val cells0 = Similarity.ivfCellStats(spark, path).size
+
+    // appendToIvfIndex IS the micro-batch primitive: a vector stream
+    // maintains the persisted index through foreachBatch, and the
+    // measured rebalance trigger runs inside the stream — no separate
+    // maintenance job to schedule.
+    val ms = MemoryStream[(Long, Seq[Float])]
+    val q = ms.toDF().toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+      .writeStream.foreachBatch {
+        (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          Similarity.appendToIvfIndex(b.sparkSession, b, path, autoRebalance = Some(4))
+      }.start()
+    try {
+      val driftRows = drift(200).collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toSeq))
+      driftRows.grouped(50).foreach { batch => ms.addData(batch.toSeq); q.processAllAvailable() }
+    } finally q.stop()
+
+    val after = Similarity.ivfCellStats(spark, path)
+    assert(after.values.sum == total0 + 200, "stream lost or duplicated vectors")
+    // The drift concentrated in one cell; the in-stream trigger must
+    // have re-clustered (adapted cell count) and restored balance.
+    assert(after.size > cells0, s"trigger never fired in-stream: cells=${after.size}")
+    val mean = after.values.sum.toDouble / after.size
+    assert(after.values.max <= 4 * mean,
+      s"stream left the index skewed: max=${after.values.max} mean=$mean")
+    assert(Similarity.probeIvfIndex(spark, sf, path, 4, 5).count() == 50)
+  }
+
   test("interrupted swap heals: marker present rolls forward, absent rolls back") {
     import org.apache.hadoop.fs.Path
     val conf = spark.sessionState.newHadoopConf()

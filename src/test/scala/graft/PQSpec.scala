@@ -149,6 +149,17 @@ class PQSpec extends AnyFunSuite {
       // the route finds them and the 16-wide ADC shortlist keeps them:
       // the 80% floor catches a broken route, table layout, or refine.
       assert(hits >= 40, s"recall@5 = $hits/50")
+
+      // The fast (two-tier) build's declared recall dip stays small on
+      // the same corpus: co-members still co-locate (they route through
+      // the same coarse cells), so the floor holds for it too.
+      val pathFast = graft.operators.Similarity.newIndexDir()
+      graft.operators.PQ.buildPqIndex(spark, tmp.toString, pathFast, 16, fastAssign = true)
+      val fast = graft.operators.PQ.probePqIndex(spark, tmp.toString, pathFast, 4, 5)
+        .select("qid", "vec_id").collect()
+        .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+      val fastHits = exact.map { case (q, ex) => (fast.getOrElse(q, Set.empty) & ex).size }.sum
+      assert(fastHits >= 40, s"fastAssign recall@5 = $fastHits/50")
     } finally {
       def rm(f: java.io.File): Unit = {
         if (f.isDirectory) Option(f.listFiles).getOrElse(Array.empty).foreach(rm)
