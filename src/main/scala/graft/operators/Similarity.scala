@@ -391,6 +391,120 @@ object Similarity {
       probeIvfIndexJoined(s,
         Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")),
         path, nProbe = 4, k = 5, forceRoute = Some(true))
+    },
+
+    // Binary (1-bit) quantization + Hamming shortlist + exact rerank —
+    // the cheapest rung of the quantization ladder (exact > int8/qn16 >
+    // PQ/qn30-33 > binary): a 64-dim float vector becomes ONE long (the
+    // per-dim sign bits, 32x under the floats), candidate ranking is
+    // xor + bit_count per pair — two ALU ops inside codegen, no memory
+    // traffic beyond the sig column — and only the 16-wide shortlist
+    // pays the full-precision read. The rerank discipline (and the
+    // scale story) is qn33's: the compressed tier bounds IO, the exact
+    // tier restores ranking quality on the survivors.
+    Q("qn34_ann_binary_hamming", {
+      val bit = "CASE WHEN d = 63 THEN CAST(-9223372036854775808 AS BIGINT) ELSE (1::BIGINT << d) END"
+      val sig = "list_reduce(list_prepend(0::BIGINT, [CASE WHEN CAST(embedding[d+1] AS DOUBLE) > 0 " +
+        s"THEN $bit ELSE 0::BIGINT END for d in range(0, 64)]), (a, b) -> a | b)"
+      s"""WITH v AS (SELECT vec_id, embedding, ${sqlL2norm("embedding")} AS nrm,
+         |                  $sig AS sig FROM embeddings),
+         |p AS (SELECT vec_id AS qid, embedding AS pe, nrm AS pn, sig AS psig
+         |      FROM v WHERE vec_id < 10),
+         |h AS (SELECT p.qid, s.vec_id, bit_count(xor(s.sig, p.psig)) AS ham
+         |      FROM v s, p WHERE s.vec_id <> p.qid),
+         |sl AS (SELECT qid, vec_id, ham FROM (
+         |       SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+         |                   ORDER BY ham, vec_id) AS rn FROM h) WHERE rn <= 16),
+         |ref AS (SELECT sl.qid, sl.vec_id, CAST(sl.ham AS BIGINT) AS hamming,
+         |               ${sqlE6(s"${sqlDot("p.pe", "d.embedding")} / (p.pn * d.nrm)")} AS score_e6
+         |        FROM sl JOIN p ON p.qid = sl.qid JOIN v d ON d.vec_id = sl.vec_id),
+         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+         |               ORDER BY score_e6 DESC, vec_id) AS rnk FROM ref)
+         |SELECT qid, rnk, vec_id, hamming, score_e6 FROM r WHERE rnk <= 5
+         |ORDER BY qid, rnk""".stripMargin
+    }) { (s, dir) =>
+      val v = vecs(s, dir)
+      // Sign signature: one fold over the vector — bit d set iff
+      // dim d > 0. shiftleft(1L, 63) wraps to Long.MinValue in Java
+      // semantics; the oracle spells that bit as a literal because
+      // DuckDB's << checks overflow.
+      val sig = aggregate(sequence(lit(0), lit(63)), lit(0L), (acc, d) =>
+        acc.bitwiseOR(when(element_at(col("embedding"), d + 1).cast("double") > 0,
+          call_function("shiftleft", lit(1L), d)).otherwise(lit(0L))))
+      val sg = v.withColumn("sig", sig).localCheckpoint(true)
+      val probes = sg.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("pe"),
+          col("nrm").as("pn"), col("sig").as("psig"))
+      val wSl = Window.partitionBy(col("qid")).orderBy(col("ham").asc, col("vec_id").asc)
+      val sl = sg.select(col("vec_id"), col("sig"))
+        .join(broadcast(probes.select(col("qid"), col("psig"))), expr("true"))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"),
+          bit_count(col("sig").bitwiseXOR(col("psig"))).cast("long").as("ham"))
+        .withColumn("rn", row_number().over(wSl)).filter(col("rn") <= 16)
+        .select(col("qid"), col("vec_id"), col("ham").as("hamming"))
+      val wRef = Window.partitionBy(col("qid")).orderBy(col("score_e6").desc, col("vec_id").asc)
+      sl.join(broadcast(probes.select(col("qid"), col("pe"), col("pn"))), Seq("qid"))
+        .join(v.select(col("vec_id"), col("embedding").as("de"), col("nrm").as("dn")),
+          Seq("vec_id"))
+        .select(col("qid"), col("vec_id"), col("hamming"),
+          e6(cosine(dotNative(col("pe"), col("de")), col("pn"), col("dn"))).as("score_e6"))
+        .withColumn("rnk", row_number().over(wRef)).filter(col("rnk") <= 5)
+        .select(col("qid"), col("rnk").cast("long").as("rnk"), col("vec_id"),
+          col("hamming"), col("score_e6"))
+        .orderBy("qid", "rnk")
+    },
+
+    // Matryoshka (prefix-dimension) search: score on the FIRST 16 dims
+    // (a 4x-narrower scan when embeddings are MRL-trained so prefixes
+    // carry the coarse geometry), shortlist 32, exact rerank on all 64.
+    // Same ladder discipline; the knob is a column slice, not a second
+    // index — at 100 TB the prefix can be a separate parquet column
+    // (written once at ingest) so the rank scan never touches the tail
+    // dims.
+    Q("qn35_ann_matryoshka_prefix", {
+      val pre = (c: String) => s"list_slice($c, 1, 16)"
+      s"""WITH v AS (SELECT vec_id, embedding, ${sqlL2norm("embedding")} AS nrm,
+         |                  ${sqlL2norm(pre("embedding"))} AS pnrm FROM embeddings),
+         |p AS (SELECT vec_id AS qid, embedding AS pe, nrm AS pn, pnrm AS ppn
+         |      FROM v WHERE vec_id < 10),
+         |c AS (SELECT p.qid, s.vec_id,
+         |             ${sqlE6(s"${sqlDot(pre("p.pe"), pre("s.embedding"))} / (p.ppn * s.pnrm)")} AS pscore
+         |      FROM v s, p WHERE s.vec_id <> p.qid AND p.ppn > 0 AND s.pnrm > 0),
+         |sl AS (SELECT qid, vec_id FROM (
+         |       SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+         |                   ORDER BY pscore DESC, vec_id) AS rn FROM c) WHERE rn <= 32),
+         |ref AS (SELECT sl.qid, sl.vec_id,
+         |               ${sqlE6(s"${sqlDot("p.pe", "d.embedding")} / (p.pn * d.nrm)")} AS score_e6
+         |        FROM sl JOIN p ON p.qid = sl.qid JOIN v d ON d.vec_id = sl.vec_id),
+         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+         |               ORDER BY score_e6 DESC, vec_id) AS rnk FROM ref)
+         |SELECT qid, rnk, vec_id, score_e6 FROM r WHERE rnk <= 5
+         |ORDER BY qid, rnk""".stripMargin
+    }) { (s, dir) =>
+      val v = vecs(s, dir)
+        .withColumn("pre", slice(col("embedding"), 1, 16))
+        .withColumn("pnrm", l2normNative(slice(col("embedding"), 1, 16)))
+      val probes = v.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("pe"), col("nrm").as("pn"),
+          col("pre").as("ppre"), col("pnrm").as("ppn"))
+      val wSl = Window.partitionBy(col("qid")).orderBy(col("pscore").desc, col("vec_id").asc)
+      val sl = v.select(col("vec_id"), col("pre"), col("pnrm"))
+        .join(broadcast(probes.select(col("qid"), col("ppre"), col("ppn"))), expr("true"))
+        .filter(col("vec_id") =!= col("qid") && col("ppn") > 0 && col("pnrm") > 0)
+        .select(col("qid"), col("vec_id"),
+          e6(cosine(dotNative(col("ppre"), col("pre")), col("ppn"), col("pnrm"))).as("pscore"))
+        .withColumn("rn", row_number().over(wSl)).filter(col("rn") <= 32)
+        .select(col("qid"), col("vec_id"))
+      val wRef = Window.partitionBy(col("qid")).orderBy(col("score_e6").desc, col("vec_id").asc)
+      sl.join(broadcast(probes.select(col("qid"), col("pe"), col("pn"))), Seq("qid"))
+        .join(v.select(col("vec_id"), col("embedding").as("de"), col("nrm").as("dn")),
+          Seq("vec_id"))
+        .select(col("qid"), col("vec_id"),
+          e6(cosine(dotNative(col("pe"), col("de")), col("pn"), col("dn"))).as("score_e6"))
+        .withColumn("rnk", row_number().over(wRef)).filter(col("rnk") <= 5)
+        .select(col("qid"), col("rnk").cast("long").as("rnk"), col("vec_id"), col("score_e6"))
+        .orderBy("qid", "rnk")
     }
   )
 

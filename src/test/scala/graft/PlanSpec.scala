@@ -251,6 +251,8 @@ class PlanSpec extends AnyFunSuite {
       "qn10e_ann_ivf_probe_join_coarse", // coarse tier: k2-row seed broadcast + 1-row cstride scalar; fine cells via coarse_id equi-join
       "qn19_kmeans_step",     // broadcast centroid table
       "qn30_pq_codebooks",    // single-row stride-scalar crossJoin (seed lattice)
+      "qn34_ann_binary_hamming", // broadcast 10-row probe-signature side vs the sig column
+      "qn35_ann_matryoshka_prefix", // broadcast 10-row probe-prefix side vs the prefix column
       "qn32_ann_pq_adc",      // broadcast 10-row ADC-table side scored against the codes
       "qn33_ann_ivfpq_refine", // stride scalar + broadcast centroid/probe/ADC-table sides
       "qn25_mixture_weights", // single-row scalar crossJoin
