@@ -51,6 +51,7 @@ object Plans {
     "qn32_ann_pq_adc" -> "ADC scan: per-probe 64-slot lookup arrays broadcast; candidate scoring is 4 element_at's over the code column inside one codegen stage; only shuffle is the per-probe top-k",
     "qn33_ann_ivfpq_refine" -> "IVFADC + refine: coarse route bounds candidates to probed cells, ADC ranks codes, top-16 shortlist alone pays the full-precision read for the exact cosine re-rank",
     "qn34_ann_binary_hamming" -> "binary tier: one sign-bit long per vector; candidate ranking is xor + bit_count (two ALU ops in codegen, no array traffic); 16-wide shortlist pays the float read",
+    "qn36_ann_ivfpq_residual" -> "residual IVFADC: codebooks train on v - coarse_centroid; one broadcast distance table per (probe, probed cell); candidate cost unchanged at M lookups keyed by the candidate's cell",
     "qp06_corpus_fingerprint" -> "snapshot signature: map-side sha digest projection + one partially aggregated hash agg on lang — a 1-row-per-lang shuffle and nothing else")
 
   def main(args: Array[String]): Unit = {

@@ -71,15 +71,18 @@ object PQ {
       transform(col("embedding"),
         x => floor(x.cast("double") * 1000000).cast("long")).as("emb6"))
 
-  /** Long-form subspace view: (vec_id, sub, v6[pqSubDim]) — M rows per
-    * vector, built by a static explode over the M literal slices (no
+  /** Long-form subspace view: (keys..., sub, v6[pqSubDim]) — M rows per
+    * input row, built by a static explode over the M literal slices (no
     * runtime arithmetic picks the slice bounds, so column pruning and
-    * codegen see plain literals). */
-  private def vsub(veF: DataFrame): DataFrame =
-    veF.select(col("vec_id"), explode(array((0 until pqM).map(m =>
+    * codegen see plain literals). `keys` is (vec_id) for corpus frames
+    * and (qid, cent_id) for the residual probe tables. */
+  private def vsubKeyed(veF: DataFrame, keys: Seq[String]): DataFrame =
+    veF.select(keys.map(col) :+ explode(array((0 until pqM).map(m =>
         struct(lit(m.toLong).as("sub"),
-          slice(col("emb6"), m * pqSubDim + 1, pqSubDim).as("v6"))): _*)).as("sv"))
-      .select(col("vec_id"), col("sv.sub").as("sub"), col("sv.v6").as("v6"))
+          slice(col("emb6"), m * pqSubDim + 1, pqSubDim).as("v6"))): _*)).as("sv"): _*)
+      .select(keys.map(col) ++ Seq(col("sv.sub").as("sub"), col("sv.v6").as("v6")): _*)
+
+  private def vsub(veF: DataFrame): DataFrame = vsubKeyed(veF, Seq("vec_id"))
 
   /** Integer squared euclidean between two e6 long arrays. */
   private def d2(a: Column, b: Column): Column =
@@ -116,15 +119,18 @@ object PQ {
     * all consume it). */
   private[graft] def codebook(s: SparkSession, dir: String): DataFrame =
     Dedup.memoized("pqcb", s, dir, 0, 0) {
-      val cbl = codebookLong(s, dir)
-      val wCode = Window.partitionBy(col("sub")).orderBy(col("cid"))
-      cbl.groupBy("sub", "cid")
-        .agg(transform(array_sort(collect_list(struct(col("pos"), col("centroid_e6")))),
-          p => p.getField("centroid_e6")).as("c6"))
-        .withColumn("code", (row_number().over(wCode) - 1).cast("long"))
-        .select(col("sub"), col("cid"), col("code"), col("c6"))
-        .localCheckpoint(true)
+      cbPivot(codebookLong(s, dir)).localCheckpoint(true)
     }
+
+  /** Long codebook -> the (sub, cid, code, c6) array form. */
+  private def cbPivot(cbl: DataFrame): DataFrame = {
+    val wCode = Window.partitionBy(col("sub")).orderBy(col("cid"))
+    cbl.groupBy("sub", "cid")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("centroid_e6")))),
+        p => p.getField("centroid_e6")).as("c6"))
+      .withColumn("code", (row_number().over(wCode) - 1).cast("long"))
+      .select(col("sub"), col("cid"), col("code"), col("c6"))
+  }
 
   /** qn30's long form: (sub, cid, pos, n, centroid_e6) — the Lloyd-step
     * means per (subspace, seed cell, dimension). A cell that attracted
@@ -136,10 +142,13 @@ object PQ {
     * cells would leave the codebook short of K entries per subspace —
     * shifting every later code's slot in the packed sub-major lookup
     * array and mis-addressing [[adcScore]]. */
-  private def codebookLong(s: SparkSession, dir: String): DataFrame = {
-    val veF = ve(s, dir)
-    val vsubF = vsub(veF)
-    val strideF = veF.agg(count(lit(1)).as("n_vec"))
+  private def codebookLong(s: SparkSession, dir: String): DataFrame =
+    trainCodebookLong(vsub(ve(s, dir)))
+
+  /** One Lloyd step over ANY long-form subspace frame (vec_id, sub,
+    * v6) — shared by the plain (qn30) and residual (qn36) trainings. */
+  private def trainCodebookLong(vsubF: DataFrame): DataFrame = {
+    val strideF = vsubF.filter(col("sub") === 0).agg(count(lit(1)).as("n_vec"))
       .select(greatest(lit(1L), expr(s"n_vec div $pqK")).as("stride"))
     val seeds = vsubF.crossJoin(strideF)
       .filter(col("vec_id") % col("stride") === 0 && col("vec_id") < col("stride") * pqK)
@@ -158,11 +167,20 @@ object PQ {
 
   /** Per-vector PQ codes in long form: (vec_id, sub, code, d2min) —
     * argmin against the trained codebook. */
-  private[graft] def encoded(s: SparkSession, dir: String): DataFrame = {
-    val cands = codebook(s, dir).select(col("sub"), col("code"), col("c6").as("ce6"))
-    argminBySub(vsub(ve(s, dir)), cands, "code", Seq.empty)
+  private[graft] def encoded(s: SparkSession, dir: String): DataFrame =
+    encodeWith(vsub(ve(s, dir)), codebook(s, dir))
+
+  private def encodeWith(vsubF: DataFrame, cb: DataFrame): DataFrame = {
+    val cands = cb.select(col("sub"), col("code"), col("c6").as("ce6"))
+    argminBySub(vsubF, cands, "code", Seq.empty)
       .select(col("vec_id"), col("sub"), col("code"), col("d2min"))
   }
+
+  /** Long codes -> the stored (vec_id, codes[pqM]) shape. */
+  private def codesPivot(enc: DataFrame): DataFrame =
+    enc.groupBy("vec_id")
+      .agg(transform(array_sort(collect_list(struct(col("sub"), col("code")))),
+        p => p.getField("code")).as("codes"))
 
   /** Codes pivoted to the stored shape: (vec_id, codes[pqM]) — the
     * column a PQ index lake persists (sub-major, one small int per
@@ -171,10 +189,7 @@ object PQ {
     * all consume the identical deterministic frame. */
   private[graft] def codesArr(s: SparkSession, dir: String): DataFrame =
     Dedup.memoized("pqcodes", s, dir, 0, 0) {
-      encoded(s, dir).groupBy("vec_id")
-        .agg(transform(array_sort(collect_list(struct(col("sub"), col("code")))),
-          p => p.getField("code")).as("codes"))
-        .localCheckpoint(true)
+      codesPivot(encoded(s, dir)).localCheckpoint(true)
     }
 
   /** The ADC lookup tables for a probe frame: (qid, tab[pqM * pqK]) —
@@ -182,10 +197,16 @@ object PQ {
     * so a candidate's approximate distance is
     * sum_m tab[m * K + code_m]. O(probes x M x K) rows — broadcast. */
   private def adcTables(probes: DataFrame, cb: DataFrame): DataFrame =
-    probes.join(broadcast(cb), Seq("sub"))
-      .select(col("vec_id").as("qid"), (col("sub") * pqK + col("code")).as("idx"),
-        d2(col("v6"), col("c6")).as("td"))
-      .groupBy("qid")
+    adcTablesKeyed(probes.withColumnRenamed("vec_id", "qid"), cb, Seq("qid"))
+
+  /** `keys` = (qid) for whole-space tables; (qid, cent_id) for the
+    * residual form, where every probed CELL gets its own table. */
+  private def adcTablesKeyed(probes6: DataFrame, cb: DataFrame,
+      keys: Seq[String]): DataFrame =
+    probes6.join(broadcast(cb), Seq("sub"))
+      .select(keys.map(col) ++ Seq((col("sub") * pqK + col("code")).as("idx"),
+        d2(col("v6"), col("c6")).as("td")): _*)
+      .groupBy(keys.map(col): _*)
       .agg(transform(array_sort(collect_list(struct(col("idx"), col("td")))),
         p => p.getField("td")).as("tab"))
 
@@ -205,24 +226,22 @@ object PQ {
   private def sqlD2(a: String, b: String): String =
     sqlISum(s"list_transform(list_zip($a, $b), p -> (p[1]-p[2])*(p[1]-p[2]))")
 
-  /** Shared CTE prefix: e6 view, subspace slices, stride seeds, one
-    * Lloyd step (sasg -> cbl), the trained codebook cb with dense code
-    * ranks, and the per-vector encoding enc. Mirrors [[codebook]] /
-    * [[encoded]] term for term. */
-  private def sqlPqCtes: String =
-    s"""ve AS (SELECT vec_id, [CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT) for x in embedding] AS emb6
-       |       FROM embeddings),
-       |subs AS (SELECT unnest(range(0, $pqM)) AS sub),
-       |vsub AS (SELECT vec_id, sub, list_slice(emb6, sub*$pqSubDim + 1, sub*$pqSubDim + $pqSubDim) AS v6
-       |         FROM ve, subs),
-       |pst AS (SELECT GREATEST(1, COUNT(*) // $pqK) AS stride FROM ve),
-       |seeds AS (SELECT sub, vec_id AS cid, v6 AS ce6 FROM vsub, pst
+  /** The training + encoding CTE block over a long-form subspace CTE
+    * `$sub` (columns vec_id, sub, v6) whose distinct vec_id count is
+    * `$cnt`'s row count: stride seeds, one Lloyd step (sasg -> cbl with
+    * the empty-cell seed-retention rule), the trained codebook cb with
+    * dense code ranks, and the per-vector encoding enc. Shared by the
+    * plain (qn30–qn32 via [[sqlPqCtes]]) and residual (qn36) oracles —
+    * mirrors [[trainCodebookLong]] / [[encodeWith]] term for term. */
+  private def sqlTrainEncCtes(sub: String, cnt: String): String =
+    s"""pst AS (SELECT GREATEST(1, COUNT(*) // $pqK) AS stride FROM $cnt),
+       |seeds AS (SELECT sub, vec_id AS cid, v6 AS ce6 FROM $sub, pst
        |          WHERE vec_id % stride = 0 AND vec_id < stride * $pqK),
        |sasg AS (SELECT vec_id, sub, v6, cid FROM (
        |         SELECT v.vec_id, v.sub, v.v6, sd.cid,
        |                ROW_NUMBER() OVER (PARTITION BY v.vec_id, v.sub
        |                  ORDER BY ${sqlD2("v.v6", "sd.ce6")}, sd.cid) AS rn
-       |         FROM vsub v JOIN seeds sd USING (sub)) WHERE rn = 1),
+       |         FROM $sub v JOIN seeds sd USING (sub)) WHERE rn = 1),
        |ml AS (SELECT sub, cid, i AS pos, COUNT(*) AS n,
        |              CAST(floor(CAST(SUM(v6[i+1]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS m6
        |       FROM sasg, (SELECT unnest(range(0, $pqSubDim)) AS i) GROUP BY 1, 2, 3),
@@ -238,7 +257,21 @@ object PQ {
        |        SELECT v.vec_id, v.sub, cb.code, ${sqlD2("v.v6", "cb.c6")} AS d2,
        |               ROW_NUMBER() OVER (PARTITION BY v.vec_id, v.sub
        |                 ORDER BY ${sqlD2("v.v6", "cb.c6")}, cb.code) AS rn
-       |        FROM vsub v JOIN cb USING (sub)) WHERE rn = 1)""".stripMargin
+       |        FROM $sub v JOIN cb USING (sub)) WHERE rn = 1)""".stripMargin
+
+  /** e6 view of the corpus as a list expression. */
+  private def sqlE6List(c: String): String =
+    s"[CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT) for x in $c]"
+
+  /** Shared CTE prefix for the PLAIN (non-residual) pipeline: e6 view,
+    * subspace slices, then the training + encoding block. */
+  private def sqlPqCtes: String =
+    s"""ve AS (SELECT vec_id, ${sqlE6List("embedding")} AS emb6
+       |       FROM embeddings),
+       |subs AS (SELECT unnest(range(0, $pqM)) AS sub),
+       |vsub AS (SELECT vec_id, sub, list_slice(emb6, sub*$pqSubDim + 1, sub*$pqSubDim + $pqSubDim) AS v6
+       |         FROM ve, subs),
+       |${sqlTrainEncCtes("vsub", "ve")}""".stripMargin
 
   /** Probe-side ADC tables in long form: (qid, sub, code, td). */
   private def sqlProbeTab(probeFilter: String): String =
@@ -369,6 +402,119 @@ object PQ {
       val sl = scored.withColumn("rnk", row_number().over(wSl))
         .filter(col("rnk") <= adcTopR).select(col("qid"), col("vec_id"))
       // Exact refine: only the shortlist reads full-precision floats.
+      val refScore = e6(cosine(dotNative(col("qe"), col("de")), col("qn"), col("dn")))
+      val wRef = Window.partitionBy(col("qid")).orderBy(col("score_e6").desc, col("vec_id").asc)
+      sl.join(broadcast(probesV.select(col("vec_id").as("qid"),
+          col("embedding").as("qe"), col("nrm").as("qn"))), Seq("qid"))
+        .join(v.select(col("vec_id"), col("embedding").as("de"), col("nrm").as("dn")),
+          Seq("vec_id"))
+        .select(col("qid"), col("vec_id"), refScore.as("score_e6"))
+        .withColumn("rnk", row_number().over(wRef)).filter(col("rnk") <= 5)
+        .select(col("qid"), col("rnk").cast("long").as("rnk"), col("vec_id"), col("score_e6"))
+        .orderBy("qid", "rnk")
+    },
+
+    // RESIDUAL IVFADC (by_residual — the FAISS-default refinement of
+    // qn33): codebooks train on v - coarse_centroid instead of v, so
+    // the K codewords spend their resolution on the WITHIN-cell
+    // geometry rather than re-describing the coarse structure the
+    // route already resolved. The probe side pays one distance table
+    // per PROBED CELL (nProbe x M x K integer entries per probe —
+    // still broadcast-class) because the probe's residual differs per
+    // cell; the candidate cost is unchanged (M lookups, keyed by the
+    // candidate's own cell). Measured on the fixture: the residual
+    // shortlist surfaces strictly better candidates than qn32/qn33's
+    // whole-space codebook at the same M x K budget.
+    Q("qn36_ann_ivfpq_residual",
+      s"""WITH v AS (SELECT vec_id, embedding, ${sqlL2norm("embedding")} AS nrm FROM embeddings),
+         |ist AS (SELECT GREATEST(1, COUNT(*) // 16) AS stride FROM v),
+         |cents AS (SELECT vec_id AS cent_id, embedding AS ce, nrm AS cn FROM v, ist
+         |          WHERE vec_id % stride = 0 AND vec_id < stride * 16),
+         |asg AS (SELECT vec_id, cent_id FROM (
+         |        SELECT v.vec_id, c.cent_id,
+         |               ROW_NUMBER() OVER (PARTITION BY v.vec_id
+         |                 ORDER BY ${sqlCosE6("c.ce", "v.embedding", "c.cn", "v.nrm")} DESC,
+         |                          c.cent_id) AS rn
+         |        FROM v, cents c) WHERE rn = 1),
+         |cent6 AS (SELECT cent_id, ${sqlE6List("ce")} AS c6full FROM cents),
+         |ve AS (SELECT vec_id, ${sqlE6List("embedding")} AS emb6 FROM embeddings),
+         |subs AS (SELECT unnest(range(0, $pqM)) AS sub),
+         |rv AS (SELECT ve.vec_id, [ve.emb6[i+1] - c6.c6full[i+1] for i in range(0, ${pqM * pqSubDim})] AS r6
+         |       FROM ve JOIN asg USING (vec_id) JOIN cent6 c6 ON c6.cent_id = asg.cent_id),
+         |rsub AS (SELECT vec_id, sub, list_slice(r6, sub*$pqSubDim + 1, sub*$pqSubDim + $pqSubDim) AS v6
+         |         FROM rv, subs),
+         |${sqlTrainEncCtes("rsub", "rv")},
+         |pc AS (SELECT probe_id, cent_id FROM (
+         |       SELECT p.vec_id AS probe_id, c.cent_id,
+         |              ROW_NUMBER() OVER (PARTITION BY p.vec_id
+         |                ORDER BY ${sqlCosE6("c.ce", "p.embedding", "c.cn", "p.nrm")} DESC,
+         |                         c.cent_id) AS rn
+         |       FROM (SELECT * FROM v WHERE vec_id < 10) p, cents c) WHERE rn <= 4),
+         |pr AS (SELECT pc.probe_id AS qid, pc.cent_id,
+         |              [pe.emb6[i+1] - c6.c6full[i+1] for i in range(0, ${pqM * pqSubDim})] AS r6
+         |       FROM pc JOIN ve pe ON pe.vec_id = pc.probe_id JOIN cent6 c6 USING (cent_id)),
+         |prsub AS (SELECT qid, cent_id, sub, list_slice(r6, sub*$pqSubDim + 1, sub*$pqSubDim + $pqSubDim) AS p6
+         |          FROM pr, subs),
+         |pt AS (SELECT prsub.qid, prsub.cent_id, cb.sub, cb.code, ${sqlD2("prsub.p6", "cb.c6")} AS td
+         |       FROM prsub JOIN cb ON cb.sub = prsub.sub),
+         |cand AS (SELECT pc.probe_id AS qid, a.vec_id, a.cent_id FROM asg a JOIN pc USING (cent_id)
+         |         WHERE a.vec_id <> pc.probe_id),
+         |adcc AS (SELECT c.qid, c.vec_id, CAST(SUM(pt.td) AS BIGINT) AS adist_e12
+         |         FROM cand c JOIN enc e ON e.vec_id = c.vec_id
+         |              JOIN pt ON pt.qid = c.qid AND pt.cent_id = c.cent_id
+         |                     AND pt.sub = e.sub AND pt.code = e.code
+         |         GROUP BY 1, 2),
+         |sl AS (SELECT qid, vec_id FROM (
+         |       SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+         |                   ORDER BY adist_e12, vec_id) AS rnk FROM adcc)
+         |       WHERE rnk <= $adcTopR),
+         |ref AS (SELECT sl.qid, sl.vec_id,
+         |               ${sqlCosE6("q.embedding", "d.embedding", "q.nrm", "d.nrm")} AS score_e6
+         |        FROM sl JOIN v q ON q.vec_id = sl.qid JOIN v d ON d.vec_id = sl.vec_id),
+         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+         |               ORDER BY score_e6 DESC, vec_id) AS rnk FROM ref)
+         |SELECT qid, rnk, vec_id, score_e6 FROM r WHERE rnk <= 5
+         |ORDER BY qid, rnk""".stripMargin) { (s, dir) =>
+      val v = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("embedding"), l2normNative(col("embedding")).as("nrm"))
+      val cents = coarseCents(v)
+      val asg = coarseAssign(v, cents)
+      val cent6 = cents.select(col("cent_id"),
+        transform(col("ce"), x => floor(x.cast("double") * 1000000).cast("long")).as("c6full"))
+      val veF = ve(s, dir)
+      val rv = veF.join(asg, Seq("vec_id")).join(broadcast(cent6), Seq("cent_id"))
+        .select(col("vec_id"), zip_with(col("emb6"), col("c6full"), (a, b) => a - b).as("emb6"))
+      val rsub = vsub(rv)
+      val rcb = Dedup.memoized("pqrcb", s, dir, 0, 0) {
+        cbPivot(trainCodebookLong(rsub)).localCheckpoint(true)
+      }
+      val rcodes = Dedup.memoized("pqrcodes", s, dir, 0, 0) {
+        codesPivot(encodeWith(rsub, rcb)).localCheckpoint(true)
+      }
+      // Flat routing of the declared probes (the qn33 shape).
+      val cScore = e6(cosine(dotNative(col("ce"), col("embedding")), col("cn"), col("nrm")))
+      val probesV = v.filter(col("vec_id") < 10)
+      val wRoute = Window.partitionBy(col("probe_id")).orderBy(col("cscore").desc, col("cent_id").asc)
+      val pc = probesV.select(col("vec_id").as("probe_id"), col("embedding"), col("nrm"))
+        .join(broadcast(cents), expr("true"))
+        .select(col("probe_id"), col("cent_id"), cScore.as("cscore"))
+        .withColumn("rn", row_number().over(wRoute)).filter(col("rn") <= 4)
+        .select(col("probe_id"), col("cent_id"))
+      // One residual table per (probe, probed cell).
+      val pr = pc.join(veF.withColumnRenamed("vec_id", "probe_id"), Seq("probe_id"))
+        .join(broadcast(cent6), Seq("cent_id"))
+        .select(col("probe_id").as("qid"), col("cent_id"),
+          zip_with(col("emb6"), col("c6full"), (a, b) => a - b).as("emb6"))
+      val tabs = adcTablesKeyed(vsubKeyed(pr, Seq("qid", "cent_id")), rcb, Seq("qid", "cent_id"))
+      val cand = asg.join(broadcast(pc), Seq("cent_id"))
+        .filter(col("vec_id") =!= col("probe_id"))
+        .select(col("probe_id").as("qid"), col("vec_id"), col("cent_id"))
+      val scored = cand.join(rcodes, Seq("vec_id"))
+        .join(broadcast(tabs), Seq("qid", "cent_id"))
+        .select(col("qid"), col("vec_id"), adcScore(col("tab"), col("codes")).as("adist_e12"))
+      val wSl = Window.partitionBy(col("qid")).orderBy(col("adist_e12").asc, col("vec_id").asc)
+      val sl = scored.withColumn("rnk", row_number().over(wSl))
+        .filter(col("rnk") <= adcTopR).select(col("qid"), col("vec_id"))
       val refScore = e6(cosine(dotNative(col("qe"), col("de")), col("qn"), col("dn")))
       val wRef = Window.partitionBy(col("qid")).orderBy(col("score_e6").desc, col("vec_id").asc)
       sl.join(broadcast(probesV.select(col("vec_id").as("qid"),

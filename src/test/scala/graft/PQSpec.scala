@@ -107,6 +107,40 @@ class PQSpec extends AnyFunSuite {
     }
   }
 
+  test("a probe stream over the persisted PQ index matches the batch probe") {
+    // The StreamSemanticSpec serving-loop discipline, PQ edition: a
+    // standing IVFADC index, probe batches through foreachBatch over
+    // probePqIndexWith — stream == batch, bit-exact.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val path = graft.operators.Similarity.newIndexDir()
+    graft.operators.PQ.buildPqIndex(spark, sf, path)
+    val probes = Tables.embeddings(spark, sf)
+      .filter(col("vec_id") < 10).select("vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val ms = MemoryStream[(Long, Array[Float])]
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    val q = ms.toDF().toDF("vec_id", "embedding")
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        out.synchronized {
+          out ++= graft.operators.PQ
+            .probePqIndexWith(spark, batch, path, 4, 5)
+            .collect().map(_.toString)
+        }: Unit
+      }.start()
+    try {
+      ms.addData(probes.take(5).toSeq); q.processAllAvailable()
+      ms.addData(probes.drop(5).toSeq); q.processAllAvailable()
+    } finally q.stop()
+    val batchRows = graft.operators.PQ
+      .probePqIndex(spark, sf, path, 4, 5).collect().map(_.toString)
+    assert(batchRows.nonEmpty)
+    assert(out.sorted.toSeq == batchRows.sorted.toSeq,
+      s"stream/batch diverged: stream=${out.size} batch=${batchRows.length}")
+  }
+
   test("IVFADC end-to-end recall@5 against exact cosine on a clustered corpus") {
     // The driver fixture's embeddings are unstructured noise, so ANY
     // nProbe-of-16 route bounds recall near nProbe/16 (measured 24% at
@@ -149,6 +183,15 @@ class PQSpec extends AnyFunSuite {
       // the route finds them and the 16-wide ADC shortlist keeps them:
       // the 80% floor catches a broken route, table layout, or refine.
       assert(hits >= 40, s"recall@5 = $hits/50")
+
+      // The residual form (qn36) must clear the same floor — its
+      // codebooks spend resolution on within-cell geometry, so it can
+      // only help on a clusterable corpus.
+      val res = SparkEntry.queries("qn36_ann_ivfpq_residual")(spark, tmp.toString)
+        .select("qid", "vec_id").collect()
+        .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+      val resHits = exact.map { case (q, ex) => (res.getOrElse(q, Set.empty) & ex).size }.sum
+      assert(resHits >= 40, s"residual recall@5 = $resHits/50")
 
       // The fast (two-tier) build's declared recall dip stays small on
       // the same corpus: co-members still co-locate (they route through
