@@ -710,8 +710,8 @@ object Dedup {
     // subset-independent. Same brute-force oracle, restricted
     // identically: all three tiers are lossless for hamming <= 3, so
     // the pair sets hash-match whichever branch runs.
-    Q("qn06c_simhash_probe_enum", sqlSimhashPairsOracleWhere("doc_id < 500")) { (s, dir) =>
-      val sh = tokenized(s, dir).filter(col("doc_id") < 500)
+    Q("qn06c_simhash_probe_enum", sqlSimhashPairsOracleWhere("doc_id < 300")) { (s, dir) =>
+      val sh = tokenized(s, dir).filter(col("doc_id") < 300)
         .select(col("doc_id"), transform(col("toks"), tokenHash60(_)).as("hs"))
         .select(col("doc_id"), simhash(col("hs")).as("simhash"))
         .localCheckpoint(true)

@@ -678,7 +678,15 @@ object PQ {
       .select(col("probe_id"), col("cent_id"), cScore.as("cscore"))
       .withColumn("rn", row_number().over(wRoute)).filter(col("rn") <= nProbe)
       .select(col("probe_id"), col("cent_id"))
-    val pcRows = pc.collect()
+    // The probeIvfIndexWith contract, enforced the same LOUD way: the
+    // route (and downstream, the probes and the topR shortlist, both
+    // smaller) collects driver-side, so a corpus-sized probe frame
+    // must fail with instructions, never OOM the driver silently.
+    val pcRows = pc.limit(1000001).collect()
+    require(pcRows.length <= 1000000,
+      "routeCells: probe batch routes to >1e6 (probe, cell) rows — " +
+        "PQ probing is for probe BATCHES; a corpus-sized probe set should " +
+        "assign both sides to cells and equi-join on cent_id (the qn20 shape)")
     (s.createDataFrame(java.util.Arrays.asList(pcRows: _*), pc.schema),
       pcRows.map(_.getLong(1)).distinct.toSeq)
   }

@@ -903,6 +903,9 @@ object Similarity {
       .select(col("vec_id"), col("embedding"), col("nrm"))
     val total = ivfCellStats(s, path).values.sum
     val k = math.max(16L, math.ceil(math.sqrt(total.toDouble)).toLong)
+    // Seed collect is sqrt(N) rows — manifest-class up to ~1e12-vector
+    // lakes (1M rows x ~300 B); the centroid table it becomes is the
+    // same size every probe already broadcasts.
     val seeds = v.orderBy(xxhash64(col("vec_id"), lit(1002)).asc, col("vec_id").asc)
       .limit(k.toInt)
       .select(col("vec_id").as("cent_id"), col("embedding").as("ce"), col("nrm").as("cn"))
