@@ -592,6 +592,33 @@ object PQ {
     localCents.coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
   }
 
+  /** Assign and encode NEW vectors against the STORED coarse centroids
+    * and codebooks and append them to both temperature tiers:
+    * O(new vectors) work, no retrain, and only the cells the new
+    * vectors land in gain files (dynamic partition append — the
+    * appendToIvfIndex contract). Codebooks and centroids stay frozen
+    * at build time: re-deriving either per append would silently stale
+    * every already-written code; drift is a REBUILD, on the same
+    * reasoning as the IVF lake's (there via the measured
+    * autoRebalance trigger). `newVecs`: (vec_id, embedding). */
+  def appendToPqIndex(s: SparkSession, newVecs: DataFrame, path: String): Unit = {
+    val cents = s.read.parquet(s"$path/centroids")
+    val cb = s.read.parquet(s"$path/codebooks")
+    val v = newVecs.select(col("vec_id"), col("embedding"),
+      l2normNative(col("embedding")).as("nrm"))
+    val asg = coarseAssign(v, cents)
+    val ve6 = v.select(col("vec_id"),
+      transform(col("embedding"),
+        x => floor(x.cast("double") * 1000000).cast("long")).as("emb6"))
+    val codes = codesPivot(encodeWith(vsub(ve6), cb))
+    asg.join(codes, Seq("vec_id"))
+      .select(col("vec_id"), col("codes"), col("cent_id"))
+      .write.mode("append").partitionBy("cent_id").parquet(s"$path/codes")
+    v.join(asg, Seq("vec_id"))
+      .write.mode("append").option("parquet.block.size", 1L << 20)
+      .partitionBy("cent_id").parquet(s"$path/vectors")
+  }
+
   /** Probe a persisted IVFADC index: route each probe to its `nProbe`
     * coarse cells via the stored centroids (manifest-class collect, the
     * probeIvfIndex contract), scan ONLY those cells' CODES under a

@@ -107,6 +107,34 @@ class PQSpec extends AnyFunSuite {
     }
   }
 
+  test("append encodes against the frozen codebooks and touches only the target cells") {
+    import spark.implicits._
+    val path = graft.operators.Similarity.newIndexDir()
+    graft.operators.PQ.buildPqIndex(spark, sf, path)
+    def cellFiles(): Map[String, Set[String]] = {
+      val root = new java.io.File(s"$path/codes")
+      Option(root.listFiles).getOrElse(Array.empty).filter(_.getName.startsWith("cent_id="))
+        .map(d => d.getName -> d.listFiles.map(_.getName).toSet).toMap
+    }
+    val before = cellFiles()
+    val n0 = spark.read.parquet(s"$path/codes").count()
+    // Plant a near-copy of probe 3: cosine ~1, so it must surface as
+    // its top refined neighbor after the append.
+    val planted = Tables.embeddings(spark, sf).filter(col("vec_id") === 3)
+      .select(lit(99999L).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          when(i === 0, (x.cast("double") * 1.01).cast("float")).otherwise(x)).as("embedding"))
+    graft.operators.PQ.appendToPqIndex(spark, planted, path)
+    assert(spark.read.parquet(s"$path/codes").count() == n0 + 1)
+    val after = cellFiles()
+    val changed = after.filter { case (cell, files) => before.getOrElse(cell, Set.empty) != files }
+    assert(changed.size == 1, s"append touched ${changed.size} cells: ${changed.keys}")
+    val top = graft.operators.PQ.probePqIndex(spark, sf, path, 4, 5)
+      .filter(col("qid") === 3 && col("rnk") === 1).collect()
+    assert(top.length == 1 && top.head.getLong(2) == 99999L,
+      s"planted near-copy not probe 3's top neighbor: ${top.mkString}")
+  }
+
   test("a probe stream over the persisted PQ index matches the batch probe") {
     // The StreamSemanticSpec serving-loop discipline, PQ edition: a
     // standing IVFADC index, probe batches through foreachBatch over
@@ -203,6 +231,11 @@ class PQSpec extends AnyFunSuite {
         .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
       val fastHits = exact.map { case (q, ex) => (fast.getOrElse(q, Set.empty) & ex).size }.sum
       assert(fastHits >= 40, s"fastAssign recall@5 = $fastHits/50")
+      // The two-tier assignment must never silently DROP a vector
+      // (pathological corpora could route a vector only to fine-less
+      // coarse cells; the tie-break analysis says no, this pins it).
+      assert(spark.read.parquet(s"$pathFast/codes").count() == 200L,
+        "fastAssign dropped or duplicated vectors")
     } finally {
       def rm(f: java.io.File): Unit = {
         if (f.isDirectory) Option(f.listFiles).getOrElse(Array.empty).foreach(rm)
