@@ -482,14 +482,11 @@ object PQ {
       val cent6 = cents.select(col("cent_id"),
         transform(col("ce"), x => floor(x.cast("double") * 1000000).cast("long")).as("c6full"))
       val veF = ve(s, dir)
-      val rv = veF.join(asg, Seq("vec_id")).join(broadcast(cent6), Seq("cent_id"))
-        .select(col("vec_id"), zip_with(col("emb6"), col("c6full"), (a, b) => a - b).as("emb6"))
-      val rsub = vsub(rv)
-      val rcb = Dedup.memoized("pqrcb", s, dir, 0, 0) {
-        cbPivot(trainCodebookLong(rsub)).localCheckpoint(true)
+      val rcb = Dedup.memoized("pqrcb", s, dir, 16L, 0) {
+        cbPivot(trainCodebookLong(residualSub(s, dir, cents, asg))).localCheckpoint(true)
       }
-      val rcodes = Dedup.memoized("pqrcodes", s, dir, 0, 0) {
-        codesPivot(encodeWith(rsub, rcb)).localCheckpoint(true)
+      val rcodes = Dedup.memoized("pqrcodes", s, dir, 16L, 0) {
+        codesPivot(encodeWith(residualSub(s, dir, cents, asg), rcb)).localCheckpoint(true)
       }
       // Flat routing of the declared probes (the qn33 shape).
       val cScore = e6(cosine(dotNative(col("ce"), col("embedding")), col("cn"), col("nrm")))
@@ -565,7 +562,8 @@ object PQ {
     * not correctness — priced in the pq battery; the qn33 bit-parity
     * contract holds only for the default flat build. */
   def buildPqIndex(s: SparkSession, dir: String, path: String,
-      nCells: Int = 16, fastAssign: Boolean = false): Unit = {
+      nCells: Int = 16, fastAssign: Boolean = false,
+      residual: Boolean = false): Unit = {
     val v = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("embedding"), l2normNative(col("embedding")).as("nrm"))
     val cents = coarseCents(v, nCells)
@@ -574,8 +572,25 @@ object PQ {
     val asg =
       if (fastAssign) fastCoarseAssign(v, localCents)
       else coarseAssign(v, localCents)
-    val cb = codebook(s, dir)
-    asg.join(codesArr(s, dir), Seq("vec_id"))
+    // `residual = true` stores the qn36 encoding (codebooks trained on
+    // v - coarse_centroid; a `_residual` marker makes the probe's
+    // scoring dispatch self-describing). Memo keys carry nCells: the
+    // residuals depend on the coarse layout, so a 16-cell build and a
+    // sqrt(N)-cell build must never share a cached frame.
+    val fastKey = if (fastAssign) 1 else 0
+    val cb =
+      if (residual) Dedup.memoized("pqrcb", s, dir, nCells.toLong, fastKey) {
+        cbPivot(trainCodebookLong(residualSub(s, dir, localCents, asg)))
+          .localCheckpoint(true)
+      }
+      else codebook(s, dir)
+    val codes =
+      if (residual) Dedup.memoized("pqrcodes", s, dir, nCells.toLong, fastKey) {
+        codesPivot(encodeWith(residualSub(s, dir, localCents, asg), cb))
+          .localCheckpoint(true)
+      }
+      else codesArr(s, dir)
+    asg.join(codes, Seq("vec_id"))
       .select(col("vec_id"), col("codes"), col("cent_id"))
       .repartition(col("cent_id"))
       .write.mode("overwrite").partitionBy("cent_id").parquet(s"$path/codes")
@@ -590,6 +605,30 @@ object PQ {
       .partitionBy("cent_id").parquet(s"$path/vectors")
     cb.coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
     localCents.coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(s.sessionState.newHadoopConf())
+    val marker = new org.apache.hadoop.fs.Path(s"$path/_residual")
+    if (residual) fs.create(marker, true).close()
+    else fs.delete(marker, false): Unit // a rebuild can change encoding
+  }
+
+  /** Does the index at `path` store residual codes? (The `_residual`
+    * marker [[buildPqIndex]] maintains — the probe's scoring dispatch.) */
+  private def isResidualIndex(s: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/_residual")
+    p.getFileSystem(s.sessionState.newHadoopConf()).exists(p)
+  }
+
+  /** Long-form subspace view of the corpus RESIDUALS (v - assigned
+    * coarse centroid, in e6 integer space) — the qn36 training/encode
+    * input, shared with the residual persisted build. */
+  private def residualSub(s: SparkSession, dir: String,
+      cents: DataFrame, asg: DataFrame): DataFrame = {
+    val cent6 = cents.select(col("cent_id"),
+      transform(col("ce"), x => floor(x.cast("double") * 1000000).cast("long")).as("c6full"))
+    val rv = ve(s, dir).join(asg, Seq("vec_id")).join(broadcast(cent6), Seq("cent_id"))
+      .select(col("vec_id"), zip_with(col("emb6"), col("c6full"), (a, b) => a - b).as("emb6"))
+    vsub(rv)
   }
 
   /** Assign and encode NEW vectors against the STORED coarse centroids
@@ -653,17 +692,35 @@ object PQ {
     val probesV = s.createDataFrame(
       java.util.Arrays.asList(probesRaw.collect(): _*), probesRaw.schema)
     val (localPc, cells) = routeCells(s, probesV, cents, nProbe)
-    // Probe-side ADC tables from the probes' e6 subspace slices.
-    val probes6 = vsub(probesV.select(col("vec_id"),
+    val pe6 = probesV.select(col("vec_id").as("probe_id"),
       transform(col("embedding"),
-        x => floor(x.cast("double") * 1000000).cast("long")).as("emb6")))
-    val tabs = adcTables(probes6, cb)
+        x => floor(x.cast("double") * 1000000).cast("long")).as("emb6"))
     val codes = s.read.parquet(s"$path/codes").filter(col("cent_id").isin(cells: _*))
-    val cand = codes.join(broadcast(localPc), Seq("cent_id"))
+    val cand0 = codes.join(broadcast(localPc), Seq("cent_id"))
       .filter(col("vec_id") =!= col("probe_id"))
-      .select(col("probe_id").as("qid"), col("vec_id"), col("codes"))
-    val scored = cand.join(broadcast(tabs), Seq("qid"))
-      .select(col("qid"), col("vec_id"), adcScore(col("tab"), col("codes")).as("adist_e12"))
+    // Scoring dispatches on the index's declared encoding (the
+    // `_residual` marker buildPqIndex writes): whole-space codes score
+    // against one table per probe; residual codes against one table
+    // per (probe, probed cell) — the probe's residual differs per
+    // cell, so the table is keyed by both and the join key widens.
+    val scored =
+      if (!isResidualIndex(s, path)) {
+        val tabs = adcTables(vsub(pe6.withColumnRenamed("probe_id", "vec_id")), cb)
+        cand0.select(col("probe_id").as("qid"), col("vec_id"), col("codes"))
+          .join(broadcast(tabs), Seq("qid"))
+          .select(col("qid"), col("vec_id"), adcScore(col("tab"), col("codes")).as("adist_e12"))
+      } else {
+        val cent6 = cents.select(col("cent_id"),
+          transform(col("ce"), x => floor(x.cast("double") * 1000000).cast("long")).as("c6full"))
+        val pr = broadcast(localPc).join(broadcast(pe6), Seq("probe_id"))
+          .join(broadcast(cent6), Seq("cent_id"))
+          .select(col("probe_id").as("qid"), col("cent_id"),
+            zip_with(col("emb6"), col("c6full"), (a, b) => a - b).as("emb6"))
+        val tabs = adcTablesKeyed(vsubKeyed(pr, Seq("qid", "cent_id")), cb, Seq("qid", "cent_id"))
+        cand0.select(col("probe_id").as("qid"), col("cent_id"), col("vec_id"), col("codes"))
+          .join(broadcast(tabs), Seq("qid", "cent_id"))
+          .select(col("qid"), col("vec_id"), adcScore(col("tab"), col("codes")).as("adist_e12"))
+      }
     val wSl = Window.partitionBy(col("qid")).orderBy(col("adist_e12").asc, col("vec_id").asc)
     val sl = scored.withColumn("rnk", row_number().over(wSl))
       .filter(col("rnk") <= adcTopR).select(col("qid"), col("vec_id"))

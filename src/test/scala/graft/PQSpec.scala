@@ -107,6 +107,26 @@ class PQSpec extends AnyFunSuite {
     }
   }
 
+  test("persisted RESIDUAL index replays qn36 bit-exactly; marker dispatches the scoring") {
+    val path = graft.operators.Similarity.newIndexDir()
+    graft.operators.PQ.buildPqIndex(spark, sf, path, residual = true)
+    assert(new java.io.File(s"$path/_residual").exists, "residual marker missing")
+    val persisted = graft.operators.PQ.probePqIndex(spark, sf, path, 4, 5)
+      .collect().map(_.toString).toSeq
+    val inFlight = SparkEntry.queries("qn36_ann_ivfpq_residual")(spark, sf)
+      .collect().map(_.toString).toSeq
+    assert(persisted == inFlight)
+    // A rebuild WITHOUT residual must clear the marker (the encoding is
+    // self-describing; a stale marker would mis-score every probe).
+    graft.operators.PQ.buildPqIndex(spark, sf, path)
+    assert(!new java.io.File(s"$path/_residual").exists, "stale residual marker")
+    val plain = graft.operators.PQ.probePqIndex(spark, sf, path, 4, 5)
+      .collect().map(_.toString).toSeq
+    val qn33 = SparkEntry.queries("qn33_ann_ivfpq_refine")(spark, sf)
+      .collect().map(_.toString).toSeq
+    assert(plain == qn33)
+  }
+
   test("append encodes against the frozen codebooks and touches only the target cells") {
     import spark.implicits._
     val path = graft.operators.Similarity.newIndexDir()
