@@ -54,14 +54,48 @@ import org.apache.spark.sql.functions._
   */
 object PQ {
 
+  /** PQ sizing: M subspaces of `subDim` dims (m * subDim = embedding
+    * dim), K codewords per subspace. The FIXTURE default is 4 x 16
+    * (2-byte words — what the registered queries and their DuckDB
+    * oracles replay); production byte-code sizing is
+    * `PqParams(16, 4, 256)`-class — one byte per code, 16^4 -> 256^16
+    * combo space. A persisted index is SELF-DESCRIBING: the probe,
+    * append, and rebalance paths re-derive the params from the stored
+    * codebook table ([[paramsOf]]), so an index built at any sizing
+    * serves without the caller restating it. */
+  final case class PqParams(m: Int, subDim: Int, k: Int) {
+    require(m > 0 && subDim > 0 && k > 1, s"bad PQ sizing: $this")
+    def dim: Int = m * subDim
+  }
+
+  /** The fixture sizing the registered queries (qn30–qn36) run at. */
+  val fixturePq: PqParams = PqParams(4, 16, 16)
+
   /** Subspace count M. `pqM * pqSubDim` must equal the embedding dim. */
-  private[graft] val pqM = 4
+  private[graft] val pqM = fixturePq.m
   /** Dims per subspace. */
-  private[graft] val pqSubDim = 16
+  private[graft] val pqSubDim = fixturePq.subDim
   /** Codewords per subspace K (16 = 4-bit codes at fixture scale). */
-  private[graft] val pqK = 16
+  private[graft] val pqK = fixturePq.k
   /** ADC shortlist width the refine tier re-ranks at full precision. */
   private[graft] val adcTopR = 16
+
+  /** Hard probe-batch ceiling for [[probePqIndexWith]]: sized so the
+    * shortlist collect (probes x [[adcTopR]] rows) stays under the same
+    * 1e6-row driver-collect contract [[routeCells]] enforces for the
+    * routing. 62,500 probes at the fixture topR — a serving batch, by
+    * construction; corpus-sized probe sets belong on the cent_id
+    * assignment-join path (the qn20 shape). */
+  private[graft] val maxProbeBatch: Int = 1000000 / adcTopR
+
+  /** Max distinct shortlist ids inlined as a literal `vec_id IN (...)`
+    * on the refine's cold read (exact row-group + page pruning via the
+    * parquet IN pushdown). Above it the pushdown degrades to the
+    * BETWEEN range form — a 1e6-literal IN is itself a driver-memory
+    * and plan-analysis hazard. Conf-overridable so the spec and battery
+    * can force the range branch at fixture size. */
+  private def isinMaxIds(s: SparkSession): Int =
+    s.conf.getOption("spark.graft.pq.isinMaxIds").map(_.toInt).getOrElse(10000)
 
   // ---- Spark side ---------------------------------------------------
 
@@ -76,13 +110,15 @@ object PQ {
     * runtime arithmetic picks the slice bounds, so column pruning and
     * codegen see plain literals). `keys` is (vec_id) for corpus frames
     * and (qid, cent_id) for the residual probe tables. */
-  private def vsubKeyed(veF: DataFrame, keys: Seq[String]): DataFrame =
-    veF.select(keys.map(col) :+ explode(array((0 until pqM).map(m =>
+  private def vsubKeyed(veF: DataFrame, keys: Seq[String],
+      p: PqParams = fixturePq): DataFrame =
+    veF.select(keys.map(col) :+ explode(array((0 until p.m).map(m =>
         struct(lit(m.toLong).as("sub"),
-          slice(col("emb6"), m * pqSubDim + 1, pqSubDim).as("v6"))): _*)).as("sv"): _*)
+          slice(col("emb6"), m * p.subDim + 1, p.subDim).as("v6"))): _*)).as("sv"): _*)
       .select(keys.map(col) ++ Seq(col("sv.sub").as("sub"), col("sv.v6").as("v6")): _*)
 
-  private def vsub(veF: DataFrame): DataFrame = vsubKeyed(veF, Seq("vec_id"))
+  private def vsub(veF: DataFrame, p: PqParams = fixturePq): DataFrame =
+    vsubKeyed(veF, Seq("vec_id"), p)
 
   /** Integer squared euclidean between two e6 long arrays. */
   private def d2(a: Column, b: Column): Column =
@@ -146,13 +182,39 @@ object PQ {
     trainCodebookLong(vsub(ve(s, dir)))
 
   /** One Lloyd step over ANY long-form subspace frame (vec_id, sub,
-    * v6) — shared by the plain (qn30) and residual (qn36) trainings. */
-  private def trainCodebookLong(vsubF: DataFrame): DataFrame = {
+    * v6) — shared by the plain (qn30) and residual (qn36) trainings.
+    * Seeds by the STRIDE rule (dense id space — the build-time
+    * contract; [[rebalancePqIndex]] retrains with [[hashSeeds]]
+    * instead, because an appended lake's id space is arbitrary). */
+  private def trainCodebookLong(vsubF: DataFrame,
+      p: PqParams = fixturePq): DataFrame = {
     val strideF = vsubF.filter(col("sub") === 0).agg(count(lit(1)).as("n_vec"))
-      .select(greatest(lit(1L), expr(s"n_vec div $pqK")).as("stride"))
+      .select(greatest(lit(1L), expr(s"n_vec div ${p.k}")).as("stride"))
     val seeds = vsubF.crossJoin(strideF)
-      .filter(col("vec_id") % col("stride") === 0 && col("vec_id") < col("stride") * pqK)
+      .filter(col("vec_id") % col("stride") === 0 && col("vec_id") < col("stride") * p.k)
       .select(col("sub"), col("vec_id").as("cid"), col("v6").as("ce6"))
+    lloydStep(vsubF, seeds)
+  }
+
+  /** Codebook seeds for an ARBITRARY id space: the K vectors with the
+    * lowest `xxhash64(vec_id)` (the [[Similarity.rebalanceIvfIndex]]
+    * seed rule applied to the codebook) — deterministic,
+    * distribution-free over the ids, all M subspaces sharing the same
+    * seed vectors like the stride rule. TakeOrderedAndProject: no sort
+    * materialization. */
+  private def hashSeeds(vsubF: DataFrame, k: Int): DataFrame = {
+    val ids = vsubF.filter(col("sub") === 0)
+      .orderBy(xxhash64(col("vec_id"), lit(1004)).asc, col("vec_id").asc)
+      .limit(k).select(col("vec_id"))
+    vsubF.join(broadcast(ids), Seq("vec_id"))
+      .select(col("sub"), col("vec_id").as("cid"), col("v6").as("ce6"))
+  }
+
+  /** The Lloyd-step means given a seed frame (sub, cid, ce6): assign
+    * every subvector to its nearest seed, mean per (sub, cid, pos),
+    * empty cells keep their seed centroid (n = 0 — see
+    * [[codebookLong]]'s layout rationale). */
+  private def lloydStep(vsubF: DataFrame, seeds: DataFrame): DataFrame = {
     val means = argminBySub(vsubF, seeds, "cid", Seq("v6"))
       .select(col("sub"), col("cid"), posexplode(col("v6")).as(Seq("pos", "vv")))
       .groupBy("sub", "cid", "pos")
@@ -192,29 +254,62 @@ object PQ {
       codesPivot(encoded(s, dir)).localCheckpoint(true)
     }
 
+  /** [[codebook]] for an arbitrary sizing — the fixture sizing shares
+    * [[codebook]]'s cache; other sizings memoize under a
+    * params-qualified tag (a byte-code build and the fixture build
+    * must never share a cached frame). */
+  private def codebookP(s: SparkSession, dir: String, p: PqParams): DataFrame =
+    if (p == fixturePq) codebook(s, dir)
+    else Dedup.memoized(s"pqcb:${p.m}x${p.subDim}x${p.k}", s, dir, 0, 0) {
+      cbPivot(trainCodebookLong(vsub(ve(s, dir), p), p)).localCheckpoint(true)
+    }
+
+  /** [[codesArr]] for an arbitrary sizing (see [[codebookP]]). */
+  private def codesArrP(s: SparkSession, dir: String, p: PqParams): DataFrame =
+    if (p == fixturePq) codesArr(s, dir)
+    else Dedup.memoized(s"pqcodes:${p.m}x${p.subDim}x${p.k}", s, dir, 0, 0) {
+      codesPivot(encodeWith(vsub(ve(s, dir), p), codebookP(s, dir, p)))
+        .localCheckpoint(true)
+    }
+
   /** The ADC lookup tables for a probe frame: (qid, tab[pqM * pqK]) —
     * one integer subspace-distance per (sub, code), laid out sub-major
     * so a candidate's approximate distance is
     * sum_m tab[m * K + code_m]. O(probes x M x K) rows — broadcast. */
-  private def adcTables(probes: DataFrame, cb: DataFrame): DataFrame =
-    adcTablesKeyed(probes.withColumnRenamed("vec_id", "qid"), cb, Seq("qid"))
+  private def adcTables(probes: DataFrame, cb: DataFrame,
+      p: PqParams = fixturePq): DataFrame =
+    adcTablesKeyed(probes.withColumnRenamed("vec_id", "qid"), cb, Seq("qid"), p)
 
   /** `keys` = (qid) for whole-space tables; (qid, cent_id) for the
     * residual form, where every probed CELL gets its own table. */
   private def adcTablesKeyed(probes6: DataFrame, cb: DataFrame,
-      keys: Seq[String]): DataFrame =
+      keys: Seq[String], p: PqParams = fixturePq): DataFrame =
     probes6.join(broadcast(cb), Seq("sub"))
-      .select(keys.map(col) ++ Seq((col("sub") * pqK + col("code")).as("idx"),
+      .select(keys.map(col) ++ Seq((col("sub") * p.k + col("code")).as("idx"),
         d2(col("v6"), col("c6")).as("td")): _*)
       .groupBy(keys.map(col): _*)
       .agg(transform(array_sort(collect_list(struct(col("idx"), col("td")))),
-        p => p.getField("td")).as("tab"))
+        x => x.getField("td")).as("tab"))
 
   /** sum_m tab[m * K + codes[m]] — the ADC score: M array lookups per
     * (candidate, probe), pure codegen, no float math. */
-  private def adcScore(tab: Column, codes: Column): Column =
-    aggregate(sequence(lit(0), lit(pqM - 1)), lit(0L), (acc, m) =>
-      acc + element_at(tab, (m * pqK + element_at(codes, m + 1) + 1).cast("int")))
+  private def adcScore(tab: Column, codes: Column,
+      p: PqParams = fixturePq): Column =
+    aggregate(sequence(lit(0), lit(p.m - 1)), lit(0L), (acc, m) =>
+      acc + element_at(tab, (m * p.k + element_at(codes, m + 1) + 1).cast("int")))
+
+  /** Re-derive a persisted index's sizing from its stored codebook
+    * table (M = distinct subspaces, K = rows per subspace, subDim =
+    * codeword width): the index is self-describing, like the
+    * `_residual` marker — the serving, append, and rebalance paths
+    * never need the build-time params restated. M x K rows: a
+    * driver-manifest-class aggregate. */
+  private def paramsOf(cb: DataFrame): PqParams = {
+    val r = cb.agg(countDistinct(col("sub")).as("m"), count(lit(1)).as("mk"),
+      max(size(col("c6"))).as("sd")).head()
+    val m = r.getLong(0).toInt
+    PqParams(m, r.getInt(2), (r.getLong(1) / m).toInt)
+  }
 
   // ---- DuckDB oracle fragments ---------------------------------------
 
@@ -233,10 +328,11 @@ object PQ {
     * dense code ranks, and the per-vector encoding enc. Shared by the
     * plain (qn30–qn32 via [[sqlPqCtes]]) and residual (qn36) oracles —
     * mirrors [[trainCodebookLong]] / [[encodeWith]] term for term. */
-  private def sqlTrainEncCtes(sub: String, cnt: String): String =
-    s"""pst AS (SELECT GREATEST(1, COUNT(*) // $pqK) AS stride FROM $cnt),
+  private def sqlTrainEncCtes(sub: String, cnt: String,
+      p: PqParams = fixturePq): String =
+    s"""pst AS (SELECT GREATEST(1, COUNT(*) // ${p.k}) AS stride FROM $cnt),
        |seeds AS (SELECT sub, vec_id AS cid, v6 AS ce6 FROM $sub, pst
-       |          WHERE vec_id % stride = 0 AND vec_id < stride * $pqK),
+       |          WHERE vec_id % stride = 0 AND vec_id < stride * ${p.k}),
        |sasg AS (SELECT vec_id, sub, v6, cid FROM (
        |         SELECT v.vec_id, v.sub, v.v6, sd.cid,
        |                ROW_NUMBER() OVER (PARTITION BY v.vec_id, v.sub
@@ -244,11 +340,11 @@ object PQ {
        |         FROM $sub v JOIN seeds sd USING (sub)) WHERE rn = 1),
        |ml AS (SELECT sub, cid, i AS pos, COUNT(*) AS n,
        |              CAST(floor(CAST(SUM(v6[i+1]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS m6
-       |       FROM sasg, (SELECT unnest(range(0, $pqSubDim)) AS i) GROUP BY 1, 2, 3),
+       |       FROM sasg, (SELECT unnest(range(0, ${p.subDim})) AS i) GROUP BY 1, 2, 3),
        |cbl AS (SELECT sdl.sub, sdl.cid, sdl.pos,
        |               COALESCE(ml.n, 0) AS n, COALESCE(ml.m6, sdl.sv) AS centroid_e6
        |        FROM (SELECT sd.sub, sd.cid, i AS pos, sd.ce6[i+1] AS sv
-       |              FROM seeds sd, (SELECT unnest(range(0, $pqSubDim)) AS i)) sdl
+       |              FROM seeds sd, (SELECT unnest(range(0, ${p.subDim})) AS i)) sdl
        |        LEFT JOIN ml ON ml.sub = sdl.sub AND ml.cid = sdl.cid AND ml.pos = sdl.pos),
        |cb AS (SELECT sub, cid, ROW_NUMBER() OVER (PARTITION BY sub ORDER BY cid) - 1 AS code,
        |              list(centroid_e6 ORDER BY pos) AS c6
@@ -265,13 +361,13 @@ object PQ {
 
   /** Shared CTE prefix for the PLAIN (non-residual) pipeline: e6 view,
     * subspace slices, then the training + encoding block. */
-  private def sqlPqCtes: String =
+  private def sqlPqCtes(p: PqParams = fixturePq): String =
     s"""ve AS (SELECT vec_id, ${sqlE6List("embedding")} AS emb6
        |       FROM embeddings),
-       |subs AS (SELECT unnest(range(0, $pqM)) AS sub),
-       |vsub AS (SELECT vec_id, sub, list_slice(emb6, sub*$pqSubDim + 1, sub*$pqSubDim + $pqSubDim) AS v6
+       |subs AS (SELECT unnest(range(0, ${p.m})) AS sub),
+       |vsub AS (SELECT vec_id, sub, list_slice(emb6, sub*${p.subDim} + 1, sub*${p.subDim} + ${p.subDim}) AS v6
        |         FROM ve, subs),
-       |${sqlTrainEncCtes("vsub", "ve")}""".stripMargin
+       |${sqlTrainEncCtes("vsub", "ve", p)}""".stripMargin
 
   /** Probe-side ADC tables in long form: (qid, sub, code, td). */
   private def sqlProbeTab(probeFilter: String): String =
@@ -286,7 +382,7 @@ object PQ {
   val all: Seq[Q] = Seq(
     // PQ codebook training: one deterministic Lloyd step per subspace.
     Q("qn30_pq_codebooks",
-      s"""WITH $sqlPqCtes
+      s"""WITH ${sqlPqCtes()}
          |SELECT sub, cid, pos, n, centroid_e6 FROM cbl
          |ORDER BY sub, cid, pos""".stripMargin) { (s, dir) =>
       codebookLong(s, dir).orderBy("sub", "cid", "pos")
@@ -294,7 +390,7 @@ object PQ {
 
     // PQ encoding: the packed code word + integer reconstruction error.
     Q("qn31_pq_encode",
-      s"""WITH $sqlPqCtes
+      s"""WITH ${sqlPqCtes()}
          |SELECT vec_id,
          |       CAST(SUM(code * (CASE sub WHEN 0 THEN 1 WHEN 1 THEN 16
          |                                 WHEN 2 THEN 256 ELSE 4096 END)) AS BIGINT) AS code_packed,
@@ -313,11 +409,30 @@ object PQ {
         .orderBy("vec_id")
     },
 
+    // PQ encode at a NON-FIXTURE sizing (M=8 subspaces of 8 dims,
+    // K=32): the whole parameterized pipeline — slicing, stride
+    // seeding, Lloyd step, dense code ranks, argmin encode — replayed
+    // by the oracle at a second (m, subDim, k) point, so a fixture
+    // constant left anywhere in the param plumbing breaks the hash.
+    // Long form (no packed word: packing is a K-specific display).
+    // Production byte-code sizing (M=16/K=256) changes only these
+    // three numbers; its recall/compression is priced in the pq
+    // battery (BENCH_NOTES).
+    Q("qn37_pq_encode_m8",
+      s"""WITH ${sqlPqCtes(PqParams(8, 8, 32))}
+         |SELECT vec_id, sub, code, CAST(d2 AS BIGINT) AS err_e12
+         |FROM enc ORDER BY vec_id, sub""".stripMargin) { (s, dir) =>
+      val p = PqParams(8, 8, 32)
+      encodeWith(vsub(ve(s, dir), p), codebookP(s, dir, p))
+        .select(col("vec_id"), col("sub"), col("code"), col("d2min").as("err_e12"))
+        .orderBy("vec_id", "sub")
+    },
+
     // ADC brute scan: every vector scored against every probe via M
     // table lookups over the codes — the compressed full-scan baseline
     // (what a PQ store falls back to when no IVF route exists).
     Q("qn32_ann_pq_adc",
-      s"""WITH $sqlPqCtes,
+      s"""WITH ${sqlPqCtes()},
          |${sqlProbeTab("vec_id < 10")},
          |adc AS (SELECT pt.qid, e.vec_id, CAST(SUM(pt.td) AS BIGINT) AS adist_e12
          |        FROM enc e JOIN pt ON pt.sub = e.sub AND pt.code = e.code
@@ -342,7 +457,7 @@ object PQ {
     // cells, ADC ranks the cells' codes, only the top-R shortlist pays
     // a full-precision read for the exact cosine re-rank.
     Q("qn33_ann_ivfpq_refine",
-      s"""WITH $sqlPqCtes,
+      s"""WITH ${sqlPqCtes()},
          |${sqlProbeTab("vec_id < 10")},
          |v AS (SELECT vec_id, embedding, ${sqlL2norm("embedding")} AS nrm FROM embeddings),
          |ist AS (SELECT GREATEST(1, COUNT(*) // 16) AS stride FROM v),
@@ -562,34 +677,61 @@ object PQ {
     * not correctness — priced in the pq battery; the qn33 bit-parity
     * contract holds only for the default flat build. */
   def buildPqIndex(s: SparkSession, dir: String, path: String,
-      nCells: Int = 16, fastAssign: Boolean = false,
-      residual: Boolean = false): Unit = {
+      nCells: Int = 16, fastAssign: Option[Boolean] = None,
+      residual: Boolean = false, params: PqParams = fixturePq): Unit = {
     val v = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("embedding"), l2normNative(col("embedding")).as("nrm"))
     val cents = coarseCents(v, nCells)
     val localCents = s.createDataFrame(
       java.util.Arrays.asList(cents.collect(): _*), cents.schema)
+    // Assignment DISPATCH (the qn06/qn10e pattern — measured size picks
+    // the branch): flat below [[fastAssignMinCells]] (bit-parity with
+    // qn33, and the two-tier route's fixed costs don't pay for
+    // themselves on a small centroid table — bracketed in the pq
+    // battery), two-tier at/above it (the flat N x nCells argmax is
+    // the N^1.5 build wall at production nCells ~ sqrt(N); measured
+    // 7.5x at 1M vectors). `fastAssign = Some(_)` pins a branch for
+    // the battery and the parity specs.
+    val useFast = fastAssign.getOrElse(nCells >= fastAssignMinCells)
     val asg =
-      if (fastAssign) fastCoarseAssign(v, localCents)
+      if (useFast) fastCoarseAssign(v, localCents)
       else coarseAssign(v, localCents)
     // `residual = true` stores the qn36 encoding (codebooks trained on
     // v - coarse_centroid; a `_residual` marker makes the probe's
     // scoring dispatch self-describing). Memo keys carry nCells: the
     // residuals depend on the coarse layout, so a 16-cell build and a
     // sqrt(N)-cell build must never share a cached frame.
-    val fastKey = if (fastAssign) 1 else 0
+    val fastKey = if (useFast) 1 else 0
+    // Non-fixture sizings memoize under a params-qualified tag — a
+    // 16x256 build and the fixture 4x16 build must never share a
+    // cached frame (same reasoning as the nCells key).
+    val ptag =
+      if (params == fixturePq) ""
+      else s":${params.m}x${params.subDim}x${params.k}"
     val cb =
-      if (residual) Dedup.memoized("pqrcb", s, dir, nCells.toLong, fastKey) {
-        cbPivot(trainCodebookLong(residualSub(s, dir, localCents, asg)))
+      if (residual) Dedup.memoized(s"pqrcb$ptag", s, dir, nCells.toLong, fastKey) {
+        cbPivot(trainCodebookLong(residualSub(s, dir, localCents, asg, params), params))
           .localCheckpoint(true)
       }
-      else codebook(s, dir)
+      else codebookP(s, dir, params)
     val codes =
-      if (residual) Dedup.memoized("pqrcodes", s, dir, nCells.toLong, fastKey) {
-        codesPivot(encodeWith(residualSub(s, dir, localCents, asg), cb))
+      if (residual) Dedup.memoized(s"pqrcodes$ptag", s, dir, nCells.toLong, fastKey) {
+        codesPivot(encodeWith(residualSub(s, dir, localCents, asg, params), cb))
           .localCheckpoint(true)
       }
-      else codesArr(s, dir)
+      else codesArrP(s, dir, params)
+    // The `_residual` marker drops BEFORE the data writes and lands
+    // again only after ALL of them: a crash mid-build (e.g. rebuilding
+    // a residual index as plain) must never leave a complete-LOOKING
+    // lake whose marker claims the other encoding — marker-absent
+    // mis-describes at worst a visibly half-written index. (A build is
+    // a from-scratch overwrite, not crash-safe as a whole; the
+    // crash-safe rewrite of a LIVE index is [[rebalancePqIndex]]'s
+    // two-phase swap.)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(s.sessionState.newHadoopConf())
+    val marker = new org.apache.hadoop.fs.Path(s"$path/_residual")
+    fs.delete(marker, false): Unit
     asg.join(codes, Seq("vec_id"))
       .select(col("vec_id"), col("codes"), col("cent_id"))
       .repartition(col("cent_id"))
@@ -598,19 +740,30 @@ object PQ {
     // ~topR rows per probe by vec_id, so rows sort by vec_id within
     // each cell and row groups stay small — the vec_id IN (shortlist)
     // pushdown then skips every row group whose min/max misses the ids,
-    // instead of paying the whole cell's floats per probe.
+    // instead of paying the whole cell's floats per probe. cent_id must
+    // LEAD the sort: partitionBy requires partition-column ordering,
+    // and when the incoming ordering doesn't already satisfy it the
+    // file writer injects its own NON-STABLE sort on cent_id alone —
+    // silently destroying the vec_id order this layout is for (caught
+    // by PQSpec's appended-file sortedness assert).
     v.join(asg, Seq("vec_id"))
-      .repartition(col("cent_id")).sortWithinPartitions(col("vec_id"))
+      .repartition(col("cent_id")).sortWithinPartitions(col("cent_id"), col("vec_id"))
       .write.mode("overwrite").option("parquet.block.size", 1L << 20)
       .partitionBy("cent_id").parquet(s"$path/vectors")
     cb.coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
     localCents.coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(s.sessionState.newHadoopConf())
-    val marker = new org.apache.hadoop.fs.Path(s"$path/_residual")
     if (residual) fs.create(marker, true).close()
-    else fs.delete(marker, false): Unit // a rebuild can change encoding
   }
+
+  /** Cell-count threshold at/above which [[buildPqIndex]] (and the
+    * rebalance retrain) default to the two-tier `fastAssign` coarse
+    * assignment. Bracketed in the pq battery's dispatch arm: the
+    * two-tier form's fixed overhead (two extra windows + a join) loses
+    * below ~a hundred cells and its N x 2 sqrt(nCells) vs N x nCells
+    * advantage grows without bound past it (2.3x at 353 cells, 7.5x at
+    * 1000 — BENCH_NOTES). Below the threshold the flat branch keeps
+    * the qn33 bit-parity contract. */
+  private[graft] val fastAssignMinCells = 128
 
   /** Does the index at `path` store residual codes? (The `_residual`
     * marker [[buildPqIndex]] maintains — the probe's scoring dispatch.) */
@@ -623,24 +776,39 @@ object PQ {
     * coarse centroid, in e6 integer space) — the qn36 training/encode
     * input, shared with the residual persisted build. */
   private def residualSub(s: SparkSession, dir: String,
-      cents: DataFrame, asg: DataFrame): DataFrame = {
+      cents: DataFrame, asg: DataFrame, p: PqParams = fixturePq): DataFrame =
+    vsub(residualVe(ve(s, dir), asg, cents), p)
+
+  /** RESIDUAL e6 view of an e6 corpus frame: emb6 - assigned coarse
+    * centroid (e6-floored), per [[buildPqIndex]]'s `residual` encoding.
+    * Shared by the build, the appended-vector encode, and the
+    * rebalance retrain — one definition of "residual space". */
+  private def residualVe(ve6: DataFrame, asg: DataFrame, cents: DataFrame): DataFrame = {
     val cent6 = cents.select(col("cent_id"),
       transform(col("ce"), x => floor(x.cast("double") * 1000000).cast("long")).as("c6full"))
-    val rv = ve(s, dir).join(asg, Seq("vec_id")).join(broadcast(cent6), Seq("cent_id"))
+    ve6.join(asg, Seq("vec_id")).join(broadcast(cent6), Seq("cent_id"))
       .select(col("vec_id"), zip_with(col("emb6"), col("c6full"), (a, b) => a - b).as("emb6"))
-    vsub(rv)
   }
 
   /** Assign and encode NEW vectors against the STORED coarse centroids
     * and codebooks and append them to both temperature tiers:
     * O(new vectors) work, no retrain, and only the cells the new
     * vectors land in gain files (dynamic partition append — the
-    * appendToIvfIndex contract). Codebooks and centroids stay frozen
-    * at build time: re-deriving either per append would silently stale
-    * every already-written code; drift is a REBUILD, on the same
-    * reasoning as the IVF lake's (there via the measured
-    * autoRebalance trigger). `newVecs`: (vec_id, embedding). */
-  def appendToPqIndex(s: SparkSession, newVecs: DataFrame, path: String): Unit = {
+    * appendToIvfIndex contract). Encoding dispatches on the stored
+    * `_residual` marker: a residual-built index keeps codebooks in
+    * RESIDUAL space, so new vectors encode as v - assigned coarse
+    * centroid — raw-space codes there would be silently mis-ranked by
+    * every later probe (the probe's scoring dispatches on the same
+    * marker). Codebooks and centroids stay frozen at build time:
+    * re-deriving either per append would silently stale every
+    * already-written code; drift is a REBUILD ([[rebalancePqIndex]]),
+    * with `autoRebalance = Some(k)` making the cadence MEASURED (the
+    * appendToIvfIndex trigger: per-cell footer counts after the
+    * append; hottest cell > k x the mean over the declared cell count
+    * fires the rebalance). `newVecs`: (vec_id, embedding). */
+  def appendToPqIndex(s: SparkSession, newVecs: DataFrame, path: String,
+      autoRebalance: Option[Int] = None): Unit = {
+    recoverPqRebalance(s, path) // heal any interrupted prior swap first
     val cents = s.read.parquet(s"$path/centroids")
     val cb = s.read.parquet(s"$path/codebooks")
     val v = newVecs.select(col("vec_id"), col("embedding"),
@@ -649,14 +817,100 @@ object PQ {
     val ve6 = v.select(col("vec_id"),
       transform(col("embedding"),
         x => floor(x.cast("double") * 1000000).cast("long")).as("emb6"))
-    val codes = codesPivot(encodeWith(vsub(ve6), cb))
+    val encIn =
+      if (isResidualIndex(s, path)) residualVe(ve6, asg, cents) else ve6
+    val codes = codesPivot(encodeWith(vsub(encIn, paramsOf(cb)), cb))
     asg.join(codes, Seq("vec_id"))
       .select(col("vec_id"), col("codes"), col("cent_id"))
+      .repartition(col("cent_id"))
       .write.mode("append").partitionBy("cent_id").parquet(s"$path/codes")
+    // Mirror the build's point-read cold layout (one file per touched
+    // cell, rows sorted by vec_id, small row groups): an unsorted
+    // append fans out tasks x cells files and forfeits the vec_id
+    // row-group pruning the refine's shortlist read depends on.
     v.join(asg, Seq("vec_id"))
+      .repartition(col("cent_id")).sortWithinPartitions(col("cent_id"), col("vec_id"))
       .write.mode("append").option("parquet.block.size", 1L << 20)
       .partitionBy("cent_id").parquet(s"$path/vectors")
+    autoRebalance.foreach { k =>
+      val stats = Similarity.ivfCellStats(s, path) // same layout: vectors/cent_id=
+      if (stats.nonEmpty) {
+        val nCells = math.max(1L, Similarity.parquetRowCount(s, s"$path/centroids"))
+        val mean = math.max(1.0, stats.values.sum.toDouble / nCells)
+        if (stats.values.max > k * mean) rebalancePqIndex(s, path)
+      }
+    }
   }
+
+  /** The PQ index's swappable sides (the [[IndexSwap]] protocol): both
+    * temperature tiers plus both metadata tables — a rebalance rewrites
+    * all four consistently or not at all. */
+  private val pqSides = Seq("codes", "vectors", "codebooks", "centroids")
+
+  /** Re-cluster AND re-train a persisted IVFADC index in place from its
+    * own cold lake — the drift answer ([[appendToPqIndex]]'s trigger
+    * calls this; a caller can also run it on a cadence).
+    *
+    * Everything re-derives from the lake under the REBUILD seed rules
+    * (an appended lake's id space is arbitrary, so stride seeding is
+    * out): coarse seeds are the sqrt(N) lowest-`xxhash64(vec_id)`
+    * vectors (the rebalanceIvfIndex rule — deterministic,
+    * distribution-free, cell count adapted to the GROWN corpus), and
+    * the codebook retrains one Lloyd step from the K
+    * lowest-`xxhash64(vec_id, salt')` seed vectors ([[hashSeeds]]).
+    * The stored encoding is PRESERVED: a residual index retrains its
+    * codebooks on the residuals against the NEW coarse centroids (the
+    * `_residual` marker is re-read, never flipped — a flip is a
+    * [[buildPqIndex]] decision). The assignment uses the same
+    * [[fastAssignMinCells]] dispatch as the build.
+    *
+    * Crash safety is the [[IndexSwap]] two-phase discipline over all
+    * four sides: tmp writes, marker, swap — either polarity of an
+    * interruption heals on the next [[recoverPqRebalance]] (run by
+    * append and rebalance entry). */
+  def rebalancePqIndex(s: SparkSession, path: String): Unit = {
+    recoverPqRebalance(s, path)
+    val residual = isResidualIndex(s, path)
+    val v = s.read.parquet(s"$path/vectors")
+      .select(col("vec_id"), col("embedding"), col("nrm"))
+    val total = Similarity.ivfCellStats(s, path).values.sum
+    val nCells = math.max(16L, math.ceil(math.sqrt(total.toDouble)).toLong).toInt
+    val seeds = v.orderBy(xxhash64(col("vec_id"), lit(1002)).asc, col("vec_id").asc)
+      .limit(nCells)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("ce"), col("nrm").as("cn"))
+    val localCents = s.createDataFrame(
+      java.util.Arrays.asList(seeds.collect(): _*), seeds.schema)
+    val asg =
+      if (nCells >= fastAssignMinCells) fastCoarseAssign(v, localCents)
+      else coarseAssign(v, localCents)
+    val ve6 = v.select(col("vec_id"),
+      transform(col("embedding"),
+        x => floor(x.cast("double") * 1000000).cast("long")).as("emb6"))
+    val p = paramsOf(s.read.parquet(s"$path/codebooks")) // sizing is preserved
+    val vsubF = vsub(if (residual) residualVe(ve6, asg, localCents) else ve6, p)
+    val cb = cbPivot(lloydStep(vsubF, hashSeeds(vsubF, p.k))).localCheckpoint(true)
+    val codes = codesPivot(encodeWith(vsubF, cb))
+    asg.join(codes, Seq("vec_id"))
+      .select(col("vec_id"), col("codes"), col("cent_id"))
+      .repartition(col("cent_id"))
+      .write.mode("overwrite").partitionBy("cent_id")
+      .parquet(IndexSwap.tmp(path, "codes").toString)
+    v.join(asg, Seq("vec_id"))
+      .repartition(col("cent_id")).sortWithinPartitions(col("cent_id"), col("vec_id"))
+      .write.mode("overwrite").option("parquet.block.size", 1L << 20)
+      .partitionBy("cent_id").parquet(IndexSwap.tmp(path, "vectors").toString)
+    cb.coalesce(1).write.mode("overwrite")
+      .parquet(IndexSwap.tmp(path, "codebooks").toString)
+    localCents.coalesce(1).write.mode("overwrite")
+      .parquet(IndexSwap.tmp(path, "centroids").toString)
+    IndexSwap.commit(s, path, pqSides)
+  }
+
+  /** Heal an interrupted [[rebalancePqIndex]]: committed marker ->
+    * roll FORWARD; no marker -> roll BACK (the [[IndexSwap]]
+    * polarities, over all four PQ sides). */
+  def recoverPqRebalance(s: SparkSession, path: String): Unit =
+    IndexSwap.recover(s, path, pqSides)
 
   /** Probe a persisted IVFADC index: route each probe to its `nProbe`
     * coarse cells via the stored centroids (manifest-class collect, the
@@ -677,8 +931,12 @@ object PQ {
   /** [[probePqIndex]] for an ARBITRARY probe frame of (vec_id,
     * embedding) — the serving entry (the probeIvfIndexWith pattern).
     * Probe batches only: the probes, the routing, and the ADC
-    * shortlist each collect driver-side (all bounded by
-    * #probes x nProbe / x topR rows — manifest-class). */
+    * shortlist each collect driver-side. The probe collect is bounded
+    * FIRST at [[maxProbeBatch]] rows (1e6 / [[adcTopR]]), which also
+    * bounds the shortlist collect at probes x topR <= 1e6 rows;
+    * routing is additionally bounded at probes x nProbe <= 1e6 by
+    * [[routeCells]]. Both bounds fail LOUDLY with instructions — a
+    * corpus-sized probe frame must never OOM the driver silently. */
   def probePqIndexWith(s: SparkSession, probes: DataFrame, path: String,
       nProbe: Int, k: Int): DataFrame = {
     val cents = s.read.parquet(s"$path/centroids")
@@ -686,11 +944,19 @@ object PQ {
     // Probes materialize ONCE as a local relation (manifest-class):
     // the routing, the ADC-table build, the shortlist, and the refine
     // each run their own action, and a lazy probe frame would re-scan
-    // a corpus file per action.
+    // a corpus file per action. The collect is LIMIT-bounded before it
+    // runs — the routeCells discipline, applied one stage earlier.
     val probesRaw = probes
       .select(col("vec_id"), col("embedding"), l2normNative(col("embedding")).as("nrm"))
+    val probeRows = probesRaw.limit(maxProbeBatch + 1).collect()
+    require(probeRows.length <= maxProbeBatch,
+      s"probePqIndexWith: probe batch exceeds $maxProbeBatch rows — the ADC " +
+        s"shortlist collect is bounded at probes x adcTopR($adcTopR) <= 1e6 " +
+        "(the routeCells contract); PQ probing is for probe BATCHES; a " +
+        "corpus-sized probe set should assign both sides to cells and " +
+        "equi-join on cent_id (the qn20 shape)")
     val probesV = s.createDataFrame(
-      java.util.Arrays.asList(probesRaw.collect(): _*), probesRaw.schema)
+      java.util.Arrays.asList(probeRows: _*), probesRaw.schema)
     val (localPc, cells) = routeCells(s, probesV, cents, nProbe)
     val pe6 = probesV.select(col("vec_id").as("probe_id"),
       transform(col("embedding"),
@@ -703,12 +969,14 @@ object PQ {
     // against one table per probe; residual codes against one table
     // per (probe, probed cell) — the probe's residual differs per
     // cell, so the table is keyed by both and the join key widens.
+    val p = paramsOf(cb) // the stored sizing — the index self-describes
     val scored =
       if (!isResidualIndex(s, path)) {
-        val tabs = adcTables(vsub(pe6.withColumnRenamed("probe_id", "vec_id")), cb)
+        val tabs = adcTables(vsub(pe6.withColumnRenamed("probe_id", "vec_id"), p), cb, p)
         cand0.select(col("probe_id").as("qid"), col("vec_id"), col("codes"))
           .join(broadcast(tabs), Seq("qid"))
-          .select(col("qid"), col("vec_id"), adcScore(col("tab"), col("codes")).as("adist_e12"))
+          .select(col("qid"), col("vec_id"),
+            adcScore(col("tab"), col("codes"), p).as("adist_e12"))
       } else {
         val cent6 = cents.select(col("cent_id"),
           transform(col("ce"), x => floor(x.cast("double") * 1000000).cast("long")).as("c6full"))
@@ -716,27 +984,41 @@ object PQ {
           .join(broadcast(cent6), Seq("cent_id"))
           .select(col("probe_id").as("qid"), col("cent_id"),
             zip_with(col("emb6"), col("c6full"), (a, b) => a - b).as("emb6"))
-        val tabs = adcTablesKeyed(vsubKeyed(pr, Seq("qid", "cent_id")), cb, Seq("qid", "cent_id"))
+        val tabs = adcTablesKeyed(vsubKeyed(pr, Seq("qid", "cent_id"), p), cb,
+          Seq("qid", "cent_id"), p)
         cand0.select(col("probe_id").as("qid"), col("cent_id"), col("vec_id"), col("codes"))
           .join(broadcast(tabs), Seq("qid", "cent_id"))
-          .select(col("qid"), col("vec_id"), adcScore(col("tab"), col("codes")).as("adist_e12"))
+          .select(col("qid"), col("vec_id"),
+            adcScore(col("tab"), col("codes"), p).as("adist_e12"))
       }
     val wSl = Window.partitionBy(col("qid")).orderBy(col("adist_e12").asc, col("vec_id").asc)
     val sl = scored.withColumn("rnk", row_number().over(wSl))
       .filter(col("rnk") <= adcTopR).select(col("qid"), col("vec_id"))
-    // The shortlist is manifest-class (probes x topR rows — the same
-    // bound as the routing collect), so it comes back to the driver and
-    // the cold read carries BOTH pushable predicates: the probed-cell
-    // partition filter AND vec_id IN (shortlist) — against the
-    // point-read layout [[buildPqIndex]] writes, row groups without a
-    // shortlisted id never leave disk. A distributed shortlist join
-    // here would read every probed cell's floats whole, making the
-    // refine cost what the ADC tier just saved.
+    // The shortlist is manifest-class (probes x topR <= 1e6 rows — the
+    // probe-collect bound above makes this a hard ceiling), so it comes
+    // back to the driver and the cold read carries BOTH pushable
+    // predicates: the probed-cell partition filter AND a vec_id
+    // pushdown — against the point-read layout [[buildPqIndex]] writes,
+    // row groups without a shortlisted id never leave disk. The vec_id
+    // form DISPATCHES on shortlist size ([[isinMaxIds]]): up to the
+    // threshold it is the exact `IN (ids...)` literal list; above it, a
+    // plan with ~1e6 literals is itself the hazard (driver memory +
+    // analysis cost), so the pushdown degrades to the RANGE
+    // `vec_id BETWEEN min AND max` — still row-group-prunable against
+    // the sorted-by-vec_id layout (priced in the pq battery) — and
+    // EXACTNESS is unaffected either way: the inner join on the
+    // broadcast shortlist below filters precisely. A distributed
+    // shortlist join with no pushdown at all would read every probed
+    // cell's floats whole, making the refine cost what the ADC tier
+    // just saved.
     val slRows = sl.collect()
     val slIds = slRows.map(_.getLong(1)).distinct.toSeq
     val localSl = s.createDataFrame(java.util.Arrays.asList(slRows: _*), sl.schema)
+    val slPush =
+      if (slIds.length <= isinMaxIds(s)) col("vec_id").isin(slIds: _*)
+      else col("vec_id").between(slIds.min, slIds.max)
     val cold = s.read.parquet(s"$path/vectors")
-      .filter(col("cent_id").isin(cells: _*) && col("vec_id").isin(slIds: _*))
+      .filter(col("cent_id").isin(cells: _*) && slPush)
       .select(col("vec_id"), col("embedding").as("de"), col("nrm").as("dn"))
     val refScore = e6(cosine(dotNative(col("qe"), col("de")), col("qn"), col("dn")))
     val wRef = Window.partitionBy(col("qid")).orderBy(col("score_e6").desc, col("vec_id").asc)
@@ -763,9 +1045,10 @@ object PQ {
       .withColumn("rn", row_number().over(wRoute)).filter(col("rn") <= nProbe)
       .select(col("probe_id"), col("cent_id"))
     // The probeIvfIndexWith contract, enforced the same LOUD way: the
-    // route (and downstream, the probes and the topR shortlist, both
-    // smaller) collects driver-side, so a corpus-sized probe frame
-    // must fail with instructions, never OOM the driver silently.
+    // route collects driver-side, so a probe batch that fans out to
+    // too many (probe, cell) rows must fail with instructions, never
+    // OOM the driver silently. (The probe frame itself and the topR
+    // shortlist carry their own 1e6 bound via [[maxProbeBatch]].)
     val pcRows = pc.limit(1000001).collect()
     require(pcRows.length <= 1000000,
       "routeCells: probe batch routes to >1e6 (probe, cell) rows — " +

@@ -57,10 +57,12 @@ object Similarity {
     * windows and a join; at the 16-cell fixture that fixed overhead is
     * +0.5s against a routing stage that is already trivial (measured in
     * the ivfjoin battery: flat wins until ~500k vectors ~ 700
-    * centroids; coarse's lead grows past it). 256 centroids ~ a 65k+
-    * vector index at the sqrt(N) rule — safely past where flat's k-per-
-    * probe work still beats the coarse tier's constants, well before it
-    * loses. The qn06 dispatch pattern: measured size picks the branch,
+    * centroids; coarse's lead grows past it). The threshold SITS AT
+    * that measured crossover: below it the coarse branch would be both
+    * slower (its constants dominate) AND lossy (coarse-MISS semantics)
+    * — a round-12 advice finding moved it up from 256, where 256-700
+    * centroid indexes paid the semantics change for a performance
+    * loss. The qn06 dispatch pattern: measured size picks the branch,
     * and BOTH branches stay oracle-gated every round (qn10d pins flat,
     * qn10e forces coarse at fixture size).
     *
@@ -72,7 +74,7 @@ object Similarity {
     * invisible. A caller crossing the threshold (growing index) sees
     * that drift by design; this doc and the dispatch site are the
     * declared contract. */
-  private[graft] val coarseRouteMinCentroids = 256L
+  private[graft] val coarseRouteMinCentroids = 700L
 
   /** qn08c's plant: vectors with vec_id < plantCount gain a near-dup
     * copy at vec_id + plantIdOffset whose first coordinate is scaled
@@ -912,53 +914,20 @@ object Similarity {
     val localCents = s.createDataFrame(
       java.util.Arrays.asList(seeds.collect(): _*), seeds.schema)
     ivfAssigned(v, localCents).write.mode("overwrite")
-      .partitionBy("cent_id").parquet(s"$path/.vectors_rebal_tmp")
-    localCents.coalesce(1).write.mode("overwrite").parquet(s"$path/.centroids_rebal_tmp")
-    val fs = rebalFs(s, path)
-    val marker = rebalMarker(path)
-    fs.create(marker, true).close()
-    finishRebalSwap(s, path)
+      .partitionBy("cent_id").parquet(IndexSwap.tmp(path, "vectors").toString)
+    localCents.coalesce(1).write.mode("overwrite")
+      .parquet(IndexSwap.tmp(path, "centroids").toString)
+    IndexSwap.commit(s, path, ivfSides)
   }
 
-  private def rebalFs(s: SparkSession, path: String) =
-    new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(s.sessionState.newHadoopConf())
-  private def rebalMarker(path: String) =
-    new org.apache.hadoop.fs.Path(s"$path/.rebal_committed")
-
-  /** Complete the marker-committed swap: idempotent per side, so a
-    * crash at ANY rename resumes here. */
-  private def finishRebalSwap(s: SparkSession, path: String): Unit = {
-    import org.apache.hadoop.fs.Path
-    val fs = rebalFs(s, path)
-    Seq("vectors", "centroids").foreach { side =>
-      val live = new Path(s"$path/$side")
-      val tmp = new Path(s"$path/.${side}_rebal_tmp")
-      val old = new Path(s"$path/.${side}_rebal_old")
-      if (fs.exists(tmp)) {
-        if (fs.exists(live)) {
-          if (!fs.exists(old)) require(fs.rename(live, old), s"rebalance: aside of $live failed")
-          else fs.delete(live, true): Unit // live was a partial tmp move of a resumed swap
-        }
-        require(fs.rename(tmp, live), s"rebalance: swap-in of $tmp failed")
-      }
-      if (fs.exists(old)) fs.delete(old, true): Unit
-    }
-    fs.delete(rebalMarker(path), false): Unit
-  }
+  /** The IVF index's swappable sides (the [[IndexSwap]] protocol). */
+  private val ivfSides = Seq("vectors", "centroids")
 
   /** Heal an interrupted [[rebalanceIvfIndex]]: committed marker ->
     * roll FORWARD (finish the swap); no marker -> roll BACK (drop any
     * half-written tmp siblings; the live dirs were never touched). */
-  def recoverRebalance(s: SparkSession, path: String): Unit = {
-    import org.apache.hadoop.fs.Path
-    val fs = rebalFs(s, path)
-    if (fs.exists(rebalMarker(path))) finishRebalSwap(s, path)
-    else Seq("vectors", "centroids").foreach { side =>
-      val tmp = new Path(s"$path/.${side}_rebal_tmp")
-      if (fs.exists(tmp)) fs.delete(tmp, true): Unit
-    }
-  }
+  def recoverRebalance(s: SparkSession, path: String): Unit =
+    IndexSwap.recover(s, path, ivfSides)
 
   /** Probe a persisted IVF index: route probes via the stored centroid
     * table, then scan ONLY the probed cells — `cent_id IN (...)` lands
@@ -1072,7 +1041,7 @@ object Similarity {
     * metadata, ZERO Spark jobs (the BloomLake footer-walk class). Sized
     * for manifest-scale tables (the centroid table: sqrt(N) rows, one
     * coalesced file); never call it on a data lake. */
-  private def parquetRowCount(s: SparkSession, dir: String): Long = {
+  private[graft] def parquetRowCount(s: SparkSession, dir: String): Long = {
     val conf = s.sessionState.newHadoopConf()
     graft.sources.LakeListing.dataFiles(conf, new org.apache.hadoop.fs.Path(dir))
       .map { f =>

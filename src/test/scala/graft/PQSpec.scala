@@ -87,6 +87,44 @@ class PQSpec extends AnyFunSuite {
     } finally spark.listenerManager.unregister(listener)
   }
 
+  test("probe batch collect is loudly bounded; oversized shortlists degrade to the range pushdown") {
+    val path = graft.operators.Similarity.newIndexDir()
+    graft.operators.PQ.buildPqIndex(spark, sf, path)
+    // (a) a probe frame past maxProbeBatch must fail with instructions
+    // BEFORE anything corpus-sized collects (the routeCells contract,
+    // one stage earlier): probes x adcTopR is the shortlist collect.
+    val over = spark.range(graft.operators.PQ.maxProbeBatch + 1L)
+      .select(col("id").as("vec_id"),
+        transform(sequence(lit(0), lit(63)),
+          i => (i.cast("double") / 64.0).cast("float")).as("embedding"))
+    val ex = intercept[IllegalArgumentException] {
+      graft.operators.PQ.probePqIndexWith(spark, over, path, 4, 5).collect()
+    }
+    assert(ex.getMessage.contains("probe batch exceeds") &&
+      ex.getMessage.contains("qn20"), ex.getMessage)
+    // (b) above the isin threshold the cold-read pushdown degrades to
+    // BETWEEN(min, max) — still pushable (range row-group pruning
+    // against the sorted-by-vec_id layout) — and the result is
+    // bit-identical: the broadcast-shortlist inner join carries
+    // exactness, the pushdown is IO-only.
+    val baseline = graft.operators.PQ.probePqIndex(spark, sf, path, 4, 5)
+      .collect().map(_.toString).toSeq
+    spark.conf.set("spark.graft.pq.isinMaxIds", "1")
+    try {
+      val ranged = graft.operators.PQ.probePqIndex(spark, sf, path, 4, 5)
+      val rows = ranged.collect().map(_.toString).toSeq
+      assert(rows == baseline, "range pushdown changed the probe result")
+      val cold = allScans(ranged.queryExecution.executedPlan)
+        .filter(_.partitionFilters.exists(_.toString.contains("cent_id")))
+      assert(cold.size == 1)
+      val pushed = cold.head.metadata("PushedFilters")
+      assert(pushed.contains("GreaterThanOrEqual(vec_id") &&
+        pushed.contains("LessThanOrEqual(vec_id"),
+        s"range form not pushed: $pushed")
+      assert(!pushed.contains("In(vec_id"), s"unexpected isin under range form: $pushed")
+    } finally spark.conf.unset("spark.graft.pq.isinMaxIds")
+  }
+
   test("codes lake is the hot side: materially smaller than the float lake") {
     val path = graft.operators.Similarity.newIndexDir()
     graft.operators.PQ.buildPqIndex(spark, sf, path)
@@ -153,6 +191,73 @@ class PQSpec extends AnyFunSuite {
       .filter(col("qid") === 3 && col("rnk") === 1).collect()
     assert(top.length == 1 && top.head.getLong(2) == 99999L,
       s"planted near-copy not probe 3's top neighbor: ${top.mkString}")
+  }
+
+  test("append to a RESIDUAL index encodes in residual space (marker dispatch)") {
+    // The round-12 advice bug: appendToPqIndex encoded raw e6 values
+    // against RESIDUAL-space codebooks, so appended near-neighbors were
+    // silently mis-ranked. The planted near-copy must survive the full
+    // residual chain: residual encode on append, residual ADC tables on
+    // probe, shortlist, exact refine.
+    val path = graft.operators.Similarity.newIndexDir()
+    graft.operators.PQ.buildPqIndex(spark, sf, path, residual = true)
+    val planted = Tables.embeddings(spark, sf).filter(col("vec_id") === 3)
+      .select(lit(88888L).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          when(i === 0, (x.cast("double") * 1.01).cast("float")).otherwise(x)).as("embedding"))
+    graft.operators.PQ.appendToPqIndex(spark, planted, path)
+    val top = graft.operators.PQ.probePqIndex(spark, sf, path, 4, 5)
+      .filter(col("qid") === 3 && col("rnk") === 1).collect()
+    assert(top.length == 1 && top.head.getLong(2) == 88888L,
+      s"planted near-copy not probe 3's top neighbor under residual append: ${top.mkString}")
+    // The appended row's CODES must equal what a residual build of the
+    // same corpus state would store: re-encode check — its code word
+    // scores below adcTopR against probe 3's tables (already implied by
+    // rnk=1 via the shortlist), and the hot side grew by exactly 1.
+    assert(spark.read.parquet(s"$path/codes").filter(col("vec_id") === 88888L).count() == 1)
+  }
+
+  test("appended cold files keep the point-read layout: one file per touched cell, sorted by vec_id") {
+    val path = graft.operators.Similarity.newIndexDir()
+    graft.operators.PQ.buildPqIndex(spark, sf, path)
+    def vecFiles(): Map[String, Set[String]] = {
+      val root = new java.io.File(s"$path/vectors")
+      Option(root.listFiles).getOrElse(Array.empty).filter(_.getName.startsWith("cent_id="))
+        .map(d => d.getName -> d.listFiles.map(_.getName).filter(_.endsWith(".parquet")).toSet)
+        .toMap
+    }
+    val before = vecFiles()
+    // The BUILD's files must already hold the declared order (the sort
+    // must lead with cent_id, or partitionBy's injected non-stable
+    // partition-column sort scrambles vec_id — the bug this assert
+    // caught on the append path first).
+    before.foreach { case (cell, files) =>
+      files.foreach { f =>
+        val ids = spark.read.parquet(s"$path/vectors/$cell/$f")
+          .select("vec_id").collect().map(_.getLong(0)).toSeq
+        assert(ids == ids.sorted, s"$cell build file not sorted by vec_id")
+      }
+    }
+    // A WIDE batch (60 vectors fanning out to many cells): without the
+    // repartition(cent_id) the write fans out tasks x cells files; with
+    // it each touched cell gains exactly ONE file, rows sorted by
+    // vec_id so the refine's id pushdown can skip row groups.
+    val batch = Tables.embeddings(spark, sf).filter(col("vec_id") < 60)
+      .select((col("vec_id") + 500000L).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          when(i === 1, (x.cast("double") * 1.03).cast("float")).otherwise(x)).as("embedding"))
+    graft.operators.PQ.appendToPqIndex(spark, batch, path)
+    val after = vecFiles()
+    val grown = after.filter { case (cell, files) =>
+      (files -- before.getOrElse(cell, Set.empty)).nonEmpty }
+    assert(grown.nonEmpty)
+    grown.foreach { case (cell, files) =>
+      val added = (files -- before.getOrElse(cell, Set.empty)).toSeq
+      assert(added.size == 1, s"$cell gained ${added.size} files — append fan-out is back")
+      val ids = spark.read.parquet(s"$path/vectors/$cell/${added.head}")
+        .select("vec_id").collect().map(_.getLong(0)).toSeq
+      assert(ids == ids.sorted, s"$cell appended file not sorted by vec_id")
+    }
   }
 
   test("a probe stream over the persisted PQ index matches the batch probe") {
@@ -245,7 +350,7 @@ class PQSpec extends AnyFunSuite {
       // the same corpus: co-members still co-locate (they route through
       // the same coarse cells), so the floor holds for it too.
       val pathFast = graft.operators.Similarity.newIndexDir()
-      graft.operators.PQ.buildPqIndex(spark, tmp.toString, pathFast, 16, fastAssign = true)
+      graft.operators.PQ.buildPqIndex(spark, tmp.toString, pathFast, 16, fastAssign = Some(true))
       val fast = graft.operators.PQ.probePqIndex(spark, tmp.toString, pathFast, 4, 5)
         .select("qid", "vec_id").collect()
         .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
@@ -256,6 +361,42 @@ class PQSpec extends AnyFunSuite {
       // coarse cells; the tie-break analysis says no, this pins it).
       assert(spark.read.parquet(s"$pathFast/codes").count() == 200L,
         "fastAssign dropped or duplicated vectors")
+
+      // residual x fastAssign COMBINED: the memo keys carry both
+      // (fastKey), and the qn36 run above already cached the
+      // flat-assignment residual frames for this corpus — a stale-memo
+      // bug that ignored fastKey would pair fast assignments with
+      // flat-residual codes and silently mis-encode every vector,
+      // which cannot clear the recall floor.
+      val pathRF = graft.operators.Similarity.newIndexDir()
+      graft.operators.PQ.buildPqIndex(spark, tmp.toString, pathRF, 16,
+        fastAssign = Some(true), residual = true)
+      assert(new java.io.File(s"$pathRF/_residual").exists)
+      val rf = graft.operators.PQ.probePqIndex(spark, tmp.toString, pathRF, 4, 5)
+        .select("qid", "vec_id").collect()
+        .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+      val rfHits = exact.map { case (q, ex) => (rf.getOrElse(q, Set.empty) & ex).size }.sum
+      assert(rfHits >= 40, s"residual+fastAssign recall@5 = $rfHits/50")
+      assert(spark.read.parquet(s"$pathRF/codes").count() == 200L)
+
+      // Non-fixture sizing (M=8, byte-class K): the persisted index
+      // SELF-DESCRIBES via its codebook table, so the unchanged probe
+      // path serves it — any leftover fixture constant in the ADC
+      // layout (idx = sub*K + code, the M-term fold) would misalign
+      // every lookup and cannot clear the floor. (At 200 vectors the
+      // stride rule caps the realized K at 200 per subspace — paramsOf
+      // must report the REALIZED sizing, which this exercises too.)
+      val pathMk = graft.operators.Similarity.newIndexDir()
+      graft.operators.PQ.buildPqIndex(spark, tmp.toString, pathMk, 16,
+        params = graft.operators.PQ.PqParams(8, 8, 256))
+      val mk = graft.operators.PQ.probePqIndex(spark, tmp.toString, pathMk, 4, 5)
+        .select("qid", "vec_id").collect()
+        .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+      val mkHits = exact.map { case (q, ex) => (mk.getOrElse(q, Set.empty) & ex).size }.sum
+      assert(mkHits >= 40, s"M=8/K=256 recall@5 = $mkHits/50")
+      assert(spark.read.parquet(s"$pathMk/codes")
+        .select(size(col("codes"))).head().getInt(0) == 8,
+        "M=8 index did not store 8 codes per vector")
     } finally {
       def rm(f: java.io.File): Unit = {
         if (f.isDirectory) Option(f.listFiles).getOrElse(Array.empty).foreach(rm)

@@ -1,0 +1,186 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The persisted IVFADC (PQ) index's drift lifecycle — the
+  * IvfRebalanceSpec discipline applied to the four-sided index:
+  * the autoRebalance trigger on append, the in-place re-cluster AND
+  * codebook retrain it fires, encoding preservation (`_residual`),
+  * and the two-phase swap's crash polarities.
+  */
+class PqRebalanceSpec extends AnyFunSuite {
+  import TestSpark._
+  import graft.operators.PQ
+
+  /** The IvfRebalanceSpec drift flood: `count` near-identical vectors
+    * around one direction (10 sub-directions so a re-cluster CAN split
+    * them), ids offset to 50000+. Under the build-time centroids they
+    * all land in one cell. */
+  private def drift(count: Int) = {
+    import spark.implicits._
+    (0 until count).map { i =>
+      val sub = i % 10
+      val base = Array.tabulate(64)(d => math.cos(0.05 * d).toFloat)
+      base(0) = (base(0) + 0.005f * sub + 0.00001f * i)
+      (50000L + i, base.toSeq)
+    }.toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+  }
+
+  // ---- the NorthStarSpec driver-replay arithmetic (same folds, same
+  // e6 floors, same tie-breaks as the native expressions) -------------
+  private def dot(a: Seq[Float], b: Seq[Float]): Double =
+    a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + x.toDouble * y.toDouble }
+  private def e6(x: Double): Long = math.floor(x * 1000000L).toLong
+  private def e6vec(a: Seq[Float]): Array[Long] =
+    a.map(x => math.floor(x.toDouble * 1000000).toLong).toArray
+  private def d2(a: Array[Long], b: Array[Long]): Long =
+    a.zip(b).foldLeft(0L) { case (acc, (x, y)) => acc + (x - y) * (x - y) }
+
+  test("autoRebalance trigger: drift flood skews one cell; the rebuild re-clusters AND retrains codes") {
+    val path = graft.operators.Similarity.newIndexDir()
+    PQ.buildPqIndex(spark, sf, path)
+    val total0 = graft.operators.Similarity.ivfCellStats(spark, path).values.sum
+
+    // Flood WITHOUT the trigger: the drift concentrates in one cell.
+    PQ.appendToPqIndex(spark, drift(200), path)
+    val skewed = graft.operators.Similarity.ivfCellStats(spark, path)
+    val meanSkewed = skewed.values.sum.toDouble / 16
+    assert(skewed.values.max > 4 * meanSkewed,
+      s"fixture did not skew: max=${skewed.values.max} mean=$meanSkewed")
+
+    // One more appended batch WITH the trigger: it must fire.
+    PQ.appendToPqIndex(spark,
+      drift(40).select((col("vec_id") + 10000).as("vec_id"), col("embedding")), path,
+      autoRebalance = Some(4))
+    val after = graft.operators.Similarity.ivfCellStats(spark, path)
+    val nCells = after.size
+    val meanAfter = after.values.sum.toDouble / nCells
+    assert(after.values.sum == total0 + 200 + 40, "rebalance lost or duplicated rows")
+    assert(after.values.max <= 4 * meanAfter,
+      s"trigger did not restore balance: max=${after.values.max} mean=$meanAfter cells=$nCells")
+    assert(nCells > 16, s"cell count did not adapt: $nCells")
+    // Hot and cold tiers stay row-consistent through the swap.
+    assert(spark.read.parquet(s"$path/codes").count() == total0 + 240)
+    assert(PQ.probePqIndex(spark, sf, path, 4, 5).count() == 50)
+
+    // Independent driver replay over the PERSISTED artifacts (the
+    // NorthStarSpec discipline — not a second Spark plan): (a) every
+    // stored cent_id is the argmax-cosine assignment against the
+    // rebuilt centroids; (b) every stored code word is the argmin
+    // encode against the RETRAINED codebooks. A rebalance that swapped
+    // cells without retraining, or retrained without re-encoding,
+    // cannot survive (b).
+    val cents = spark.read.parquet(s"$path/centroids")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1), r.getDouble(2)))
+    val cbBySub = spark.read.parquet(s"$path/codebooks")
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getSeq[Long](3).toArray))
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).sortBy(_._1)).toMap
+    val lake = spark.read.parquet(s"$path/vectors")
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        col("cent_id").cast("long").as("cent_id")).collect()
+    val codesMap = spark.read.parquet(s"$path/codes")
+      .select("vec_id", "codes").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+    lake.foreach { r =>
+      val (id, emb, nrm, storedCent) =
+        (r.getLong(0), r.getSeq[Float](1), r.getDouble(2), r.getLong(3))
+      val best = cents.map { case (cid, ce, cn) =>
+        (e6(dot(ce, emb) / (cn * nrm)), cid)
+      }.maxBy { case (sc, cid) => (sc, -cid) }
+      assert(best._2 == storedCent, s"vec $id mis-assigned: stored $storedCent vs ${best._2}")
+      val emb6 = e6vec(emb)
+      val expected = (0 until 4).map { m =>
+        val v6 = emb6.slice(m * 16, m * 16 + 16)
+        cbBySub(m.toLong).map { case (code, c6) => (d2(v6, c6), code) }
+          .minBy { case (d, code) => (d, code) }._2
+      }
+      assert(codesMap(id) == expected, s"vec $id codes stale after rebalance")
+    }
+  }
+
+  test("rebalance is deterministic: a second run over the same lake is a fixpoint") {
+    val path = graft.operators.Similarity.newIndexDir()
+    PQ.buildPqIndex(spark, sf, path)
+    PQ.rebalancePqIndex(spark, path)
+    val cents1 = spark.read.parquet(s"$path/centroids")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val cb1 = spark.read.parquet(s"$path/codebooks")
+      .collect().map(_.toString).sorted.toSeq
+    val stats1 = graft.operators.Similarity.ivfCellStats(spark, path)
+    PQ.rebalancePqIndex(spark, path)
+    val cents2 = spark.read.parquet(s"$path/centroids")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val cb2 = spark.read.parquet(s"$path/codebooks")
+      .collect().map(_.toString).sorted.toSeq
+    assert(cents1 == cents2, "re-clustering the same lake picked different seeds")
+    assert(cb1 == cb2, "retraining the same lake produced different codebooks")
+    assert(graft.operators.Similarity.ivfCellStats(spark, path) == stats1)
+  }
+
+  test("rebalance preserves the residual encoding: marker intact, appended near-dup still found") {
+    val path = graft.operators.Similarity.newIndexDir()
+    PQ.buildPqIndex(spark, sf, path, residual = true)
+    val planted = Tables.embeddings(spark, sf).filter(col("vec_id") === 3)
+      .select(lit(77777L).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          when(i === 0, (x.cast("double") * 1.01).cast("float")).otherwise(x)).as("embedding"))
+    PQ.appendToPqIndex(spark, planted, path)
+    PQ.rebalancePqIndex(spark, path)
+    assert(new java.io.File(s"$path/_residual").exists,
+      "rebalance dropped the residual marker")
+    // The retrained residual chain (new centroids -> new residuals ->
+    // new codebooks -> new codes) must still surface the planted
+    // near-copy as probe 3's top refined neighbor.
+    val top = PQ.probePqIndex(spark, sf, path, 4, 5)
+      .filter(col("qid") === 3 && col("rnk") === 1).collect()
+    assert(top.length == 1 && top.head.getLong(2) == 77777L,
+      s"planted near-copy lost by residual rebalance: ${top.mkString}")
+  }
+
+  test("interrupted swap heals: marker present rolls forward, absent rolls back (four sides)") {
+    import org.apache.hadoop.fs.Path
+    val conf = spark.sessionState.newHadoopConf()
+    def fsOf(p: String) = new Path(p).getFileSystem(conf)
+    val sides = Seq("codes", "vectors", "codebooks", "centroids")
+
+    // ROLL BACK: tmp dirs with no marker are a failed write — dropped.
+    val p1 = graft.operators.Similarity.newIndexDir()
+    PQ.buildPqIndex(spark, sf, p1)
+    val fs1 = fsOf(p1)
+    fs1.mkdirs(new Path(s"$p1/.codes_rebal_tmp"))
+    fs1.create(new Path(s"$p1/.codes_rebal_tmp/part-junk.parquet"), true).close()
+    val beforeStats = graft.operators.Similarity.ivfCellStats(spark, p1)
+    PQ.recoverPqRebalance(spark, p1)
+    assert(!fs1.exists(new Path(s"$p1/.codes_rebal_tmp")))
+    assert(graft.operators.Similarity.ivfCellStats(spark, p1) == beforeStats,
+      "rollback touched the live index")
+
+    // ROLL FORWARD: live dirs set aside, tmps + marker present (the
+    // state a crash right after the asides leaves). Recovery must
+    // complete the swap and the index must keep working.
+    val p2 = graft.operators.Similarity.newIndexDir()
+    PQ.buildPqIndex(spark, sf, p2)
+    val fs2 = fsOf(p2)
+    def copyDir(src: Path, dst: Path): Unit = {
+      fs2.mkdirs(dst)
+      fs2.listStatus(src).foreach { st =>
+        if (st.isDirectory) copyDir(st.getPath, new Path(dst, st.getPath.getName))
+        else org.apache.hadoop.fs.FileUtil.copy(fs2, st.getPath, fs2,
+          new Path(dst, st.getPath.getName), false, conf): Unit
+      }
+    }
+    sides.foreach(sd => copyDir(new Path(s"$p2/$sd"), new Path(s"$p2/.${sd}_rebal_tmp")))
+    val statsBefore = graft.operators.Similarity.ivfCellStats(spark, p2)
+    sides.foreach(sd =>
+      require(fs2.rename(new Path(s"$p2/$sd"), new Path(s"$p2/.${sd}_rebal_old"))))
+    fs2.create(new Path(s"$p2/.rebal_committed"), true).close()
+    PQ.recoverPqRebalance(spark, p2)
+    sides.flatMap(sd => Seq(s".${sd}_rebal_tmp", s".${sd}_rebal_old")) :+ ".rebal_committed" foreach { d =>
+      assert(!fs2.exists(new Path(s"$p2/$d")), s"leftover $d after roll-forward")
+    }
+    assert(graft.operators.Similarity.ivfCellStats(spark, p2) == statsBefore)
+    assert(PQ.probePqIndex(spark, sf, p2, 4, 5).count() == 50)
+  }
+}
