@@ -59,7 +59,8 @@ object Battery {
       case Some("ingestgrow") => ingestGrow(spark,
         args.lift(1).map(_.toInt).getOrElse(40))
       case Some("pq")         => pq(spark, args.lift(1).map(_.toLong).getOrElse(500000L))
-      case other => sys.error(s"unknown battery: $other (skew|bloom|governance|paircurve|ivfjoin|ingest|ingestgrow|pq)")
+      case Some("pqdispatch") => pqDispatch(spark, args.lift(1).map(_.toLong).getOrElse(125000L))
+      case other => sys.error(s"unknown battery: $other (skew|bloom|governance|paircurve|ivfjoin|ingest|ingestgrow|pq|pqdispatch)")
     }
     spark.stop()
   }
@@ -385,7 +386,7 @@ object Battery {
     // The fast-build arm: two-tier assignment (N x 2 sqrt(cells) score
     // rows instead of N x cells) — build wall vs the recall it costs.
     val pathFast = operators.Similarity.newIndexDir()
-    val (_, bfSec) = timed(PQ.buildPqIndex(s, root, pathFast, nCells, fastAssign = true))
+    val (_, bfSec) = timed(PQ.buildPqIndex(s, root, pathFast, nCells, fastAssign = Some(true)))
 
     // IO accounting is FILESYSTEM-DERIVED: bytes of the probed cells'
     // files per lake side — the rank-stage read each arm cannot avoid
@@ -444,6 +445,105 @@ object Battery {
           .collect().map(r => (r.getLong(0), r.getLong(1))))
       val fastRecall = recall(ffTop, fexTop)
       println(f"""{"battery":"pqprobe","arm":"fullscan_fastbuild","vectors":$n,"build_sec":$bfSec%.1f,"adc_sec":$ffSec%.1f,"recall_at5":"$fastRecall/${fexTop.length}"}""")
+
+      // The nProbe SERVING curve — recall@5 (vs the exact full scan,
+      // so IVF route misses count) against rank-stage bytes, PQ codes
+      // vs exact floats over the SAME probed cells. The PQ index's
+      // cold side IS an IVF lake (same schema, same cent_id
+      // partitioning), so probeIvfIndexWith serves it directly: one
+      // corpus, one layout, the two temperature tiers head-to-head at
+      // every nProbe.
+      for (np <- Seq(1, 2, 4, 8)) {
+        val (_, npCells) = PQ.routeCells(s, probesV, cents, np)
+        val (pqT, pqS) = timed(
+          PQ.probePqIndexWith(s, probeFrame, path, np, 5).select("qid", "vec_id")
+            .collect().map(r => (r.getLong(0), r.getLong(1))))
+        val (ivT, ivS) = timed(
+          operators.Similarity.probeIvfIndexWith(s, probeFrame, path, np, 5)
+            .select("probe_id", "vec_id")
+            .collect().map(r => (r.getLong(0), r.getLong(1))))
+        val pqR = recall(pqT, fexTop)
+        val ivR = recall(ivT, fexTop)
+        println(f"""{"battery":"pqnprobe","vectors":$n,"nprobe":$np,"probed_cells":${npCells.size},"pq_sec":$pqS%.1f,"pq_rank_bytes":${cellFiles("codes", npCells)},"pq_recall_at5":"$pqR/${fexTop.length}","ivf_sec":$ivS%.1f,"ivf_rank_bytes":${cellFiles("vectors", npCells)},"ivf_recall_at5":"$ivR/${fexTop.length}"}""")
+      }
+
+      // The oversized-shortlist RANGE pushdown form (isin -> BETWEEN
+      // past the isinMaxIds dispatch) must still row-group-prune the
+      // cold refine read: record-level parquet filtering is off by
+      // default, so the cold scan's numOutputRows is exactly the row
+      // count of the row groups the pushed range ADMITTED — well under
+      // the probed cells' total when the 1 MB-block sorted-by-vec_id
+      // layout holds.
+      import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      def allScans(pl: SparkPlan): Seq[FileSourceScanExec] = pl match {
+        case a: AdaptiveSparkPlanExec => allScans(a.executedPlan)
+        case q: QueryStageExec => allScans(q.plan)
+        case f: FileSourceScanExec => Seq(f)
+        case other => other.children.flatMap(allScans)
+      }
+      val priorIsin = s.conf.getOption("spark.graft.pq.isinMaxIds")
+      try {
+        s.conf.set("spark.graft.pq.isinMaxIds", "1") // force the range branch
+        val probed = PQ.probePqIndexWith(s, probeFrame, path, 4, 5)
+        probed.collect()
+        val coldScan = allScans(probed.queryExecution.executedPlan)
+          .filter(_.metadata("PushedFilters").contains("GreaterThanOrEqual(vec_id"))
+        val probedCellRows = {
+          val stats = operators.Similarity.ivfCellStats(s, path)
+          cells.map(c => stats.getOrElse(c, 0L)).sum
+        }
+        val scanned = coldScan.map(_.metrics("numOutputRows").value).sum
+        println(s"""{"battery":"pqrange","vectors":$n,"probed_cell_rows":$probedCellRows,"range_scan_rows":$scanned,"row_groups_pruned":${scanned < probedCellRows}}""")
+      } finally priorIsin match {
+        case Some(v) => s.conf.set("spark.graft.pq.isinMaxIds", v)
+        case None => s.conf.unset("spark.graft.pq.isinMaxIds")
+      }
+
+      // Production-class sizing: M=8 x K=256 byte codes — the round-15
+      // notes predicted the fullscan recall fade (50 -> 39 -> 31/50) is
+      // the 16^4 combo-space wall, and that a byte-code sizing recovers
+      // it at >= 32x raw compression. Priced here on the same corpus
+      // and probes; the probe path re-derives the sizing from the
+      // stored codebooks (self-describing index).
+      val pathMk = operators.Similarity.newIndexDir()
+      val (_, bmkSec) = timed(PQ.buildPqIndex(s, root, pathMk, nCells,
+        fastAssign = Some(true), params = PQ.PqParams(8, 8, 256)))
+      val mkCodesBytes = dirBytes(new java.io.File(s"$pathMk/codes"))
+      val (mkTop, mkSec) = timed(
+        PQ.probePqIndexWith(s, probeFrame, pathMk, nCells, 5).select("qid", "vec_id")
+          .collect().map(r => (r.getLong(0), r.getLong(1))))
+      val mkRecall = recall(mkTop, fexTop)
+      println(f"""{"battery":"pqprobe","arm":"fullscan_m8k256","vectors":$n,"build_sec":$bmkSec%.1f,"adc_sec":$mkSec%.1f,"codes_bytes":$mkCodesBytes,"bytes_ratio":${vecBytes.toDouble / mkCodesBytes}%.1f,"recall_at5":"$mkRecall/${fexTop.length}"}""")
+    }
+  }
+
+  // ---- pqdispatch -------------------------------------------------------
+
+  /** Brackets [[operators.PQ.fastAssignMinCells]]: flat vs two-tier
+    * build walls at fixed n over a CELL-COUNT sweep. The shared
+    * codebook/codes memo is prewarmed first, so each timed arm pays
+    * only the assignment + the writes — the dispatch subject. */
+  private def pqDispatch(s: SparkSession, n: Long): Unit = {
+    import operators.PQ
+    val dim = 64
+    val root = java.nio.file.Files.createTempDirectory("graft_battery_pqd").toString
+    val nClusters = math.max(16L, n / 8)
+    val cl = col("id") % nClusters
+    val emb = transform(sequence(lit(0), lit(dim - 1)), i =>
+      (((pmod(xxhash64(cl, i, lit(7)), lit(2000)).cast("double") / 1000.0) - 1.0) +
+        (pmod(xxhash64(col("id"), i, lit(11)), lit(2000)).cast("double") / 1000000.0)).cast("float"))
+    s.range(n).select(col("id").as("vec_id"), emb.as("embedding"), lit(0).as("label"))
+      .repartitionByRange(256, col("vec_id"))
+      .write.parquet(s"$root/embeddings.parquet")
+    PQ.buildPqIndex(s, root, operators.Similarity.newIndexDir(), 32,
+      fastAssign = Some(false)) // prewarm the codebook/codes memo
+    Seq(32, 64, 128, 256, 512).foreach { c =>
+      val (_, flatSec) = timed(PQ.buildPqIndex(s, root,
+        operators.Similarity.newIndexDir(), c, fastAssign = Some(false)))
+      val (_, fastSec) = timed(PQ.buildPqIndex(s, root,
+        operators.Similarity.newIndexDir(), c, fastAssign = Some(true)))
+      println(f"""{"battery":"pqdispatch","vectors":$n,"cells":$c,"flat_sec":$flatSec%.1f,"fast_sec":$fastSec%.1f,"threshold":${PQ.fastAssignMinCells}}""")
     }
   }
 
