@@ -376,7 +376,10 @@ object Battery {
       .write.parquet(s"$root/embeddings.parquet")
     val nCells = math.max(16, math.sqrt(n.toDouble).toInt)
     val path = operators.Similarity.newIndexDir()
-    val (_, bSec) = timed(PQ.buildPqIndex(s, root, path, nCells))
+    // Explicitly FLAT: this arm is the exact-assignment baseline the
+    // fast arm below races (the default dispatch would pick two-tier
+    // at sqrt(n) cells past fastAssignMinCells).
+    val (_, bSec) = timed(PQ.buildPqIndex(s, root, path, nCells, fastAssign = Some(false)))
     def dirBytes(f: java.io.File): Long =
       if (f.isDirectory) Option(f.listFiles).getOrElse(Array.empty).map(dirBytes).sum
       else if (f.getName.endsWith(".parquet")) f.length else 0L
@@ -468,12 +471,19 @@ object Battery {
       }
 
       // The oversized-shortlist RANGE pushdown form (isin -> BETWEEN
-      // past the isinMaxIds dispatch) must still row-group-prune the
-      // cold refine read: record-level parquet filtering is off by
-      // default, so the cold scan's numOutputRows is exactly the row
-      // count of the row groups the pushed range ADMITTED — well under
-      // the probed cells' total when the 1 MB-block sorted-by-vec_id
-      // layout holds.
+      // past the isinMaxIds dispatch): the cold scan's numOutputRows
+      // (record-level parquet filtering is off by default, so this is
+      // exactly the rows of the row groups the pushed range ADMITTED)
+      // vs the probed cells' total. Row-group pruning under the range
+      // form is DATA-DEPENDENT — it engages only when shortlist ids
+      // are range-clustered AND cells span multiple 1 MB row groups;
+      // on this corpus ids interleave (cluster = id % nClusters) and a
+      // ~700-row cell is one row group, so the measured honest bound
+      // is the partition filter (39/707 cells), with the range adding
+      // nothing. The isin form (<= isinMaxIds ids, every realistic
+      // serving batch) faces the same row-group geometry; its win over
+      // BETWEEN is the exact parquet IN/page-level evaluation, not
+      // group skipping, at this cell size.
       import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
       import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
       def allScans(pl: SparkPlan): Seq[FileSourceScanExec] = pl match {

@@ -757,13 +757,16 @@ object PQ {
 
   /** Cell-count threshold at/above which [[buildPqIndex]] (and the
     * rebalance retrain) default to the two-tier `fastAssign` coarse
-    * assignment. Bracketed in the pq battery's dispatch arm: the
-    * two-tier form's fixed overhead (two extra windows + a join) loses
-    * below ~a hundred cells and its N x 2 sqrt(nCells) vs N x nCells
-    * advantage grows without bound past it (2.3x at 353 cells, 7.5x at
-    * 1000 — BENCH_NOTES). Below the threshold the flat branch keeps
-    * the qn33 bit-parity contract. */
-  private[graft] val fastAssignMinCells = 128
+    * assignment. Bracketed by the memo-prewarmed `pqdispatch` battery
+    * (125k vectors, assignment cost isolated): flat wins at <= 256
+    * cells (6.3s vs 7.6s), two-tier at >= 512 (9.7s vs 7.8s) — the
+    * geometric midpoint of the bracket. The crossover is keyed on
+    * CELLS, not N: both arms are linear in N at fixed cells (flat
+    * ~ N x cells, two-tier ~ N x (2 sqrt(cells) + c)), so the N factor
+    * cancels, and past the threshold the two-tier lead grows without
+    * bound (7.5x at 1000 cells / 1M vectors — BENCH_NOTES). Below the
+    * threshold the flat branch keeps the qn33 bit-parity contract. */
+  private[graft] val fastAssignMinCells = 384
 
   /** Does the index at `path` store residual codes? (The `_residual`
     * marker [[buildPqIndex]] maintains — the probe's scoring dispatch.) */
@@ -1004,8 +1007,11 @@ object PQ {
     // threshold it is the exact `IN (ids...)` literal list; above it, a
     // plan with ~1e6 literals is itself the hazard (driver memory +
     // analysis cost), so the pushdown degrades to the RANGE
-    // `vec_id BETWEEN min AND max` — still row-group-prunable against
-    // the sorted-by-vec_id layout (priced in the pq battery) — and
+    // `vec_id BETWEEN min AND max` — row-group-prunable against the
+    // sorted-by-vec_id layout WHEN the shortlist ids cluster and a
+    // cell spans multiple row groups; the probed-cell partition filter
+    // is the unconditional IO bound (both measured in the pq battery's
+    // pqrange arm) — and
     // EXACTNESS is unaffected either way: the inner join on the
     // broadcast shortlist below filters precisely. A distributed
     // shortlist join with no pushdown at all would read every probed
