@@ -52,6 +52,7 @@ object Plans {
     "qn33_ann_ivfpq_refine" -> "IVFADC + refine: coarse route bounds candidates to probed cells, ADC ranks codes, top-16 shortlist alone pays the full-precision read for the exact cosine re-rank",
     "qn34_ann_binary_hamming" -> "binary tier: one sign-bit long per vector; candidate ranking is xor + bit_count (two ALU ops in codegen, no array traffic); 16-wide shortlist pays the float read",
     "qn36_ann_ivfpq_residual" -> "residual IVFADC: codebooks train on v - coarse_centroid; one broadcast distance table per (probe, probed cell); candidate cost unchanged at M lookups keyed by the candidate's cell",
+    "qn37_pq_encode_m8" -> "non-fixture PQ sizing (M=8 subspaces, K=32 codewords): the identical TopKPerGroup train+encode pipeline with every slicing/stride/layout constant a parameter — same plan shape as qn30/qn31, different arithmetic",
     "qp06_corpus_fingerprint" -> "snapshot signature: map-side sha digest projection + one partially aggregated hash agg on lang — a 1-row-per-lang shuffle and nothing else")
 
   def main(args: Array[String]): Unit = {
