@@ -53,6 +53,7 @@ object Plans {
     "qn34_ann_binary_hamming" -> "binary tier: one sign-bit long per vector; candidate ranking is xor + bit_count (two ALU ops in codegen, no array traffic); 16-wide shortlist pays the float read",
     "qn36_ann_ivfpq_residual" -> "residual IVFADC: codebooks train on v - coarse_centroid; one broadcast distance table per (probe, probed cell); candidate cost unchanged at M lookups keyed by the candidate's cell",
     "qn37_pq_encode_m8" -> "non-fixture PQ sizing (M=8 subspaces, K=32 codewords): the identical TopKPerGroup train+encode pipeline with every slicing/stride/layout constant a parameter — same plan shape as qn30/qn31, different arithmetic",
+    "qn38_ann_sq8" -> "SQ8 scalar quantization: per-dim min/max via one 64-group partial agg, map-only byte quantize, integer squared-L2 rank in codegen, 16-wide shortlist pays the exact re-rank",
     "qp06_corpus_fingerprint" -> "snapshot signature: map-side sha digest projection + one partially aggregated hash agg on lang — a 1-row-per-lang shuffle and nothing else")
 
   def main(args: Array[String]): Unit = {

@@ -507,6 +507,93 @@ object Similarity {
         .withColumn("rnk", row_number().over(wRef)).filter(col("rnk") <= 5)
         .select(col("qid"), col("rnk").cast("long").as("rnk"), col("vec_id"), col("score_e6"))
         .orderBy("qid", "rnk")
+    },
+
+    // SQ8 scalar quantization — the ladder rung between the sign bit
+    // (qn34: 64x, lossy) and PQ (qn30-33: 64x+, trained): per-dimension
+    // min/max over the corpus (ONE 64-group partial agg — N x D rows
+    // collapse map-side to D rows/task), each dim affinely mapped to a
+    // 0..255 byte, candidates ranked by integer squared-L2 over the
+    // byte vectors (64 byte-wide ALU ops in codegen — no float math,
+    // 4x less rank-stage IO than the floats), 16-wide shortlist pays
+    // the exact cosine re-rank. All arithmetic is integer over the e6
+    // floor — quantize is (x - mn) * 255 div span with div spelled as
+    // (a - a%b)/b so both engines floor identically. At 100 TB the
+    // byte column is written once at ingest beside the floats (the
+    // qn35 separate-column discipline) and the rank scan never reads
+    // the float tail.
+    Q("qn38_ann_sq8", {
+      val isum = (xs: String) =>
+        s"list_reduce(list_prepend(CAST(0 AS BIGINT), $xs), (a, b) -> a + b)"
+      s"""WITH ve AS (SELECT vec_id, [CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT) for x in embedding] AS emb6
+         |            FROM embeddings),
+         |st AS (SELECT i AS pos, MIN(emb6[i+1]) AS mn,
+         |              GREATEST(1, MAX(emb6[i+1]) - MIN(emb6[i+1])) AS sp
+         |       FROM ve, (SELECT unnest(range(0, 64)) AS i) GROUP BY 1),
+         |sta AS (SELECT list(mn ORDER BY pos) AS mna, list(sp ORDER BY pos) AS spa FROM st),
+         |qv AS (SELECT vec_id, [((emb6[i+1] - mna[i+1]) * 255) // spa[i+1] for i in range(0, 64)] AS q8
+         |       FROM ve, sta),
+         |v AS (SELECT vec_id, embedding, ${sqlL2norm("embedding")} AS nrm FROM embeddings),
+         |p AS (SELECT qv.vec_id AS qid, qv.q8 AS pq8, v.embedding AS pe, v.nrm AS pn
+         |      FROM qv JOIN v ON v.vec_id = qv.vec_id WHERE qv.vec_id < 10),
+         |h AS (SELECT p.qid, s.vec_id,
+         |             ${isum("list_transform(list_zip(s.q8, p.pq8), z -> (z[1]-z[2])*(z[1]-z[2]))")} AS qd2
+         |      FROM qv s, p WHERE s.vec_id <> p.qid),
+         |sl AS (SELECT qid, vec_id, qd2 FROM (
+         |       SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+         |                   ORDER BY qd2, vec_id) AS rn FROM h) WHERE rn <= 16),
+         |ref AS (SELECT sl.qid, sl.vec_id, CAST(sl.qd2 AS BIGINT) AS qd2,
+         |               ${sqlE6(s"${sqlDot("p.pe", "d.embedding")} / (p.pn * d.nrm)")} AS score_e6
+         |        FROM sl JOIN p ON p.qid = sl.qid JOIN v d ON d.vec_id = sl.vec_id),
+         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+         |               ORDER BY score_e6 DESC, vec_id) AS rnk FROM ref)
+         |SELECT qid, rnk, vec_id, qd2, score_e6 FROM r WHERE rnk <= 5
+         |ORDER BY qid, rnk""".stripMargin
+    }) { (s, dir) =>
+      val ve6 = Tables.embeddings(s, dir).select(col("vec_id"),
+        transform(col("embedding"),
+          x => floor(x.cast("double") * 1000000).cast("long")).as("emb6"))
+      // Per-dim stats: partial-agg to 64 rows, assembled pos-major
+      // (the cbPivot pattern) into one broadcastable row.
+      val st = ve6.select(posexplode(col("emb6")).as(Seq("pos", "x")))
+        .groupBy("pos").agg(min(col("x")).as("mn"),
+          greatest(lit(1L), max(col("x")) - min(col("x"))).as("sp"))
+      val sta = st.agg(
+        transform(array_sort(collect_list(struct(col("pos"), col("mn")))),
+          z => z.getField("mn")).as("mna"),
+        transform(array_sort(collect_list(struct(col("pos"), col("sp")))),
+          z => z.getField("sp")).as("spa"))
+      // Integer floor division as (a - a%b)/b: the long/long `/` is a
+      // double, but an exactly-divisible numerator below 2^53 divides
+      // exactly, so the floor matches DuckDB's `//` bit-for-bit.
+      val q8 = transform(col("emb6"), (x, i) => {
+        val a = (x - element_at(col("mna"), i + 1)) * 255L
+        val sp = element_at(col("spa"), i + 1)
+        ((a - (a % sp)) / sp).cast("long")
+      })
+      val qv = ve6.crossJoin(broadcast(sta)).select(col("vec_id"), q8.as("q8"))
+      val v = vecs(s, dir)
+      val probes = qv.filter(col("vec_id") < 10).join(v, Seq("vec_id"))
+        .select(col("vec_id").as("qid"), col("q8").as("pq8"),
+          col("embedding").as("pe"), col("nrm").as("pn"))
+      val qd2 = aggregate(zip_with(col("q8"), col("pq8"), (x, y) => (x - y) * (x - y)),
+        lit(0L), (acc, z) => acc + z)
+      val wSl = Window.partitionBy(col("qid")).orderBy(col("qd2").asc, col("vec_id").asc)
+      val sl = qv.join(broadcast(probes.select(col("qid"), col("pq8"))), expr("true"))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"), qd2.as("qd2"))
+        .withColumn("rn", row_number().over(wSl)).filter(col("rn") <= 16)
+        .select(col("qid"), col("vec_id"), col("qd2"))
+      val wRef = Window.partitionBy(col("qid")).orderBy(col("score_e6").desc, col("vec_id").asc)
+      sl.join(broadcast(probes.select(col("qid"), col("pe"), col("pn"))), Seq("qid"))
+        .join(v.select(col("vec_id"), col("embedding").as("de"), col("nrm").as("dn")),
+          Seq("vec_id"))
+        .select(col("qid"), col("vec_id"), col("qd2"),
+          e6(cosine(dotNative(col("pe"), col("de")), col("pn"), col("dn"))).as("score_e6"))
+        .withColumn("rnk", row_number().over(wRef)).filter(col("rnk") <= 5)
+        .select(col("qid"), col("rnk").cast("long").as("rnk"), col("vec_id"),
+          col("qd2"), col("score_e6"))
+        .orderBy("qid", "rnk")
     }
   )
 

@@ -394,6 +394,16 @@ class PQSpec extends AnyFunSuite {
         .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
       val mkHits = exact.map { case (q, ex) => (mk.getOrElse(q, Set.empty) & ex).size }.sum
       assert(mkHits >= 40, s"M=8/K=256 recall@5 = $mkHits/50")
+
+      // The SQ8 rung (qn38) clears the same ladder floor: the byte
+      // step (span/255 per dim) dwarfs the 1e-3 member wiggle, so
+      // co-members collide to qd2 ~ 0 and the exact re-rank restores
+      // the within-cluster order.
+      val sq = SparkEntry.queries("qn38_ann_sq8")(spark, tmp.toString)
+        .select("qid", "vec_id").collect()
+        .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+      val sqHits = exact.map { case (q, ex) => (sq.getOrElse(q, Set.empty) & ex).size }.sum
+      assert(sqHits >= 40, s"SQ8 recall@5 = $sqHits/50")
       assert(spark.read.parquet(s"$pathMk/codes")
         .select(size(col("codes"))).head().getInt(0) == 8,
         "M=8 index did not store 8 codes per vector")
