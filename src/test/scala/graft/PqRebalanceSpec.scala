@@ -139,6 +139,43 @@ class PqRebalanceSpec extends AnyFunSuite {
       s"planted near-copy lost by residual rebalance: ${top.mkString}")
   }
 
+  test("streaming vector ingest maintains the PQ index: foreachBatch append, trigger fires mid-stream") {
+    // The IvfRebalanceSpec streaming discipline, PQ edition:
+    // appendToPqIndex IS the micro-batch primitive — encode against
+    // the frozen codebooks per batch, the measured rebalance trigger
+    // (re-cluster + codebook retrain + re-encode) runs INSIDE the
+    // stream, no separate maintenance job.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val path = graft.operators.Similarity.newIndexDir()
+    PQ.buildPqIndex(spark, sf, path)
+    val total0 = graft.operators.Similarity.ivfCellStats(spark, path).values.sum
+    val cells0 = graft.operators.Similarity.ivfCellStats(spark, path).size
+    val ms = MemoryStream[(Long, Seq[Float])]
+    val q = ms.toDF().toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+      .writeStream.foreachBatch {
+        (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          PQ.appendToPqIndex(b.sparkSession, b, path, autoRebalance = Some(4))
+      }.start()
+    try {
+      val driftRows = drift(200).collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toSeq))
+      driftRows.grouped(50).foreach { batch => ms.addData(batch.toSeq); q.processAllAvailable() }
+    } finally q.stop()
+    val after = graft.operators.Similarity.ivfCellStats(spark, path)
+    assert(after.values.sum == total0 + 200, "stream lost or duplicated vectors")
+    assert(after.size > cells0, s"trigger never fired in-stream: cells=${after.size}")
+    val mean = after.values.sum.toDouble / after.size
+    assert(after.values.max <= 4 * mean,
+      s"stream left the index skewed: max=${after.values.max} mean=$mean")
+    // Hot/cold row consistency through the in-stream swap, and the
+    // index still serves.
+    assert(spark.read.parquet(s"$path/codes").count() == total0 + 200)
+    assert(PQ.probePqIndex(spark, sf, path, 4, 5).count() == 50)
+  }
+
   test("interrupted swap heals: marker present rolls forward, absent rolls back (four sides)") {
     import org.apache.hadoop.fs.Path
     val conf = spark.sessionState.newHadoopConf()
