@@ -54,6 +54,8 @@ object Plans {
     "qn36_ann_ivfpq_residual" -> "residual IVFADC: codebooks train on v - coarse_centroid; one broadcast distance table per (probe, probed cell); candidate cost unchanged at M lookups keyed by the candidate's cell",
     "qn37_pq_encode_m8" -> "non-fixture PQ sizing (M=8 subspaces, K=32 codewords): the identical TopKPerGroup train+encode pipeline with every slicing/stride/layout constant a parameter — same plan shape as qn30/qn31, different arithmetic",
     "qn38_ann_sq8" -> "SQ8 scalar quantization: per-dim min/max via one 64-group partial agg, map-only byte quantize, integer squared-L2 rank in codegen, 16-wide shortlist pays the exact re-rank",
+    "qn39_ann_ivfpq_persisted" -> "persisted IVFADC serve: codes scanned under a cent_id partition filter, broadcast ADC tables, shortlist point-read of the cold floats (vec_id pushdown) — the qn10b discipline on the two-temperature index",
+    "qn40_ann_ivfpq_residual_persisted" -> "persisted RESIDUAL IVFADC: the _residual marker dispatches per-(probe, cell) residual tables through the same stored-artifact serve path",
     "qp06_corpus_fingerprint" -> "snapshot signature: map-side sha digest projection + one partially aggregated hash agg on lang — a 1-row-per-lang shuffle and nothing else")
 
   def main(args: Array[String]): Unit = {

@@ -456,77 +456,8 @@ object PQ {
     // IVFADC + exact refine: coarse route bounds candidates to nProbe
     // cells, ADC ranks the cells' codes, only the top-R shortlist pays
     // a full-precision read for the exact cosine re-rank.
-    Q("qn33_ann_ivfpq_refine",
-      s"""WITH ${sqlPqCtes()},
-         |${sqlProbeTab("vec_id < 10")},
-         |v AS (SELECT vec_id, embedding, ${sqlL2norm("embedding")} AS nrm FROM embeddings),
-         |ist AS (SELECT GREATEST(1, COUNT(*) // 16) AS stride FROM v),
-         |cents AS (SELECT vec_id AS cent_id, embedding AS ce, nrm AS cn FROM v, ist
-         |          WHERE vec_id % stride = 0 AND vec_id < stride * 16),
-         |asg AS (SELECT vec_id, cent_id FROM (
-         |        SELECT v.vec_id, c.cent_id,
-         |               ROW_NUMBER() OVER (PARTITION BY v.vec_id
-         |                 ORDER BY ${sqlCosE6("c.ce", "v.embedding", "c.cn", "v.nrm")} DESC,
-         |                          c.cent_id) AS rn
-         |        FROM v, cents c) WHERE rn = 1),
-         |pc AS (SELECT probe_id, cent_id FROM (
-         |       SELECT p.vec_id AS probe_id, c.cent_id,
-         |              ROW_NUMBER() OVER (PARTITION BY p.vec_id
-         |                ORDER BY ${sqlCosE6("c.ce", "p.embedding", "c.cn", "p.nrm")} DESC,
-         |                         c.cent_id) AS rn
-         |       FROM (SELECT * FROM v WHERE vec_id < 10) p, cents c) WHERE rn <= 4),
-         |cand AS (SELECT pc.probe_id AS qid, a.vec_id FROM asg a JOIN pc USING (cent_id)
-         |         WHERE a.vec_id <> pc.probe_id),
-         |adcc AS (SELECT c.qid, c.vec_id, CAST(SUM(pt.td) AS BIGINT) AS adist_e12
-         |         FROM cand c JOIN enc e ON e.vec_id = c.vec_id
-         |              JOIN pt ON pt.qid = c.qid AND pt.sub = e.sub AND pt.code = e.code
-         |         GROUP BY 1, 2),
-         |sl AS (SELECT qid, vec_id FROM (
-         |       SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
-         |                   ORDER BY adist_e12, vec_id) AS rnk FROM adcc)
-         |       WHERE rnk <= $adcTopR),
-         |ref AS (SELECT sl.qid, sl.vec_id,
-         |               ${sqlCosE6("q.embedding", "d.embedding", "q.nrm", "d.nrm")} AS score_e6
-         |        FROM sl JOIN v q ON q.vec_id = sl.qid JOIN v d ON d.vec_id = sl.vec_id),
-         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
-         |               ORDER BY score_e6 DESC, vec_id) AS rnk FROM ref)
-         |SELECT qid, rnk, vec_id, score_e6 FROM r WHERE rnk <= 5
-         |ORDER BY qid, rnk""".stripMargin) { (s, dir) =>
-      val v = Tables.embeddings(s, dir)
-        .select(col("vec_id"), col("embedding"), l2normNative(col("embedding")).as("nrm"))
-      // IVF coarse tier: the Similarity stride rule, cosine argmax.
-      val cents = coarseCents(v)
-      val asg = coarseAssign(v, cents)
-      val cScore = e6(cosine(dotNative(col("ce"), col("embedding")), col("cn"), col("nrm")))
-      val probesV = v.filter(col("vec_id") < 10)
-      val wRoute = Window.partitionBy(col("probe_id")).orderBy(col("cscore").desc, col("cent_id").asc)
-      val pc = probesV.select(col("vec_id").as("probe_id"), col("embedding"), col("nrm"))
-        .join(broadcast(cents), expr("true"))
-        .select(col("probe_id"), col("cent_id"), cScore.as("cscore"))
-        .withColumn("rn", row_number().over(wRoute)).filter(col("rn") <= 4)
-        .select(col("probe_id"), col("cent_id"))
-      val cand = asg.join(broadcast(pc), Seq("cent_id"))
-        .filter(col("vec_id") =!= col("probe_id"))
-        .select(col("probe_id").as("qid"), col("vec_id"))
-      // ADC over the candidates: codes ride a broadcast-table lookup.
-      val tabs = adcTables(vsub(ve(s, dir)).filter(col("vec_id") < 10), codebook(s, dir))
-      val scored = cand.join(codesArr(s, dir), Seq("vec_id"))
-        .join(broadcast(tabs), Seq("qid"))
-        .select(col("qid"), col("vec_id"), adcScore(col("tab"), col("codes")).as("adist_e12"))
-      val wSl = Window.partitionBy(col("qid")).orderBy(col("adist_e12").asc, col("vec_id").asc)
-      val sl = scored.withColumn("rnk", row_number().over(wSl))
-        .filter(col("rnk") <= adcTopR).select(col("qid"), col("vec_id"))
-      // Exact refine: only the shortlist reads full-precision floats.
-      val refScore = e6(cosine(dotNative(col("qe"), col("de")), col("qn"), col("dn")))
-      val wRef = Window.partitionBy(col("qid")).orderBy(col("score_e6").desc, col("vec_id").asc)
-      sl.join(broadcast(probesV.select(col("vec_id").as("qid"),
-          col("embedding").as("qe"), col("nrm").as("qn"))), Seq("qid"))
-        .join(v.select(col("vec_id"), col("embedding").as("de"), col("nrm").as("dn")),
-          Seq("vec_id"))
-        .select(col("qid"), col("vec_id"), refScore.as("score_e6"))
-        .withColumn("rnk", row_number().over(wRef)).filter(col("rnk") <= 5)
-        .select(col("qid"), col("rnk").cast("long").as("rnk"), col("vec_id"), col("score_e6"))
-        .orderBy("qid", "rnk")
+    Q("qn33_ann_ivfpq_refine", sqlQn33) { (s, dir) =>
+      qn33Plan(s, dir)
     },
 
     // RESIDUAL IVFADC (by_residual — the FAISS-default refinement of
@@ -540,8 +471,115 @@ object PQ {
     // candidate's own cell). Measured on the fixture: the residual
     // shortlist surfaces strictly better candidates than qn32/qn33's
     // whole-space codebook at the same M x K budget.
-    Q("qn36_ann_ivfpq_residual",
-      s"""WITH v AS (SELECT vec_id, embedding, ${sqlL2norm("embedding")} AS nrm FROM embeddings),
+    Q("qn36_ann_ivfpq_residual", sqlQn36) { (s, dir) =>
+      qn36Plan(s, dir)
+    },
+
+    // Persisted IVFADC under the DRIVER gate (the qn10b discipline,
+    // until now pinned only in PQSpec): build the two-temperature
+    // index fresh from the corpus, probe it through the serving entry
+    // — the result must hash-match qn33's in-flight oracle because the
+    // build persists the same deterministic assignment, codebook, and
+    // codes, and the probe replays the same route/ADC/refine chain
+    // from the stored artifacts.
+    Q("qn39_ann_ivfpq_persisted", sqlQn33) { (s, dir) =>
+      val path = Similarity.newIndexDir()
+      buildPqIndex(s, dir, path)
+      probePqIndex(s, dir, path, 4, 5)
+    },
+
+    // The RESIDUAL persisted form: the `_residual` marker must carry
+    // the encoding through build -> store -> probe dispatch, gated
+    // against qn36's oracle.
+    Q("qn40_ann_ivfpq_residual_persisted", sqlQn36) { (s, dir) =>
+      val path = Similarity.newIndexDir()
+      buildPqIndex(s, dir, path, residual = true)
+      probePqIndex(s, dir, path, 4, 5)
+    }
+  )
+
+  /** qn33's oracle (shared with qn39's persisted gate): stride coarse
+    * tier, argmax assignment, 4-cell routing, ADC over the candidates,
+    * top-[[adcTopR]] shortlist, exact cosine re-rank. */
+  private def sqlQn33: String =
+    s"""WITH ${sqlPqCtes()},
+       |${sqlProbeTab("vec_id < 10")},
+       |v AS (SELECT vec_id, embedding, ${sqlL2norm("embedding")} AS nrm FROM embeddings),
+       |ist AS (SELECT GREATEST(1, COUNT(*) // 16) AS stride FROM v),
+       |cents AS (SELECT vec_id AS cent_id, embedding AS ce, nrm AS cn FROM v, ist
+       |          WHERE vec_id % stride = 0 AND vec_id < stride * 16),
+       |asg AS (SELECT vec_id, cent_id FROM (
+       |        SELECT v.vec_id, c.cent_id,
+       |               ROW_NUMBER() OVER (PARTITION BY v.vec_id
+       |                 ORDER BY ${sqlCosE6("c.ce", "v.embedding", "c.cn", "v.nrm")} DESC,
+       |                          c.cent_id) AS rn
+       |        FROM v, cents c) WHERE rn = 1),
+       |pc AS (SELECT probe_id, cent_id FROM (
+       |       SELECT p.vec_id AS probe_id, c.cent_id,
+       |              ROW_NUMBER() OVER (PARTITION BY p.vec_id
+       |                ORDER BY ${sqlCosE6("c.ce", "p.embedding", "c.cn", "p.nrm")} DESC,
+       |                         c.cent_id) AS rn
+       |       FROM (SELECT * FROM v WHERE vec_id < 10) p, cents c) WHERE rn <= 4),
+       |cand AS (SELECT pc.probe_id AS qid, a.vec_id FROM asg a JOIN pc USING (cent_id)
+       |         WHERE a.vec_id <> pc.probe_id),
+       |adcc AS (SELECT c.qid, c.vec_id, CAST(SUM(pt.td) AS BIGINT) AS adist_e12
+       |         FROM cand c JOIN enc e ON e.vec_id = c.vec_id
+       |              JOIN pt ON pt.qid = c.qid AND pt.sub = e.sub AND pt.code = e.code
+       |         GROUP BY 1, 2),
+       |sl AS (SELECT qid, vec_id FROM (
+       |       SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+       |                   ORDER BY adist_e12, vec_id) AS rnk FROM adcc)
+       |       WHERE rnk <= $adcTopR),
+       |ref AS (SELECT sl.qid, sl.vec_id,
+       |               ${sqlCosE6("q.embedding", "d.embedding", "q.nrm", "d.nrm")} AS score_e6
+       |        FROM sl JOIN v q ON q.vec_id = sl.qid JOIN v d ON d.vec_id = sl.vec_id),
+       |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+       |               ORDER BY score_e6 DESC, vec_id) AS rnk FROM ref)
+       |SELECT qid, rnk, vec_id, score_e6 FROM r WHERE rnk <= 5
+       |ORDER BY qid, rnk""".stripMargin
+
+  /** qn33's plan (shared doc: see the registration above). */
+  private def qn33Plan(s: SparkSession, dir: String): DataFrame = {
+    val v = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding"), l2normNative(col("embedding")).as("nrm"))
+    // IVF coarse tier: the Similarity stride rule, cosine argmax.
+    val cents = coarseCents(v)
+    val asg = coarseAssign(v, cents)
+    val cScore = e6(cosine(dotNative(col("ce"), col("embedding")), col("cn"), col("nrm")))
+    val probesV = v.filter(col("vec_id") < 10)
+    val wRoute = Window.partitionBy(col("probe_id")).orderBy(col("cscore").desc, col("cent_id").asc)
+    val pc = probesV.select(col("vec_id").as("probe_id"), col("embedding"), col("nrm"))
+      .join(broadcast(cents), expr("true"))
+      .select(col("probe_id"), col("cent_id"), cScore.as("cscore"))
+      .withColumn("rn", row_number().over(wRoute)).filter(col("rn") <= 4)
+      .select(col("probe_id"), col("cent_id"))
+    val cand = asg.join(broadcast(pc), Seq("cent_id"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id").as("qid"), col("vec_id"))
+    // ADC over the candidates: codes ride a broadcast-table lookup.
+    val tabs = adcTables(vsub(ve(s, dir)).filter(col("vec_id") < 10), codebook(s, dir))
+    val scored = cand.join(codesArr(s, dir), Seq("vec_id"))
+      .join(broadcast(tabs), Seq("qid"))
+      .select(col("qid"), col("vec_id"), adcScore(col("tab"), col("codes")).as("adist_e12"))
+    val wSl = Window.partitionBy(col("qid")).orderBy(col("adist_e12").asc, col("vec_id").asc)
+    val sl = scored.withColumn("rnk", row_number().over(wSl))
+      .filter(col("rnk") <= adcTopR).select(col("qid"), col("vec_id"))
+    // Exact refine: only the shortlist reads full-precision floats.
+    val refScore = e6(cosine(dotNative(col("qe"), col("de")), col("qn"), col("dn")))
+    val wRef = Window.partitionBy(col("qid")).orderBy(col("score_e6").desc, col("vec_id").asc)
+    sl.join(broadcast(probesV.select(col("vec_id").as("qid"),
+        col("embedding").as("qe"), col("nrm").as("qn"))), Seq("qid"))
+      .join(v.select(col("vec_id"), col("embedding").as("de"), col("nrm").as("dn")),
+        Seq("vec_id"))
+      .select(col("qid"), col("vec_id"), refScore.as("score_e6"))
+      .withColumn("rnk", row_number().over(wRef)).filter(col("rnk") <= 5)
+      .select(col("qid"), col("rnk").cast("long").as("rnk"), col("vec_id"), col("score_e6"))
+      .orderBy("qid", "rnk")
+  }
+
+  /** qn36's oracle (shared with qn40's persisted gate). */
+  private def sqlQn36: String =
+    s"""WITH v AS (SELECT vec_id, embedding, ${sqlL2norm("embedding")} AS nrm FROM embeddings),
          |ist AS (SELECT GREATEST(1, COUNT(*) // 16) AS stride FROM v),
          |cents AS (SELECT vec_id AS cent_id, embedding AS ce, nrm AS cn FROM v, ist
          |          WHERE vec_id % stride = 0 AND vec_id < stride * 16),
@@ -589,7 +627,10 @@ object PQ {
          |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
          |               ORDER BY score_e6 DESC, vec_id) AS rnk FROM ref)
          |SELECT qid, rnk, vec_id, score_e6 FROM r WHERE rnk <= 5
-         |ORDER BY qid, rnk""".stripMargin) { (s, dir) =>
+         |ORDER BY qid, rnk""".stripMargin
+
+  /** qn36's plan (shared doc: see the registration above). */
+  private def qn36Plan(s: SparkSession, dir: String): DataFrame = {
       val v = Tables.embeddings(s, dir)
         .select(col("vec_id"), col("embedding"), l2normNative(col("embedding")).as("nrm"))
       val cents = coarseCents(v)
@@ -637,8 +678,7 @@ object PQ {
         .withColumn("rnk", row_number().over(wRef)).filter(col("rnk") <= 5)
         .select(col("qid"), col("rnk").cast("long").as("rnk"), col("vec_id"), col("score_e6"))
         .orderBy("qid", "rnk")
-    }
-  )
+  }
 
   // ---- persisted IVFADC index ----------------------------------------
 
