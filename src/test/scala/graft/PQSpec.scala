@@ -125,6 +125,26 @@ class PQSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.pq.isinMaxIds")
   }
 
+  test("degenerate probe batches: empty frame serves empty; nProbe past the cell count probes all cells") {
+    val path = graft.operators.Similarity.newIndexDir()
+    graft.operators.PQ.buildPqIndex(spark, sf, path)
+    // Empty probe frame: every stage (route, tables, shortlist, refine)
+    // must flow through to an empty, correctly-typed result — not an
+    // empty-min/max or empty-isin crash in the driver-side plumbing.
+    val empty = Tables.embeddings(spark, sf).filter(lit(false))
+      .select("vec_id", "embedding")
+    val out = graft.operators.PQ.probePqIndexWith(spark, empty, path, 4, 5)
+    assert(out.columns.toSeq == Seq("qid", "rnk", "vec_id", "score_e6"))
+    assert(out.count() == 0)
+    // nProbe beyond the cell count degrades to an all-cells probe —
+    // identical rows to the exact cell-count probe, no bound error.
+    val all16 = graft.operators.PQ.probePqIndex(spark, sf, path, 16, 5)
+      .collect().map(_.toString).toSeq
+    val over = graft.operators.PQ.probePqIndex(spark, sf, path, 999, 5)
+      .collect().map(_.toString).toSeq
+    assert(over == all16, "nProbe > cells diverged from the all-cells probe")
+  }
+
   test("codes lake is the hot side: materially smaller than the float lake") {
     val path = graft.operators.Similarity.newIndexDir()
     graft.operators.PQ.buildPqIndex(spark, sf, path)
