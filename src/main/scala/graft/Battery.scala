@@ -60,7 +60,9 @@ object Battery {
         args.lift(1).map(_.toInt).getOrElse(40))
       case Some("pq")         => pq(spark, args.lift(1).map(_.toLong).getOrElse(500000L))
       case Some("pqdispatch") => pqDispatch(spark, args.lift(1).map(_.toLong).getOrElse(125000L))
-      case other => sys.error(s"unknown battery: $other (skew|bloom|governance|paircurve|ivfjoin|ingest|ingestgrow|pq|pqdispatch)")
+      case Some("pqserve")    => pqServe(spark, args.lift(1).map(_.toLong).getOrElse(4000000L))
+      case Some("pqiters")    => pqIters(spark, args.lift(1).map(_.toLong).getOrElse(500000L))
+      case other => sys.error(s"unknown battery: $other (skew|bloom|governance|paircurve|ivfjoin|ingest|ingestgrow|pq|pqdispatch|pqserve|pqiters)")
     }
     spark.stop()
   }
@@ -554,6 +556,116 @@ object Battery {
       val (_, fastSec) = timed(PQ.buildPqIndex(s, root,
         operators.Similarity.newIndexDir(), c, fastAssign = Some(true)))
       println(f"""{"battery":"pqdispatch","vectors":$n,"cells":$c,"flat_sec":$flatSec%.1f,"fast_sec":$fastSec%.1f,"threshold":${PQ.fastAssignMinCells}}""")
+    }
+  }
+
+  // ---- pqserve ----------------------------------------------------------
+
+  /** Shared clustered-corpus generator for the PQ arms (the pq /
+    * pqdispatch fixture shape: n/8 clusters of 8 near-identical
+    * members — see [[pq]] for why uniform noise would measure the
+    * corpus, not the operator). */
+  private def pqClusteredCorpus(s: SparkSession, n: Long, tag: String): String = {
+    val dim = 64
+    val root = java.nio.file.Files.createTempDirectory(s"graft_battery_$tag").toString
+    val nClusters = math.max(16L, n / 8)
+    val cl = col("id") % nClusters
+    val emb = transform(sequence(lit(0), lit(dim - 1)), i =>
+      (((pmod(xxhash64(cl, i, lit(7)), lit(2000)).cast("double") / 1000.0) - 1.0) +
+        (pmod(xxhash64(col("id"), i, lit(11)), lit(2000)).cast("double") / 1000000.0)).cast("float"))
+    s.range(n).select(col("id").as("vec_id"), emb.as("embedding"), lit(0).as("label"))
+      .repartitionByRange(256, col("vec_id"))
+      .write.parquet(s"$root/embeddings.parquet")
+    root
+  }
+
+  /** Distributed exact-cosine top-5 for the declared probes — the
+    * ground truth the serve arms score recall against. */
+  private def pqExactTop5(s: SparkSession, root: String): Array[(Long, Long)] = {
+    import graft.functions.VectorExprs.{dotNative, l2normNative}
+    val v = Tables.embeddings(s, root)
+      .select(col("vec_id"), col("embedding"), l2normNative(col("embedding")).as("nrm"))
+    val probes = v.filter(col("vec_id") < 10)
+    val probesV = s.createDataFrame(
+      java.util.Arrays.asList(probes.collect(): _*), probes.schema)
+    val sc = e6(cosine(dotNative(col("qe"), col("de")), col("qn"), col("dn")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("score_e6").desc, col("vec_id").asc)
+    v.select(col("vec_id"), col("embedding").as("de"), col("nrm").as("dn"))
+      .join(broadcast(probesV.select(col("vec_id").as("qid"),
+        col("embedding").as("qe"), col("nrm").as("qn"))), expr("true"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), sc.as("score_e6"))
+      .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 5)
+      .select("qid", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+  }
+
+  private def pqRecall(a: Array[(Long, Long)], b: Array[(Long, Long)]): Int = {
+    val bm = b.groupBy(_._1).map { case (q, xs) => q -> xs.map(_._2).toSet }
+    a.count { case (q, v) => bm.getOrElse(q, Set.empty)(v) }
+  }
+
+  /** The 4M-scale serve point (round-13 verdict task 7): ONE two-tier
+    * byte-code build at sqrt(n) cells, then the nProbe serving curve —
+    * recall@5 vs the exact full scan (route misses count), rank-stage
+    * bytes filesystem-derived per tier. The flat-assignment baseline
+    * arm is deliberately absent: at 4M x 2000 cells the flat argmax is
+    * the measured N^1.5 wall the dispatch exists to avoid. */
+  private def pqServe(s: SparkSession, n: Long): Unit = {
+    import operators.PQ
+    val root = pqClusteredCorpus(s, n, "pqs")
+    val nCells = math.max(16, math.sqrt(n.toDouble).toInt)
+    val path = operators.Similarity.newIndexDir()
+    val (_, bSec) = timed(PQ.buildPqIndex(s, root, path, nCells,
+      fastAssign = Some(true), params = PQ.PqParams(8, 8, 256)))
+    def dirBytes(f: java.io.File): Long =
+      if (f.isDirectory) Option(f.listFiles).getOrElse(Array.empty).map(dirBytes).sum
+      else if (f.getName.endsWith(".parquet")) f.length else 0L
+    val codesBytes = dirBytes(new java.io.File(s"$path/codes"))
+    val vecBytes = dirBytes(new java.io.File(s"$path/vectors"))
+    println(f"""{"battery":"pqserve","vectors":$n,"cells":$nCells,"build_sec":$bSec%.1f,"codes_bytes":$codesBytes,"vectors_bytes":$vecBytes,"bytes_ratio":${vecBytes.toDouble / codesBytes}%.1f}""")
+    val exact = pqExactTop5(s, root)
+    val probeFrame = Tables.embeddings(s, root).filter(col("vec_id") < 10)
+      .select("vec_id", "embedding")
+    def cellFiles(sub: String, cs: Seq[Long]): Long =
+      cs.map(c => dirBytes(new java.io.File(s"$path/$sub/cent_id=$c"))).sum
+    val cents = s.read.parquet(s"$path/centroids")
+    for (np <- Seq(1, 2, 4, 8, 16)) {
+      val probesRaw = Tables.embeddings(s, root).filter(col("vec_id") < 10)
+        .select(col("vec_id"), col("embedding"),
+          graft.functions.VectorExprs.l2normNative(col("embedding")).as("nrm"))
+      val probesV = s.createDataFrame(
+        java.util.Arrays.asList(probesRaw.collect(): _*), probesRaw.schema)
+      val (_, npCells) = PQ.routeCells(s, probesV, cents, np)
+      val (top, sec) = timed(
+        PQ.probePqIndexWith(s, probeFrame, path, np, 5).select("qid", "vec_id")
+          .collect().map(r => (r.getLong(0), r.getLong(1))))
+      println(f"""{"battery":"pqserve_nprobe","vectors":$n,"nprobe":$np,"probed_cells":${npCells.size},"serve_sec":$sec%.1f,"rank_bytes_codes":${cellFiles("codes", npCells)},"rank_bytes_floats":${cellFiles("vectors", npCells)},"recall_at5":"${pqRecall(top, exact)}/${exact.length}"}""")
+    }
+  }
+
+  // ---- pqiters ------------------------------------------------------------
+
+  /** Lloyd depth at FIXED compression (round-13 verdict task 6): the
+    * byte-code sizing erased the K=16 recall fade; does a deeper
+    * deterministic Lloyd chain buy anything more? One build + full-scan
+    * serve per iters, same corpus, same probes, recall vs the exact
+    * full scan. */
+  private def pqIters(s: SparkSession, n: Long): Unit = {
+    import operators.PQ
+    val root = pqClusteredCorpus(s, n, "pqi")
+    val nCells = math.max(16, math.sqrt(n.toDouble).toInt)
+    val exact = pqExactTop5(s, root)
+    val probeFrame = Tables.embeddings(s, root).filter(col("vec_id") < 10)
+      .select("vec_id", "embedding")
+    for (it <- Seq(1, 2, 3)) {
+      val path = operators.Similarity.newIndexDir()
+      val (_, bSec) = timed(PQ.buildPqIndex(s, root, path, nCells,
+        fastAssign = Some(true), params = PQ.PqParams(8, 8, 256), iters = it))
+      val (top, sec) = timed(
+        PQ.probePqIndexWith(s, probeFrame, path, nCells, 5).select("qid", "vec_id")
+          .collect().map(r => (r.getLong(0), r.getLong(1))))
+      println(f"""{"battery":"pqiters","vectors":$n,"iters":$it,"build_sec":$bSec%.1f,"fullscan_serve_sec":$sec%.1f,"recall_at5":"${pqRecall(top, exact)}/${exact.length}"}""")
     }
   }
 

@@ -17,6 +17,26 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
   def main(args: Array[String]): Unit = {
+    // Clean-tmp protocol (round 14, promoted from the Battery): stale
+    // battery corpora under java.io.tmpdir distort wall timings — past
+    // ~40 GB of leftover graft_battery_* trees the fs/page-cache
+    // pressure produced measured 10x non-monotone swings (BENCH_NOTES
+    // round 16), and the round-13 sweep drifted +10-35% on carried
+    // queries for exactly this reason. The official sweep now enforces
+    // the same discipline the Battery requires: drop leftovers BEFORE
+    // timing anything.
+    locally {
+      def rm(x: java.io.File): Unit = {
+        if (x.isDirectory) Option(x.listFiles).getOrElse(Array.empty).foreach(rm)
+        x.delete(): Unit
+      }
+      val tmp = new java.io.File(sys.props("java.io.tmpdir"))
+      Option(tmp.listFiles).getOrElse(Array.empty)
+        .filter(_.getName.startsWith("graft_battery_")).foreach { f =>
+          System.err.println(s"BENCH: clearing stale battery tmp ${f.getName}")
+          rm(f)
+        }
+    }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()

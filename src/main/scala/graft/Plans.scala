@@ -47,15 +47,18 @@ object Plans {
     "qn10d_ann_ivf_probe_join" -> "corpus-sized IVF probe: routed probes stay distributed, index lake equi-joins on cent_id — no collect, no IN-list; the serving shape past the 1e6-route collect bound (routing dispatched FLAT at the 16-cell fixture)",
     "qn10e_ann_ivf_probe_join_coarse" -> "forced coarse branch of qn10d's dispatch: k2-seed broadcast routing, fine cells via coarse_id equi-join — no probe x all-centroids nested loop",
     "qn06c_simhash_probe_enum" -> "radius-3 ball enumeration: one 36,051-mask literal-array transform, exact-equality join — join output IS the answer (no candidate filter, no pair-dedup state)",
-    "qn30_pq_codebooks" -> "PQ codebook training: broadcast seed join + rn=1 argmin through TopKPerGroup (map-side partial top-1 per (vec, subspace)) + one partial-agg mean shuffle — no N x K shuffle, no SortAggregate",
+    "qn30_pq_codebooks" -> "PQ codebook training: the assignment argmin is the native pq_encode expression (plan-time seed literal, partial-distance early exit — no N x K join, no window shuffle); the only shuffle is the (sub, cid, pos) partial-agg mean",
+    "qn31_pq_encode" -> "PQ encode: join-free map over the corpus scan — the trained codebook bakes into the pq_encode codegen expression, one early-exit argmin pass per vector emits all M codes + reconstruction errors",
     "qn32_ann_pq_adc" -> "ADC scan: per-probe 64-slot lookup arrays broadcast; candidate scoring is 4 element_at's over the code column inside one codegen stage; only shuffle is the per-probe top-k",
     "qn33_ann_ivfpq_refine" -> "IVFADC + refine: coarse route bounds candidates to probed cells, ADC ranks codes, top-16 shortlist alone pays the full-precision read for the exact cosine re-rank",
     "qn34_ann_binary_hamming" -> "binary tier: one sign-bit long per vector; candidate ranking is xor + bit_count (two ALU ops in codegen, no array traffic); 16-wide shortlist pays the float read",
     "qn36_ann_ivfpq_residual" -> "residual IVFADC: codebooks train on v - coarse_centroid; one broadcast distance table per (probe, probed cell); candidate cost unchanged at M lookups keyed by the candidate's cell",
-    "qn37_pq_encode_m8" -> "non-fixture PQ sizing (M=8 subspaces, K=32 codewords): the identical TopKPerGroup train+encode pipeline with every slicing/stride/layout constant a parameter — same plan shape as qn30/qn31, different arithmetic",
+    "qn37_pq_encode_m8" -> "non-fixture PQ sizing (M=8 subspaces, K=32 codewords): the identical native train+encode pipeline with every slicing/stride/layout constant a parameter — same plan shape as qn30/qn31, different arithmetic",
     "qn38_ann_sq8" -> "SQ8 scalar quantization: per-dim min/max via one 64-group partial agg, map-only byte quantize, integer squared-L2 rank in codegen, 16-wide shortlist pays the exact re-rank",
+    "qn38b_ann_sq8_persisted" -> "persisted SQ8 serve: frozen envelope + byte codes read from the three-sided index, rank over the codes scan only, shortlist point-read of the cold floats (vec_id pushdown) — the qn39 discipline without an IVF tier",
+    "qn42_pq_codebooks_iters2" -> "two-step Lloyd: the iters chain re-seeds from step-1 means (collected K x D rows), each step the same native-assignment + partial-agg-mean shape — depth multiplies passes, never changes the per-pass plan",
     "qn39_ann_ivfpq_persisted" -> "persisted IVFADC serve: codes scanned under a cent_id partition filter, broadcast ADC tables, shortlist point-read of the cold floats (vec_id pushdown) — the qn10b discipline on the two-temperature index",
-    "qn40_ann_ivfpq_residual_persisted" -> "persisted RESIDUAL IVFADC: the _residual marker dispatches per-(probe, cell) residual tables through the same stored-artifact serve path",
+    "qn40_ann_ivfpq_residual_persisted" -> "persisted RESIDUAL IVFADC: the meta side's residual flag dispatches per-(probe, cell) residual tables through the same stored-artifact serve path",
     "qp06_corpus_fingerprint" -> "snapshot signature: map-side sha digest projection + one partially aggregated hash agg on lang — a 1-row-per-lang shuffle and nothing else")
 
   def main(args: Array[String]): Unit = {

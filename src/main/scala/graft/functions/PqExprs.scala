@@ -1,0 +1,163 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftSqlBridge
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionDescription, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+/** Native codegen'd product-quantization encode: the per-subspace
+  * argmin of integer squared-euclidean against a PLAN-TIME codebook,
+  * with partial-distance early exit.
+  *
+  * Why a custom Expression (the [[DotProductFF]] rationale, applied to
+  * the PQ build wall): the declarative argmin — explode M subspace
+  * rows, broadcast-join K codewords, rn=1 window — materializes the
+  * N x M x K candidate stream through d2 evaluations and a shuffle of
+  * the pre-reduced rows. At production sizing (M=16, K=256) that is
+  * 4096 full d2 evaluations per vector, and the round-16 battery
+  * measured the byte-code build encode-saturated at 270 s / 1M
+  * vectors. This expression evaluates the whole argmin for ALL M
+  * subspaces in one codegen'd pass per vector — no join, no explode,
+  * no shuffle — and prunes each candidate's distance loop the moment
+  * its PARTIAL sum reaches the current best (Jegou et al. TPAMI 2011's
+  * standard encode pruning): a candidate that loses early costs a few
+  * dims, not subDim.
+  *
+  * Semantics are BIT-EXACT with the join+window form (and therefore
+  * the DuckDB oracle's `ROW_NUMBER() OVER (ORDER BY d2, code)`):
+  * integer d2 over e6 longs, ties to the LOWEST code (candidates scan
+  * in ascending code order and only a STRICTLY smaller distance
+  * replaces the best — the early exit fires on `>=`, which can never
+  * flip a tie). The codebook is a plan-time literal (M x K x subDim
+  * longs — broadcast-class, baked into the generated class), so the
+  * whole encode is a map over the corpus scan.
+  *
+  * Output: `array<long>` of length 2 M — `[code_0..code_{M-1},
+  * d2min_0..d2min_{M-1}]` (one evaluation feeds both the codes column
+  * and the reconstruction error without re-running the argmin).
+  *
+  * Failure policy (the loud-failure discipline): an input vector whose
+  * width differs from M x subDim, or with a NULL element, throws with
+  * instructions instead of silently truncating the subspace slices —
+  * the silent form produced a valid-looking index with degraded
+  * recall.
+  */
+@ExpressionDescription(
+  usage = "pq_encode(emb6) - per-subspace PQ argmin codes + min integer distances.")
+case class PqEncode(child: Expression, cb: Array[Long], m: Int, k: Int, subDim: Int)
+    extends UnaryExpression {
+
+  require(m > 0 && k > 0 && subDim > 0 && cb.length == m * k * subDim,
+    s"pq_encode: codebook has ${cb.length} entries, sizing says ${m * k * subDim}")
+
+  override def prettyName: String = "pq_encode"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"pq_encode requires array<bigint> (the e6 integer view), got $other")
+  }
+
+  private def widthError(got: Int): String =
+    s"pq_encode: embedding width $got != m($m) x subDim($subDim) = ${m * subDim} — " +
+      "the PqParams sizing must match the corpus embedding dim (a mismatched " +
+      "sizing would silently slice truncated subvectors and degrade recall)"
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) return null
+    val a = v.asInstanceOf[ArrayData]
+    if (a.numElements() != m * subDim)
+      throw new IllegalArgumentException(widthError(a.numElements()))
+    val out = new Array[Long](2 * m)
+    var sub = 0
+    while (sub < m) {
+      var best = Long.MaxValue
+      var bestCode = 0
+      var c = 0
+      while (c < k) {
+        val base = (sub * k + c) * subDim
+        val vbase = sub * subDim
+        var acc = 0L
+        var d = 0
+        while (d < subDim && acc < best) {
+          if (a.isNullAt(vbase + d))
+            throw new IllegalArgumentException(
+              "pq_encode: NULL embedding element — clean the corpus before encoding")
+          val diff = a.getLong(vbase + d) - cb(base + d)
+          acc += diff * diff
+          d += 1
+        }
+        if (acc < best) { best = acc; bestCode = c }
+        c += 1
+      }
+      out(sub) = bestCode.toLong
+      out(m + sub) = best
+      sub += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("pqCb", cb, "long[]")
+    nullSafeCodeGen(ctx, ev, a => {
+      val out = ctx.freshName("out")
+      val sub = ctx.freshName("sub")
+      val best = ctx.freshName("best")
+      val bestCode = ctx.freshName("bestCode")
+      val c = ctx.freshName("c")
+      val d = ctx.freshName("d")
+      val acc = ctx.freshName("acc")
+      val base = ctx.freshName("base")
+      val vbase = ctx.freshName("vbase")
+      val diff = ctx.freshName("diff")
+      s"""
+         |if ($a.numElements() != ${m * subDim}) {
+         |  throw new IllegalArgumentException(
+         |    "pq_encode: embedding width " + $a.numElements() + " != m($m) x subDim($subDim) = ${m * subDim}" +
+         |    " - the PqParams sizing must match the corpus embedding dim (a mismatched" +
+         |    " sizing would silently slice truncated subvectors and degrade recall)");
+         |}
+         |final long[] $out = new long[${2 * m}];
+         |for (int $sub = 0; $sub < $m; $sub++) {
+         |  long $best = Long.MAX_VALUE;
+         |  int $bestCode = 0;
+         |  final int $vbase = $sub * $subDim;
+         |  for (int $c = 0; $c < $k; $c++) {
+         |    final int $base = ($sub * $k + $c) * $subDim;
+         |    long $acc = 0L;
+         |    for (int $d = 0; $d < $subDim && $acc < $best; $d++) {
+         |      if ($a.isNullAt($vbase + $d)) {
+         |        throw new IllegalArgumentException(
+         |          "pq_encode: NULL embedding element - clean the corpus before encoding");
+         |      }
+         |      final long $diff = $a.getLong($vbase + $d) - $cbRef[$base + $d];
+         |      $acc += $diff * $diff;
+         |    }
+         |    if ($acc < $best) { $best = $acc; $bestCode = $c; }
+         |  }
+         |  $out[$sub] = (long) $bestCode;
+         |  $out[$m + $sub] = $best;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqEncode =
+    copy(child = newChild)
+}
+
+object PqExprs {
+  /** Column wrapper for [[PqEncode]] — `cb` is the flattened codebook,
+    * sub-major then code-major then pos: `cb[(sub*k + code)*subDim +
+    * pos]`. */
+  def pqEncodeNative(emb6: Column, cb: Array[Long], m: Int, k: Int, subDim: Int): Column =
+    GraftSqlBridge.column(PqEncode(GraftSqlBridge.expression(emb6), cb, m, k, subDim))
+}

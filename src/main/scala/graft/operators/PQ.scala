@@ -60,9 +60,10 @@ object PQ {
     * oracles replay); production byte-code sizing is
     * `PqParams(16, 4, 256)`-class — one byte per code, 16^4 -> 256^16
     * combo space. A persisted index is SELF-DESCRIBING: the probe,
-    * append, and rebalance paths re-derive the params from the stored
-    * codebook table ([[paramsOf]]), so an index built at any sizing
-    * serves without the caller restating it. */
+    * append, and rebalance paths read the REALIZED sizing and the
+    * encoding flag from the stored `meta` side ([[indexMeta]]), so an
+    * index built at any sizing serves without the caller restating
+    * it. */
   final case class PqParams(m: Int, subDim: Int, k: Int) {
     require(m > 0 && subDim > 0 && k > 1, s"bad PQ sizing: $this")
     def dim: Int = m * subDim
@@ -111,11 +112,22 @@ object PQ {
     * codegen see plain literals). `keys` is (vec_id) for corpus frames
     * and (qid, cent_id) for the residual probe tables. */
   private def vsubKeyed(veF: DataFrame, keys: Seq[String],
-      p: PqParams = fixturePq): DataFrame =
+      p: PqParams = fixturePq): DataFrame = {
+    // Width guard (the loud-failure discipline): a probe or corpus row
+    // whose width differs from the declared sizing must fail with
+    // instructions — the silent alternative is `slice` past the array
+    // end, truncated subvectors, null d2s, and a valid-looking result
+    // with degraded ranking. O(1) per row (array size check).
+    val checked = when(size(col("emb6")) === p.dim, col("emb6"))
+      .otherwise(raise_error(concat(
+        lit("PQ: embedding width "), size(col("emb6")).cast("string"),
+        lit(s" != m(${p.m}) x subDim(${p.subDim}) = ${p.dim} — fix the PqParams sizing" +
+          " or the input frame"))))
     veF.select(keys.map(col) :+ explode(array((0 until p.m).map(m =>
         struct(lit(m.toLong).as("sub"),
-          slice(col("emb6"), m * p.subDim + 1, p.subDim).as("v6"))): _*)).as("sv"): _*)
+          slice(checked, m * p.subDim + 1, p.subDim).as("v6"))): _*)).as("sv"): _*)
       .select(keys.map(col) ++ Seq(col("sv.sub").as("sub"), col("sv.v6").as("v6")): _*)
+  }
 
   private def vsub(veF: DataFrame, p: PqParams = fixturePq): DataFrame =
     vsubKeyed(veF, Seq("vec_id"), p)
@@ -124,27 +136,42 @@ object PQ {
   private def d2(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), (acc, x) => acc + x)
 
-  /** Per-(vector, subspace) argmin against a broadcast candidate set:
-    * map-side d2, then the rn=1 window — which [[graft.plans
-    * .TopKRewriteRule]] plans as TopKPerGroup with MAP-SIDE partial
-    * top-1 per (vec_id, sub), so the shuffle carries one pre-reduced
-    * row per (vector, subspace), never the N x K candidate stream (the
-    * qn19 assignment shape, pinned in PlanSpec). NOT `min_by`: its
-    * struct buffer has no mutable hash form, so the aggregate falls
-    * off the hash path onto SortAggregate — the round-5 qn09 hazard
-    * PlanSpec sweeps for. Ties break to the lowest `ordCol` (cid in
-    * training, code in encode) — the oracle's ROW_NUMBER ORDER BY
-    * (d2, ord). */
-  private def argminBySub(vsubF: DataFrame, cands: DataFrame, ordCol: String,
-      keep: Seq[String]): DataFrame = {
-    val w = Window.partitionBy(col("vec_id"), col("sub"))
-      .orderBy(col("d2v").asc, col(ordCol).asc)
-    vsubF.join(broadcast(cands), Seq("sub"))
-      .withColumn("d2v", d2(col("v6"), col("ce6")))
-      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .select(Seq("vec_id", "sub", ordCol).map(col) ++ keep.map(col) :+
-        col("d2v").as("d2min"): _*)
+  /** Collect a trained codebook frame (sub, code, c6) to the flattened
+    * plan-time form [[graft.functions.PqEncode]] consumes, deriving the
+    * REALIZED sizing from the rows (the stride rule caps K at the
+    * corpus size, so the realized K can be smaller than requested —
+    * PQSpec's 200-vector / K=256 case). M x K rows: driver-manifest
+    * class. Density is validated — a hole in the (sub, code) lattice
+    * would silently mis-address every later ADC lookup. */
+  private def collectCb(cb: DataFrame): (Array[Long], PqParams) = {
+    val rows = cb.select(col("sub"), col("code"), col("c6")).collect()
+    require(rows.nonEmpty, "PQ: empty codebook — train before encoding")
+    val m = rows.iterator.map(_.getLong(0)).max.toInt + 1
+    require(rows.length % m == 0,
+      s"PQ: codebook not dense — ${rows.length} rows over $m subspaces")
+    val k = rows.length / m
+    val subDim = rows.head.getSeq[Long](2).length
+    val flat = new Array[Long](m * k * subDim)
+    val seen = new Array[Boolean](m * k)
+    rows.foreach { r =>
+      val sub = r.getLong(0).toInt
+      val code = r.getLong(1).toInt
+      require(sub >= 0 && sub < m && code >= 0 && code < k && !seen(sub * k + code),
+        s"PQ: codebook not dense at (sub=$sub, code=$code)")
+      seen(sub * k + code) = true
+      val c6 = r.getSeq[Long](2)
+      require(c6.length == subDim,
+        s"PQ: ragged codeword width ${c6.length} at (sub=$sub, code=$code), expected $subDim")
+      c6.copyToArray(flat, (sub * k + code) * subDim)
+    }
+    (flat, PqParams(m, subDim, k))
   }
+
+  /** The native encode column over an `emb6` e6 array: array[2M] =
+    * codes ++ d2mins (see [[graft.functions.PqEncode]] — bit-exact with
+    * the join+window argmin, with partial-distance early exit). */
+  private def encCol(flat: Array[Long], p: PqParams): Column =
+    graft.functions.PqExprs.pqEncodeNative(col("emb6"), flat, p.m, p.k, p.subDim)
 
   /** The trained codebook, memoized per (session, corpus): one
     * deterministic Lloyd step per subspace from stride seeds. Returns
@@ -179,50 +206,111 @@ object PQ {
     * shifting every later code's slot in the packed sub-major lookup
     * array and mis-addressing [[adcScore]]. */
   private def codebookLong(s: SparkSession, dir: String): DataFrame =
-    trainCodebookLong(vsub(ve(s, dir)))
+    trainCodebookLong(ve(s, dir))
 
-  /** One Lloyd step over ANY long-form subspace frame (vec_id, sub,
-    * v6) — shared by the plain (qn30) and residual (qn36) trainings.
-    * Seeds by the STRIDE rule (dense id space — the build-time
-    * contract; [[rebalancePqIndex]] retrains with [[hashSeeds]]
-    * instead, because an appended lake's id space is arbitrary). */
-  private def trainCodebookLong(vsubF: DataFrame,
-      p: PqParams = fixturePq): DataFrame = {
-    val strideF = vsubF.filter(col("sub") === 0).agg(count(lit(1)).as("n_vec"))
-      .select(greatest(lit(1L), expr(s"n_vec div ${p.k}")).as("stride"))
-    val seeds = vsubF.crossJoin(strideF)
-      .filter(col("vec_id") % col("stride") === 0 && col("vec_id") < col("stride") * p.k)
-      .select(col("sub"), col("vec_id").as("cid"), col("v6").as("ce6"))
-    lloydStep(vsubF, seeds)
+  /** Deterministic Lloyd training over ANY (vec_id, emb6) e6 frame —
+    * shared by the plain (qn30) and residual (qn36) trainings. Seeds
+    * by the STRIDE rule (dense id space — the build-time contract;
+    * [[rebalancePqIndex]] retrains with [[hashSeedVecs]] instead,
+    * because an appended lake's id space is arbitrary). `iters`
+    * unrolls extra Lloyd steps (each step re-seeds from the previous
+    * step's means — still RNG-free, and oracle-replayable as a chained
+    * CTE block); the default 1 is the registered-query contract. */
+  private def trainCodebookLong(ve6F: DataFrame, p: PqParams = fixturePq,
+      iters: Int = 1): DataFrame = {
+    require(iters >= 1, s"PQ: iters must be >= 1, got $iters")
+    var cbl = lloydStepNative(ve6F, strideSeedVecs(ve6F, p.k), p)
+    var t = 1
+    while (t < iters) {
+      cbl = lloydStepNative(ve6F, centroidSeedVecs(cbl, p), p)
+      t += 1
+    }
+    cbl
+  }
+
+  /** The K stride-rule seed vectors, collected (K rows — the same
+    * driver-manifest class as the centroid collects): ids divisible by
+    * stride = max(1, N div K) below stride x K, in cid order. */
+  private def strideSeedVecs(ve6F: DataFrame, k: Int): Array[(Long, Array[Long])] = {
+    val n = ve6F.count()
+    require(n > 0, "PQ: cannot train a codebook over an empty corpus")
+    val stride = math.max(1L, n / k)
+    ve6F.filter(col("vec_id") % stride === 0 && col("vec_id") < stride * k)
+      .select(col("vec_id"), col("emb6")).orderBy(col("vec_id")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
   }
 
   /** Codebook seeds for an ARBITRARY id space: the K vectors with the
     * lowest `xxhash64(vec_id)` (the [[Similarity.rebalanceIvfIndex]]
     * seed rule applied to the codebook) — deterministic,
-    * distribution-free over the ids, all M subspaces sharing the same
-    * seed vectors like the stride rule. TakeOrderedAndProject: no sort
-    * materialization. */
-  private def hashSeeds(vsubF: DataFrame, k: Int): DataFrame = {
-    val ids = vsubF.filter(col("sub") === 0)
-      .orderBy(xxhash64(col("vec_id"), lit(1004)).asc, col("vec_id").asc)
-      .limit(k).select(col("vec_id"))
-    vsubF.join(broadcast(ids), Seq("vec_id"))
-      .select(col("sub"), col("vec_id").as("cid"), col("v6").as("ce6"))
+    * distribution-free over the ids. TakeOrderedAndProject: no sort
+    * materialization; K rows collect. Sorted by cid so the code ranks
+    * match [[cbPivot]]'s ORDER BY cid. */
+  private def hashSeedVecs(ve6F: DataFrame, k: Int): Array[(Long, Array[Long])] =
+    ve6F.orderBy(xxhash64(col("vec_id"), lit(1004)).asc, col("vec_id").asc)
+      .limit(k).select(col("vec_id"), col("emb6")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray)).sortBy(_._1)
+
+  /** Re-seed from a trained cbl long frame's means (the multi-iter
+    * Lloyd chain): collect (K x M x subDim rows — manifest-class) back
+    * to full-dim seed vectors keyed by cid. */
+  private def centroidSeedVecs(cbl: DataFrame, p: PqParams): Array[(Long, Array[Long])] = {
+    val rows = cbl.select(col("sub"), col("cid"), col("pos"), col("centroid_e6")).collect()
+    rows.groupBy(_.getLong(1)).toArray.sortBy(_._1).map { case (cid, rs) =>
+      val v = new Array[Long](p.dim)
+      rs.foreach(r => v(r.getLong(0).toInt * p.subDim + r.getLong(2).toInt) = r.getLong(3))
+      (cid, v)
+    }
   }
 
-  /** The Lloyd-step means given a seed frame (sub, cid, ce6): assign
-    * every subvector to its nearest seed, mean per (sub, cid, pos),
-    * empty cells keep their seed centroid (n = 0 — see
-    * [[codebookLong]]'s layout rationale). */
-  private def lloydStep(vsubF: DataFrame, seeds: DataFrame): DataFrame = {
-    val means = argminBySub(vsubF, seeds, "cid", Seq("v6"))
-      .select(col("sub"), col("cid"), posexplode(col("v6")).as(Seq("pos", "vv")))
-      .groupBy("sub", "cid", "pos")
+  /** One deterministic Lloyd step from LOCAL seed vectors: the argmin
+    * assignment is the native [[graft.functions.PqEncode]] expression
+    * (map-side, early-exit — no N x K join, no window shuffle), the
+    * means are one partial agg over N x D rows, and empty cells keep
+    * their seed centroid (n = 0 — see [[codebookLong]]'s layout
+    * rationale). Returns the cbl long form (sub, cid, pos, n,
+    * centroid_e6); ties in the assignment go to the lowest cid (seeds
+    * scan in ascending-cid order inside the expression — the oracle's
+    * ROW_NUMBER ORDER BY (d2, cid)). */
+  private def lloydStepNative(ve6F: DataFrame,
+      seeds: Array[(Long, Array[Long])], p: PqParams): DataFrame = {
+    require(seeds.nonEmpty, "PQ: no seed vectors (empty corpus?)")
+    seeds.foreach { case (cid, v) => require(v.length == p.dim,
+      s"PQ: seed $cid has width ${v.length}, sizing declares ${p.m} x ${p.subDim} = ${p.dim}") }
+    val k = seeds.length // realized K: the stride rule caps it at the corpus size
+    val flat = new Array[Long](p.m * k * p.subDim)
+    for (((_, v), j) <- seeds.zipWithIndex; sub <- 0 until p.m; d <- 0 until p.subDim)
+      flat((sub * k + j) * p.subDim + d) = v(sub * p.subDim + d)
+    val cids = seeds.map(_._1)
+    val pr = PqParams(p.m, p.subDim, k)
+    // (sub, cid, pos, vv) for the means: ONE posexplode of the input
+    // vector next to its assignment array — the only shuffle in the
+    // step is the means' partial agg.
+    val asgLong = ve6F
+      .select(col("vec_id"), encCol(flat, pr).as("enc"), col("emb6"))
+      .select(col("enc"), posexplode(col("emb6")).as(Seq("i", "vv")))
+      .select(floor(col("i") / p.subDim).cast("long").as("sub"),
+        (col("i") % p.subDim).cast("long").as("pos"),
+        element_at(lit(cids),
+          element_at(col("enc"), floor(col("i") / p.subDim).cast("int") + 1).cast("int") + 1)
+          .as("cid"),
+        col("vv"))
+    val means = asgLong.groupBy("sub", "cid", "pos")
       .agg(count(lit(1)).as("n"),
         floor(sum(col("vv")).cast("double") / count(lit(1))).cast("long").as("m6"))
-    seeds.select(col("sub"), col("cid"), posexplode(col("ce6")).as(Seq("pos", "sv")))
+    val s = ve6F.sparkSession
+    val seedRows: java.util.List[org.apache.spark.sql.Row] =
+      java.util.Arrays.asList((for {
+        (cid, v) <- seeds; sub <- 0 until p.m; d <- 0 until p.subDim
+      } yield org.apache.spark.sql.Row(sub.toLong, cid, d.toLong, v(sub * p.subDim + d))): _*)
+    val seedSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("sub", org.apache.spark.sql.types.LongType, false),
+      org.apache.spark.sql.types.StructField("cid", org.apache.spark.sql.types.LongType, false),
+      org.apache.spark.sql.types.StructField("pos", org.apache.spark.sql.types.LongType, false),
+      org.apache.spark.sql.types.StructField("sv", org.apache.spark.sql.types.LongType, false)))
+    s.createDataFrame(seedRows, seedSchema)
       .join(means, Seq("sub", "cid", "pos"), "left")
-      .select(col("sub"), col("cid"), col("pos").cast("long").as("pos"),
+      .select(col("sub"), col("cid"), col("pos"),
         coalesce(col("n"), lit(0L)).as("n"),
         coalesce(col("m6"), col("sv")).as("centroid_e6"))
   }
@@ -230,46 +318,64 @@ object PQ {
   /** Per-vector PQ codes in long form: (vec_id, sub, code, d2min) —
     * argmin against the trained codebook. */
   private[graft] def encoded(s: SparkSession, dir: String): DataFrame =
-    encodeWith(vsub(ve(s, dir)), codebook(s, dir))
+    encodeWith(ve(s, dir), codebook(s, dir))
 
-  private def encodeWith(vsubF: DataFrame, cb: DataFrame): DataFrame = {
-    val cands = cb.select(col("sub"), col("code"), col("c6").as("ce6"))
-    argminBySub(vsubF, cands, "code", Seq.empty)
-      .select(col("vec_id"), col("sub"), col("code"), col("d2min"))
+  /** Native encode of an e6 frame against a trained codebook frame,
+    * long form (vec_id, sub, code, d2min): the codebook collects to a
+    * plan-time literal (M x K rows), so the encode is a pure map over
+    * the corpus scan — no join, no window, no shuffle (the
+    * [[graft.functions.PqEncode]] early-exit argmin). */
+  private def encodeWith(ve6F: DataFrame, cb: DataFrame): DataFrame = {
+    val (flat, p) = collectCb(cb)
+    ve6F.select(col("vec_id"), encCol(flat, p).as("enc"))
+      .select(col("vec_id"), posexplode(
+        zip_with(slice(col("enc"), 1, p.m), slice(col("enc"), p.m + 1, p.m),
+          (c, d) => struct(c.as("code"), d.as("d2min")))).as(Seq("sub", "cd")))
+      .select(col("vec_id"), col("sub").cast("long").as("sub"),
+        col("cd.code").as("code"), col("cd.d2min").as("d2min"))
   }
 
-  /** Long codes -> the stored (vec_id, codes[pqM]) shape. */
-  private def codesPivot(enc: DataFrame): DataFrame =
-    enc.groupBy("vec_id")
-      .agg(transform(array_sort(collect_list(struct(col("sub"), col("code")))),
-        p => p.getField("code")).as("codes"))
+  /** Native encode straight to the stored hot-side shape (vec_id,
+    * codes[M]) — NO pivot shuffle (the old collect_list groupBy is
+    * gone: one expression evaluation per vector, slice the code half). */
+  private def codesWith(ve6F: DataFrame, cb: DataFrame): DataFrame = {
+    val (flat, p) = collectCb(cb)
+    ve6F.select(col("vec_id"), encCol(flat, p).as("enc"))
+      .select(col("vec_id"), slice(col("enc"), 1, p.m).as("codes"))
+  }
 
-  /** Codes pivoted to the stored shape: (vec_id, codes[pqM]) — the
-    * column a PQ index lake persists (sub-major, one small int per
-    * subspace; 4 bits each at fixture K). Memoized per (session,
-    * corpus) like the codebook: qn32, qn33, and the persisted build
-    * all consume the identical deterministic frame. */
+  /** Codes in the stored shape: (vec_id, codes[pqM]) — the column a PQ
+    * index lake persists (sub-major, one small int per subspace; 4
+    * bits each at fixture K). Memoized per (session, corpus) like the
+    * codebook: qn32, qn33, and the persisted build all consume the
+    * identical deterministic frame. */
   private[graft] def codesArr(s: SparkSession, dir: String): DataFrame =
     Dedup.memoized("pqcodes", s, dir, 0, 0) {
-      codesPivot(encoded(s, dir)).localCheckpoint(true)
+      codesWith(ve(s, dir), codebook(s, dir)).localCheckpoint(true)
     }
 
   /** [[codebook]] for an arbitrary sizing — the fixture sizing shares
     * [[codebook]]'s cache; other sizings memoize under a
     * params-qualified tag (a byte-code build and the fixture build
     * must never share a cached frame). */
-  private def codebookP(s: SparkSession, dir: String, p: PqParams): DataFrame =
-    if (p == fixturePq) codebook(s, dir)
-    else Dedup.memoized(s"pqcb:${p.m}x${p.subDim}x${p.k}", s, dir, 0, 0) {
-      cbPivot(trainCodebookLong(vsub(ve(s, dir), p), p)).localCheckpoint(true)
+  /** Memo-tag suffix for a non-default training depth — an iters=3
+    * codebook and the single-step default must never share a cached
+    * frame (the nCells/params key reasoning). */
+  private def itag(iters: Int): String = if (iters == 1) "" else s":it$iters"
+
+  private def codebookP(s: SparkSession, dir: String, p: PqParams,
+      iters: Int = 1): DataFrame =
+    if (p == fixturePq && iters == 1) codebook(s, dir)
+    else Dedup.memoized(s"pqcb:${p.m}x${p.subDim}x${p.k}${itag(iters)}", s, dir, 0, 0) {
+      cbPivot(trainCodebookLong(ve(s, dir), p, iters)).localCheckpoint(true)
     }
 
   /** [[codesArr]] for an arbitrary sizing (see [[codebookP]]). */
-  private def codesArrP(s: SparkSession, dir: String, p: PqParams): DataFrame =
-    if (p == fixturePq) codesArr(s, dir)
-    else Dedup.memoized(s"pqcodes:${p.m}x${p.subDim}x${p.k}", s, dir, 0, 0) {
-      codesPivot(encodeWith(vsub(ve(s, dir), p), codebookP(s, dir, p)))
-        .localCheckpoint(true)
+  private def codesArrP(s: SparkSession, dir: String, p: PqParams,
+      iters: Int = 1): DataFrame =
+    if (p == fixturePq && iters == 1) codesArr(s, dir)
+    else Dedup.memoized(s"pqcodes:${p.m}x${p.subDim}x${p.k}${itag(iters)}", s, dir, 0, 0) {
+      codesWith(ve(s, dir), codebookP(s, dir, p, iters)).localCheckpoint(true)
     }
 
   /** The ADC lookup tables for a probe frame: (qid, tab[pqM * pqK]) —
@@ -298,17 +404,37 @@ object PQ {
     aggregate(sequence(lit(0), lit(p.m - 1)), lit(0L), (acc, m) =>
       acc + element_at(tab, (m * p.k + element_at(codes, m + 1) + 1).cast("int")))
 
-  /** Re-derive a persisted index's sizing from its stored codebook
-    * table (M = distinct subspaces, K = rows per subspace, subDim =
-    * codeword width): the index is self-describing, like the
-    * `_residual` marker — the serving, append, and rebalance paths
-    * never need the build-time params restated. M x K rows: a
-    * driver-manifest-class aggregate. */
-  private def paramsOf(cb: DataFrame): PqParams = {
-    val r = cb.agg(countDistinct(col("sub")).as("m"), count(lit(1)).as("mk"),
-      max(size(col("c6"))).as("sd")).head()
-    val m = r.getLong(0).toInt
-    PqParams(m, r.getInt(2), (r.getLong(1) / m).toInt)
+  /** A persisted index's `meta` side: ONE row (residual, m, sub_dim,
+    * k) holding the encoding flag and the REALIZED sizing (the stride
+    * rule caps K at the corpus size, so this is derived from the
+    * trained codebook at build time, not the requested params). It is
+    * a swap side like the four data sides, so encoding metadata and
+    * data commit ATOMICALLY through [[IndexSwap]] — the round-13
+    * ADVICE crash window (data written, marker missing, probes
+    * silently mis-rank a residual index as plain) cannot exist.
+    * Reading it is one tiny parquet read per serving call — replacing
+    * BOTH the old `_residual` fs-exists check and the per-call
+    * codebook aggregate job. */
+  private def writeMeta(s: SparkSession, path: String, residual: Boolean,
+      p: PqParams): Unit = {
+    val rows: java.util.List[org.apache.spark.sql.Row] =
+      java.util.Arrays.asList(org.apache.spark.sql.Row(residual, p.m, p.subDim, p.k))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("residual", org.apache.spark.sql.types.BooleanType, false),
+      org.apache.spark.sql.types.StructField("m", org.apache.spark.sql.types.IntegerType, false),
+      org.apache.spark.sql.types.StructField("sub_dim", org.apache.spark.sql.types.IntegerType, false),
+      org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.IntegerType, false)))
+    s.createDataFrame(rows, schema).coalesce(1).write.mode("overwrite")
+      .parquet(IndexSwap.tmp(path, "meta").toString)
+  }
+
+  /** The stored encoding flag + realized sizing (see [[writeMeta]]).
+    * NOT cached across calls: a same-session rebuild of the path may
+    * change the encoding (PQSpec pins exactly that), and the read is
+    * manifest-class. */
+  private[graft] def indexMeta(s: SparkSession, path: String): (Boolean, PqParams) = {
+    val r = s.read.parquet(s"$path/meta").head()
+    (r.getBoolean(0), PqParams(r.getInt(1), r.getInt(2), r.getInt(3)))
   }
 
   // ---- DuckDB oracle fragments ---------------------------------------
@@ -423,7 +549,7 @@ object PQ {
          |SELECT vec_id, sub, code, CAST(d2 AS BIGINT) AS err_e12
          |FROM enc ORDER BY vec_id, sub""".stripMargin) { (s, dir) =>
       val p = PqParams(8, 8, 32)
-      encodeWith(vsub(ve(s, dir), p), codebookP(s, dir, p))
+      encodeWith(ve(s, dir), codebookP(s, dir, p))
         .select(col("vec_id"), col("sub"), col("code"), col("d2min").as("err_e12"))
         .orderBy("vec_id", "sub")
     },
@@ -488,15 +614,123 @@ object PQ {
       probePqIndex(s, dir, path, 4, 5)
     },
 
-    // The RESIDUAL persisted form: the `_residual` marker must carry
+    // The RESIDUAL persisted form: the meta side's residual flag must carry
     // the encoding through build -> store -> probe dispatch, gated
     // against qn36's oracle.
     Q("qn40_ann_ivfpq_residual_persisted", sqlQn36) { (s, dir) =>
       val path = Similarity.newIndexDir()
       buildPqIndex(s, dir, path, residual = true)
       probePqIndex(s, dir, path, 4, 5)
+    },
+
+    // ANN recall as a DRIVER-GATED contract (the q13b HLL-bound
+    // pattern): each quantized variant's top-5 is intersected with the
+    // EXACT-cosine top-5 over the SAME routed cells (the
+    // route-conditional denominator — isolating ADC+refine fidelity
+    // from the IVF miss rate, which is the corpus's geometry, not the
+    // operator's), and the query emits `recall_ok = hits >= floor` as
+    // a literal the oracle replays as TRUE. A recall collapse — the
+    // correlated-hyperplane class of bug, a misaddressed ADC table, a
+    // scrambled shortlist — goes CORRECTNESS-red instead of
+    // battery-only. The floors are COLLAPSE tripwires, not a quality
+    // SLA: the driver fixture is unstructured noise, where pairwise
+    // cosines are near-ties inside the quantization error and the
+    // 16-wide shortlist holds a shrinking share of the in-cell top-5
+    // (measured on this fixture: ivfpq 20/50, residual 7/50 at
+    // sf0.01; 12/50 and 4/50 at sf0.1) — the quality story on
+    // CLUSTERABLE corpora is the pq battery's nProbe curve and
+    // PQSpec's >= 40/50 clustered floor. A broken route/table/refine
+    // scores ~chance (<2/50) and trips both floors at any sf.
+    Q("qn41_ann_recall_floor",
+      """SELECT variant, recall_ok FROM (VALUES ('ivfpq', TRUE), ('residual', TRUE))
+        |  t(variant, recall_ok) ORDER BY variant""".stripMargin) { (s, dir) =>
+      val v = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("embedding"), l2normNative(col("embedding")).as("nrm"))
+      val cents = coarseCents(v)
+      val asg = coarseAssign(v, cents)
+      val cScore = e6(cosine(dotNative(col("ce"), col("embedding")), col("cn"), col("nrm")))
+      val probesV = v.filter(col("vec_id") < 10)
+      val wRoute = Window.partitionBy(col("probe_id")).orderBy(col("cscore").desc, col("cent_id").asc)
+      val pc = probesV.select(col("vec_id").as("probe_id"), col("embedding"), col("nrm"))
+        .join(broadcast(cents), expr("true"))
+        .select(col("probe_id"), col("cent_id"), cScore.as("cscore"))
+        .withColumn("rn", row_number().over(wRoute)).filter(col("rn") <= 4)
+        .select(col("probe_id"), col("cent_id"))
+      // The exact-in-cell top-5: full-precision cosine over exactly the
+      // candidates the route admits — what a perfect compressed tier
+      // would return.
+      val refScore = e6(cosine(dotNative(col("qe"), col("de")), col("qn"), col("dn")))
+      val wEx = Window.partitionBy(col("qid")).orderBy(col("score_e6").desc, col("vec_id").asc)
+      val exact = asg.join(broadcast(pc), Seq("cent_id"))
+        .filter(col("vec_id") =!= col("probe_id"))
+        .select(col("probe_id").as("qid"), col("vec_id"))
+        .join(broadcast(probesV.select(col("vec_id").as("qid"),
+          col("embedding").as("qe"), col("nrm").as("qn"))), Seq("qid"))
+        .join(v.select(col("vec_id"), col("embedding").as("de"), col("nrm").as("dn")),
+          Seq("vec_id"))
+        .select(col("qid"), col("vec_id"), refScore.as("score_e6"))
+        .withColumn("rnk", row_number().over(wEx)).filter(col("rnk") <= 5)
+        .select(col("qid"), col("vec_id")).localCheckpoint(true)
+      def hitsOf(approx: DataFrame): Long =
+        approx.select(col("qid"), col("vec_id"))
+          .join(exact, Seq("qid", "vec_id"), "left_semi").count()
+      val rows: java.util.List[org.apache.spark.sql.Row] = java.util.Arrays.asList(
+        org.apache.spark.sql.Row("ivfpq", hitsOf(qn33Plan(s, dir)) >= ivfpqRecallFloorHits),
+        org.apache.spark.sql.Row("residual", hitsOf(qn36Plan(s, dir)) >= residualRecallFloorHits))
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("variant", org.apache.spark.sql.types.StringType, false),
+        org.apache.spark.sql.types.StructField("recall_ok", org.apache.spark.sql.types.BooleanType, false)))
+      s.createDataFrame(rows, schema).orderBy("variant")
+    },
+
+    // Multi-step Lloyd as a PARAMETER (round-13 verdict task 6): the
+    // training depth `iters` unrolls extra deterministic steps — each
+    // re-seeds from the previous step's means, so the chain stays
+    // RNG-free and the oracle replays it as chained CTE blocks. This
+    // registration pins iters=2 end-to-end (seeds -> cbl -> re-seed ->
+    // cbl2, with the empty-cell rule retaining the STEP-1 mean); the
+    // registered default everywhere else stays iters=1 (hash
+    // stability). Whether extra steps buy recall at FIXED compression
+    // is a battery question (BENCH_NOTES pqiters).
+    Q("qn42_pq_codebooks_iters2",
+      s"""WITH ${sqlPqCtes()},
+         |${sqlLloydStep2("vsub", "cbl", "2")}
+         |SELECT sub, cid, pos, n, centroid_e6 FROM cbl2
+         |ORDER BY sub, cid, pos""".stripMargin) { (s, dir) =>
+      trainCodebookLong(ve(s, dir), fixturePq, iters = 2)
+        .orderBy("sub", "cid", "pos")
     }
   )
+
+  /** One UNROLLED extra Lloyd step as CTEs: re-seed from `$prevCbl`'s
+    * means, re-assign, re-mean — the SQL twin of the `iters` loop in
+    * [[trainCodebookLong]], empty cells retaining the previous step's
+    * centroid. */
+  private def sqlLloydStep2(sub: String, prevCbl: String, t: String,
+      p: PqParams = fixturePq): String =
+    s"""seeds$t AS (SELECT sub, cid, list(centroid_e6 ORDER BY pos) AS ce6
+       |            FROM $prevCbl GROUP BY sub, cid),
+       |sasg$t AS (SELECT vec_id, sub, v6, cid FROM (
+       |         SELECT v.vec_id, v.sub, v.v6, sd.cid,
+       |                ROW_NUMBER() OVER (PARTITION BY v.vec_id, v.sub
+       |                  ORDER BY ${sqlD2("v.v6", "sd.ce6")}, sd.cid) AS rn
+       |         FROM $sub v JOIN seeds$t sd USING (sub)) WHERE rn = 1),
+       |ml$t AS (SELECT sub, cid, i AS pos, COUNT(*) AS n,
+       |              CAST(floor(CAST(SUM(v6[i+1]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS m6
+       |       FROM sasg$t, (SELECT unnest(range(0, ${p.subDim})) AS i) GROUP BY 1, 2, 3),
+       |cbl$t AS (SELECT sdl.sub, sdl.cid, sdl.pos,
+       |               COALESCE(ml$t.n, 0) AS n, COALESCE(ml$t.m6, sdl.sv) AS centroid_e6
+       |        FROM (SELECT sd.sub, sd.cid, i AS pos, sd.ce6[i+1] AS sv
+       |              FROM seeds$t sd, (SELECT unnest(range(0, ${p.subDim})) AS i)) sdl
+       |        LEFT JOIN ml$t ON ml$t.sub = sdl.sub AND ml$t.cid = sdl.cid AND ml$t.pos = sdl.pos)""".stripMargin
+
+  /** qn41's collapse floors, in HITS out of 50 (10 probes x top-5):
+    * the fixture-measured operating points are 20/50 (ivfpq) and 7/50
+    * (residual) at the sf0.01 gate — see qn41's registration comment
+    * for why the noise fixture bounds these low — and a misrouted or
+    * misaddressed compressed tier scores ~chance (<2/50). */
+  private[graft] val ivfpqRecallFloorHits = 12L
+  private[graft] val residualRecallFloorHits = 4L
 
   /** qn33's oracle (shared with qn39's persisted gate): stride coarse
     * tier, argmax assignment, 4-cell routing, ADC over the candidates,
@@ -638,11 +872,12 @@ object PQ {
       val cent6 = cents.select(col("cent_id"),
         transform(col("ce"), x => floor(x.cast("double") * 1000000).cast("long")).as("c6full"))
       val veF = ve(s, dir)
+      val rve = residualVe(veF, asg, cents)
       val rcb = Dedup.memoized("pqrcb", s, dir, 16L, 0) {
-        cbPivot(trainCodebookLong(residualSub(s, dir, cents, asg))).localCheckpoint(true)
+        cbPivot(trainCodebookLong(rve)).localCheckpoint(true)
       }
       val rcodes = Dedup.memoized("pqrcodes", s, dir, 16L, 0) {
-        codesPivot(encodeWith(residualSub(s, dir, cents, asg), rcb)).localCheckpoint(true)
+        codesWith(rve, rcb).localCheckpoint(true)
       }
       // Flat routing of the declared probes (the qn33 shape).
       val cScore = e6(cosine(dotNative(col("ce"), col("embedding")), col("cn"), col("nrm")))
@@ -718,7 +953,9 @@ object PQ {
     * contract holds only for the default flat build. */
   def buildPqIndex(s: SparkSession, dir: String, path: String,
       nCells: Int = 16, fastAssign: Option[Boolean] = None,
-      residual: Boolean = false, params: PqParams = fixturePq): Unit = {
+      residual: Boolean = false, params: PqParams = fixturePq,
+      iters: Int = 1): Unit = {
+    recoverPqRebalance(s, path) // clear any interrupted prior swap/build staging
     val v = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("embedding"), l2normNative(col("embedding")).as("nrm"))
     val cents = coarseCents(v, nCells)
@@ -737,45 +974,42 @@ object PQ {
       if (useFast) fastCoarseAssign(v, localCents)
       else coarseAssign(v, localCents)
     // `residual = true` stores the qn36 encoding (codebooks trained on
-    // v - coarse_centroid; a `_residual` marker makes the probe's
-    // scoring dispatch self-describing). Memo keys carry nCells: the
+    // v - coarse_centroid; the `meta` side makes the probe's scoring
+    // dispatch self-describing). Memo keys carry nCells: the
     // residuals depend on the coarse layout, so a 16-cell build and a
     // sqrt(N)-cell build must never share a cached frame.
     val fastKey = if (useFast) 1 else 0
     // Non-fixture sizings memoize under a params-qualified tag — a
     // 16x256 build and the fixture 4x16 build must never share a
     // cached frame (same reasoning as the nCells key).
-    val ptag =
-      if (params == fixturePq) ""
-      else s":${params.m}x${params.subDim}x${params.k}"
+    val ptag = (if (params == fixturePq) ""
+      else s":${params.m}x${params.subDim}x${params.k}") + itag(iters)
+    val rve = if (residual) residualVe(ve(s, dir), asg, localCents) else null
     val cb =
       if (residual) Dedup.memoized(s"pqrcb$ptag", s, dir, nCells.toLong, fastKey) {
-        cbPivot(trainCodebookLong(residualSub(s, dir, localCents, asg, params), params))
-          .localCheckpoint(true)
+        cbPivot(trainCodebookLong(rve, params, iters)).localCheckpoint(true)
       }
-      else codebookP(s, dir, params)
+      else codebookP(s, dir, params, iters)
     val codes =
       if (residual) Dedup.memoized(s"pqrcodes$ptag", s, dir, nCells.toLong, fastKey) {
-        codesPivot(encodeWith(residualSub(s, dir, localCents, asg, params), cb))
-          .localCheckpoint(true)
+        codesWith(rve, cb).localCheckpoint(true)
       }
-      else codesArrP(s, dir, params)
-    // The `_residual` marker drops BEFORE the data writes and lands
-    // again only after ALL of them: a crash mid-build (e.g. rebuilding
-    // a residual index as plain) must never leave a complete-LOOKING
-    // lake whose marker claims the other encoding — marker-absent
-    // mis-describes at worst a visibly half-written index. (A build is
-    // a from-scratch overwrite, not crash-safe as a whole; the
-    // crash-safe rewrite of a LIVE index is [[rebalancePqIndex]]'s
-    // two-phase swap.)
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(s.sessionState.newHadoopConf())
-    val marker = new org.apache.hadoop.fs.Path(s"$path/_residual")
-    fs.delete(marker, false): Unit
+      else codesArrP(s, dir, params, iters)
+    // Every side — both temperature tiers, both metadata tables, and
+    // the meta row carrying the encoding flag — STAGES into the
+    // [[IndexSwap]] tmp siblings and commits through the two-phase
+    // swap: a crash anywhere before the commit marker leaves the prior
+    // index (or, on a fresh path, nothing) fully intact, and a crash
+    // after it rolls FORWARD on the next recover. The round-13 ADVICE
+    // window — all data written, the encoding marker missing, probes
+    // silently serving residual codes as plain — cannot exist: the
+    // meta side lands in the same atomic commit as the codes it
+    // describes.
     asg.join(codes, Seq("vec_id"))
       .select(col("vec_id"), col("codes"), col("cent_id"))
       .repartition(col("cent_id"))
-      .write.mode("overwrite").partitionBy("cent_id").parquet(s"$path/codes")
+      .write.mode("overwrite").partitionBy("cent_id")
+      .parquet(IndexSwap.tmp(path, "codes").toString)
     // Cold-side layout is POINT-READ shaped: the refine only ever wants
     // ~topR rows per probe by vec_id, so rows sort by vec_id within
     // each cell and row groups stay small — the vec_id IN (shortlist)
@@ -789,10 +1023,13 @@ object PQ {
     v.join(asg, Seq("vec_id"))
       .repartition(col("cent_id")).sortWithinPartitions(col("cent_id"), col("vec_id"))
       .write.mode("overwrite").option("parquet.block.size", 1L << 20)
-      .partitionBy("cent_id").parquet(s"$path/vectors")
-    cb.coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
-    localCents.coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
-    if (residual) fs.create(marker, true).close()
+      .partitionBy("cent_id").parquet(IndexSwap.tmp(path, "vectors").toString)
+    cb.coalesce(1).write.mode("overwrite")
+      .parquet(IndexSwap.tmp(path, "codebooks").toString)
+    localCents.coalesce(1).write.mode("overwrite")
+      .parquet(IndexSwap.tmp(path, "centroids").toString)
+    writeMeta(s, path, residual, collectCb(cb)._2)
+    IndexSwap.commit(s, path, pqSides)
   }
 
   /** Cell-count threshold at/above which [[buildPqIndex]] (and the
@@ -807,20 +1044,6 @@ object PQ {
     * bound (7.5x at 1000 cells / 1M vectors — BENCH_NOTES). Below the
     * threshold the flat branch keeps the qn33 bit-parity contract. */
   private[graft] val fastAssignMinCells = 384
-
-  /** Does the index at `path` store residual codes? (The `_residual`
-    * marker [[buildPqIndex]] maintains — the probe's scoring dispatch.) */
-  private def isResidualIndex(s: SparkSession, path: String): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(s"$path/_residual")
-    p.getFileSystem(s.sessionState.newHadoopConf()).exists(p)
-  }
-
-  /** Long-form subspace view of the corpus RESIDUALS (v - assigned
-    * coarse centroid, in e6 integer space) — the qn36 training/encode
-    * input, shared with the residual persisted build. */
-  private def residualSub(s: SparkSession, dir: String,
-      cents: DataFrame, asg: DataFrame, p: PqParams = fixturePq): DataFrame =
-    vsub(residualVe(ve(s, dir), asg, cents), p)
 
   /** RESIDUAL e6 view of an e6 corpus frame: emb6 - assigned coarse
     * centroid (e6-floored), per [[buildPqIndex]]'s `residual` encoding.
@@ -838,17 +1061,31 @@ object PQ {
     * O(new vectors) work, no retrain, and only the cells the new
     * vectors land in gain files (dynamic partition append — the
     * appendToIvfIndex contract). Encoding dispatches on the stored
-    * `_residual` marker: a residual-built index keeps codebooks in
-    * RESIDUAL space, so new vectors encode as v - assigned coarse
-    * centroid — raw-space codes there would be silently mis-ranked by
-    * every later probe (the probe's scoring dispatches on the same
-    * marker). Codebooks and centroids stay frozen at build time:
-    * re-deriving either per append would silently stale every
-    * already-written code; drift is a REBUILD ([[rebalancePqIndex]]),
-    * with `autoRebalance = Some(k)` making the cadence MEASURED (the
-    * appendToIvfIndex trigger: per-cell footer counts after the
-    * append; hottest cell > k x the mean over the declared cell count
-    * fires the rebalance). `newVecs`: (vec_id, embedding). */
+    * `meta` side: a residual-built index keeps codebooks in RESIDUAL
+    * space, so new vectors encode as v - assigned coarse centroid —
+    * raw-space codes there would be silently mis-ranked by every later
+    * probe (the probe's scoring dispatches on the same row). Codebooks
+    * and centroids stay frozen at build time: re-deriving either per
+    * append would silently stale every already-written code; drift is
+    * a REBUILD ([[rebalancePqIndex]]), with `autoRebalance = Some(k)`
+    * making the cadence MEASURED (the appendToIvfIndex trigger:
+    * per-cell footer counts after the append; hottest cell > k x the
+    * mean over the declared cell count). A fired trigger DEFERS: it
+    * drops a `_rebalance_due` marker and returns at append cost — a
+    * full retrain inside a micro-batch append would make ingest
+    * latency unbounded at 100 TB; [[maintainPqIndex]] (a maintenance
+    * entry point, run on the operator's cadence or per micro-batch
+    * where stop-the-world is acceptable) consumes the marker and runs
+    * the crash-safe swap.
+    *
+    * Crash window (documented, deliberate): the two tiers append
+    * non-atomically, COLD (vectors) first — a crash between the writes
+    * leaves a full-precision row with no code, which no probe can ever
+    * shortlist (dead bytes until the next rebalance rewrites both
+    * tiers from the cold side). The pre-round-14 order (codes first)
+    * was the dangerous polarity: an orphaned CODE row gets shortlisted
+    * and then silently dropped by the refine join — a wrong result,
+    * not just dead bytes. `newVecs`: (vec_id, embedding). */
   def appendToPqIndex(s: SparkSession, newVecs: DataFrame, path: String,
       autoRebalance: Option[Int] = None): Unit = {
     recoverPqRebalance(s, path) // heal any interrupted prior swap first
@@ -861,34 +1098,60 @@ object PQ {
       transform(col("embedding"),
         x => floor(x.cast("double") * 1000000).cast("long")).as("emb6"))
     val encIn =
-      if (isResidualIndex(s, path)) residualVe(ve6, asg, cents) else ve6
-    val codes = codesPivot(encodeWith(vsub(encIn, paramsOf(cb)), cb))
-    asg.join(codes, Seq("vec_id"))
-      .select(col("vec_id"), col("codes"), col("cent_id"))
-      .repartition(col("cent_id"))
-      .write.mode("append").partitionBy("cent_id").parquet(s"$path/codes")
-    // Mirror the build's point-read cold layout (one file per touched
-    // cell, rows sorted by vec_id, small row groups): an unsorted
-    // append fans out tasks x cells files and forfeits the vec_id
-    // row-group pruning the refine's shortlist read depends on.
+      if (indexMeta(s, path)._1) residualVe(ve6, asg, cents) else ve6
+    val codes = codesWith(encIn, cb) // realized sizing derives from the stored codebook
+    // COLD side first (see the crash-window note above). Mirror the
+    // build's point-read layout (one file per touched cell, rows
+    // sorted by vec_id, small row groups): an unsorted append fans out
+    // tasks x cells files and forfeits the vec_id row-group pruning
+    // the refine's shortlist read depends on.
     v.join(asg, Seq("vec_id"))
       .repartition(col("cent_id")).sortWithinPartitions(col("cent_id"), col("vec_id"))
       .write.mode("append").option("parquet.block.size", 1L << 20)
       .partitionBy("cent_id").parquet(s"$path/vectors")
+    asg.join(codes, Seq("vec_id"))
+      .select(col("vec_id"), col("codes"), col("cent_id"))
+      .repartition(col("cent_id"))
+      .write.mode("append").partitionBy("cent_id").parquet(s"$path/codes")
     autoRebalance.foreach { k =>
       val stats = Similarity.ivfCellStats(s, path) // same layout: vectors/cent_id=
       if (stats.nonEmpty) {
         val nCells = math.max(1L, Similarity.parquetRowCount(s, s"$path/centroids"))
         val mean = math.max(1.0, stats.values.sum.toDouble / nCells)
-        if (stats.values.max > k * mean) rebalancePqIndex(s, path)
+        if (stats.values.max > k * mean) {
+          val fs = IndexSwap.fsOf(s, path)
+          fs.create(rebalanceDue(path), true).close()
+        }
       }
     }
   }
 
+  /** The deferred-rebalance marker [[appendToPqIndex]]'s trigger drops
+    * and [[maintainPqIndex]] consumes. */
+  private def rebalanceDue(path: String): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(s"$path/_rebalance_due")
+
+  /** The maintenance entry point: heal any interrupted swap, then run
+    * the rebalance a deferred trigger requested. The due marker is
+    * deleted only AFTER the swap commits — a crash between the commit
+    * and the delete re-runs the rebalance on the next call, which is a
+    * deterministic fixpoint over the same lake (PqRebalanceSpec).
+    * Returns whether a rebalance ran. */
+  def maintainPqIndex(s: SparkSession, path: String): Boolean = {
+    recoverPqRebalance(s, path)
+    val fs = IndexSwap.fsOf(s, path)
+    if (!fs.exists(rebalanceDue(path))) false
+    else {
+      rebalancePqIndex(s, path)
+      fs.delete(rebalanceDue(path), false): Unit
+      true
+    }
+  }
+
   /** The PQ index's swappable sides (the [[IndexSwap]] protocol): both
-    * temperature tiers plus both metadata tables — a rebalance rewrites
-    * all four consistently or not at all. */
-  private val pqSides = Seq("codes", "vectors", "codebooks", "centroids")
+    * temperature tiers, both metadata tables, and the meta row — a
+    * build or rebalance rewrites all five consistently or not at all. */
+  private val pqSides = Seq("codes", "vectors", "codebooks", "centroids", "meta")
 
   /** Re-cluster AND re-train a persisted IVFADC index in place from its
     * own cold lake — the drift answer ([[appendToPqIndex]]'s trigger
@@ -900,20 +1163,20 @@ object PQ {
     * vectors (the rebalanceIvfIndex rule — deterministic,
     * distribution-free, cell count adapted to the GROWN corpus), and
     * the codebook retrains one Lloyd step from the K
-    * lowest-`xxhash64(vec_id, salt')` seed vectors ([[hashSeeds]]).
+    * lowest-`xxhash64(vec_id, salt')` seed vectors ([[hashSeedVecs]]).
     * The stored encoding is PRESERVED: a residual index retrains its
     * codebooks on the residuals against the NEW coarse centroids (the
-    * `_residual` marker is re-read, never flipped — a flip is a
+    * `meta` side is re-read, never flipped — a flip is a
     * [[buildPqIndex]] decision). The assignment uses the same
     * [[fastAssignMinCells]] dispatch as the build.
     *
     * Crash safety is the [[IndexSwap]] two-phase discipline over all
-    * four sides: tmp writes, marker, swap — either polarity of an
+    * five sides: tmp writes, marker, swap — either polarity of an
     * interruption heals on the next [[recoverPqRebalance]] (run by
     * append and rebalance entry). */
   def rebalancePqIndex(s: SparkSession, path: String): Unit = {
     recoverPqRebalance(s, path)
-    val residual = isResidualIndex(s, path)
+    val (residual, p) = indexMeta(s, path)
     val v = s.read.parquet(s"$path/vectors")
       .select(col("vec_id"), col("embedding"), col("nrm"))
     val total = Similarity.ivfCellStats(s, path).values.sum
@@ -929,10 +1192,12 @@ object PQ {
     val ve6 = v.select(col("vec_id"),
       transform(col("embedding"),
         x => floor(x.cast("double") * 1000000).cast("long")).as("emb6"))
-    val p = paramsOf(s.read.parquet(s"$path/codebooks")) // sizing is preserved
-    val vsubF = vsub(if (residual) residualVe(ve6, asg, localCents) else ve6, p)
-    val cb = cbPivot(lloydStep(vsubF, hashSeeds(vsubF, p.k))).localCheckpoint(true)
-    val codes = codesPivot(encodeWith(vsubF, cb))
+    val rve6 = if (residual) residualVe(ve6, asg, localCents) else ve6
+    // Sizing is preserved from the stored meta; the REALIZED K of the
+    // retrained codebook can differ (hashSeedVecs over a shrunk lake),
+    // so the rewritten meta derives from the retrained rows.
+    val cb = cbPivot(lloydStepNative(rve6, hashSeedVecs(rve6, p.k), p)).localCheckpoint(true)
+    val codes = codesWith(rve6, cb)
     asg.join(codes, Seq("vec_id"))
       .select(col("vec_id"), col("codes"), col("cent_id"))
       .repartition(col("cent_id"))
@@ -946,12 +1211,13 @@ object PQ {
       .parquet(IndexSwap.tmp(path, "codebooks").toString)
     localCents.coalesce(1).write.mode("overwrite")
       .parquet(IndexSwap.tmp(path, "centroids").toString)
+    writeMeta(s, path, residual, collectCb(cb)._2)
     IndexSwap.commit(s, path, pqSides)
   }
 
   /** Heal an interrupted [[rebalancePqIndex]]: committed marker ->
     * roll FORWARD; no marker -> roll BACK (the [[IndexSwap]]
-    * polarities, over all four PQ sides). */
+    * polarities, over all five PQ sides). */
   def recoverPqRebalance(s: SparkSession, path: String): Unit =
     IndexSwap.recover(s, path, pqSides)
 
@@ -1007,14 +1273,17 @@ object PQ {
     val codes = s.read.parquet(s"$path/codes").filter(col("cent_id").isin(cells: _*))
     val cand0 = codes.join(broadcast(localPc), Seq("cent_id"))
       .filter(col("vec_id") =!= col("probe_id"))
-    // Scoring dispatches on the index's declared encoding (the
-    // `_residual` marker buildPqIndex writes): whole-space codes score
-    // against one table per probe; residual codes against one table
-    // per (probe, probed cell) — the probe's residual differs per
-    // cell, so the table is keyed by both and the join key widens.
-    val p = paramsOf(cb) // the stored sizing — the index self-describes
+    // Scoring dispatches on the index's declared encoding (the `meta`
+    // side buildPqIndex commits atomically with the data): whole-space
+    // codes score against one table per probe; residual codes against
+    // one table per (probe, probed cell) — the probe's residual
+    // differs per cell, so the table is keyed by both and the join key
+    // widens. ONE manifest-class read serves both the flag and the
+    // realized sizing (the old form paid an fs-exists plus a codebook
+    // aggregate job per serving call).
+    val (residualIdx, p) = indexMeta(s, path)
     val scored =
-      if (!isResidualIndex(s, path)) {
+      if (!residualIdx) {
         val tabs = adcTables(vsub(pe6.withColumnRenamed("probe_id", "vec_id"), p), cb, p)
         cand0.select(col("probe_id").as("qid"), col("vec_id"), col("codes"))
           .join(broadcast(tabs), Seq("qid"))

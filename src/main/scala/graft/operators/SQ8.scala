@@ -1,0 +1,234 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.TextFns._
+import graft.functions.VectorExprs.l2normNative
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Persisted SQ8 scalar-quantization index — the qn38 pipeline given
+  * the PQ index lifecycle (round-13 verdict task: qn38 recomputed the
+  * per-dim stats and byte codes per query; a 100 TB corpus encodes
+  * ONCE).
+  *
+  * Three swappable sides under the [[IndexSwap]] two-phase protocol:
+  *
+  *  - `$path/codes`: the HOT side — (vec_id, q8[D]) byte vectors, the
+  *    only table the rank stage scans (4x under the floats; measured
+  *    per-rung in the pq battery ladder).
+  *  - `$path/vectors`: the COLD side — full-precision (vec_id,
+  *    embedding, nrm), sorted by vec_id with 1 MB row groups so the
+  *    shortlist's `vec_id IN (...)` pushdown point-reads the refine
+  *    rows (the PQ cold-layout discipline; no IVF tier here — SQ8 is
+  *    the flat-scan rung of the ladder, its IO bound IS the byte
+  *    column).
+  *  - `$path/stats`: D rows (pos, mn, sp) — the frozen affine map.
+  *
+  * Quantization is the qn38 integer contract exactly: e6-floored
+  * longs, per-dim `(x - mn) * 255 // sp` with `//` spelled as
+  * `(a - a%b)/b` so Spark and DuckDB floor identically — a fresh build
+  * probed through [[probeSq8Index]] replays the qn38 oracle bit-exact
+  * (the qn38b driver gate).
+  *
+  * Stats are FROZEN at build time, like the PQ codebooks: appended
+  * vectors encode against the stored map, with out-of-range dims
+  * CLAMPED to [0, 255] (the standard SQ saturation rule — a frozen
+  * affine map cannot represent values outside the build-time envelope;
+  * saturation is a bounded rank-stage error the exact refine absorbs
+  * for shortlisted rows). A drifted corpus is a REBUILD:
+  * [[rebalanceSq8Index]] recomputes the envelope over the grown cold
+  * lake and re-encodes every code, crash-safe under the same
+  * tmp+marker+swap discipline as [[PQ.rebalancePqIndex]].
+  */
+object SQ8 {
+
+  /** The index's swappable sides (the [[IndexSwap]] protocol). */
+  private val sq8Sides = Seq("codes", "vectors", "stats")
+
+  /** Byte-distance shortlist width the exact refine re-ranks (the
+    * qn38 contract). */
+  private val shortlistWidth = 16
+
+  /** [[PQ.isinMaxIds]]'s dispatch, SQ8 edition: above this many
+    * distinct shortlist ids the cold-read pushdown degrades from the
+    * exact IN literal to BETWEEN(min, max). */
+  private def isinMaxIds(s: SparkSession): Int =
+    s.conf.getOption("spark.graft.sq8.isinMaxIds").map(_.toInt).getOrElse(10000)
+
+  private def ve6Of(v: DataFrame): DataFrame =
+    v.select(col("vec_id"), transform(col("embedding"),
+      x => floor(x.cast("double") * 1000000).cast("long")).as("emb6"))
+
+  /** Per-dim envelope over an e6 frame: (pos, mn, sp) — ONE D-group
+    * partial agg (N x D rows collapse map-side to D rows per task). */
+  private def statsOf(ve6F: DataFrame): DataFrame =
+    ve6F.select(posexplode(col("emb6")).as(Seq("pos", "x")))
+      .groupBy("pos").agg(min(col("x")).as("mn"),
+        greatest(lit(1L), max(col("x")) - min(col("x"))).as("sp"))
+
+  /** The affine byte map over an `emb6` column, stats as plan-time
+    * literal arrays. Integer floor division as (a - a%b)/b: the
+    * long/long `/` is a double, but an exactly-divisible numerator
+    * below 2^53 divides exactly, so the floor matches DuckDB's `//`
+    * bit-for-bit. `clamp` saturates to [0, 255] — identity for values
+    * inside the stored envelope (every build-corpus row by
+    * construction, so the qn38 oracle parity is unaffected), the
+    * declared append/serve semantics outside it. */
+  private def q8Col(mna: Array[Long], spa: Array[Long], clamp: Boolean): Column =
+    transform(col("emb6"), (x, i) => {
+      val a = (x - element_at(lit(mna), i + 1)) * 255L
+      val sp = element_at(lit(spa), i + 1)
+      val q = ((a - (a % sp)) / sp).cast("long")
+      if (clamp) least(greatest(q, lit(0L)), lit(255L)) else q
+    })
+
+  /** Collect a stats frame to (mna, spa) pos-major arrays. */
+  private def collectStats(stats: DataFrame): (Array[Long], Array[Long]) = {
+    val st = stats.orderBy("pos").collect()
+    require(st.nonEmpty, "SQ8: empty stats — cannot build/serve over an empty corpus")
+    (st.map(_.getLong(1)), st.map(_.getLong(2)))
+  }
+
+  /** Stage all three sides into the [[IndexSwap]] tmp siblings (shared
+    * by build and rebalance — one definition of the layout). */
+  private def stageSides(s: SparkSession, path: String, v: DataFrame,
+      stats: DataFrame): Unit = {
+    val ve6F = ve6Of(v)
+    val (mna, spa) = collectStats(stats)
+    ve6F.select(col("vec_id"), q8Col(mna, spa, clamp = false).as("q8"))
+      .repartitionByRange(col("vec_id")).sortWithinPartitions("vec_id")
+      .write.mode("overwrite").parquet(IndexSwap.tmp(path, "codes").toString)
+    v.select(col("vec_id"), col("embedding"), col("nrm"))
+      .repartitionByRange(col("vec_id")).sortWithinPartitions("vec_id")
+      .write.mode("overwrite").option("parquet.block.size", 1L << 20)
+      .parquet(IndexSwap.tmp(path, "vectors").toString)
+    val rows: java.util.List[org.apache.spark.sql.Row] =
+      java.util.Arrays.asList(mna.indices.map(i =>
+        org.apache.spark.sql.Row(i, mna(i), spa(i))): _*)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("pos", org.apache.spark.sql.types.IntegerType, false),
+      org.apache.spark.sql.types.StructField("mn", org.apache.spark.sql.types.LongType, false),
+      org.apache.spark.sql.types.StructField("sp", org.apache.spark.sql.types.LongType, false)))
+    s.createDataFrame(rows, schema).coalesce(1).write.mode("overwrite")
+      .parquet(IndexSwap.tmp(path, "stats").toString)
+  }
+
+  /** Build the persisted SQ8 index from the corpus at `dir` — staged
+    * writes, atomic commit (a crash leaves the prior index or nothing,
+    * never a half-described lake). */
+  def buildSq8Index(s: SparkSession, dir: String, path: String): Unit = {
+    recoverSq8Rebalance(s, path)
+    val v = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"),
+      l2normNative(col("embedding")).as("nrm"))
+    stageSides(s, path, v, statsOf(ve6Of(v)))
+    IndexSwap.commit(s, path, sq8Sides)
+  }
+
+  /** Encode NEW vectors against the FROZEN stored envelope and append
+    * to both tiers: O(new) work, no re-stat. COLD side first (the
+    * [[PQ.appendToPqIndex]] crash-window polarity: an orphaned cold
+    * row is dead bytes no rank scan ever surfaces; an orphaned CODE
+    * row would be shortlisted and then silently dropped by the refine
+    * join). Out-of-envelope dims clamp — see the object doc. */
+  def appendToSq8Index(s: SparkSession, newVecs: DataFrame, path: String): Unit = {
+    recoverSq8Rebalance(s, path)
+    val (mna, spa) = collectStats(s.read.parquet(s"$path/stats"))
+    val v = newVecs.select(col("vec_id"), col("embedding"),
+      l2normNative(col("embedding")).as("nrm"))
+    v.repartitionByRange(col("vec_id")).sortWithinPartitions("vec_id")
+      .write.mode("append").option("parquet.block.size", 1L << 20)
+      .parquet(s"$path/vectors")
+    ve6Of(v).select(col("vec_id"), q8Col(mna, spa, clamp = true).as("q8"))
+      .repartitionByRange(col("vec_id")).sortWithinPartitions("vec_id")
+      .write.mode("append").parquet(s"$path/codes")
+  }
+
+  /** Re-stat AND re-encode the whole index from its own cold lake (the
+    * drift answer — appended vectors may saturate against the frozen
+    * envelope; the rebuild recomputes it over the GROWN corpus and
+    * re-encodes every byte vector). Crash-safe: the [[IndexSwap]]
+    * two-phase swap over all three sides. Deterministic: same lake in,
+    * same index out. */
+  def rebalanceSq8Index(s: SparkSession, path: String): Unit = {
+    recoverSq8Rebalance(s, path)
+    val v = s.read.parquet(s"$path/vectors")
+      .select(col("vec_id"), col("embedding"), col("nrm"))
+    stageSides(s, path, v, statsOf(ve6Of(v)))
+    IndexSwap.commit(s, path, sq8Sides)
+  }
+
+  /** Heal an interrupted swap (both polarities — the
+    * [[PQ.recoverPqRebalance]] contract). */
+  def recoverSq8Rebalance(s: SparkSession, path: String): Unit =
+    IndexSwap.recover(s, path, sq8Sides)
+
+  /** Probe with the declared fixture probe set (vec_id < 10) — the
+    * qn38b driver gate's entry. */
+  def probeSq8Index(s: SparkSession, dir: String, path: String, k: Int): DataFrame =
+    probeSq8IndexWith(s,
+      Tables.embeddings(s, dir).filter(col("vec_id") < 10)
+        .select("vec_id", "embedding"),
+      path, k)
+
+  /** Serve an ARBITRARY probe batch from the stored artifacts: byte
+    * ranking over the codes scan, top-[[shortlistWidth]] per probe,
+    * exact cosine refine point-read from the cold side. Identical rows
+    * to qn38 when the index was built from the same corpus (Sq8Spec +
+    * the qn38b hash gate). Probe batches only — the same loud
+    * [[PQ.maxProbeBatch]] bound as the PQ serving entry (the shortlist
+    * collect is probes x 16 <= 1e6 rows). */
+  def probeSq8IndexWith(s: SparkSession, probes: DataFrame, path: String,
+      k: Int): DataFrame = {
+    val (mna, spa) = collectStats(s.read.parquet(s"$path/stats"))
+    val probesRaw = probes.select(col("vec_id"), col("embedding"),
+      l2normNative(col("embedding")).as("nrm"))
+    val probeRows = probesRaw.limit(PQ.maxProbeBatch + 1).collect()
+    require(probeRows.length <= PQ.maxProbeBatch,
+      s"probeSq8IndexWith: probe batch exceeds ${PQ.maxProbeBatch} rows — the " +
+        "shortlist collect is bounded at probes x 16 <= 1e6; SQ8 probing is for " +
+        "probe BATCHES; a corpus-sized probe set should rank through a " +
+        "cell-assigned equi-join (the qn20 shape)")
+    val probesV = s.createDataFrame(
+      java.util.Arrays.asList(probeRows: _*), probesRaw.schema)
+    // Probe bytes quantize against the STORED envelope, clamped (an
+    // out-of-corpus probe may fall outside it; identity for in-range
+    // probes, so the qn38 parity is unaffected).
+    val pq8 = ve6Of(probesV)
+      .select(col("vec_id").as("qid"), q8Col(mna, spa, clamp = true).as("pq8"))
+    val qd2 = aggregate(zip_with(col("q8"), col("pq8"), (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, z) => acc + z)
+    val wSl = Window.partitionBy(col("qid")).orderBy(col("qd2").asc, col("vec_id").asc)
+    val sl = s.read.parquet(s"$path/codes")
+      .join(broadcast(pq8), expr("true"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), qd2.as("qd2"))
+      .withColumn("rn", row_number().over(wSl)).filter(col("rn") <= shortlistWidth)
+      .select(col("qid"), col("vec_id"), col("qd2"))
+    // Shortlist is manifest-class (probes x 16, hard-bounded above):
+    // collect it so the cold read carries the vec_id pushdown against
+    // the sorted 1 MB-row-group layout — the [[PQ.probePqIndexWith]]
+    // point-read discipline, isin up to the dispatch bound, BETWEEN
+    // range above it (exactness rides the inner join either way).
+    val slRows = sl.collect()
+    val slIds = slRows.map(_.getLong(1)).distinct.toSeq
+    val localSl = s.createDataFrame(java.util.Arrays.asList(slRows: _*), sl.schema)
+    val slPush =
+      if (slIds.isEmpty) lit(false)
+      else if (slIds.length <= isinMaxIds(s)) col("vec_id").isin(slIds: _*)
+      else col("vec_id").between(slIds.min, slIds.max)
+    val cold = s.read.parquet(s"$path/vectors").filter(slPush)
+      .select(col("vec_id"), col("embedding").as("de"), col("nrm").as("dn"))
+    val refScore = e6(cosine(
+      graft.functions.VectorExprs.dotNative(col("qe"), col("de")), col("qn"), col("dn")))
+    val wRef = Window.partitionBy(col("qid")).orderBy(col("score_e6").desc, col("vec_id").asc)
+    broadcast(localSl).join(broadcast(probesV.select(col("vec_id").as("qid"),
+        col("embedding").as("qe"), col("nrm").as("qn"))), Seq("qid"))
+      .join(cold, Seq("vec_id"))
+      .select(col("qid"), col("vec_id"), col("qd2"), refScore.as("score_e6"))
+      .withColumn("rnk", row_number().over(wRef)).filter(col("rnk") <= k)
+      .select(col("qid"), col("rnk").cast("long").as("rnk"), col("vec_id"),
+        col("qd2"), col("score_e6"))
+      .orderBy("qid", "rnk")
+  }
+}

@@ -522,34 +522,7 @@ object Similarity {
     // byte column is written once at ingest beside the floats (the
     // qn35 separate-column discipline) and the rank scan never reads
     // the float tail.
-    Q("qn38_ann_sq8", {
-      val isum = (xs: String) =>
-        s"list_reduce(list_prepend(CAST(0 AS BIGINT), $xs), (a, b) -> a + b)"
-      s"""WITH ve AS (SELECT vec_id, [CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT) for x in embedding] AS emb6
-         |            FROM embeddings),
-         |st AS (SELECT i AS pos, MIN(emb6[i+1]) AS mn,
-         |              GREATEST(1, MAX(emb6[i+1]) - MIN(emb6[i+1])) AS sp
-         |       FROM ve, (SELECT unnest(range(0, 64)) AS i) GROUP BY 1),
-         |sta AS (SELECT list(mn ORDER BY pos) AS mna, list(sp ORDER BY pos) AS spa FROM st),
-         |qv AS (SELECT vec_id, [((emb6[i+1] - mna[i+1]) * 255) // spa[i+1] for i in range(0, 64)] AS q8
-         |       FROM ve, sta),
-         |v AS (SELECT vec_id, embedding, ${sqlL2norm("embedding")} AS nrm FROM embeddings),
-         |p AS (SELECT qv.vec_id AS qid, qv.q8 AS pq8, v.embedding AS pe, v.nrm AS pn
-         |      FROM qv JOIN v ON v.vec_id = qv.vec_id WHERE qv.vec_id < 10),
-         |h AS (SELECT p.qid, s.vec_id,
-         |             ${isum("list_transform(list_zip(s.q8, p.pq8), z -> (z[1]-z[2])*(z[1]-z[2]))")} AS qd2
-         |      FROM qv s, p WHERE s.vec_id <> p.qid),
-         |sl AS (SELECT qid, vec_id, qd2 FROM (
-         |       SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
-         |                   ORDER BY qd2, vec_id) AS rn FROM h) WHERE rn <= 16),
-         |ref AS (SELECT sl.qid, sl.vec_id, CAST(sl.qd2 AS BIGINT) AS qd2,
-         |               ${sqlE6(s"${sqlDot("p.pe", "d.embedding")} / (p.pn * d.nrm)")} AS score_e6
-         |        FROM sl JOIN p ON p.qid = sl.qid JOIN v d ON d.vec_id = sl.vec_id),
-         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
-         |               ORDER BY score_e6 DESC, vec_id) AS rnk FROM ref)
-         |SELECT qid, rnk, vec_id, qd2, score_e6 FROM r WHERE rnk <= 5
-         |ORDER BY qid, rnk""".stripMargin
-    }) { (s, dir) =>
+    Q("qn38_ann_sq8", sqlQn38) { (s, dir) =>
       val ve6 = Tables.embeddings(s, dir).select(col("vec_id"),
         transform(col("embedding"),
           x => floor(x.cast("double") * 1000000).cast("long")).as("emb6"))
@@ -594,8 +567,54 @@ object Similarity {
         .select(col("qid"), col("rnk").cast("long").as("rnk"), col("vec_id"),
           col("qd2"), col("score_e6"))
         .orderBy("qid", "rnk")
+    },
+
+    // Persisted SQ8 under the DRIVER gate (the qn39 discipline, SQ8
+    // edition — round-13 verdict task 4): build the three-sided index
+    // fresh from the corpus (frozen per-dim envelope + byte codes +
+    // point-read cold floats, staged and committed atomically through
+    // IndexSwap), then serve through the probe entry — the result must
+    // hash-match qn38's in-flight oracle because the build persists
+    // the same deterministic stats and codes, and the probe replays
+    // the same rank/shortlist/refine chain from the stored artifacts.
+    Q("qn38b_ann_sq8_persisted", sqlQn38) { (s, dir) =>
+      val path = newIndexDir()
+      SQ8.buildSq8Index(s, dir, path)
+      SQ8.probeSq8Index(s, dir, path, 5)
     }
   )
+
+  /** qn38's oracle (shared with qn38b's persisted gate): per-dim
+    * envelope, affine byte map, integer-L2 rank, 16-wide shortlist,
+    * exact cosine re-rank. */
+  private def sqlQn38: String = {
+    val isum = (xs: String) =>
+      s"list_reduce(list_prepend(CAST(0 AS BIGINT), $xs), (a, b) -> a + b)"
+    s"""WITH ve AS (SELECT vec_id, [CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT) for x in embedding] AS emb6
+       |            FROM embeddings),
+       |st AS (SELECT i AS pos, MIN(emb6[i+1]) AS mn,
+       |              GREATEST(1, MAX(emb6[i+1]) - MIN(emb6[i+1])) AS sp
+       |       FROM ve, (SELECT unnest(range(0, 64)) AS i) GROUP BY 1),
+       |sta AS (SELECT list(mn ORDER BY pos) AS mna, list(sp ORDER BY pos) AS spa FROM st),
+       |qv AS (SELECT vec_id, [((emb6[i+1] - mna[i+1]) * 255) // spa[i+1] for i in range(0, 64)] AS q8
+       |       FROM ve, sta),
+       |v AS (SELECT vec_id, embedding, ${sqlL2norm("embedding")} AS nrm FROM embeddings),
+       |p AS (SELECT qv.vec_id AS qid, qv.q8 AS pq8, v.embedding AS pe, v.nrm AS pn
+       |      FROM qv JOIN v ON v.vec_id = qv.vec_id WHERE qv.vec_id < 10),
+       |h AS (SELECT p.qid, s.vec_id,
+       |             ${isum("list_transform(list_zip(s.q8, p.pq8), z -> (z[1]-z[2])*(z[1]-z[2]))")} AS qd2
+       |      FROM qv s, p WHERE s.vec_id <> p.qid),
+       |sl AS (SELECT qid, vec_id, qd2 FROM (
+       |       SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+       |                   ORDER BY qd2, vec_id) AS rn FROM h) WHERE rn <= 16),
+       |ref AS (SELECT sl.qid, sl.vec_id, CAST(sl.qd2 AS BIGINT) AS qd2,
+       |               ${sqlE6(s"${sqlDot("p.pe", "d.embedding")} / (p.pn * d.nrm)")} AS score_e6
+       |        FROM sl JOIN p ON p.qid = sl.qid JOIN v d ON d.vec_id = sl.vec_id),
+       |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+       |               ORDER BY score_e6 DESC, vec_id) AS rnk FROM ref)
+       |SELECT qid, rnk, vec_id, qd2, score_e6 FROM r WHERE rnk <= 5
+       |ORDER BY qid, rnk""".stripMargin
+  }
 
   /** qn10/qn10b/qn10c/qn10d shared oracle: the full IVF pipeline as
     * DuckDB CTEs — deterministic stride centroids (from the rows

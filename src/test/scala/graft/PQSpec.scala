@@ -157,27 +157,37 @@ class PQSpec extends AnyFunSuite {
       s"codes=$codesBytes vectors=$vecBytes")
   }
 
-  test("PQ training and encode plan through TopKPerGroup, never SortAggregate") {
+  test("PQ training and encode argmin run the native early-exit expression, never SortAggregate") {
+    // Round 14: the join+window argmin (TopKPerGroup) was replaced by
+    // the pq_encode codegen expression — the codebook/seeds are a
+    // plan-time literal, so the N x K candidate stream never exists as
+    // rows. The training (qn30) keeps exactly one join: the K x M x
+    // subDim local seed frame LEFT JOIN the means (the empty-cell
+    // seed-retention rule); the encode (qn31) is join-free.
     Seq("qn30_pq_codebooks", "qn31_pq_encode").foreach { name =>
       val p = SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
-      assert(p.contains("TopKPerGroup"), s"$name argmin lost the top-k plan:\n$p")
+      assert(p.contains("pq_encode"), s"$name argmin lost the native expression:\n$p")
       assert(!p.contains("SortAggregate"), s"$name fell off the hash-agg path:\n$p")
+      assert(!p.contains("TopKPerGroup"), s"$name still plans the join+window argmin:\n$p")
     }
+    val enc = SparkEntry.queries("qn31_pq_encode")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!enc.contains("Join"), s"qn31 encode should be join-free:\n$enc")
   }
 
-  test("persisted RESIDUAL index replays qn36 bit-exactly; marker dispatches the scoring") {
+  test("persisted RESIDUAL index replays qn36 bit-exactly; the meta side dispatches the scoring") {
     val path = graft.operators.Similarity.newIndexDir()
     graft.operators.PQ.buildPqIndex(spark, sf, path, residual = true)
-    assert(new java.io.File(s"$path/_residual").exists, "residual marker missing")
+    assert(graft.operators.PQ.indexMeta(spark, path)._1, "residual meta flag missing")
     val persisted = graft.operators.PQ.probePqIndex(spark, sf, path, 4, 5)
       .collect().map(_.toString).toSeq
     val inFlight = SparkEntry.queries("qn36_ann_ivfpq_residual")(spark, sf)
       .collect().map(_.toString).toSeq
     assert(persisted == inFlight)
-    // A rebuild WITHOUT residual must clear the marker (the encoding is
-    // self-describing; a stale marker would mis-score every probe).
+    // A rebuild WITHOUT residual must flip the meta flag (the encoding
+    // is self-describing; a stale flag would mis-score every probe).
     graft.operators.PQ.buildPqIndex(spark, sf, path)
-    assert(!new java.io.File(s"$path/_residual").exists, "stale residual marker")
+    assert(!graft.operators.PQ.indexMeta(spark, path)._1, "stale residual meta flag")
     val plain = graft.operators.PQ.probePqIndex(spark, sf, path, 4, 5)
       .collect().map(_.toString).toSeq
     val qn33 = SparkEntry.queries("qn33_ann_ivfpq_refine")(spark, sf)
@@ -391,7 +401,7 @@ class PQSpec extends AnyFunSuite {
       val pathRF = graft.operators.Similarity.newIndexDir()
       graft.operators.PQ.buildPqIndex(spark, tmp.toString, pathRF, 16,
         fastAssign = Some(true), residual = true)
-      assert(new java.io.File(s"$pathRF/_residual").exists)
+      assert(graft.operators.PQ.indexMeta(spark, pathRF)._1)
       val rf = graft.operators.PQ.probePqIndex(spark, tmp.toString, pathRF, 4, 5)
         .select("qid", "vec_id").collect()
         .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
@@ -404,8 +414,8 @@ class PQSpec extends AnyFunSuite {
       // path serves it — any leftover fixture constant in the ADC
       // layout (idx = sub*K + code, the M-term fold) would misalign
       // every lookup and cannot clear the floor. (At 200 vectors the
-      // stride rule caps the realized K at 200 per subspace — paramsOf
-      // must report the REALIZED sizing, which this exercises too.)
+      // stride rule caps the realized K at 200 per subspace — the meta
+      // side must store the REALIZED sizing, which this exercises too.)
       val pathMk = graft.operators.Similarity.newIndexDir()
       graft.operators.PQ.buildPqIndex(spark, tmp.toString, pathMk, 16,
         params = graft.operators.PQ.PqParams(8, 8, 256))

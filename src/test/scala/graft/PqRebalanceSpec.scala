@@ -4,10 +4,11 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 /** The persisted IVFADC (PQ) index's drift lifecycle — the
-  * IvfRebalanceSpec discipline applied to the four-sided index:
-  * the autoRebalance trigger on append, the in-place re-cluster AND
-  * codebook retrain it fires, encoding preservation (`_residual`),
-  * and the two-phase swap's crash polarities.
+  * IvfRebalanceSpec discipline applied to the five-sided index:
+  * the autoRebalance trigger on append (fire-and-DEFER via the
+  * `_rebalance_due` marker + the maintainPqIndex entry), the in-place
+  * re-cluster AND codebook retrain, encoding preservation (the meta
+  * side), and the two-phase swap's crash polarities.
   */
 class PqRebalanceSpec extends AnyFunSuite {
   import TestSpark._
@@ -50,10 +51,23 @@ class PqRebalanceSpec extends AnyFunSuite {
     assert(skewed.values.max > 4 * meanSkewed,
       s"fixture did not skew: max=${skewed.values.max} mean=$meanSkewed")
 
-    // One more appended batch WITH the trigger: it must fire.
+    // One more appended batch WITH the trigger: it must FIRE but DEFER
+    // (round 14) — the append returns at append cost with the cell
+    // layout untouched, leaving a `_rebalance_due` marker; a full
+    // retrain inside the ingest path would make micro-batch latency
+    // unbounded at scale.
     PQ.appendToPqIndex(spark,
       drift(40).select((col("vec_id") + 10000).as("vec_id"), col("embedding")), path,
       autoRebalance = Some(4))
+    assert(new java.io.File(s"$path/_rebalance_due").exists,
+      "fired trigger did not leave the due marker")
+    val deferred = graft.operators.Similarity.ivfCellStats(spark, path)
+    assert(deferred.size == 16, s"append rebuilt inline: cells=${deferred.size}")
+    // The maintenance entry consumes the marker and runs the swap;
+    // a second call is a no-op.
+    assert(PQ.maintainPqIndex(spark, path), "maintenance missed the due marker")
+    assert(!new java.io.File(s"$path/_rebalance_due").exists, "due marker not consumed")
+    assert(!PQ.maintainPqIndex(spark, path), "maintenance re-ran without a due marker")
     val after = graft.operators.Similarity.ivfCellStats(spark, path)
     val nCells = after.size
     val meanAfter = after.values.sum.toDouble / nCells
@@ -128,8 +142,8 @@ class PqRebalanceSpec extends AnyFunSuite {
           when(i === 0, (x.cast("double") * 1.01).cast("float")).otherwise(x)).as("embedding"))
     PQ.appendToPqIndex(spark, planted, path)
     PQ.rebalancePqIndex(spark, path)
-    assert(new java.io.File(s"$path/_residual").exists,
-      "rebalance dropped the residual marker")
+    assert(PQ.indexMeta(spark, path)._1,
+      "rebalance dropped the residual meta flag")
     // The retrained residual chain (new centroids -> new residuals ->
     // new codebooks -> new codes) must still surface the planted
     // near-copy as probe 3's top refined neighbor.
@@ -157,7 +171,15 @@ class PqRebalanceSpec extends AnyFunSuite {
       .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
       .writeStream.foreachBatch {
         (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          // The round-14 split: the APPEND stays bounded (a fired
+          // trigger only drops the due marker), and the maintenance
+          // entry runs as its own step — here per micro-batch, at
+          // production scale on whatever cadence bounds serving-time
+          // staleness. The rebalance still happens "in-stream" in the
+          // sense that the stream drives it; it no longer holds the
+          // append itself hostage.
           PQ.appendToPqIndex(b.sparkSession, b, path, autoRebalance = Some(4))
+          PQ.maintainPqIndex(b.sparkSession, path): Unit
       }.start()
     try {
       val driftRows = drift(200).collect()
@@ -180,7 +202,7 @@ class PqRebalanceSpec extends AnyFunSuite {
     import org.apache.hadoop.fs.Path
     val conf = spark.sessionState.newHadoopConf()
     def fsOf(p: String) = new Path(p).getFileSystem(conf)
-    val sides = Seq("codes", "vectors", "codebooks", "centroids")
+    val sides = Seq("codes", "vectors", "codebooks", "centroids", "meta")
 
     // ROLL BACK: tmp dirs with no marker are a failed write — dropped.
     val p1 = graft.operators.Similarity.newIndexDir()

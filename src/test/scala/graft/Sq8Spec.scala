@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The persisted SQ8 index's lifecycle beyond the qn38b hash gate:
+  * in-flight parity, frozen-envelope appends with the documented
+  * saturation clamp, the re-stat/re-encode rebalance, and the
+  * IndexSwap crash polarities.
+  */
+class Sq8Spec extends AnyFunSuite {
+  import TestSpark._
+  import graft.operators.SQ8
+
+  test("persisted SQ8 probe replays qn38 bit-exactly") {
+    val path = graft.operators.Similarity.newIndexDir()
+    SQ8.buildSq8Index(spark, sf, path)
+    val persisted = SQ8.probeSq8Index(spark, sf, path, 5)
+      .collect().map(_.toString).toSeq
+    val inFlight = SparkEntry.queries("qn38_ann_sq8")(spark, sf)
+      .collect().map(_.toString).toSeq
+    assert(persisted == inFlight)
+  }
+
+  test("append encodes against the frozen envelope; out-of-range dims clamp, in-range near-dup is found") {
+    val path = graft.operators.Similarity.newIndexDir()
+    SQ8.buildSq8Index(spark, sf, path)
+    val statsBefore = spark.read.parquet(s"$path/stats")
+      .collect().map(_.toString).sorted.toSeq
+    // In-range planted near-copy of probe 3: must surface as its top
+    // refined neighbor through the byte rank + exact refine chain.
+    val planted = Tables.embeddings(spark, sf).filter(col("vec_id") === 3)
+      .select(lit(66666L).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          when(i === 0, (x.cast("double") * 1.01).cast("float")).otherwise(x)).as("embedding"))
+    // Out-of-envelope vector: every dim far above the corpus max. Its
+    // stored bytes must SATURATE at 255, never exceed the byte range
+    // (the frozen affine map's declared semantics).
+    val outOfRange = Tables.embeddings(spark, sf).filter(col("vec_id") === 4)
+      .select(lit(77777L).as("vec_id"),
+        transform(col("embedding"), x => (x.cast("double") * 0 + 50.0).cast("float"))
+          .as("embedding"))
+    SQ8.appendToSq8Index(spark, planted.union(outOfRange), path)
+    // Envelope frozen: append must not touch the stats side.
+    assert(spark.read.parquet(s"$path/stats")
+      .collect().map(_.toString).sorted.toSeq == statsBefore, "append re-statted")
+    val q8 = spark.read.parquet(s"$path/codes").filter(col("vec_id") === 77777L)
+      .select(col("q8")).head().getSeq[Long](0)
+    assert(q8.forall(x => x >= 0L && x <= 255L), s"clamp failed: $q8")
+    assert(q8.forall(_ == 255L), s"out-of-range dims should saturate at 255: $q8")
+    val top = SQ8.probeSq8Index(spark, sf, path, 5)
+      .filter(col("qid") === 3 && col("rnk") === 1).collect()
+    assert(top.length == 1 && top.head.getLong(2) == 66666L,
+      s"planted near-copy not probe 3's top neighbor: ${top.mkString}")
+  }
+
+  test("rebalance re-stats the grown lake, re-encodes every code, and is a deterministic fixpoint") {
+    val path = graft.operators.Similarity.newIndexDir()
+    SQ8.buildSq8Index(spark, sf, path)
+    val big = Tables.embeddings(spark, sf).filter(col("vec_id") === 4)
+      .select(lit(88888L).as("vec_id"),
+        transform(col("embedding"), x => (x.cast("double") * 0 + 50.0).cast("float"))
+          .as("embedding"))
+    SQ8.appendToSq8Index(spark, big, path)
+    SQ8.rebalanceSq8Index(spark, path)
+    // The recomputed envelope covers the appended value, so its codes
+    // are no longer saturated — and every OLD vector re-encoded under
+    // the new map (spot-check: old codes compress toward 0 because the
+    // span grew ~25x).
+    val q8 = spark.read.parquet(s"$path/codes").filter(col("vec_id") === 88888L)
+      .select(col("q8")).head().getSeq[Long](0)
+    assert(q8.forall(_ == 255L), s"corpus max should map to 255 after re-stat: $q8")
+    val old3 = spark.read.parquet(s"$path/codes").filter(col("vec_id") === 3L)
+      .select(col("q8")).head().getSeq[Long](0)
+    assert(old3.forall(x => x >= 0L && x < 30L),
+      s"old codes not re-encoded under the widened envelope: $old3")
+    // Fixpoint: a second rebalance over the same lake changes nothing.
+    val codes1 = spark.read.parquet(s"$path/codes")
+      .collect().map(_.toString).sorted.toSeq
+    val stats1 = spark.read.parquet(s"$path/stats")
+      .collect().map(_.toString).sorted.toSeq
+    SQ8.rebalanceSq8Index(spark, path)
+    assert(spark.read.parquet(s"$path/codes")
+      .collect().map(_.toString).sorted.toSeq == codes1)
+    assert(spark.read.parquet(s"$path/stats")
+      .collect().map(_.toString).sorted.toSeq == stats1)
+    // The index still serves after the swap.
+    assert(SQ8.probeSq8Index(spark, sf, path, 5).count() == 50)
+  }
+
+  test("interrupted swap heals: tmp junk with no marker rolls back; the live index is untouched") {
+    import org.apache.hadoop.fs.Path
+    val path = graft.operators.Similarity.newIndexDir()
+    SQ8.buildSq8Index(spark, sf, path)
+    val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
+    fs.mkdirs(new Path(s"$path/.codes_rebal_tmp"))
+    fs.create(new Path(s"$path/.codes_rebal_tmp/part-junk.parquet"), true).close()
+    val before = spark.read.parquet(s"$path/codes")
+      .collect().map(_.toString).sorted.toSeq
+    SQ8.recoverSq8Rebalance(spark, path)
+    assert(!fs.exists(new Path(s"$path/.codes_rebal_tmp")))
+    assert(spark.read.parquet(s"$path/codes")
+      .collect().map(_.toString).sorted.toSeq == before, "rollback touched the live index")
+  }
+}
