@@ -62,7 +62,8 @@ object Battery {
       case Some("pqdispatch") => pqDispatch(spark, args.lift(1).map(_.toLong).getOrElse(125000L))
       case Some("pqserve")    => pqServe(spark, args.lift(1).map(_.toLong).getOrElse(4000000L))
       case Some("pqiters")    => pqIters(spark, args.lift(1).map(_.toLong).getOrElse(500000L))
-      case other => sys.error(s"unknown battery: $other (skew|bloom|governance|paircurve|ivfjoin|ingest|ingestgrow|pq|pqdispatch|pqserve|pqiters)")
+      case Some("pqopq")      => pqOpq(spark, args.lift(1).map(_.toLong).getOrElse(500000L))
+      case other => sys.error(s"unknown battery: $other (skew|bloom|governance|paircurve|ivfjoin|ingest|ingestgrow|pq|pqdispatch|pqserve|pqiters|pqopq)")
     }
     spark.stop()
   }
@@ -666,6 +667,29 @@ object Battery {
         PQ.probePqIndexWith(s, probeFrame, path, nCells, 5).select("qid", "vec_id")
           .collect().map(r => (r.getLong(0), r.getLong(1))))
       println(f"""{"battery":"pqiters","vectors":$n,"iters":$it,"build_sec":$bSec%.1f,"fullscan_serve_sec":$sec%.1f,"recall_at5":"${pqRecall(top, exact)}/${exact.length}"}""")
+    }
+  }
+
+  // ---- pqopq --------------------------------------------------------------
+
+  /** The OPQ rotation's recall delta (round-13 verdict task 8): ADC
+    * brute-scan top-5 recall vs exact, plain split vs bit-reversal-
+    * rotated split, at BOTH sizings — the fixture 4x16 (where the
+    * combo-space fade leaves headroom for the rotation to matter) and
+    * the production byte code (where K=256 may already saturate this
+    * corpus). No refine tier: this isolates the quantizer. */
+  private def pqOpq(s: SparkSession, n: Long): Unit = {
+    import operators.PQ
+    val root = pqClusteredCorpus(s, n, "pqo")
+    val exact = pqExactTop5(s, root)
+    for {
+      (p, ptag) <- Seq((PQ.fixturePq, "4x16x16"), (PQ.PqParams(8, 8, 256), "8x8x256"))
+      (rot, label) <- Seq((false, "plain"), (true, "rotated"))
+    } {
+      val (top, sec) = timed(PQ.adcBruteTopK(s, root, p, rot, 5,
+        cbTag = s"pqcbB:$ptag:$label", codesTag = s"pqcodesB:$ptag:$label")
+        .select("qid", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))))
+      println(f"""{"battery":"pqopq","vectors":$n,"sizing":"$ptag","arm":"$label","sec":$sec%.1f,"adc_recall_at5":"${pqRecall(top, exact)}/${exact.length}"}""")
     }
   }
 

@@ -488,8 +488,14 @@ object PQ {
   /** Shared CTE prefix for the PLAIN (non-residual) pipeline: e6 view,
     * subspace slices, then the training + encoding block. */
   private def sqlPqCtes(p: PqParams = fixturePq): String =
-    s"""ve AS (SELECT vec_id, ${sqlE6List("embedding")} AS emb6
-       |       FROM embeddings),
+    sqlPqCtesVe(s"""ve AS (SELECT vec_id, ${sqlE6List("embedding")} AS emb6
+       |       FROM embeddings)""".stripMargin, p)
+
+  /** [[sqlPqCtes]] with the corpus CTE swappable — qn43 substitutes the
+    * OPQ-rotated view; everything downstream (slices, training,
+    * encode) is identical text. */
+  private def sqlPqCtesVe(veCte: String, p: PqParams = fixturePq): String =
+    s"""$veCte,
        |subs AS (SELECT unnest(range(0, ${p.m})) AS sub),
        |vsub AS (SELECT vec_id, sub, list_slice(emb6, sub*${p.subDim} + 1, sub*${p.subDim} + ${p.subDim}) AS v6
        |         FROM ve, subs),
@@ -699,8 +705,93 @@ object PQ {
          |ORDER BY sub, cid, pos""".stripMargin) { (s, dir) =>
       trainCodebookLong(ve(s, dir), fixturePq, iters = 2)
         .orderBy("sub", "cid", "pos")
+    },
+
+    // OPQ rotation rung (Ge et al., "Optimized Product Quantization",
+    // CVPR 2013 — public knowledge): rotate the space BEFORE the
+    // subspace split so the M subspaces share the variance instead of
+    // inheriting whatever correlation structure the raw dim order has.
+    // The full OPQ alternates rotation and codebook updates; the
+    // RNG-free stand-in here is a FIXED bit-reversal permutation of
+    // the 64 dims (a literal column transform, so the oracle replays
+    // it exactly) — rotation-as-permutation captures the mechanism
+    // (decorrelate the split) while keeping the qn19 no-RNG rule.
+    // Same qn32 ADC-brute-scan shape over the rotated space; ADC
+    // distances are invariant under the permutation of WITHIN-subspace
+    // dims but the subspace MEMBERSHIP changes, which is the point.
+    // The recall delta vs the unrotated split is priced in the pqopq
+    // battery at 500k (BENCH_NOTES).
+    Q("qn43_ann_pq_adc_opq", sqlQn43) { (s, dir) =>
+      adcBruteTopK(s, dir, fixturePq, rotate = true, 5,
+        cbTag = "pqcb:opq", codesTag = "pqcodes:opq")
     }
   )
+
+  /** Bit-reversal permutation of the 64 dims (6-bit index reversal) —
+    * qn43's deterministic rotation stand-in. A self-inverse-free full
+    * permutation: dim i of the rotated space reads dim rev6(i) of the
+    * raw space. */
+  private[graft] lazy val opqPerm: Array[Int] = // lazy: consumed during `all`'s init above
+    Array.tabulate(64)(i => Integer.reverse(i) >>> 26)
+
+  /** The OPQ-rotated e6 view: ONE `transform` over the literal
+    * permutation array. NOT `array(64 x element_at(...))` — that
+    * spelling inlines 64 copies of whatever expression produced emb6
+    * into every consumer (CollapseProject), blows the generated-method
+    * size, and drops the whole encode stage to interpreted eval
+    * (measured: 333 s for a 20k-row encode vs ~1 s in codegen — the
+    * round-15 materialize-HOF-arrays trap in a new costume). The
+    * single-HOF form keeps the stage in codegen with one cheap
+    * fallback call per row. */
+  private def rotatedVe(ve6F: DataFrame): DataFrame =
+    ve6F.select(col("vec_id"),
+      transform(lit(opqPerm.map(_.toLong)),
+        p => element_at(col("emb6"), p.cast("int") + 1)).as("emb6"))
+
+  /** qn32's ADC brute scan parameterized by sizing and rotation — the
+    * shared form behind qn43 and the pqopq battery's recall-delta
+    * arms. Returns (qid, rnk, vec_id, adist_e12), top-k per probe by
+    * approximate distance (no exact refine: this measures the
+    * quantizer's own fidelity). */
+  private[graft] def adcBruteTopK(s: SparkSession, dir: String, p: PqParams,
+      rotate: Boolean, k: Int, cbTag: String, codesTag: String): DataFrame = {
+    val v6 = if (rotate) rotatedVe(ve(s, dir)) else ve(s, dir)
+    val cb = Dedup.memoized(cbTag, s, dir, 0, 0) {
+      cbPivot(trainCodebookLong(v6, p)).localCheckpoint(true)
+    }
+    val codes = Dedup.memoized(codesTag, s, dir, 0, 0) {
+      codesWith(v6, cb).localCheckpoint(true)
+    }
+    val tabs = adcTablesKeyed(
+      vsubKeyed(v6.filter(col("vec_id") < 10).withColumnRenamed("vec_id", "qid"),
+        Seq("qid"), p), cb, Seq("qid"), p)
+    val w = Window.partitionBy(col("qid")).orderBy(col("adist_e12").asc, col("vec_id").asc)
+    codes.join(broadcast(tabs), expr("true"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), adcScore(col("tab"), col("codes"), p).as("adist_e12"))
+      .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+      .select(col("qid"), col("rnk").cast("long").as("rnk"), col("vec_id"), col("adist_e12"))
+      .orderBy("qid", "rnk")
+  }
+
+  /** qn43's oracle: qn32's text with the corpus CTE swapped for the
+    * bit-reversal-rotated view (the permutation as a literal list). */
+  private def sqlQn43: String = {
+    val permList = opqPerm.mkString("[", ", ", "]")
+    val rotVe =
+      s"""ve0 AS (SELECT vec_id, ${sqlE6List("embedding")} AS emb0
+         |        FROM embeddings),
+         |ve AS (SELECT vec_id, [emb0[p + 1] for p in $permList] AS emb6 FROM ve0)""".stripMargin
+    s"""WITH ${sqlPqCtesVe(rotVe)},
+       |${sqlProbeTab("vec_id < 10")},
+       |adc AS (SELECT pt.qid, e.vec_id, CAST(SUM(pt.td) AS BIGINT) AS adist_e12
+       |        FROM enc e JOIN pt ON pt.sub = e.sub AND pt.code = e.code
+       |        WHERE e.vec_id <> pt.qid GROUP BY 1, 2),
+       |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+       |               ORDER BY adist_e12, vec_id) AS rnk FROM adc)
+       |SELECT qid, rnk, vec_id, adist_e12 FROM r WHERE rnk <= 5
+       |ORDER BY qid, rnk""".stripMargin
+  }
 
   /** One UNROLLED extra Lloyd step as CTEs: re-seed from `$prevCbl`'s
     * means, re-assign, re-mean — the SQL twin of the `iters` loop in

@@ -255,6 +255,7 @@ class PlanSpec extends AnyFunSuite {
       "qn36_ann_ivfpq_residual", // stride scalar + broadcast centroid/probe/residual-table sides
       "qn35_ann_matryoshka_prefix", // broadcast 10-row probe-prefix side vs the prefix column
       "qn32_ann_pq_adc",      // broadcast 10-row ADC-table side scored against the codes
+      "qn43_ann_pq_adc_opq",  // same ADC-table broadcast over the rotated space
       "qn38_ann_sq8",         // single-row per-dim-stats crossJoin + broadcast 10-row probe-byte side
       "qn38b_ann_sq8_persisted", // broadcast 10-row probe-byte side scored against the stored codes
       "qn33_ann_ivfpq_refine", // stride scalar + broadcast centroid/probe/ADC-table sides
