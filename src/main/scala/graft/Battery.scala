@@ -63,6 +63,7 @@ object Battery {
       case Some("pqserve")    => pqServe(spark, args.lift(1).map(_.toLong).getOrElse(4000000L))
       case Some("pqiters")    => pqIters(spark, args.lift(1).map(_.toLong).getOrElse(500000L))
       case Some("pqopq")      => pqOpq(spark, args.lift(1).map(_.toLong).getOrElse(500000L))
+      case Some("pqlat")      => pqLat(spark, args.lift(1).map(_.toLong).getOrElse(1000000L))
       case other => sys.error(s"unknown battery: $other (skew|bloom|governance|paircurve|ivfjoin|ingest|ingestgrow|pq|pqdispatch|pqserve|pqiters|pqopq)")
     }
     spark.stop()
@@ -668,6 +669,38 @@ object Battery {
           .collect().map(r => (r.getLong(0), r.getLong(1))))
       println(f"""{"battery":"pqiters","vectors":$n,"iters":$it,"build_sec":$bSec%.1f,"fullscan_serve_sec":$sec%.1f,"recall_at5":"${pqRecall(top, exact)}/${exact.length}"}""")
     }
+  }
+
+  // ---- pqlat --------------------------------------------------------------
+
+  /** Serving-latency breakdown: the pqserve curve showed the probe
+    * wall FLAT across nProbe (~5.5 s at 1M, ~9 s at 4M) — fixed
+    * per-call costs dominate, not rank IO. This arm times each fixed
+    * stage of [[operators.PQ.probePqIndexWith]] in isolation (meta
+    * read, probe collect, routing, then the full call twice — the
+    * second run isolates what page cache and codegen reuse give back),
+    * so the latency budget is attributed before anyone optimizes it. */
+  private def pqLat(s: SparkSession, n: Long): Unit = {
+    import operators.PQ
+    import graft.functions.VectorExprs.l2normNative
+    val root = pqClusteredCorpus(s, n, "pql")
+    val nCells = math.max(16, math.sqrt(n.toDouble).toInt)
+    val path = operators.Similarity.newIndexDir()
+    PQ.buildPqIndex(s, root, path, nCells,
+      fastAssign = Some(true), params = PQ.PqParams(8, 8, 256))
+    val probeFrame = Tables.embeddings(s, root).filter(col("vec_id") < 10)
+      .select("vec_id", "embedding")
+    val (_, metaSec) = timed(PQ.indexMeta(s, path))
+    val probesRaw = probeFrame.select(col("vec_id"), col("embedding"),
+      l2normNative(col("embedding")).as("nrm"))
+    val (probeRows, collectSec) = timed(probesRaw.collect())
+    val probesV = s.createDataFrame(
+      java.util.Arrays.asList(probeRows: _*), probesRaw.schema)
+    val cents = s.read.parquet(s"$path/centroids")
+    val (_, routeSec) = timed(PQ.routeCells(s, probesV, cents, 4))
+    val (_, cold1) = timed(PQ.probePqIndexWith(s, probeFrame, path, 4, 5).collect())
+    val (_, warm) = timed(PQ.probePqIndexWith(s, probeFrame, path, 4, 5).collect())
+    println(f"""{"battery":"pqlat","vectors":$n,"cells":$nCells,"meta_sec":$metaSec%.2f,"probe_collect_sec":$collectSec%.2f,"route_sec":$routeSec%.2f,"full_cold_sec":$cold1%.2f,"full_warm_sec":$warm%.2f}""")
   }
 
   // ---- pqopq --------------------------------------------------------------

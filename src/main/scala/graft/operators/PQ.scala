@@ -1361,7 +1361,15 @@ object PQ {
     val pe6 = probesV.select(col("vec_id").as("probe_id"),
       transform(col("embedding"),
         x => floor(x.cast("double") * 1000000).cast("long")).as("emb6"))
-    val codes = s.read.parquet(s"$path/codes").filter(col("cent_id").isin(cells: _*))
+    // Both data-side reads are CELL-SCOPED (Similarity.cellScopedRead):
+    // whole-lake partition discovery was the measured dominant fixed
+    // cost of a serve call (~2 s per read at 1000 cells, paid twice —
+    // codes here, the cold side below), and it grows O(cells) while a
+    // probe touches nProbe. The isin filter stays: it is the
+    // partition-pruning predicate for the (rare) whole-lake fallback
+    // and the plan-visible record of the bound.
+    val codes = Similarity.cellScopedRead(s, path, "codes", cells)
+      .filter(col("cent_id").isin(cells: _*))
     val cand0 = codes.join(broadcast(localPc), Seq("cent_id"))
       .filter(col("vec_id") =!= col("probe_id"))
     // Scoring dispatches on the index's declared encoding (the `meta`
@@ -1423,7 +1431,7 @@ object PQ {
     val slPush =
       if (slIds.length <= isinMaxIds(s)) col("vec_id").isin(slIds: _*)
       else col("vec_id").between(slIds.min, slIds.max)
-    val cold = s.read.parquet(s"$path/vectors")
+    val cold = Similarity.cellScopedRead(s, path, "vectors", cells)
       .filter(col("cent_id").isin(cells: _*) && slPush)
       .select(col("vec_id"), col("embedding").as("de"), col("nrm").as("dn"))
     val refScore = e6(cosine(dotNative(col("qe"), col("de")), col("qn"), col("dn")))

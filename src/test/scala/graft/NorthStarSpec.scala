@@ -274,8 +274,12 @@ class NorthStarSpec extends AnyFunSuite {
     def countParquet(f: java.io.File): Int =
       if (f.isDirectory) f.listFiles.map(countParquet).sum
       else if (f.getName.endsWith(".parquet")) 1 else 0
-    val totalFiles = countParquet(
-      new java.io.File(scan.relation.location.rootPaths.head.toUri))
+    // Count from the INDEX root: the cell-scoped read (round 14) lists
+    // only the probed cells' directories, so the scan's rootPaths name
+    // cell dirs, not the lake — walk up to the lake root first.
+    val head = new java.io.File(scan.relation.location.rootPaths.head.toUri)
+    val lakeRoot = if (head.getName.startsWith("cent_id=")) head.getParentFile else head
+    val totalFiles = countParquet(lakeRoot)
     assert(filesRead > 0 && filesRead < totalFiles,
       s"no pruning: read $filesRead of $totalFiles index files")
   }

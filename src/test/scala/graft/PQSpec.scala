@@ -51,8 +51,11 @@ class PQSpec extends AnyFunSuite {
     def countParquet(f: java.io.File): Int =
       if (f.isDirectory) Option(f.listFiles).getOrElse(Array.empty).map(countParquet).sum
       else if (f.getName.endsWith(".parquet")) 1 else 0
-    val totalFiles = countParquet(
-      new java.io.File(scan.relation.location.rootPaths.head.toUri))
+    // Count from the INDEX root, not the scan's rootPaths: the
+    // cell-scoped read (round 14) lists only the probed cells'
+    // directories, so rootPaths no longer names the whole lake — which
+    // is exactly the point (the scan cannot even SEE unprobed cells).
+    val totalFiles = countParquet(new java.io.File(s"$path/vectors"))
     assert(filesRead > 0 && filesRead < totalFiles,
       s"no partition pruning: read $filesRead of $totalFiles files")
     assert(scan.metadata("PushedFilters").contains("In(vec_id"),
