@@ -59,7 +59,9 @@ object Battery {
       case Some("ingestgrow") => ingestGrow(spark,
         args.lift(1).map(_.toInt).getOrElse(40))
       case Some("pq")         => pq(spark, args.lift(1).map(_.toLong).getOrElse(500000L))
-      case Some("pqdispatch") => pqDispatch(spark, args.lift(1).map(_.toLong).getOrElse(125000L))
+      case Some("pqdispatch") => pqDispatch(spark, args.lift(1).map(_.toLong).getOrElse(125000L),
+        args.lift(2).map(_.split(",").toSeq.map(_.trim.toInt))
+          .getOrElse(Seq(32, 64, 128, 256, 512, 1024)))
       case Some("pqserve")    => pqServe(spark, args.lift(1).map(_.toLong).getOrElse(4000000L))
       case Some("pqiters")    => pqIters(spark, args.lift(1).map(_.toLong).getOrElse(500000L))
       case Some("pqopq")      => pqOpq(spark, args.lift(1).map(_.toLong).getOrElse(500000L))
@@ -381,8 +383,9 @@ object Battery {
     val nCells = math.max(16, math.sqrt(n.toDouble).toInt)
     val path = operators.Similarity.newIndexDir()
     // Explicitly FLAT: this arm is the exact-assignment baseline the
-    // fast arm below races (the default dispatch would pick two-tier
-    // at sqrt(n) cells past fastAssignMinCells).
+    // fast arm below races (round 14: the flat branch is the native
+    // argmax expression — exact AND the default inside the payload
+    // budget).
     val (_, bSec) = timed(PQ.buildPqIndex(s, root, path, nCells, fastAssign = Some(false)))
     def dirBytes(f: java.io.File): Long =
       if (f.isDirectory) Option(f.listFiles).getOrElse(Array.empty).map(dirBytes).sum
@@ -534,11 +537,17 @@ object Battery {
 
   // ---- pqdispatch -------------------------------------------------------
 
-  /** Brackets [[operators.PQ.fastAssignMinCells]]: flat vs two-tier
-    * build walls at fixed n over a CELL-COUNT sweep. The shared
-    * codebook/codes memo is prewarmed first, so each timed arm pays
-    * only the assignment + the writes — the dispatch subject. */
-  private def pqDispatch(s: SparkSession, n: Long): Unit = {
+  /** Brackets the assignment dispatch: flat (round 14: the NATIVE
+    * exact argmax) vs two-tier build walls at fixed n over a
+    * CELL-COUNT sweep. The shared codebook/codes memo is prewarmed
+    * first, so each timed arm pays only the assignment + the writes —
+    * the dispatch subject. Round 14 re-run (native flat vs two-tier):
+    * native wins through 1024 cells at 500k and through 512 at 125k,
+    * ties at 2048, loses at 4096 —
+    * [[operators.PQ.nativeAssignMaxCells]] = 1024 splits both
+    * brackets. */
+  private def pqDispatch(s: SparkSession, n: Long,
+      cellSweep: Seq[Int] = Seq(32, 64, 128, 256, 512, 1024)): Unit = {
     import operators.PQ
     val dim = 64
     val root = java.nio.file.Files.createTempDirectory("graft_battery_pqd").toString
@@ -552,12 +561,12 @@ object Battery {
       .write.parquet(s"$root/embeddings.parquet")
     PQ.buildPqIndex(s, root, operators.Similarity.newIndexDir(), 32,
       fastAssign = Some(false)) // prewarm the codebook/codes memo
-    Seq(32, 64, 128, 256, 512).foreach { c =>
+    cellSweep.foreach { c =>
       val (_, flatSec) = timed(PQ.buildPqIndex(s, root,
         operators.Similarity.newIndexDir(), c, fastAssign = Some(false)))
       val (_, fastSec) = timed(PQ.buildPqIndex(s, root,
         operators.Similarity.newIndexDir(), c, fastAssign = Some(true)))
-      println(f"""{"battery":"pqdispatch","vectors":$n,"cells":$c,"flat_sec":$flatSec%.1f,"fast_sec":$fastSec%.1f,"threshold":${PQ.fastAssignMinCells}}""")
+      println(f"""{"battery":"pqdispatch","vectors":$n,"cells":$c,"flat_sec":$flatSec%.1f,"fast_sec":$fastSec%.1f,"native_max_cells":${PQ.nativeAssignMaxCells}}""")
     }
   }
 

@@ -154,10 +154,134 @@ case class PqEncode(child: Expression, cb: Array[Long], m: Int, k: Int, subDim: 
     copy(child = newChild)
 }
 
+/** Native codegen'd IVF coarse-assignment argmax: the e6-cosine argmax
+  * of a float vector against a PLAN-TIME centroid table.
+  *
+  * Why ([[PqEncode]]'s rationale, applied to the other build wall): the
+  * declarative argmax — crossJoin the broadcast centroids, score, rn=1
+  * window — materializes N x cells rows and shuffles their top-1
+  * partials; the two-tier `fastCoarseAssign` cut that to
+  * N x 2 sqrt(cells) at the price of a DECLARED approximation (the
+  * coarse-MISS recall dip). This expression is both EXACT and cheaper:
+  * the centroids bake into the generated class, each row pays one
+  * tight loop over all cells with zero extra rows and zero shuffle —
+  * a broadcast join in spirit, without ever manifesting the joined
+  * rows.
+  *
+  * Semantics are BIT-EXACT with the window form (and the DuckDB
+  * oracles' `ROW_NUMBER() OVER (ORDER BY score_e6 DESC, cent_id)`):
+  * dot is [[DotProductFF]]'s left-to-right double fold, the score is
+  * `floor(dot / (cn * nrm) * 1e6)` cast long with Java double->long
+  * semantics (NaN -> 0, +-Inf -> Long.MIN/MAX — Spark's non-ansi
+  * Cast), centroids scan in ascending cent_id and only a STRICTLY
+  * greater score replaces the best, so ties resolve to the lowest
+  * cent_id. Width mismatches and NULL elements throw with
+  * instructions (the loud-failure discipline).
+  */
+@ExpressionDescription(
+  usage = "ivf_argmax(emb, nrm) - e6-cosine argmax cent_id against plan-time centroids.")
+case class IvfArgmax(left: Expression, right: Expression,
+    cids: Array[Long], ceFlat: Array[Float], cns: Array[Double], dim: Int)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  require(cids.length > 0 && ceFlat.length == cids.length * dim &&
+    cns.length == cids.length, s"ivf_argmax: ragged centroid arrays")
+
+  override def prettyName: String = "ivf_argmax"
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullable: Boolean = left.nullable || right.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(org.apache.spark.sql.types.FloatType, _),
+          org.apache.spark.sql.types.DoubleType) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"ivf_argmax requires (array<float>, double), got $other")
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val e = left.eval(input)
+    if (e == null) return null
+    val nv = right.eval(input)
+    if (nv == null) return null
+    val a = e.asInstanceOf[ArrayData]
+    if (a.numElements() != dim)
+      throw new IllegalArgumentException(
+        s"ivf_argmax: embedding width ${a.numElements()} != centroid dim $dim")
+    val nrm = nv.asInstanceOf[Double]
+    var bestIdx = -1
+    var best = Long.MinValue
+    var j = 0
+    while (j < cids.length) {
+      var dot = 0.0
+      var d = 0
+      val base = j * dim
+      while (d < dim) {
+        if (a.isNullAt(d))
+          throw new IllegalArgumentException(
+            "ivf_argmax: NULL embedding element — clean the corpus before assigning")
+        dot += ceFlat(base + d).toDouble * a.getFloat(d).toDouble
+        d += 1
+      }
+      val score = math.floor(dot / (cns(j) * nrm) * 1000000L).toLong
+      if (bestIdx < 0 || score > best) { best = score; bestIdx = j }
+      j += 1
+    }
+    cids(bestIdx)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cidRef = ctx.addReferenceObj("ivfCids", cids, "long[]")
+    val ceRef = ctx.addReferenceObj("ivfCe", ceFlat, "float[]")
+    val cnRef = ctx.addReferenceObj("ivfCns", cns, "double[]")
+    nullSafeCodeGen(ctx, ev, (a, nrm) => {
+      val j = ctx.freshName("j")
+      val d = ctx.freshName("d")
+      val dot = ctx.freshName("dot")
+      val base = ctx.freshName("base")
+      val score = ctx.freshName("score")
+      val best = ctx.freshName("best")
+      val bestIdx = ctx.freshName("bestIdx")
+      s"""
+         |if ($a.numElements() != $dim) {
+         |  throw new IllegalArgumentException(
+         |    "ivf_argmax: embedding width " + $a.numElements() + " != centroid dim $dim");
+         |}
+         |int $bestIdx = -1;
+         |long $best = Long.MIN_VALUE;
+         |for (int $j = 0; $j < ${cids.length}; $j++) {
+         |  double $dot = 0.0;
+         |  final int $base = $j * $dim;
+         |  for (int $d = 0; $d < $dim; $d++) {
+         |    if ($a.isNullAt($d)) {
+         |      throw new IllegalArgumentException(
+         |        "ivf_argmax: NULL embedding element - clean the corpus before assigning");
+         |    }
+         |    $dot += ((double) $ceRef[$base + $d]) * ((double) $a.getFloat($d));
+         |  }
+         |  final long $score = (long) Math.floor($dot / ($cnRef[$j] * $nrm) * 1000000L);
+         |  if ($bestIdx < 0 || $score > $best) { $best = $score; $bestIdx = $j; }
+         |}
+         |${ev.value} = $cidRef[$bestIdx];
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): IvfArgmax =
+    copy(left = newLeft, right = newRight)
+}
+
 object PqExprs {
   /** Column wrapper for [[PqEncode]] — `cb` is the flattened codebook,
     * sub-major then code-major then pos: `cb[(sub*k + code)*subDim +
     * pos]`. */
   def pqEncodeNative(emb6: Column, cb: Array[Long], m: Int, k: Int, subDim: Int): Column =
     GraftSqlBridge.column(PqEncode(GraftSqlBridge.expression(emb6), cb, m, k, subDim))
+
+  /** Column wrapper for [[IvfArgmax]] — `ceFlat` is the centroid table
+    * flattened cid-major (ascending cent_id), `cids`/`cns` parallel. */
+  def ivfArgmaxNative(emb: Column, nrm: Column, cids: Array[Long],
+      ceFlat: Array[Float], cns: Array[Double], dim: Int): Column =
+    GraftSqlBridge.column(IvfArgmax(GraftSqlBridge.expression(emb),
+      GraftSqlBridge.expression(nrm), cids, ceFlat, cns, dim))
 }

@@ -1031,17 +1031,18 @@ object PQ {
     * sqrt(N) cells the un-repartitioned write is a small-file
     * explosion.
     *
-    * `fastAssign = true` swaps the flat N x nCells assignment argmax
-    * (the build-wall dominator: N x sqrt(N) rows through the window at
-    * scale) for the two-tier coarse route ([[Similarity.ivfRouteCoarse]]
-    * with nProbe = 1): ~N x 2 sqrt(nCells) score rows — an N^(1/4)
-    * factor saved. APPROXIMATE by declaration: a vector whose true
-    * nearest fine cell sits outside its 2 probed coarse cells lands in
-    * a near-optimal cell instead (the qn10e coarse-MISS semantics,
-    * applied to layout). Probes still find it whenever their nProbe
-    * cells cover where it LANDED, so the cost is a small recall dip,
-    * not correctness — priced in the pq battery; the qn33 bit-parity
-    * contract holds only for the default flat build. */
+    * The assignment defaults to the NATIVE flat argmax (round 14,
+    * [[nativeCoarseAssign]]): exact, zero-shuffle, bit-parity with
+    * qn33 up to the measured [[nativeAssignMaxCells]] bound.
+    * `fastAssign = Some(true)` pins the two-tier coarse route instead
+    * (the beyond-the-bound default branch;
+    * ~N x 2 sqrt(nCells) score rows) — APPROXIMATE by
+    * declaration: a vector whose true nearest fine cell sits outside
+    * its 2 probed coarse cells lands in a near-optimal cell instead
+    * (the qn10e coarse-MISS semantics, applied to layout). Probes
+    * still find it whenever their nProbe cells cover where it LANDED,
+    * so the cost is a small recall dip, not correctness — priced in
+    * the pq battery. `Some(false)` pins the exact native branch. */
   def buildPqIndex(s: SparkSession, dir: String, path: String,
       nCells: Int = 16, fastAssign: Option[Boolean] = None,
       residual: Boolean = false, params: PqParams = fixturePq,
@@ -1052,18 +1053,19 @@ object PQ {
     val cents = coarseCents(v, nCells)
     val localCents = s.createDataFrame(
       java.util.Arrays.asList(cents.collect(): _*), cents.schema)
-    // Assignment DISPATCH (the qn06/qn10e pattern — measured size picks
-    // the branch): flat below [[fastAssignMinCells]] (bit-parity with
-    // qn33, and the two-tier route's fixed costs don't pay for
-    // themselves on a small centroid table — bracketed in the pq
-    // battery), two-tier at/above it (the flat N x nCells argmax is
-    // the N^1.5 build wall at production nCells ~ sqrt(N); measured
-    // 7.5x at 1M vectors). `fastAssign = Some(_)` pins a branch for
-    // the battery and the parity specs.
-    val useFast = fastAssign.getOrElse(nCells >= fastAssignMinCells)
+    // Assignment DISPATCH, round-14 form: the default is the NATIVE
+    // flat argmax ([[graft.functions.IvfArgmax]] — exact, bit-parity
+    // with qn33, zero shuffle; it retired the join+window explosion
+    // that made the two-tier approximation worth its recall dip at
+    // build scale). The two-tier route remains the branch for centroid
+    // tables too large to bake into the task binary
+    // ([[nativeAssignMaxBytes]]) — and `fastAssign = Some(true)` pins
+    // it for the battery and the coarse-MISS parity specs;
+    // `Some(false)` pins the exact branch.
+    val useFast = fastAssign.getOrElse(useTwoTier(nCells, dimOf(localCents)))
     val asg =
       if (useFast) fastCoarseAssign(v, localCents)
-      else coarseAssign(v, localCents)
+      else nativeCoarseAssign(v, localCents)
     // `residual = true` stores the qn36 encoding (codebooks trained on
     // v - coarse_centroid; the `meta` side makes the probe's scoring
     // dispatch self-describing). Memo keys carry nCells: the
@@ -1123,18 +1125,62 @@ object PQ {
     IndexSwap.commit(s, path, pqSides)
   }
 
-  /** Cell-count threshold at/above which [[buildPqIndex]] (and the
-    * rebalance retrain) default to the two-tier `fastAssign` coarse
-    * assignment. Bracketed by the memo-prewarmed `pqdispatch` battery
-    * (125k vectors, assignment cost isolated): flat wins at <= 256
-    * cells (6.3s vs 7.6s), two-tier at >= 512 (9.7s vs 7.8s) — the
-    * geometric midpoint of the bracket. The crossover is keyed on
-    * CELLS, not N: both arms are linear in N at fixed cells (flat
-    * ~ N x cells, two-tier ~ N x (2 sqrt(cells) + c)), so the N factor
-    * cancels, and past the threshold the two-tier lead grows without
-    * bound (7.5x at 1000 cells / 1M vectors — BENCH_NOTES). Below the
-    * threshold the flat branch keeps the qn33 bit-parity contract. */
-  private[graft] val fastAssignMinCells = 384
+  /** Cell-count bound up to which [[buildPqIndex]] (and the rebalance
+    * retrain and appends) default to the NATIVE exact flat argmax;
+    * beyond it the two-tier approximate route. Round 16's
+    * `fastAssignMinCells = 384` compared the JOIN+WINDOW flat argmax
+    * (N x cells rows through a shuffle) against two-tier; the native
+    * expression removed the rows and the shuffle and moved the
+    * crossover an order of magnitude out. Re-bracketed by the
+    * prewarmed `pqdispatch` battery at TWO corpus sizes (BENCH_NOTES
+    * round 17): native wins clearly through 1024 cells at 500k
+    * (14.7 s vs 17.8 s; 2.2x at 32 cells) and through 512 at 125k
+    * (near-tie 8.8 vs 9.0), ties at 2048 / loses at 4096 (where the
+    * common per-cell write fan-out dominates both arms and two-tier's
+    * N x 2 sqrt(cells) scoring pulls ahead) — 1024 splits both
+    * brackets. The win below the bound is not only wall: the native
+    * branch is EXACT (qn33 bit-parity), so every build at <= 1024
+    * cells sheds the two-tier coarse-MISS recall dip. */
+  private[graft] val nativeAssignMaxCells = 1024
+
+  /** Second, independent guard for the native branch: the flattened
+    * centroid payload baked into the task binary stays broadcast-class
+    * (matters only at unusual dims — at dim 64 the cell bound binds
+    * first by a wide margin). */
+  private[graft] val nativeAssignMaxBytes: Long = 64L << 20
+
+  /** The shared dispatch predicate (see [[nativeAssignMaxCells]]). */
+  private def useTwoTier(nCells: Long, dim: Int): Boolean =
+    nCells > nativeAssignMaxCells || nCells * dim * 4L > nativeAssignMaxBytes
+
+  /** Centroid width from a local centroid frame (one row peek). */
+  private def dimOf(localCents: DataFrame): Int =
+    localCents.select(col("ce")).head().getSeq[Float](0).length
+
+  /** EXACT flat coarse assignment through the native argmax expression
+    * ([[graft.functions.IvfArgmax]]): the centroid table flattens into
+    * the generated class (ascending cent_id — the tie rule), each
+    * corpus row pays one codegen'd loop, and the assignment is a pure
+    * map over the scan — no N x cells rows, no window shuffle.
+    * Bit-identical to [[coarseAssign]] (same fold, same e6 floor, same
+    * tie-break; pinned by qn39/qn40 parity and PqRebalanceSpec's
+    * driver replay). */
+  private def nativeCoarseAssign(v: DataFrame, localCents: DataFrame): DataFrame = {
+    val rows = localCents.select(col("cent_id"), col("ce"), col("cn"))
+      .collect().sortBy(_.getLong(0))
+    require(rows.nonEmpty, "PQ: cannot assign against an empty centroid table")
+    val dim = rows.head.getSeq[Float](1).length
+    val cids = rows.map(_.getLong(0))
+    val cns = rows.map(_.getDouble(2))
+    val flat = new Array[Float](rows.length * dim)
+    rows.zipWithIndex.foreach { case (r, j) =>
+      val ce = r.getSeq[Float](1)
+      require(ce.length == dim, s"PQ: ragged centroid width at cent_id=${cids(j)}")
+      ce.copyToArray(flat, j * dim)
+    }
+    v.select(col("vec_id"), graft.functions.PqExprs.ivfArgmaxNative(
+      col("embedding"), col("nrm"), cids, flat, cns, dim).as("cent_id"))
+  }
 
   /** RESIDUAL e6 view of an e6 corpus frame: emb6 - assigned coarse
     * centroid (e6-floored), per [[buildPqIndex]]'s `residual` encoding.
@@ -1184,7 +1230,14 @@ object PQ {
     val cb = s.read.parquet(s"$path/codebooks")
     val v = newVecs.select(col("vec_id"), col("embedding"),
       l2normNative(col("embedding")).as("nrm"))
-    val asg = coarseAssign(v, cents)
+    // Same payload dispatch as the build: native exact argmax while
+    // the stored centroid table bakes into a task binary, two-tier
+    // beyond it (a large append batch x sqrt(N) cells through the
+    // join+window form was the same explosion the build retired).
+    val asg =
+      if (useTwoTier(Similarity.parquetRowCount(s, s"$path/centroids"), dimOf(cents)))
+        fastCoarseAssign(v, cents)
+      else nativeCoarseAssign(v, cents)
     val ve6 = v.select(col("vec_id"),
       transform(col("embedding"),
         x => floor(x.cast("double") * 1000000).cast("long")).as("emb6"))
@@ -1259,7 +1312,7 @@ object PQ {
     * codebooks on the residuals against the NEW coarse centroids (the
     * `meta` side is re-read, never flipped — a flip is a
     * [[buildPqIndex]] decision). The assignment uses the same
-    * [[fastAssignMinCells]] dispatch as the build.
+    * [[nativeAssignMaxBytes]] payload dispatch as the build.
     *
     * Crash safety is the [[IndexSwap]] two-phase discipline over all
     * five sides: tmp writes, marker, swap — either polarity of an
@@ -1278,8 +1331,8 @@ object PQ {
     val localCents = s.createDataFrame(
       java.util.Arrays.asList(seeds.collect(): _*), seeds.schema)
     val asg =
-      if (nCells >= fastAssignMinCells) fastCoarseAssign(v, localCents)
-      else coarseAssign(v, localCents)
+      if (useTwoTier(nCells, dimOf(localCents))) fastCoarseAssign(v, localCents)
+      else nativeCoarseAssign(v, localCents)
     val ve6 = v.select(col("vec_id"),
       transform(col("embedding"),
         x => floor(x.cast("double") * 1000000).cast("long")).as("emb6"))
