@@ -542,10 +542,11 @@ object Battery {
     * CELL-COUNT sweep. The shared codebook/codes memo is prewarmed
     * first, so each timed arm pays only the assignment + the writes —
     * the dispatch subject. Round 14 re-run (native flat vs two-tier):
-    * native wins through 1024 cells at 500k and through 512 at 125k,
-    * ties at 2048, loses at 4096 —
-    * [[operators.PQ.nativeAssignMaxCells]] = 1024 splits both
-    * brackets. */
+    * native wins on wall through 1024 cells at 500k and through 512
+    * at 125k, ties at 2048, trails at 4096 (1.17-1.33x) —
+    * [[operators.PQ.nativeAssignMaxCells]] ships at 4096 anyway
+    * because the native branch is EXACT (see its scaladoc for the
+    * measured recall dividend). */
   private def pqDispatch(s: SparkSession, n: Long,
       cellSweep: Seq[Int] = Seq(32, 64, 128, 256, 512, 1024)): Unit = {
     import operators.PQ
@@ -627,8 +628,11 @@ object Battery {
     val root = pqClusteredCorpus(s, n, "pqs")
     val nCells = math.max(16, math.sqrt(n.toDouble).toInt)
     val path = operators.Similarity.newIndexDir()
+    // Default dispatch (round 14): native EXACT assignment at <= 1024
+    // cells, two-tier beyond — so this arm measures what a production
+    // build actually runs at this scale.
     val (_, bSec) = timed(PQ.buildPqIndex(s, root, path, nCells,
-      fastAssign = Some(true), params = PQ.PqParams(8, 8, 256)))
+      params = PQ.PqParams(8, 8, 256)))
     def dirBytes(f: java.io.File): Long =
       if (f.isDirectory) Option(f.listFiles).getOrElse(Array.empty).map(dirBytes).sum
       else if (f.getName.endsWith(".parquet")) f.length else 0L

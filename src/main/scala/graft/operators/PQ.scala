@@ -1138,10 +1138,17 @@ object PQ {
     * (near-tie 8.8 vs 9.0), ties at 2048 / loses at 4096 (where the
     * common per-cell write fan-out dominates both arms and two-tier's
     * N x 2 sqrt(cells) scoring pulls ahead) — 1024 splits both
-    * brackets. The win below the bound is not only wall: the native
-    * branch is EXACT (qn33 bit-parity), so every build at <= 1024
-    * cells sheds the two-tier coarse-MISS recall dip. */
-  private[graft] val nativeAssignMaxCells = 1024
+    * brackets on WALL alone. The bound ships at 4096, not 1024,
+    * because the native branch is EXACT and exactness is worth a
+    * bounded build premium: at 1M/1000 cells the exact assignment
+    * raised served recall@5 from 20/50 to 45/50 at nProbe=1 (50/50 by
+    * nProbe=8) — the two-tier coarse-MISS scatters cluster co-members
+    * across cells, and every probe pays that dip for the index's
+    * whole life, while the premium is one-time at build: 1.17x at
+    * 500k/4096 cells, 1.33x at 125k/4096 (the largest measured).
+    * Past 4096 the premium keeps growing ~sqrt(cells) and the
+    * two-tier route takes over at its declared semantics. */
+  private[graft] val nativeAssignMaxCells = 4096
 
   /** Second, independent guard for the native branch: the flattened
     * centroid payload baked into the task binary stays broadcast-class
