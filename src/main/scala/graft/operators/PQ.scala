@@ -1172,22 +1172,8 @@ object PQ {
     * Bit-identical to [[coarseAssign]] (same fold, same e6 floor, same
     * tie-break; pinned by qn39/qn40 parity and PqRebalanceSpec's
     * driver replay). */
-  private def nativeCoarseAssign(v: DataFrame, localCents: DataFrame): DataFrame = {
-    val rows = localCents.select(col("cent_id"), col("ce"), col("cn"))
-      .collect().sortBy(_.getLong(0))
-    require(rows.nonEmpty, "PQ: cannot assign against an empty centroid table")
-    val dim = rows.head.getSeq[Float](1).length
-    val cids = rows.map(_.getLong(0))
-    val cns = rows.map(_.getDouble(2))
-    val flat = new Array[Float](rows.length * dim)
-    rows.zipWithIndex.foreach { case (r, j) =>
-      val ce = r.getSeq[Float](1)
-      require(ce.length == dim, s"PQ: ragged centroid width at cent_id=${cids(j)}")
-      ce.copyToArray(flat, j * dim)
-    }
-    v.select(col("vec_id"), graft.functions.PqExprs.ivfArgmaxNative(
-      col("embedding"), col("nrm"), cids, flat, cns, dim).as("cent_id"))
-  }
+  private def nativeCoarseAssign(v: DataFrame, localCents: DataFrame): DataFrame =
+    v.select(col("vec_id"), Similarity.ivfArgmaxCol(localCents).as("cent_id"))
 
   /** RESIDUAL e6 view of an e6 corpus frame: emb6 - assigned coarse
     * centroid (e6-floored), per [[buildPqIndex]]'s `residual` encoding.

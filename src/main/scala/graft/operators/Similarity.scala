@@ -778,6 +778,44 @@ object Similarity {
       .select(col("vec_id"), col("embedding"), col("nrm"), col("cent_id"))
   }
 
+  /** The native exact argmax COLUMN for an (embedding, nrm) row
+    * against a centroid frame, collected to a plan-time literal
+    * ([[graft.functions.IvfArgmax]] — same fold, same e6 floor, same
+    * lowest-cent_id tie rule as [[ivfAssigned]]'s window; the
+    * IvfRebalanceSpec/PqRebalanceSpec driver replays pin the argmax
+    * independently). Centroid tables are sqrt(N) rows by construction
+    * — manifest-class collects. */
+  private[graft] def ivfArgmaxCol(cents: DataFrame): Column = {
+    val rows = cents.select(col("cent_id"), col("ce"), col("cn"))
+      .collect().sortBy(_.getLong(0))
+    require(rows.nonEmpty, "IVF: cannot assign against an empty centroid table")
+    val dim = rows.head.getSeq[Float](1).length
+    val cids = rows.map(_.getLong(0))
+    val cns = rows.map(_.getDouble(2))
+    val flat = new Array[Float](rows.length * dim)
+    rows.zipWithIndex.foreach { case (r, j) =>
+      val ce = r.getSeq[Float](1)
+      require(ce.length == dim, s"IVF: ragged centroid width at cent_id=${cids(j)}")
+      ce.copyToArray(flat, j * dim)
+    }
+    graft.functions.PqExprs.ivfArgmaxNative(
+      col("embedding"), col("nrm"), cids, flat, cns, dim)
+  }
+
+  /** [[ivfAssigned]] for the BUILD paths: the native expression below
+    * [[PQ.nativeAssignMaxCells]] (exact, zero-shuffle — the round-14
+    * treatment; no N x cells rows carrying a 64-float embedding each,
+    * which is what made the window form the build wall), the window
+    * form above it (still EXACT — the plain IVF index, unlike the PQ
+    * build, never declared an approximate assignment, so there is no
+    * two-tier branch to dispatch to; a beyond-bound build simply pays
+    * the wall it always did). */
+  private def ivfAssignedDispatch(v: DataFrame, cents: DataFrame,
+      nCells: Long): DataFrame =
+    if (nCells > PQ.nativeAssignMaxCells) ivfAssigned(v, cents)
+    else v.select(col("vec_id"), col("embedding"), col("nrm"),
+      ivfArgmaxCol(cents).as("cent_id"))
+
   /** Probe routing: the declared-query probe set (vec_id < 10). */
   private def ivfProbeCells(v: DataFrame, cents: DataFrame, nProbe: Int): DataFrame =
     ivfRoute(v.filter(col("vec_id") < 10), cents, nProbe)
@@ -929,7 +967,7 @@ object Similarity {
     val cents = ivfCents(v, nCentroids, sampleKey)
     val localCents = s.createDataFrame(
       java.util.Arrays.asList(cents.collect(): _*), cents.schema)
-    ivfAssigned(v, localCents).write.mode("overwrite")
+    ivfAssignedDispatch(v, localCents, nCentroids.toLong).write.mode("overwrite")
       .partitionBy("cent_id").parquet(s"$path/vectors")
     localCents.coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
   }
@@ -957,7 +995,8 @@ object Similarity {
     val cents = s.read.parquet(s"$path/centroids")
     val v = newVecs.select(col("vec_id"), col("embedding"),
       l2normNative(col("embedding")).as("nrm"))
-    ivfAssigned(v, cents).write.mode("append")
+    ivfAssignedDispatch(v, cents, parquetRowCount(s, s"$path/centroids"))
+      .write.mode("append")
       .partitionBy("cent_id").parquet(s"$path/vectors")
     autoRebalance.foreach { k =>
       val stats = ivfCellStats(s, path)
@@ -1019,7 +1058,7 @@ object Similarity {
       .select(col("vec_id").as("cent_id"), col("embedding").as("ce"), col("nrm").as("cn"))
     val localCents = s.createDataFrame(
       java.util.Arrays.asList(seeds.collect(): _*), seeds.schema)
-    ivfAssigned(v, localCents).write.mode("overwrite")
+    ivfAssignedDispatch(v, localCents, k).write.mode("overwrite")
       .partitionBy("cent_id").parquet(IndexSwap.tmp(path, "vectors").toString)
     localCents.coalesce(1).write.mode("overwrite")
       .parquet(IndexSwap.tmp(path, "centroids").toString)
