@@ -24,15 +24,22 @@ object Bench {
     // round 16), and the round-13 sweep drifted +10-35% on carried
     // queries for exactly this reason. The official sweep now enforces
     // the same discipline the Battery requires: drop leftovers BEFORE
-    // timing anything.
+    // timing anything. AGE-SCOPED (round-14 ADVICE): only trees whose
+    // root mtime is older than an hour are presumed stale — an
+    // unconditional name-prefix sweep would delete a concurrently
+    // RUNNING Battery process's live corpus out from under it, and a
+    // battery arm that is still mid-measurement necessarily touched
+    // its tree within the last hour.
     locally {
       def rm(x: java.io.File): Unit = {
         if (x.isDirectory) Option(x.listFiles).getOrElse(Array.empty).foreach(rm)
         x.delete(): Unit
       }
+      val staleBefore = System.currentTimeMillis() - 60L * 60 * 1000
       val tmp = new java.io.File(sys.props("java.io.tmpdir"))
       Option(tmp.listFiles).getOrElse(Array.empty)
-        .filter(_.getName.startsWith("graft_battery_")).foreach { f =>
+        .filter(f => f.getName.startsWith("graft_battery_") &&
+          f.lastModified() < staleBefore).foreach { f =>
           System.err.println(s"BENCH: clearing stale battery tmp ${f.getName}")
           rm(f)
         }
@@ -56,23 +63,24 @@ object Bench {
       SparkEntry.queries(name)(spark, sfDir)
         .write.mode("overwrite").format("noop").save()
     }
-    // Noisy pair queries -> median-of-3. Value = memo tag to clear before
-    // each rep (None: no memo in play). qn17 clears only the label memo:
-    // each rep measures a cold propagation over the deliberately-warm
-    // simhash pair inputs (matching its position in the sweep), and the
-    // last rep leaves warm labels for qp02/qp04 downstream.
-    val noisy: Map[String, Option[String]] = Map(
-      "qn03_jaccard_pairs" -> Some("tokenset"),
-      "qn03b_shingle_jaccard_pairs" -> None,
-      "qn04_minhash_lsh_pairs" -> None,
-      "qn06_simhash_near_pairs" -> Some("simhash"),
-      "qn08_cosine_near_pairs" -> None,
-      "qn17_dedup_components" -> Some("components"),
+    // Noisy/slow queries -> median-of-3. Value = memo tags to clear
+    // before each rep (empty: no memo in play). qn17 clears only the
+    // label memo: each rep measures a cold propagation over the
+    // deliberately-warm simhash pair inputs (matching its position in
+    // the sweep), and the last rep leaves warm labels for qp02/qp04
+    // downstream.
+    val noisy: Map[String, Seq[String]] = Map(
+      "qn03_jaccard_pairs" -> Seq("tokenset"),
+      "qn03b_shingle_jaccard_pairs" -> Seq(),
+      "qn04_minhash_lsh_pairs" -> Seq(),
+      "qn06_simhash_near_pairs" -> Seq("simhash"),
+      "qn08_cosine_near_pairs" -> Seq(),
+      "qn17_dedup_components" -> Seq("components"),
       // No memo in play, but twice-documented (r4/r5 bench notes) as the
       // worst in-sweep GC artifact: its bloom build + checkpoint runs
       // right after the pair queries' dead blocks drop, so single samples
       // have measured eviction, not the plan.
-      "qn21_bloom_decontamination" -> None,
+      "qn21_bloom_decontamination" -> Seq(),
       // r7 verdict: every >2s query carries a min so the artifact reads
       // through host-load noise. qp01/qp03 share the clean45 pair memo
       // (cold build measured each rep, warm frame left for the other);
@@ -82,14 +90,35 @@ object Bench {
       // uniform reps by design. qn20c owns the IVF assignment memo. q0z
       // builds a fresh fixture dir per invocation, so its reps are
       // uniform by design.
-      "qn05_simhash_values" -> None,
-      "qn23_substring_spans" -> None,
-      "qp01_clean_corpus" -> Some("clean45"),
-      "qp03_training_manifest" -> Some("clean45"),
-      "q0z_zonemap_scan" -> None,
-      "qn20_semantic_dedup" -> Some("semasg"),
-      "qn20b_semantic_dedup_stream" -> None,
-      "qn20c_semantic_dedup_ivf" -> Some("semasgivf"))
+      "qn05_simhash_values" -> Seq(),
+      "qn23_substring_spans" -> Seq(),
+      "qp01_clean_corpus" -> Seq("clean45"),
+      "qp03_training_manifest" -> Seq("clean45"),
+      "q0z_zonemap_scan" -> Seq(),
+      "qn20_semantic_dedup" -> Seq("semasg"),
+      "qn20b_semantic_dedup_stream" -> Seq(),
+      "qn20c_semantic_dedup_ivf" -> Seq("semasgivf"),
+      // Round-14 verdict: every query >3 s gets the median-of-3
+      // protocol so round-over-round drift separates into plan change
+      // vs load noise (qp11 +37%, q13b +24%, q0bz +30% arrived as
+      // single samples with no spread to judge them by). Rep
+      // semantics per query: qp11 memoizes its crash-free batch-0
+      // base lake ON FIRST INVOCATION (so rep 1 carries that one-time
+      // build and the SPREAD prices it; the median is the steady-state
+      // crash+repair+replay the gate exists for); q13b is a pure
+      // two-agg pass and q0bz builds a fresh fixture dir per
+      // invocation — uniform reps by design; qn36 owns the residual
+      // codebook/codes memos (cleared per rep, left warm for
+      // qn39-qn41 downstream, matching their sweep-order semantics);
+      // qn41 consumes only frames earlier queries left warm — uniform
+      // reps; qn43 owns the OPQ-rotated memo pair with no downstream
+      // consumer.
+      "qp11_ingest_crash_repair" -> Seq(),
+      "q13b_approx_distinct" -> Seq(),
+      "q0bz_three_tier_lookup" -> Seq(),
+      "qn36_ann_ivfpq_residual" -> Seq("pqrcb", "pqrcodes"),
+      "qn41_ann_recall_floor" -> Seq(),
+      "qn43_ann_pq_adc_opq" -> Seq("pqcb:opq", "pqcodes:opq"))
     val reps = 3
     // Failures are first-class output: round 8 proved that swallowing
     // them times a dead query as a ~0s no-op and the artifact reads as
@@ -137,11 +166,11 @@ object Bench {
       names.flatMap { name =>
         noisy.get(name) match {
           case None => timed(name).map(t => (name, t, 0.0, t))
-          case Some(tagOpt) =>
+          case Some(tags) =>
             // A rep that fails aborts the remaining reps — the query is
             // dead, not noisy, and re-running a failure 3x buys nothing.
             val ts = (1 to reps).iterator.map { _ =>
-              tagOpt.foreach(t => graft.operators.Dedup.clearMemo(spark, t))
+              tags.foreach(t => graft.operators.Dedup.clearMemo(spark, t))
               timed(name)
             }.takeWhile(_.isDefined).flatten.toSeq.sorted
             if (ts.size < reps) None

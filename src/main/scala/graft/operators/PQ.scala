@@ -431,8 +431,24 @@ object PQ {
   /** The stored encoding flag + realized sizing (see [[writeMeta]]).
     * NOT cached across calls: a same-session rebuild of the path may
     * change the encoding (PQSpec pins exactly that), and the read is
-    * manifest-class. */
+    * manifest-class. A missing meta side fails LOUDLY as a format
+    * diagnostic (round-14 ADVICE): an index persisted by the pre-meta
+    * layout (params derived per-call from the codebook table,
+    * `_residual` fs marker) would otherwise surface as an opaque
+    * parquet-not-found on every probe/append/rebalance. No silent
+    * migration: the realized sizing cannot be recovered without the
+    * per-call codebook aggregate the meta side exists to remove, and
+    * a rebuild re-derives everything deterministically from the
+    * corpus. */
   private[graft] def indexMeta(s: SparkSession, path: String): (Boolean, PqParams) = {
+    val metaDir = new org.apache.hadoop.fs.Path(s"$path/meta")
+    val fs = metaDir.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(metaDir))
+      throw new IllegalStateException(
+        s"PQ index at $path has no meta side — this is a pre-meta layout (or not a " +
+          "PQ index root). Rebuild it with buildPqIndex: the meta row now commits " +
+          "atomically with the data sides, and pre-meta layouts are not auto-migrated " +
+          "because deriving the realized sizing per call is exactly the cost meta removed.")
     val r = s.read.parquet(s"$path/meta").head()
     (r.getBoolean(0), PqParams(r.getInt(1), r.getInt(2), r.getInt(3)))
   }
@@ -817,11 +833,18 @@ object PQ {
 
   /** qn41's collapse floors, in HITS out of 50 (10 probes x top-5):
     * the fixture-measured operating points are 20/50 (ivfpq) and 7/50
-    * (residual) at the sf0.01 gate — see qn41's registration comment
-    * for why the noise fixture bounds these low — and a misrouted or
-    * misaddressed compressed tier scores ~chance (<2/50). */
-  private[graft] val ivfpqRecallFloorHits = 12L
-  private[graft] val residualRecallFloorHits = 4L
+    * (residual) at the sf0.01 gate, 12/50 and 4/50 at sf0.1 — see
+    * qn41's registration comment for why the noise fixture bounds
+    * these low — and a misrouted or misaddressed compressed tier
+    * scores ~chance (<2/50). The floors sit STRICTLY BETWEEN chance
+    * and the measured minimum (round-14 ADVICE: a floor equal to the
+    * operating point has zero margin, so a benign fixture or
+    * quantization perturbation would flip the CORRECTNESS gate red
+    * even though these are collapse tripwires, not SLAs): ivfpq 8
+    * (chance <2, measured min 12), residual 3 (chance <2, measured
+    * min 4). Only a genuine collapse — ~chance scoring — trips them. */
+  private[graft] val ivfpqRecallFloorHits = 8L
+  private[graft] val residualRecallFloorHits = 3L
 
   /** qn33's oracle (shared with qn39's persisted gate): stride coarse
     * tier, argmax assignment, 4-cell routing, ADC over the candidates,

@@ -74,14 +74,31 @@ object SQ8 {
     * bit-for-bit. `clamp` saturates to [0, 255] — identity for values
     * inside the stored envelope (every build-corpus row by
     * construction, so the qn38 oracle parity is unaffected), the
-    * declared append/serve semantics outside it. */
-  private def q8Col(mna: Array[Long], spa: Array[Long], clamp: Boolean): Column =
-    transform(col("emb6"), (x, i) => {
+    * declared append/serve semantics outside it.
+    *
+    * Width/NULL guard (the [[PQ]] vsubKeyed loud-failure discipline —
+    * round-14 ADVICE): a row whose width differs from the stored
+    * envelope's D, or with a NULL element, would otherwise quantize
+    * through out-of-bounds `element_at` / null arithmetic into NULL q8
+    * bytes — and a NULL qd2 sorts FIRST in the ascending shortlist
+    * window, so malformed rows would silently dominate every probe's
+    * shortlist (a valid-looking index with degraded recall). O(D)
+    * per row, same cost class as the transform itself. */
+  private def q8Col(mna: Array[Long], spa: Array[Long], clamp: Boolean): Column = {
+    val d = mna.length
+    val checked = when(size(col("emb6")) === d &&
+        !exists(col("emb6"), x => x.isNull), col("emb6"))
+      .otherwise(raise_error(concat(
+        lit("SQ8: embedding width "), size(col("emb6")).cast("string"),
+        lit(s" != stats dim $d, or NULL element — the corpus must match the stored" +
+          " envelope's dimensionality and carry no NULLs; clean/resize before encoding"))))
+    transform(checked, (x, i) => {
       val a = (x - element_at(lit(mna), i + 1)) * 255L
       val sp = element_at(lit(spa), i + 1)
       val q = ((a - (a % sp)) / sp).cast("long")
       if (clamp) least(greatest(q, lit(0L)), lit(255L)) else q
     })
+  }
 
   /** Collect a stats frame to (mna, spa) pos-major arrays. */
   private def collectStats(stats: DataFrame): (Array[Long], Array[Long]) = {
