@@ -537,19 +537,21 @@ object Battery {
 
   // ---- pqdispatch -------------------------------------------------------
 
-  /** Brackets the assignment dispatch: flat (round 14: the NATIVE
-    * exact argmax) vs two-tier build walls at fixed n over a
-    * CELL-COUNT sweep. The shared codebook/codes memo is prewarmed
-    * first, so each timed arm pays only the assignment + the writes —
-    * the dispatch subject. Round 14 re-run (native flat vs two-tier):
-    * native wins on wall through 1024 cells at 500k and through 512
-    * at 125k, ties at 2048, trails at 4096 (1.17-1.33x) —
-    * [[operators.PQ.nativeAssignMaxCells]] ships at 4096 anyway
-    * because the native branch is EXACT (see its scaladoc for the
-    * measured recall dividend). */
+  /** Brackets the assignment dispatch over a CELL-COUNT sweep at fixed
+    * n: full-build walls for the two real branches (flat = the BLOCKED
+    * native exact argmax since round 15 — exact at any cell count;
+    * fast = the two-tier approximate route), plus ASSIGNMENT-ONLY
+    * walls for all three forms (native blocked / two-tier / the
+    * join+window argmax) so the dispatch subject is isolated from the
+    * per-cell write fan-out the build walls share. The shared
+    * codebook/codes memo is prewarmed first. The window arm is skipped
+    * past 4096 cells: it materializes N x cells rows, its wall is
+    * linear in cells by construction, and the 136.8 s-class point was
+    * already priced at fixture scale in round 16. */
   private def pqDispatch(s: SparkSession, n: Long,
       cellSweep: Seq[Int] = Seq(32, 64, 128, 256, 512, 1024)): Unit = {
-    import operators.PQ
+    import operators.{PQ, Similarity}
+    import graft.functions.VectorExprs.l2normNative
     val dim = 64
     val root = java.nio.file.Files.createTempDirectory("graft_battery_pqd").toString
     val nClusters = math.max(16L, n / 8)
@@ -562,12 +564,26 @@ object Battery {
       .write.parquet(s"$root/embeddings.parquet")
     PQ.buildPqIndex(s, root, operators.Similarity.newIndexDir(), 32,
       fastAssign = Some(false)) // prewarm the codebook/codes memo
+    val v = Tables.embeddings(s, root)
+      .select(col("vec_id"), col("embedding"), l2normNative(col("embedding")).as("nrm"))
     cellSweep.foreach { c =>
+      val cents = PQ.coarseCents(v, c)
+      val localCents = s.createDataFrame(
+        java.util.Arrays.asList(cents.collect(): _*), cents.schema)
+      def drain(df: org.apache.spark.sql.DataFrame): Unit = {
+        df.agg(sum(col("cent_id"))).head(); ()
+      }
+      val (_, asgNative) = timed(drain(
+        Similarity.nativeAssignBlocked(v, localCents, Seq("vec_id"))))
+      val (_, asgFast) = timed(drain(PQ.fastCoarseAssign(v, localCents)))
+      val asgWindow =
+        if (c > 4096) -1.0
+        else timed(drain(PQ.coarseAssign(v, localCents)))._2
       val (_, flatSec) = timed(PQ.buildPqIndex(s, root,
         operators.Similarity.newIndexDir(), c, fastAssign = Some(false)))
       val (_, fastSec) = timed(PQ.buildPqIndex(s, root,
         operators.Similarity.newIndexDir(), c, fastAssign = Some(true)))
-      println(f"""{"battery":"pqdispatch","vectors":$n,"cells":$c,"flat_sec":$flatSec%.1f,"fast_sec":$fastSec%.1f,"native_max_cells":${PQ.nativeAssignMaxCells}}""")
+      println(f"""{"battery":"pqdispatch","vectors":$n,"cells":$c,"flat_sec":$flatSec%.1f,"fast_sec":$fastSec%.1f,"asg_native_sec":$asgNative%.1f,"asg_fast_sec":$asgFast%.1f,"asg_window_sec":$asgWindow%.1f,"block_cells":${PQ.nativeAssignMaxCells}}""")
     }
   }
 

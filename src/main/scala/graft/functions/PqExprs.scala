@@ -271,6 +271,118 @@ case class IvfArgmax(left: Expression, right: Expression,
     copy(left = newLeft, right = newRight)
 }
 
+/** [[IvfArgmax]]'s PARTIAL form for the round-15 BLOCKED assignment:
+  * the same e6-cosine argmax over ONE ≤[[graft.operators.PQ
+  * .nativeAssignMaxCells]]-cell block of the centroid table, returning
+  * the block's best as `array<long> [score_e6, cent_id]` instead of
+  * the cent_id alone — so a fold over per-block columns can pick the
+  * GLOBAL winner at any cell count (√N ≈ 10k–100k cells at 100 TB)
+  * without either the N x cells join+window wall or two-tier's
+  * declared coarse-MISS.
+  *
+  * The fold preserves [[IvfArgmax]]'s exact tie rule by construction:
+  * blocks slice the centroid table in ascending cent_id, within a
+  * block only a STRICTLY greater score replaces the best (ties to the
+  * lowest cent_id), and the cross-block fold replaces only on
+  * STRICTLY greater — so a tie between blocks keeps the earlier
+  * (lower-cent_id) block. Scoring is bit-identical to [[IvfArgmax]]:
+  * same left-to-right double fold, same e6 floor-cast, same loud
+  * width/NULL failures.
+  */
+@ExpressionDescription(
+  usage = "ivf_argmax_pair(emb, nrm) - [best score_e6, cent_id] over one centroid block.")
+case class IvfArgmaxPair(left: Expression, right: Expression,
+    cids: Array[Long], ceFlat: Array[Float], cns: Array[Double], dim: Int)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  require(cids.length > 0 && ceFlat.length == cids.length * dim &&
+    cns.length == cids.length, s"ivf_argmax_pair: ragged centroid arrays")
+
+  override def prettyName: String = "ivf_argmax_pair"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = left.nullable || right.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(org.apache.spark.sql.types.FloatType, _),
+          org.apache.spark.sql.types.DoubleType) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"ivf_argmax_pair requires (array<float>, double), got $other")
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val e = left.eval(input)
+    if (e == null) return null
+    val nv = right.eval(input)
+    if (nv == null) return null
+    val a = e.asInstanceOf[ArrayData]
+    if (a.numElements() != dim)
+      throw new IllegalArgumentException(
+        s"ivf_argmax_pair: embedding width ${a.numElements()} != centroid dim $dim")
+    val nrm = nv.asInstanceOf[Double]
+    var bestIdx = -1
+    var best = Long.MinValue
+    var j = 0
+    while (j < cids.length) {
+      var dot = 0.0
+      var d = 0
+      val base = j * dim
+      while (d < dim) {
+        if (a.isNullAt(d))
+          throw new IllegalArgumentException(
+            "ivf_argmax_pair: NULL embedding element — clean the corpus before assigning")
+        dot += ceFlat(base + d).toDouble * a.getFloat(d).toDouble
+        d += 1
+      }
+      val score = math.floor(dot / (cns(j) * nrm) * 1000000L).toLong
+      if (bestIdx < 0 || score > best) { best = score; bestIdx = j }
+      j += 1
+    }
+    new GenericArrayData(Array(best, cids(bestIdx)))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cidRef = ctx.addReferenceObj("ivfCids", cids, "long[]")
+    val ceRef = ctx.addReferenceObj("ivfCe", ceFlat, "float[]")
+    val cnRef = ctx.addReferenceObj("ivfCns", cns, "double[]")
+    nullSafeCodeGen(ctx, ev, (a, nrm) => {
+      val j = ctx.freshName("j")
+      val d = ctx.freshName("d")
+      val dot = ctx.freshName("dot")
+      val base = ctx.freshName("base")
+      val score = ctx.freshName("score")
+      val best = ctx.freshName("best")
+      val bestIdx = ctx.freshName("bestIdx")
+      s"""
+         |if ($a.numElements() != $dim) {
+         |  throw new IllegalArgumentException(
+         |    "ivf_argmax_pair: embedding width " + $a.numElements() + " != centroid dim $dim");
+         |}
+         |int $bestIdx = -1;
+         |long $best = Long.MIN_VALUE;
+         |for (int $j = 0; $j < ${cids.length}; $j++) {
+         |  double $dot = 0.0;
+         |  final int $base = $j * $dim;
+         |  for (int $d = 0; $d < $dim; $d++) {
+         |    if ($a.isNullAt($d)) {
+         |      throw new IllegalArgumentException(
+         |        "ivf_argmax_pair: NULL embedding element - clean the corpus before assigning");
+         |    }
+         |    $dot += ((double) $ceRef[$base + $d]) * ((double) $a.getFloat($d));
+         |  }
+         |  final long $score = (long) Math.floor($dot / ($cnRef[$j] * $nrm) * 1000000L);
+         |  if ($bestIdx < 0 || $score > $best) { $best = $score; $bestIdx = $j; }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  new long[] { $best, $cidRef[$bestIdx] });
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): IvfArgmaxPair =
+    copy(left = newLeft, right = newRight)
+}
+
 object PqExprs {
   /** Column wrapper for [[PqEncode]] — `cb` is the flattened codebook,
     * sub-major then code-major then pos: `cb[(sub*k + code)*subDim +
@@ -283,5 +395,12 @@ object PqExprs {
   def ivfArgmaxNative(emb: Column, nrm: Column, cids: Array[Long],
       ceFlat: Array[Float], cns: Array[Double], dim: Int): Column =
     GraftSqlBridge.column(IvfArgmax(GraftSqlBridge.expression(emb),
+      GraftSqlBridge.expression(nrm), cids, ceFlat, cns, dim))
+
+  /** Column wrapper for [[IvfArgmaxPair]] — one ≤block of the centroid
+    * table; returns `[score_e6, cent_id]` for the cross-block fold. */
+  def ivfArgmaxPairNative(emb: Column, nrm: Column, cids: Array[Long],
+      ceFlat: Array[Float], cns: Array[Double], dim: Int): Column =
+    GraftSqlBridge.column(IvfArgmaxPair(GraftSqlBridge.expression(emb),
       GraftSqlBridge.expression(nrm), cids, ceFlat, cns, dim))
 }

@@ -1,0 +1,192 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.TextFns._
+import graft.functions.VectorExprs.l2normNative
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Persisted binary (1-bit) signature index — the qn34 pipeline given
+  * the [[SQ8]]/[[PQ]] index lifecycle (round-14 verdict task: qn34
+  * recomputed every vector's sign bits per query; a 100 TB corpus
+  * signs ONCE and the rank scan reads one long per vector, 32x under
+  * the floats).
+  *
+  * Two swappable sides under the [[IndexSwap]] two-phase protocol:
+  *
+  *  - `$path/codes`: the HOT side — (vec_id, sig) with `sig` the
+  *    per-dim sign bits packed into ONE long; candidate ranking is
+  *    xor + bit_count per pair (two ALU ops in codegen, no array
+  *    traffic at all — the cheapest rank loop on the ladder).
+  *  - `$path/vectors`: the COLD side — full-precision (vec_id,
+  *    embedding, nrm), sorted by vec_id with 1 MB row groups so the
+  *    shortlist's `vec_id IN (...)` pushdown point-reads the refine
+  *    rows (the [[SQ8]] cold-layout discipline; like SQ8 this is the
+  *    flat-scan rung — no IVF tier, the IO bound IS the sig column).
+  *
+  * Unlike SQ8/PQ the encoder is PARAMETER-FREE (sign of each dim), so
+  * there is no frozen-envelope side and appends can never saturate:
+  * [[appendToBinIndex]] is O(new) with bit-identical encoding to the
+  * build, and [[rebalanceBinIndex]] exists for COMPACTION (re-sort +
+  * re-write both tiers from the grown cold lake under the crash-safe
+  * swap — appends fragment the sorted point-read layout) and is a
+  * deterministic fixpoint (BinarySigSpec). A fresh build probed
+  * through [[probeBinIndex]] replays the qn34 oracle bit-exactly (the
+  * qn34b driver gate): same signature fold, same 16-wide Hamming
+  * shortlist, same exact cosine re-rank.
+  */
+object BinarySig {
+
+  /** The index's swappable sides (the [[IndexSwap]] protocol). */
+  private val binSides = Seq("codes", "vectors")
+
+  /** Hamming shortlist width the exact refine re-ranks (the qn34
+    * contract). */
+  private val shortlistWidth = 16
+
+  /** [[SQ8]]'s isin dispatch, sig edition. */
+  private def isinMaxIds(s: SparkSession): Int =
+    s.conf.getOption("spark.graft.bin.isinMaxIds").map(_.toInt).getOrElse(10000)
+
+  /** Sign-bit signature over a 64-dim float `embedding`: bit d set iff
+    * dim d > 0, folded into one long. Bit 63 wraps to Long.MinValue
+    * under Java shift semantics (qn34's oracle spells that bit as a
+    * literal because DuckDB's << checks overflow) — this is the qn34
+    * in-flight fold verbatim, so a persisted probe hash-matches the
+    * in-flight oracle.
+    *
+    * Width/NULL guard (the [[SQ8.q8Col]] loud-failure discipline): a
+    * non-64-dim or NULL-element row would otherwise sign into a
+    * DEFICIENT signature — bits silently 0 — and a near-zero signature
+    * Hamming-matches everything, so malformed rows would crowd every
+    * probe's shortlist while looking like a valid index. */
+  private[graft] def sigCol(emb: Column): Column = {
+    val checked = when(size(emb) === 64 && !exists(emb, x => x.isNull), emb)
+      .otherwise(raise_error(concat(
+        lit("BinarySig: embedding width "), size(emb).cast("string"),
+        lit(" != 64, or NULL element — the sign signature packs exactly 64 dims" +
+          " into one long; clean/resize the corpus before signing"))))
+    aggregate(sequence(lit(0), lit(63)), lit(0L), (acc, d) =>
+      acc.bitwiseOR(when(element_at(checked, d + 1).cast("double") > 0,
+        call_function("shiftleft", lit(1L), d)).otherwise(lit(0L))))
+  }
+
+  /** Stage both sides into the [[IndexSwap]] tmp siblings (shared by
+    * build and rebalance — one definition of the layout). */
+  private def stageSides(path: String, v: DataFrame): Unit = {
+    v.select(col("vec_id"), sigCol(col("embedding")).as("sig"))
+      .repartitionByRange(col("vec_id")).sortWithinPartitions("vec_id")
+      .write.mode("overwrite").parquet(IndexSwap.tmp(path, "codes").toString)
+    v.select(col("vec_id"), col("embedding"), col("nrm"))
+      .repartitionByRange(col("vec_id")).sortWithinPartitions("vec_id")
+      .write.mode("overwrite").option("parquet.block.size", 1L << 20)
+      .parquet(IndexSwap.tmp(path, "vectors").toString)
+  }
+
+  /** Build the persisted signature index from the corpus at `dir` —
+    * staged writes, atomic commit. */
+  def buildBinIndex(s: SparkSession, dir: String, path: String): Unit = {
+    recoverBinRebalance(s, path)
+    val v = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"),
+      l2normNative(col("embedding")).as("nrm"))
+    stageSides(path, v)
+    IndexSwap.commit(s, path, binSides)
+  }
+
+  /** Sign NEW vectors and append to both tiers: O(new) work, encoding
+    * bit-identical to the build (parameter-free — nothing to freeze,
+    * nothing to saturate). COLD side first (the [[PQ.appendToPqIndex]]
+    * crash-window polarity: an orphaned cold row is dead bytes no rank
+    * scan ever surfaces; an orphaned CODE row would be shortlisted and
+    * then silently dropped by the refine join). */
+  def appendToBinIndex(s: SparkSession, newVecs: DataFrame, path: String): Unit = {
+    recoverBinRebalance(s, path)
+    val v = newVecs.select(col("vec_id"), col("embedding"),
+      l2normNative(col("embedding")).as("nrm"))
+    v.repartitionByRange(col("vec_id")).sortWithinPartitions("vec_id")
+      .write.mode("append").option("parquet.block.size", 1L << 20)
+      .parquet(s"$path/vectors")
+    v.select(col("vec_id"), sigCol(col("embedding")).as("sig"))
+      .repartitionByRange(col("vec_id")).sortWithinPartitions("vec_id")
+      .write.mode("append").parquet(s"$path/codes")
+  }
+
+  /** Re-sign and re-sort both tiers from the grown cold lake — the
+    * COMPACTION answer (appends fragment the sorted point-read layout;
+    * the signatures themselves never drift because the encoder is
+    * parameter-free, so this is a deterministic fixpoint). Crash-safe
+    * under the [[IndexSwap]] two-phase swap. */
+  def rebalanceBinIndex(s: SparkSession, path: String): Unit = {
+    recoverBinRebalance(s, path)
+    val v = s.read.parquet(s"$path/vectors")
+      .select(col("vec_id"), col("embedding"), col("nrm"))
+    stageSides(path, v)
+    IndexSwap.commit(s, path, binSides)
+  }
+
+  /** Heal an interrupted swap (both polarities). */
+  def recoverBinRebalance(s: SparkSession, path: String): Unit =
+    IndexSwap.recover(s, path, binSides)
+
+  /** Probe with the declared fixture probe set (vec_id < 10) — the
+    * qn34b driver gate's entry. */
+  def probeBinIndex(s: SparkSession, dir: String, path: String, k: Int): DataFrame =
+    probeBinIndexWith(s,
+      Tables.embeddings(s, dir).filter(col("vec_id") < 10)
+        .select("vec_id", "embedding"),
+      path, k)
+
+  /** Serve an ARBITRARY probe batch from the stored artifacts: Hamming
+    * ranking over the sig scan, top-[[shortlistWidth]] per probe,
+    * exact cosine refine point-read from the cold side. Identical rows
+    * to qn34 when the index was built from the same corpus
+    * (BinarySigSpec + the qn34b hash gate). Probe batches only — the
+    * loud [[PQ.maxProbeBatch]] bound, same rationale as SQ8. */
+  def probeBinIndexWith(s: SparkSession, probes: DataFrame, path: String,
+      k: Int): DataFrame = {
+    val probesRaw = probes.select(col("vec_id"), col("embedding"),
+      l2normNative(col("embedding")).as("nrm"))
+    val probeRows = probesRaw.limit(PQ.maxProbeBatch + 1).collect()
+    require(probeRows.length <= PQ.maxProbeBatch,
+      s"probeBinIndexWith: probe batch exceeds ${PQ.maxProbeBatch} rows — the " +
+        "shortlist collect is bounded at probes x 16 <= 1e6; signature probing " +
+        "is for probe BATCHES; a corpus-sized probe set should rank through a " +
+        "cell-assigned equi-join (the qn20 shape)")
+    val probesV = s.createDataFrame(
+      java.util.Arrays.asList(probeRows: _*), probesRaw.schema)
+    val psig = probesV.select(col("vec_id").as("qid"),
+      sigCol(col("embedding")).as("psig"))
+    val wSl = Window.partitionBy(col("qid")).orderBy(col("ham").asc, col("vec_id").asc)
+    val sl = s.read.parquet(s"$path/codes")
+      .join(broadcast(psig), expr("true"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        bit_count(col("sig").bitwiseXOR(col("psig"))).cast("long").as("ham"))
+      .withColumn("rn", row_number().over(wSl)).filter(col("rn") <= shortlistWidth)
+      .select(col("qid"), col("vec_id"), col("ham").as("hamming"))
+    // Manifest-class shortlist (probes x 16, hard-bounded above) ->
+    // vec_id pushdown against the sorted 1 MB-row-group cold layout
+    // (the SQ8/PQ point-read discipline).
+    val slRows = sl.collect()
+    val slIds = slRows.map(_.getLong(1)).distinct.toSeq
+    val localSl = s.createDataFrame(java.util.Arrays.asList(slRows: _*), sl.schema)
+    val slPush =
+      if (slIds.isEmpty) lit(false)
+      else if (slIds.length <= isinMaxIds(s)) col("vec_id").isin(slIds: _*)
+      else col("vec_id").between(slIds.min, slIds.max)
+    val cold = s.read.parquet(s"$path/vectors").filter(slPush)
+      .select(col("vec_id"), col("embedding").as("de"), col("nrm").as("dn"))
+    val refScore = e6(cosine(
+      graft.functions.VectorExprs.dotNative(col("qe"), col("de")), col("qn"), col("dn")))
+    val wRef = Window.partitionBy(col("qid")).orderBy(col("score_e6").desc, col("vec_id").asc)
+    broadcast(localSl).join(broadcast(probesV.select(col("vec_id").as("qid"),
+        col("embedding").as("qe"), col("nrm").as("qn"))), Seq("qid"))
+      .join(cold, Seq("vec_id"))
+      .select(col("qid"), col("vec_id"), col("hamming"), refScore.as("score_e6"))
+      .withColumn("rnk", row_number().over(wRef)).filter(col("rnk") <= k)
+      .select(col("qid"), col("rnk").cast("long").as("rnk"), col("vec_id"),
+        col("hamming"), col("score_e6"))
+      .orderBy("qid", "rnk")
+  }
+}

@@ -1148,55 +1148,65 @@ object PQ {
     IndexSwap.commit(s, path, pqSides)
   }
 
-  /** Cell-count bound up to which [[buildPqIndex]] (and the rebalance
-    * retrain and appends) default to the NATIVE exact flat argmax;
-    * beyond it the two-tier approximate route. Round 16's
-    * `fastAssignMinCells = 384` compared the JOIN+WINDOW flat argmax
-    * (N x cells rows through a shuffle) against two-tier; the native
-    * expression removed the rows and the shuffle and moved the
-    * crossover an order of magnitude out. Re-bracketed by the
-    * prewarmed `pqdispatch` battery at TWO corpus sizes (BENCH_NOTES
-    * round 17): native wins clearly through 1024 cells at 500k
-    * (14.7 s vs 17.8 s; 2.2x at 32 cells) and through 512 at 125k
-    * (near-tie 8.8 vs 9.0), ties at 2048 / loses at 4096 (where the
-    * common per-cell write fan-out dominates both arms and two-tier's
-    * N x 2 sqrt(cells) scoring pulls ahead) — 1024 splits both
-    * brackets on WALL alone. The bound ships at 4096, not 1024,
-    * because the native branch is EXACT and exactness is worth a
-    * bounded build premium: at 1M/1000 cells the exact assignment
-    * raised served recall@5 from 20/50 to 45/50 at nProbe=1 (50/50 by
-    * nProbe=8) — the two-tier coarse-MISS scatters cluster co-members
-    * across cells, and every probe pays that dip for the index's
-    * whole life, while the premium is one-time at build: 1.17x at
-    * 500k/4096 cells, 1.33x at 125k/4096 (the largest measured).
-    * Past 4096 the premium keeps growing ~sqrt(cells) and the
-    * two-tier route takes over at its declared semantics. */
+  /** BLOCK size of the native exact assignment
+    * ([[Similarity.nativeAssignBlocked]]): each
+    * [[graft.functions.IvfArgmaxPair]] expression covers at most this
+    * many cells; larger centroid tables get MORE blocks, not a
+    * different algorithm. Round 14 shipped this as a hard dispatch
+    * BOUND (past it plain IVF fell back to the N x cells join+window
+    * wall and PQ builds to two-tier's permanent coarse-MISS recall
+    * dip); round 15's blocked fold removed the bound — the native
+    * branch is now EXACT at any cell count, and this constant only
+    * sizes the per-expression payload/codegen unit. 4096 is the
+    * round-17 `pqdispatch` bracket point (native wins or ties through
+    * it at both measured corpus sizes); the round-18 re-sweep prices
+    * the blocked form to 16k cells. */
   private[graft] val nativeAssignMaxCells = 4096
 
-  /** Second, independent guard for the native branch: the flattened
-    * centroid payload baked into the task binary stays broadcast-class
-    * (matters only at unusual dims — at dim 64 the cell bound binds
-    * first by a wide margin). */
+  /** Per-BLOCK payload cap: one block's flattened centroid payload
+    * stays broadcast-class even at unusual dims (the round-14 ADVICE
+    * guard — [[Similarity.nativeAssignBlocked]] shrinks the block
+    * under it structurally). */
   private[graft] val nativeAssignMaxBytes: Long = 64L << 20
 
-  /** The shared dispatch predicate (see [[nativeAssignMaxCells]]). */
+  /** TOTAL payload guard for the native branch: the whole centroid
+    * table bakes into the task binary across blocks, so it must stay
+    * a broadcast-class object end to end. 256 MB at dim 64 admits
+    * ~1M cells — past sqrt(N) for any corpus this engine will meet
+    * (1e12 vectors) — so in practice the two-tier approximation is
+    * RETIRED as a build default and survives as the declared-semantics
+    * branch for `fastAssign = Some(true)` pins and beyond-guard
+    * tables. */
+  private[graft] val nativeAssignTotalMaxBytes: Long = 256L << 20
+
+  /** True when the whole centroid table stays plan-bakeable
+    * ([[nativeAssignTotalMaxBytes]]) — the shared dispatch predicate
+    * of every build-side assignment. */
+  private[graft] def nativeAssignTotalOk(nCells: Long, dim: Int): Boolean =
+    nCells * dim * 4L <= nativeAssignTotalMaxBytes
+
+  /** The two-tier dispatch predicate: only beyond the TOTAL payload
+    * guard (round 15 — the blocked argmax retired the cell-count
+    * bound). */
   private def useTwoTier(nCells: Long, dim: Int): Boolean =
-    nCells > nativeAssignMaxCells || nCells * dim * 4L > nativeAssignMaxBytes
+    !nativeAssignTotalOk(nCells, dim)
 
   /** Centroid width from a local centroid frame (one row peek). */
   private def dimOf(localCents: DataFrame): Int =
     localCents.select(col("ce")).head().getSeq[Float](0).length
 
-  /** EXACT flat coarse assignment through the native argmax expression
-    * ([[graft.functions.IvfArgmax]]): the centroid table flattens into
-    * the generated class (ascending cent_id — the tie rule), each
-    * corpus row pays one codegen'd loop, and the assignment is a pure
-    * map over the scan — no N x cells rows, no window shuffle.
-    * Bit-identical to [[coarseAssign]] (same fold, same e6 floor, same
-    * tie-break; pinned by qn39/qn40 parity and PqRebalanceSpec's
-    * driver replay). */
+  /** EXACT coarse assignment through the BLOCKED native argmax
+    * ([[Similarity.nativeAssignBlocked]]): the centroid table flattens
+    * into ≤[[nativeAssignMaxCells]]-cell per-block expressions
+    * (ascending cent_id — the tie rule), each corpus row pays one
+    * codegen'd loop per block plus a reference-only fold, and the
+    * assignment is a pure map over the scan — no N x cells rows, no
+    * window shuffle, at ANY cell count. Bit-identical to
+    * [[coarseAssign]] (same fold, same e6 floor, same tie-break;
+    * pinned by qn39/qn40 parity, PqRebalanceSpec's driver replay, and
+    * BlockedArgmaxSpec's forced-multi-block parity). */
   private def nativeCoarseAssign(v: DataFrame, localCents: DataFrame): DataFrame =
-    v.select(col("vec_id"), Similarity.ivfArgmaxCol(localCents).as("cent_id"))
+    Similarity.nativeAssignBlocked(v, localCents, Seq("vec_id"))
 
   /** RESIDUAL e6 view of an e6 corpus frame: emb6 - assigned coarse
     * centroid (e6-floored), per [[buildPqIndex]]'s `residual` encoding.
@@ -1564,7 +1574,7 @@ object PQ {
     * argmax whenever the true cell's coarse parent is among the
     * vector's [[Similarity.coarseProbeCells]] probed coarse cells —
     * the declared coarse-MISS rule. */
-  private def fastCoarseAssign(v: DataFrame, cents: DataFrame): DataFrame = {
+  private[graft] def fastCoarseAssign(v: DataFrame, cents: DataFrame): DataFrame = {
     val cidx = cents.withColumn("cent_idx",
       row_number().over(Window.orderBy(col("cent_id"))) - 1)
     val cst = cidx.agg(count(lit(1)).as("ck"))

@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Parity pins for the round-15 BLOCKED native coarse assignment
+  * (Similarity.nativeAssignBlocked): forced multi-block evaluation must
+  * be row-for-row identical to BOTH the single-block native expression
+  * and the declarative join+window argmax — including on a planted
+  * cross-block exact tie, which must resolve to the LOWEST cent_id
+  * exactly like the window form's `ORDER BY cscore DESC, cent_id ASC`.
+  * The end-to-end semantics are already oracle-gated (the qn10 family,
+  * qn39/qn40); this spec isolates the block fold so a future edit to
+  * the fold rule can't hide behind fixtures whose centroid tables fit
+  * one block.
+  */
+class BlockedArgmaxSpec extends AnyFunSuite {
+  import TestSpark._
+  import graft.operators.{PQ, Similarity}
+
+  private val dim = 8
+
+  /** A deterministic corpus of `n` float vectors with ids 0..n-1. */
+  private def corpus(n: Int) = {
+    import spark.implicits._
+    (0 until n).map { i =>
+      (i.toLong, Array.tabulate(dim)(d =>
+        (math.sin(0.37 * i + 1.31 * d) + 0.001 * ((i * 31 + d * 7) % 13)).toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"),
+        graft.functions.VectorExprs.l2normNative(
+          col("embedding").cast("array<float>")).as("nrm"))
+  }
+
+  /** A centroid table of `k` cells drawn from the corpus shape, with
+    * cent_ids spread non-contiguously (stride 3) so block boundaries
+    * never coincide with id arithmetic. */
+  private def cents(k: Int) = {
+    import spark.implicits._
+    (0 until k).map { j =>
+      (j.toLong * 3, Array.tabulate(dim)(d =>
+        (math.sin(0.37 * (j * 5) + 1.31 * d)).toFloat).toSeq)
+    }.toDF("cent_id", "ce")
+      .select(col("cent_id"), col("ce").cast("array<float>").as("ce"),
+        graft.functions.VectorExprs.l2normNative(
+          col("ce").cast("array<float>")).as("cn"))
+  }
+
+  private def asMap(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+    df.select("vec_id", "cent_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("forced multi-block assignment == single-block native == join+window argmax") {
+    val v = corpus(400)
+    val c = cents(23) // 23 cells, blockCells=5 -> 5 blocks, last one ragged
+    val windowed = asMap(PQ.coarseAssign(v, c))
+    val single = asMap(Similarity.nativeAssignBlocked(v, c, Seq("vec_id")))
+    val blocked = asMap(Similarity.nativeAssignBlocked(v, c, Seq("vec_id"), blockCells = 5))
+    assert(single == windowed, "single-block native diverged from the window form")
+    assert(blocked == windowed, "blocked native diverged from the window form")
+  }
+
+  test("cross-block exact tie resolves to the lowest cent_id (the window form's rule)") {
+    import spark.implicits._
+    // Two IDENTICAL centroids, ids 2 and 40 — far enough apart that
+    // blockCells=3 puts them in DIFFERENT blocks — plus decoys the
+    // probe scores strictly lower against.
+    val dup = Array.tabulate(dim)(d => math.cos(0.21 * d).toFloat).toSeq
+    val far = Array.tabulate(dim)(d => -math.cos(0.21 * d).toFloat).toSeq
+    val rows = Seq((2L, dup), (40L, dup)) ++
+      (0 until 8).map(j => ((j * 5 + 3).toLong, far))
+    val c = rows.toDF("cent_id", "ce")
+      .select(col("cent_id"), col("ce").cast("array<float>").as("ce"),
+        graft.functions.VectorExprs.l2normNative(
+          col("ce").cast("array<float>")).as("cn"))
+    val v = Seq((0L, dup)).toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"),
+        graft.functions.VectorExprs.l2normNative(
+          col("embedding").cast("array<float>")).as("nrm"))
+    val blocked = asMap(Similarity.nativeAssignBlocked(v, c, Seq("vec_id"), blockCells = 3))
+    val windowed = asMap(PQ.coarseAssign(v, c))
+    assert(windowed(0L) == 2L, s"window form picked ${windowed(0L)} — fixture broken")
+    assert(blocked(0L) == 2L, s"cross-block tie resolved to ${blocked(0L)}, not the lowest cent_id")
+  }
+
+  test("unusual dim shrinks blocks under the per-block byte cap without changing results") {
+    // dim here is small, so the byte cap never binds at these sizes —
+    // this pins the CODE PATH by forcing blockCells far below the cap
+    // and checking a ragged final block (23 % 5 != 0 above already
+    // covers ragged; here 7 cells with blockCells=7 is exactly one
+    // block, the degenerate boundary).
+    val v = corpus(100)
+    val c = cents(7)
+    val one = asMap(Similarity.nativeAssignBlocked(v, c, Seq("vec_id"), blockCells = 7))
+    val many = asMap(Similarity.nativeAssignBlocked(v, c, Seq("vec_id"), blockCells = 2))
+    val windowed = asMap(PQ.coarseAssign(v, c))
+    assert(one == windowed && many == windowed)
+  }
+}

@@ -252,6 +252,7 @@ class PlanSpec extends AnyFunSuite {
       "qn19_kmeans_step",     // broadcast centroid table
       "qn30_pq_codebooks",    // single-row stride-scalar crossJoin (seed lattice)
       "qn34_ann_binary_hamming", // broadcast 10-row probe-signature side vs the sig column
+      "qn34b_ann_binary_hamming_persisted", // broadcast 10-row probe-signature side vs the stored sig column
       "qn36_ann_ivfpq_residual", // stride scalar + broadcast centroid/probe/residual-table sides
       "qn35_ann_matryoshka_prefix", // broadcast 10-row probe-prefix side vs the prefix column
       "qn32_ann_pq_adc",      // broadcast 10-row ADC-table side scored against the codes
