@@ -106,10 +106,10 @@ object BinarySig {
       l2normNative(col("embedding")).as("nrm"))
     v.repartitionByRange(col("vec_id")).sortWithinPartitions("vec_id")
       .write.mode("append").option("parquet.block.size", 1L << 20)
-      .parquet(s"$path/vectors")
+      .parquet(IndexSwap.side(s, path, "vectors"))
     v.select(col("vec_id"), sigCol(col("embedding")).as("sig"))
       .repartitionByRange(col("vec_id")).sortWithinPartitions("vec_id")
-      .write.mode("append").parquet(s"$path/codes")
+      .write.mode("append").parquet(IndexSwap.side(s, path, "codes"))
   }
 
   /** Re-sign and re-sort both tiers from the grown cold lake — the
@@ -119,7 +119,7 @@ object BinarySig {
     * under the [[IndexSwap]] two-phase swap. */
   def rebalanceBinIndex(s: SparkSession, path: String): Unit = {
     recoverBinRebalance(s, path)
-    val v = s.read.parquet(s"$path/vectors")
+    val v = s.read.parquet(IndexSwap.side(s, path, "vectors"))
       .select(col("vec_id"), col("embedding"), col("nrm"))
     stageSides(path, v)
     IndexSwap.commit(s, path, binSides)
@@ -158,7 +158,7 @@ object BinarySig {
     val psig = probesV.select(col("vec_id").as("qid"),
       sigCol(col("embedding")).as("psig"))
     val wSl = Window.partitionBy(col("qid")).orderBy(col("ham").asc, col("vec_id").asc)
-    val sl = s.read.parquet(s"$path/codes")
+    val sl = s.read.parquet(IndexSwap.side(s, path, "codes"))
       .join(broadcast(psig), expr("true"))
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"),
@@ -175,7 +175,7 @@ object BinarySig {
       if (slIds.isEmpty) lit(false)
       else if (slIds.length <= isinMaxIds(s)) col("vec_id").isin(slIds: _*)
       else col("vec_id").between(slIds.min, slIds.max)
-    val cold = s.read.parquet(s"$path/vectors").filter(slPush)
+    val cold = s.read.parquet(IndexSwap.side(s, path, "vectors")).filter(slPush)
       .select(col("vec_id"), col("embedding").as("de"), col("nrm").as("dn"))
     val refScore = e6(cosine(
       graft.functions.VectorExprs.dotNative(col("qe"), col("de")), col("qn"), col("dn")))

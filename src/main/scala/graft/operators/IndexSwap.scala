@@ -3,65 +3,130 @@ package graft.operators
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.SparkSession
 
-/** The two-phase, marker-committed directory swap shared by the index
-  * rebuild paths ([[Similarity.rebalanceIvfIndex]],
-  * [[PQ.rebalancePqIndex]]): every rebuilt side writes COMPLETELY into
-  * a dot-prefixed `.{side}_rebal_tmp` sibling, a `.rebal_committed`
-  * marker lands, and only then do the live dirs swap (live -> .old
-  * aside, tmp -> live, asides deleted, marker deleted). Every
-  * interrupted state heals on [[recover]]: marker present rolls
-  * FORWARD (finishes the swap), marker absent rolls BACK (drops the
-  * tmp siblings; the live dirs were never touched) — no crash state
-  * loses the only copy of the index. The `LakeMaintenance`
-  * compact-swap discipline, at whole-index granularity.
+/** VERSIONED-DIRECTORY index commit — the crash-safe AND reader-safe
+  * rebuild protocol shared by every persisted index
+  * ([[PQ.buildPqIndex]]/[[PQ.rebalancePqIndex]],
+  * [[Similarity.buildIvfIndex]]/[[Similarity.rebalanceIvfIndex]],
+  * [[SQ8]], [[BinarySig]]).
+  *
+  * Round-14 verdict: the previous marker+rename protocol was crash-safe
+  * but had a CONCURRENT-READER window — between `rename(live, old)` and
+  * `rename(tmp, live)` the live dir was momentarily absent, and worse,
+  * a reader could resolve one side pre-swap and another post-swap (old
+  * codes against new centroids routes probes into cells that no longer
+  * exist — silently empty results, not even an error). Measured
+  * (ReaderRaceSpec): under ANY same-path swap a reader that listed
+  * files before the swap fails afterward with FILE_NOT_EXIST, because
+  * a rebuilt side's part files have fresh names — so "document the
+  * race away" was not available, and the fix must change where data
+  * LIVES, not how it is renamed.
+  *
+  * Protocol: a rebuild stages every side under ONE hidden sibling
+  * (`$path/.stage/<side>`), and the commit is a SINGLE atomic rename
+  * `.stage -> v{N+1}`. Version dirs are immutable once committed
+  * (appends mutate the CURRENT version additively — new files only,
+  * never moving or rewriting existing ones); readers resolve
+  * [[liveRoot]] = the highest committed `v{N}` at plan time and read
+  * `$path/v{N}/<side>` paths that NO LATER COMMIT EVER TOUCHES. The
+  * version-dir name is the pointer: a separate pointer FILE would
+  * itself need atomic-replace semantics Hadoop's FileSystem does not
+  * portably give, while "max committed version" gets its atomicity
+  * from the one rename (readers either see v{N+1} complete or don't
+  * see it at all).
+  *
+  * Crash safety is now one polarity: a crash BEFORE the rename leaves
+  * a partial `.stage` that [[recover]] drops (the live version was
+  * never touched); the rename itself is atomic, and AFTER it there is
+  * nothing left to do — roll-forward no longer exists as a state.
+  *
+  * Reader grace: committing v{N+1} retains v{N} and deletes only
+  * versions <= N-1 (and, one cycle later, any legacy unversioned side
+  * dirs a pre-versioned build left at `$path/<side>` — those resolve
+  * as version 0 until a first commit supersedes them). An in-flight
+  * reader therefore keeps a full REBUILD CYCLE to finish against its
+  * snapshot — on a serving fleet that is hours, not the previous
+  * protocol's zero. The residual contract, now stated rather than
+  * implicit: WRITERS are single-writer per index root (two concurrent
+  * rebuilds of one index are undefined — they would race the same
+  * `.stage`), and a reader older than one full rebuild cycle can still
+  * lose its version dir; both are the standard lakehouse
+  * snapshot-retention semantics, at index granularity.
   */
 private[graft] object IndexSwap {
 
   def fsOf(s: SparkSession, path: String): FileSystem =
     new Path(path).getFileSystem(s.sessionState.newHadoopConf())
 
-  def marker(path: String): Path = new Path(s"$path/.rebal_committed")
-
   /** The staging sibling a rebuild writes `side` into before commit. */
   def tmp(path: String, side: String): Path =
-    new Path(s"$path/.${side}_rebal_tmp")
+    new Path(s"$path/.stage/$side")
 
-  /** Commit a fully-staged rebuild: land the marker, then complete the
-    * swap. Call only after EVERY side's tmp dir is completely written —
-    * the marker is the point of no return. */
-  def commit(s: SparkSession, path: String, sides: Seq[String]): Unit = {
-    fsOf(s, path).create(marker(path), true).close()
-    finish(s, path, sides)
-  }
+  private def stageRoot(path: String): Path = new Path(s"$path/.stage")
 
-  /** Complete the marker-committed swap: idempotent per side, so a
-    * crash at ANY rename resumes here. */
-  def finish(s: SparkSession, path: String, sides: Seq[String]): Unit = {
-    val fs = fsOf(s, path)
-    sides.foreach { side =>
-      val live = new Path(s"$path/$side")
-      val tmpP = tmp(path, side)
-      val old = new Path(s"$path/.${side}_rebal_old")
-      if (fs.exists(tmpP)) {
-        if (fs.exists(live)) {
-          if (!fs.exists(old)) require(fs.rename(live, old), s"rebalance: aside of $live failed")
-          else fs.delete(live, true): Unit // live was a partial tmp move of a resumed swap
-        }
-        require(fs.rename(tmpP, live), s"rebalance: swap-in of $tmpP failed")
+  private val VerRe = "^v([0-9]+)$".r
+
+  /** All committed version numbers under `path` (empty for a legacy or
+    * fresh root). One LIST request. */
+  private def versions(fs: FileSystem, path: String): Seq[Long] = {
+    val root = new Path(path)
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq.collect {
+      case st if st.isDirectory => st.getPath.getName match {
+        case VerRe(n) => Some(n.toLong)
+        case _ => None
       }
-      if (fs.exists(old)) fs.delete(old, true): Unit
-    }
-    fs.delete(marker(path), false): Unit
+    }.flatten
   }
 
-  /** Heal an interrupted swap: committed marker -> roll FORWARD (finish
-    * the swap); no marker -> roll BACK (drop any half-written tmp
-    * siblings; the live dirs were never touched). */
+  /** The current committed version: highest v{N}, or 0 when only a
+    * legacy unversioned layout (or nothing) exists. */
+  def liveVersion(s: SparkSession, path: String): Long =
+    versions(fsOf(s, path), path).maxOption.getOrElse(0L)
+
+  /** The resolved live root every reader and appender goes through:
+    * `$path/v{N}` for a versioned index, `$path` itself for a legacy
+    * unversioned layout (version 0) — so pre-versioned indexes keep
+    * serving unchanged. */
+  def liveRoot(s: SparkSession, path: String): String = {
+    val n = liveVersion(s, path)
+    if (n == 0L) path else s"$path/v$n"
+  }
+
+  /** Resolved directory of one side of the live version. */
+  def side(s: SparkSession, path: String, sideName: String): String =
+    s"${liveRoot(s, path)}/$sideName"
+
+  /** Commit a fully-staged rebuild: ONE atomic rename of the stage dir
+    * to the next version, then retention cleanup (versions <= N-1 and,
+    * once a committed version exists to supersede them, the legacy
+    * side dirs). Call only after EVERY side is completely written into
+    * [[tmp]] — the rename is the point of no return AND the point of
+    * visibility: readers either resolve the new version whole or keep
+    * the old one. */
+  def commit(s: SparkSession, path: String, sides: Seq[String]): Unit = {
+    val fs = fsOf(s, path)
+    require(fs.exists(stageRoot(path)),
+      s"IndexSwap.commit: nothing staged at ${stageRoot(path)}")
+    val vs = versions(fs, path)
+    val next = vs.maxOption.getOrElse(0L) + 1
+    require(fs.rename(stageRoot(path), new Path(s"$path/v$next")),
+      s"IndexSwap.commit: rename of staged v$next failed")
+    // Retention: the previous version survives one full rebuild cycle
+    // for in-flight readers; everything older goes now.
+    vs.filter(_ <= next - 2).foreach(v => fs.delete(new Path(s"$path/v$v"), true): Unit)
+    // Legacy unversioned sides are "version 0": superseded by v1, kept
+    // through v1's cycle as the reader grace, deleted at v2+.
+    if (next >= 2) sides.foreach { sd =>
+      val legacy = new Path(s"$path/$sd")
+      if (fs.exists(legacy)) fs.delete(legacy, true): Unit
+    }
+  }
+
+  /** Heal an interrupted rebuild: drop any partial stage (the one
+    * crash state with residue — the live version was never touched;
+    * a crash after the commit rename needs nothing). */
   def recover(s: SparkSession, path: String, sides: Seq[String]): Unit = {
     val fs = fsOf(s, path)
-    if (fs.exists(marker(path))) finish(s, path, sides)
-    else sides.foreach { side =>
-      if (fs.exists(tmp(path, side))) fs.delete(tmp(path, side), true): Unit
-    }
+    if (fs.exists(stageRoot(path))) fs.delete(stageRoot(path), true): Unit
   }
 }

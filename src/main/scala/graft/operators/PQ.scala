@@ -440,16 +440,21 @@ object PQ {
     * per-call codebook aggregate the meta side exists to remove, and
     * a rebuild re-derives everything deterministically from the
     * corpus. */
-  private[graft] def indexMeta(s: SparkSession, path: String): (Boolean, PqParams) = {
-    val metaDir = new org.apache.hadoop.fs.Path(s"$path/meta")
+  private[graft] def indexMeta(s: SparkSession, path: String): (Boolean, PqParams) =
+    indexMetaAt(s, IndexSwap.liveRoot(s, path))
+
+  /** [[indexMeta]] against an already-resolved version root (the
+    * serve-handle form). */
+  private def indexMetaAt(s: SparkSession, root: String): (Boolean, PqParams) = {
+    val metaDir = new org.apache.hadoop.fs.Path(s"$root/meta")
     val fs = metaDir.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (!fs.exists(metaDir))
       throw new IllegalStateException(
-        s"PQ index at $path has no meta side — this is a pre-meta layout (or not a " +
+        s"PQ index at $root has no meta side — this is a pre-meta layout (or not a " +
           "PQ index root). Rebuild it with buildPqIndex: the meta row now commits " +
           "atomically with the data sides, and pre-meta layouts are not auto-migrated " +
           "because deriving the realized sizing per call is exactly the cost meta removed.")
-    val r = s.read.parquet(s"$path/meta").head()
+    val r = s.read.parquet(metaDir.toString).head()
     (r.getBoolean(0), PqParams(r.getInt(1), r.getInt(2), r.getInt(3)))
   }
 
@@ -1113,14 +1118,13 @@ object PQ {
       else codesArrP(s, dir, params, iters)
     // Every side — both temperature tiers, both metadata tables, and
     // the meta row carrying the encoding flag — STAGES into the
-    // [[IndexSwap]] tmp siblings and commits through the two-phase
-    // swap: a crash anywhere before the commit marker leaves the prior
-    // index (or, on a fresh path, nothing) fully intact, and a crash
-    // after it rolls FORWARD on the next recover. The round-13 ADVICE
-    // window — all data written, the encoding marker missing, probes
-    // silently serving residual codes as plain — cannot exist: the
-    // meta side lands in the same atomic commit as the codes it
-    // describes.
+    // [[IndexSwap]] stage dir and commits through ONE atomic
+    // version-dir rename: a crash anywhere before it leaves the prior
+    // version (or, on a fresh path, nothing) fully intact and visible.
+    // The round-13 ADVICE window — all data written, the encoding
+    // marker missing, probes silently serving residual codes as plain
+    // — cannot exist: the meta side lands in the same atomic commit as
+    // the codes it describes.
     asg.join(codes, Seq("vec_id"))
       .select(col("vec_id"), col("codes"), col("cent_id"))
       .repartition(col("cent_id"))
@@ -1252,16 +1256,16 @@ object PQ {
   def appendToPqIndex(s: SparkSession, newVecs: DataFrame, path: String,
       autoRebalance: Option[Int] = None): Unit = {
     recoverPqRebalance(s, path) // heal any interrupted prior swap first
-    val cents = s.read.parquet(s"$path/centroids")
-    val cb = s.read.parquet(s"$path/codebooks")
+    val centsDir = IndexSwap.side(s, path, "centroids")
+    val cents = s.read.parquet(centsDir)
+    val cb = s.read.parquet(IndexSwap.side(s, path, "codebooks"))
     val v = newVecs.select(col("vec_id"), col("embedding"),
       l2normNative(col("embedding")).as("nrm"))
-    // Same payload dispatch as the build: native exact argmax while
-    // the stored centroid table bakes into a task binary, two-tier
-    // beyond it (a large append batch x sqrt(N) cells through the
-    // join+window form was the same explosion the build retired).
+    // Same payload dispatch as the build: blocked native exact argmax
+    // while the stored centroid table stays plan-bakeable, two-tier
+    // beyond the total guard.
     val asg =
-      if (useTwoTier(Similarity.parquetRowCount(s, s"$path/centroids"), dimOf(cents)))
+      if (useTwoTier(Similarity.parquetRowCount(s, centsDir), dimOf(cents)))
         fastCoarseAssign(v, cents)
       else nativeCoarseAssign(v, cents)
     val ve6 = v.select(col("vec_id"),
@@ -1278,15 +1282,15 @@ object PQ {
     v.join(asg, Seq("vec_id"))
       .repartition(col("cent_id")).sortWithinPartitions(col("cent_id"), col("vec_id"))
       .write.mode("append").option("parquet.block.size", 1L << 20)
-      .partitionBy("cent_id").parquet(s"$path/vectors")
+      .partitionBy("cent_id").parquet(IndexSwap.side(s, path, "vectors"))
     asg.join(codes, Seq("vec_id"))
       .select(col("vec_id"), col("codes"), col("cent_id"))
       .repartition(col("cent_id"))
-      .write.mode("append").partitionBy("cent_id").parquet(s"$path/codes")
+      .write.mode("append").partitionBy("cent_id").parquet(IndexSwap.side(s, path, "codes"))
     autoRebalance.foreach { k =>
       val stats = Similarity.ivfCellStats(s, path) // same layout: vectors/cent_id=
       if (stats.nonEmpty) {
-        val nCells = math.max(1L, Similarity.parquetRowCount(s, s"$path/centroids"))
+        val nCells = math.max(1L, Similarity.parquetRowCount(s, centsDir))
         val mean = math.max(1.0, stats.values.sum.toDouble / nCells)
         if (stats.values.max > k * mean) {
           val fs = IndexSwap.fsOf(s, path)
@@ -1340,14 +1344,16 @@ object PQ {
     * [[buildPqIndex]] decision). The assignment uses the same
     * [[nativeAssignMaxBytes]] payload dispatch as the build.
     *
-    * Crash safety is the [[IndexSwap]] two-phase discipline over all
-    * five sides: tmp writes, marker, swap — either polarity of an
-    * interruption heals on the next [[recoverPqRebalance]] (run by
-    * append and rebalance entry). */
+    * Crash safety is the [[IndexSwap]] versioned commit over all five
+    * sides: one staged write set, one atomic version-dir rename — a
+    * crash before the rename leaves the live version untouched and
+    * heals on the next [[recoverPqRebalance]] (run by append and
+    * rebalance entry); concurrent READERS keep their resolved version
+    * for a full rebuild cycle (the reader-grace contract). */
   def rebalancePqIndex(s: SparkSession, path: String): Unit = {
     recoverPqRebalance(s, path)
     val (residual, p) = indexMeta(s, path)
-    val v = s.read.parquet(s"$path/vectors")
+    val v = s.read.parquet(IndexSwap.side(s, path, "vectors"))
       .select(col("vec_id"), col("embedding"), col("nrm"))
     val total = Similarity.ivfCellStats(s, path).values.sum
     val nCells = math.max(16L, math.ceil(math.sqrt(total.toDouble)).toLong).toInt
@@ -1385,9 +1391,10 @@ object PQ {
     IndexSwap.commit(s, path, pqSides)
   }
 
-  /** Heal an interrupted [[rebalancePqIndex]]: committed marker ->
-    * roll FORWARD; no marker -> roll BACK (the [[IndexSwap]]
-    * polarities, over all five PQ sides). */
+  /** Heal an interrupted [[rebalancePqIndex]]: drop any partial stage
+    * — the one crash state with residue under the versioned
+    * [[IndexSwap]] commit (the live version is never touched before
+    * the atomic rename, and after it nothing is left to do). */
   def recoverPqRebalance(s: SparkSession, path: String): Unit =
     IndexSwap.recover(s, path, pqSides)
 
@@ -1418,8 +1425,69 @@ object PQ {
     * corpus-sized probe frame must never OOM the driver silently. */
   def probePqIndexWith(s: SparkSession, probes: DataFrame, path: String,
       nProbe: Int, k: Int): DataFrame = {
-    val cents = s.read.parquet(s"$path/centroids")
-    val cb = s.read.parquet(s"$path/codebooks")
+    // ONE version resolution per probe call (the versioned IndexSwap
+    // contract): every side below reads from the same pinned root, so
+    // a rebalance committing mid-probe can never mix versions.
+    val root = IndexSwap.liveRoot(s, path)
+    val cents = s.read.parquet(s"$root/centroids")
+    val cb = s.read.parquet(s"$root/codebooks")
+    val (residualIdx, p) = indexMetaAt(s, root)
+    probeResolved(s, probes, root, cents, cb, residualIdx, p, nProbe, k)
+  }
+
+  /** A SERVE-SESSION handle (round-14 verdict task 7): the fixed
+    * per-call serving state — resolved version root, meta flag +
+    * realized sizing, and the two manifest-class metadata tables
+    * collected into LOCAL relations — opened once and reused across
+    * probe calls. The pqlat battery measured the fixed stages at
+    * ~0.7 s per cold call (meta read 0.15 s + probe collect 0.22 s +
+    * routing partly re-collecting centroids 0.35 s); a serving fleet
+    * replaying thousands of probe batches against a standing index
+    * pays that once per REBUILD, not once per call.
+    *
+    * Staleness: the handle pins the version it opened. [[probeWith]]
+    * re-checks [[IndexSwap.liveVersion]] (one LIST request) and
+    * re-opens automatically when a rebuild has committed — within the
+    * reader-grace window a stale handle is still CORRECT (its version
+    * dir is immutable and retained one cycle), so the check is about
+    * freshness, not safety. */
+  final case class PqIndexHandle private[operators] (path: String, version: Long,
+      root: String, residual: Boolean, params: PqParams,
+      localCents: DataFrame, localCb: DataFrame) {
+    /** Probe through the cached state, re-opening if a rebuild
+      * committed since [[openPqIndex]]. */
+    def probeWith(s: SparkSession, probes: DataFrame, nProbe: Int, k: Int): DataFrame = {
+      val h = if (IndexSwap.liveVersion(s, path) == version) this else openPqIndex(s, path)
+      probeResolved(s, probes, h.root, h.localCents, h.localCb,
+        h.residual, h.params, nProbe, k)
+    }
+  }
+
+  /** Open a serve-session handle: resolve the version once, read meta
+    * once, and collect the centroid + codebook tables (sqrt(N) and
+    * M x K rows — manifest-class) into local relations every later
+    * probe plans against without touching the store. */
+  def openPqIndex(s: SparkSession, path: String): PqIndexHandle = {
+    val version = IndexSwap.liveVersion(s, path)
+    val root = if (version == 0L) path else s"$path/v$version"
+    val (residual, p) = indexMetaAt(s, root)
+    val cents = s.read.parquet(s"$root/centroids")
+    val localCents = s.createDataFrame(
+      java.util.Arrays.asList(cents.collect(): _*), cents.schema)
+    val cb = s.read.parquet(s"$root/codebooks")
+    val localCb = s.createDataFrame(
+      java.util.Arrays.asList(cb.collect(): _*), cb.schema)
+    PqIndexHandle(path, version, root, residual, p, localCents, localCb)
+  }
+
+  /** The probe pipeline against a PINNED version root and
+    * already-available metadata frames — shared by the per-call entry
+    * ([[probePqIndexWith]]: reads them fresh) and the serve handle
+    * ([[PqIndexHandle.probeWith]]: local relations, zero store reads
+    * outside the two cell-scoped data sides). */
+  private def probeResolved(s: SparkSession, probes: DataFrame, root: String,
+      cents: DataFrame, cb: DataFrame, residualIdx: Boolean, p: PqParams,
+      nProbe: Int, k: Int): DataFrame = {
     // Probes materialize ONCE as a local relation (manifest-class):
     // the routing, the ADC-table build, the shortlist, and the refine
     // each run their own action, and a lazy probe frame would re-scan
@@ -1447,7 +1515,7 @@ object PQ {
     // probe touches nProbe. The isin filter stays: it is the
     // partition-pruning predicate for the (rare) whole-lake fallback
     // and the plan-visible record of the bound.
-    val codes = Similarity.cellScopedRead(s, path, "codes", cells)
+    val codes = Similarity.cellScopedReadAt(s, root, "codes", cells)
       .filter(col("cent_id").isin(cells: _*))
     val cand0 = codes.join(broadcast(localPc), Seq("cent_id"))
       .filter(col("vec_id") =!= col("probe_id"))
@@ -1458,8 +1526,8 @@ object PQ {
     // differs per cell, so the table is keyed by both and the join key
     // widens. ONE manifest-class read serves both the flag and the
     // realized sizing (the old form paid an fs-exists plus a codebook
-    // aggregate job per serving call).
-    val (residualIdx, p) = indexMeta(s, path)
+    // aggregate job per serving call) — and the serve handle caches
+    // even that.
     val scored =
       if (!residualIdx) {
         val tabs = adcTables(vsub(pe6.withColumnRenamed("probe_id", "vec_id"), p), cb, p)
@@ -1510,7 +1578,7 @@ object PQ {
     val slPush =
       if (slIds.length <= isinMaxIds(s)) col("vec_id").isin(slIds: _*)
       else col("vec_id").between(slIds.min, slIds.max)
-    val cold = Similarity.cellScopedRead(s, path, "vectors", cells)
+    val cold = Similarity.cellScopedReadAt(s, root, "vectors", cells)
       .filter(col("cent_id").isin(cells: _*) && slPush)
       .select(col("vec_id"), col("embedding").as("de"), col("nrm").as("dn"))
     val refScore = e6(cosine(dotNative(col("qe"), col("de")), col("qn"), col("dn")))

@@ -12,7 +12,7 @@ import org.apache.spark.sql.functions._
   * per-dim stats and byte codes per query; a 100 TB corpus encodes
   * ONCE).
   *
-  * Three swappable sides under the [[IndexSwap]] two-phase protocol:
+  * Three swappable sides under the [[IndexSwap]] versioned commit:
   *
   *  - `$path/codes`: the HOT side — (vec_id, q8[D]) byte vectors, the
   *    only table the rank stage scans (4x under the floats; measured
@@ -39,7 +39,7 @@ import org.apache.spark.sql.functions._
   * for shortlisted rows). A drifted corpus is a REBUILD:
   * [[rebalanceSq8Index]] recomputes the envelope over the grown cold
   * lake and re-encodes every code, crash-safe under the same
-  * tmp+marker+swap discipline as [[PQ.rebalancePqIndex]].
+  * stage+atomic-rename discipline as [[PQ.rebalancePqIndex]].
   */
 object SQ8 {
 
@@ -150,26 +150,26 @@ object SQ8 {
     * join). Out-of-envelope dims clamp — see the object doc. */
   def appendToSq8Index(s: SparkSession, newVecs: DataFrame, path: String): Unit = {
     recoverSq8Rebalance(s, path)
-    val (mna, spa) = collectStats(s.read.parquet(s"$path/stats"))
+    val (mna, spa) = collectStats(s.read.parquet(IndexSwap.side(s, path, "stats")))
     val v = newVecs.select(col("vec_id"), col("embedding"),
       l2normNative(col("embedding")).as("nrm"))
     v.repartitionByRange(col("vec_id")).sortWithinPartitions("vec_id")
       .write.mode("append").option("parquet.block.size", 1L << 20)
-      .parquet(s"$path/vectors")
+      .parquet(IndexSwap.side(s, path, "vectors"))
     ve6Of(v).select(col("vec_id"), q8Col(mna, spa, clamp = true).as("q8"))
       .repartitionByRange(col("vec_id")).sortWithinPartitions("vec_id")
-      .write.mode("append").parquet(s"$path/codes")
+      .write.mode("append").parquet(IndexSwap.side(s, path, "codes"))
   }
 
   /** Re-stat AND re-encode the whole index from its own cold lake (the
     * drift answer — appended vectors may saturate against the frozen
     * envelope; the rebuild recomputes it over the GROWN corpus and
     * re-encodes every byte vector). Crash-safe: the [[IndexSwap]]
-    * two-phase swap over all three sides. Deterministic: same lake in,
-    * same index out. */
+    * versioned commit over all three sides. Deterministic: same lake
+    * in, same index out. */
   def rebalanceSq8Index(s: SparkSession, path: String): Unit = {
     recoverSq8Rebalance(s, path)
-    val v = s.read.parquet(s"$path/vectors")
+    val v = s.read.parquet(IndexSwap.side(s, path, "vectors"))
       .select(col("vec_id"), col("embedding"), col("nrm"))
     stageSides(s, path, v, statsOf(ve6Of(v)))
     IndexSwap.commit(s, path, sq8Sides)
@@ -197,7 +197,7 @@ object SQ8 {
     * collect is probes x 16 <= 1e6 rows). */
   def probeSq8IndexWith(s: SparkSession, probes: DataFrame, path: String,
       k: Int): DataFrame = {
-    val (mna, spa) = collectStats(s.read.parquet(s"$path/stats"))
+    val (mna, spa) = collectStats(s.read.parquet(IndexSwap.side(s, path, "stats")))
     val probesRaw = probes.select(col("vec_id"), col("embedding"),
       l2normNative(col("embedding")).as("nrm"))
     val probeRows = probesRaw.limit(PQ.maxProbeBatch + 1).collect()
@@ -216,7 +216,7 @@ object SQ8 {
     val qd2 = aggregate(zip_with(col("q8"), col("pq8"), (x, y) => (x - y) * (x - y)),
       lit(0L), (acc, z) => acc + z)
     val wSl = Window.partitionBy(col("qid")).orderBy(col("qd2").asc, col("vec_id").asc)
-    val sl = s.read.parquet(s"$path/codes")
+    val sl = s.read.parquet(IndexSwap.side(s, path, "codes"))
       .join(broadcast(pq8), expr("true"))
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"), qd2.as("qd2"))
@@ -234,7 +234,7 @@ object SQ8 {
       if (slIds.isEmpty) lit(false)
       else if (slIds.length <= isinMaxIds(s)) col("vec_id").isin(slIds: _*)
       else col("vec_id").between(slIds.min, slIds.max)
-    val cold = s.read.parquet(s"$path/vectors").filter(slPush)
+    val cold = s.read.parquet(IndexSwap.side(s, path, "vectors")).filter(slPush)
       .select(col("vec_id"), col("embedding").as("de"), col("nrm").as("dn"))
     val refScore = e6(cosine(
       graft.functions.VectorExprs.dotNative(col("qe"), col("de")), col("qn"), col("dn")))

@@ -1112,6 +1112,7 @@ object Similarity {
     * between an ANN service and a full scan per query batch. */
   def buildIvfIndex(s: SparkSession, dir: String, nCentroids: Int, path: String,
       pred: Column = lit(true), sampleKey: Column = col("vec_id")): Unit = {
+    recoverRebalance(s, path) // drop any stale stage from a crashed build
     val v = vecs(s, dir).filter(pred)
     // Centroids are nCentroids rows by declaration: collect ONCE into a
     // local relation so the assignment write and the centroid write
@@ -1120,9 +1121,14 @@ object Similarity {
     val cents = ivfCents(v, nCentroids, sampleKey)
     val localCents = s.createDataFrame(
       java.util.Arrays.asList(cents.collect(): _*), cents.schema)
+    // Staged + committed like the rebuild paths (round 15): the build
+    // becomes v1 through the same atomic version-dir rename, so a
+    // crashed build leaves NOTHING half-visible at the index root.
     ivfAssignedDispatch(v, localCents, nCentroids.toLong).write.mode("overwrite")
-      .partitionBy("cent_id").parquet(s"$path/vectors")
-    localCents.coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+      .partitionBy("cent_id").parquet(IndexSwap.tmp(path, "vectors").toString)
+    localCents.coalesce(1).write.mode("overwrite")
+      .parquet(IndexSwap.tmp(path, "centroids").toString)
+    IndexSwap.commit(s, path, ivfSides)
   }
 
   /** Assign NEW vectors against the STORED centroids and append them to
@@ -1145,16 +1151,17 @@ object Similarity {
   def appendToIvfIndex(s: SparkSession, newVecs: DataFrame, path: String,
       autoRebalance: Option[Int] = None): Unit = {
     recoverRebalance(s, path) // heal any interrupted prior swap first
-    val cents = s.read.parquet(s"$path/centroids")
+    val centsDir = IndexSwap.side(s, path, "centroids")
+    val cents = s.read.parquet(centsDir)
     val v = newVecs.select(col("vec_id"), col("embedding"),
       l2normNative(col("embedding")).as("nrm"))
-    ivfAssignedDispatch(v, cents, parquetRowCount(s, s"$path/centroids"))
+    ivfAssignedDispatch(v, cents, parquetRowCount(s, centsDir))
       .write.mode("append")
-      .partitionBy("cent_id").parquet(s"$path/vectors")
+      .partitionBy("cent_id").parquet(IndexSwap.side(s, path, "vectors"))
     autoRebalance.foreach { k =>
       val stats = ivfCellStats(s, path)
       if (stats.nonEmpty) {
-        val nCells = math.max(1L, parquetRowCount(s, s"$path/centroids"))
+        val nCells = math.max(1L, parquetRowCount(s, centsDir))
         val mean = math.max(1.0, stats.values.sum.toDouble / nCells)
         if (stats.values.max > k * mean) rebalanceIvfIndex(s, path)
       }
@@ -1167,7 +1174,7 @@ object Similarity {
   def ivfCellStats(s: SparkSession, path: String): Map[Long, Long] = {
     val conf = s.sessionState.newHadoopConf()
     graft.sources.LakeListing.dataFiles(conf,
-        new org.apache.hadoop.fs.Path(s"$path/vectors"))
+        new org.apache.hadoop.fs.Path(IndexSwap.side(s, path, "vectors")))
       .groupBy(_.getParent.getName)
       .collect { case (dir, files) if dir.startsWith("cent_id=") =>
         dir.stripPrefix("cent_id=").toLong -> files.map { f =>
@@ -1189,17 +1196,16 @@ object Similarity {
     * deterministic, distribution-free over the ids, and adapts the cell
     * count to the GROWN corpus instead of freezing the build-time k.
     *
-    * Crash safety is the LakeMaintenance two-phase discipline: both new
-    * lakes write COMPLETELY into dot-prefixed tmp siblings, a
-    * `.rebal_committed` marker lands, and only then do the live dirs
-    * swap (live -> .old aside, tmp -> live, asides deleted, marker
-    * deleted). Every interrupted state heals on the next
-    * [[recoverRebalance]] (run by append and rebalance entry): marker
-    * present rolls FORWARD, marker absent rolls BACK — no state loses
-    * the only copy of the index. */
+    * Crash safety AND reader safety are the versioned [[IndexSwap]]
+    * commit: both new lakes write COMPLETELY into the hidden stage,
+    * one atomic rename makes them version N+1, and version N is
+    * retained a full cycle so a reader that resolved it mid-rebalance
+    * finishes against its snapshot. A crash before the rename leaves a
+    * partial stage [[recoverRebalance]] drops (run by append and
+    * rebalance entry) — no state loses the only copy of the index. */
   def rebalanceIvfIndex(s: SparkSession, path: String): Unit = {
     recoverRebalance(s, path)
-    val v = s.read.parquet(s"$path/vectors")
+    val v = s.read.parquet(IndexSwap.side(s, path, "vectors"))
       .select(col("vec_id"), col("embedding"), col("nrm"))
     val total = ivfCellStats(s, path).values.sum
     val k = math.max(16L, math.ceil(math.sqrt(total.toDouble)).toLong)
@@ -1221,9 +1227,10 @@ object Similarity {
   /** The IVF index's swappable sides (the [[IndexSwap]] protocol). */
   private val ivfSides = Seq("vectors", "centroids")
 
-  /** Heal an interrupted [[rebalanceIvfIndex]]: committed marker ->
-    * roll FORWARD (finish the swap); no marker -> roll BACK (drop any
-    * half-written tmp siblings; the live dirs were never touched). */
+  /** Heal an interrupted build/[[rebalanceIvfIndex]]: drop any partial
+    * stage — the one crash state with residue under the versioned
+    * [[IndexSwap]] commit (the live version is never touched before
+    * the atomic rename, and after it nothing is left to do). */
   def recoverRebalance(s: SparkSession, path: String): Unit =
     IndexSwap.recover(s, path, ivfSides)
 
@@ -1263,7 +1270,7 @@ object Similarity {
     * loudly rather than letting the collect OOM the driver. */
   def probeIvfIndexWith(s: SparkSession, probes: DataFrame, path: String,
       nProbe: Int, k: Int): DataFrame = {
-    val cents = s.read.parquet(s"$path/centroids")
+    val cents = s.read.parquet(IndexSwap.side(s, path, "centroids"))
     val pv = probes.select(col("vec_id"), col("embedding"),
       l2normNative(col("embedding")).as("nrm"))
     val pc = ivfRoute(pv, cents, nProbe)
@@ -1301,14 +1308,23 @@ object Similarity {
     * [[cellScopedMaxCells]] cells, takes the whole-lake listing the
     * callers' own cent_id filter then prunes. */
   private[graft] def cellScopedRead(s: SparkSession, path: String, side: String,
+      cells: Seq[Long]): DataFrame =
+    cellScopedReadAt(s, IndexSwap.liveRoot(s, path), side, cells)
+
+  /** [[cellScopedRead]] against an ALREADY-RESOLVED version root — the
+    * serve-handle form: one version resolution per probe CALL (pinned
+    * by the caller), never one per side read, so a commit landing
+    * between the codes read and the cold read can't mix versions. */
+  private[graft] def cellScopedReadAt(s: SparkSession, root: String, side: String,
       cells: Seq[Long]): DataFrame = {
-    val fs = graft.operators.IndexSwap.fsOf(s, path)
+    val fs = graft.operators.IndexSwap.fsOf(s, root)
+    val base = s"$root/$side"
     val dirs =
       if (cells.size > cellScopedMaxCells) Seq.empty
-      else cells.map(c => s"$path/$side/cent_id=$c")
+      else cells.map(c => s"$base/cent_id=$c")
         .filter(d => fs.exists(new org.apache.hadoop.fs.Path(d)))
-    if (dirs.isEmpty) s.read.parquet(s"$path/$side")
-    else s.read.option("basePath", s"$path/$side").parquet(dirs: _*)
+    if (dirs.isEmpty) s.read.parquet(base)
+    else s.read.option("basePath", base).parquet(dirs: _*)
   }
 
   /** The CORPUS-SIZED probe path the [[probeIvfIndexWith]] contract
@@ -1343,7 +1359,7 @@ object Similarity {
     * sqrt(N) keys at scale — enough reducers). */
   def probeIvfIndexJoined(s: SparkSession, probes: DataFrame, path: String,
       nProbe: Int, k: Int, forceRoute: Option[Boolean] = None): DataFrame = {
-    val cents = s.read.parquet(s"$path/centroids")
+    val cents = s.read.parquet(IndexSwap.side(s, path, "centroids"))
     val pv = probes.select(col("vec_id"), col("embedding"),
       l2normNative(col("embedding")).as("nrm"))
     // Routing DISPATCH by measured centroid count (the qn06 pattern —
@@ -1355,11 +1371,11 @@ object Similarity {
     // `forceRoute` pins a branch for its oracle gate (qn10e) and the
     // routing battery; production callers leave it None.
     val useCoarse = forceRoute.getOrElse(
-      parquetRowCount(s, s"$path/centroids") >= coarseRouteMinCentroids)
+      parquetRowCount(s, IndexSwap.side(s, path, "centroids")) >= coarseRouteMinCentroids)
     val pc =
       if (useCoarse) ivfRouteCoarse(pv, cents, nProbe)
       else ivfRoute(pv, cents, nProbe)
-    val candidates = s.read.parquet(s"$path/vectors")
+    val candidates = s.read.parquet(IndexSwap.side(s, path, "vectors"))
       .select(col("vec_id"), col("embedding"), col("nrm"),
         col("cent_id").cast("long").as("cent_id"))
     ivfScoreTail(candidates, pc, k, broadcastProbes = false)

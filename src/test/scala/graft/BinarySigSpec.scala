@@ -25,7 +25,7 @@ class BinarySigSpec extends AnyFunSuite {
   test("append signs new vectors bit-identically; a planted near-copy is found; old cells untouched") {
     val path = graft.operators.Similarity.newIndexDir()
     BinarySig.buildBinIndex(spark, sf, path)
-    val codesBefore = spark.read.parquet(s"$path/codes").count()
+    val codesBefore = spark.read.parquet(graft.operators.IndexSwap.side(spark, path, "codes")).count()
     // Near-copy of probe 3 with one dim nudged (same signs): identical
     // signature -> Hamming 0 -> must surface as probe 3's top refined
     // neighbor.
@@ -34,11 +34,11 @@ class BinarySigSpec extends AnyFunSuite {
         transform(col("embedding"), (x, i) =>
           when(i === 0, (x.cast("double") * 1.01).cast("float")).otherwise(x)).as("embedding"))
     BinarySig.appendToBinIndex(spark, planted, path)
-    assert(spark.read.parquet(s"$path/codes").count() == codesBefore + 1)
+    assert(spark.read.parquet(graft.operators.IndexSwap.side(spark, path, "codes")).count() == codesBefore + 1)
     // The appended signature equals the in-flight fold of the same
     // vector (parameter-free encoder — nothing to freeze, nothing to
     // drift).
-    val storedSig = spark.read.parquet(s"$path/codes")
+    val storedSig = spark.read.parquet(graft.operators.IndexSwap.side(spark, path, "codes"))
       .filter(col("vec_id") === 66666L).head().getAs[Long]("sig")
     val flightSig = planted
       .select(graft.operators.BinarySig.sigCol(col("embedding")).as("sig"))
@@ -57,29 +57,29 @@ class BinarySigSpec extends AnyFunSuite {
       .select((col("vec_id") + 90000L).as("vec_id"), col("embedding"))
     BinarySig.appendToBinIndex(spark, extra, path)
     BinarySig.rebalanceBinIndex(spark, path)
-    val codes1 = spark.read.parquet(s"$path/codes")
+    val codes1 = spark.read.parquet(graft.operators.IndexSwap.side(spark, path, "codes"))
       .collect().map(_.toString).sorted.toSeq
     BinarySig.rebalanceBinIndex(spark, path)
-    val codes2 = spark.read.parquet(s"$path/codes")
+    val codes2 = spark.read.parquet(graft.operators.IndexSwap.side(spark, path, "codes"))
       .collect().map(_.toString).sorted.toSeq
     assert(codes1 == codes2, "rebalance is not a fixpoint")
-    assert(codes1.length == spark.read.parquet(s"$path/vectors").count().toInt,
+    assert(codes1.length == spark.read.parquet(graft.operators.IndexSwap.side(spark, path, "vectors")).count().toInt,
       "codes and cold tiers diverged")
     assert(BinarySig.probeBinIndex(spark, sf, path, 5).count() == 50)
   }
 
-  test("interrupted swap heals: tmp junk with no marker rolls back; the live index is untouched") {
+  test("interrupted rebuild heals: a partial stage is dropped; the live index is untouched") {
     import org.apache.hadoop.fs.Path
     val path = graft.operators.Similarity.newIndexDir()
     BinarySig.buildBinIndex(spark, sf, path)
     val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
-    fs.mkdirs(new Path(s"$path/.codes_rebal_tmp"))
-    fs.create(new Path(s"$path/.codes_rebal_tmp/part-junk.parquet"), true).close()
-    val before = spark.read.parquet(s"$path/codes")
+    fs.mkdirs(new Path(s"$path/.stage/codes"))
+    fs.create(new Path(s"$path/.stage/codes/part-junk.parquet"), true).close()
+    val before = spark.read.parquet(graft.operators.IndexSwap.side(spark, path, "codes"))
       .collect().map(_.toString).sorted.toSeq
     BinarySig.recoverBinRebalance(spark, path)
-    assert(!fs.exists(new Path(s"$path/.codes_rebal_tmp")))
-    assert(spark.read.parquet(s"$path/codes")
+    assert(!fs.exists(new Path(s"$path/.stage")))
+    assert(spark.read.parquet(graft.operators.IndexSwap.side(spark, path, "codes"))
       .collect().map(_.toString).sorted.toSeq == before, "rollback touched the live index")
   }
 

@@ -62,8 +62,8 @@ class IvfRebalanceSpec extends AnyFunSuite {
 
     // Every lake row's stored cent_id IS the argmax-cosine assignment
     // against the rebuilt centroids (full check at fixture size).
-    val lake = spark.read.parquet(s"$path/vectors")
-    val cents = spark.read.parquet(s"$path/centroids")
+    val lake = spark.read.parquet(graft.operators.IndexSwap.side(spark, path, "vectors"))
+    val cents = spark.read.parquet(graft.operators.IndexSwap.side(spark, path, "centroids"))
     import graft.functions.VectorExprs.dotNative
     import graft.functions.TextFns.{cosine, e6}
     val w = org.apache.spark.sql.expressions.Window
@@ -84,11 +84,11 @@ class IvfRebalanceSpec extends AnyFunSuite {
     val path = Similarity.newIndexDir()
     Similarity.buildIvfIndex(spark, sf, 16, path)
     Similarity.rebalanceIvfIndex(spark, path)
-    val cents1 = spark.read.parquet(s"$path/centroids")
+    val cents1 = spark.read.parquet(graft.operators.IndexSwap.side(spark, path, "centroids"))
       .collect().map(_.getLong(0)).sorted.toSeq
     val stats1 = Similarity.ivfCellStats(spark, path)
     Similarity.rebalanceIvfIndex(spark, path)
-    val cents2 = spark.read.parquet(s"$path/centroids")
+    val cents2 = spark.read.parquet(graft.operators.IndexSwap.side(spark, path, "centroids"))
       .collect().map(_.getLong(0)).sorted.toSeq
     assert(cents1 == cents2, "re-clustering the same lake picked different seeds")
     assert(Similarity.ivfCellStats(spark, path) == stats1)
@@ -131,48 +131,56 @@ class IvfRebalanceSpec extends AnyFunSuite {
     assert(Similarity.probeIvfIndex(spark, sf, path, 4, 5).count() == 50)
   }
 
-  test("interrupted swap heals: marker present rolls forward, absent rolls back") {
+  test("interrupted rebuild heals: a partial stage is dropped, the live version untouched") {
     import org.apache.hadoop.fs.Path
     val conf = spark.sessionState.newHadoopConf()
     def fsOf(p: String) = new Path(p).getFileSystem(conf)
 
-    // ROLL BACK: tmp dirs with no marker are a failed write — dropped.
     val p1 = Similarity.newIndexDir()
     Similarity.buildIvfIndex(spark, sf, 16, p1)
     val fs1 = fsOf(p1)
-    fs1.mkdirs(new Path(s"$p1/.vectors_rebal_tmp"))
-    fs1.create(new Path(s"$p1/.vectors_rebal_tmp/part-junk.parquet"), true).close()
+    fs1.mkdirs(new Path(s"$p1/.stage/vectors"))
+    fs1.create(new Path(s"$p1/.stage/vectors/part-junk.parquet"), true).close()
     val beforeStats = Similarity.ivfCellStats(spark, p1)
+    val verBefore = graft.operators.IndexSwap.liveVersion(spark, p1)
     Similarity.recoverRebalance(spark, p1)
-    assert(!fs1.exists(new Path(s"$p1/.vectors_rebal_tmp")))
+    assert(!fs1.exists(new Path(s"$p1/.stage")))
+    assert(graft.operators.IndexSwap.liveVersion(spark, p1) == verBefore)
     assert(Similarity.ivfCellStats(spark, p1) == beforeStats, "rollback touched the live index")
+    assert(Similarity.probeIvfIndex(spark, sf, p1, 4, 5).count() == 50)
+  }
 
-    // ROLL FORWARD: live dirs already set aside, tmps + marker present
-    // (the state a crash right after the asides leaves). Recovery must
-    // complete the swap and the index must keep working.
-    val p2 = Similarity.newIndexDir()
-    Similarity.buildIvfIndex(spark, sf, 16, p2)
-    val fs2 = fsOf(p2)
-    // Stage a "new" index in the tmps: here, a byte-copy of the live one.
-    def copyDir(src: Path, dst: Path): Unit = {
-      fs2.mkdirs(dst)
-      fs2.listStatus(src).foreach { st =>
-        if (st.isDirectory) copyDir(st.getPath, new Path(dst, st.getPath.getName))
-        else org.apache.hadoop.fs.FileUtil.copy(fs2, st.getPath, fs2,
-          new Path(dst, st.getPath.getName), false, conf): Unit
-      }
-    }
-    copyDir(new Path(s"$p2/vectors"), new Path(s"$p2/.vectors_rebal_tmp"))
-    copyDir(new Path(s"$p2/centroids"), new Path(s"$p2/.centroids_rebal_tmp"))
-    val statsBefore = Similarity.ivfCellStats(spark, p2)
-    require(fs2.rename(new Path(s"$p2/vectors"), new Path(s"$p2/.vectors_rebal_old")))
-    require(fs2.rename(new Path(s"$p2/centroids"), new Path(s"$p2/.centroids_rebal_old")))
-    fs2.create(new Path(s"$p2/.rebal_committed"), true).close()
-    Similarity.recoverRebalance(spark, p2)
-    Seq(".vectors_rebal_tmp", ".centroids_rebal_tmp", ".vectors_rebal_old",
-      ".centroids_rebal_old", ".rebal_committed").foreach(d =>
-      assert(!fs2.exists(new Path(s"$p2/$d")), s"leftover $d after roll-forward"))
-    assert(Similarity.ivfCellStats(spark, p2) == statsBefore)
-    assert(Similarity.probeIvfIndex(spark, sf, p2, 4, 5).count() == 50)
+  test("legacy unversioned layout serves as version 0 and migrates on the first rebuild") {
+    import org.apache.hadoop.fs.Path
+    // An index whose sides live directly at the root (the pre-versioned
+    // layout): readers resolve it as version 0 unchanged; the first
+    // rebuild commits v1; the SECOND retires the legacy dirs after
+    // their reader-grace cycle.
+    val path = Similarity.newIndexDir()
+    val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
+    Similarity.buildIvfIndex(spark, sf, 16, path) // v1 under the new protocol
+    // Reconstruct the legacy shape: move v1's sides to the root.
+    require(fs.rename(new Path(s"$path/v1/vectors"), new Path(s"$path/vectors")))
+    require(fs.rename(new Path(s"$path/v1/centroids"), new Path(s"$path/centroids")))
+    fs.delete(new Path(s"$path/v1"), true)
+    assert(graft.operators.IndexSwap.liveVersion(spark, path) == 0L)
+    val legacyProbe = Similarity.probeIvfIndex(spark, sf, path, 4, 5).count()
+    assert(legacyProbe == 50, "legacy layout must keep serving")
+    Similarity.rebalanceIvfIndex(spark, path) // -> v1; legacy kept as grace
+    assert(graft.operators.IndexSwap.liveVersion(spark, path) == 1L)
+    assert(fs.exists(new Path(s"$path/vectors")), "legacy sides are the v0 reader grace")
+    Similarity.rebalanceIvfIndex(spark, path) // -> v2; legacy retired
+    assert(!fs.exists(new Path(s"$path/vectors")), "legacy sides should retire at v2")
+    assert(Similarity.probeIvfIndex(spark, sf, path, 4, 5).count() == 50)
+  }
+
+  test("readers never race a rebuild: a plan resolved BEFORE the swap completes AFTER it, on its snapshot") {
+    val path = Similarity.newIndexDir()
+    Similarity.buildIvfIndex(spark, sf, 16, path)
+    val reader = spark.read.parquet(graft.operators.IndexSwap.side(spark, path, "vectors"))
+    val before = reader.count()
+    Similarity.rebalanceIvfIndex(spark, path) // commits v2 while `reader` holds v1 paths
+    assert(reader.count() == before, "pre-swap reader lost its snapshot")
+    assert(graft.operators.IndexSwap.liveVersion(spark, path) == 2L)
   }
 }

@@ -325,7 +325,7 @@ class NorthStarSpec extends AnyFunSuite {
     def dot(a: Seq[Float], b: Seq[Float]): Double =
       a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + x.toDouble * y.toDouble }
     def e6(x: Double): Long = math.floor(x * 1000000L).toLong
-    val cents = spark.read.parquet(s"$path/centroids")
+    val cents = spark.read.parquet(graft.operators.IndexSwap.side(spark, path, "centroids"))
       .collect().map(r => (r.getLong(0), r.getSeq[Float](1), r.getDouble(2)))
       .sortBy(_._1)
     val k = cents.length
@@ -343,7 +343,7 @@ class NorthStarSpec extends AnyFunSuite {
     val casg: Map[Long, Seq[(Long, Seq[Float], Double)]] =
       cents.groupBy { case (cid, ce, cn) => bestCoarse(ce, cn, 1).head }
         .view.mapValues(_.toSeq).toMap
-    val lake = spark.read.parquet(s"$path/vectors")
+    val lake = spark.read.parquet(graft.operators.IndexSwap.side(spark, path, "vectors"))
       .select(col("vec_id"), col("embedding"), col("nrm"),
         col("cent_id").cast("long").as("cent_id"))
       .collect().map(r => (r.getLong(0), r.getSeq[Float](1), r.getDouble(2), r.getLong(3)))
@@ -405,7 +405,7 @@ class NorthStarSpec extends AnyFunSuite {
     graft.operators.Similarity.buildIvfIndex(spark, sf, 16, path,
       col("vec_id") % 2 === 0)
     def files(): Map[String, Set[String]] = {
-      val root = new java.io.File(s"$path/vectors")
+      val root = new java.io.File(graft.operators.IndexSwap.side(spark, path, "vectors"))
       root.listFiles.filter(_.getName.startsWith("cent_id=")).map { d =>
         d.getName -> d.listFiles.map(_.getName).filter(_.endsWith(".parquet")).toSet
       }.toMap
@@ -423,7 +423,7 @@ class NorthStarSpec extends AnyFunSuite {
     }
     assert(after.values.map(_.size).sum > before.values.map(_.size).sum)
     // The lake now holds the whole corpus exactly once.
-    val lakeIds = spark.read.parquet(s"$path/vectors")
+    val lakeIds = spark.read.parquet(graft.operators.IndexSwap.side(spark, path, "vectors"))
       .select("vec_id").collect().map(_.getLong(0)).sorted.toSeq
     val allIds = Tables.embeddings(spark, sf)
       .select("vec_id").collect().map(_.getLong(0)).sorted.toSeq
@@ -439,7 +439,7 @@ class NorthStarSpec extends AnyFunSuite {
     val path = graft.operators.Similarity.newIndexDir()
     graft.operators.Similarity.buildIvfIndex(spark, sf, 16, path,
       col("vec_id") % 2 === 0, expr("vec_id div 2"))
-    assert(spark.read.parquet(s"$path/centroids").count() == 16)
+    assert(spark.read.parquet(graft.operators.IndexSwap.side(spark, path, "centroids")).count() == 16)
   }
 
   test("LakeMaintenance.compact composes with the IVF index: fewer files, same probe") {
@@ -452,7 +452,7 @@ class NorthStarSpec extends AnyFunSuite {
         .select(col("vec_id"), col("embedding")), path)
     val before = graft.operators.Similarity
       .probeIvfIndex(spark, sf, path, 4, 5).collect().map(_.toString).toSeq
-    val stats = graft.sources.LakeMaintenance.compact(spark, s"$path/vectors")
+    val stats = graft.sources.LakeMaintenance.compact(spark, graft.operators.IndexSwap.side(spark, path, "vectors"))
     // Build + append leave multi-file cells; KB-scale cells compact to 1.
     assert(stats.exists(s => s.filesAfter < s.filesBefore),
       s"nothing compacted: $stats")

@@ -55,7 +55,7 @@ class PQSpec extends AnyFunSuite {
     // cell-scoped read (round 14) lists only the probed cells'
     // directories, so rootPaths no longer names the whole lake — which
     // is exactly the point (the scan cannot even SEE unprobed cells).
-    val totalFiles = countParquet(new java.io.File(s"$path/vectors"))
+    val totalFiles = countParquet(new java.io.File(graft.operators.IndexSwap.side(spark, path, "vectors")))
     assert(filesRead > 0 && filesRead < totalFiles,
       s"no partition pruning: read $filesRead of $totalFiles files")
     assert(scan.metadata("PushedFilters").contains("In(vec_id"),
@@ -151,8 +151,8 @@ class PQSpec extends AnyFunSuite {
   test("codes lake is the hot side: materially smaller than the float lake") {
     val path = graft.operators.Similarity.newIndexDir()
     graft.operators.PQ.buildPqIndex(spark, sf, path)
-    val codesBytes = dirBytes(new java.io.File(s"$path/codes"))
-    val vecBytes = dirBytes(new java.io.File(s"$path/vectors"))
+    val codesBytes = dirBytes(new java.io.File(graft.operators.IndexSwap.side(spark, path, "codes")))
+    val vecBytes = dirBytes(new java.io.File(graft.operators.IndexSwap.side(spark, path, "vectors")))
     // Raw ratio is 64x (4 small ints vs 64 floats + norm); parquet
     // framing narrows it at fixture row counts — 4x is the conservative
     // floor that still catches an accidental float column on the hot side.
@@ -203,12 +203,12 @@ class PQSpec extends AnyFunSuite {
     val path = graft.operators.Similarity.newIndexDir()
     graft.operators.PQ.buildPqIndex(spark, sf, path)
     def cellFiles(): Map[String, Set[String]] = {
-      val root = new java.io.File(s"$path/codes")
+      val root = new java.io.File(graft.operators.IndexSwap.side(spark, path, "codes"))
       Option(root.listFiles).getOrElse(Array.empty).filter(_.getName.startsWith("cent_id="))
         .map(d => d.getName -> d.listFiles.map(_.getName).toSet).toMap
     }
     val before = cellFiles()
-    val n0 = spark.read.parquet(s"$path/codes").count()
+    val n0 = spark.read.parquet(graft.operators.IndexSwap.side(spark, path, "codes")).count()
     // Plant a near-copy of probe 3: cosine ~1, so it must surface as
     // its top refined neighbor after the append.
     val planted = Tables.embeddings(spark, sf).filter(col("vec_id") === 3)
@@ -216,7 +216,7 @@ class PQSpec extends AnyFunSuite {
         transform(col("embedding"), (x, i) =>
           when(i === 0, (x.cast("double") * 1.01).cast("float")).otherwise(x)).as("embedding"))
     graft.operators.PQ.appendToPqIndex(spark, planted, path)
-    assert(spark.read.parquet(s"$path/codes").count() == n0 + 1)
+    assert(spark.read.parquet(graft.operators.IndexSwap.side(spark, path, "codes")).count() == n0 + 1)
     val after = cellFiles()
     val changed = after.filter { case (cell, files) => before.getOrElse(cell, Set.empty) != files }
     assert(changed.size == 1, s"append touched ${changed.size} cells: ${changed.keys}")
@@ -247,14 +247,14 @@ class PQSpec extends AnyFunSuite {
     // same corpus state would store: re-encode check — its code word
     // scores below adcTopR against probe 3's tables (already implied by
     // rnk=1 via the shortlist), and the hot side grew by exactly 1.
-    assert(spark.read.parquet(s"$path/codes").filter(col("vec_id") === 88888L).count() == 1)
+    assert(spark.read.parquet(graft.operators.IndexSwap.side(spark, path, "codes")).filter(col("vec_id") === 88888L).count() == 1)
   }
 
   test("appended cold files keep the point-read layout: one file per touched cell, sorted by vec_id") {
     val path = graft.operators.Similarity.newIndexDir()
     graft.operators.PQ.buildPqIndex(spark, sf, path)
     def vecFiles(): Map[String, Set[String]] = {
-      val root = new java.io.File(s"$path/vectors")
+      val root = new java.io.File(graft.operators.IndexSwap.side(spark, path, "vectors"))
       Option(root.listFiles).getOrElse(Array.empty).filter(_.getName.startsWith("cent_id="))
         .map(d => d.getName -> d.listFiles.map(_.getName).filter(_.endsWith(".parquet")).toSet)
         .toMap
@@ -266,7 +266,7 @@ class PQSpec extends AnyFunSuite {
     // caught on the append path first).
     before.foreach { case (cell, files) =>
       files.foreach { f =>
-        val ids = spark.read.parquet(s"$path/vectors/$cell/$f")
+        val ids = spark.read.parquet(s"${graft.operators.IndexSwap.side(spark, path, "vectors")}/$cell/$f")
           .select("vec_id").collect().map(_.getLong(0)).toSeq
         assert(ids == ids.sorted, s"$cell build file not sorted by vec_id")
       }
@@ -287,7 +287,7 @@ class PQSpec extends AnyFunSuite {
     grown.foreach { case (cell, files) =>
       val added = (files -- before.getOrElse(cell, Set.empty)).toSeq
       assert(added.size == 1, s"$cell gained ${added.size} files — append fan-out is back")
-      val ids = spark.read.parquet(s"$path/vectors/$cell/${added.head}")
+      val ids = spark.read.parquet(s"${graft.operators.IndexSwap.side(spark, path, "vectors")}/$cell/${added.head}")
         .select("vec_id").collect().map(_.getLong(0)).toSeq
       assert(ids == ids.sorted, s"$cell appended file not sorted by vec_id")
     }
@@ -392,7 +392,7 @@ class PQSpec extends AnyFunSuite {
       // The two-tier assignment must never silently DROP a vector
       // (pathological corpora could route a vector only to fine-less
       // coarse cells; the tie-break analysis says no, this pins it).
-      assert(spark.read.parquet(s"$pathFast/codes").count() == 200L,
+      assert(spark.read.parquet(graft.operators.IndexSwap.side(spark, pathFast, "codes")).count() == 200L,
         "fastAssign dropped or duplicated vectors")
 
       // residual x fastAssign COMBINED: the memo keys carry both
@@ -410,7 +410,7 @@ class PQSpec extends AnyFunSuite {
         .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
       val rfHits = exact.map { case (q, ex) => (rf.getOrElse(q, Set.empty) & ex).size }.sum
       assert(rfHits >= 40, s"residual+fastAssign recall@5 = $rfHits/50")
-      assert(spark.read.parquet(s"$pathRF/codes").count() == 200L)
+      assert(spark.read.parquet(graft.operators.IndexSwap.side(spark, pathRF, "codes")).count() == 200L)
 
       // Non-fixture sizing (M=8, byte-class K): the persisted index
       // SELF-DESCRIBES via its codebook table, so the unchanged probe
@@ -437,7 +437,7 @@ class PQSpec extends AnyFunSuite {
         .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
       val sqHits = exact.map { case (q, ex) => (sq.getOrElse(q, Set.empty) & ex).size }.sum
       assert(sqHits >= 40, s"SQ8 recall@5 = $sqHits/50")
-      assert(spark.read.parquet(s"$pathMk/codes")
+      assert(spark.read.parquet(graft.operators.IndexSwap.side(spark, pathMk, "codes"))
         .select(size(col("codes"))).head().getInt(0) == 8,
         "M=8 index did not store 8 codes per vector")
     } finally {
@@ -447,5 +447,27 @@ class PQSpec extends AnyFunSuite {
       }
       rm(tmp)
     }
+  }
+
+  test("serve handle: probeWith matches the per-call entry bit-exactly and re-opens after a rebuild") {
+    import graft.operators.PQ
+    val path = graft.operators.Similarity.newIndexDir()
+    PQ.buildPqIndex(spark, sf, path)
+    val perCall = PQ.probePqIndex(spark, sf, path, 4, 5)
+      .collect().map(_.toString).toSeq
+    val handle = PQ.openPqIndex(spark, path)
+    val probeFrame = Tables.embeddings(spark, sf).filter(col("vec_id") < 10)
+      .select("vec_id", "embedding")
+    val viaHandle = handle.probeWith(spark, probeFrame, 4, 5)
+      .collect().map(_.toString).toSeq
+    assert(viaHandle == perCall, "handle probe diverged from the per-call entry")
+    // Staleness: a rebuild commits a new version; the SAME handle must
+    // serve the rebuilt index (auto re-open), not its stale snapshot.
+    PQ.rebalancePqIndex(spark, path)
+    val afterRebuild = PQ.probePqIndex(spark, sf, path, 4, 5)
+      .collect().map(_.toString).toSeq
+    val viaStaleHandle = handle.probeWith(spark, probeFrame, 4, 5)
+      .collect().map(_.toString).toSeq
+    assert(viaStaleHandle == afterRebuild, "stale handle did not re-open on the new version")
   }
 }

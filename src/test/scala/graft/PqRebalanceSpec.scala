@@ -76,7 +76,7 @@ class PqRebalanceSpec extends AnyFunSuite {
       s"trigger did not restore balance: max=${after.values.max} mean=$meanAfter cells=$nCells")
     assert(nCells > 16, s"cell count did not adapt: $nCells")
     // Hot and cold tiers stay row-consistent through the swap.
-    assert(spark.read.parquet(s"$path/codes").count() == total0 + 240)
+    assert(spark.read.parquet(graft.operators.IndexSwap.side(spark, path, "codes")).count() == total0 + 240)
     assert(PQ.probePqIndex(spark, sf, path, 4, 5).count() == 50)
 
     // Independent driver replay over the PERSISTED artifacts (the
@@ -86,15 +86,15 @@ class PqRebalanceSpec extends AnyFunSuite {
     // encode against the RETRAINED codebooks. A rebalance that swapped
     // cells without retraining, or retrained without re-encoding,
     // cannot survive (b).
-    val cents = spark.read.parquet(s"$path/centroids")
+    val cents = spark.read.parquet(graft.operators.IndexSwap.side(spark, path, "centroids"))
       .collect().map(r => (r.getLong(0), r.getSeq[Float](1), r.getDouble(2)))
-    val cbBySub = spark.read.parquet(s"$path/codebooks")
+    val cbBySub = spark.read.parquet(graft.operators.IndexSwap.side(spark, path, "codebooks"))
       .collect().map(r => (r.getLong(0), r.getLong(2), r.getSeq[Long](3).toArray))
       .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).sortBy(_._1)).toMap
-    val lake = spark.read.parquet(s"$path/vectors")
+    val lake = spark.read.parquet(graft.operators.IndexSwap.side(spark, path, "vectors"))
       .select(col("vec_id"), col("embedding"), col("nrm"),
         col("cent_id").cast("long").as("cent_id")).collect()
-    val codesMap = spark.read.parquet(s"$path/codes")
+    val codesMap = spark.read.parquet(graft.operators.IndexSwap.side(spark, path, "codes"))
       .select("vec_id", "codes").collect()
       .map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
     lake.foreach { r =>
@@ -118,15 +118,15 @@ class PqRebalanceSpec extends AnyFunSuite {
     val path = graft.operators.Similarity.newIndexDir()
     PQ.buildPqIndex(spark, sf, path)
     PQ.rebalancePqIndex(spark, path)
-    val cents1 = spark.read.parquet(s"$path/centroids")
+    val cents1 = spark.read.parquet(graft.operators.IndexSwap.side(spark, path, "centroids"))
       .collect().map(_.getLong(0)).sorted.toSeq
-    val cb1 = spark.read.parquet(s"$path/codebooks")
+    val cb1 = spark.read.parquet(graft.operators.IndexSwap.side(spark, path, "codebooks"))
       .collect().map(_.toString).sorted.toSeq
     val stats1 = graft.operators.Similarity.ivfCellStats(spark, path)
     PQ.rebalancePqIndex(spark, path)
-    val cents2 = spark.read.parquet(s"$path/centroids")
+    val cents2 = spark.read.parquet(graft.operators.IndexSwap.side(spark, path, "centroids"))
       .collect().map(_.getLong(0)).sorted.toSeq
-    val cb2 = spark.read.parquet(s"$path/codebooks")
+    val cb2 = spark.read.parquet(graft.operators.IndexSwap.side(spark, path, "codebooks"))
       .collect().map(_.toString).sorted.toSeq
     assert(cents1 == cents2, "re-clustering the same lake picked different seeds")
     assert(cb1 == cb2, "retraining the same lake produced different codebooks")
@@ -194,52 +194,64 @@ class PqRebalanceSpec extends AnyFunSuite {
       s"stream left the index skewed: max=${after.values.max} mean=$mean")
     // Hot/cold row consistency through the in-stream swap, and the
     // index still serves.
-    assert(spark.read.parquet(s"$path/codes").count() == total0 + 200)
+    assert(spark.read.parquet(graft.operators.IndexSwap.side(spark, path, "codes")).count() == total0 + 200)
     assert(PQ.probePqIndex(spark, sf, path, 4, 5).count() == 50)
   }
 
-  test("interrupted swap heals: marker present rolls forward, absent rolls back (four sides)") {
+  test("interrupted rebuild heals: a partial stage is dropped, the live version untouched (five sides)") {
     import org.apache.hadoop.fs.Path
     val conf = spark.sessionState.newHadoopConf()
     def fsOf(p: String) = new Path(p).getFileSystem(conf)
-    val sides = Seq("codes", "vectors", "codebooks", "centroids", "meta")
 
-    // ROLL BACK: tmp dirs with no marker are a failed write — dropped.
+    // The ONE crash state with residue under the versioned commit: a
+    // stage written partially (here: junk in one side) before the
+    // atomic rename. Recovery drops it; the live version never moved.
     val p1 = graft.operators.Similarity.newIndexDir()
     PQ.buildPqIndex(spark, sf, p1)
     val fs1 = fsOf(p1)
-    fs1.mkdirs(new Path(s"$p1/.codes_rebal_tmp"))
-    fs1.create(new Path(s"$p1/.codes_rebal_tmp/part-junk.parquet"), true).close()
+    fs1.mkdirs(new Path(s"$p1/.stage/codes"))
+    fs1.create(new Path(s"$p1/.stage/codes/part-junk.parquet"), true).close()
     val beforeStats = graft.operators.Similarity.ivfCellStats(spark, p1)
+    val verBefore = graft.operators.IndexSwap.liveVersion(spark, p1)
     PQ.recoverPqRebalance(spark, p1)
-    assert(!fs1.exists(new Path(s"$p1/.codes_rebal_tmp")))
+    assert(!fs1.exists(new Path(s"$p1/.stage")))
+    assert(graft.operators.IndexSwap.liveVersion(spark, p1) == verBefore)
     assert(graft.operators.Similarity.ivfCellStats(spark, p1) == beforeStats,
       "rollback touched the live index")
+    assert(PQ.probePqIndex(spark, sf, p1, 4, 5).count() == 50)
+  }
 
-    // ROLL FORWARD: live dirs set aside, tmps + marker present (the
-    // state a crash right after the asides leaves). Recovery must
-    // complete the swap and the index must keep working.
-    val p2 = graft.operators.Similarity.newIndexDir()
-    PQ.buildPqIndex(spark, sf, p2)
-    val fs2 = fsOf(p2)
-    def copyDir(src: Path, dst: Path): Unit = {
-      fs2.mkdirs(dst)
-      fs2.listStatus(src).foreach { st =>
-        if (st.isDirectory) copyDir(st.getPath, new Path(dst, st.getPath.getName))
-        else org.apache.hadoop.fs.FileUtil.copy(fs2, st.getPath, fs2,
-          new Path(dst, st.getPath.getName), false, conf): Unit
-      }
-    }
-    sides.foreach(sd => copyDir(new Path(s"$p2/$sd"), new Path(s"$p2/.${sd}_rebal_tmp")))
-    val statsBefore = graft.operators.Similarity.ivfCellStats(spark, p2)
-    sides.foreach(sd =>
-      require(fs2.rename(new Path(s"$p2/$sd"), new Path(s"$p2/.${sd}_rebal_old"))))
-    fs2.create(new Path(s"$p2/.rebal_committed"), true).close()
-    PQ.recoverPqRebalance(spark, p2)
-    sides.flatMap(sd => Seq(s".${sd}_rebal_tmp", s".${sd}_rebal_old")) :+ ".rebal_committed" foreach { d =>
-      assert(!fs2.exists(new Path(s"$p2/$d")), s"leftover $d after roll-forward")
-    }
-    assert(graft.operators.Similarity.ivfCellStats(spark, p2) == statsBefore)
-    assert(PQ.probePqIndex(spark, sf, p2, 4, 5).count() == 50)
+  test("version retention: a rebuild commits v+1, keeps v as reader grace, drops v-1") {
+    import org.apache.hadoop.fs.Path
+    val path = graft.operators.Similarity.newIndexDir()
+    PQ.buildPqIndex(spark, sf, path)        // v1
+    val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
+    assert(graft.operators.IndexSwap.liveVersion(spark, path) == 1L)
+    PQ.rebalancePqIndex(spark, path)        // v2: v1 retained (grace)
+    assert(graft.operators.IndexSwap.liveVersion(spark, path) == 2L)
+    assert(fs.exists(new Path(s"$path/v1")), "previous version must survive one cycle")
+    PQ.rebalancePqIndex(spark, path)        // v3: v1 dropped, v2 retained
+    assert(graft.operators.IndexSwap.liveVersion(spark, path) == 3L)
+    assert(!fs.exists(new Path(s"$path/v1")), "v1 should be retired at v3")
+    assert(fs.exists(new Path(s"$path/v2")))
+    assert(PQ.probePqIndex(spark, sf, path, 4, 5).count() == 50)
+  }
+
+  test("readers never race a rebuild: a plan resolved BEFORE the swap completes AFTER it, on its snapshot") {
+    // The round-14 verdict's concurrent-reader window, closed and
+    // pinned: under the old same-path swap this reader failed with
+    // FILE_NOT_EXIST (measured — a rebuilt side's part files have
+    // fresh names); under the versioned commit its resolved version
+    // dir is immutable and retained a full cycle.
+    val path = graft.operators.Similarity.newIndexDir()
+    PQ.buildPqIndex(spark, sf, path)
+    val reader = spark.read.parquet(graft.operators.IndexSwap.side(spark, path, "codes"))
+    val before = reader.count()
+    PQ.rebalancePqIndex(spark, path) // commits v2 while `reader` holds v1 paths
+    assert(reader.count() == before, "pre-swap reader lost its snapshot")
+    // A fresh resolve sees the new version.
+    assert(graft.operators.IndexSwap.liveVersion(spark, path) == 2L)
+    assert(spark.read.parquet(graft.operators.IndexSwap.side(spark, path, "codes"))
+      .count() == before) // rebalance preserves row count on an unchanged lake
   }
 }

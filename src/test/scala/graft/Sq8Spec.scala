@@ -25,7 +25,7 @@ class Sq8Spec extends AnyFunSuite {
   test("append encodes against the frozen envelope; out-of-range dims clamp, in-range near-dup is found") {
     val path = graft.operators.Similarity.newIndexDir()
     SQ8.buildSq8Index(spark, sf, path)
-    val statsBefore = spark.read.parquet(s"$path/stats")
+    val statsBefore = spark.read.parquet(graft.operators.IndexSwap.side(spark, path, "stats"))
       .collect().map(_.toString).sorted.toSeq
     // In-range planted near-copy of probe 3: must surface as its top
     // refined neighbor through the byte rank + exact refine chain.
@@ -42,9 +42,9 @@ class Sq8Spec extends AnyFunSuite {
           .as("embedding"))
     SQ8.appendToSq8Index(spark, planted.union(outOfRange), path)
     // Envelope frozen: append must not touch the stats side.
-    assert(spark.read.parquet(s"$path/stats")
+    assert(spark.read.parquet(graft.operators.IndexSwap.side(spark, path, "stats"))
       .collect().map(_.toString).sorted.toSeq == statsBefore, "append re-statted")
-    val q8 = spark.read.parquet(s"$path/codes").filter(col("vec_id") === 77777L)
+    val q8 = spark.read.parquet(graft.operators.IndexSwap.side(spark, path, "codes")).filter(col("vec_id") === 77777L)
       .select(col("q8")).head().getSeq[Long](0)
     assert(q8.forall(x => x >= 0L && x <= 255L), s"clamp failed: $q8")
     assert(q8.forall(_ == 255L), s"out-of-range dims should saturate at 255: $q8")
@@ -67,39 +67,39 @@ class Sq8Spec extends AnyFunSuite {
     // are no longer saturated — and every OLD vector re-encoded under
     // the new map (spot-check: old codes compress toward 0 because the
     // span grew ~25x).
-    val q8 = spark.read.parquet(s"$path/codes").filter(col("vec_id") === 88888L)
+    val q8 = spark.read.parquet(graft.operators.IndexSwap.side(spark, path, "codes")).filter(col("vec_id") === 88888L)
       .select(col("q8")).head().getSeq[Long](0)
     assert(q8.forall(_ == 255L), s"corpus max should map to 255 after re-stat: $q8")
-    val old3 = spark.read.parquet(s"$path/codes").filter(col("vec_id") === 3L)
+    val old3 = spark.read.parquet(graft.operators.IndexSwap.side(spark, path, "codes")).filter(col("vec_id") === 3L)
       .select(col("q8")).head().getSeq[Long](0)
     assert(old3.forall(x => x >= 0L && x < 30L),
       s"old codes not re-encoded under the widened envelope: $old3")
     // Fixpoint: a second rebalance over the same lake changes nothing.
-    val codes1 = spark.read.parquet(s"$path/codes")
+    val codes1 = spark.read.parquet(graft.operators.IndexSwap.side(spark, path, "codes"))
       .collect().map(_.toString).sorted.toSeq
-    val stats1 = spark.read.parquet(s"$path/stats")
+    val stats1 = spark.read.parquet(graft.operators.IndexSwap.side(spark, path, "stats"))
       .collect().map(_.toString).sorted.toSeq
     SQ8.rebalanceSq8Index(spark, path)
-    assert(spark.read.parquet(s"$path/codes")
+    assert(spark.read.parquet(graft.operators.IndexSwap.side(spark, path, "codes"))
       .collect().map(_.toString).sorted.toSeq == codes1)
-    assert(spark.read.parquet(s"$path/stats")
+    assert(spark.read.parquet(graft.operators.IndexSwap.side(spark, path, "stats"))
       .collect().map(_.toString).sorted.toSeq == stats1)
     // The index still serves after the swap.
     assert(SQ8.probeSq8Index(spark, sf, path, 5).count() == 50)
   }
 
-  test("interrupted swap heals: tmp junk with no marker rolls back; the live index is untouched") {
+  test("interrupted rebuild heals: a partial stage is dropped; the live index is untouched") {
     import org.apache.hadoop.fs.Path
     val path = graft.operators.Similarity.newIndexDir()
     SQ8.buildSq8Index(spark, sf, path)
     val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
-    fs.mkdirs(new Path(s"$path/.codes_rebal_tmp"))
-    fs.create(new Path(s"$path/.codes_rebal_tmp/part-junk.parquet"), true).close()
-    val before = spark.read.parquet(s"$path/codes")
+    fs.mkdirs(new Path(s"$path/.stage/codes"))
+    fs.create(new Path(s"$path/.stage/codes/part-junk.parquet"), true).close()
+    val before = spark.read.parquet(graft.operators.IndexSwap.side(spark, path, "codes"))
       .collect().map(_.toString).sorted.toSeq
     SQ8.recoverSq8Rebalance(spark, path)
-    assert(!fs.exists(new Path(s"$path/.codes_rebal_tmp")))
-    assert(spark.read.parquet(s"$path/codes")
+    assert(!fs.exists(new Path(s"$path/.stage")))
+    assert(spark.read.parquet(graft.operators.IndexSwap.side(spark, path, "codes"))
       .collect().map(_.toString).sorted.toSeq == before, "rollback touched the live index")
   }
 }
