@@ -1432,18 +1432,21 @@ object PQ {
     val cents = s.read.parquet(s"$root/centroids")
     val cb = s.read.parquet(s"$root/codebooks")
     val (residualIdx, p) = indexMetaAt(s, root)
-    probeResolved(s, probes, root, cents, cb, residualIdx, p, nProbe, k)
+    probeResolved(s, probes, root, cents, cb, residualIdx, p, nProbe, k, None)
   }
 
   /** A SERVE-SESSION handle (round-14 verdict task 7): the fixed
     * per-call serving state — resolved version root, meta flag +
-    * realized sizing, and the two manifest-class metadata tables
-    * collected into LOCAL relations — opened once and reused across
-    * probe calls. The pqlat battery measured the fixed stages at
-    * ~0.7 s per cold call (meta read 0.15 s + probe collect 0.22 s +
-    * routing partly re-collecting centroids 0.35 s); a serving fleet
-    * replaying thousands of probe batches against a standing index
-    * pays that once per REBUILD, not once per call.
+    * realized sizing, the two manifest-class metadata tables as LOCAL
+    * relations, AND the centroid table as flat driver arrays — opened
+    * once and reused across probe calls. A handle probe pays zero
+    * store reads outside the two cell-scoped data sides and runs the
+    * ROUTING as an in-process loop over the cached arrays
+    * ([[driverRoute]] — probes x cells multiply-adds, microseconds for
+    * serving batches) instead of the per-call Spark routing job; the
+    * per-call fixed stages the pqlat battery measured (meta read
+    * 0.12 s + centroid/codebook reads + routing job 0.25 s) are paid
+    * once per REBUILD, not once per probe batch.
     *
     * Staleness: the handle pins the version it opened. [[probeWith]]
     * re-checks [[IndexSwap.liveVersion]] (one LIST request) and
@@ -1453,13 +1456,14 @@ object PQ {
     * freshness, not safety. */
   final case class PqIndexHandle private[operators] (path: String, version: Long,
       root: String, residual: Boolean, params: PqParams,
-      localCents: DataFrame, localCb: DataFrame) {
+      localCents: DataFrame, localCb: DataFrame,
+      centArrays: Similarity.CentArrays) {
     /** Probe through the cached state, re-opening if a rebuild
       * committed since [[openPqIndex]]. */
     def probeWith(s: SparkSession, probes: DataFrame, nProbe: Int, k: Int): DataFrame = {
       val h = if (IndexSwap.liveVersion(s, path) == version) this else openPqIndex(s, path)
       probeResolved(s, probes, h.root, h.localCents, h.localCb,
-        h.residual, h.params, nProbe, k)
+        h.residual, h.params, nProbe, k, Some(h.centArrays))
     }
   }
 
@@ -1477,7 +1481,55 @@ object PQ {
     val cb = s.read.parquet(s"$root/codebooks")
     val localCb = s.createDataFrame(
       java.util.Arrays.asList(cb.collect(): _*), cb.schema)
-    PqIndexHandle(path, version, root, residual, p, localCents, localCb)
+    PqIndexHandle(path, version, root, residual, p, localCents, localCb,
+      Similarity.collectCents(localCents))
+  }
+
+  /** IN-PROCESS probe routing over the handle's cached centroid
+    * arrays: per probe, score every cell with the EXACT [[routeCells]]
+    * arithmetic — [[graft.functions.DotProductFF]]'s left-to-right
+    * double fold, `floor(dot / (cn * nrm) * 1e6)` with Java
+    * double->long cast, ties by (score desc, cent_id asc) — and keep
+    * the top nProbe. Bit-parity with the Spark routing job is pinned
+    * transitively by PQSpec's handle-vs-per-call equality (a routing
+    * divergence would change the served rows). Work is probes x cells
+    * multiply-adds on the driver — for the bounded serving batch shape
+    * (≤1e6 routed pairs, cells ~ sqrt(N)) that is microseconds-to-
+    * milliseconds, replacing a ~0.25 s Spark job per call. */
+  private def driverRoute(s: SparkSession,
+      probeRows: Array[org.apache.spark.sql.Row], ca: Similarity.CentArrays,
+      nProbe: Int): (DataFrame, Seq[Long]) = {
+    require(probeRows.length.toLong * nProbe <= 1000000L,
+      "driverRoute: probe batch routes to >1e6 (probe, cell) rows — " +
+        "PQ probing is for probe BATCHES; a corpus-sized probe set should " +
+        "assign both sides to cells and equi-join on cent_id (the qn20 shape)")
+    val rows = probeRows.iterator.flatMap { r =>
+      val pid = r.getLong(0)
+      val emb = r.getSeq[Float](1)
+      require(emb.length == ca.dim,
+        s"driverRoute: probe width ${emb.length} != centroid dim ${ca.dim}")
+      val nrm = r.getDouble(2)
+      val scored = new Array[(Long, Long)](ca.cids.length)
+      var j = 0
+      while (j < ca.cids.length) {
+        var dot = 0.0
+        var d = 0
+        val base = j * ca.dim
+        while (d < ca.dim) {
+          dot += ca.flat(base + d).toDouble * emb(d).toDouble
+          d += 1
+        }
+        scored(j) = (math.floor(dot / (ca.cns(j) * nrm) * 1000000L).toLong, ca.cids(j))
+        j += 1
+      }
+      scored.sortBy { case (sc, cid) => (-sc, cid) }.take(nProbe).iterator
+        .map { case (_, cid) => org.apache.spark.sql.Row(pid, cid) }
+    }.toArray
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("probe_id", org.apache.spark.sql.types.LongType, false),
+      org.apache.spark.sql.types.StructField("cent_id", org.apache.spark.sql.types.LongType, false)))
+    (s.createDataFrame(java.util.Arrays.asList(rows: _*), schema),
+      rows.map(_.getLong(1)).distinct.toSeq)
   }
 
   /** The probe pipeline against a PINNED version root and
@@ -1487,7 +1539,7 @@ object PQ {
     * outside the two cell-scoped data sides). */
   private def probeResolved(s: SparkSession, probes: DataFrame, root: String,
       cents: DataFrame, cb: DataFrame, residualIdx: Boolean, p: PqParams,
-      nProbe: Int, k: Int): DataFrame = {
+      nProbe: Int, k: Int, cachedCents: Option[Similarity.CentArrays]): DataFrame = {
     // Probes materialize ONCE as a local relation (manifest-class):
     // the routing, the ADC-table build, the shortlist, and the refine
     // each run their own action, and a lazy probe frame would re-scan
@@ -1504,7 +1556,14 @@ object PQ {
         "equi-join on cent_id (the qn20 shape)")
     val probesV = s.createDataFrame(
       java.util.Arrays.asList(probeRows: _*), probesRaw.schema)
-    val (localPc, cells) = routeCells(s, probesV, cents, nProbe)
+    // Routing: in-process over the handle's cached arrays when a
+    // serve-session supplied them ([[driverRoute]]), the Spark routing
+    // job otherwise — identical pairs either way (PQSpec pins the
+    // handle-vs-per-call equality).
+    val (localPc, cells) = cachedCents match {
+      case Some(ca) => driverRoute(s, probeRows, ca, nProbe)
+      case None => routeCells(s, probesV, cents, nProbe)
+    }
     val pe6 = probesV.select(col("vec_id").as("probe_id"),
       transform(col("embedding"),
         x => floor(x.cast("double") * 1000000).cast("long")).as("emb6"))
