@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.GraftSqlBridge
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType}
 
 /** Native codegen'd dot product over two `array<float>` columns.
   *
@@ -211,7 +211,91 @@ case class MinHashSig(child: Expression, nPlanes: Int)
     copy(child = newChild)
 }
 
+/** Native integer squared L2 distance over two `array<long>` columns
+  * — the SQ8 rank loop ([[graft.operators.SQ8]]/qn38's `qd2`), taken
+  * out of HOF land. The declarative form
+  * `aggregate(zip_with(a, b, (x,y) => (x-y)*(x-y)), 0L, _+_)`
+  * allocates an intermediate 64-element array PER CANDIDATE PAIR
+  * (zip_with materializes) and folds it through generic array
+  * machinery; at the ladder battery's 1M x 10-probe rank stage that
+  * allocation is the probe wall. This expression is the
+  * [[DotProductFF]] shape over longs: one fused loop, no intermediate
+  * array, identical left-to-right long arithmetic — results are
+  * BIT-IDENTICAL to the HOF form (including NULL on width mismatch or
+  * NULL element, zip_with's padding semantics — pinned in
+  * VectorExprsSpec) so the unchanged qn38/qn38b oracles ride it.
+  */
+case class IntSqDistLL(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def prettyName: String = "int_sqdist"
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    })
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"int_sqdist requires array<bigint> inputs, got ${left.dataType} / ${right.dataType}")
+  }
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val l = left.eval(input)
+    if (l == null) return null
+    val r = right.eval(input)
+    if (r == null) return null
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val d = a.getLong(i) - b.getLong(i)
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val d = ctx.freshName("d")
+      s"""
+         |final int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long $acc = 0L;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    final long $d = $a.getLong($i) - $b.getLong($i);
+         |    $acc += $d * $d;
+         |  }
+         |  ${ev.value} = $acc;
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): IntSqDistLL =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorExprs {
+  /** Column wrapper for [[IntSqDistLL]]. */
+  def intSqDistNative(a: Column, b: Column): Column =
+    GraftSqlBridge.column(IntSqDistLL(
+      GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
+
   /** Column wrapper for [[DotProductFF]]. */
   def dotNative(a: Column, b: Column): Column =
     GraftSqlBridge.column(DotProductFF(

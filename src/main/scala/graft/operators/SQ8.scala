@@ -213,8 +213,11 @@ object SQ8 {
     // probes, so the qn38 parity is unaffected).
     val pq8 = ve6Of(probesV)
       .select(col("vec_id").as("qid"), q8Col(mna, spa, clamp = true).as("pq8"))
-    val qd2 = aggregate(zip_with(col("q8"), col("pq8"), (x, y) => (x - y) * (x - y)),
-      lit(0L), (acc, z) => acc + z)
+    // Rank loop is the native fused expression (round 15): the HOF
+    // form allocated a zip_with array per candidate pair — the
+    // measured probe wall at 1M (ladder battery). Bit-identical
+    // results (VectorExprsSpec), so the qn38/qn38b oracles ride it.
+    val qd2 = graft.functions.VectorExprs.intSqDistNative(col("q8"), col("pq8"))
     val wSl = Window.partitionBy(col("qid")).orderBy(col("qd2").asc, col("vec_id").asc)
     val sl = s.read.parquet(IndexSwap.side(s, path, "codes"))
       .join(broadcast(pq8), expr("true"))

@@ -627,8 +627,9 @@ object Similarity {
     val probes = qv.filter(col("vec_id") < 10).join(v, Seq("vec_id"))
       .select(col("vec_id").as("qid"), col("q8").as("pq8"),
         col("embedding").as("pe"), col("nrm").as("pn"))
-    val qd2 = aggregate(zip_with(col("q8"), col("pq8"), (x, y) => (x - y) * (x - y)),
-      lit(0L), (acc, z) => acc + z)
+    // Native fused rank loop (see SQ8.probeSq8IndexWith) — identical
+    // integer results, no per-pair zip_with allocation.
+    val qd2 = graft.functions.VectorExprs.intSqDistNative(col("q8"), col("pq8"))
     val wSl = Window.partitionBy(col("qid")).orderBy(col("qd2").asc, col("vec_id").asc)
     val sl = qv.join(broadcast(probes.select(col("qid"), col("pq8"))), expr("true"))
       .filter(col("vec_id") =!= col("qid"))

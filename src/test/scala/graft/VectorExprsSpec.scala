@@ -41,6 +41,36 @@ class VectorExprsSpec extends AnyFunSuite {
     assert(hof.forall(identity))
   }
 
+  test("native int_sqdist matches the zip_with/aggregate HOF bit for bit, including null semantics") {
+    import spark.implicits._
+    import graft.functions.VectorExprs.intSqDistNative
+    val d = (0 until 100).map { i =>
+      (Seq.tabulate(64)(j => ((i * 31 + j * 7) % 256).toLong),
+       Seq.tabulate(64)(j => ((i * 17 + j * 13) % 256).toLong))
+    }.toDF("a", "b")
+    val hof = aggregate(zip_with(col("a"), col("b"), (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, z) => acc + z)
+    val rows = d.select(intSqDistNative(col("a"), col("b")).as("n"), hof.as("h")).collect()
+    rows.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+    // Width mismatch and NULL element: both forms yield NULL.
+    val edge = Seq(
+      (Some(Seq(Some(1L), Some(2L))), Some(Seq(Some(1L)))),
+      (Some(Seq(Some(1L), None)), Some(Seq(Some(1L), Some(2L)))),
+      (None: Option[Seq[Option[Long]]], Some(Seq(Some(1L))))
+    ).toDF("a", "b")
+    val hofE = aggregate(zip_with(col("a"), col("b"), (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, z) => acc + z)
+    val got = edge.select(intSqDistNative(col("a"), col("b")).as("n"), hofE.as("h")).collect()
+    got.foreach { r => assert(r.isNullAt(0) && r.isNullAt(1)) }
+    // Interpreted eval agrees with codegen.
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.sql.types.{ArrayType, LongType}
+    val la = Literal.create(new GenericArrayData(Array(3L, 250L)), ArrayType(LongType))
+    val lb = Literal.create(new GenericArrayData(Array(7L, 1L)), ArrayType(LongType))
+    assert(graft.functions.IntSqDistLL(la, lb).eval(null) == (16L + 249L * 249L))
+  }
+
   test("interpreted eval agrees with codegen") {
     import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.catalyst.util.GenericArrayData
