@@ -132,9 +132,14 @@ object PQ {
   private def vsub(veF: DataFrame, p: PqParams = fixturePq): DataFrame =
     vsubKeyed(veF, Seq("vec_id"), p)
 
-  /** Integer squared euclidean between two e6 long arrays. */
+  /** Integer squared euclidean between two e6 long arrays — the native
+    * fused expression (one definition with the SQ8 rank loop;
+    * bit-identical to the zip_with/aggregate HOF form it replaced,
+    * VectorExprsSpec). Here it only feeds the ADC-table build
+    * (probes x M x K rows — broadcast-class), so this is consistency,
+    * not a wall. */
   private def d2(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), (acc, x) => acc + x)
+    graft.functions.VectorExprs.intSqDistNative(a, b)
 
   /** Collect a trained codebook frame (sub, code, c6) to the flattened
     * plan-time form [[graft.functions.PqEncode]] consumes, deriving the
