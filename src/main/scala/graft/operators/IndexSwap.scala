@@ -14,12 +14,13 @@ import org.apache.spark.sql.SparkSession
   * `rename(tmp, live)` the live dir was momentarily absent, and worse,
   * a reader could resolve one side pre-swap and another post-swap (old
   * codes against new centroids routes probes into cells that no longer
-  * exist — silently empty results, not even an error). Measured
-  * (ReaderRaceSpec): under ANY same-path swap a reader that listed
-  * files before the swap fails afterward with FILE_NOT_EXIST, because
-  * a rebuilt side's part files have fresh names — so "document the
-  * race away" was not available, and the fix must change where data
-  * LIVES, not how it is renamed.
+  * exist — silently empty results, not even an error). Measured: under
+  * ANY same-path swap a reader that listed files before the swap fails
+  * afterward with FILE_NOT_EXIST, because a rebuilt side's part files
+  * have fresh names — so "document the race away" was not available,
+  * and the fix must change where data LIVES, not how it is renamed.
+  * The reader-snapshot guarantee is pinned in IvfRebalanceSpec and
+  * PqRebalanceSpec ("readers never race a rebuild").
   *
   * Protocol: a rebuild stages every side under ONE hidden sibling
   * (`$path/.stage/<side>`), and the commit is a SINGLE atomic rename

@@ -1271,7 +1271,8 @@ object Similarity {
     * loudly rather than letting the collect OOM the driver. */
   def probeIvfIndexWith(s: SparkSession, probes: DataFrame, path: String,
       nProbe: Int, k: Int): DataFrame = {
-    val cents = s.read.parquet(IndexSwap.side(s, path, "centroids"))
+    val root = IndexSwap.liveRoot(s, path) // one resolution per call — no version mixing
+    val cents = s.read.parquet(s"$root/centroids")
     val pv = probes.select(col("vec_id"), col("embedding"),
       l2normNative(col("embedding")).as("nrm"))
     val pc = ivfRoute(pv, cents, nProbe)
@@ -1282,11 +1283,82 @@ object Similarity {
     val localPc = s.createDataFrame(java.util.Arrays.asList(pcRows: _*), pc.schema)
     val centIdx = pc.schema.fieldIndex("cent_id")
     val cells = pcRows.map(_.getLong(centIdx)).distinct.toSeq
-    val candidates = cellScopedRead(s, path, "vectors", cells)
+    probeCellsTail(s, root, localPc, cells, k)
+  }
+
+  /** The probe tail shared by the per-call entry and the serve handle:
+    * cell-scoped candidate read against a PINNED version root + exact
+    * rescoring. */
+  private def probeCellsTail(s: SparkSession, root: String, localPc: DataFrame,
+      cells: Seq[Long], k: Int): DataFrame = {
+    val candidates = cellScopedReadAt(s, root, "vectors", cells)
       .filter(col("cent_id").isin(cells: _*))
       .select(col("vec_id"), col("embedding"), col("nrm"),
         col("cent_id").cast("long").as("cent_id"))
     ivfScoreTail(candidates, localPc, k)
+  }
+
+  /** A SERVE-SESSION handle for the plain IVF index — the
+    * [[PQ.openPqIndex]] pattern at this tier: pinned version root +
+    * the centroid table as flat driver arrays, opened once; each probe
+    * call pays one [[IndexSwap.liveVersion]] staleness check and
+    * routes IN-PROCESS over the cached arrays (the [[PQ.driverRoute]]
+    * arithmetic — [[graft.functions.DotProductFF]]'s left-to-right
+    * double fold, e6 floor-cast, score-desc/cent_id-asc ties — so the
+    * served rows are bit-identical to [[probeIvfIndexWith]], pinned in
+    * IvfRebalanceSpec). */
+  final case class IvfIndexHandle private[operators] (path: String, version: Long,
+      root: String, centArrays: CentArrays) {
+    def probeWith(s: SparkSession, probes: DataFrame, nProbe: Int, k: Int): DataFrame = {
+      val h = if (IndexSwap.liveVersion(s, path) == version) this else openIvfIndex(s, path)
+      val ca = h.centArrays
+      val probesRaw = probes.select(col("vec_id"), col("embedding"),
+        l2normNative(col("embedding")).as("nrm"))
+      val maxProbes = 1000000 / math.max(1, nProbe)
+      val probeRows = probesRaw.limit(maxProbes + 1).collect()
+      require(probeRows.length <= maxProbes,
+        "IvfIndexHandle.probeWith: probe batch routes to >1e6 (probe, cell) rows — " +
+          "use a cent_id assignment JOIN for corpus-sized probe sets")
+      val routed = probeRows.iterator.flatMap { r =>
+        val emb = r.getSeq[Float](1)
+        require(emb.length == ca.dim,
+          s"probeWith: probe width ${emb.length} != centroid dim ${ca.dim}")
+        val nrm = r.getDouble(2)
+        val scored = new Array[(Long, Long)](ca.cids.length)
+        var j = 0
+        while (j < ca.cids.length) {
+          var dot = 0.0
+          var d = 0
+          val base = j * ca.dim
+          while (d < ca.dim) {
+            dot += ca.flat(base + d).toDouble * emb(d).toDouble
+            d += 1
+          }
+          scored(j) = (math.floor(dot / (ca.cns(j) * nrm) * 1000000L).toLong, ca.cids(j))
+          j += 1
+        }
+        scored.sortBy { case (sc, cid) => (-sc, cid) }.take(nProbe).iterator
+          .map { case (_, cid) =>
+            org.apache.spark.sql.Row(r.getLong(0), r.get(1), nrm, cid) }
+      }.toArray
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("probe_id", org.apache.spark.sql.types.LongType, false),
+        org.apache.spark.sql.types.StructField("pe",
+          org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType, containsNull = true), true),
+        org.apache.spark.sql.types.StructField("pn", org.apache.spark.sql.types.DoubleType, false),
+        org.apache.spark.sql.types.StructField("cent_id", org.apache.spark.sql.types.LongType, false)))
+      val localPc = s.createDataFrame(java.util.Arrays.asList(routed: _*), schema)
+      probeCellsTail(s, h.root, localPc, routed.map(_.getLong(3)).distinct.toSeq, k)
+    }
+  }
+
+  /** Open an IVF serve-session handle: one version resolve + one
+    * centroid collect. */
+  def openIvfIndex(s: SparkSession, path: String): IvfIndexHandle = {
+    val version = IndexSwap.liveVersion(s, path)
+    val root = if (version == 0L) path else s"$path/v$version"
+    IvfIndexHandle(path, version, root,
+      collectCents(s.read.parquet(s"$root/centroids")))
   }
 
   /** Cell-count bound past which [[cellScopedRead]] falls back to the

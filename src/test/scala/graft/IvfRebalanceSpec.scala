@@ -183,4 +183,23 @@ class IvfRebalanceSpec extends AnyFunSuite {
     assert(reader.count() == before, "pre-swap reader lost its snapshot")
     assert(graft.operators.IndexSwap.liveVersion(spark, path) == 2L)
   }
+
+  test("IVF serve handle: probeWith matches the per-call entry bit-exactly and re-opens after a rebuild") {
+    val path = Similarity.newIndexDir()
+    Similarity.buildIvfIndex(spark, sf, 16, path)
+    val probeFrame = Tables.embeddings(spark, sf).filter(col("vec_id") < 10)
+      .select("vec_id", "embedding")
+    val perCall = Similarity.probeIvfIndexWith(spark, probeFrame, path, 4, 5)
+      .collect().map(_.toString).toSeq
+    val handle = Similarity.openIvfIndex(spark, path)
+    val viaHandle = handle.probeWith(spark, probeFrame, 4, 5)
+      .collect().map(_.toString).toSeq
+    assert(viaHandle == perCall, "handle probe diverged from the per-call entry")
+    Similarity.rebalanceIvfIndex(spark, path)
+    val afterRebuild = Similarity.probeIvfIndexWith(spark, probeFrame, path, 4, 5)
+      .collect().map(_.toString).toSeq
+    val viaStale = handle.probeWith(spark, probeFrame, 4, 5)
+      .collect().map(_.toString).toSeq
+    assert(viaStale == afterRebuild, "stale handle did not re-open on the new version")
+  }
 }
