@@ -108,6 +108,14 @@ private[graft] object IndexSwap {
     val fs = fsOf(s, path)
     require(fs.exists(stageRoot(path)),
       s"IndexSwap.commit: nothing staged at ${stageRoot(path)}")
+    // A version is all-or-nothing: refuse to commit a stage missing any
+    // declared side (a foreign writer's partial stage, or a bug in the
+    // build's staging order, must fail loudly here — never become a
+    // live version that readers resolve and 404 against).
+    val missing = sides.filterNot(sd => fs.exists(tmp(path, sd)))
+    require(missing.isEmpty,
+      s"IndexSwap.commit: stage at ${stageRoot(path)} is missing sides ${missing.mkString(", ")} — " +
+        "every side must be completely written before commit (single-writer contract)")
     val vs = versions(fs, path)
     val next = vs.maxOption.getOrElse(0L) + 1
     require(fs.rename(stageRoot(path), new Path(s"$path/v$next")),

@@ -184,6 +184,21 @@ class IvfRebalanceSpec extends AnyFunSuite {
     assert(graft.operators.IndexSwap.liveVersion(spark, path) == 2L)
   }
 
+  test("commit refuses a stage missing a declared side — a partial stage can never become a live version") {
+    import org.apache.hadoop.fs.Path
+    val path = Similarity.newIndexDir()
+    Similarity.buildIvfIndex(spark, sf, 16, path)
+    val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
+    fs.mkdirs(new Path(s"$path/.stage/vectors")) // centroids side missing
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.IndexSwap.commit(spark, path, Seq("vectors", "centroids"))
+    }
+    assert(e.getMessage.contains("missing sides centroids"), e.getMessage)
+    assert(graft.operators.IndexSwap.liveVersion(spark, path) == 1L, "partial stage was committed")
+    Similarity.recoverRebalance(spark, path)
+    assert(Similarity.probeIvfIndex(spark, sf, path, 4, 5).count() == 50)
+  }
+
   test("IVF serve handle: probeWith matches the per-call entry bit-exactly and re-opens after a rebuild") {
     val path = Similarity.newIndexDir()
     Similarity.buildIvfIndex(spark, sf, 16, path)
