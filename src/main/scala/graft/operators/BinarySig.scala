@@ -60,16 +60,21 @@ object BinarySig {
     * non-64-dim or NULL-element row would otherwise sign into a
     * DEFICIENT signature — bits silently 0 — and a near-zero signature
     * Hamming-matches everything, so malformed rows would crowd every
-    * probe's shortlist while looking like a valid index. */
+    * probe's shortlist while looking like a valid index. The guard
+    * evaluates ONCE per row (round-15 ADVICE: the previous form
+    * inlined it into each of the fold's 64 element reads — 64x the
+    * necessary O(dim) work on the encode path of a 100 TB index):
+    * CaseWhen evaluates the taken branch only, so the fold runs over
+    * the RAW column strictly after one size+exists check passes. */
   private[graft] def sigCol(emb: Column): Column = {
-    val checked = when(size(emb) === 64 && !exists(emb, x => x.isNull), emb)
+    val fold = aggregate(sequence(lit(0), lit(63)), lit(0L), (acc, d) =>
+      acc.bitwiseOR(when(element_at(emb, d + 1).cast("double") > 0,
+        call_function("shiftleft", lit(1L), d)).otherwise(lit(0L))))
+    when(size(emb) === 64 && !exists(emb, x => x.isNull), fold)
       .otherwise(raise_error(concat(
         lit("BinarySig: embedding width "), size(emb).cast("string"),
         lit(" != 64, or NULL element — the sign signature packs exactly 64 dims" +
-          " into one long; clean/resize the corpus before signing"))))
-    aggregate(sequence(lit(0), lit(63)), lit(0L), (acc, d) =>
-      acc.bitwiseOR(when(element_at(checked, d + 1).cast("double") > 0,
-        call_function("shiftleft", lit(1L), d)).otherwise(lit(0L))))
+          " into one long; clean/resize the corpus before signing"))).cast("long"))
   }
 
   /** Stage both sides into the [[IndexSwap]] tmp siblings (shared by
@@ -102,14 +107,19 @@ object BinarySig {
     * then silently dropped by the refine join). */
   def appendToBinIndex(s: SparkSession, newVecs: DataFrame, path: String): Unit = {
     recoverBinRebalance(s, path)
+    // ONE version resolution for both side writes (round-15 ADVICE): a
+    // rebalance committing between them would otherwise split the
+    // append across versions — cold rows into the retiring version
+    // (lost at retention), code rows referencing no cold row.
+    val root = IndexSwap.liveRoot(s, path)
     val v = newVecs.select(col("vec_id"), col("embedding"),
       l2normNative(col("embedding")).as("nrm"))
     v.repartitionByRange(col("vec_id")).sortWithinPartitions("vec_id")
       .write.mode("append").option("parquet.block.size", 1L << 20)
-      .parquet(IndexSwap.side(s, path, "vectors"))
+      .parquet(IndexSwap.sideAt(root, "vectors"))
     v.select(col("vec_id"), sigCol(col("embedding")).as("sig"))
       .repartitionByRange(col("vec_id")).sortWithinPartitions("vec_id")
-      .write.mode("append").parquet(IndexSwap.side(s, path, "codes"))
+      .write.mode("append").parquet(IndexSwap.sideAt(root, "codes"))
   }
 
   /** Re-sign and re-sort both tiers from the grown cold lake — the
@@ -145,6 +155,12 @@ object BinarySig {
     * loud [[PQ.maxProbeBatch]] bound, same rationale as SQ8. */
   def probeBinIndexWith(s: SparkSession, probes: DataFrame, path: String,
       k: Int): DataFrame = {
+    // ONE version resolution per probe call (the PQ.probeResolved
+    // contract — round-15 ADVICE): the sig scan and the cold refine
+    // read the SAME pinned version, so a rebalance committing
+    // mid-probe can never mix a shortlist from one version with
+    // refine rows from another.
+    val root = IndexSwap.liveRoot(s, path)
     val probesRaw = probes.select(col("vec_id"), col("embedding"),
       l2normNative(col("embedding")).as("nrm"))
     val probeRows = probesRaw.limit(PQ.maxProbeBatch + 1).collect()
@@ -158,7 +174,7 @@ object BinarySig {
     val psig = probesV.select(col("vec_id").as("qid"),
       sigCol(col("embedding")).as("psig"))
     val wSl = Window.partitionBy(col("qid")).orderBy(col("ham").asc, col("vec_id").asc)
-    val sl = s.read.parquet(IndexSwap.side(s, path, "codes"))
+    val sl = s.read.parquet(IndexSwap.sideAt(root, "codes"))
       .join(broadcast(psig), expr("true"))
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"),
@@ -175,7 +191,7 @@ object BinarySig {
       if (slIds.isEmpty) lit(false)
       else if (slIds.length <= isinMaxIds(s)) col("vec_id").isin(slIds: _*)
       else col("vec_id").between(slIds.min, slIds.max)
-    val cold = s.read.parquet(IndexSwap.side(s, path, "vectors")).filter(slPush)
+    val cold = s.read.parquet(IndexSwap.sideAt(root, "vectors")).filter(slPush)
       .select(col("vec_id"), col("embedding").as("de"), col("nrm").as("dn"))
     val refScore = e6(cosine(
       graft.functions.VectorExprs.dotNative(col("qe"), col("de")), col("qn"), col("dn")))

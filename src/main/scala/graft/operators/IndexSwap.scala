@@ -46,12 +46,23 @@ import org.apache.spark.sql.SparkSession
   * as version 0 until a first commit supersedes them). An in-flight
   * reader therefore keeps a full REBUILD CYCLE to finish against its
   * snapshot — on a serving fleet that is hours, not the previous
-  * protocol's zero. The residual contract, now stated rather than
-  * implicit: WRITERS are single-writer per index root (two concurrent
-  * rebuilds of one index are undefined — they would race the same
-  * `.stage`), and a reader older than one full rebuild cycle can still
-  * lose its version dir; both are the standard lakehouse
-  * snapshot-retention semantics, at index granularity.
+  * protocol's zero. The retention depth is a conf
+  * (`spark.graft.index.retainVersions`, default 1 prior version): a
+  * serving fleet whose scans outlive one rebuild cycle raises it and
+  * commits keep that many superseded versions alive.
+  *
+  * The residual contract, now stated rather than implicit: WRITERS are
+  * single-writer per index root — and "writer" covers BOTH rebuilds
+  * and appends (round-15 ADVICE): two concurrent rebuilds would race
+  * the same `.stage`, and an append racing a rebalance commit could
+  * split its side writes across versions (the append paths pin
+  * [[liveRoot]] once at entry so a single append never self-mixes,
+  * but an append whose pinned version is superseded mid-write lands
+  * rows in a dir a later cleanup deletes — lost appends, the standard
+  * lakehouse concurrent-writer caveat). Run appends and maintenance on
+  * one cadence per index root. A reader older than the retained window
+  * can still lose its version dir; both are snapshot-retention
+  * semantics, at index granularity.
   */
 private[graft] object IndexSwap {
 
@@ -93,9 +104,22 @@ private[graft] object IndexSwap {
     if (n == 0L) path else s"$path/v$n"
   }
 
-  /** Resolved directory of one side of the live version. */
+  /** Resolved directory of one side of the live version. ONE version
+    * resolution per call — a multi-side reader or appender must NOT
+    * call this once per side (each call re-lists the root, and a
+    * commit landing between two calls hands the caller sides from
+    * DIFFERENT versions — e.g. an old SQ8 envelope against re-encoded
+    * codes, a silently wrong shortlist). Resolve [[liveRoot]] once at
+    * entry and address every side through [[sideAt]]. */
   def side(s: SparkSession, path: String, sideName: String): String =
     s"${liveRoot(s, path)}/$sideName"
+
+  /** Side dir under an ALREADY-RESOLVED root — the pinned-version form
+    * every multi-side probe and append path uses (round-15 ADVICE):
+    * resolve [[liveRoot]] ONCE at entry, then read/write every side
+    * through that root, so a rebalance committing mid-call can never
+    * mix versions within one logical operation. */
+  def sideAt(root: String, sideName: String): String = s"$root/$sideName"
 
   /** Commit a fully-staged rebuild: ONE atomic rename of the stage dir
     * to the next version, then retention cleanup (versions <= N-1 and,
@@ -120,12 +144,17 @@ private[graft] object IndexSwap {
     val next = vs.maxOption.getOrElse(0L) + 1
     require(fs.rename(stageRoot(path), new Path(s"$path/v$next")),
       s"IndexSwap.commit: rename of staged v$next failed")
-    // Retention: the previous version survives one full rebuild cycle
-    // for in-flight readers; everything older goes now.
-    vs.filter(_ <= next - 2).foreach(v => fs.delete(new Path(s"$path/v$v"), true): Unit)
+    // Retention: the previous `retain` versions survive for in-flight
+    // readers (default 1 = one full rebuild cycle; a serving fleet
+    // whose scans span several rebuilds raises the conf); everything
+    // older goes now.
+    val retain = math.max(1L,
+      s.conf.getOption("spark.graft.index.retainVersions").map(_.toLong).getOrElse(1L))
+    vs.filter(_ <= next - 1 - retain)
+      .foreach(v => fs.delete(new Path(s"$path/v$v"), true): Unit)
     // Legacy unversioned sides are "version 0": superseded by v1, kept
-    // through v1's cycle as the reader grace, deleted at v2+.
-    if (next >= 2) sides.foreach { sd =>
+    // through the retained window as the reader grace, then deleted.
+    if (next >= retain + 1) sides.foreach { sd =>
       val legacy = new Path(s"$path/$sd")
       if (fs.exists(legacy)) fs.delete(legacy, true): Unit
     }

@@ -1261,9 +1261,13 @@ object PQ {
   def appendToPqIndex(s: SparkSession, newVecs: DataFrame, path: String,
       autoRebalance: Option[Int] = None): Unit = {
     recoverPqRebalance(s, path) // heal any interrupted prior swap first
-    val centsDir = IndexSwap.side(s, path, "centroids")
+    // ONE version resolution for every side read and write below
+    // (round-15 ADVICE): an append racing a rebalance commit must
+    // never mix metadata from one version with writes into another.
+    val root = IndexSwap.liveRoot(s, path)
+    val centsDir = IndexSwap.sideAt(root, "centroids")
     val cents = s.read.parquet(centsDir)
-    val cb = s.read.parquet(IndexSwap.side(s, path, "codebooks"))
+    val cb = s.read.parquet(IndexSwap.sideAt(root, "codebooks"))
     val v = newVecs.select(col("vec_id"), col("embedding"),
       l2normNative(col("embedding")).as("nrm"))
     // Same payload dispatch as the build: blocked native exact argmax
@@ -1277,7 +1281,7 @@ object PQ {
       transform(col("embedding"),
         x => floor(x.cast("double") * 1000000).cast("long")).as("emb6"))
     val encIn =
-      if (indexMeta(s, path)._1) residualVe(ve6, asg, cents) else ve6
+      if (indexMetaAt(s, root)._1) residualVe(ve6, asg, cents) else ve6
     val codes = codesWith(encIn, cb) // realized sizing derives from the stored codebook
     // COLD side first (see the crash-window note above). Mirror the
     // build's point-read layout (one file per touched cell, rows
@@ -1287,13 +1291,13 @@ object PQ {
     v.join(asg, Seq("vec_id"))
       .repartition(col("cent_id")).sortWithinPartitions(col("cent_id"), col("vec_id"))
       .write.mode("append").option("parquet.block.size", 1L << 20)
-      .partitionBy("cent_id").parquet(IndexSwap.side(s, path, "vectors"))
+      .partitionBy("cent_id").parquet(IndexSwap.sideAt(root, "vectors"))
     asg.join(codes, Seq("vec_id"))
       .select(col("vec_id"), col("codes"), col("cent_id"))
       .repartition(col("cent_id"))
-      .write.mode("append").partitionBy("cent_id").parquet(IndexSwap.side(s, path, "codes"))
+      .write.mode("append").partitionBy("cent_id").parquet(IndexSwap.sideAt(root, "codes"))
     autoRebalance.foreach { k =>
-      val stats = Similarity.ivfCellStats(s, path) // same layout: vectors/cent_id=
+      val stats = Similarity.ivfCellStatsAt(s, root) // same layout: vectors/cent_id=
       if (stats.nonEmpty) {
         val nCells = math.max(1L, Similarity.parquetRowCount(s, centsDir))
         val mean = math.max(1.0, stats.values.sum.toDouble / nCells)
@@ -1458,15 +1462,29 @@ object PQ {
     * re-opens automatically when a rebuild has committed — within the
     * reader-grace window a stale handle is still CORRECT (its version
     * dir is immutable and retained one cycle), so the check is about
-    * freshness, not safety. */
+    * freshness, not safety. The re-open is CACHED in an
+    * [[java.util.concurrent.atomic.AtomicReference]] (round-15
+    * ADVICE: the immutable case-class form discarded the refreshed
+    * handle, so after the first rebuild EVERY probe re-ran the full
+    * open — meta read + centroid/codebook collects — reverting the
+    * handle to per-call cost); re-open now happens once per committed
+    * version, as the "paid once per REBUILD" contract states. */
   final case class PqIndexHandle private[operators] (path: String, version: Long,
       root: String, residual: Boolean, params: PqParams,
       localCents: DataFrame, localCb: DataFrame,
       centArrays: Similarity.CentArrays) {
-    /** Probe through the cached state, re-opening if a rebuild
-      * committed since [[openPqIndex]]. */
+    private val current =
+      new java.util.concurrent.atomic.AtomicReference[PqIndexHandle](this)
+    /** The version the handle currently serves from (advances once per
+      * committed rebuild — the refresh-cached contract PQSpec pins). */
+    def currentVersion: Long = current.get().version
+    /** Probe through the cached state, re-opening (once per committed
+      * version) if a rebuild landed since the last probe. */
     def probeWith(s: SparkSession, probes: DataFrame, nProbe: Int, k: Int): DataFrame = {
-      val h = if (IndexSwap.liveVersion(s, path) == version) this else openPqIndex(s, path)
+      val cached = current.get()
+      val h =
+        if (IndexSwap.liveVersion(s, path) == cached.version) cached
+        else { val fresh = openPqIndex(s, path); current.set(fresh); fresh }
       probeResolved(s, probes, h.root, h.localCents, h.localCb,
         h.residual, h.params, nProbe, k, Some(h.centArrays))
     }

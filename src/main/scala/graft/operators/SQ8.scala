@@ -150,15 +150,21 @@ object SQ8 {
     * join). Out-of-envelope dims clamp — see the object doc. */
   def appendToSq8Index(s: SparkSession, newVecs: DataFrame, path: String): Unit = {
     recoverSq8Rebalance(s, path)
-    val (mna, spa) = collectStats(s.read.parquet(IndexSwap.side(s, path, "stats")))
+    // ONE version resolution for the stats read and both side writes
+    // (round-15 ADVICE): a rebalance committing mid-append would
+    // otherwise split the append across versions — codes encoded
+    // against one envelope landing beside another, or cold rows in a
+    // retiring version the code rows dangle against.
+    val root = IndexSwap.liveRoot(s, path)
+    val (mna, spa) = collectStats(s.read.parquet(IndexSwap.sideAt(root, "stats")))
     val v = newVecs.select(col("vec_id"), col("embedding"),
       l2normNative(col("embedding")).as("nrm"))
     v.repartitionByRange(col("vec_id")).sortWithinPartitions("vec_id")
       .write.mode("append").option("parquet.block.size", 1L << 20)
-      .parquet(IndexSwap.side(s, path, "vectors"))
+      .parquet(IndexSwap.sideAt(root, "vectors"))
     ve6Of(v).select(col("vec_id"), q8Col(mna, spa, clamp = true).as("q8"))
       .repartitionByRange(col("vec_id")).sortWithinPartitions("vec_id")
-      .write.mode("append").parquet(IndexSwap.side(s, path, "codes"))
+      .write.mode("append").parquet(IndexSwap.sideAt(root, "codes"))
   }
 
   /** Re-stat AND re-encode the whole index from its own cold lake (the
@@ -197,7 +203,13 @@ object SQ8 {
     * collect is probes x 16 <= 1e6 rows). */
   def probeSq8IndexWith(s: SparkSession, probes: DataFrame, path: String,
       k: Int): DataFrame = {
-    val (mna, spa) = collectStats(s.read.parquet(IndexSwap.side(s, path, "stats")))
+    // ONE version resolution per probe call (the PQ.probeResolved
+    // contract — round-15 ADVICE): stats, codes and the cold refine
+    // all read the SAME pinned version; a rebalance committing
+    // mid-probe can never pair an old envelope with re-encoded codes
+    // (a silently wrong shortlist, not an error).
+    val root = IndexSwap.liveRoot(s, path)
+    val (mna, spa) = collectStats(s.read.parquet(IndexSwap.sideAt(root, "stats")))
     val probesRaw = probes.select(col("vec_id"), col("embedding"),
       l2normNative(col("embedding")).as("nrm"))
     val probeRows = probesRaw.limit(PQ.maxProbeBatch + 1).collect()
@@ -219,7 +231,7 @@ object SQ8 {
     // results (VectorExprsSpec), so the qn38/qn38b oracles ride it.
     val qd2 = graft.functions.VectorExprs.intSqDistNative(col("q8"), col("pq8"))
     val wSl = Window.partitionBy(col("qid")).orderBy(col("qd2").asc, col("vec_id").asc)
-    val sl = s.read.parquet(IndexSwap.side(s, path, "codes"))
+    val sl = s.read.parquet(IndexSwap.sideAt(root, "codes"))
       .join(broadcast(pq8), expr("true"))
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"), qd2.as("qd2"))
@@ -237,7 +249,7 @@ object SQ8 {
       if (slIds.isEmpty) lit(false)
       else if (slIds.length <= isinMaxIds(s)) col("vec_id").isin(slIds: _*)
       else col("vec_id").between(slIds.min, slIds.max)
-    val cold = s.read.parquet(IndexSwap.side(s, path, "vectors")).filter(slPush)
+    val cold = s.read.parquet(IndexSwap.sideAt(root, "vectors")).filter(slPush)
       .select(col("vec_id"), col("embedding").as("de"), col("nrm").as("dn"))
     val refScore = e6(cosine(
       graft.functions.VectorExprs.dotNative(col("qe"), col("de")), col("qn"), col("dn")))

@@ -1152,15 +1152,19 @@ object Similarity {
   def appendToIvfIndex(s: SparkSession, newVecs: DataFrame, path: String,
       autoRebalance: Option[Int] = None): Unit = {
     recoverRebalance(s, path) // heal any interrupted prior swap first
-    val centsDir = IndexSwap.side(s, path, "centroids")
+    // ONE version resolution for the centroid read, the vector write,
+    // and the trigger audit (round-15 ADVICE): never split an append
+    // across a mid-call rebalance commit.
+    val root = IndexSwap.liveRoot(s, path)
+    val centsDir = IndexSwap.sideAt(root, "centroids")
     val cents = s.read.parquet(centsDir)
     val v = newVecs.select(col("vec_id"), col("embedding"),
       l2normNative(col("embedding")).as("nrm"))
     ivfAssignedDispatch(v, cents, parquetRowCount(s, centsDir))
       .write.mode("append")
-      .partitionBy("cent_id").parquet(IndexSwap.side(s, path, "vectors"))
+      .partitionBy("cent_id").parquet(IndexSwap.sideAt(root, "vectors"))
     autoRebalance.foreach { k =>
-      val stats = ivfCellStats(s, path)
+      val stats = ivfCellStatsAt(s, root)
       if (stats.nonEmpty) {
         val nCells = math.max(1L, parquetRowCount(s, centsDir))
         val mean = math.max(1.0, stats.values.sum.toDouble / nCells)
@@ -1172,10 +1176,16 @@ object Similarity {
   /** Per-cell row counts of a persisted IVF index, from the vector
     * lake's parquet footers — the occupancy audit the rebalance trigger
     * reads. Driver-side metadata walk, O(files); no Spark job. */
-  def ivfCellStats(s: SparkSession, path: String): Map[Long, Long] = {
+  def ivfCellStats(s: SparkSession, path: String): Map[Long, Long] =
+    ivfCellStatsAt(s, IndexSwap.liveRoot(s, path))
+
+  /** [[ivfCellStats]] against an ALREADY-RESOLVED version root — the
+    * pinned form the append paths use so the trigger audits the same
+    * version the append wrote (round-15 ADVICE). */
+  private[graft] def ivfCellStatsAt(s: SparkSession, root: String): Map[Long, Long] = {
     val conf = s.sessionState.newHadoopConf()
     graft.sources.LakeListing.dataFiles(conf,
-        new org.apache.hadoop.fs.Path(IndexSwap.side(s, path, "vectors")))
+        new org.apache.hadoop.fs.Path(IndexSwap.sideAt(root, "vectors")))
       .groupBy(_.getParent.getName)
       .collect { case (dir, files) if dir.startsWith("cent_id=") =>
         dir.stripPrefix("cent_id=").toLong -> files.map { f =>
@@ -1306,11 +1316,28 @@ object Similarity {
     * arithmetic — [[graft.functions.DotProductFF]]'s left-to-right
     * double fold, e6 floor-cast, score-desc/cent_id-asc ties — so the
     * served rows are bit-identical to [[probeIvfIndexWith]], pinned in
-    * IvfRebalanceSpec). */
+    * IvfRebalanceSpec).
+    *
+    * Refresh caching (round-15 ADVICE): a stale handle's re-open is
+    * HELD in an [[java.util.concurrent.atomic.AtomicReference]] — the
+    * first probe after a rebuild pays the open once and every later
+    * probe through this handle object reuses it, keeping the scaladoc
+    * claim "fixed stages are paid once per REBUILD" true for
+    * long-lived handles (the immutable case-class form re-opened on
+    * EVERY probe after the first rebuild, silently reverting to
+    * per-call cost). */
   final case class IvfIndexHandle private[operators] (path: String, version: Long,
       root: String, centArrays: CentArrays) {
+    private val current =
+      new java.util.concurrent.atomic.AtomicReference[IvfIndexHandle](this)
+    /** The version the handle currently serves from (advances once per
+      * committed rebuild — the refresh-cached contract the spec pins). */
+    def currentVersion: Long = current.get().version
     def probeWith(s: SparkSession, probes: DataFrame, nProbe: Int, k: Int): DataFrame = {
-      val h = if (IndexSwap.liveVersion(s, path) == version) this else openIvfIndex(s, path)
+      val cached = current.get()
+      val h =
+        if (IndexSwap.liveVersion(s, path) == cached.version) cached
+        else { val fresh = openIvfIndex(s, path); current.set(fresh); fresh }
       val ca = h.centArrays
       val probesRaw = probes.select(col("vec_id"), col("embedding"),
         l2normNative(col("embedding")).as("nrm"))

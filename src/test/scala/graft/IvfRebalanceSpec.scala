@@ -199,6 +199,34 @@ class IvfRebalanceSpec extends AnyFunSuite {
     assert(Similarity.probeIvfIndex(spark, sf, path, 4, 5).count() == 50)
   }
 
+  test("retention knob: at retainVersions=3 a reader survives TWO commits; the version retires only past the window") {
+    import org.apache.hadoop.fs.Path
+    val path = Similarity.newIndexDir()
+    val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
+    spark.conf.set("spark.graft.index.retainVersions", "3")
+    try {
+      Similarity.buildIvfIndex(spark, sf, 16, path) // v1
+      val reader = spark.read.parquet(graft.operators.IndexSwap.side(spark, path, "vectors"))
+      val before = reader.count()
+      Similarity.rebalanceIvfIndex(spark, path) // v2
+      Similarity.rebalanceIvfIndex(spark, path) // v3
+      assert(fs.exists(new Path(s"$path/v1")), "v1 must survive two commits at K=3")
+      assert(reader.count() == before, "reader two rebuild cycles old lost its snapshot at K=3")
+      Similarity.rebalanceIvfIndex(spark, path) // v4: v1 is the 3rd prior — still retained
+      assert(fs.exists(new Path(s"$path/v1")), "K=3 retains three prior versions")
+      Similarity.rebalanceIvfIndex(spark, path) // v5: v1 now outside the window
+      assert(!fs.exists(new Path(s"$path/v1")), "v1 should retire once outside the retained window")
+      assert(fs.exists(new Path(s"$path/v2")) && fs.exists(new Path(s"$path/v3")),
+        "v2-v4 remain inside the K=3 window")
+    } finally spark.conf.unset("spark.graft.index.retainVersions")
+    // Default retention (1 prior version) still applies after unset.
+    Similarity.rebalanceIvfIndex(spark, path) // v6: default K=1 keeps only v5
+    assert(!fs.exists(new Path(s"$path/v3")) && !fs.exists(new Path(s"$path/v4")),
+      "default retention must prune beyond one prior version")
+    assert(fs.exists(new Path(s"$path/v5")))
+    assert(Similarity.probeIvfIndex(spark, sf, path, 4, 5).count() == 50)
+  }
+
   test("IVF serve handle: probeWith matches the per-call entry bit-exactly and re-opens after a rebuild") {
     val path = Similarity.newIndexDir()
     Similarity.buildIvfIndex(spark, sf, 16, path)
@@ -216,5 +244,10 @@ class IvfRebalanceSpec extends AnyFunSuite {
     val viaStale = handle.probeWith(spark, probeFrame, 4, 5)
       .collect().map(_.toString).toSeq
     assert(viaStale == afterRebuild, "stale handle did not re-open on the new version")
+    // Refresh caching (round-15 ADVICE): the stale probe's re-open is
+    // HELD — the handle now serves the committed version, so later
+    // probes pay the staleness LIST only, not a fresh open each call.
+    assert(handle.currentVersion == graft.operators.IndexSwap.liveVersion(spark, path),
+      "re-open was discarded instead of cached — every later probe would re-open")
   }
 }

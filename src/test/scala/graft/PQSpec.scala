@@ -469,5 +469,10 @@ class PQSpec extends AnyFunSuite {
     val viaStaleHandle = handle.probeWith(spark, probeFrame, 4, 5)
       .collect().map(_.toString).toSeq
     assert(viaStaleHandle == afterRebuild, "stale handle did not re-open on the new version")
+    // Refresh caching (round-15 ADVICE): the re-open is HELD in the
+    // handle — later probes reuse it (one open per committed version,
+    // not one per probe after the first rebuild).
+    assert(handle.currentVersion == graft.operators.IndexSwap.liveVersion(spark, path),
+      "re-open was discarded instead of cached — every later probe would re-open")
   }
 }
