@@ -68,8 +68,14 @@ object Battery {
         correlated = args.lift(2).contains("corr"))
       case Some("pqlat")      => pqLat(spark, args.lift(1).map(_.toLong).getOrElse(1000000L))
       case Some("ladder")     => ladder(spark, args.lift(1).map(_.toLong).getOrElse(1000000L))
+      case Some("ladderdim")  => ladderDim(spark, args.lift(1).map(_.toLong).getOrElse(500000L),
+        args.lift(2).map(_.toInt).getOrElse(256))
+      case Some("argmaxsweep") => argmaxSweep(spark,
+        args.lift(1).map(_.toLong).getOrElse(50000L),
+        args.lift(2).map(_.split(",").toSeq.map(_.trim.toInt))
+          .getOrElse(Seq(65536, 262144, 1024000)))
       case Some("pqlife")     => pqLife(spark, args.lift(1).map(_.toLong).getOrElse(4000000L))
-      case other => sys.error(s"unknown battery: $other (skew|bloom|governance|paircurve|ivfjoin|ingest|ingestgrow|pq|pqdispatch|pqserve|pqiters|pqopq|pqlat|ladder|pqlife)")
+      case other => sys.error(s"unknown battery: $other (skew|bloom|governance|paircurve|ivfjoin|ingest|ingestgrow|pq|pqdispatch|pqserve|pqiters|pqopq|pqlat|ladder|ladderdim|pqlife)")
     }
     spark.stop()
   }
@@ -590,6 +596,52 @@ object Battery {
     }
   }
 
+  // ---- argmaxsweep --------------------------------------------------------
+
+  /** Assignment-only walls at PRODUCTION block counts (round-15
+    * verdict task 3): the 256 MB total guard admits ~1M cells ≈ 250
+    * blocks, but the cross-block fold had only been bracketed to 8.
+    * Sweeps the blocked-native exact argmax (the fold dispatches to
+    * the aggregate loop past 16 blocks) against two-tier fastAssign
+    * over a fixed row count, at cell counts chosen to land 16 / 63 /
+    * 250 blocks. Rows are the measurement subject's multiplier, not
+    * the corpus: per-row cost is O(cells x dim) for blocked-exact vs
+    * O(sqrt(cells) x dim) for two-tier, so the table prices where the
+    * recall-first exact default stops being advisable on wall grounds. */
+  private def argmaxSweep(s: SparkSession, nRows: Long, cellSweep: Seq[Int]): Unit = {
+    import operators.{PQ, Similarity}
+    import graft.functions.VectorExprs.l2normNative
+    val dim = 64
+    val root = java.nio.file.Files.createTempDirectory("graft_battery_amx").toString
+    val maxCells = cellSweep.max.toLong
+    val corpusN = math.max(nRows, maxCells) + 16
+    val emb = transform(sequence(lit(0), lit(dim - 1)), i =>
+      (((pmod(xxhash64(col("id") % 997, i, lit(7)), lit(2000)).cast("double") / 1000.0) - 1.0) +
+        (pmod(xxhash64(col("id"), i, lit(11)), lit(2000)).cast("double") / 1000000.0)).cast("float"))
+    s.range(corpusN).select(col("id").as("vec_id"), emb.as("embedding"), lit(0).as("label"))
+      .repartitionByRange(64, col("vec_id"))
+      .write.parquet(s"$root/embeddings.parquet")
+    val v = Tables.embeddings(s, root)
+      .select(col("vec_id"), col("embedding"), l2normNative(col("embedding")).as("nrm"))
+    val subject = v.filter(col("vec_id") < nRows).localCheckpoint(true)
+    def drain(df: org.apache.spark.sql.DataFrame): Unit = {
+      df.agg(sum(col("cent_id"))).head(); ()
+    }
+    cellSweep.foreach { c =>
+      val cents = PQ.coarseCents(v, c)
+      val localCents = s.createDataFrame(
+        java.util.Arrays.asList(cents.collect(): _*), cents.schema)
+      val nBlocks = (c + PQ.nativeAssignMaxCells - 1) / PQ.nativeAssignMaxCells
+      // Warm arm first (codegen + corpus cache), then the timed arm —
+      // the first-arm cache bias every prior sweep table documents.
+      drain(Similarity.nativeAssignBlocked(subject.limit(1000), localCents, Seq("vec_id")))
+      val (_, blockedSec) = timed(drain(
+        Similarity.nativeAssignBlocked(subject, localCents, Seq("vec_id"))))
+      val (_, fastSec) = timed(drain(PQ.fastCoarseAssign(subject, localCents)))
+      println(f"""{"battery":"argmaxsweep","rows":$nRows,"cells":$c,"blocks":$nBlocks,"blocked_sec":$blockedSec%.1f,"two_tier_sec":$fastSec%.1f}""")
+    }
+  }
+
   // ---- pqserve ----------------------------------------------------------
 
   /** Shared clustered-corpus generator for the PQ arms (the pq /
@@ -789,6 +841,97 @@ object Battery {
       val (_, rSec) = timed(BinarySig.rebalanceBinIndex(s, path))
       println(f"""{"battery":"ladder","rung":"binary","vectors":$n,"build_sec":$bSec%.1f,"probe_sec":$pSec%.1f,"append_sec":$aSec%.1f,"rebalance_sec":$rSec%.1f,"rank_bytes":$codesBytes,"cold_bytes":$vecBytes,"bytes_ratio":${vecBytes.toDouble / codesBytes}%.1f,"recall_at5":"${recall(top, exact)}/${exact.length}"}""")
     }
+    // IVF + SQ8 composed rung (round-15 verdict task 2): the route
+    // bounds which code files the rank stage OPENS — rank_bytes here
+    // is the PROBED cells' code bytes (what a probe batch actually
+    // reads), against the flat SQ8 rung's whole-codes-side rank_bytes
+    // above. codes_bytes is the full lake for reference.
+    locally {
+      val path = operators.Similarity.newIndexDir()
+      val nCells = math.max(16, math.ceil(math.sqrt(n.toDouble)).toInt)
+      val (_, bSec) = timed(operators.IvfSq8.buildIvfSq8Index(s, root, nCells, path))
+      val r0 = operators.IndexSwap.liveRoot(s, path)
+      val codesBytes = dirBytes(new java.io.File(s"$r0/codes"))
+      val vecBytes = dirBytes(new java.io.File(s"$r0/vectors"))
+      val cents = s.read.parquet(s"$r0/centroids")
+      val probesN = Tables.embeddings(s, root).filter(col("vec_id") < 10)
+        .select(col("vec_id"), col("embedding"),
+          graft.functions.VectorExprs.l2normNative(col("embedding")).as("nrm"))
+      val cells = operators.Similarity.ivfRouteFlat(probesN, cents, 4)
+        .select("cent_id").distinct().collect().map(_.getLong(0))
+      val rankBytes = cells.map(c =>
+        dirBytes(new java.io.File(s"$r0/codes/cent_id=$c"))).sum
+      val (top, pSec) = timed(operators.IvfSq8.probeIvfSq8Index(s, root, path, 4, 5)
+        .select("qid", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))))
+      println(f"""{"battery":"ladder","rung":"ivfsq8","vectors":$n,"cells":$nCells,"n_probe":4,"build_sec":$bSec%.1f,"probe_sec":$pSec%.1f,"rank_bytes":$rankBytes,"codes_bytes":$codesBytes,"cold_bytes":$vecBytes,"prune_ratio":${codesBytes.toDouble / math.max(1L, rankBytes)}%.1f,"recall_at5":"${recall(top, exact)}/${exact.length}"}""")
+    }
+  }
+
+  // ---- ladderdim ----------------------------------------------------------
+
+  /** The flat rungs at PRODUCTION dimensionality (round-15 verdict
+    * task 1): derive a `dims`-wide corpus from the clustered fixture
+    * (permuted sign-flipped 64-dim replicas — the qn46 derivation at
+    * any multiple of 64), then price build/probe/recall for the
+    * multi-word binary signature and the width-generic SQ8 envelope,
+    * plus the parameterized matryoshka prefix (dims/4, in-flight). */
+  private def ladderDim(s: SparkSession, n: Long, dims: Int): Unit = {
+    import operators.{BinarySig, SQ8}
+    require(dims % 64 == 0 && dims >= 64, s"ladderdim: dims must be a multiple of 64, got $dims")
+    val mult = dims / 64
+    val root = pqClusteredCorpus(s, n, s"ldim$dims")
+    val wideCol = flatten(transform(sequence(lit(0), lit(mult - 1)), r =>
+      transform(sequence(lit(0), lit(63)), i =>
+        (element_at(col("embedding"), ((i + lit(17) * r) % 64) + 1) *
+          when(((r * 31 + i) % 2) === 0, lit(1.0f)).otherwise(lit(-1.0f)))
+          .cast("float"))))
+    val wide = Tables.embeddings(s, root)
+      .select(col("vec_id"), wideCol.as("embedding")).localCheckpoint(true)
+    val probes = wide.filter(col("vec_id") < 10)
+    // Exact truth over the WIDE corpus (the flat rungs' denominator).
+    val v = wide.withColumn("nrm",
+      graft.functions.VectorExprs.l2normNative(col("embedding")))
+    val refScore = graft.functions.TextFns.e6(graft.functions.TextFns.cosine(
+      graft.functions.VectorExprs.dotNative(col("qe"), col("de")), col("qn"), col("dn")))
+    val wEx = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("score_e6").desc, col("vec_id").asc)
+    val exact = v.select(col("vec_id"), col("embedding").as("de"), col("nrm").as("dn"))
+      .join(broadcast(v.filter(col("vec_id") < 10).select(col("vec_id").as("qid"),
+        col("embedding").as("qe"), col("nrm").as("qn"))), expr("true"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), refScore.as("score_e6"))
+      .withColumn("rnk", org.apache.spark.sql.functions.row_number().over(wEx))
+      .filter(col("rnk") <= 5).select("qid", "vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    def recall(a: Array[(Long, Long)]): Int = {
+      val bm = exact.groupBy(_._1).map { case (q, xs) => q -> xs.map(_._2).toSet }
+      a.count { case (q, vv) => bm.getOrElse(q, Set.empty)(vv) }
+    }
+    def dirBytes(f: java.io.File): Long =
+      if (f.isDirectory) Option(f.listFiles).getOrElse(Array.empty).map(dirBytes).sum
+      else if (f.getName.endsWith(".parquet")) f.length else 0L
+    locally {
+      val path = operators.Similarity.newIndexDir()
+      val (_, bSec) = timed(BinarySig.buildBinIndexFrom(s, wide, path, dims))
+      val codesBytes = dirBytes(new java.io.File(operators.IndexSwap.side(s, path, "codes")))
+      val (top, pSec) = timed(BinarySig.probeBinIndexWith(s, probes, path, 5)
+        .select("qid", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))))
+      println(f"""{"battery":"ladderdim","rung":"binary","vectors":$n,"dims":$dims,"sig_words":${(dims + 63) / 64},"build_sec":$bSec%.1f,"probe_sec":$pSec%.1f,"rank_bytes":$codesBytes,"recall_at5":"${recall(top)}/${exact.length}"}""")
+    }
+    locally {
+      val path = operators.Similarity.newIndexDir()
+      val (_, bSec) = timed(SQ8.buildSq8IndexFrom(s, wide, path))
+      val codesBytes = dirBytes(new java.io.File(operators.IndexSwap.side(s, path, "codes")))
+      val (top, pSec) = timed(SQ8.probeSq8IndexWith(s, probes, path, 5)
+        .select("qid", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))))
+      println(f"""{"battery":"ladderdim","rung":"sq8","vectors":$n,"dims":$dims,"build_sec":$bSec%.1f,"probe_sec":$pSec%.1f,"rank_bytes":$codesBytes,"recall_at5":"${recall(top)}/${exact.length}"}""")
+    }
+    locally {
+      val (top, pSec) = timed(
+        operators.Similarity.matryoshkaPlanFrom(v, dims / 4)
+          .select("qid", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))))
+      println(f"""{"battery":"ladderdim","rung":"matryoshka","vectors":$n,"dims":$dims,"prefix":${dims / 4},"probe_sec":$pSec%.1f,"recall_at5":"${recall(top)}/${exact.length}"}""")
+    }
   }
 
   // ---- pqlife -------------------------------------------------------------
@@ -879,6 +1022,24 @@ object Battery {
         cbTag = s"pqcbB:$corpusTag:$ptag:$label", codesTag = s"pqcodesB:$corpusTag:$ptag:$label")
         .select("qid", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))))
       println(f"""{"battery":"pqopq","corpus":"$corpusTag","vectors":$n,"sizing":"$ptag","arm":"$label","sec":$sec%.1f,"adc_recall_at5":"${pqRecall(top, exact)}/${exact.length}"}""")
+    }
+    // LEARNED rotation arms (round-15 verdict task 4): the Ge et al.
+    // alternation on a 10k driver sample, from both inits — identity
+    // and the bit-reversal stand-in — so the three-way table (plain /
+    // bit-reversal / learned) answers keep-or-retire for the stand-in.
+    val sample = Tables.embeddings(s, root).filter(col("vec_id") < 10000)
+      .orderBy("vec_id").select("embedding")
+      .collect().map(_.getSeq[Float](0).toArray)
+    for {
+      (p, ptag) <- Seq((PQ.fixturePq, "4x16x16"), (PQ.PqParams(8, 8, 256), "8x8x256"))
+      (initBr, label) <- Seq((false, "learned_id"), (true, "learned_bitrev"))
+    } {
+      val (r, learnSec) = timed(PQ.opqLearnRotation(sample, p, iters = 5, initBitrev = initBr))
+      val (top, sec) = timed(PQ.adcBruteTopK(s, root, p, rotate = false, 5,
+        cbTag = s"pqcbB:$corpusTag:$ptag:$label", codesTag = s"pqcodesB:$corpusTag:$ptag:$label",
+        learnedR = Some(r))
+        .select("qid", "vec_id").collect().map(rr => (rr.getLong(0), rr.getLong(1))))
+      println(f"""{"battery":"pqopq","corpus":"$corpusTag","vectors":$n,"sizing":"$ptag","arm":"$label","learn_sec":$learnSec%.1f,"sec":$sec%.1f,"adc_recall_at5":"${pqRecall(top, exact)}/${exact.length}"}""")
     }
   }
 

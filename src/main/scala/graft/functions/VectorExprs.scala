@@ -290,7 +290,172 @@ case class IntSqDistLL(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native Hamming distance over two `array<long>` signature columns —
+  * the multi-word binary rank loop ([[graft.operators.BinarySig]] past
+  * 64 dims, where the signature is ceil(D/64) longs). The [[IntSqDistLL]]
+  * shape with xor + Long.bitCount per word: one fused loop, no
+  * intermediate array (the HOF form `aggregate(zip_with(...))` would
+  * re-create the SQ8 probe wall the native loop retired), NULL on width
+  * mismatch or NULL element — zip_with-parity semantics so a DuckDB
+  * oracle replaying per-word `bit_count(xor(...))` sums matches
+  * bit-for-bit.
+  */
+case class HammingLL(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def prettyName: String = "hamming_ll"
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    })
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"hamming_ll requires array<bigint> inputs, got ${left.dataType} / ${right.dataType}")
+  }
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val l = left.eval(input)
+    if (l == null) return null
+    val r = right.eval(input)
+    if (r == null) return null
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      acc += java.lang.Long.bitCount(a.getLong(i) ^ b.getLong(i))
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |final int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long $acc = 0L;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $acc += java.lang.Long.bitCount($a.getLong($i) ^ $b.getLong($i));
+         |  }
+         |  ${ev.value} = $acc;
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): HammingLL =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Dense matrix-vector product with a PLAN-TIME literal matrix — the
+  * learned-OPQ rotation apply ([[graft.operators.PQ]] round-16: the
+  * Procrustes-solved R is a dense D x D orthogonal matrix, so a
+  * permutation `transform` can't express it and a HOF matmul would
+  * allocate per row). `mat` is row-major D x D; input is the raw
+  * `array<float>` embedding; output is `array<double>` (the rotation
+  * is followed by the e6 floor, which fixes the comparable integer
+  * space — doubles here, exactly like the dot-product fold). One fused
+  * loop, codegen'd, O(D^2) multiply-adds per row. NULL input → NULL;
+  * width mismatch or NULL element fails LOUDLY (a silently zero-padded
+  * rotation would corrupt every downstream code). */
+case class MatVecFD(child: Expression, mat: Array[Double], dim: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  require(mat.length == dim * dim, "matvec: matrix is not dim x dim")
+
+  override def prettyName: String = "matvec_fd"
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"matvec_fd requires array<float>, got $other")
+    }
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val e = child.eval(input)
+    if (e == null) return null
+    val a = e.asInstanceOf[ArrayData]
+    if (a.numElements() != dim)
+      throw new IllegalArgumentException(
+        s"matvec_fd: embedding width ${a.numElements()} != matrix dim $dim")
+    val out = new Array[Double](dim)
+    var r = 0
+    while (r < dim) {
+      var acc = 0.0
+      val base = r * dim
+      var d = 0
+      while (d < dim) {
+        if (a.isNullAt(d))
+          throw new IllegalArgumentException(
+            "matvec_fd: NULL embedding element — clean the corpus before rotating")
+        acc += mat(base + d) * a.getFloat(d).toDouble
+        d += 1
+      }
+      out(r) = acc
+      r += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val matRef = ctx.addReferenceObj("matvecMat", mat, "double[]")
+    nullSafeCodeGen(ctx, ev, a => {
+      val r = ctx.freshName("r")
+      val d = ctx.freshName("d")
+      val acc = ctx.freshName("acc")
+      val base = ctx.freshName("base")
+      val out = ctx.freshName("out")
+      s"""
+         |if ($a.numElements() != $dim) {
+         |  throw new IllegalArgumentException(
+         |    "matvec_fd: embedding width " + $a.numElements() + " != matrix dim $dim");
+         |}
+         |final double[] $out = new double[$dim];
+         |for (int $r = 0; $r < $dim; $r++) {
+         |  double $acc = 0.0;
+         |  final int $base = $r * $dim;
+         |  for (int $d = 0; $d < $dim; $d++) {
+         |    if ($a.isNullAt($d)) {
+         |      throw new IllegalArgumentException(
+         |        "matvec_fd: NULL embedding element — clean the corpus before rotating");
+         |    }
+         |    $acc += $matRef[$base + $d] * (double) $a.getFloat($d);
+         |  }
+         |  $out[$r] = $acc;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MatVecFD =
+    copy(child = newChild)
+}
+
 object VectorExprs {
+  /** Column wrapper for [[MatVecFD]]. */
+  def matVecNative(emb: Column, mat: Array[Double], dim: Int): Column =
+    GraftSqlBridge.column(MatVecFD(GraftSqlBridge.expression(emb), mat, dim))
+
   /** Column wrapper for [[IntSqDistLL]]. */
   def intSqDistNative(a: Column, b: Column): Column =
     GraftSqlBridge.column(IntSqDistLL(
@@ -310,4 +475,9 @@ object VectorExprs {
     * [[TextFns.minhashSig]] (equality pinned in VectorExprsSpec). */
   def minhashSigNative(hs: Column, nPlanes: Int): Column =
     GraftSqlBridge.column(MinHashSig(GraftSqlBridge.expression(hs), nPlanes))
+
+  /** Column wrapper for [[HammingLL]]. */
+  def hammingNative(a: Column, b: Column): Column =
+    GraftSqlBridge.column(HammingLL(
+      GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
 }

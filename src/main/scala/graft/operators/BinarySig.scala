@@ -16,9 +16,13 @@ import org.apache.spark.sql.functions._
   * Two swappable sides under the [[IndexSwap]] two-phase protocol:
   *
   *  - `$path/codes`: the HOT side — (vec_id, sig) with `sig` the
-  *    per-dim sign bits packed into ONE long; candidate ranking is
-  *    xor + bit_count per pair (two ALU ops in codegen, no array
-  *    traffic at all — the cheapest rank loop on the ladder).
+  *    per-dim sign bits. At the 64-dim fixture width that is ONE long
+  *    and candidate ranking is xor + bit_count per pair (two ALU ops
+  *    in codegen, no array traffic at all — the cheapest rank loop on
+  *    the ladder); at any other width ([[buildBinIndexFrom]] — the
+  *    dim-parameterized entry for production 256-1536-dim corpora) it
+  *    is ceil(D/64) longs ranked by the native
+  *    [[graft.functions.HammingLL]] fused xor+popcount loop.
   *  - `$path/vectors`: the COLD side — full-precision (vec_id,
   *    embedding, nrm), sorted by vec_id with 1 MB row groups so the
   *    shortlist's `vec_id IN (...)` pushdown point-reads the refine
@@ -31,7 +35,13 @@ import org.apache.spark.sql.functions._
   * build, and [[rebalanceBinIndex]] exists for COMPACTION (re-sort +
   * re-write both tiers from the grown cold lake under the crash-safe
   * swap — appends fragment the sorted point-read layout) and is a
-  * deterministic fixpoint (BinarySigSpec). A fresh build probed
+  * deterministic fixpoint (BinarySigSpec). The compaction cadence is
+  * MEASURED, not caller discipline (round-15 verdict task 5):
+  * `appendToBinIndex(autoCompact = Some(maxFiles))` audits the codes
+  * side's file count after the append and defers a compaction through
+  * the `_rebalance_due` marker [[maintainBinIndex]] consumes — the
+  * PQ/IVF fire-and-defer pattern, with file fragmentation standing in
+  * for drift as the metric this rung actually accumulates. A fresh build probed
   * through [[probeBinIndex]] replays the qn34 oracle bit-exactly (the
   * qn34b driver gate): same signature fold, same 16-wide Hamming
   * shortlist, same exact cosine re-rank.
@@ -77,10 +87,41 @@ object BinarySig {
           " into one long; clean/resize the corpus before signing"))).cast("long"))
   }
 
+  /** The DIM-PARAMETERIZED signature (round-15 verdict task 1):
+    * production embedding corpora run 256-1536 dims, where the sign
+    * signature is ceil(D/64) longs — word w holds dims [w*64, w*64+64)
+    * with the same per-word bit layout as [[sigCol]] (bit b of word w
+    * set iff dim w*64+b > 0; bit 63 wraps to Long.MinValue), so D=64
+    * under this encoder is exactly [[sigCol]] boxed in a one-element
+    * array. Ragged tails (D not a multiple of 64) leave the surplus
+    * bits 0 on BOTH sides of every xor — they never contribute to a
+    * Hamming distance. Same once-per-row width/NULL guard as
+    * [[sigCol]]. */
+  private[graft] def sigWordsCol(emb: Column, dim: Int): Column = {
+    require(dim >= 1, s"BinarySig: dim must be positive, got $dim")
+    val words = (dim + 63) / 64
+    val fold = transform(sequence(lit(0), lit(words - 1)), w =>
+      aggregate(sequence(lit(0), lit(63)), lit(0L), (acc, b) =>
+        acc.bitwiseOR(when((w * 64 + b) < dim &&
+            element_at(emb, w * 64 + b + 1).cast("double") > 0,
+          call_function("shiftleft", lit(1L), b)).otherwise(lit(0L)))))
+    when(size(emb) === dim && !exists(emb, x => x.isNull), fold)
+      .otherwise(raise_error(concat(
+        lit("BinarySig: embedding width "), size(emb).cast("string"),
+        lit(s" != declared dim $dim, or NULL element — clean/resize the corpus" +
+          " before signing"))).cast("array<bigint>"))
+  }
+
+  /** The signature column for a declared dim: the one-long fast path
+    * at exactly 64 (the qn34/qn34b stored format — hash-stable), the
+    * ceil(D/64)-word `array<long>` form everywhere else. */
+  private def sigForDim(emb: Column, dim: Int): Column =
+    if (dim == 64) sigCol(emb) else sigWordsCol(emb, dim)
+
   /** Stage both sides into the [[IndexSwap]] tmp siblings (shared by
     * build and rebalance — one definition of the layout). */
-  private def stageSides(path: String, v: DataFrame): Unit = {
-    v.select(col("vec_id"), sigCol(col("embedding")).as("sig"))
+  private def stageSides(path: String, v: DataFrame, dim: Int): Unit = {
+    v.select(col("vec_id"), sigForDim(col("embedding"), dim).as("sig"))
       .repartitionByRange(col("vec_id")).sortWithinPartitions("vec_id")
       .write.mode("overwrite").parquet(IndexSwap.tmp(path, "codes").toString)
     v.select(col("vec_id"), col("embedding"), col("nrm"))
@@ -90,14 +131,33 @@ object BinarySig {
   }
 
   /** Build the persisted signature index from the corpus at `dir` —
-    * staged writes, atomic commit. */
-  def buildBinIndex(s: SparkSession, dir: String, path: String): Unit = {
+    * staged writes, atomic commit. The driver fixture is 64-dim, so
+    * this entry is the one-long format ([[buildBinIndexFrom]] is the
+    * dim-parameterized general entry). */
+  def buildBinIndex(s: SparkSession, dir: String, path: String): Unit =
+    buildBinIndexFrom(s,
+      Tables.embeddings(s, dir).select("vec_id", "embedding"), path, 64)
+
+  /** Dim-parameterized build from an arbitrary (vec_id, embedding)
+    * corpus frame (round-15 verdict task 1): D=64 stores the one-long
+    * signature (the qn34b format, unchanged); any other D stores the
+    * ceil(D/64)-word `array<long>` form — same layout discipline on
+    * both sides, same atomic commit. */
+  def buildBinIndexFrom(s: SparkSession, corpus: DataFrame, path: String,
+      dim: Int): Unit = {
     recoverBinRebalance(s, path)
-    val v = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"),
+    val v = corpus.select(col("vec_id"), col("embedding"),
       l2normNative(col("embedding")).as("nrm"))
-    stageSides(path, v)
+    stageSides(path, v, dim)
     IndexSwap.commit(s, path, binSides)
   }
+
+  /** The stored corpus dimensionality, from one cold-side row (the
+    * rebalance and append paths re-encode against it; one point read
+    * against the 1 MB-row-group layout). */
+  private def storedDim(s: SparkSession, root: String): Int =
+    s.read.parquet(IndexSwap.sideAt(root, "vectors"))
+      .select(size(col("embedding"))).head().getInt(0)
 
   /** Sign NEW vectors and append to both tiers: O(new) work, encoding
     * bit-identical to the build (parameter-free — nothing to freeze,
@@ -105,21 +165,64 @@ object BinarySig {
     * crash-window polarity: an orphaned cold row is dead bytes no rank
     * scan ever surfaces; an orphaned CODE row would be shortlisted and
     * then silently dropped by the refine join). */
-  def appendToBinIndex(s: SparkSession, newVecs: DataFrame, path: String): Unit = {
+  def appendToBinIndex(s: SparkSession, newVecs: DataFrame, path: String,
+      autoCompact: Option[Int] = None): Unit = {
     recoverBinRebalance(s, path)
     // ONE version resolution for both side writes (round-15 ADVICE): a
     // rebalance committing between them would otherwise split the
     // append across versions — cold rows into the retiring version
     // (lost at retention), code rows referencing no cold row.
     val root = IndexSwap.liveRoot(s, path)
+    val dim = storedDim(s, root)
     val v = newVecs.select(col("vec_id"), col("embedding"),
       l2normNative(col("embedding")).as("nrm"))
     v.repartitionByRange(col("vec_id")).sortWithinPartitions("vec_id")
       .write.mode("append").option("parquet.block.size", 1L << 20)
       .parquet(IndexSwap.sideAt(root, "vectors"))
-    v.select(col("vec_id"), sigCol(col("embedding")).as("sig"))
+    v.select(col("vec_id"), sigForDim(col("embedding"), dim).as("sig"))
       .repartitionByRange(col("vec_id")).sortWithinPartitions("vec_id")
       .write.mode("append").parquet(IndexSwap.sideAt(root, "codes"))
+    // The measured COMPACTION trigger (round-15 verdict task 5 — the
+    // PQ/IVF deferred-marker pattern at this rung): the signatures
+    // never drift (parameter-free encoder), but appends fragment the
+    // sorted point-read layout unboundedly — every append adds files,
+    // and the shortlist's vec_id pushdown degrades toward a
+    // whole-side listing+open per probe. The metric is the CODES
+    // side's data-file count (a driver-side listing, O(files), no
+    // Spark job); past `maxFiles` the append drops the due marker and
+    // returns at append cost — [[maintainBinIndex]] runs the
+    // compaction on the maintenance cadence.
+    autoCompact.foreach { maxFiles =>
+      val files = graft.sources.LakeListing.dataFiles(
+        s.sessionState.newHadoopConf(),
+        new org.apache.hadoop.fs.Path(IndexSwap.sideAt(root, "codes"))).size
+      if (files > maxFiles) {
+        val fs = IndexSwap.fsOf(s, path)
+        fs.create(rebalanceDue(path), true).close()
+      }
+    }
+  }
+
+  /** The deferred-compaction marker [[appendToBinIndex]]'s trigger
+    * drops and [[maintainBinIndex]] consumes. */
+  private def rebalanceDue(path: String): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(s"$path/_rebalance_due")
+
+  /** The maintenance entry point (the [[PQ.maintainPqIndex]] contract):
+    * heal any interrupted swap, then run the compaction a deferred
+    * trigger requested. The due marker is deleted only AFTER the swap
+    * commits — a crash between commit and delete re-runs the
+    * compaction, which is a deterministic fixpoint over the same lake
+    * (BinarySigSpec). Returns whether a compaction ran. */
+  def maintainBinIndex(s: SparkSession, path: String): Boolean = {
+    recoverBinRebalance(s, path)
+    val fs = IndexSwap.fsOf(s, path)
+    if (!fs.exists(rebalanceDue(path))) false
+    else {
+      rebalanceBinIndex(s, path)
+      fs.delete(rebalanceDue(path), false): Unit
+      true
+    }
   }
 
   /** Re-sign and re-sort both tiers from the grown cold lake — the
@@ -129,9 +232,11 @@ object BinarySig {
     * under the [[IndexSwap]] two-phase swap. */
   def rebalanceBinIndex(s: SparkSession, path: String): Unit = {
     recoverBinRebalance(s, path)
-    val v = s.read.parquet(IndexSwap.side(s, path, "vectors"))
+    val root = IndexSwap.liveRoot(s, path)
+    val dim = storedDim(s, root)
+    val v = s.read.parquet(IndexSwap.sideAt(root, "vectors"))
       .select(col("vec_id"), col("embedding"), col("nrm"))
-    stageSides(path, v)
+    stageSides(path, v, dim)
     IndexSwap.commit(s, path, binSides)
   }
 
@@ -171,14 +276,41 @@ object BinarySig {
         "cell-assigned equi-join (the qn20 shape)")
     val probesV = s.createDataFrame(
       java.util.Arrays.asList(probeRows: _*), probesRaw.schema)
-    val psig = probesV.select(col("vec_id").as("qid"),
-      sigCol(col("embedding")).as("psig"))
+    // The stored signature form decides the rank loop: LongType is the
+    // 64-dim one-long format (xor + bit_count — two ALU ops); an
+    // array<long> is the dim-parameterized multi-word format, ranked
+    // by the native [[graft.functions.HammingLL]] fused loop (per-word
+    // xor+popcount, no intermediate array — the IntSqDistLL
+    // discipline). Probe width must match the stored dim: the sig fold
+    // guard raises on mismatch, and the word count is checked here so
+    // a wrong-width probe fails loudly instead of NULL-ranking.
+    val codes = s.read.parquet(IndexSwap.sideAt(root, "codes"))
+    val multiWord = codes.schema("sig").dataType !=
+      org.apache.spark.sql.types.LongType
+    val psig =
+      if (!multiWord)
+        probesV.select(col("vec_id").as("qid"), sigCol(col("embedding")).as("psig"))
+      else {
+        val probeDim =
+          if (probeRows.isEmpty) 64 else probeRows.head.getSeq[Float](1).length
+        if (probeRows.nonEmpty) {
+          val storedWords = codes.select(size(col("sig"))).head().getInt(0)
+          require((probeDim + 63) / 64 == storedWords,
+            s"probeBinIndexWith: probe dim $probeDim needs ${(probeDim + 63) / 64} " +
+              s"signature words, the stored index has $storedWords — probe the index " +
+              "with the corpus dimensionality it was built at")
+        }
+        probesV.select(col("vec_id").as("qid"),
+          sigWordsCol(col("embedding"), probeDim).as("psig"))
+      }
+    val hamExpr =
+      if (!multiWord) bit_count(col("sig").bitwiseXOR(col("psig"))).cast("long")
+      else graft.functions.VectorExprs.hammingNative(col("sig"), col("psig"))
     val wSl = Window.partitionBy(col("qid")).orderBy(col("ham").asc, col("vec_id").asc)
-    val sl = s.read.parquet(IndexSwap.sideAt(root, "codes"))
+    val sl = codes
       .join(broadcast(psig), expr("true"))
       .filter(col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("vec_id"),
-        bit_count(col("sig").bitwiseXOR(col("psig"))).cast("long").as("ham"))
+      .select(col("qid"), col("vec_id"), hamExpr.as("ham"))
       .withColumn("rn", row_number().over(wSl)).filter(col("rn") <= shortlistWidth)
       .select(col("qid"), col("vec_id"), col("ham").as("hamming"))
     // Manifest-class shortlist (probes x 16, hard-bounded above) ->

@@ -1,0 +1,190 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.TextFns._
+import graft.functions.VectorExprs.{dotNative, intSqDistNative, l2normNative}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** IVF + SQ8 composed index (round-15 verdict task 2): the quantized
+  * ladder rung given an IVF tier — route → byte rank WITHIN the probed
+  * cells → exact refine. The flat SQ8/binary rungs' probe cost is
+  * linear in N by declared construction; this is the production
+  * serving shape for a corpus that outgrows the flat scan: the rank
+  * stage reads nProbe/√N of the BYTE lake (both prunings compose —
+  * cell pruning bounds which files open, the 4x byte compression
+  * bounds what each opened file weighs). The qn33 IVFADC pattern
+  * applied to the cheaper rung: SQ8's affine map is parameter-light
+  * (D stats rows vs M x K codebooks) and its in-cell rank is the
+  * native [[graft.functions.IntSqDistLL]] loop, no ADC table build
+  * per probe.
+  *
+  * Four swappable sides under the versioned [[IndexSwap]] commit:
+  *
+  *  - `$path/centroids`: √N-class (cent_id, ce, cn) — the route table.
+  *  - `$path/stats`: D rows (pos, mn, sp) — the frozen affine map,
+  *    computed over the WHOLE corpus (one global envelope, not
+  *    per-cell: probes quantize once against one map, and the oracle
+  *    replays one map — per-cell envelopes would buy rank precision at
+  *    the cost of re-encoding a probe per probed cell).
+  *  - `$path/codes`: cent_id-PARTITIONED (vec_id, q8) — the rank
+  *    stage's only input, listed cell-scoped per probe
+  *    ([[Similarity.cellScopedReadAt]]).
+  *  - `$path/vectors`: cent_id-partitioned full-precision
+  *    (vec_id, embedding, nrm), sorted by vec_id with 1 MB row groups
+  *    — the refine point-reads ride both the cell scope AND the
+  *    vec_id pushdown.
+  *
+  * Assignment, routing, quantization and tie rules are the exact
+  * building blocks the qn10/qn38 oracles already pin (stride
+  * centroids, e6 cosine argmax with lowest-cent_id ties, e6-floored
+  * affine byte map with `(a - a%b)/b` flooring), so the qn45 driver
+  * gate replays the whole route+rank+refine chain in DuckDB.
+  */
+object IvfSq8 {
+
+  /** The index's swappable sides (the [[IndexSwap]] protocol). */
+  private val sides = Seq("centroids", "stats", "codes", "vectors")
+
+  /** In-cell byte-distance shortlist width the exact refine re-ranks
+    * (the qn38 contract carried over). */
+  private val shortlistWidth = 16
+
+  /** Build from the corpus at `dir`: stride centroids, blocked-native
+    * exact assignment, one global envelope, cell-partitioned byte
+    * codes + cold floats — staged, then ONE atomic commit. */
+  def buildIvfSq8Index(s: SparkSession, dir: String, nCentroids: Int,
+      path: String): Unit =
+    buildIvfSq8IndexFrom(s,
+      Tables.embeddings(s, dir).select("vec_id", "embedding"), nCentroids, path)
+
+  /** Build from an arbitrary (vec_id, embedding) corpus frame (the
+    * dim-parameterized discipline — nothing here is 64-pinned). */
+  def buildIvfSq8IndexFrom(s: SparkSession, corpus: DataFrame, nCentroids: Int,
+      path: String): Unit = {
+    recoverIvfSq8Rebalance(s, path)
+    val v = corpus.select(col("vec_id"), col("embedding"),
+      l2normNative(col("embedding")).as("nrm"))
+    val cents = Similarity.ivfCents(v, nCentroids)
+    val localCents = s.createDataFrame(
+      java.util.Arrays.asList(cents.collect(): _*), cents.schema)
+    val asg = Similarity.ivfAssignedDispatch(v, localCents, nCentroids.toLong)
+      .localCheckpoint(true) // assignment feeds BOTH sides — one pass
+    val (mna, spa) = SQ8.collectStats(SQ8.statsOf(SQ8.ve6Of(v)))
+    // Cold side: the IVF vectors layout (cell dirs, vec_id-sorted 1 MB
+    // row groups — the probe refine composes cell scope + id pushdown).
+    asg.repartition(col("cent_id"))
+      .sortWithinPartitions(col("cent_id"), col("vec_id"))
+      .write.mode("overwrite").option("parquet.block.size", 1L << 20)
+      .partitionBy("cent_id").parquet(IndexSwap.tmp(path, "vectors").toString)
+    // Hot side: byte codes, same cell layout.
+    SQ8.ve6Of(asg).select(col("vec_id"), SQ8.q8Col(mna, spa, clamp = false).as("q8"))
+      .join(asg.select(col("vec_id"), col("cent_id")), Seq("vec_id"))
+      .repartition(col("cent_id"))
+      .sortWithinPartitions(col("cent_id"), col("vec_id"))
+      .write.mode("overwrite")
+      .partitionBy("cent_id").parquet(IndexSwap.tmp(path, "codes").toString)
+    localCents.coalesce(1).write.mode("overwrite")
+      .parquet(IndexSwap.tmp(path, "centroids").toString)
+    val statRows: java.util.List[org.apache.spark.sql.Row] =
+      java.util.Arrays.asList(mna.indices.map(i =>
+        org.apache.spark.sql.Row(i, mna(i), spa(i))): _*)
+    val statSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("pos", org.apache.spark.sql.types.IntegerType, false),
+      org.apache.spark.sql.types.StructField("mn", org.apache.spark.sql.types.LongType, false),
+      org.apache.spark.sql.types.StructField("sp", org.apache.spark.sql.types.LongType, false)))
+    s.createDataFrame(statRows, statSchema).coalesce(1).write.mode("overwrite")
+      .parquet(IndexSwap.tmp(path, "stats").toString)
+    IndexSwap.commit(s, path, sides)
+  }
+
+  /** Heal an interrupted build/rebuild (the one crash polarity of the
+    * versioned protocol). */
+  def recoverIvfSq8Rebalance(s: SparkSession, path: String): Unit =
+    IndexSwap.recover(s, path, sides)
+
+  /** Probe with the declared fixture probe set (vec_id < 10) — the
+    * qn45 driver gate's entry. */
+  def probeIvfSq8Index(s: SparkSession, dir: String, path: String,
+      nProbe: Int, k: Int): DataFrame =
+    probeIvfSq8IndexWith(s,
+      Tables.embeddings(s, dir).filter(col("vec_id") < 10)
+        .select("vec_id", "embedding"),
+      path, nProbe, k)
+
+  /** Serve an ARBITRARY probe batch: flat route over the √N centroid
+    * table → cell-scoped byte rank (only the probed cells' code files
+    * are listed and read) → per-probe top-[[shortlistWidth]] →
+    * cell-scoped + vec_id-pushed exact refine → top-k. ONE version
+    * resolution per call (the probeResolved contract). Probe batches
+    * only — the [[PQ.maxProbeBatch]] bound. */
+  def probeIvfSq8IndexWith(s: SparkSession, probes: DataFrame, path: String,
+      nProbe: Int, k: Int): DataFrame = {
+    val root = IndexSwap.liveRoot(s, path)
+    val cents = s.read.parquet(IndexSwap.sideAt(root, "centroids"))
+    val (mna, spa) = SQ8.collectStats(
+      s.read.parquet(IndexSwap.sideAt(root, "stats")))
+    val probesRaw = probes.select(col("vec_id"), col("embedding"),
+      l2normNative(col("embedding")).as("nrm"))
+    val probeRows = probesRaw.limit(PQ.maxProbeBatch + 1).collect()
+    require(probeRows.length <= PQ.maxProbeBatch,
+      s"probeIvfSq8IndexWith: probe batch exceeds ${PQ.maxProbeBatch} rows — " +
+        "a corpus-sized probe set should assign both sides to cells and " +
+        "equi-join on cent_id (the qn20 shape)")
+    val probesV = s.createDataFrame(
+      java.util.Arrays.asList(probeRows: _*), probesRaw.schema)
+    // Route: flat argsort over the centroid table (broadcast-class by
+    // construction), nProbe cells per probe, e6/tie rules = qn10's.
+    val cScore = e6(cosine(dotNative(col("ce"), col("pe")), col("cn"), col("pn")))
+    val wRoute = Window.partitionBy(col("qid")).orderBy(col("cscore").desc, col("cent_id").asc)
+    val pc = probesV
+      .select(col("vec_id").as("qid"), col("embedding").as("pe"), col("nrm").as("pn"))
+      .join(broadcast(cents), expr("true"))
+      .select(col("qid"), col("cent_id"), cScore.as("cscore"))
+      .withColumn("rn", row_number().over(wRoute)).filter(col("rn") <= nProbe)
+      .select(col("qid"), col("cent_id"))
+    val pcRows = pc.collect()
+    val localPc = s.createDataFrame(java.util.Arrays.asList(pcRows: _*), pc.schema)
+    val cells = pcRows.map(_.getLong(1)).distinct.toSeq
+    // Probe bytes: quantize against the stored envelope, clamped
+    // (identity for in-corpus probes — the qn45 oracle parity).
+    val pq8 = SQ8.ve6Of(probesV)
+      .select(col("vec_id").as("qid"), SQ8.q8Col(mna, spa, clamp = true).as("pq8"))
+    // Rank WITHIN the probed cells: the cell-scoped listing bounds the
+    // files opened at O(probed cells); the native int loop bounds the
+    // per-row cost.
+    val qd2 = intSqDistNative(col("q8"), col("pq8"))
+    val wSl = Window.partitionBy(col("qid")).orderBy(col("qd2").asc, col("vec_id").asc)
+    val sl = Similarity.cellScopedReadAt(s, root, "codes", cells)
+      .select(col("vec_id"), col("q8"), col("cent_id").cast("long").as("cent_id"))
+      .join(broadcast(localPc), Seq("cent_id"))
+      .join(broadcast(pq8), Seq("qid"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), col("cent_id"), qd2.as("qd2"))
+      .withColumn("rn", row_number().over(wSl)).filter(col("rn") <= shortlistWidth)
+      .select(col("qid"), col("vec_id"), col("cent_id"), col("qd2"))
+    // Refine: manifest-class shortlist (probes x 16) — collect it so
+    // the cold read composes the cell scope with a vec_id pushdown
+    // against the sorted 1 MB row groups.
+    val slRows = sl.collect()
+    val localSl = s.createDataFrame(java.util.Arrays.asList(slRows: _*), sl.schema)
+    val slIds = slRows.map(_.getLong(1)).distinct.toSeq
+    val slCells = slRows.map(_.getLong(2)).distinct.toSeq
+    val slPush = if (slIds.isEmpty) lit(false) else col("vec_id").isin(slIds: _*)
+    val cold = Similarity.cellScopedReadAt(s, root, "vectors", slCells)
+      .filter(slPush)
+      .select(col("vec_id"), col("embedding").as("de"), col("nrm").as("dn"))
+    val refScore = e6(cosine(dotNative(col("qe"), col("de")), col("qn"), col("dn")))
+    val wRef = Window.partitionBy(col("qid")).orderBy(col("score_e6").desc, col("vec_id").asc)
+    broadcast(localSl.select(col("qid"), col("vec_id"), col("qd2")))
+      .join(broadcast(probesV.select(col("vec_id").as("qid"),
+        col("embedding").as("qe"), col("nrm").as("qn"))), Seq("qid"))
+      .join(cold, Seq("vec_id"))
+      .select(col("qid"), col("vec_id"), col("qd2"), refScore.as("score_e6"))
+      .withColumn("rnk", row_number().over(wRef)).filter(col("rnk") <= k)
+      .select(col("qid"), col("rnk").cast("long").as("rnk"), col("vec_id"),
+        col("qd2"), col("score_e6"))
+      .orderBy("qid", "rnk")
+  }
+}

@@ -774,14 +774,148 @@ object PQ {
       transform(lit(opqPerm.map(_.toLong)),
         p => element_at(col("emb6"), p.cast("int") + 1)).as("emb6"))
 
+  /** The e6 view of the corpus under a LEARNED dense rotation: the
+    * codegen'd [[graft.functions.MatVecFD]] matvec, then the same e6
+    * floor every pipeline entry applies — rotated doubles land in the
+    * identical comparable-integer space as [[ve]]'s raw floats. */
+  private def learnedVe(s: SparkSession, dir: String, r: Array[Double],
+      dim: Int): DataFrame =
+    graft.Tables.embeddings(s, dir).select(col("vec_id"),
+      transform(graft.functions.VectorExprs.matVecNative(col("embedding"), r, dim),
+        x => floor(x * 1000000).cast("long")).as("emb6"))
+
+  /** Learn an OPQ rotation (Ge et al. CVPR 2013, the non-parametric
+    * alternation) on a DRIVER-SIDE sample: per iteration, (a) fit
+    * per-subspace codebooks in the current rotated space (two Lloyd
+    * steps, seeds = the first K sample subvectors in sample order),
+    * decode to the quantized reconstruction Y_hat, then (b) solve
+    * R = argmin ||R X - Y_hat||_F by orthogonal Procrustes
+    * ([[graft.functions.Procrustes]]). Deterministic end to end: the
+    * caller passes the sample in a fixed order, seeding and
+    * tie-breaks are index-ordered, and the SVD is fixed-sweep Jacobi —
+    * no RNG anywhere (the qn19 rule), so a battery arm replays
+    * identically. `initBitrev` starts the alternation from the qn43
+    * bit-reversal permutation instead of identity (the round-15
+    * verdict question: keep or retire bit-reversal as the init).
+    * Cost: O(iters x n x (D^2 + M x K x subDim)) driver flops — ~1 s
+    * for n=10k, D=64, paid once per build. Returns R row-major
+    * (rotated = R x raw). */
+  private[graft] def opqLearnRotation(sample: Array[Array[Float]], p: PqParams,
+      iters: Int, initBitrev: Boolean): Array[Double] = {
+    val d = p.dim
+    val n = sample.length
+    require(n >= p.k, s"opqLearnRotation: sample size $n < K=${p.k}")
+    require(sample.forall(_.length == d),
+      s"opqLearnRotation: sample width != ${p.dim}")
+    var r: Array[Double] =
+      if (!initBitrev) Array.tabulate(d * d)(i => if (i / d == i % d) 1.0 else 0.0)
+      else {
+        // rotated dim i reads raw dim opqPerm(i) — R[i][opqPerm(i)] = 1.
+        val m = new Array[Double](d * d)
+        var i = 0
+        while (i < d) { m(i * d + opqPerm(i)) = 1.0; i += 1 }
+        m
+      }
+    val y = Array.ofDim[Double](n, d)
+    val yhat = Array.ofDim[Double](n, d)
+    var it = 0
+    while (it < iters) {
+      // Y = R X
+      var i = 0
+      while (i < n) {
+        val x = sample(i)
+        var rr = 0
+        while (rr < d) {
+          var acc = 0.0
+          val base = rr * d
+          var c = 0
+          while (c < d) { acc += r(base + c) * x(c); c += 1 }
+          y(i)(rr) = acc
+          rr += 1
+        }
+        i += 1
+      }
+      // Per-subspace codebook fit + decode.
+      var m = 0
+      while (m < p.m) {
+        val off = m * p.subDim
+        var cents = Array.tabulate(p.k)(c =>
+          java.util.Arrays.copyOfRange(y(c % n), off, off + p.subDim))
+        def nearest(row: Array[Double]): Int = {
+          var best = 0; var bestD = Double.MaxValue
+          var c = 0
+          while (c < p.k) {
+            var dd = 0.0
+            var j = 0
+            while (j < p.subDim) {
+              val diff = row(off + j) - cents(c)(j); dd += diff * diff; j += 1
+            }
+            if (dd < bestD) { bestD = dd; best = c } // strict: ties keep low index
+            c += 1
+          }
+          best
+        }
+        var step = 0
+        while (step < 2) {
+          val sums = Array.ofDim[Double](p.k, p.subDim)
+          val cnt = new Array[Int](p.k)
+          var i2 = 0
+          while (i2 < n) {
+            val a = nearest(y(i2))
+            var j = 0
+            while (j < p.subDim) { sums(a)(j) += y(i2)(off + j); j += 1 }
+            cnt(a) += 1
+            i2 += 1
+          }
+          cents = Array.tabulate(p.k)(c =>
+            if (cnt(c) == 0) cents(c)
+            else Array.tabulate(p.subDim)(j => sums(c)(j) / cnt(c)))
+          step += 1
+        }
+        var i3 = 0
+        while (i3 < n) {
+          val a = nearest(y(i3))
+          var j = 0
+          while (j < p.subDim) { yhat(i3)(off + j) = cents(a)(j); j += 1 }
+          i3 += 1
+        }
+        m += 1
+      }
+      // M = sum Y_hat X^T, then the Procrustes solve.
+      val mm = new Array[Double](d * d)
+      var i4 = 0
+      while (i4 < n) {
+        val x = sample(i4)
+        var rr = 0
+        while (rr < d) {
+          val yv = yhat(i4)(rr)
+          if (yv != 0.0) {
+            val base = rr * d
+            var c = 0
+            while (c < d) { mm(base + c) += yv * x(c); c += 1 }
+          }
+          rr += 1
+        }
+        i4 += 1
+      }
+      r = graft.functions.Procrustes.orthogonalProcrustes(mm, d)
+      it += 1
+    }
+    r
+  }
+
   /** qn32's ADC brute scan parameterized by sizing and rotation — the
     * shared form behind qn43 and the pqopq battery's recall-delta
     * arms. Returns (qid, rnk, vec_id, adist_e12), top-k per probe by
     * approximate distance (no exact refine: this measures the
-    * quantizer's own fidelity). */
+    * quantizer's own fidelity). `learnedR` supersedes `rotate`: the
+    * corpus rotates through the dense learned matrix instead of the
+    * bit-reversal permutation. */
   private[graft] def adcBruteTopK(s: SparkSession, dir: String, p: PqParams,
-      rotate: Boolean, k: Int, cbTag: String, codesTag: String): DataFrame = {
-    val v6 = if (rotate) rotatedVe(ve(s, dir)) else ve(s, dir)
+      rotate: Boolean, k: Int, cbTag: String, codesTag: String,
+      learnedR: Option[Array[Double]] = None): DataFrame = {
+    val v6 = learnedR.map(learnedVe(s, dir, _, p.dim))
+      .getOrElse(if (rotate) rotatedVe(ve(s, dir)) else ve(s, dir))
     val cb = Dedup.memoized(cbTag, s, dir, 0, 0) {
       cbPivot(trainCodebookLong(v6, p)).localCheckpoint(true)
     }

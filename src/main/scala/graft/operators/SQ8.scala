@@ -56,13 +56,13 @@ object SQ8 {
   private def isinMaxIds(s: SparkSession): Int =
     s.conf.getOption("spark.graft.sq8.isinMaxIds").map(_.toInt).getOrElse(10000)
 
-  private def ve6Of(v: DataFrame): DataFrame =
+  private[operators] def ve6Of(v: DataFrame): DataFrame =
     v.select(col("vec_id"), transform(col("embedding"),
       x => floor(x.cast("double") * 1000000).cast("long")).as("emb6"))
 
   /** Per-dim envelope over an e6 frame: (pos, mn, sp) — ONE D-group
     * partial agg (N x D rows collapse map-side to D rows per task). */
-  private def statsOf(ve6F: DataFrame): DataFrame =
+  private[operators] def statsOf(ve6F: DataFrame): DataFrame =
     ve6F.select(posexplode(col("emb6")).as(Seq("pos", "x")))
       .groupBy("pos").agg(min(col("x")).as("mn"),
         greatest(lit(1L), max(col("x")) - min(col("x"))).as("sp"))
@@ -84,7 +84,7 @@ object SQ8 {
     * window, so malformed rows would silently dominate every probe's
     * shortlist (a valid-looking index with degraded recall). O(D)
     * per row, same cost class as the transform itself. */
-  private def q8Col(mna: Array[Long], spa: Array[Long], clamp: Boolean): Column = {
+  private[operators] def q8Col(mna: Array[Long], spa: Array[Long], clamp: Boolean): Column = {
     val d = mna.length
     val checked = when(size(col("emb6")) === d &&
         !exists(col("emb6"), x => x.isNull), col("emb6"))
@@ -101,7 +101,7 @@ object SQ8 {
   }
 
   /** Collect a stats frame to (mna, spa) pos-major arrays. */
-  private def collectStats(stats: DataFrame): (Array[Long], Array[Long]) = {
+  private[operators] def collectStats(stats: DataFrame): (Array[Long], Array[Long]) = {
     val st = stats.orderBy("pos").collect()
     require(st.nonEmpty, "SQ8: empty stats — cannot build/serve over an empty corpus")
     (st.map(_.getLong(1)), st.map(_.getLong(2)))
@@ -134,9 +134,20 @@ object SQ8 {
   /** Build the persisted SQ8 index from the corpus at `dir` — staged
     * writes, atomic commit (a crash leaves the prior index or nothing,
     * never a half-described lake). */
-  def buildSq8Index(s: SparkSession, dir: String, path: String): Unit = {
+  def buildSq8Index(s: SparkSession, dir: String, path: String): Unit =
+    buildSq8IndexFrom(s,
+      Tables.embeddings(s, dir).select("vec_id", "embedding"), path)
+
+  /** Build from an arbitrary (vec_id, embedding) corpus frame — the
+    * dim-parameterized entry (round-15 verdict task 1). The envelope,
+    * codes and probe paths are dimension-generic throughout (stats are
+    * a per-pos agg, the affine map folds over whatever width the
+    * stored stats declare), so a 256- or 768-dim corpus needs no other
+    * change; the q8Col guard enforces corpus/envelope width equality
+    * loudly. */
+  def buildSq8IndexFrom(s: SparkSession, corpus: DataFrame, path: String): Unit = {
     recoverSq8Rebalance(s, path)
-    val v = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"),
+    val v = corpus.select(col("vec_id"), col("embedding"),
       l2normNative(col("embedding")).as("nrm"))
     stageSides(s, path, v, statsOf(ve6Of(v)))
     IndexSwap.commit(s, path, sq8Sides)

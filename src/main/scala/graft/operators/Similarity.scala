@@ -112,6 +112,36 @@ object Similarity {
   private def sqlVecs =
     s"SELECT vec_id, embedding, ${sqlL2norm("embedding")} AS nrm FROM embeddings"
 
+  /** A 256-dim corpus DERIVED deterministically from the 64-dim
+    * fixture — the oracle-checkable stand-in for production-width
+    * embeddings (round-15 verdict task 1: the flat rungs must be
+    * exercised past the 64-dim fixture, and a registered query needs a
+    * DuckDB-replayable corpus). Replica r of dim i is the fixture's
+    * dim (i + 17r) mod 64, sign-flipped when (31r + i) is odd:
+    * multiplication by ±1 and the permutation are EXACT in every float
+    * width, so Spark and DuckDB derive bit-identical floats — no
+    * cross-engine rounding surface — while the flips decorrelate the
+    * replicas' sign structure so the multi-word signature actually
+    * exercises all four words. */
+  private[graft] def wideEmb(emb: Column): Column =
+    flatten(transform(sequence(lit(0), lit(3)), r =>
+      transform(sequence(lit(0), lit(63)), i =>
+        (element_at(emb, ((i + lit(17) * r) % 64) + 1) *
+          when(((r * 31 + i) % 2) === 0, lit(1.0f)).otherwise(lit(-1.0f)))
+          .cast("float"))))
+
+  private def wideVecs(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), wideEmb(col("embedding")).as("embedding"))
+
+  /** [[wideEmb]]'s DuckDB replay (validated element-for-element against
+    * the Spark column): j in 0..255 decomposes as r = j div 64,
+    * i = j mod 64. */
+  private def sqlWideEmb: String =
+    """list_transform(range(0, 256), j ->
+      |  CAST(embedding[CAST((((j % 64) + 17 * (j // 64)) % 64) + 1 AS INT)] *
+      |       (CASE WHEN ((j // 64) * 31 + (j % 64)) % 2 = 0 THEN 1 ELSE -1 END) AS FLOAT))""".stripMargin
+
   private def cosE6(a: String, b: String) =
     sqlE6(s"${sqlDot(s"$a.embedding", s"$b.embedding")} / ($a.nrm * $b.nrm)")
 
@@ -513,8 +543,199 @@ object Similarity {
         org.apache.spark.sql.types.StructField("variant", org.apache.spark.sql.types.StringType, false),
         org.apache.spark.sql.types.StructField("recall_ok", org.apache.spark.sql.types.BooleanType, false)))
       s.createDataFrame(rows, schema).orderBy("variant")
+    },
+
+    // ---- Dim-parameterized flat rungs (round-15 verdict task 1) ----
+    // Production embedding corpora run 256-1536 dims; the 64-dim
+    // fixture must not be the only width the ladder's encoders ever
+    // see. These three run the flat rungs at 256 dims over a corpus
+    // DERIVED deterministically from the fixture ([[wideEmb]]:
+    // permuted sign-flipped replicas — exact in every float width, so
+    // the oracle replays the derivation bit-identically), through the
+    // same persisted lifecycles as their 64-dim siblings.
+
+    // Binary rung at 256 dims: the signature is ceil(256/64) = 4 longs
+    // (word w = sign bits of dims [64w, 64w+64)), ranked by the native
+    // HammingLL fused xor+popcount loop; build -> persisted index ->
+    // probe, all through the one dim-parameterized encoder (64 dims is
+    // its 1-word special case, stored as the qn34b one-long format).
+    Q("qn46_ann_binary_wide_persisted", sqlQn46) { (s, dir) =>
+      val path = newIndexDir()
+      val wv = wideVecs(s, dir)
+      BinarySig.buildBinIndexFrom(s, wv, path, 256)
+      BinarySig.probeBinIndexWith(s, wv.filter(col("vec_id") < 10), path, 5)
+    },
+
+    // SQ8 rung at 256 dims: the envelope/codes/probe chain is
+    // dimension-generic (per-pos stats, width-checked affine map), so
+    // the wide build IS the 64-dim build with a 256-row stats side.
+    Q("qn47_ann_sq8_wide_persisted", sqlQn47) { (s, dir) =>
+      val path = newIndexDir()
+      val wv = wideVecs(s, dir)
+      SQ8.buildSq8IndexFrom(s, wv, path)
+      SQ8.probeSq8IndexWith(s, wv.filter(col("vec_id") < 10), path, 5)
+    },
+
+    // Matryoshka rung with a PARAMETERIZED prefix: 64 of 256 (the
+    // production shape — the prefix is a model-declared corpus
+    // parameter, not a fixed 16).
+    Q("qn48_ann_matryoshka_param", sqlQn48) { (s, dir) =>
+      matryoshkaPlanFrom(
+        wideVecs(s, dir).withColumn("nrm", l2normNative(col("embedding"))), 64)
+    },
+
+    // IVF + SQ8 composed (round-15 verdict task 2): the quantized rung
+    // given an IVF tier — route to nProbe cells, byte-rank WITHIN the
+    // probed cells' cell-partitioned code files (both prunings
+    // compose: the listing is O(probed cells), each opened file is 4x
+    // under the floats), exact refine on the 16-wide shortlist. The
+    // flat rungs' probe cost is linear in N by declared construction;
+    // this is the serving shape past that — the qn33 IVFADC pattern at
+    // the cheaper rung, persisted under the versioned IndexSwap.
+    Q("qn45_ann_ivf_sq8_persisted", sqlQn45) { (s, dir) =>
+      val path = newIndexDir()
+      IvfSq8.buildIvfSq8Index(s, dir, 16, path)
+      IvfSq8.probeIvfSq8Index(s, dir, path, 4, 5)
     }
   )
+
+  /** qn45's oracle: stride centroids, argmax assignment, 4-cell
+    * routing (the qn10 CTEs), global SQ8 envelope + byte codes (the
+    * qn38 CTEs), integer-L2 rank WITHIN the routed cells, 16-wide
+    * shortlist, exact cosine refine. */
+  private def sqlQn45: String = {
+    val isum = (xs: String) =>
+      s"list_reduce(list_prepend(CAST(0 AS BIGINT), $xs), (a, b) -> a + b)"
+    val cosE6c = (a: String, b: String, an: String, bn: String) =>
+      sqlE6(s"${sqlDot(a, b)} / ($an * $bn)")
+    s"""WITH v AS (SELECT vec_id, embedding, ${sqlL2norm("embedding")} AS nrm FROM embeddings),
+       |ist AS (SELECT GREATEST(1, COUNT(*) // 16) AS stride FROM v),
+       |cents AS (SELECT vec_id AS cent_id, embedding AS ce, nrm AS cn FROM v, ist
+       |          WHERE vec_id % stride = 0 AND vec_id < stride * 16),
+       |asg AS (SELECT vec_id, cent_id FROM (
+       |        SELECT v.vec_id, c.cent_id,
+       |               ROW_NUMBER() OVER (PARTITION BY v.vec_id
+       |                 ORDER BY ${cosE6c("c.ce", "v.embedding", "c.cn", "v.nrm")} DESC,
+       |                          c.cent_id) AS rn
+       |        FROM v, cents c) WHERE rn = 1),
+       |ve AS (SELECT vec_id, [CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT) for x in embedding] AS emb6
+       |       FROM embeddings),
+       |st AS (SELECT i AS pos, MIN(emb6[i+1]) AS mn,
+       |              GREATEST(1, MAX(emb6[i+1]) - MIN(emb6[i+1])) AS sp
+       |       FROM ve, (SELECT unnest(range(0, 64)) AS i) GROUP BY 1),
+       |sta AS (SELECT list(mn ORDER BY pos) AS mna, list(sp ORDER BY pos) AS spa FROM st),
+       |qv AS (SELECT vec_id, [((emb6[i+1] - mna[i+1]) * 255) // spa[i+1] for i in range(0, 64)] AS q8
+       |       FROM ve, sta),
+       |p AS (SELECT qv.vec_id AS qid, qv.q8 AS pq8, v.embedding AS pe, v.nrm AS pn
+       |      FROM qv JOIN v ON v.vec_id = qv.vec_id WHERE qv.vec_id < 10),
+       |pc AS (SELECT qid, cent_id FROM (
+       |       SELECT p.qid, c.cent_id,
+       |              ROW_NUMBER() OVER (PARTITION BY p.qid
+       |                ORDER BY ${cosE6c("c.ce", "p.pe", "c.cn", "p.pn")} DESC,
+       |                         c.cent_id) AS rn
+       |       FROM p, cents c) WHERE rn <= 4),
+       |cand AS (SELECT pc.qid, a.vec_id FROM asg a JOIN pc USING (cent_id)
+       |         WHERE a.vec_id <> pc.qid),
+       |h AS (SELECT c.qid, c.vec_id,
+       |             ${isum("list_transform(list_zip(s.q8, p.pq8), z -> (z[1]-z[2])*(z[1]-z[2]))")} AS qd2
+       |      FROM cand c JOIN qv s ON s.vec_id = c.vec_id JOIN p ON p.qid = c.qid),
+       |sl AS (SELECT qid, vec_id, qd2 FROM (
+       |       SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+       |                   ORDER BY qd2, vec_id) AS rn FROM h) WHERE rn <= 16),
+       |ref AS (SELECT sl.qid, sl.vec_id, CAST(sl.qd2 AS BIGINT) AS qd2,
+       |               ${cosE6c("q.embedding", "d.embedding", "q.nrm", "d.nrm")} AS score_e6
+       |        FROM sl JOIN v q ON q.vec_id = sl.qid JOIN v d ON d.vec_id = sl.vec_id),
+       |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+       |               ORDER BY score_e6 DESC, vec_id) AS rnk FROM ref)
+       |SELECT qid, rnk, vec_id, qd2, score_e6 FROM r WHERE rnk <= 5
+       |ORDER BY qid, rnk""".stripMargin
+  }
+
+  /** qn46's oracle: the wide derivation, 4-word sign signature,
+    * per-word xor+popcount Hamming, 16-wide shortlist, exact re-rank —
+    * [[sqlQn34]] generalized to ceil(D/64) words. */
+  private def sqlQn46: String = {
+    val bit = "CASE WHEN b = 63 THEN CAST(-9223372036854775808 AS BIGINT) ELSE (1::BIGINT << b) END"
+    val sig = "[list_reduce(list_prepend(0::BIGINT, [CASE WHEN " +
+      s"CAST(embedding[w*64+b+1] AS DOUBLE) > 0 THEN $bit ELSE 0::BIGINT END " +
+      "for b in range(0, 64)]), (a, c) -> a | c) for w in range(0, 4)]"
+    val ham = "list_reduce(list_prepend(0::BIGINT, " +
+      "[CAST(bit_count(xor(s.sig[w+1], p.psig[w+1])) AS BIGINT) for w in range(0, 4)]), " +
+      "(a, c) -> a + c)"
+    s"""WITH e AS (SELECT vec_id, $sqlWideEmb AS embedding FROM embeddings),
+       |v AS (SELECT vec_id, embedding, ${sqlL2norm("embedding")} AS nrm,
+       |             $sig AS sig FROM e),
+       |p AS (SELECT vec_id AS qid, embedding AS pe, nrm AS pn, sig AS psig
+       |      FROM v WHERE vec_id < 10),
+       |h AS (SELECT p.qid, s.vec_id, $ham AS ham
+       |      FROM v s, p WHERE s.vec_id <> p.qid),
+       |sl AS (SELECT qid, vec_id, ham FROM (
+       |       SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+       |                   ORDER BY ham, vec_id) AS rn FROM h) WHERE rn <= 16),
+       |ref AS (SELECT sl.qid, sl.vec_id, CAST(sl.ham AS BIGINT) AS hamming,
+       |               ${sqlE6(s"${sqlDot("p.pe", "d.embedding")} / (p.pn * d.nrm)")} AS score_e6
+       |        FROM sl JOIN p ON p.qid = sl.qid JOIN v d ON d.vec_id = sl.vec_id),
+       |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+       |               ORDER BY score_e6 DESC, vec_id) AS rnk FROM ref)
+       |SELECT qid, rnk, vec_id, hamming, score_e6 FROM r WHERE rnk <= 5
+       |ORDER BY qid, rnk""".stripMargin
+  }
+
+  /** qn47's oracle: [[sqlQn38]]'s envelope/byte-map/integer-L2 chain
+    * at 256 dims over the wide derivation. */
+  private def sqlQn47: String = {
+    val isum = (xs: String) =>
+      s"list_reduce(list_prepend(CAST(0 AS BIGINT), $xs), (a, b) -> a + b)"
+    s"""WITH e AS (SELECT vec_id, $sqlWideEmb AS embedding FROM embeddings),
+       |ve AS (SELECT vec_id, [CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT) for x in embedding] AS emb6
+       |       FROM e),
+       |st AS (SELECT i AS pos, MIN(emb6[i+1]) AS mn,
+       |              GREATEST(1, MAX(emb6[i+1]) - MIN(emb6[i+1])) AS sp
+       |       FROM ve, (SELECT unnest(range(0, 256)) AS i) GROUP BY 1),
+       |sta AS (SELECT list(mn ORDER BY pos) AS mna, list(sp ORDER BY pos) AS spa FROM st),
+       |qv AS (SELECT vec_id, [((emb6[i+1] - mna[i+1]) * 255) // spa[i+1] for i in range(0, 256)] AS q8
+       |       FROM ve, sta),
+       |v AS (SELECT vec_id, embedding, ${sqlL2norm("embedding")} AS nrm FROM e),
+       |p AS (SELECT qv.vec_id AS qid, qv.q8 AS pq8, v.embedding AS pe, v.nrm AS pn
+       |      FROM qv JOIN v ON v.vec_id = qv.vec_id WHERE qv.vec_id < 10),
+       |h AS (SELECT p.qid, s.vec_id,
+       |             ${isum("list_transform(list_zip(s.q8, p.pq8), z -> (z[1]-z[2])*(z[1]-z[2]))")} AS qd2
+       |      FROM qv s, p WHERE s.vec_id <> p.qid),
+       |sl AS (SELECT qid, vec_id, qd2 FROM (
+       |       SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+       |                   ORDER BY qd2, vec_id) AS rn FROM h) WHERE rn <= 16),
+       |ref AS (SELECT sl.qid, sl.vec_id, CAST(sl.qd2 AS BIGINT) AS qd2,
+       |               ${sqlE6(s"${sqlDot("p.pe", "d.embedding")} / (p.pn * d.nrm)")} AS score_e6
+       |        FROM sl JOIN p ON p.qid = sl.qid JOIN v d ON d.vec_id = sl.vec_id),
+       |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+       |               ORDER BY score_e6 DESC, vec_id) AS rnk FROM ref)
+       |SELECT qid, rnk, vec_id, qd2, score_e6 FROM r WHERE rnk <= 5
+       |ORDER BY qid, rnk""".stripMargin
+  }
+
+  /** qn48's oracle: the qn35 prefix-score/shortlist/re-rank chain with
+    * a 64-of-256 prefix over the wide derivation. */
+  private def sqlQn48: String = {
+    val pre = (c: String) => s"list_slice($c, 1, 64)"
+    s"""WITH e AS (SELECT vec_id, $sqlWideEmb AS embedding FROM embeddings),
+       |v AS (SELECT vec_id, embedding, ${sqlL2norm("embedding")} AS nrm,
+       |             ${sqlL2norm(pre("embedding"))} AS pnrm FROM e),
+       |p AS (SELECT vec_id AS qid, embedding AS pe, nrm AS pn, pnrm AS ppn
+       |      FROM v WHERE vec_id < 10),
+       |c AS (SELECT p.qid, s.vec_id,
+       |             ${sqlE6(s"${sqlDot(pre("p.pe"), pre("s.embedding"))} / (p.ppn * s.pnrm)")} AS pscore
+       |      FROM v s, p WHERE s.vec_id <> p.qid AND p.ppn > 0 AND s.pnrm > 0),
+       |sl AS (SELECT qid, vec_id FROM (
+       |       SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+       |                   ORDER BY pscore DESC, vec_id) AS rn FROM c) WHERE rn <= 32),
+       |ref AS (SELECT sl.qid, sl.vec_id,
+       |               ${sqlE6(s"${sqlDot("p.pe", "d.embedding")} / (p.pn * d.nrm)")} AS score_e6
+       |        FROM sl JOIN p ON p.qid = sl.qid JOIN v d ON d.vec_id = sl.vec_id),
+       |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+       |               ORDER BY score_e6 DESC, vec_id) AS rnk FROM ref)
+       |SELECT qid, rnk, vec_id, score_e6 FROM r WHERE rnk <= 5
+       |ORDER BY qid, rnk""".stripMargin
+  }
 
   /** qn44's collapse floors in HITS out of 50 (10 probes x top-5),
     * keyed by variant — strictly between chance (<2/50: the shortlist
@@ -571,11 +792,21 @@ object Similarity {
   }
 
   /** qn35's plan (shared with qn44): 16-dim prefix score, 32-wide
-    * shortlist, exact re-rank on all 64 dims. */
-  private[graft] def qn35Plan(s: SparkSession, dir: String): DataFrame = {
-    val v = vecs(s, dir)
-      .withColumn("pre", slice(col("embedding"), 1, 16))
-      .withColumn("pnrm", l2normNative(slice(col("embedding"), 1, 16)))
+    * shortlist, exact re-rank on all 64 dims — the fixture
+    * instantiation of [[matryoshkaPlanFrom]]. */
+  private[graft] def qn35Plan(s: SparkSession, dir: String): DataFrame =
+    matryoshkaPlanFrom(vecs(s, dir), 16)
+
+  /** The PARAMETERIZED matryoshka plan (round-15 verdict task 1): the
+    * prefix width is a corpus parameter — MRL-trained production
+    * embeddings carry their coarse geometry in a model-declared prefix
+    * (64 of 256, 128 of 768, ...), not a fixed 16. `v0` is any
+    * (vec_id, embedding, nrm) frame; prefix scoring, 32-wide
+    * shortlist, exact full-width re-rank. */
+  private[graft] def matryoshkaPlanFrom(v0: DataFrame, prefix: Int): DataFrame = {
+    val v = v0
+      .withColumn("pre", slice(col("embedding"), 1, prefix))
+      .withColumn("pnrm", l2normNative(slice(col("embedding"), 1, prefix)))
     val probes = v.filter(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("embedding").as("pe"), col("nrm").as("pn"),
         col("pre").as("ppre"), col("pnrm").as("ppn"))
@@ -838,7 +1069,7 @@ object Similarity {
     * even-ids build with an odd stride yields HALF the declared
     * centroids — caught in round-10 review), so a filtered build passes
     * the re-densified key (qn10c: `vec_id div 2`). */
-  private def ivfCents(v: DataFrame, nCentroids: Int,
+  private[operators] def ivfCents(v: DataFrame, nCentroids: Int,
       sampleKey: Column = col("vec_id")): DataFrame = {
     val st = v.agg(count(lit(1)).as("n_vec"))
       .select(greatest(lit(1L), expr(s"n_vec div $nCentroids")).as("stride"))
@@ -924,6 +1155,22 @@ object Similarity {
     * big expression push past the JIT limit and drop the whole stage to
     * interpreted eval).
     *
+    * The fold itself DISPATCHES on block count (round-15 verdict task
+    * 3: the linear when-chain was bracketed only to 8 blocks while the
+    * 256 MB total guard admits ~250): up to
+    * [[linearFoldMaxBlocks]] blocks it stays the nested CaseWhen chain
+    * (zero allocation, measured near-free); above that it becomes ONE
+    * `aggregate` over an `array(...)` of the block references — the
+    * generated code is a constant-size loop (one CaseWhen lambda body)
+    * regardless of block count, so production cell counts can never
+    * push the stage past the JIT method limit the nested chain risks
+    * at 250-deep nesting. Cost: one nBlocks-element array allocation
+    * per row — O(blocks), dwarfed by the O(cells x dim) argmax work
+    * that produced the blocks. Both folds keep the left-biased
+    * strictly-greater rule (blocks slice in ascending cent_id, array()
+    * preserves order), so the global lowest-cent_id tie-break is
+    * identical — pinned at 250 blocks in BlockedArgmaxSpec.
+    *
     * `keep` is the output column set alongside `cent_id`; `blockCells`
     * is spec-pinnable (BlockedArgmaxSpec forces multi-block on a
     * fixture-sized table). One block degenerates to the round-14
@@ -946,11 +1193,23 @@ object Similarity {
           ca.cns.slice(from, until), ca.dim).as(s"_ab$b")
       }
       val stage1 = v.select(v.columns.map(col) ++ parts: _*)
-      val folded = (0 until nBlocks).map(b => col(s"_ab$b"))
-        .reduce((a, p) => when(element_at(p, 1) > element_at(a, 1), p).otherwise(a))
+      val refs = (0 until nBlocks).map(b => col(s"_ab$b"))
+      val folded =
+        if (nBlocks <= linearFoldMaxBlocks)
+          refs.reduce((a, p) => when(element_at(p, 1) > element_at(a, 1), p).otherwise(a))
+        else
+          aggregate(array(refs.drop(1): _*), refs.head,
+            (acc, p) => when(element_at(p, 1) > element_at(acc, 1), p).otherwise(acc))
       stage1.select(keep.map(col) :+ element_at(folded, 2).as("cent_id"): _*)
     }
   }
+
+  /** Block count past which the cross-block fold switches from the
+    * nested when-chain to the constant-code-size aggregate loop (see
+    * [[nativeAssignBlocked]]). 16 is inside the measured-near-free
+    * bracket for the chain; the sweep table in BENCH_NOTES prices both
+    * forms to 250 blocks. */
+  private[graft] val linearFoldMaxBlocks = 16
 
   /** [[ivfAssigned]] for the BUILD paths: the blocked native argmax
     * ([[nativeAssignBlocked]] — EXACT at any cell count, zero-shuffle;
@@ -960,7 +1219,7 @@ object Similarity {
     * ([[PQ.nativeAssignTotalOk]] — the centroid table must stay a
     * plan-bakeable broadcast-class payload) and as the parity
     * reference the specs replay. */
-  private def ivfAssignedDispatch(v: DataFrame, cents: DataFrame,
+  private[operators] def ivfAssignedDispatch(v: DataFrame, cents: DataFrame,
       nCells: Long): DataFrame =
     if (!PQ.nativeAssignTotalOk(nCells, centDim(cents))) ivfAssigned(v, cents)
     else nativeAssignBlocked(v, cents, Seq("vec_id", "embedding", "nrm"))

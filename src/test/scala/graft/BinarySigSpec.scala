@@ -83,6 +83,156 @@ class BinarySigSpec extends AnyFunSuite {
       .collect().map(_.toString).sorted.toSeq == before, "rollback touched the live index")
   }
 
+  test("dim-parameterized multi-word lifecycle at 256 dims: sig layout, append parity, rebalance fixpoint, width guard") {
+    import graft.operators.Similarity
+    val path = Similarity.newIndexDir()
+    val wide = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), Similarity.wideEmb(col("embedding")).as("embedding"))
+    BinarySig.buildBinIndexFrom(spark, wide, path, 256)
+    // Stored sig = 4 longs; word w equals the declarative per-word
+    // fold over dims [64w, 64w+64) — the layout contract the oracle's
+    // 4-word comprehension replays.
+    val hofWord = (w: Int) => aggregate(sequence(lit(0), lit(63)), lit(0L), (acc, b) =>
+      acc.bitwiseOR(when(element_at(col("embedding"), b + lit(w * 64 + 1)).cast("double") > 0,
+        call_function("shiftleft", lit(1L), b)).otherwise(lit(0L))))
+    val expected = wide.filter(col("vec_id") < 5)
+      .select(col("vec_id"), array((0 until 4).map(hofWord): _*).as("esig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val stored = spark.read.parquet(graft.operators.IndexSwap.side(spark, path, "codes"))
+      .filter(col("vec_id") < 5)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(stored == expected, "multi-word sig layout diverged from the per-word fold")
+    // Append at 256 dims: a sign-identical near-copy of probe 3 must
+    // Hamming-0 its way to the top refined neighbor (same contract as
+    // the 64-dim append test).
+    val planted = wide.filter(col("vec_id") === 3)
+      .select(lit(77777L).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          when(i === 0, (x.cast("double") * 1.01).cast("float")).otherwise(x)).as("embedding"))
+    BinarySig.appendToBinIndex(spark, planted, path)
+    val probes = wide.filter(col("vec_id") < 10)
+    val top = BinarySig.probeBinIndexWith(spark, probes, path, 5)
+      .filter(col("qid") === 3 && col("rnk") === 1).collect()
+    assert(top.length == 1 && top.head.getLong(2) == 77777L,
+      s"planted wide near-copy not probe 3's top neighbor: ${top.mkString}")
+    // Rebalance stays a deterministic fixpoint in the multi-word form.
+    BinarySig.rebalanceBinIndex(spark, path)
+    val codes1 = spark.read.parquet(graft.operators.IndexSwap.side(spark, path, "codes"))
+      .collect().map(_.toString).sorted.toSeq
+    BinarySig.rebalanceBinIndex(spark, path)
+    val codes2 = spark.read.parquet(graft.operators.IndexSwap.side(spark, path, "codes"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(codes1 == codes2, "multi-word rebalance is not a fixpoint")
+    // A 64-dim probe against the 256-dim index fails loudly (word-count
+    // check), never NULL-ranks.
+    val narrowProbes = Tables.embeddings(spark, sf).filter(col("vec_id") < 3)
+      .select("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      BinarySig.probeBinIndexWith(spark, narrowProbes, path, 5)
+    }
+    assert(e.getMessage.contains("signature words"), e.getMessage)
+  }
+
+  test("auto-compaction: appends fragment past the threshold, the deferred marker fires, maintain compacts to a fixpoint") {
+    import org.apache.hadoop.fs.Path
+    val path = graft.operators.Similarity.newIndexDir()
+    val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
+    BinarySig.buildBinIndex(spark, sf, path)
+    val verBefore = graft.operators.IndexSwap.liveVersion(spark, path)
+    def codeFiles: Int = graft.sources.LakeListing.dataFiles(
+      spark.sessionState.newHadoopConf(),
+      new Path(graft.operators.IndexSwap.side(spark, path, "codes"))).size
+    val builtFiles = codeFiles
+    // Fragment: several small appends, each under the threshold until
+    // the last — the trigger must DEFER (marker, not an in-append
+    // compaction), keeping every append O(new).
+    val threshold = builtFiles + 3
+    (0 until 5).foreach { i =>
+      val batch = Tables.embeddings(spark, sf).filter(col("vec_id") < 4)
+        .select((col("vec_id") + lit(100000L + i * 10)).as("vec_id"), col("embedding"))
+      BinarySig.appendToBinIndex(spark, batch, path, autoCompact = Some(threshold))
+    }
+    assert(codeFiles > threshold, s"fixture did not fragment: $codeFiles files")
+    assert(fs.exists(new Path(s"$path/_rebalance_due")), "trigger never dropped the marker")
+    assert(graft.operators.IndexSwap.liveVersion(spark, path) == verBefore,
+      "append ran the compaction inline instead of deferring")
+    // Maintenance consumes the marker: compaction rewrites both tiers
+    // (file count back to build-class), version bumps, marker gone.
+    assert(BinarySig.maintainBinIndex(spark, path), "maintain did not run the due compaction")
+    assert(!fs.exists(new Path(s"$path/_rebalance_due")))
+    assert(codeFiles <= builtFiles + 1, s"compaction did not defragment: $codeFiles files")
+    assert(graft.operators.IndexSwap.liveVersion(spark, path) == verBefore + 1)
+    assert(!BinarySig.maintainBinIndex(spark, path), "maintain re-ran without a marker")
+    // The compacted index still serves the exact qn34 contract rows.
+    assert(BinarySig.probeBinIndex(spark, sf, path, 5).count() == 50)
+  }
+
+  test("streaming vector ingest maintains the signature index: foreachBatch O(new) appends, compaction fires mid-stream") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.hadoop.fs.Path
+    val path = graft.operators.Similarity.newIndexDir()
+    BinarySig.buildBinIndex(spark, sf, path)
+    val total0 = spark.read.parquet(graft.operators.IndexSwap.side(spark, path, "codes")).count()
+    def codeFiles: Int = graft.sources.LakeListing.dataFiles(
+      spark.sessionState.newHadoopConf(),
+      new Path(graft.operators.IndexSwap.side(spark, path, "codes"))).size
+    val threshold = codeFiles + 3
+    val ms = MemoryStream[(Long, Seq[Float])]
+    val q = ms.toDF().toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+      .writeStream.foreachBatch {
+        (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          // The PqRebalanceSpec split: the append stays O(new) (a
+          // fired trigger only drops the marker); maintenance runs as
+          // its own per-batch step.
+          BinarySig.appendToBinIndex(b.sparkSession, b, path, autoCompact = Some(threshold))
+          BinarySig.maintainBinIndex(b.sparkSession, path): Unit
+      }.start()
+    val verBefore = graft.operators.IndexSwap.liveVersion(spark, path)
+    try {
+      val rows = Tables.embeddings(spark, sf).filter(col("vec_id") < 40)
+        .select((col("vec_id") + 200000L).as("vec_id"), col("embedding"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toSeq))
+      rows.grouped(8).foreach { batch => ms.addData(batch.toSeq); q.processAllAvailable() }
+    } finally q.stop()
+    assert(spark.read.parquet(graft.operators.IndexSwap.side(spark, path, "codes")).count() == total0 + 40,
+      "stream lost or duplicated signatures")
+    assert(graft.operators.IndexSwap.liveVersion(spark, path) > verBefore,
+      "compaction never fired in-stream")
+    assert(codeFiles <= threshold + 1, s"stream left the layout fragmented: $codeFiles files")
+    assert(BinarySig.probeBinIndex(spark, sf, path, 5).count() == 50)
+  }
+
+  test("append crash window: an orphaned cold row is invisible to probes and healed by the next compaction") {
+    val path = graft.operators.Similarity.newIndexDir()
+    BinarySig.buildBinIndex(spark, sf, path)
+    val baseline = BinarySig.probeBinIndex(spark, sf, path, 5).collect().map(_.toString).toSeq
+    // Simulate the documented one-crash-window state: the COLD write
+    // landed, the CODES write did not (the safe polarity — dead bytes,
+    // never a shortlisted ghost).
+    val orphan = Tables.embeddings(spark, sf).filter(col("vec_id") === 3)
+      .select(lit(88888L).as("vec_id"), col("embedding"),
+        graft.functions.VectorExprs.l2normNative(col("embedding")).as("nrm"))
+    orphan.write.mode("append")
+      .parquet(graft.operators.IndexSwap.side(spark, path, "vectors"))
+    assert(BinarySig.probeBinIndex(spark, sf, path, 5).collect().map(_.toString).toSeq == baseline,
+      "an orphaned cold row leaked into probe results")
+    // The compaction re-signs from the cold lake: the orphan becomes a
+    // first-class indexed row (88888 is a near-copy of probe 3 — it
+    // must now surface as its top neighbor).
+    BinarySig.rebalanceBinIndex(spark, path)
+    val codes = spark.read.parquet(graft.operators.IndexSwap.side(spark, path, "codes"))
+    assert(codes.count() ==
+      spark.read.parquet(graft.operators.IndexSwap.side(spark, path, "vectors")).count(),
+      "compaction did not reconcile the tiers")
+    val top = BinarySig.probeBinIndex(spark, sf, path, 5)
+      .filter(col("qid") === 3 && col("rnk") === 1).collect()
+    assert(top.length == 1 && top.head.getLong(2) == 88888L,
+      s"repaired orphan not probe 3's top neighbor: ${top.mkString}")
+  }
+
   test("width mismatch and NULL elements fail loudly, never sign deficient bits") {
     import spark.implicits._
     def rootMessages(t: Throwable): String =

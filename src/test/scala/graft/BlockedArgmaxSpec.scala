@@ -83,6 +83,35 @@ class BlockedArgmaxSpec extends AnyFunSuite {
     assert(blocked(0L) == 2L, s"cross-block tie resolved to ${blocked(0L)}, not the lowest cent_id")
   }
 
+  test("250-block aggregate fold == window argmax, including a planted cross-block tie") {
+    // Past linearFoldMaxBlocks the fold is the constant-code-size
+    // aggregate loop (round-15 verdict task 3) — this pins parity at
+    // the max block count the 256 MB total guard admits (~250), far
+    // beyond what any fixture-sized table would exercise by accident.
+    val v = corpus(300)
+    val c = cents(1000) // blockCells=4 -> 250 blocks, aggregate fold
+    val windowed = asMap(PQ.coarseAssign(v, c))
+    val blocked = asMap(Similarity.nativeAssignBlocked(v, c, Seq("vec_id"), blockCells = 4))
+    assert(blocked == windowed, "250-block aggregate fold diverged from the window form")
+    // Tie across distant blocks under the aggregate fold: duplicate
+    // centroid planted at a HIGH cent_id must lose to the low one.
+    import spark.implicits._
+    val dup = Array.tabulate(dim)(d => math.cos(0.21 * d).toFloat).toSeq
+    val far = Array.tabulate(dim)(d => -math.cos(0.21 * d).toFloat).toSeq
+    val rows = Seq((2L, dup), (900L, dup)) ++
+      (0 until 400).map(j => ((j * 2 + 3).toLong, far))
+    val ct = rows.toDF("cent_id", "ce")
+      .select(col("cent_id"), col("ce").cast("array<float>").as("ce"),
+        graft.functions.VectorExprs.l2normNative(
+          col("ce").cast("array<float>")).as("cn"))
+    val probe = Seq((0L, dup)).toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"),
+        graft.functions.VectorExprs.l2normNative(
+          col("embedding").cast("array<float>")).as("nrm"))
+    val tied = asMap(Similarity.nativeAssignBlocked(probe, ct, Seq("vec_id"), blockCells = 4))
+    assert(tied(0L) == 2L, s"aggregate-fold tie resolved to ${tied(0L)}, not the lowest cent_id")
+  }
+
   test("unusual dim shrinks blocks under the per-block byte cap without changing results") {
     // dim here is small, so the byte cap never binds at these sizes —
     // this pins the CODE PATH by forcing blockCells far below the cap

@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The composed IVF+SQ8 index beyond the qn45 hash gate: the SCALE
+  * claim is that both prunings compose — the byte-rank scan opens only
+  * the probed cells' code files, and the refine opens only the
+  * shortlist's cells — so these pins are on the physical plan's file
+  * counts, which the value-level oracle cannot see.
+  */
+class IvfSq8Spec extends AnyFunSuite {
+  import TestSpark._
+  import graft.operators.IvfSq8
+
+  private def prunedScans(df: org.apache.spark.sql.DataFrame) = {
+    df.collect() // realize metrics
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    def allScans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => allScans(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => allScans(q.plan)
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => allScans(r.child)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(allScans) ++
+        other.subqueries.flatMap(allScans)
+    }
+    allScans(df.queryExecution.executedPlan)
+  }
+
+  private def countParquet(f: java.io.File): Int =
+    if (f.isDirectory) Option(f.listFiles).getOrElse(Array.empty).map(countParquet).sum
+    else if (f.getName.endsWith(".parquet")) 1 else 0
+
+  test("probe reads only the probed cells' code files and the shortlist cells' cold files") {
+    val path = graft.operators.Similarity.newIndexDir()
+    IvfSq8.buildIvfSq8Index(spark, sf, 16, path)
+    // The byte-rank scan is collected inside the probe call (its
+    // shortlist is manifest-class), so pin the SAME cell-scoped codes
+    // read the probe issues: routed cells only, a strict subset of the
+    // code lake's files.
+    val root = graft.operators.IndexSwap.liveRoot(spark, path)
+    val cents = spark.read.parquet(s"$root/centroids")
+    val probes = Tables.embeddings(spark, sf).filter(col("vec_id") < 10)
+      .select(col("vec_id"), col("embedding"),
+        graft.functions.VectorExprs.l2normNative(col("embedding")).as("nrm"))
+    val cells = graft.operators.Similarity.ivfRouteFlat(probes, cents, 4)
+      .select("cent_id").distinct().collect().map(_.getLong(0)).toSeq
+    val codesRead = graft.operators.Similarity
+      .cellScopedRead(spark, path, "codes", cells)
+    val codeScans = prunedScans(codesRead)
+    val codeFilesRead = codeScans.map(_.metrics("numFiles").value).sum
+    val codesTotal = countParquet(new java.io.File(s"$root/codes".stripPrefix("file:")))
+    assert(codeFilesRead > 0 && codeFilesRead < codesTotal,
+      s"codes scan did not prune: read $codeFilesRead of $codesTotal files")
+    // The refine's cold scan IS in the returned plan: shortlist cells
+    // only.
+    val probed = IvfSq8.probeIvfSq8Index(spark, sf, path, 4, 5)
+    val scans = prunedScans(probed)
+    val coldScans = scans.filter(_.relation.location.rootPaths.exists(
+      _.toString.contains("/vectors")))
+    assert(coldScans.nonEmpty, s"no vectors scan found:\n${scans.mkString("\n")}")
+    val coldRead = coldScans.map(_.metrics("numFiles").value).sum
+    val coldTotal = countParquet(new java.io.File(s"$root/vectors".stripPrefix("file:")))
+    assert(coldRead > 0 && coldRead < coldTotal,
+      s"vectors scan did not prune: read $coldRead of $coldTotal files")
+    assert(probed.count() == 50)
+  }
+
+  test("rank stays within the routed cells: a vector outside every probed cell never surfaces") {
+    val path = graft.operators.Similarity.newIndexDir()
+    IvfSq8.buildIvfSq8Index(spark, sf, 16, path)
+    // Each surfaced vec_id's assigned cell must be one of its probe's
+    // routed cells — read the assignment back from the cold lake.
+    val res = IvfSq8.probeIvfSq8Index(spark, sf, path, 4, 5)
+      .select(col("qid"), col("vec_id"))
+    val asg = spark.read.parquet(
+      graft.operators.IndexSwap.side(spark, path, "vectors"))
+      .select(col("vec_id"), col("cent_id").cast("long").as("cent_id"))
+    val cents = spark.read.parquet(
+      graft.operators.IndexSwap.side(spark, path, "centroids"))
+    val probes = Tables.embeddings(spark, sf).filter(col("vec_id") < 10)
+      .select(col("vec_id"), col("embedding"),
+        graft.functions.VectorExprs.l2normNative(col("embedding")).as("nrm"))
+    val routed = graft.operators.Similarity.ivfRouteFlat(probes, cents, 4)
+      .select(col("probe_id").as("qid"), col("cent_id"))
+    val offCell = res.join(asg, Seq("vec_id"))
+      .join(routed, Seq("qid", "cent_id"), "left_anti")
+    assert(offCell.count() == 0, "a result came from an unprobed cell")
+  }
+}

@@ -253,6 +253,10 @@ class PlanSpec extends AnyFunSuite {
       "qn30_pq_codebooks",    // single-row stride-scalar crossJoin (seed lattice)
       "qn34_ann_binary_hamming", // broadcast 10-row probe-signature side vs the sig column
       "qn34b_ann_binary_hamming_persisted", // broadcast 10-row probe-signature side vs the stored sig column
+      "qn46_ann_binary_wide_persisted", // same probe-signature broadcast, 4-word sig at 256 dims
+      "qn47_ann_sq8_wide_persisted", // broadcast 10-row probe-byte side vs the stored 256-dim codes
+      "qn45_ann_ivf_sq8_persisted", // broadcast centroid routing + broadcast probe-byte side vs cell-scoped codes
+      "qn48_ann_matryoshka_param", // broadcast 10-row probe-prefix side (64-of-256 prefix)
       "qn36_ann_ivfpq_residual", // stride scalar + broadcast centroid/probe/residual-table sides
       "qn35_ann_matryoshka_prefix", // broadcast 10-row probe-prefix side vs the prefix column
       "qn32_ann_pq_adc",      // broadcast 10-row ADC-table side scored against the codes

@@ -71,6 +71,75 @@ class VectorExprsSpec extends AnyFunSuite {
     assert(graft.functions.IntSqDistLL(la, lb).eval(null) == (16L + 249L * 249L))
   }
 
+  test("native hamming_ll matches the per-word xor/bit_count HOF bit for bit, including null semantics") {
+    import spark.implicits._
+    import graft.functions.VectorExprs.hammingNative
+    val d = (0 until 100).map { i =>
+      (Seq.tabulate(4)(j => i.toLong * 2654435761L + j * 40503L),
+       Seq.tabulate(4)(j => i.toLong * 40503L + j * 2654435761L))
+    }.toDF("a", "b")
+    val hof = aggregate(zip_with(col("a"), col("b"),
+        (x, y) => bit_count(x.bitwiseXOR(y)).cast("long")),
+      lit(0L), (acc, z) => acc + z)
+    val rows = d.select(hammingNative(col("a"), col("b")).as("n"), hof.as("h")).collect()
+    rows.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+    // Width mismatch, NULL element, NULL array: all NULL (zip_with parity).
+    val edge = Seq(
+      (Some(Seq(Some(1L), Some(2L))), Some(Seq(Some(1L)))),
+      (Some(Seq(Some(1L), None)), Some(Seq(Some(1L), Some(2L)))),
+      (None: Option[Seq[Option[Long]]], Some(Seq(Some(1L))))
+    ).toDF("a", "b")
+    val hofE = aggregate(zip_with(col("a"), col("b"),
+        (x, y) => bit_count(x.bitwiseXOR(y)).cast("long")),
+      lit(0L), (acc, z) => acc + z)
+    val got = edge.select(hammingNative(col("a"), col("b")).as("n"), hofE.as("h")).collect()
+    got.foreach { r => assert(r.isNullAt(0) && r.isNullAt(1)) }
+    // Interpreted eval agrees with codegen (Long.MinValue word included
+    // — the bit-63 wrap the sig fold produces).
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.sql.types.{ArrayType, LongType}
+    val la = Literal.create(new GenericArrayData(Array(Long.MinValue, 0L)), ArrayType(LongType))
+    val lb = Literal.create(new GenericArrayData(Array(0L, -1L)), ArrayType(LongType))
+    assert(graft.functions.HammingLL(la, lb).eval(null) == 65L)
+  }
+
+  test("native matvec matches a driver-side matmul bit for bit; width mismatch fails loudly") {
+    import spark.implicits._
+    import graft.functions.VectorExprs.matVecNative
+    val dim = 8
+    val mat = Array.tabulate(dim * dim)(i => math.sin(0.37 * i) + (if (i / dim == i % dim) 1.5 else 0.0))
+    val rows = (0 until 50).map(i => (i.toLong, Seq.tabulate(dim)(j => (0.1f * i + 0.01f * j))))
+    val df = rows.toDF("vec_id", "emb")
+      .select(col("vec_id"), col("emb").cast("array<float>").as("emb"))
+    val got = df.select(col("vec_id"), matVecNative(col("emb"), mat, dim).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    rows.foreach { case (id, emb) =>
+      val expect = Array.tabulate(dim)(r =>
+        (0 until dim).map(c => mat(r * dim + c) * emb(c).toDouble).sum)
+      // Exact: both sides are the same left-to-right double fold.
+      assert(got(id).toArray.sameElements(expect), s"matvec diverged at vec_id=$id")
+    }
+    // Interpreted eval agrees with codegen.
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    val la = Literal.create(new GenericArrayData(Array.tabulate(dim)(_.toFloat)), ArrayType(FloatType))
+    val interp = graft.functions.MatVecFD(la, mat, dim).eval(null)
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toDoubleArray()
+    val viaDf = df.filter(col("vec_id") === 10)
+    assert(interp.length == dim && viaDf.count() == 1)
+    // Width mismatch: loud, not zero-padded.
+    val bad = Seq((1L, Seq(1.0f, 2.0f))).toDF("vec_id", "emb")
+      .select(col("vec_id"), col("emb").cast("array<float>").as("emb"))
+    val e = intercept[Throwable] {
+      bad.select(matVecNative(col("emb"), mat, dim)).collect()
+    }
+    def msgs(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).map(_.getMessage).mkString(" | ")
+    assert(msgs(e).contains("matrix dim"), msgs(e))
+  }
+
   test("interpreted eval agrees with codegen") {
     import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.catalyst.util.GenericArrayData
