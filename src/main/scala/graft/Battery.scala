@@ -792,6 +792,38 @@ object Battery {
     val (_, h2) = timed(handle.probeWith(s, probeFrame, 4, 5).collect())
     val (_, h3) = timed(handle.probeWith(s, probeFrame, 4, 5).collect())
     println(f"""{"battery":"pqlat","vectors":$n,"cells":$nCells,"meta_sec":$metaSec%.2f,"probe_collect_sec":$collectSec%.2f,"route_sec":$routeSec%.2f,"full_cold_sec":$cold1%.2f,"full_warm_sec":$warm%.2f,"handle_open_sec":$openSec%.2f,"handle_probe_secs":[$h1%.2f,$h2%.2f,$h3%.2f]}""")
+    // Round-15 verdict task 7: the handle's store-traffic win priced
+    // by MEASUREMENT, not arithmetic. (a) bytesRead attribution — the
+    // Hadoop "file"-scheme counter around each arm isolates how many
+    // index bytes a per-call probe re-reads that a handle probe never
+    // touches (meta + centroid + codebook sides); each such read is an
+    // object-store round-trip on a fleet. (b) COLD-cache walls — the
+    // page cache is dropped before each arm (local-fs cold read stands
+    // in for the store's first-byte latency), pricing per-call vs
+    // handle serving when nothing is resident.
+    def readBytes(): Long = Option(
+      org.apache.hadoop.fs.GlobalStorageStatistics.INSTANCE.get("file"))
+      .flatMap(st => Option(st.getLong("bytesRead")).map(Long2long)).getOrElse(0L)
+    def bytesOf[A](f: => A): Long = { val b0 = readBytes(); f; readBytes() - b0 }
+    val perCallBytes = bytesOf(PQ.probePqIndexWith(s, probeFrame, path, 4, 5).collect())
+    val handleBytes = bytesOf(handle.probeWith(s, probeFrame, 4, 5).collect())
+    def dropCaches(): Boolean =
+      try new ProcessBuilder("sh", "-c", "sync; echo 3 > /proc/sys/vm/drop_caches")
+        .start().waitFor() == 0
+      catch { case _: Exception => false }
+    if (!dropCaches())
+      println("""{"battery":"pqlat_cold","skipped":"drop_caches unavailable"}""")
+    else {
+      val (_, coldPerCall) = timed(PQ.probePqIndexWith(s, probeFrame, path, 4, 5).collect())
+      dropCaches()
+      val (coldHandle, coldOpen) = timed(PQ.openPqIndex(s, path))
+      val (_, coldH1) = timed(coldHandle.probeWith(s, probeFrame, 4, 5).collect())
+      dropCaches()
+      // Steady-state cold serving call: the handle is open and warm,
+      // only the cell-scoped data sides are cold.
+      val (_, coldH2) = timed(coldHandle.probeWith(s, probeFrame, 4, 5).collect())
+      println(f"""{"battery":"pqlat_cold","vectors":$n,"cells":$nCells,"percall_read_bytes":$perCallBytes,"handle_read_bytes":$handleBytes,"fixed_overhead_bytes":${perCallBytes - handleBytes},"cold_percall_sec":$coldPerCall%.2f,"cold_open_sec":$coldOpen%.2f,"cold_handle_first_sec":$coldH1%.2f,"cold_handle_steady_sec":$coldH2%.2f}""")
+    }
   }
 
   // ---- ladder -------------------------------------------------------------
