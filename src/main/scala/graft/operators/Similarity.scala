@@ -1155,21 +1155,25 @@ object Similarity {
     * big expression push past the JIT limit and drop the whole stage to
     * interpreted eval).
     *
-    * The fold itself DISPATCHES on block count (round-15 verdict task
-    * 3: the linear when-chain was bracketed only to 8 blocks while the
-    * 256 MB total guard admits ~250): up to
-    * [[linearFoldMaxBlocks]] blocks it stays the nested CaseWhen chain
-    * (zero allocation, measured near-free); above that it becomes ONE
-    * `aggregate` over an `array(...)` of the block references — the
-    * generated code is a constant-size loop (one CaseWhen lambda body)
-    * regardless of block count, so production cell counts can never
-    * push the stage past the JIT method limit the nested chain risks
-    * at 250-deep nesting. Cost: one nBlocks-element array allocation
-    * per row — O(blocks), dwarfed by the O(cells x dim) argmax work
-    * that produced the blocks. Both folds keep the left-biased
-    * strictly-greater rule (blocks slice in ascending cent_id, array()
-    * preserves order), so the global lowest-cent_id tie-break is
-    * identical — pinned at 250 blocks in BlockedArgmaxSpec.
+    * The fold is ONE `aggregate` over an `array(...)` of the block
+    * references (round 16 — this REPLACED the round-15 when-chain
+    * `reduce`, which was caught live being EXPONENTIAL: each reduce
+    * step references the accumulated subtree TWICE — in the
+    * `element_at(acc, 1)` condition and the `otherwise(acc)` branch —
+    * so the Column tree carries 2^blocks copies of block 0; at the 16
+    * blocks a 64k-cell table needs, codegen emitted ~62,000 ElementAt/
+    * CaseWhen methods per projection (jstack-verified mid-sweep) and
+    * the assignment ran minutes instead of seconds. The round-18
+    * "fold is near-free to 8 blocks" bracket was measuring 2^8 = 256
+    * copies — small enough to hide the asymptotics). The aggregate
+    * lambda binds the accumulator ONCE, so generated code is a
+    * constant-size loop at any block count; cost is one
+    * nBlocks-element array allocation per row — O(blocks), dwarfed by
+    * the O(cells x dim) argmax work that produced the blocks. The fold
+    * keeps the left-biased strictly-greater rule (blocks slice in
+    * ascending cent_id, array() preserves order), so the global
+    * lowest-cent_id tie-break is identical — pinned at 250 blocks in
+    * BlockedArgmaxSpec.
     *
     * `keep` is the output column set alongside `cent_id`; `blockCells`
     * is spec-pinnable (BlockedArgmaxSpec forces multi-block on a
@@ -1194,22 +1198,11 @@ object Similarity {
       }
       val stage1 = v.select(v.columns.map(col) ++ parts: _*)
       val refs = (0 until nBlocks).map(b => col(s"_ab$b"))
-      val folded =
-        if (nBlocks <= linearFoldMaxBlocks)
-          refs.reduce((a, p) => when(element_at(p, 1) > element_at(a, 1), p).otherwise(a))
-        else
-          aggregate(array(refs.drop(1): _*), refs.head,
-            (acc, p) => when(element_at(p, 1) > element_at(acc, 1), p).otherwise(acc))
+      val folded = aggregate(array(refs.drop(1): _*), refs.head,
+        (acc, p) => when(element_at(p, 1) > element_at(acc, 1), p).otherwise(acc))
       stage1.select(keep.map(col) :+ element_at(folded, 2).as("cent_id"): _*)
     }
   }
-
-  /** Block count past which the cross-block fold switches from the
-    * nested when-chain to the constant-code-size aggregate loop (see
-    * [[nativeAssignBlocked]]). 16 is inside the measured-near-free
-    * bracket for the chain; the sweep table in BENCH_NOTES prices both
-    * forms to 250 blocks. */
-  private[graft] val linearFoldMaxBlocks = 16
 
   /** [[ivfAssigned]] for the BUILD paths: the blocked native argmax
     * ([[nativeAssignBlocked]] — EXACT at any cell count, zero-shuffle;
