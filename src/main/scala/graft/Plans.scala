@@ -57,6 +57,8 @@ object Plans {
     "qn38_ann_sq8" -> "SQ8 scalar quantization: per-dim min/max via one 64-group partial agg, map-only byte quantize, integer squared-L2 rank in codegen, 16-wide shortlist pays the exact re-rank",
     "qn38b_ann_sq8_persisted" -> "persisted SQ8 serve: frozen envelope + byte codes read from the three-sided index, rank over the codes scan only, shortlist point-read of the cold floats (vec_id pushdown) — the qn39 discipline without an IVF tier",
     "qn34b_ann_binary_hamming_persisted" -> "persisted signature serve: one stored sign-long per vector, xor+bit_count rank over the sig scan only, shortlist point-read of the cold floats (vec_id pushdown) — the qn38b discipline at the 1-bit rung",
+    "qn45_ann_ivf_sq8_persisted" -> "IVF+SQ8 composed serve: route to nProbe cells, native int-L2 rank over ONLY the probed cells' cell-partitioned code files (cell-scoped listing), exact refine composing cell scope with the vec_id pushdown — both prunings visible as scoped scans",
+    "qn46_ann_binary_wide_persisted" -> "dim-parameterized signature serve at 256 dims: 4-word array<long> sig, native hamming_ll fused xor+popcount rank (no per-pair array materialization), same shortlist/refine shape as qn34b",
     "qn42_pq_codebooks_iters2" -> "two-step Lloyd: the iters chain re-seeds from step-1 means (collected K x D rows), each step the same native-assignment + partial-agg-mean shape — depth multiplies passes, never changes the per-pass plan",
     "qn43_ann_pq_adc_opq" -> "OPQ rotation rung: a literal 64-lookup permutation projection ahead of the identical train/encode/ADC pipeline — the rotation costs zero plan shape, only the subspace membership changes",
     "qn39_ann_ivfpq_persisted" -> "persisted IVFADC serve: codes scanned under a cent_id partition filter, broadcast ADC tables, shortlist point-read of the cold floats (vec_id pushdown) — the qn10b discipline on the two-temperature index",
