@@ -104,6 +104,40 @@ object IvfSq8 {
   def recoverIvfSq8Rebalance(s: SparkSession, path: String): Unit =
     IndexSwap.recover(s, path, sides)
 
+  /** Assign NEW vectors against the STORED centroids, encode against
+    * the STORED envelope (clamped — the SQ8 append saturation rule),
+    * and append to both cell-partitioned tiers: O(new) work, no
+    * rebuild, only the touched cells gain files. COLD side first (the
+    * one documented crash window's safe polarity: an orphaned cold row
+    * is dead bytes no rank scan surfaces; an orphaned CODE row would
+    * be shortlisted and silently dropped by the refine join). ONE
+    * version resolution for every side read and write (round-15
+    * ADVICE). Drift is a rebuild — [[buildIvfSq8IndexFrom]] over the
+    * grown cold lake re-derives centroids, envelope and codes under
+    * the same atomic commit. */
+  def appendToIvfSq8Index(s: SparkSession, newVecs: DataFrame, path: String): Unit = {
+    recoverIvfSq8Rebalance(s, path)
+    val root = IndexSwap.liveRoot(s, path)
+    val cents = s.read.parquet(IndexSwap.sideAt(root, "centroids"))
+    val (mna, spa) = SQ8.collectStats(
+      s.read.parquet(IndexSwap.sideAt(root, "stats")))
+    val nCells = cents.count()
+    val v = newVecs.select(col("vec_id"), col("embedding"),
+      l2normNative(col("embedding")).as("nrm"))
+    val asg = Similarity.ivfAssignedDispatch(v, cents, nCells)
+      .localCheckpoint(true) // feeds both sides — one assignment pass
+    asg.repartition(col("cent_id"))
+      .sortWithinPartitions(col("cent_id"), col("vec_id"))
+      .write.mode("append").option("parquet.block.size", 1L << 20)
+      .partitionBy("cent_id").parquet(IndexSwap.sideAt(root, "vectors"))
+    SQ8.ve6Of(asg).select(col("vec_id"), SQ8.q8Col(mna, spa, clamp = true).as("q8"))
+      .join(asg.select(col("vec_id"), col("cent_id")), Seq("vec_id"))
+      .repartition(col("cent_id"))
+      .sortWithinPartitions(col("cent_id"), col("vec_id"))
+      .write.mode("append")
+      .partitionBy("cent_id").parquet(IndexSwap.sideAt(root, "codes"))
+  }
+
   /** Probe with the declared fixture probe set (vec_id < 10) — the
     * qn45 driver gate's entry. */
   def probeIvfSq8Index(s: SparkSession, dir: String, path: String,

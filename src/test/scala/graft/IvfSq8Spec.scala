@@ -68,6 +68,41 @@ class IvfSq8Spec extends AnyFunSuite {
     assert(probed.count() == 50)
   }
 
+  test("append: O(new) frozen-centroid/frozen-envelope encode; a planted near-copy surfaces; untouched cells keep their files") {
+    import org.apache.hadoop.fs.Path
+    val path = graft.operators.Similarity.newIndexDir()
+    IvfSq8.buildIvfSq8Index(spark, sf, 16, path)
+    val root = graft.operators.IndexSwap.liveRoot(spark, path)
+    val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
+    def cellFiles: Map[String, Set[String]] = {
+      val base = new Path(s"$root/codes")
+      fs.listStatus(base).filter(_.isDirectory).map { d =>
+        d.getPath.getName -> fs.listStatus(d.getPath).map(_.getPath.getName).toSet
+      }.toMap
+    }
+    val before = cellFiles
+    val codesBefore = spark.read.parquet(s"$root/codes").count()
+    // Near-copy of probe 3 (one dim nudged, same cell, near-identical
+    // bytes): must land in probe 3's cell and surface as its top
+    // refined neighbor through the composed probe.
+    val planted = Tables.embeddings(spark, sf).filter(col("vec_id") === 3)
+      .select(lit(55555L).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          when(i === 0, (x.cast("double") * 1.01).cast("float")).otherwise(x)).as("embedding"))
+    IvfSq8.appendToIvfSq8Index(spark, planted, path)
+    assert(spark.read.parquet(s"$root/codes").count() == codesBefore + 1)
+    val after = cellFiles
+    val touched = after.filter { case (cell, files) => before.get(cell) != Some(files) }
+    assert(touched.size == 1, s"append touched ${touched.size} cells: ${touched.keys}")
+    before.filterKeys(!touched.contains(_)).foreach { case (cell, files) =>
+      assert(after(cell) == files, s"untouched cell $cell lost or gained files")
+    }
+    val top = IvfSq8.probeIvfSq8Index(spark, sf, path, 4, 5)
+      .filter(col("qid") === 3 && col("rnk") === 1).collect()
+    assert(top.length == 1 && top.head.getLong(2) == 55555L,
+      s"appended near-copy not probe 3's top neighbor: ${top.mkString}")
+  }
+
   test("rank stays within the routed cells: a vector outside every probed cell never surfaces") {
     val path = graft.operators.Similarity.newIndexDir()
     IvfSq8.buildIvfSq8Index(spark, sf, 16, path)
