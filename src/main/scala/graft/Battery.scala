@@ -917,13 +917,12 @@ object Battery {
     require(dims % 64 == 0 && dims >= 64, s"ladderdim: dims must be a multiple of 64, got $dims")
     val mult = dims / 64
     val root = pqClusteredCorpus(s, n, s"ldim$dims")
-    val wideCol = flatten(transform(sequence(lit(0), lit(mult - 1)), r =>
-      transform(sequence(lit(0), lit(63)), i =>
-        (element_at(col("embedding"), ((i + lit(17) * r) % 64) + 1) *
-          when(((r * 31 + i) % 2) === 0, lit(1.0f)).otherwise(lit(-1.0f)))
-          .cast("float"))))
+    // The ONE wide-corpus derivation (round-16 ADVICE: an inline copy
+    // here could drift from the oracle-pinned qn46/qn47 derivation).
     val wide = Tables.embeddings(s, root)
-      .select(col("vec_id"), wideCol.as("embedding")).localCheckpoint(true)
+      .select(col("vec_id"),
+        operators.Similarity.wideEmb(col("embedding"), mult).as("embedding"))
+      .localCheckpoint(true)
     val probes = wide.filter(col("vec_id") < 10)
     // Exact truth over the WIDE corpus (the flat rungs' denominator).
     val v = wide.withColumn("nrm",

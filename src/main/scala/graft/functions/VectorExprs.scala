@@ -449,6 +449,19 @@ case class MatVecFD(child: Expression, mat: Array[Double], dim: Int)
 
   override protected def withNewChildInternal(newChild: Expression): MatVecFD =
     copy(child = newChild)
+
+  // Content equality for the matrix payload (round-16 ADVICE): the
+  // case-class default compares Array[Double] by reference, so two
+  // plans carrying identical rotations never canonicalize equal and
+  // plan-level reuse/CSE is missed. Results were never affected.
+  override def equals(other: Any): Boolean = other match {
+    case m: MatVecFD =>
+      m.dim == dim && m.child == child && java.util.Arrays.equals(m.mat, mat)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    java.util.Objects.hash(prettyName, child,
+      Integer.valueOf(dim), Integer.valueOf(java.util.Arrays.hashCode(mat)))
 }
 
 object VectorExprs {

@@ -290,19 +290,16 @@ object BinarySig {
     val psig =
       if (!multiWord)
         probesV.select(col("vec_id").as("qid"), sigCol(col("embedding")).as("psig"))
-      else {
-        val probeDim =
-          if (probeRows.isEmpty) 64 else probeRows.head.getSeq[Float](1).length
-        if (probeRows.nonEmpty) {
-          val storedWords = codes.select(size(col("sig"))).head().getInt(0)
-          require((probeDim + 63) / 64 == storedWords,
-            s"probeBinIndexWith: probe dim $probeDim needs ${(probeDim + 63) / 64} " +
-              s"signature words, the stored index has $storedWords — probe the index " +
-              "with the corpus dimensionality it was built at")
-        }
+      else
+        // Encode probes at the STORED dim (round-16 ADVICE): inferring
+        // the dim from the probe's own first row let a wrong-width
+        // probe that lands in the same ceil(D/64) word count (100-dim
+        // probe vs a 128-dim index) pass a word-count check and
+        // silently mis-rank. sigWordsCol's size(emb)===dim guard now
+        // raises on ANY probe-width mismatch — the loud-failure
+        // contract the scaladoc promises.
         probesV.select(col("vec_id").as("qid"),
-          sigWordsCol(col("embedding"), probeDim).as("psig"))
-      }
+          sigWordsCol(col("embedding"), storedDim(s, root)).as("psig"))
     val hamExpr =
       if (!multiWord) bit_count(col("sig").bitwiseXOR(col("psig"))).cast("long")
       else graft.functions.VectorExprs.hammingNative(col("sig"), col("psig"))

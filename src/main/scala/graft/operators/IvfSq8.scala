@@ -71,7 +71,10 @@ object IvfSq8 {
       java.util.Arrays.asList(cents.collect(): _*), cents.schema)
     val asg = Similarity.ivfAssignedDispatch(v, localCents, nCentroids.toLong)
       .localCheckpoint(true) // assignment feeds BOTH sides — one pass
-    val (mna, spa) = SQ8.collectStats(SQ8.statsOf(SQ8.ve6Of(v)))
+    // Envelope from the CHECKPOINTED assignment, not the raw corpus
+    // frame (round-16 ADVICE: asg was checkpointed precisely so the
+    // build pays one corpus pass; statsOf over `v` re-scanned it).
+    val (mna, spa) = SQ8.collectStats(SQ8.statsOf(SQ8.ve6Of(asg)))
     // Cold side: the IVF vectors layout (cell dirs, vec_id-sorted 1 MB
     // row groups — the probe refine composes cell scope + id pushdown).
     asg.repartition(col("cent_id"))

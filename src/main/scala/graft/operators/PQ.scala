@@ -810,10 +810,16 @@ object PQ {
     var r: Array[Double] =
       if (!initBitrev) Array.tabulate(d * d)(i => if (i / d == i % d) 1.0 else 0.0)
       else {
-        // rotated dim i reads raw dim opqPerm(i) — R[i][opqPerm(i)] = 1.
+        // rotated dim i reads raw dim bitrev(i) — R[i][bitrev(i)] = 1.
+        // Generalized to any power-of-two d (round-16 ADVICE: the fixed
+        // 64-entry opqPerm threw past d=64 and silently corrupted the
+        // init below it); d=64 reproduces opqPerm exactly.
+        require((d & (d - 1)) == 0,
+          s"opqLearnRotation: bit-reversal init needs a power-of-two dim, got $d")
+        val bits = Integer.numberOfTrailingZeros(d)
         val m = new Array[Double](d * d)
         var i = 0
-        while (i < d) { m(i * d + opqPerm(i)) = 1.0; i += 1 }
+        while (i < d) { m(i * d + (Integer.reverse(i) >>> (32 - bits))) = 1.0; i += 1 }
         m
       }
     val y = Array.ofDim[Double](n, d)

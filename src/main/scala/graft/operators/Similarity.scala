@@ -123,8 +123,8 @@ object Similarity {
     * cross-engine rounding surface — while the flips decorrelate the
     * replicas' sign structure so the multi-word signature actually
     * exercises all four words. */
-  private[graft] def wideEmb(emb: Column): Column =
-    flatten(transform(sequence(lit(0), lit(3)), r =>
+  private[graft] def wideEmb(emb: Column, replicas: Int = 4): Column =
+    flatten(transform(sequence(lit(0), lit(replicas - 1)), r =>
       transform(sequence(lit(0), lit(63)), i =>
         (element_at(emb, ((i + lit(17) * r) % 64) + 1) *
           when(((r * 31 + i) % 2) === 0, lit(1.0f)).otherwise(lit(-1.0f)))

@@ -123,14 +123,19 @@ class BinarySigSpec extends AnyFunSuite {
     val codes2 = spark.read.parquet(graft.operators.IndexSwap.side(spark, path, "codes"))
       .collect().map(_.toString).sorted.toSeq
     assert(codes1 == codes2, "multi-word rebalance is not a fixpoint")
-    // A 64-dim probe against the 256-dim index fails loudly (word-count
-    // check), never NULL-ranks.
+    // A 64-dim probe against the 256-dim index fails loudly, never
+    // NULL-ranks: probes encode at the STORED dim (round-16 ADVICE —
+    // a probe-row-inferred dim let same-word-count width mismatches
+    // through), so sigWordsCol's width guard raises during the probe.
     val narrowProbes = Tables.embeddings(spark, sf).filter(col("vec_id") < 3)
       .select("vec_id", "embedding")
-    val e = intercept[IllegalArgumentException] {
+    val e = intercept[Exception] {
       BinarySig.probeBinIndexWith(spark, narrowProbes, path, 5)
+        .collect()
     }
-    assert(e.getMessage.contains("signature words"), e.getMessage)
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("embedding width")), msgs(e).mkString(" | "))
   }
 
   test("auto-compaction: appends fragment past the threshold, the deferred marker fires, maintain compacts to a fixpoint") {
