@@ -598,16 +598,16 @@ object Battery {
 
   // ---- argmaxsweep --------------------------------------------------------
 
-  /** Assignment-only walls at PRODUCTION block counts (round-15
-    * verdict task 3): the 256 MB total guard admits ~1M cells ≈ 250
-    * blocks, but the cross-block fold had only been bracketed to 8.
-    * Sweeps the blocked-native exact argmax (the fold dispatches to
-    * the aggregate loop past 16 blocks) against two-tier fastAssign
-    * over a fixed row count, at cell counts chosen to land 16 / 63 /
-    * 250 blocks. Rows are the measurement subject's multiplier, not
-    * the corpus: per-row cost is O(cells x dim) for blocked-exact vs
-    * O(sqrt(cells) x dim) for two-tier, so the table prices where the
-    * recall-first exact default stops being advisable on wall grounds. */
+  /** Assignment-only walls at PRODUCTION cell counts. Round 16
+    * measured the plan-baked literal route at ~255 s ROW-COUNT-
+    * INDEPENDENT at 262k cells (every task Java-deserialized the
+    * ~68 MB baked payload); round 17 routed the beyond-literal payload
+    * through a broadcast variable, so this sweep now prices the
+    * broadcast-native exact argmax against two-tier fastAssign. Rows
+    * are the measurement subject's multiplier, not the corpus: per-row
+    * cost is O(cells x dim) for exact vs O(sqrt(cells) x dim) for
+    * two-tier, so the table prices where the recall-first exact
+    * default stops being advisable on wall grounds. */
   private def argmaxSweep(s: SparkSession, nRows: Long, cellSweep: Seq[Int]): Unit = {
     import operators.{PQ, Similarity}
     import graft.functions.VectorExprs.l2normNative
@@ -632,12 +632,12 @@ object Battery {
       val localCents = s.createDataFrame(
         java.util.Arrays.asList(cents.collect(): _*), cents.schema)
       val nBlocks = (c + PQ.nativeAssignMaxCells - 1) / PQ.nativeAssignMaxCells
-      // Two reps of the same drain: the plan's baked literal payload is
-      // Java-serialized into every TASK, so each job re-pays the
-      // per-task deserialization — rep1 vs rep2 separates warm-up
-      // (codegen, cache) from that per-job floor, which the 262k-cell
-      // arm measured as the DOMINANT cost (task deser of the 64 MB
-      // payload, not argmax arithmetic).
+      // Two reps of the same drain: rep1 carries the one-time costs
+      // (codegen, broadcast creation + first-task fetch), rep2 is the
+      // steady state — under the retired literal route the gap was the
+      // per-task deser of the baked payload (the 262k-cell ~255 s
+      // wall); under the broadcast route both reps should be argmax
+      // arithmetic.
       val (_, blockedSec) = timed(drain(
         Similarity.nativeAssignBlocked(subject, localCents, Seq("vec_id"))))
       val (_, blockedSec2) = timed(drain(

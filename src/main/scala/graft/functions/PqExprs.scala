@@ -271,43 +271,55 @@ case class IvfArgmax(left: Expression, right: Expression,
     copy(left = newLeft, right = newRight)
 }
 
-/** [[IvfArgmax]]'s PARTIAL form for the round-15 BLOCKED assignment:
-  * the same e6-cosine argmax over ONE ≤[[graft.operators.PQ
-  * .nativeAssignMaxCells]]-cell block of the centroid table, returning
-  * the block's best as `array<long> [score_e6, cent_id]` instead of
-  * the cent_id alone — so a fold over per-block columns can pick the
-  * GLOBAL winner at any cell count (√N ≈ 10k–100k cells at 100 TB)
-  * without either the N x cells join+window wall or two-tier's
-  * declared coarse-MISS.
+/** The centroid payload a [[IvfArgmaxBcast]] ships through a Spark
+  * BROADCAST variable instead of a plan-baked literal: `ceFlat` is the
+  * table flattened cid-major in ascending cent_id, `cids`/`cns`
+  * parallel — the exact [[IvfArgmax]] layout, relocated. */
+case class CentPayload(cids: Array[Long], ceFlat: Array[Float], cns: Array[Double]) {
+  require(cids.length > 0 && cns.length == cids.length &&
+    ceFlat.length % cids.length == 0, "cent_payload: ragged centroid arrays")
+}
+
+/** [[IvfArgmax]] with the centroid payload in a BROADCAST variable —
+  * the round-16 verdict's 262k-cell wall fix. The plan-baked literal
+  * form Java-serializes the payload into every TASK binary: at 262k
+  * cells x 64 dims that is a ~68 MB `ObjectInputStream.readArray` per
+  * task, measured as a ~255 s row-count-independent floor (the argmax
+  * arithmetic itself was seconds). A broadcast variable is torrent-
+  * distributed in blocks and deserialized ONCE per executor JVM; tasks
+  * pay a block-manager lookup. 100 TB at 1536 dims is ~17B vectors →
+  * √N ≈ 130k cells ≈ 800 MB of centroids — plan-baked is unshippable,
+  * broadcast is routine.
   *
-  * The fold preserves [[IvfArgmax]]'s exact tie rule by construction:
-  * blocks slice the centroid table in ascending cent_id, within a
-  * block only a STRICTLY greater score replaces the best (ties to the
-  * lowest cent_id), and the cross-block fold replaces only on
-  * STRICTLY greater — so a tie between blocks keeps the earlier
-  * (lower-cent_id) block. Scoring is bit-identical to [[IvfArgmax]]:
-  * same left-to-right double fold, same e6 floor-cast, same loud
-  * width/NULL failures.
+  * One expression covers the WHOLE table at any cell count (the
+  * round-15 per-block slicing existed only to bound the per-expression
+  * literal payload; with the payload out of the plan, the generated
+  * loop is constant-size code whose bounds are runtime array lengths —
+  * no blocks, no cross-block fold). Scoring and tie rules are
+  * bit-identical to [[IvfArgmax]] and the join+window form: same
+  * left-to-right double fold, same e6 floor-cast with Java
+  * double→long semantics, centroids scan in ascending cent_id and
+  * only a STRICTLY greater score replaces the best (ties → lowest
+  * cent_id), same loud width/NULL failures.
   */
 @ExpressionDescription(
-  usage = "ivf_argmax_pair(emb, nrm) - [best score_e6, cent_id] over one centroid block.")
-case class IvfArgmaxPair(left: Expression, right: Expression,
-    cids: Array[Long], ceFlat: Array[Float], cns: Array[Double], dim: Int)
+  usage = "ivf_argmax_bcast(emb, nrm) - e6-cosine argmax cent_id against broadcast centroids.")
+case class IvfArgmaxBcast(left: Expression, right: Expression,
+    bcast: org.apache.spark.broadcast.Broadcast[CentPayload], dim: Int)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
 
-  require(cids.length > 0 && ceFlat.length == cids.length * dim &&
-    cns.length == cids.length, s"ivf_argmax_pair: ragged centroid arrays")
-
-  override def prettyName: String = "ivf_argmax_pair"
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "ivf_argmax_bcast"
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
   override def nullable: Boolean = left.nullable || right.nullable
 
   override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
     case (ArrayType(org.apache.spark.sql.types.FloatType, _),
           org.apache.spark.sql.types.DoubleType) => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
-      s"ivf_argmax_pair requires (array<float>, double), got $other")
+      s"ivf_argmax_bcast requires (array<float>, double), got $other")
   }
+
+  @transient private lazy val payload: CentPayload = bcast.value
 
   override def eval(input: InternalRow): Any = {
     val e = left.eval(input)
@@ -317,7 +329,11 @@ case class IvfArgmaxPair(left: Expression, right: Expression,
     val a = e.asInstanceOf[ArrayData]
     if (a.numElements() != dim)
       throw new IllegalArgumentException(
-        s"ivf_argmax_pair: embedding width ${a.numElements()} != centroid dim $dim")
+        s"ivf_argmax_bcast: embedding width ${a.numElements()} != centroid dim $dim")
+    val p = payload
+    val cids = p.cids
+    val ceFlat = p.ceFlat
+    val cns = p.cns
     val nrm = nv.asInstanceOf[Double]
     var bestIdx = -1
     var best = Long.MinValue
@@ -329,7 +345,7 @@ case class IvfArgmaxPair(left: Expression, right: Expression,
       while (d < dim) {
         if (a.isNullAt(d))
           throw new IllegalArgumentException(
-            "ivf_argmax_pair: NULL embedding element — clean the corpus before assigning")
+            "ivf_argmax_bcast: NULL embedding element — clean the corpus before assigning")
         dot += ceFlat(base + d).toDouble * a.getFloat(d).toDouble
         d += 1
       }
@@ -337,13 +353,21 @@ case class IvfArgmaxPair(left: Expression, right: Expression,
       if (bestIdx < 0 || score > best) { best = score; bestIdx = j }
       j += 1
     }
-    new GenericArrayData(Array(best, cids(bestIdx)))
+    cids(bestIdx)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val cidRef = ctx.addReferenceObj("ivfCids", cids, "long[]")
-    val ceRef = ctx.addReferenceObj("ivfCe", ceFlat, "float[]")
-    val cnRef = ctx.addReferenceObj("ivfCns", cns, "double[]")
+    // The broadcast HANDLE is the only plan-carried object (bytes, not
+    // the payload); the arrays resolve once per generated-class init —
+    // a block-manager lookup after the executor's first task.
+    val bcRef = ctx.addReferenceObj("ivfBcast", bcast,
+      classOf[org.apache.spark.broadcast.Broadcast[_]].getName)
+    val cidsVar = ctx.addMutableState("long[]", "ivfBcCids",
+      v => s"$v = ((graft.functions.CentPayload) $bcRef.value()).cids();")
+    val ceVar = ctx.addMutableState("float[]", "ivfBcCe",
+      v => s"$v = ((graft.functions.CentPayload) $bcRef.value()).ceFlat();")
+    val cnVar = ctx.addMutableState("double[]", "ivfBcCns",
+      v => s"$v = ((graft.functions.CentPayload) $bcRef.value()).cns();")
     nullSafeCodeGen(ctx, ev, (a, nrm) => {
       val j = ctx.freshName("j")
       val d = ctx.freshName("d")
@@ -352,34 +376,35 @@ case class IvfArgmaxPair(left: Expression, right: Expression,
       val score = ctx.freshName("score")
       val best = ctx.freshName("best")
       val bestIdx = ctx.freshName("bestIdx")
+      val n = ctx.freshName("n")
       s"""
          |if ($a.numElements() != $dim) {
          |  throw new IllegalArgumentException(
-         |    "ivf_argmax_pair: embedding width " + $a.numElements() + " != centroid dim $dim");
+         |    "ivf_argmax_bcast: embedding width " + $a.numElements() + " != centroid dim $dim");
          |}
          |int $bestIdx = -1;
          |long $best = Long.MIN_VALUE;
-         |for (int $j = 0; $j < ${cids.length}; $j++) {
+         |final int $n = $cidsVar.length;
+         |for (int $j = 0; $j < $n; $j++) {
          |  double $dot = 0.0;
          |  final int $base = $j * $dim;
          |  for (int $d = 0; $d < $dim; $d++) {
          |    if ($a.isNullAt($d)) {
          |      throw new IllegalArgumentException(
-         |        "ivf_argmax_pair: NULL embedding element - clean the corpus before assigning");
+         |        "ivf_argmax_bcast: NULL embedding element - clean the corpus before assigning");
          |    }
-         |    $dot += ((double) $ceRef[$base + $d]) * ((double) $a.getFloat($d));
+         |    $dot += ((double) $ceVar[$base + $d]) * ((double) $a.getFloat($d));
          |  }
-         |  final long $score = (long) Math.floor($dot / ($cnRef[$j] * $nrm) * 1000000L);
+         |  final long $score = (long) Math.floor($dot / ($cnVar[$j] * $nrm) * 1000000L);
          |  if ($bestIdx < 0 || $score > $best) { $best = $score; $bestIdx = $j; }
          |}
-         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
-         |  new long[] { $best, $cidRef[$bestIdx] });
+         |${ev.value} = $cidsVar[$bestIdx];
        """.stripMargin
     })
   }
 
   override protected def withNewChildrenInternal(
-      newLeft: Expression, newRight: Expression): IvfArgmaxPair =
+      newLeft: Expression, newRight: Expression): IvfArgmaxBcast =
     copy(left = newLeft, right = newRight)
 }
 
@@ -397,10 +422,10 @@ object PqExprs {
     GraftSqlBridge.column(IvfArgmax(GraftSqlBridge.expression(emb),
       GraftSqlBridge.expression(nrm), cids, ceFlat, cns, dim))
 
-  /** Column wrapper for [[IvfArgmaxPair]] — one ≤block of the centroid
-    * table; returns `[score_e6, cent_id]` for the cross-block fold. */
-  def ivfArgmaxPairNative(emb: Column, nrm: Column, cids: Array[Long],
-      ceFlat: Array[Float], cns: Array[Double], dim: Int): Column =
-    GraftSqlBridge.column(IvfArgmaxPair(GraftSqlBridge.expression(emb),
-      GraftSqlBridge.expression(nrm), cids, ceFlat, cns, dim))
+  /** Column wrapper for [[IvfArgmaxBcast]] — the whole centroid table
+    * through a broadcast variable, any cell count. */
+  def ivfArgmaxBcastNative(emb: Column, nrm: Column,
+      bcast: org.apache.spark.broadcast.Broadcast[CentPayload], dim: Int): Column =
+    GraftSqlBridge.column(IvfArgmaxBcast(GraftSqlBridge.expression(emb),
+      GraftSqlBridge.expression(nrm), bcast, dim))
 }

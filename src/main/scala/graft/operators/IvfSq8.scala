@@ -69,7 +69,15 @@ object IvfSq8 {
     val cents = Similarity.ivfCents(v, nCentroids)
     val localCents = s.createDataFrame(
       java.util.Arrays.asList(cents.collect(): _*), cents.schema)
-    val asg = Similarity.ivfAssignedDispatch(v, localCents, nCentroids.toLong)
+    stageAndCommit(s, path, v, localCents, nCentroids.toLong)
+  }
+
+  /** Stage all four sides from a (vec_id, embedding, nrm) corpus frame
+    * and a LOCAL centroid frame, then ONE atomic commit — shared by
+    * the build and the drift rebalance. */
+  private def stageAndCommit(s: SparkSession, path: String, v: DataFrame,
+      localCents: DataFrame, nCells: Long): Unit = {
+    val asg = Similarity.ivfAssignedDispatch(v, localCents, nCells)
       .localCheckpoint(true) // assignment feeds BOTH sides — one pass
     // Envelope from the CHECKPOINTED assignment, not the raw corpus
     // frame (round-16 ADVICE: asg was checkpointed precisely so the
@@ -115,10 +123,20 @@ object IvfSq8 {
     * is dead bytes no rank scan surfaces; an orphaned CODE row would
     * be shortlisted and silently dropped by the refine join). ONE
     * version resolution for every side read and write (round-15
-    * ADVICE). Drift is a rebuild — [[buildIvfSq8IndexFrom]] over the
-    * grown cold lake re-derives centroids, envelope and codes under
-    * the same atomic commit. */
-  def appendToIvfSq8Index(s: SparkSession, newVecs: DataFrame, path: String): Unit = {
+    * ADVICE).
+    *
+    * `autoRebalance = Some(k)` makes the drift cadence MEASURED
+    * instead of caller discipline (the sibling rungs' audit-at-append
+    * pattern): after the append, per-cell row counts come off the
+    * vector lake's parquet FOOTERS (driver metadata — O(files), no
+    * Spark job), and if the hottest cell holds more than k x the mean
+    * over the declared cell count, the `_rebalance_due` marker drops —
+    * the append itself stays O(new), and [[maintainIvfSq8Index]] runs
+    * the rebuild on the maintenance cadence. A drifting stream
+    * otherwise concentrates appends into a few stale cells, and every
+    * probe routed there degrades toward a linear scan of the drift. */
+  def appendToIvfSq8Index(s: SparkSession, newVecs: DataFrame, path: String,
+      autoRebalance: Option[Int] = None): Unit = {
     recoverIvfSq8Rebalance(s, path)
     val root = IndexSwap.liveRoot(s, path)
     val cents = s.read.parquet(IndexSwap.sideAt(root, "centroids"))
@@ -139,6 +157,64 @@ object IvfSq8 {
       .sortWithinPartitions(col("cent_id"), col("vec_id"))
       .write.mode("append")
       .partitionBy("cent_id").parquet(IndexSwap.sideAt(root, "codes"))
+    autoRebalance.foreach { k =>
+      val stats = Similarity.ivfCellStatsAt(s, root)
+      if (stats.nonEmpty) {
+        val mean = math.max(1.0, stats.values.sum.toDouble / math.max(1L, nCells))
+        if (stats.values.max > k * mean) {
+          val fs = IndexSwap.fsOf(s, path)
+          fs.create(rebalanceDue(path), true).close()
+        }
+      }
+    }
+  }
+
+  /** The deferred-rebalance marker [[appendToIvfSq8Index]]'s trigger
+    * drops and [[maintainIvfSq8Index]] consumes. */
+  private def rebalanceDue(path: String): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(s"$path/_rebalance_due")
+
+  /** The maintenance entry point (the [[PQ.maintainPqIndex]] /
+    * [[BinarySig.maintainBinIndex]] contract): heal any interrupted
+    * swap, then run the rebuild a deferred trigger requested. The due
+    * marker is deleted only AFTER the swap commits — a crash between
+    * commit and delete re-runs the rebuild, which is a deterministic
+    * fixpoint over the same lake (IvfSq8Spec). Returns whether a
+    * rebuild ran. */
+  def maintainIvfSq8Index(s: SparkSession, path: String): Boolean = {
+    recoverIvfSq8Rebalance(s, path)
+    val fs = IndexSwap.fsOf(s, path)
+    if (!fs.exists(rebalanceDue(path))) false
+    else {
+      rebalanceIvfSq8Index(s, path)
+      fs.delete(rebalanceDue(path), false): Unit
+      true
+    }
+  }
+
+  /** Re-derive ALL FOUR sides from the grown cold lake — the drift
+    * answer. Centroids re-seed from the √(grown N) vectors with the
+    * lowest `xxhash64(vec_id)` (the [[Similarity.rebalanceIvfIndex]]
+    * rule: deterministic, distribution-free over an appended lake's
+    * arbitrary id space, and the cell count ADAPTS to the grown corpus
+    * instead of freezing the build-time k); the envelope re-freezes
+    * over the grown corpus, so post-rebalance codes are unclamped
+    * exact again (appends between rebuilds saturate against the prior
+    * envelope — the declared SQ8 append semantics). Deterministic
+    * fixpoint; crash-safe under the versioned [[IndexSwap]] commit. */
+  def rebalanceIvfSq8Index(s: SparkSession, path: String): Unit = {
+    recoverIvfSq8Rebalance(s, path)
+    val root = IndexSwap.liveRoot(s, path)
+    val v = s.read.parquet(IndexSwap.sideAt(root, "vectors"))
+      .select(col("vec_id"), col("embedding"), col("nrm"))
+    val total = math.max(1L, Similarity.ivfCellStatsAt(s, root).values.sum)
+    val k = math.max(16L, math.ceil(math.sqrt(total.toDouble)).toLong)
+    val seeds = v.orderBy(xxhash64(col("vec_id"), lit(1002)).asc, col("vec_id").asc)
+      .limit(k.toInt)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("ce"), col("nrm").as("cn"))
+    val localCents = s.createDataFrame(
+      java.util.Arrays.asList(seeds.collect(): _*), seeds.schema)
+    stageAndCommit(s, path, v, localCents, k)
   }
 
   /** Probe with the declared fixture probe set (vec_id < 10) — the

@@ -1297,40 +1297,40 @@ object PQ {
     IndexSwap.commit(s, path, pqSides)
   }
 
-  /** BLOCK size of the native exact assignment
-    * ([[Similarity.nativeAssignBlocked]]): each
-    * [[graft.functions.IvfArgmaxPair]] expression covers at most this
-    * many cells; larger centroid tables get MORE blocks, not a
-    * different algorithm. Round 14 shipped this as a hard dispatch
-    * BOUND (past it plain IVF fell back to the N x cells join+window
-    * wall and PQ builds to two-tier's permanent coarse-MISS recall
-    * dip); round 15's blocked fold removed the bound — the native
-    * branch is now EXACT at any cell count, and this constant only
-    * sizes the per-expression payload/codegen unit. 4096 is the
-    * round-17 `pqdispatch` bracket point (native wins or ties through
-    * it at both measured corpus sizes); the round-18 re-sweep prices
-    * the blocked form to 16k cells. */
+  /** Literal-route bound of the native exact assignment
+    * ([[Similarity.nativeAssignBlocked]]): centroid tables up to this
+    * many cells bake into the plan as ONE
+    * [[graft.functions.IvfArgmax]] literal; larger tables route the
+    * payload through a broadcast variable
+    * ([[graft.functions.IvfArgmaxBcast]]) — same loop, same tie rules,
+    * payload out of the task binary (round 17; rounds 15-16's
+    * per-block literal slicing + cross-block fold are retired — the
+    * per-TASK Java deserialization of the baked payload was itself the
+    * wall, measured ~255 s row-count-independent at 262k cells).
+    * 4096 is the `pqdispatch` bracket point (native wins or ties
+    * through it at both measured corpus sizes). */
   private[graft] val nativeAssignMaxCells = 4096
 
-  /** Per-BLOCK payload cap: one block's flattened centroid payload
-    * stays broadcast-class even at unusual dims (the round-14 ADVICE
-    * guard — [[Similarity.nativeAssignBlocked]] shrinks the block
-    * under it structurally). */
+  /** Literal-route payload cap: a plan-baked centroid literal stays
+    * modest even at unusual dims (the round-14 ADVICE guard —
+    * [[Similarity.nativeAssignBlocked]] switches to the broadcast
+    * route past it structurally). */
   private[graft] val nativeAssignMaxBytes: Long = 64L << 20
 
-  /** TOTAL payload guard for the native branch: the whole centroid
-    * table bakes into the task binary across blocks, so it must stay
-    * a broadcast-class object end to end. 256 MB at dim 64 admits
-    * ~1M cells — past sqrt(N) for any corpus this engine will meet
-    * (1e12 vectors) — so in practice the two-tier approximation is
-    * RETIRED as a build default and survives as the declared-semantics
-    * branch for `fastAssign = Some(true)` pins and beyond-guard
-    * tables. */
-  private[graft] val nativeAssignTotalMaxBytes: Long = 256L << 20
+  /** TOTAL payload guard for the native branch: the centroid table is
+    * collected to the driver and (past the literal bound) shipped as a
+    * broadcast variable, so it must stay executor-memory-class end to
+    * end. 2 GB covers √N sizing for any corpus this engine will meet
+    * — 17B vectors at 1536 dims (the 100 TB shape) is ~130k cells ≈
+    * 800 MB (round 17 raised this from the 256 MB plan-bake era: a
+    * broadcast payload never rides the task binary). The two-tier
+    * approximation survives only as the declared-semantics branch for
+    * `fastAssign = Some(true)` pins and beyond-guard tables. */
+  private[graft] val nativeAssignTotalMaxBytes: Long = 2L << 30
 
-  /** True when the whole centroid table stays plan-bakeable
-    * ([[nativeAssignTotalMaxBytes]]) — the shared dispatch predicate
-    * of every build-side assignment. */
+  /** True when the whole centroid table stays a collectable,
+    * broadcastable payload ([[nativeAssignTotalMaxBytes]]) — the
+    * shared dispatch predicate of every build-side assignment. */
   private[graft] def nativeAssignTotalOk(nCells: Long, dim: Int): Boolean =
     nCells * dim * 4L <= nativeAssignTotalMaxBytes
 

@@ -596,6 +596,32 @@ object Similarity {
       val path = newIndexDir()
       IvfSq8.buildIvfSq8Index(s, dir, 16, path)
       IvfSq8.probeIvfSq8Index(s, dir, path, 4, 5)
+    },
+
+    // Persisted matryoshka rung (round-16 verdict task 3): qn35/qn48
+    // re-sliced every corpus vector's prefix per probe call; the
+    // production shape stores the prefix side ONCE (prefix-dim floats,
+    // D/prefix x smaller than the full column) under the versioned
+    // IndexSwap and point-reads the refine rows from the sorted cold
+    // side. Same sizing as qn48 (64-of-256 over the wide derivation),
+    // so the probe replays qn48's oracle bit-exactly through the
+    // persisted lifecycle.
+    Q("qn49_ann_matryoshka_persisted", sqlQn48) { (s, dir) =>
+      val path = newIndexDir()
+      val wv = wideVecs(s, dir)
+      Matryoshka.buildMatryoshkaIndexFrom(s, wv, 64, path)
+      Matryoshka.probeMatryoshkaIndexWith(s, wv.filter(col("vec_id") < 10), path, 5)
+    },
+
+    // Composed IVF+SQ8 at PRODUCTION dimensionality (round-16 verdict
+    // task 4): qn45 builds over the 64-dim fixture; this builds the
+    // same four-sided index at 256 dims via the oracle-replayable wide
+    // derivation — route, byte rank, refine all width-generic.
+    Q("qn50_ann_ivf_sq8_wide", sqlQn50) { (s, dir) =>
+      val path = newIndexDir()
+      val wv = wideVecs(s, dir)
+      IvfSq8.buildIvfSq8IndexFrom(s, wv, 16, path)
+      IvfSq8.probeIvfSq8IndexWith(s, wv.filter(col("vec_id") < 10), path, 4, 5)
     }
   )
 
@@ -603,12 +629,22 @@ object Similarity {
     * routing (the qn10 CTEs), global SQ8 envelope + byte codes (the
     * qn38 CTEs), integer-L2 rank WITHIN the routed cells, 16-wide
     * shortlist, exact cosine refine. */
-  private def sqlQn45: String = {
+  private def sqlQn45: String =
+    sqlIvfSq8("SELECT vec_id, embedding FROM embeddings", 64)
+
+  /** qn50's oracle: [[sqlQn45]]'s route/rank/refine chain at 256 dims
+    * over the wide derivation. */
+  private def sqlQn50: String =
+    sqlIvfSq8(s"SELECT vec_id, $sqlWideEmb AS embedding FROM embeddings", 256)
+
+  /** The IVF+SQ8 oracle parameterized by corpus CTE and width. */
+  private def sqlIvfSq8(eCte: String, dims: Int): String = {
     val isum = (xs: String) =>
       s"list_reduce(list_prepend(CAST(0 AS BIGINT), $xs), (a, b) -> a + b)"
     val cosE6c = (a: String, b: String, an: String, bn: String) =>
       sqlE6(s"${sqlDot(a, b)} / ($an * $bn)")
-    s"""WITH v AS (SELECT vec_id, embedding, ${sqlL2norm("embedding")} AS nrm FROM embeddings),
+    s"""WITH e AS ($eCte),
+       |v AS (SELECT vec_id, embedding, ${sqlL2norm("embedding")} AS nrm FROM e),
        |ist AS (SELECT GREATEST(1, COUNT(*) // 16) AS stride FROM v),
        |cents AS (SELECT vec_id AS cent_id, embedding AS ce, nrm AS cn FROM v, ist
        |          WHERE vec_id % stride = 0 AND vec_id < stride * 16),
@@ -619,12 +655,12 @@ object Similarity {
        |                          c.cent_id) AS rn
        |        FROM v, cents c) WHERE rn = 1),
        |ve AS (SELECT vec_id, [CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT) for x in embedding] AS emb6
-       |       FROM embeddings),
+       |       FROM e),
        |st AS (SELECT i AS pos, MIN(emb6[i+1]) AS mn,
        |              GREATEST(1, MAX(emb6[i+1]) - MIN(emb6[i+1])) AS sp
-       |       FROM ve, (SELECT unnest(range(0, 64)) AS i) GROUP BY 1),
+       |       FROM ve, (SELECT unnest(range(0, $dims)) AS i) GROUP BY 1),
        |sta AS (SELECT list(mn ORDER BY pos) AS mna, list(sp ORDER BY pos) AS spa FROM st),
-       |qv AS (SELECT vec_id, [((emb6[i+1] - mna[i+1]) * 255) // spa[i+1] for i in range(0, 64)] AS q8
+       |qv AS (SELECT vec_id, [((emb6[i+1] - mna[i+1]) * 255) // spa[i+1] for i in range(0, $dims)] AS q8
        |       FROM ve, sta),
        |p AS (SELECT qv.vec_id AS qid, qv.q8 AS pq8, v.embedding AS pe, v.nrm AS pn
        |      FROM qv JOIN v ON v.vec_id = qv.vec_id WHERE qv.vec_id < 10),
@@ -1133,74 +1169,49 @@ object Similarity {
       col("embedding"), col("nrm"), ca.cids, ca.flat, ca.cns, ca.dim)
   }
 
-  /** EXACT native assignment at ANY cell count — the round-15 BLOCKED
-    * argmax. The centroid table splits into ≤[[PQ.nativeAssignMaxCells]]
-    * -cell blocks (each block's flattened payload also capped at
-    * [[PQ.nativeAssignMaxBytes]] — the round-14 ADVICE guard, now
-    * structural: an unusual-dim table just gets smaller blocks), each
-    * block evaluates ONE [[graft.functions.IvfArgmaxPair]] per row, and
-    * a second projection folds the per-block `[score_e6, cent_id]`
-    * pairs with the strictly-greater rule — blocks slice in ascending
-    * cent_id, so a cross-block tie keeps the earlier block and the
-    * global tie rule (lowest cent_id) is exactly [[ivfAssigned]]'s.
-    * Still a pure map over the scan: zero joins, zero shuffles, zero
-    * extra rows at ANY cell count — a 100 TB index wants √N ≈ 10k-100k
-    * cells, where the old single-expression bound forced the N x cells
-    * join+window wall (plain IVF) or two-tier's permanent coarse-MISS
-    * recall dip (PQ builds).
+  /** EXACT native assignment at ANY cell count. Two payload routes,
+    * same expression semantics (scores, e6 floor, lowest-cent_id ties
+    * — [[ivfAssigned]]'s rules exactly, pinned in BlockedArgmaxSpec):
     *
-    * The fold runs over column REFERENCES of a separate projection, so
-    * each block's argmax evaluates once — never re-expanded through the
-    * when-chain (the round-16 codegen-blowup trap: inlined copies of a
-    * big expression push past the JIT limit and drop the whole stage to
-    * interpreted eval).
+    *  - Tables within [[PQ.nativeAssignMaxCells]] AND the
+    *    [[PQ.nativeAssignMaxBytes]] payload cap stay the round-14
+    *    plan-baked literal [[graft.functions.IvfArgmax]] — the payload
+    *    rides the plan, nothing extra to distribute, the plan cache
+    *    sees a pure literal expression.
+    *  - Larger tables route the payload through a Spark BROADCAST
+    *    variable and ONE [[graft.functions.IvfArgmaxBcast]] expression
+    *    (round 17 — this RETIRED the round-15/16 per-block slicing +
+    *    cross-block fold: blocks existed only to bound the
+    *    per-expression literal, and the literal route itself was the
+    *    wall — the task binary carries the whole payload, so at 262k
+    *    cells every task Java-deserialized ~68 MB and the assignment
+    *    ran ~255 s REGARDLESS of row count, measured round 16. The
+    *    broadcast deserializes once per executor JVM; tasks pay a
+    *    block-manager lookup).
     *
-    * The fold is ONE `aggregate` over an `array(...)` of the block
-    * references (round 16 — this REPLACED the round-15 when-chain
-    * `reduce`, which was caught live being EXPONENTIAL: each reduce
-    * step references the accumulated subtree TWICE — in the
-    * `element_at(acc, 1)` condition and the `otherwise(acc)` branch —
-    * so the Column tree carries 2^blocks copies of block 0; at the 16
-    * blocks a 64k-cell table needs, codegen emitted ~62,000 ElementAt/
-    * CaseWhen methods per projection (jstack-verified mid-sweep) and
-    * the assignment ran minutes instead of seconds. The round-18
-    * "fold is near-free to 8 blocks" bracket was measuring 2^8 = 256
-    * copies — small enough to hide the asymptotics). The aggregate
-    * lambda binds the accumulator ONCE, so generated code is a
-    * constant-size loop at any block count; cost is one
-    * nBlocks-element array allocation per row — O(blocks), dwarfed by
-    * the O(cells x dim) argmax work that produced the blocks. The fold
-    * keeps the left-biased strictly-greater rule (blocks slice in
-    * ascending cent_id, array() preserves order), so the global
-    * lowest-cent_id tie-break is identical — pinned at 250 blocks in
-    * BlockedArgmaxSpec.
+    * Both routes are a pure map over the scan: zero joins, zero
+    * shuffles, zero extra rows at ANY cell count — a 100 TB index
+    * wants √N ≈ 10k-130k cells (17B vectors at 1536 dims → ~800 MB of
+    * centroids: plan-unbakeable, broadcast-routine), where the old
+    * alternatives were the N x cells join+window wall (plain IVF) or
+    * two-tier's permanent coarse-MISS recall dip (PQ builds).
     *
     * `keep` is the output column set alongside `cent_id`; `blockCells`
-    * is spec-pinnable (BlockedArgmaxSpec forces multi-block on a
-    * fixture-sized table). One block degenerates to the round-14
-    * single-expression plan verbatim. */
+    * is spec-pinnable (BlockedArgmaxSpec forces the broadcast route on
+    * fixture-sized tables by shrinking it). */
   private[graft] def nativeAssignBlocked(v: DataFrame, cents: DataFrame,
       keep: Seq[String], blockCells: Int = PQ.nativeAssignMaxCells): DataFrame = {
     val ca = collectCents(cents)
     val byteCap = math.max(1L, PQ.nativeAssignMaxBytes / (ca.dim * 4L))
     val bc = math.max(1, math.min(blockCells.toLong, byteCap).toInt)
-    val nBlocks = (ca.cids.length + bc - 1) / bc
-    if (nBlocks <= 1)
+    if (ca.cids.length <= bc)
       v.select(keep.map(col) :+ graft.functions.PqExprs.ivfArgmaxNative(
         col("embedding"), col("nrm"), ca.cids, ca.flat, ca.cns, ca.dim).as("cent_id"): _*)
     else {
-      val parts = (0 until nBlocks).map { b =>
-        val from = b * bc
-        val until = math.min(from + bc, ca.cids.length)
-        graft.functions.PqExprs.ivfArgmaxPairNative(col("embedding"), col("nrm"),
-          ca.cids.slice(from, until), ca.flat.slice(from * ca.dim, until * ca.dim),
-          ca.cns.slice(from, until), ca.dim).as(s"_ab$b")
-      }
-      val stage1 = v.select(v.columns.map(col) ++ parts: _*)
-      val refs = (0 until nBlocks).map(b => col(s"_ab$b"))
-      val folded = aggregate(array(refs.drop(1): _*), refs.head,
-        (acc, p) => when(element_at(p, 1) > element_at(acc, 1), p).otherwise(acc))
-      stage1.select(keep.map(col) :+ element_at(folded, 2).as("cent_id"): _*)
+      val bcast = v.sparkSession.sparkContext.broadcast(
+        graft.functions.CentPayload(ca.cids, ca.flat, ca.cns))
+      v.select(keep.map(col) :+ graft.functions.PqExprs.ivfArgmaxBcastNative(
+        col("embedding"), col("nrm"), bcast, ca.dim).as("cent_id"): _*)
     }
   }
 

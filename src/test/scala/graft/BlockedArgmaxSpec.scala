@@ -3,16 +3,17 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Parity pins for the round-15 BLOCKED native coarse assignment
-  * (Similarity.nativeAssignBlocked): forced multi-block evaluation must
-  * be row-for-row identical to BOTH the single-block native expression
-  * and the declarative join+window argmax — including on a planted
-  * cross-block exact tie, which must resolve to the LOWEST cent_id
-  * exactly like the window form's `ORDER BY cscore DESC, cent_id ASC`.
-  * The end-to-end semantics are already oracle-gated (the qn10 family,
-  * qn39/qn40); this spec isolates the block fold so a future edit to
-  * the fold rule can't hide behind fixtures whose centroid tables fit
-  * one block.
+/** Parity pins for the native coarse assignment's two payload routes
+  * (Similarity.nativeAssignBlocked): the BROADCAST route (round 17 —
+  * forced here by shrinking blockCells below the table size) must be
+  * row-for-row identical to BOTH the plan-baked literal expression and
+  * the declarative join+window argmax — including on planted exact
+  * ties between distant cent_ids, which must resolve to the LOWEST
+  * cent_id exactly like the window form's `ORDER BY cscore DESC,
+  * cent_id ASC`. The end-to-end semantics are already oracle-gated
+  * (the qn10 family, qn39/qn40); this spec isolates the route dispatch
+  * so a future edit can't hide behind fixtures whose centroid tables
+  * fit the literal route.
   */
 class BlockedArgmaxSpec extends AnyFunSuite {
   import TestSpark._
@@ -50,21 +51,21 @@ class BlockedArgmaxSpec extends AnyFunSuite {
     df.select("vec_id", "cent_id").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
 
-  test("forced multi-block assignment == single-block native == join+window argmax") {
+  test("forced broadcast-route assignment == literal native == join+window argmax") {
     val v = corpus(400)
     val c = cents(23) // 23 cells, blockCells=5 -> 5 blocks, last one ragged
     val windowed = asMap(PQ.coarseAssign(v, c))
     val single = asMap(Similarity.nativeAssignBlocked(v, c, Seq("vec_id")))
     val blocked = asMap(Similarity.nativeAssignBlocked(v, c, Seq("vec_id"), blockCells = 5))
-    assert(single == windowed, "single-block native diverged from the window form")
-    assert(blocked == windowed, "blocked native diverged from the window form")
+    assert(single == windowed, "literal native diverged from the window form")
+    assert(blocked == windowed, "broadcast native diverged from the window form")
   }
 
-  test("cross-block exact tie resolves to the lowest cent_id (the window form's rule)") {
+  test("distant exact tie resolves to the lowest cent_id (the window form's rule)") {
     import spark.implicits._
-    // Two IDENTICAL centroids, ids 2 and 40 — far enough apart that
-    // blockCells=3 puts them in DIFFERENT blocks — plus decoys the
-    // probe scores strictly lower against.
+    // Two IDENTICAL centroids, ids 2 and 40 — blockCells=3 forces the
+    // broadcast route — plus decoys the probe scores strictly lower
+    // against.
     val dup = Array.tabulate(dim)(d => math.cos(0.21 * d).toFloat).toSeq
     val far = Array.tabulate(dim)(d => -math.cos(0.21 * d).toFloat).toSeq
     val rows = Seq((2L, dup), (40L, dup)) ++
@@ -80,21 +81,21 @@ class BlockedArgmaxSpec extends AnyFunSuite {
     val blocked = asMap(Similarity.nativeAssignBlocked(v, c, Seq("vec_id"), blockCells = 3))
     val windowed = asMap(PQ.coarseAssign(v, c))
     assert(windowed(0L) == 2L, s"window form picked ${windowed(0L)} — fixture broken")
-    assert(blocked(0L) == 2L, s"cross-block tie resolved to ${blocked(0L)}, not the lowest cent_id")
+    assert(blocked(0L) == 2L, s"broadcast-route tie resolved to ${blocked(0L)}, not the lowest cent_id")
   }
 
-  test("250-block aggregate fold == window argmax, including a planted cross-block tie") {
-    // Past linearFoldMaxBlocks the fold is the constant-code-size
-    // aggregate loop (round-15 verdict task 3) — this pins parity at
-    // the max block count the 256 MB total guard admits (~250), far
-    // beyond what any fixture-sized table would exercise by accident.
+  test("broadcast route at a 1000-cell table == window argmax, including a planted distant tie") {
+    // 1000 cells at forced blockCells=4 exercises the broadcast route
+    // on a table 250x the dispatch threshold — far beyond what any
+    // fixture-sized table would exercise by accident.
     val v = corpus(300)
-    val c = cents(1000) // blockCells=4 -> 250 blocks, aggregate fold
+    val c = cents(1000) // blockCells=4 -> broadcast route
     val windowed = asMap(PQ.coarseAssign(v, c))
     val blocked = asMap(Similarity.nativeAssignBlocked(v, c, Seq("vec_id"), blockCells = 4))
-    assert(blocked == windowed, "250-block aggregate fold diverged from the window form")
-    // Tie across distant blocks under the aggregate fold: duplicate
-    // centroid planted at a HIGH cent_id must lose to the low one.
+    assert(blocked == windowed, "broadcast route diverged from the window form")
+    // Tie between distant cent_ids under the broadcast route: a
+    // duplicate centroid planted at a HIGH cent_id must lose to the
+    // low one.
     import spark.implicits._
     val dup = Array.tabulate(dim)(d => math.cos(0.21 * d).toFloat).toSeq
     val far = Array.tabulate(dim)(d => -math.cos(0.21 * d).toFloat).toSeq
@@ -109,15 +110,13 @@ class BlockedArgmaxSpec extends AnyFunSuite {
         graft.functions.VectorExprs.l2normNative(
           col("embedding").cast("array<float>")).as("nrm"))
     val tied = asMap(Similarity.nativeAssignBlocked(probe, ct, Seq("vec_id"), blockCells = 4))
-    assert(tied(0L) == 2L, s"aggregate-fold tie resolved to ${tied(0L)}, not the lowest cent_id")
+    assert(tied(0L) == 2L, s"broadcast-route tie resolved to ${tied(0L)}, not the lowest cent_id")
   }
 
-  test("unusual dim shrinks blocks under the per-block byte cap without changing results") {
-    // dim here is small, so the byte cap never binds at these sizes —
-    // this pins the CODE PATH by forcing blockCells far below the cap
-    // and checking a ragged final block (23 % 5 != 0 above already
-    // covers ragged; here 7 cells with blockCells=7 is exactly one
-    // block, the degenerate boundary).
+  test("route dispatch boundary: exactly-at-threshold stays literal, below it goes broadcast") {
+    // 7 cells with blockCells=7 is exactly the literal route (the
+    // degenerate boundary); blockCells=2 forces broadcast on the same
+    // table — both must match the window form.
     val v = corpus(100)
     val c = cents(7)
     val one = asMap(Similarity.nativeAssignBlocked(v, c, Seq("vec_id"), blockCells = 7))

@@ -103,6 +103,61 @@ class IvfSq8Spec extends AnyFunSuite {
       s"appended near-copy not probe 3's top neighbor: ${top.mkString}")
   }
 
+  test("drift lifecycle: balanced appends defer, a skew-concentrated append drops the due marker, maintain rebuilds to a fixpoint") {
+    import org.apache.hadoop.fs.Path
+    val path = graft.operators.Similarity.newIndexDir()
+    IvfSq8.buildIvfSq8Index(spark, sf, 16, path)
+    val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
+    val due = new Path(s"$path/_rebalance_due")
+    val rootBefore = graft.operators.IndexSwap.liveRoot(spark, path)
+    // A balanced O(new) append under a generous threshold: no marker.
+    val balanced = Tables.embeddings(spark, sf).filter(col("vec_id") < 4)
+      .select((col("vec_id") + 90000L).as("vec_id"), col("embedding"))
+    IvfSq8.appendToIvfSq8Index(spark, balanced, path, autoRebalance = Some(1000))
+    assert(!fs.exists(due), "balanced append dropped the due marker")
+    assert(!IvfSq8.maintainIvfSq8Index(spark, path),
+      "maintain ran a rebuild with no due marker")
+    // 200 near-copies of vector 3 concentrate into ONE cell (~230 rows
+    // vs a ~44-row mean): the k=2 occupancy audit must fire — but the
+    // append itself stays O(new) and DEFERS the rebuild to maintenance
+    // (the version root must not move at append time).
+    val base = Tables.embeddings(spark, sf).filter(col("vec_id") === 3)
+      .select(col("embedding"))
+    val skewed = base.crossJoin(spark.range(200).select(col("id")))
+      .select((col("id") + 70000L).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          when(i === 0, (x.cast("double") * (lit(1.0) + col("id").cast("double") / 1e5))
+            .cast("float")).otherwise(x)).as("embedding"))
+    IvfSq8.appendToIvfSq8Index(spark, skewed, path, autoRebalance = Some(2))
+    assert(fs.exists(due), "skew-concentrated append did not drop the due marker")
+    assert(graft.operators.IndexSwap.liveRoot(spark, path) == rootBefore,
+      "append ran the rebuild inline instead of deferring it")
+    // Maintenance consumes the marker: a rebuild commits a new version,
+    // the marker is gone, a second maintain is a no-op.
+    assert(IvfSq8.maintainIvfSq8Index(spark, path), "maintain did not run the due rebuild")
+    val rootAfter = graft.operators.IndexSwap.liveRoot(spark, path)
+    assert(rootAfter != rootBefore, "rebuild did not commit a new version")
+    assert(!fs.exists(due), "maintain left the due marker behind")
+    assert(!IvfSq8.maintainIvfSq8Index(spark, path), "second maintain re-ran the rebuild")
+    // The rebuild is a deterministic fixpoint: running it again yields
+    // byte-identical codes (same hash seeds, same envelope, same
+    // assignment over the same lake).
+    def codesSorted(root: String): Seq[String] =
+      spark.read.parquet(s"$root/codes")
+        .select(col("vec_id"), col("q8"), col("cent_id").cast("long"))
+        .collect().map(_.toString).sorted.toSeq
+    val c1 = codesSorted(rootAfter)
+    IvfSq8.rebalanceIvfSq8Index(spark, path)
+    val c2 = codesSorted(graft.operators.IndexSwap.liveRoot(spark, path))
+    assert(c1 == c2, "rebalance is not a fixpoint")
+    // The grown index still serves: the skew copies rank as probe 3's
+    // nearest neighbors through the rebuilt route.
+    val top = IvfSq8.probeIvfSq8Index(spark, sf, path, 4, 5)
+      .filter(col("qid") === 3 && col("rnk") === 1).collect()
+    assert(top.length == 1 && top.head.getLong(2) >= 70000L,
+      s"post-rebuild probe lost the planted near-copies: ${top.mkString}")
+  }
+
   test("rank stays within the routed cells: a vector outside every probed cell never surfaces") {
     val path = graft.operators.Similarity.newIndexDir()
     IvfSq8.buildIvfSq8Index(spark, sf, 16, path)

@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The persisted matryoshka rung beyond the qn49 hash gate: probe/plan
+  * parity at the qn35 sizing, the O(new) append discipline, the
+  * measured compaction lifecycle, and the stored-width loud failure —
+  * the same pins its BinarySig/SQ8 siblings carry.
+  */
+class MatryoshkaSpec extends AnyFunSuite {
+  import TestSpark._
+  import graft.operators.Matryoshka
+
+  test("persisted probe == the in-flight qn35 plan at prefix 16") {
+    val path = graft.operators.Similarity.newIndexDir()
+    Matryoshka.buildMatryoshkaIndex(spark, sf, 16, path)
+    val persisted = Matryoshka.probeMatryoshkaIndex(spark, sf, path, 5)
+      .collect().map(_.toString).toSeq
+    val inflight = graft.operators.Similarity.qn35Plan(spark, sf)
+      .collect().map(_.toString).toSeq
+    assert(persisted == inflight, "persisted probe diverged from the qn35 plan")
+  }
+
+  test("append: O(new) stored-prefix encode; a planted near-copy surfaces; wrong-width probe fails loudly") {
+    val path = graft.operators.Similarity.newIndexDir()
+    Matryoshka.buildMatryoshkaIndex(spark, sf, 16, path)
+    val root = graft.operators.IndexSwap.liveRoot(spark, path)
+    val preBefore = spark.read.parquet(s"$root/prefix").count()
+    // Near-copy of probe 3 (one dim nudged INSIDE the prefix so the
+    // prefix rank sees it): must surface as probe 3's top refined
+    // neighbor through the persisted probe.
+    val planted = Tables.embeddings(spark, sf).filter(col("vec_id") === 3)
+      .select(lit(66666L).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          when(i === 0, (x.cast("double") * 1.01).cast("float")).otherwise(x)).as("embedding"))
+    Matryoshka.appendToMatryoshkaIndex(spark, planted, path)
+    assert(spark.read.parquet(s"$root/prefix").count() == preBefore + 1)
+    val top = Matryoshka.probeMatryoshkaIndex(spark, sf, path, 5)
+      .filter(col("qid") === 3 && col("rnk") === 1).collect()
+    assert(top.length == 1 && top.head.getLong(2) == 66666L,
+      s"appended near-copy not probe 3's top neighbor: ${top.mkString}")
+    // A 32-dim probe against the 64-dim index raises through the
+    // stored-width guard (the round-16 ADVICE discipline), never
+    // silently mis-slices.
+    val narrow = Tables.embeddings(spark, sf).filter(col("vec_id") < 3)
+      .select(col("vec_id"), slice(col("embedding"), 1, 32).as("embedding"))
+    val e = intercept[Exception] {
+      Matryoshka.probeMatryoshkaIndexWith(spark, narrow, path, 5).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("embedding width")), msgs(e).mkString(" | "))
+  }
+
+  test("compaction lifecycle: appends fragment past the threshold, the deferred marker fires, maintain compacts to a fixpoint") {
+    import org.apache.hadoop.fs.Path
+    val path = graft.operators.Similarity.newIndexDir()
+    Matryoshka.buildMatryoshkaIndex(spark, sf, 16, path)
+    val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
+    val due = new Path(s"$path/_rebalance_due")
+    val rootBefore = graft.operators.IndexSwap.liveRoot(spark, path)
+    def appendBatch(tag: Long): Unit =
+      Matryoshka.appendToMatryoshkaIndex(spark,
+        Tables.embeddings(spark, sf).filter(col("vec_id") < 4)
+          .select((col("vec_id") + tag).as("vec_id"), col("embedding")),
+        path, autoCompact = Some(8))
+    appendBatch(80000L)
+    // Appends fragment; under the 8-file threshold nothing fires yet
+    // or fires exactly when the listing crosses it — drive until it
+    // does, asserting the append itself never rebalances inline.
+    var i = 0L
+    while (!fs.exists(due) && i < 16) { appendBatch(81000L + i * 10); i += 1 }
+    assert(fs.exists(due), "fragmenting appends never dropped the due marker")
+    assert(graft.operators.IndexSwap.liveRoot(spark, path) == rootBefore,
+      "append compacted inline instead of deferring")
+    assert(Matryoshka.maintainMatryoshkaIndex(spark, path),
+      "maintain did not run the due compaction")
+    assert(!fs.exists(due), "maintain left the due marker behind")
+    assert(!Matryoshka.maintainMatryoshkaIndex(spark, path),
+      "second maintain re-ran the compaction")
+    val rootAfter = graft.operators.IndexSwap.liveRoot(spark, path)
+    assert(rootAfter != rootBefore, "compaction did not commit a new version")
+    // Fixpoint: a second rebalance yields byte-identical prefix rows.
+    def prefixSorted(root: String): Seq[String] =
+      spark.read.parquet(s"$root/prefix").collect().map(_.toString).sorted.toSeq
+    val p1 = prefixSorted(rootAfter)
+    Matryoshka.rebalanceMatryoshkaIndex(spark, path)
+    val p2 = prefixSorted(graft.operators.IndexSwap.liveRoot(spark, path))
+    assert(p1 == p2, "rebalance is not a fixpoint")
+  }
+}
