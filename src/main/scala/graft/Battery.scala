@@ -66,6 +66,7 @@ object Battery {
       case Some("pqiters")    => pqIters(spark, args.lift(1).map(_.toLong).getOrElse(500000L))
       case Some("pqopq")      => pqOpq(spark, args.lift(1).map(_.toLong).getOrElse(500000L),
         correlated = args.lift(2).contains("corr"))
+      case Some("pqopqserve") => pqOpqServe(spark, args.lift(1).map(_.toLong).getOrElse(500000L))
       case Some("pqlat")      => pqLat(spark, args.lift(1).map(_.toLong).getOrElse(1000000L))
       case Some("ladder")     => ladder(spark, args.lift(1).map(_.toLong).getOrElse(1000000L))
       case Some("ladderdim")  => ladderDim(spark, args.lift(1).map(_.toLong).getOrElse(500000L),
@@ -75,7 +76,7 @@ object Battery {
         args.lift(2).map(_.split(",").toSeq.map(_.trim.toInt))
           .getOrElse(Seq(65536, 262144, 1024000)))
       case Some("pqlife")     => pqLife(spark, args.lift(1).map(_.toLong).getOrElse(4000000L))
-      case other => sys.error(s"unknown battery: $other (skew|bloom|governance|paircurve|ivfjoin|ingest|ingestgrow|pq|pqdispatch|pqserve|pqiters|pqopq|pqlat|ladder|ladderdim|pqlife)")
+      case other => sys.error(s"unknown battery: $other (skew|bloom|governance|paircurve|ivfjoin|ingest|ingestgrow|pq|pqdispatch|pqserve|pqiters|pqopq|pqopqserve|pqlat|ladder|ladderdim|pqlife|argmaxsweep)")
     }
     spark.stop()
   }
@@ -623,7 +624,18 @@ object Battery {
       .write.parquet(s"$root/embeddings.parquet")
     val v = Tables.embeddings(s, root)
       .select(col("vec_id"), col("embedding"), l2normNative(col("embedding")).as("nrm"))
-    val subject = v.filter(col("vec_id") < nRows).localCheckpoint(true)
+    // Repartition the subject across the cores (round 17): the corpus
+    // is range-partitioned by vec_id, so `vec_id < nRows` lands the
+    // whole subject in the first 1-2 files and the drain runs
+    // effectively single-threaded — the round-16 "row-count-independent
+    // ~255 s wall" was two compounding artifacts, the plan-baked
+    // literal's per-task deser AND this one-task evaluation (jstack
+    // round 17: one RUNNABLE worker, 209 s of CPU in the codegen'd
+    // argmax, 31 idle cores). A production build's scan has no such
+    // skew; the sweep must measure the operator, not the fixture's
+    // file layout.
+    val subject = v.filter(col("vec_id") < nRows)
+      .repartition(64).localCheckpoint(true)
     def drain(df: org.apache.spark.sql.DataFrame): Unit = {
       df.agg(sum(col("cent_id"))).head(); ()
     }
@@ -963,10 +975,18 @@ object Battery {
       println(f"""{"battery":"ladderdim","rung":"sq8","vectors":$n,"dims":$dims,"build_sec":$bSec%.1f,"probe_sec":$pSec%.1f,"rank_bytes":$codesBytes,"recall_at5":"${recall(top)}/${exact.length}"}""")
     }
     locally {
+      // PERSISTED matryoshka (round-16 verdict task 3): the prefix side
+      // stores once — rank bytes are the prefix lake, D/prefix x under
+      // the float column the in-flight qn48 plan re-derived per call.
+      val path = operators.Similarity.newIndexDir()
+      val (_, bSec) = timed(
+        operators.Matryoshka.buildMatryoshkaIndexFrom(s, wide, dims / 4, path))
+      val preBytes = dirBytes(new java.io.File(
+        operators.IndexSwap.side(s, path, "prefix").stripPrefix("file:")))
       val (top, pSec) = timed(
-        operators.Similarity.matryoshkaPlanFrom(v, dims / 4)
+        operators.Matryoshka.probeMatryoshkaIndexWith(s, probes, path, 5)
           .select("qid", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))))
-      println(f"""{"battery":"ladderdim","rung":"matryoshka","vectors":$n,"dims":$dims,"prefix":${dims / 4},"probe_sec":$pSec%.1f,"recall_at5":"${recall(top)}/${exact.length}"}""")
+      println(f"""{"battery":"ladderdim","rung":"matryoshka","vectors":$n,"dims":$dims,"prefix":${dims / 4},"build_sec":$bSec%.1f,"probe_sec":$pSec%.1f,"rank_bytes":$preBytes,"recall_at5":"${recall(top)}/${exact.length}"}""")
     }
   }
 
@@ -1076,6 +1096,56 @@ object Battery {
         learnedR = Some(r))
         .select("qid", "vec_id").collect().map(rr => (rr.getLong(0), rr.getLong(1))))
       println(f"""{"battery":"pqopq","corpus":"$corpusTag","vectors":$n,"sizing":"$ptag","arm":"$label","learn_sec":$learnSec%.1f,"sec":$sec%.1f,"adc_recall_at5":"${pqRecall(top, exact)}/${exact.length}"}""")
+    }
+  }
+
+  /** The learned-OPQ rotation priced INSIDE the persisted lifecycle
+    * (round-16 verdict task 7 — `learnedR` had been wired into the
+    * train path and measured on ADC brute-scan recall only; the serve
+    * paths shipped nothing). Three persisted builds on the correlated
+    * corpus at production PQ sizing, all probed through BOTH serving
+    * entries:
+    *
+    *  - `plain`: no rotation (the baseline build).
+    *  - `perm`: the bit-reversal PERMUTATION persisted as a learned-R
+    *    matrix (R[i][bitrev(i)] = 1 — the qn43 stand-in, now a
+    *    degenerate case of the rotation side rather than a separate
+    *    mechanism).
+    *  - `learned`: the Ge et al. alternation from the bitrev init
+    *    (the round-16 keep decision), learned on a 10k driver sample.
+    *
+    * Each row: build premium (sec vs plain), probe wall, recall@5 vs
+    * the exact cosine truth, and SERVE PARITY — the per-call entry and
+    * the cached handle must return identical rows (the rotation rides
+    * the handle's cached state). */
+  private def pqOpqServe(s: SparkSession, n: Long): Unit = {
+    import operators.PQ
+    val root = pqCorrelatedCorpus(s, n)
+    val exact = pqExactTop5(s, root)
+    val p = PQ.PqParams(8, 8, 256)
+    val d = 64
+    val permR = new Array[Double](d * d)
+    (0 until d).foreach(i => permR(i * d + PQ.opqPerm(i)) = 1.0)
+    val sample = Tables.embeddings(s, root).filter(col("vec_id") < 10000)
+      .orderBy("vec_id").select("embedding")
+      .collect().map(_.getSeq[Float](0).toArray)
+    val (learned, learnSec) = timed(
+      PQ.opqLearnRotation(sample, p, iters = 5, initBitrev = true))
+    val probeFrame = Tables.embeddings(s, root).filter(col("vec_id") < 10)
+      .select("vec_id", "embedding")
+    Seq(("plain", None, 0.0), ("perm", Some(permR), 0.0),
+        ("learned", Some(learned), learnSec)).foreach { case (arm, r, lSec) =>
+      val path = operators.Similarity.newIndexDir()
+      val (_, bSec) = timed(PQ.buildPqIndex(s, root, path, 16,
+        fastAssign = Some(false), params = p, learnedR = r))
+      val (viaCall, pSec) = timed(PQ.probePqIndexWith(s, probeFrame, path, 4, 5)
+        .collect().map(_.toString).toSeq)
+      val handle = PQ.openPqIndex(s, path)
+      val viaHandle = handle.probeWith(s, probeFrame, 4, 5)
+        .collect().map(_.toString).toSeq
+      val rows = PQ.probePqIndexWith(s, probeFrame, path, 4, 5)
+        .select("qid", "vec_id").collect().map(x => (x.getLong(0), x.getLong(1)))
+      println(f"""{"battery":"pqopqserve","vectors":$n,"arm":"$arm","learn_sec":$lSec%.1f,"build_sec":$bSec%.1f,"probe_sec":$pSec%.1f,"serve_parity":${viaHandle == viaCall},"recall_at5":"${pqRecall(rows, exact)}/${exact.length}"}""")
     }
   }
 

@@ -780,9 +780,47 @@ object PQ {
     * identical comparable-integer space as [[ve]]'s raw floats. */
   private def learnedVe(s: SparkSession, dir: String, r: Array[Double],
       dim: Int): DataFrame =
-    graft.Tables.embeddings(s, dir).select(col("vec_id"),
+    learnedVe6Of(graft.Tables.embeddings(s, dir), r, dim)
+
+  /** [[learnedVe]] over an arbitrary (vec_id, embedding, ...) frame —
+    * the form the persisted lifecycle's append/rebalance re-encode
+    * paths share with the build. */
+  private def learnedVe6Of(v: DataFrame, r: Array[Double], dim: Int): DataFrame =
+    v.select(col("vec_id"),
       transform(graft.functions.VectorExprs.matVecNative(col("embedding"), r, dim),
         x => floor(x * 1000000).cast("long")).as("emb6"))
+
+  /** Stage the OPTIONAL learned-rotation side (round-16 verdict task
+    * 7): one row — dim + the row-major D x D matrix. It rides the same
+    * atomic [[IndexSwap]] commit as the five declared sides, so codes
+    * encoded in the rotated space and the rotation that defines it are
+    * never separable; absence is the legitimate unrotated state (the
+    * [[rotationAt]] read dispatches on existence at the PINNED root,
+    * which is consistent because version dirs are immutable). */
+  private def stageRotation(s: SparkSession, path: String, r: Array[Double],
+      dim: Int): Unit = {
+    val rows: java.util.List[org.apache.spark.sql.Row] =
+      java.util.Arrays.asList(org.apache.spark.sql.Row(dim, r.toSeq))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("dim", org.apache.spark.sql.types.IntegerType, false),
+      org.apache.spark.sql.types.StructField("mat",
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType, false), false)))
+    s.createDataFrame(rows, schema).coalesce(1).write.mode("overwrite")
+      .parquet(IndexSwap.tmp(path, "rotation").toString)
+  }
+
+  /** The stored learned rotation at a PINNED version root, if any —
+    * (row-major matrix, dim). One existence check + one tiny read per
+    * serving call; the serve handle caches it. */
+  private[graft] def rotationAt(s: SparkSession, root: String): Option[(Array[Double], Int)] = {
+    val p = new org.apache.hadoop.fs.Path(IndexSwap.sideAt(root, "rotation"))
+    val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+    if (!fs.exists(p)) None
+    else {
+      val row = s.read.parquet(p.toString).head()
+      Some((row.getSeq[Double](1).toArray, row.getInt(0)))
+    }
+  }
 
   /** Learn an OPQ rotation (Ge et al. CVPR 2013, the non-parametric
     * alternation) on a DRIVER-SIDE sample: per iteration, (a) fit
@@ -1219,7 +1257,11 @@ object PQ {
   def buildPqIndex(s: SparkSession, dir: String, path: String,
       nCells: Int = 16, fastAssign: Option[Boolean] = None,
       residual: Boolean = false, params: PqParams = fixturePq,
-      iters: Int = 1): Unit = {
+      iters: Int = 1, learnedR: Option[Array[Double]] = None): Unit = {
+    require(learnedR.isEmpty || !residual,
+      "buildPqIndex: learned rotation composes with whole-space codes only — " +
+        "residual encoding subtracts RAW-space centroids, which a rotated " +
+        "codebook cannot score")
     recoverPqRebalance(s, path) // clear any interrupted prior swap/build staging
     val v = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("embedding"), l2normNative(col("embedding")).as("nrm"))
@@ -1251,13 +1293,22 @@ object PQ {
     val ptag = (if (params == fixturePq) ""
       else s":${params.m}x${params.subDim}x${params.k}") + itag(iters)
     val rve = if (residual) residualVe(ve(s, dir), asg, localCents) else null
+    // Learned-rotation builds train and encode over the ROTATED e6 view
+    // (no memo: the rotation is caller-supplied state no tag scheme
+    // should try to fingerprint); the rotation itself stages as an
+    // optional sixth side below, inside the same atomic commit.
+    val lr6 = learnedR.map(r => learnedVe6Of(Tables.embeddings(s, dir), r,
+      dimOf(localCents)).localCheckpoint(true))
     val cb =
-      if (residual) Dedup.memoized(s"pqrcb$ptag", s, dir, nCells.toLong, fastKey) {
+      if (lr6.isDefined)
+        cbPivot(trainCodebookLong(lr6.get, params, iters)).localCheckpoint(true)
+      else if (residual) Dedup.memoized(s"pqrcb$ptag", s, dir, nCells.toLong, fastKey) {
         cbPivot(trainCodebookLong(rve, params, iters)).localCheckpoint(true)
       }
       else codebookP(s, dir, params, iters)
     val codes =
-      if (residual) Dedup.memoized(s"pqrcodes$ptag", s, dir, nCells.toLong, fastKey) {
+      if (lr6.isDefined) codesWith(lr6.get, cb)
+      else if (residual) Dedup.memoized(s"pqrcodes$ptag", s, dir, nCells.toLong, fastKey) {
         codesWith(rve, cb).localCheckpoint(true)
       }
       else codesArrP(s, dir, params, iters)
@@ -1293,6 +1344,7 @@ object PQ {
       .parquet(IndexSwap.tmp(path, "codebooks").toString)
     localCents.coalesce(1).write.mode("overwrite")
       .parquet(IndexSwap.tmp(path, "centroids").toString)
+    learnedR.foreach(r => stageRotation(s, path, r, dimOf(localCents)))
     writeMeta(s, path, residual, collectCb(cb)._2)
     IndexSwap.commit(s, path, pqSides)
   }
@@ -1417,11 +1469,17 @@ object PQ {
       if (useTwoTier(Similarity.parquetRowCount(s, centsDir), dimOf(cents)))
         fastCoarseAssign(v, cents)
       else nativeCoarseAssign(v, cents)
-    val ve6 = v.select(col("vec_id"),
-      transform(col("embedding"),
-        x => floor(x.cast("double") * 1000000).cast("long")).as("emb6"))
-    val encIn =
-      if (indexMetaAt(s, root)._1) residualVe(ve6, asg, cents) else ve6
+    // New rows encode in the INDEX'S space: the stored learned rotation
+    // when present (a rotated index is whole-space by construction),
+    // the residual view when the meta says so, raw e6 otherwise.
+    val encIn = rotationAt(s, root) match {
+      case Some((r, d)) => learnedVe6Of(v, r, d)
+      case None =>
+        val ve6 = v.select(col("vec_id"),
+          transform(col("embedding"),
+            x => floor(x.cast("double") * 1000000).cast("long")).as("emb6"))
+        if (indexMetaAt(s, root)._1) residualVe(ve6, asg, cents) else ve6
+    }
     val codes = codesWith(encIn, cb) // realized sizing derives from the stored codebook
     // COLD side first (see the crash-window note above). Mirror the
     // build's point-read layout (one file per touched cell, rows
@@ -1514,10 +1572,19 @@ object PQ {
     val asg =
       if (useTwoTier(nCells, dimOf(localCents))) fastCoarseAssign(v, localCents)
       else nativeCoarseAssign(v, localCents)
-    val ve6 = v.select(col("vec_id"),
-      transform(col("embedding"),
-        x => floor(x.cast("double") * 1000000).cast("long")).as("emb6"))
-    val rve6 = if (residual) residualVe(ve6, asg, localCents) else ve6
+    // The stored rotation is PRESERVED across rebuilds (it is model
+    // state, like the meta's encoding flag — re-learning is a
+    // buildPqIndex decision): the grown lake re-encodes through it and
+    // the side re-stages into the new version below.
+    val rotStored = rotationAt(s, IndexSwap.liveRoot(s, path))
+    val rve6 = rotStored match {
+      case Some((r, d)) => learnedVe6Of(v, r, d)
+      case None =>
+        val ve6 = v.select(col("vec_id"),
+          transform(col("embedding"),
+            x => floor(x.cast("double") * 1000000).cast("long")).as("emb6"))
+        if (residual) residualVe(ve6, asg, localCents) else ve6
+    }
     // Sizing is preserved from the stored meta; the REALIZED K of the
     // retrained codebook can differ (hashSeedVecs over a shrunk lake),
     // so the rewritten meta derives from the retrained rows.
@@ -1536,6 +1603,7 @@ object PQ {
       .parquet(IndexSwap.tmp(path, "codebooks").toString)
     localCents.coalesce(1).write.mode("overwrite")
       .parquet(IndexSwap.tmp(path, "centroids").toString)
+    rotStored.foreach { case (r, d) => stageRotation(s, path, r, d) }
     writeMeta(s, path, residual, collectCb(cb)._2)
     IndexSwap.commit(s, path, pqSides)
   }
@@ -1581,7 +1649,8 @@ object PQ {
     val cents = s.read.parquet(s"$root/centroids")
     val cb = s.read.parquet(s"$root/codebooks")
     val (residualIdx, p) = indexMetaAt(s, root)
-    probeResolved(s, probes, root, cents, cb, residualIdx, p, nProbe, k, None)
+    probeResolved(s, probes, root, cents, cb, residualIdx, p, nProbe, k, None,
+      rotationAt(s, root))
   }
 
   /** A SERVE-SESSION handle (round-14 verdict task 7): the fixed
@@ -1612,7 +1681,8 @@ object PQ {
   final case class PqIndexHandle private[operators] (path: String, version: Long,
       root: String, residual: Boolean, params: PqParams,
       localCents: DataFrame, localCb: DataFrame,
-      centArrays: Similarity.CentArrays) {
+      centArrays: Similarity.CentArrays,
+      rotation: Option[(Array[Double], Int)]) {
     private val current =
       new java.util.concurrent.atomic.AtomicReference[PqIndexHandle](this)
     /** The version the handle currently serves from (advances once per
@@ -1626,7 +1696,7 @@ object PQ {
         if (IndexSwap.liveVersion(s, path) == cached.version) cached
         else { val fresh = openPqIndex(s, path); current.set(fresh); fresh }
       probeResolved(s, probes, h.root, h.localCents, h.localCb,
-        h.residual, h.params, nProbe, k, Some(h.centArrays))
+        h.residual, h.params, nProbe, k, Some(h.centArrays), h.rotation)
     }
   }
 
@@ -1645,7 +1715,7 @@ object PQ {
     val localCb = s.createDataFrame(
       java.util.Arrays.asList(cb.collect(): _*), cb.schema)
     PqIndexHandle(path, version, root, residual, p, localCents, localCb,
-      Similarity.collectCents(localCents))
+      Similarity.collectCents(localCents), rotationAt(s, root))
   }
 
   /** IN-PROCESS probe routing over the handle's cached centroid
@@ -1702,7 +1772,8 @@ object PQ {
     * outside the two cell-scoped data sides). */
   private def probeResolved(s: SparkSession, probes: DataFrame, root: String,
       cents: DataFrame, cb: DataFrame, residualIdx: Boolean, p: PqParams,
-      nProbe: Int, k: Int, cachedCents: Option[Similarity.CentArrays]): DataFrame = {
+      nProbe: Int, k: Int, cachedCents: Option[Similarity.CentArrays],
+      rot: Option[(Array[Double], Int)] = None): DataFrame = {
     // Probes materialize ONCE as a local relation (manifest-class):
     // the routing, the ADC-table build, the shortlist, and the refine
     // each run their own action, and a lazy probe frame would re-scan
@@ -1727,9 +1798,18 @@ object PQ {
       case Some(ca) => driverRoute(s, probeRows, ca, nProbe)
       case None => routeCells(s, probesV, cents, nProbe)
     }
-    val pe6 = probesV.select(col("vec_id").as("probe_id"),
-      transform(col("embedding"),
-        x => floor(x.cast("double") * 1000000).cast("long")).as("emb6"))
+    // Probes encode in the INDEX'S space: through the stored learned
+    // rotation when the index carries one (routing and the exact
+    // refine stay in the raw space — the centroids and cold floats are
+    // raw; only the codebook/codes tier lives rotated).
+    val pe6 = rot match {
+      case Some((r, d)) => probesV.select(col("vec_id").as("probe_id"),
+        transform(graft.functions.VectorExprs.matVecNative(col("embedding"), r, d),
+          x => floor(x * 1000000).cast("long")).as("emb6"))
+      case None => probesV.select(col("vec_id").as("probe_id"),
+        transform(col("embedding"),
+          x => floor(x.cast("double") * 1000000).cast("long")).as("emb6"))
+    }
     // Both data-side reads are CELL-SCOPED (Similarity.cellScopedRead):
     // whole-lake partition discovery was the measured dominant fixed
     // cost of a serve call (~2 s per read at 1000 cells, paid twice —

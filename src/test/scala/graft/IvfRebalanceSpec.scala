@@ -250,4 +250,49 @@ class IvfRebalanceSpec extends AnyFunSuite {
     assert(handle.currentVersion == graft.operators.IndexSwap.liveVersion(spark, path),
       "re-open was discarded instead of cached — every later probe would re-open")
   }
+
+  test("handle grace under retention: an in-flight probe on v_N completes on its snapshot while the handle flips to v_{N+1}") {
+    // The round-16 verdict's interleaving: retainVersions=2 keeps v_N
+    // alive through the commit, a probe whose plan resolved v_N must
+    // complete on that snapshot (no failure, no mixed-version read —
+    // rows appended after its file listing stay invisible), and the
+    // SAME handle's next call serves v_{N+1}.
+    val path = Similarity.newIndexDir()
+    spark.conf.set("spark.graft.index.retainVersions", "2")
+    try {
+      Similarity.buildIvfIndex(spark, sf, 16, path) // v1
+      val probeFrame = Tables.embeddings(spark, sf).filter(col("vec_id") < 10)
+        .select("vec_id", "embedding")
+      val handle = Similarity.openIvfIndex(spark, path)
+      val baseline = handle.probeWith(spark, probeFrame, 4, 5)
+        .collect().map(_.toString).toSeq
+      // In flight: routing + version pin + file listing happen at call
+      // time; the collect comes AFTER the commit lands.
+      val inFlight = handle.probeWith(spark, probeFrame, 4, 5)
+      assert(handle.currentVersion == 1L)
+      // Mid-batch: a near-copy of probe 3 lands and a rebalance commits
+      // v2 while the v1 plan is still open.
+      val planted = Tables.embeddings(spark, sf).filter(col("vec_id") === 3)
+        .select(lit(77777L).as("vec_id"),
+          transform(col("embedding"), (x, i) =>
+            when(i === 0, (x.cast("double") * 1.01).cast("float")).otherwise(x)).as("embedding"))
+      Similarity.appendToIvfIndex(spark, planted, path)
+      Similarity.rebalanceIvfIndex(spark, path) // v2; v1 retained at K=2
+      assert(graft.operators.IndexSwap.liveVersion(spark, path) == 2L)
+      // The in-flight probe completes CORRECTLY and ENTIRELY on v_N:
+      // bit-identical to the pre-commit baseline — the planted row
+      // (visible only to v2 plans, or to v1 plans listed after the
+      // append) must not leak in, and nothing may fail.
+      val late = inFlight.collect().map(_.toString).toSeq
+      assert(late == baseline,
+        "in-flight v_N probe saw mixed-version or post-listing rows")
+      // The handle flips on its next call: v2 serves, the near-copy is
+      // probe 3's top neighbor, and the flip is cached.
+      val after = handle.probeWith(spark, probeFrame, 4, 5)
+      val top = after.filter(col("probe_id") === 3 && col("rnk") === 1).collect()
+      assert(top.length == 1 && top.head.getLong(2) == 77777L,
+        s"post-flip probe missed the committed near-copy: ${top.mkString}")
+      assert(handle.currentVersion == 2L, "handle did not flip to the committed version")
+    } finally spark.conf.unset("spark.graft.index.retainVersions")
+  }
 }

@@ -158,6 +158,86 @@ class IvfSq8Spec extends AnyFunSuite {
       s"post-rebuild probe lost the planted near-copies: ${top.mkString}")
   }
 
+  test("streaming vector ingest maintains the composed index: foreachBatch O(new) appends, drift rebuild fires mid-stream") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val path = graft.operators.Similarity.newIndexDir()
+    IvfSq8.buildIvfSq8Index(spark, sf, 16, path)
+    val verBefore = graft.operators.IndexSwap.liveVersion(spark, path)
+    val ms = MemoryStream[(Long, Seq[Float])]
+    val q = ms.toDF().toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+      .writeStream.foreachBatch {
+        (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          // The sibling rungs' split: the append stays O(new) (a fired
+          // occupancy audit only drops the marker); maintenance runs as
+          // its own per-batch step and pays the rebuild off the hot path.
+          IvfSq8.appendToIvfSq8Index(b.sparkSession, b, path, autoRebalance = Some(2))
+          IvfSq8.maintainIvfSq8Index(b.sparkSession, path): Unit
+      }.start()
+    try {
+      // A drifting stream: every row is a near-copy of vector 3, so the
+      // appends concentrate into ONE cell and the k=2 occupancy audit
+      // must fire mid-stream (clamped-envelope encode semantics — the
+      // copies quantize against the FROZEN envelope until the rebuild
+      // re-freezes it over the grown corpus).
+      val base = Tables.embeddings(spark, sf).filter(col("vec_id") === 3)
+        .select(col("embedding")).head().getSeq[Float](0).toArray
+      val rows = (0 until 120).map { i =>
+        val e = base.clone(); e(0) = (e(0) * (1.0f + i / 1e4f))
+        ((60000L + i, e.toSeq))
+      }
+      rows.grouped(30).foreach { batch => ms.addData(batch.toSeq); q.processAllAvailable() }
+    } finally q.stop()
+    assert(graft.operators.IndexSwap.liveVersion(spark, path) > verBefore,
+      "drift rebuild never fired in-stream")
+    val root = graft.operators.IndexSwap.liveRoot(spark, path)
+    val vecs = spark.read.parquet(s"$root/vectors")
+    val codes = spark.read.parquet(s"$root/codes")
+    assert(codes.count() == vecs.count(), "stream left the tiers unreconciled")
+    assert(vecs.filter(col("vec_id") >= 60000L).count() == 120,
+      "stream lost or duplicated appended vectors")
+    // The rebuilt index serves: a streamed near-copy is probe 3's top.
+    val top = IvfSq8.probeIvfSq8Index(spark, sf, path, 4, 5)
+      .filter(col("qid") === 3 && col("rnk") === 1).collect()
+    assert(top.length == 1 && top.head.getLong(2) >= 60000L,
+      s"streamed near-copies lost by the rebuilt route: ${top.mkString}")
+  }
+
+  test("append crash window: an orphaned cold row is invisible to probes and healed by the next rebuild") {
+    val path = graft.operators.Similarity.newIndexDir()
+    IvfSq8.buildIvfSq8Index(spark, sf, 16, path)
+    val baseline = IvfSq8.probeIvfSq8Index(spark, sf, path, 4, 5)
+      .collect().map(_.toString).toSeq
+    // Simulate the documented one-crash-window state: the COLD write
+    // landed (in vector 3's own cell), the CODES write did not — the
+    // safe polarity: dead bytes, never a shortlisted ghost.
+    val root = graft.operators.IndexSwap.liveRoot(spark, path)
+    val cell3 = spark.read.parquet(s"$root/vectors")
+      .filter(col("vec_id") === 3).select(col("cent_id").cast("long")).head().getLong(0)
+    Tables.embeddings(spark, sf).filter(col("vec_id") === 3)
+      .select(lit(88888L).as("vec_id"), col("embedding"),
+        graft.functions.VectorExprs.l2normNative(col("embedding")).as("nrm"),
+        lit(cell3).as("cent_id"))
+      .write.mode("append").partitionBy("cent_id").parquet(s"$root/vectors")
+    assert(IvfSq8.probeIvfSq8Index(spark, sf, path, 4, 5)
+        .collect().map(_.toString).toSeq == baseline,
+      "an orphaned cold row leaked into probe results")
+    // The rebuild re-derives all four sides from the cold lake: the
+    // orphan becomes a first-class indexed row (a near-copy of probe 3
+    // — it must now surface as its top neighbor).
+    IvfSq8.rebalanceIvfSq8Index(spark, path)
+    val r2 = graft.operators.IndexSwap.liveRoot(spark, path)
+    assert(spark.read.parquet(s"$r2/codes").count() ==
+      spark.read.parquet(s"$r2/vectors").count(),
+      "rebuild did not reconcile the tiers")
+    val top = IvfSq8.probeIvfSq8Index(spark, sf, path, 4, 5)
+      .filter(col("qid") === 3 && col("rnk") === 1).collect()
+    assert(top.length == 1 && top.head.getLong(2) == 88888L,
+      s"repaired orphan not probe 3's top neighbor: ${top.mkString}")
+  }
+
   test("rank stays within the routed cells: a vector outside every probed cell never surfaces") {
     val path = graft.operators.Similarity.newIndexDir()
     IvfSq8.buildIvfSq8Index(spark, sf, 16, path)

@@ -475,4 +475,58 @@ class PQSpec extends AnyFunSuite {
     assert(handle.currentVersion == graft.operators.IndexSwap.liveVersion(spark, path),
       "re-open was discarded instead of cached — every later probe would re-open")
   }
+
+  test("learned-rotation index: rotation persists through append and rebalance, both serving entries agree, planted near-copy surfaces") {
+    import graft.operators.PQ
+    val path = graft.operators.Similarity.newIndexDir()
+    // A small deterministic learned R from the fixture corpus (bitrev
+    // init — the round-16 keep decision).
+    val sample = Tables.embeddings(spark, sf).filter(col("vec_id") < 200)
+      .orderBy("vec_id").select("embedding")
+      .collect().map(_.getSeq[Float](0).toArray)
+    val r = PQ.opqLearnRotation(sample, PQ.fixturePq, iters = 2, initBitrev = true)
+    PQ.buildPqIndex(spark, sf, path, learnedR = Some(r))
+    // The rotation side committed atomically with the codes.
+    val root0 = graft.operators.IndexSwap.liveRoot(spark, path)
+    assert(new java.io.File(s"$root0/rotation".stripPrefix("file:")).exists,
+      "rotation side missing from the committed version")
+    // Residual + rotation is refused loudly.
+    intercept[IllegalArgumentException] {
+      PQ.buildPqIndex(spark, sf, graft.operators.Similarity.newIndexDir(),
+        residual = true, learnedR = Some(r))
+    }
+    // Serve parity: per-call and handle probes agree (the handle caches
+    // the rotation with the rest of the serving state).
+    val probeFrame = Tables.embeddings(spark, sf).filter(col("vec_id") < 10)
+      .select("vec_id", "embedding")
+    val perCall = PQ.probePqIndexWith(spark, probeFrame, path, 4, 5)
+      .collect().map(_.toString).toSeq
+    val handle = PQ.openPqIndex(spark, path)
+    assert(handle.probeWith(spark, probeFrame, 4, 5)
+      .collect().map(_.toString).toSeq == perCall,
+      "rotated handle probe diverged from the per-call entry")
+    // Append encodes the new row through the STORED rotation: a planted
+    // near-copy of probe 3 must shortlist (rotated-space ADC) and then
+    // win the exact refine.
+    val planted = Tables.embeddings(spark, sf).filter(col("vec_id") === 3)
+      .select(lit(99999L).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          when(i === 0, (x.cast("double") * 1.01).cast("float")).otherwise(x)).as("embedding"))
+    PQ.appendToPqIndex(spark, planted, path)
+    val top = PQ.probePqIndexWith(spark, probeFrame, path, 4, 5)
+      .filter(col("qid") === 3 && col("rnk") === 1).collect()
+    assert(top.length == 1 && top.head.getLong(2) == 99999L,
+      s"appended near-copy not probe 3's top neighbor under rotation: ${top.mkString}")
+    // Rebalance preserves the rotation side (model state, like the
+    // meta flag) and the rebuilt index still serves the near-copy.
+    PQ.rebalancePqIndex(spark, path)
+    val root1 = graft.operators.IndexSwap.liveRoot(spark, path)
+    assert(root1 != root0 &&
+      new java.io.File(s"$root1/rotation".stripPrefix("file:")).exists,
+      "rebalance dropped the rotation side")
+    val top2 = PQ.probePqIndexWith(spark, probeFrame, path, 4, 5)
+      .filter(col("qid") === 3 && col("rnk") === 1).collect()
+    assert(top2.length == 1 && top2.head.getLong(2) == 99999L,
+      s"rebuilt rotated index lost the near-copy: ${top2.mkString}")
+  }
 }
