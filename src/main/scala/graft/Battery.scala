@@ -988,6 +988,30 @@ object Battery {
           .select("qid", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))))
       println(f"""{"battery":"ladderdim","rung":"matryoshka","vectors":$n,"dims":$dims,"prefix":${dims / 4},"build_sec":$bSec%.1f,"probe_sec":$pSec%.1f,"rank_bytes":$preBytes,"recall_at5":"${recall(top)}/${exact.length}"}""")
     }
+    locally {
+      // Composed IVF + SQ8 at production width (round-16 verdict task
+      // 4): both prunings at 256 dims — rank_bytes is the PROBED
+      // cells' code bytes, the flat rungs' whole-side rank_bytes above
+      // are the comparison.
+      val path = operators.Similarity.newIndexDir()
+      val nCells = math.max(16, math.ceil(math.sqrt(n.toDouble)).toInt)
+      val (_, bSec) = timed(
+        operators.IvfSq8.buildIvfSq8IndexFrom(s, wide, nCells, path))
+      val r0 = operators.IndexSwap.liveRoot(s, path)
+      def lb(p: String) = dirBytes(new java.io.File(p.stripPrefix("file:")))
+      val codesBytes = lb(s"$r0/codes")
+      val vecBytes = lb(s"$r0/vectors")
+      val cents = s.read.parquet(s"$r0/centroids")
+      val probesN = probes.withColumn("nrm",
+        graft.functions.VectorExprs.l2normNative(col("embedding")))
+      val cells = operators.Similarity.ivfRouteFlat(probesN, cents, 4)
+        .select("cent_id").distinct().collect().map(_.getLong(0))
+      val rankBytes = cells.map(c => lb(s"$r0/codes/cent_id=$c")).sum
+      val (top, pSec) = timed(
+        operators.IvfSq8.probeIvfSq8IndexWith(s, probes, path, 4, 5)
+          .select("qid", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))))
+      println(f"""{"battery":"ladderdim","rung":"ivfsq8","vectors":$n,"dims":$dims,"cells":$nCells,"n_probe":4,"build_sec":$bSec%.1f,"probe_sec":$pSec%.1f,"rank_bytes":$rankBytes,"codes_bytes":$codesBytes,"cold_bytes":$vecBytes,"prune_ratio":${codesBytes.toDouble / math.max(1L, rankBytes)}%.1f,"recall_at5":"${recall(top)}/${exact.length}"}""")
+    }
   }
 
   // ---- pqlife -------------------------------------------------------------
