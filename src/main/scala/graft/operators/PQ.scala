@@ -1038,9 +1038,18 @@ object PQ {
     * tier, argmax assignment, 4-cell routing, ADC over the candidates,
     * top-[[adcTopR]] shortlist, exact cosine re-rank. */
   private def sqlQn33: String =
-    s"""WITH ${sqlPqCtes()},
+    sqlIvfPq("SELECT vec_id, embedding FROM embeddings", fixturePq)
+
+  /** The route/ADC/refine oracle over ANY corpus SELECT and sizing —
+    * qn33/qn39/qn40 instantiate it at the fixture (the raw embeddings
+    * table, 4x16x16); qn51 at the 256-dim wide derivation (4x64x16).
+    * One oracle text, two widths: the dim-parameterized PQ tier and
+    * its DuckDB replay share every route/train/encode/refine rule. */
+  private[operators] def sqlIvfPq(corpusSql: String, p: PqParams): String =
+    s"""WITH corpus AS ($corpusSql),
+       |${sqlPqCtesVe(s"ve AS (SELECT vec_id, ${sqlE6List("embedding")} AS emb6 FROM corpus)", p)},
        |${sqlProbeTab("vec_id < 10")},
-       |v AS (SELECT vec_id, embedding, ${sqlL2norm("embedding")} AS nrm FROM embeddings),
+       |v AS (SELECT vec_id, embedding, ${sqlL2norm("embedding")} AS nrm FROM corpus),
        |ist AS (SELECT GREATEST(1, COUNT(*) // 16) AS stride FROM v),
        |cents AS (SELECT vec_id AS cent_id, embedding AS ce, nrm AS cn FROM v, ist
        |          WHERE vec_id % stride = 0 AND vec_id < stride * 16),
@@ -1312,15 +1321,56 @@ object PQ {
         codesWith(rve, cb).localCheckpoint(true)
       }
       else codesArrP(s, dir, params, iters)
-    // Every side — both temperature tiers, both metadata tables, and
-    // the meta row carrying the encoding flag — STAGES into the
-    // [[IndexSwap]] stage dir and commits through ONE atomic
-    // version-dir rename: a crash anywhere before it leaves the prior
-    // version (or, on a fresh path, nothing) fully intact and visible.
-    // The round-13 ADVICE window — all data written, the encoding
-    // marker missing, probes silently serving residual codes as plain
-    // — cannot exist: the meta side lands in the same atomic commit as
-    // the codes it describes.
+    stagePqSidesAndCommit(s, path, v, asg, cb, codes, localCents, residual, learnedR)
+  }
+
+  /** [[buildPqIndex]] over a CALLER-SUPPLIED corpus frame (vec_id,
+    * embedding) — the dim-parameterization discipline the flat rungs
+    * got in round 16 ([[SQ8.buildSq8IndexFrom]],
+    * [[BinarySig.buildBinIndexFrom]], [[IvfSq8.buildIvfSq8IndexFrom]])
+    * extended to the PQ tier: `params` sizes the subspace grid at ANY
+    * width (qn51 gates M=4 x subDim=64 over the 256-dim wide
+    * derivation), and nothing in train / encode / stage / serve knows
+    * the fixture width — [[probePqIndexWith]] reads the realized
+    * sizing from the stored meta row, so a probe at the wrong width
+    * fails loudly in [[vsubKeyed]]'s guard. Plain whole-space encoding
+    * only: the residual and learned-R forms stay corpus-memoized
+    * through [[buildPqIndex]]. No memoization here — the corpus is
+    * caller state no dir-keyed tag should try to fingerprint; the one
+    * frame every stage re-reads is localCheckpoint'd instead. */
+  private[graft] def buildPqIndexFrom(s: SparkSession, vecs: DataFrame,
+      path: String, nCells: Int, params: PqParams, iters: Int = 1): Unit = {
+    recoverPqRebalance(s, path)
+    val v = vecs.select(col("vec_id"), col("embedding"),
+      l2normNative(col("embedding")).as("nrm")).localCheckpoint(true)
+    val cents = coarseCents(v, nCells)
+    val localCents = s.createDataFrame(
+      java.util.Arrays.asList(cents.collect(): _*), cents.schema)
+    val asg =
+      if (useTwoTier(nCells, dimOf(localCents))) fastCoarseAssign(v, localCents)
+      else nativeCoarseAssign(v, localCents)
+    val ve6 = v.select(col("vec_id"), transform(col("embedding"),
+      x => floor(x.cast("double") * 1000000).cast("long")).as("emb6"))
+    val cb = cbPivot(trainCodebookLong(ve6, params, iters)).localCheckpoint(true)
+    stagePqSidesAndCommit(s, path, v, asg, cb, codesWith(ve6, cb), localCents,
+      residual = false, learnedR = None)
+  }
+
+  /** Stage + commit every side of a trained PQ index — the shared tail
+    * of [[buildPqIndex]] and [[buildPqIndexFrom]].
+    *
+    * Every side — both temperature tiers, both metadata tables, and
+    * the meta row carrying the encoding flag — STAGES into the
+    * [[IndexSwap]] stage dir and commits through ONE atomic
+    * version-dir rename: a crash anywhere before it leaves the prior
+    * version (or, on a fresh path, nothing) fully intact and visible.
+    * The round-13 ADVICE window — all data written, the encoding
+    * marker missing, probes silently serving residual codes as plain
+    * — cannot exist: the meta side lands in the same atomic commit as
+    * the codes it describes. */
+  private def stagePqSidesAndCommit(s: SparkSession, path: String, v: DataFrame,
+      asg: DataFrame, cb: DataFrame, codes: DataFrame, localCents: DataFrame,
+      residual: Boolean, learnedR: Option[Array[Double]]): Unit = {
     asg.join(codes, Seq("vec_id"))
       .select(col("vec_id"), col("codes"), col("cent_id"))
       .repartition(col("cent_id"))

@@ -622,8 +622,30 @@ object Similarity {
       val wv = wideVecs(s, dir)
       IvfSq8.buildIvfSq8IndexFrom(s, wv, 16, path)
       IvfSq8.probeIvfSq8IndexWith(s, wv.filter(col("vec_id") < 10), path, 4, 5)
+    },
+
+    // The PQ tier at PRODUCTION dimensionality (round 17 — the last
+    // "driver gates only see 64 dims" asymmetry): qn39 gates the
+    // persisted IVFADC at the fixture width; this builds the same
+    // five-sided index at 256 dims (M=4 subspaces of 64 dims each)
+    // over the wide derivation. Train, encode, route, ADC and refine
+    // are all sized by PqParams — the probe reads the realized sizing
+    // from the stored meta row, so nothing in the lifecycle knows the
+    // fixture width.
+    Q("qn51_ann_ivfpq_wide", sqlQn51) { (s, dir) =>
+      val path = newIndexDir()
+      val wv = wideVecs(s, dir)
+      PQ.buildPqIndexFrom(s, wv, path, 16, PQ.PqParams(4, 64, 16))
+      PQ.probePqIndexWith(s, wv.filter(col("vec_id") < 10), path, 4, 5)
     }
   )
+
+  /** qn51's oracle: the qn33/qn39 route/ADC/refine chain
+    * ([[PQ.sqlIvfPq]]) instantiated at 256 dims over the wide
+    * derivation, M=4 x subDim=64. */
+  private def sqlQn51: String =
+    PQ.sqlIvfPq(s"SELECT vec_id, $sqlWideEmb AS embedding FROM embeddings",
+      PQ.PqParams(4, 64, 16))
 
   /** qn45's oracle: stride centroids, argmax assignment, 4-cell
     * routing (the qn10 CTEs), global SQ8 envelope + byte codes (the

@@ -34,6 +34,22 @@ class PQSpec extends AnyFunSuite {
     assert(persisted == inFlight)
   }
 
+  test("buildPqIndexFrom at the fixture corpus+sizing is bit-identical to buildPqIndex") {
+    // The dim-parameterized build (qn51's entry) and the dir-memoized
+    // fixture build must be the SAME pipeline — stride seeds, one Lloyd
+    // step, native encode, identical staging — or the wide gate proves
+    // a different operator than qn39 serves.
+    import graft.operators.PQ
+    val pathA = graft.operators.Similarity.newIndexDir()
+    val pathB = graft.operators.Similarity.newIndexDir()
+    PQ.buildPqIndex(spark, sf, pathA)
+    PQ.buildPqIndexFrom(spark, Tables.embeddings(spark, sf), pathB, 16, PQ.fixturePq)
+    val probes = Tables.embeddings(spark, sf).filter(col("vec_id") < 10)
+    val a = PQ.probePqIndexWith(spark, probes, pathA, 4, 5).collect().map(_.toString).toSeq
+    val b = PQ.probePqIndexWith(spark, probes, pathB, 4, 5).collect().map(_.toString).toSeq
+    assert(a.nonEmpty && a == b)
+  }
+
   test("probe scans only the probed cells' code files; refine is a shortlist point-read") {
     val path = graft.operators.Similarity.newIndexDir()
     graft.operators.PQ.buildPqIndex(spark, sf, path)
