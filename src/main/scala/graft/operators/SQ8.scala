@@ -39,7 +39,13 @@ import org.apache.spark.sql.functions._
   * for shortlisted rows). A drifted corpus is a REBUILD:
   * [[rebalanceSq8Index]] recomputes the envelope over the grown cold
   * lake and re-encodes every code, crash-safe under the same
-  * stage+atomic-rename discipline as [[PQ.rebalancePqIndex]].
+  * stage+atomic-rename discipline as [[PQ.rebalancePqIndex]] — and
+  * the rebuild is MEASURED, not caller discipline (round 17, the
+  * sibling rungs' deferred-marker pattern):
+  * `appendToSq8Index(autoRebalance = Some(rate))` audits the appended
+  * batch's out-of-envelope saturation rate, drops `_rebalance_due`
+  * past it, and [[maintainSq8Index]] pays the re-stat off the append
+  * hot path.
   */
 object SQ8 {
 
@@ -159,7 +165,8 @@ object SQ8 {
     * row is dead bytes no rank scan ever surfaces; an orphaned CODE
     * row would be shortlisted and then silently dropped by the refine
     * join). Out-of-envelope dims clamp — see the object doc. */
-  def appendToSq8Index(s: SparkSession, newVecs: DataFrame, path: String): Unit = {
+  def appendToSq8Index(s: SparkSession, newVecs: DataFrame, path: String,
+      autoRebalance: Option[Double] = None): Unit = {
     recoverSq8Rebalance(s, path)
     // ONE version resolution for the stats read and both side writes
     // (round-15 ADVICE): a rebalance committing mid-append would
@@ -176,6 +183,56 @@ object SQ8 {
     ve6Of(v).select(col("vec_id"), q8Col(mna, spa, clamp = true).as("q8"))
       .repartitionByRange(col("vec_id")).sortWithinPartitions("vec_id")
       .write.mode("append").parquet(IndexSwap.sideAt(root, "codes"))
+    // The measured DRIFT trigger (round 17 — the PQ/IVF/BinarySig
+    // deferred-marker pattern at this rung, with SQ8's OWN drift
+    // metric): the failure mode of a frozen affine envelope is
+    // SATURATION — appended values outside the build-time [mn, mn+sp]
+    // clamp to 0/255, collapsing their rank-stage distances — so the
+    // audit measures exactly that: the fraction of appended (row, dim)
+    // cells falling OUTSIDE the stored envelope, one O(new) aggregate
+    // over the batch just encoded. Past `maxOobRate` the append drops
+    // the due marker and returns at append cost; [[maintainSq8Index]]
+    // re-stats the envelope over the grown lake on the maintenance
+    // cadence. In-distribution streams never fire it (build-corpus
+    // rows are in-envelope by construction).
+    autoRebalance.foreach { maxOobRate =>
+      require(maxOobRate > 0 && maxOobRate < 1,
+        s"appendToSq8Index: autoRebalance is an out-of-envelope RATE in (0, 1), got $maxOobRate")
+      val hi = mna.zip(spa).map { case (m, sp) => m + sp }
+      val audit = ve6Of(v).select(
+        sum(aggregate(transform(col("emb6"), (x, i) =>
+            when(x < element_at(lit(mna), i + 1) ||
+                 x > element_at(lit(hi), i + 1), 1L).otherwise(0L)),
+          lit(0L), (acc, e) => acc + e)).as("oob"),
+        count(lit(1)).as("n")).head()
+      val oob = if (audit.isNullAt(0)) 0L else audit.getLong(0)
+      if (oob.toDouble / math.max(1L, audit.getLong(1) * mna.length) > maxOobRate) {
+        val fs = IndexSwap.fsOf(s, path)
+        fs.create(rebalanceDue(path), true).close()
+      }
+    }
+  }
+
+  /** The deferred-rebuild marker [[appendToSq8Index]]'s saturation
+    * audit drops and [[maintainSq8Index]] consumes. */
+  private def rebalanceDue(path: String): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(s"$path/_rebalance_due")
+
+  /** The maintenance entry point (the [[PQ.maintainPqIndex]] contract):
+    * heal any interrupted swap, then run the re-stat rebuild a deferred
+    * saturation trigger requested. The due marker is deleted only AFTER
+    * the swap commits — a crash between commit and delete re-runs the
+    * rebuild, a deterministic fixpoint over the same lake. Returns
+    * whether a rebuild ran. */
+  def maintainSq8Index(s: SparkSession, path: String): Boolean = {
+    recoverSq8Rebalance(s, path)
+    val fs = IndexSwap.fsOf(s, path)
+    if (!fs.exists(rebalanceDue(path))) false
+    else {
+      rebalanceSq8Index(s, path)
+      fs.delete(rebalanceDue(path), false): Unit
+      true
+    }
   }
 
   /** Re-stat AND re-encode the whole index from its own cold lake (the

@@ -88,6 +88,77 @@ class Sq8Spec extends AnyFunSuite {
     assert(SQ8.probeSq8Index(spark, sf, path, 5).count() == 50)
   }
 
+  test("streaming vector ingest maintains the index: foreachBatch O(new) appends, saturation audit fires the re-stat mid-stream") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val path = graft.operators.Similarity.newIndexDir()
+    SQ8.buildSq8Index(spark, sf, path)
+    val verBefore = graft.operators.IndexSwap.liveVersion(spark, path)
+    val ms = MemoryStream[(Long, Seq[Float])]
+    val q = ms.toDF().toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+      .writeStream.foreachBatch {
+        (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          // The sibling rungs' split: the append stays O(new) (a fired
+          // saturation audit only drops the marker); maintenance runs
+          // as its own per-batch step, paying the re-stat off the hot
+          // path.
+          SQ8.appendToSq8Index(b.sparkSession, b, path, autoRebalance = Some(0.2))
+          SQ8.maintainSq8Index(b.sparkSession, path): Unit
+      }.start()
+    val base = Tables.embeddings(spark, sf).filter(col("vec_id") === 3)
+      .select(col("embedding")).head().getSeq[Float](0).toArray
+    try {
+      // Phase 1 — an IN-DISTRIBUTION stream (near-copies of vector 3,
+      // 0.01% perturbation): encodes against the frozen envelope
+      // without firing the audit — in-envelope appends must stay
+      // append-cost forever.
+      val near = (0 until 60).map { i =>
+        val e = base.clone(); e(0) = (e(0) * (1.0f + i / 1e4f))
+        ((60000L + i, e.toSeq))
+      }
+      near.grouped(30).foreach { batch => ms.addData(batch.toSeq); q.processAllAvailable() }
+      assert(graft.operators.IndexSwap.liveVersion(spark, path) == verBefore,
+        "in-envelope appends must not fire the saturation audit")
+      // Phase 2 — a DRIFTED stream (-5x the base direction: most dims
+      // land outside the frozen [mn, mn+sp]; measured on this fixture
+      // the per-row oob rate is >0.35 vs the 0.2 threshold): the
+      // clamp-rate audit fires, maintenance re-stats the envelope over
+      // the grown lake mid-stream. Opposite direction on purpose —
+      // cosine -1, so the drifted rows never contest probe 3's top.
+      val drifted = (0 until 60).map { i =>
+        ((70000L + i, base.map(x => -5.0f * x * (1.0f + i / 1e4f)).toSeq))
+      }
+      drifted.grouped(30).foreach { batch => ms.addData(batch.toSeq); q.processAllAvailable() }
+    } finally q.stop()
+    assert(graft.operators.IndexSwap.liveVersion(spark, path) > verBefore,
+      "drift re-stat never fired in-stream")
+    val root = graft.operators.IndexSwap.liveRoot(spark, path)
+    val vecs = spark.read.parquet(s"$root/vectors")
+    assert(spark.read.parquet(s"$root/codes").count() == vecs.count(),
+      "stream left the tiers unreconciled")
+    assert(vecs.filter(col("vec_id") >= 60000L).count() == 120,
+      "stream lost or duplicated appended vectors")
+    // After one final re-stat the streamed lake is byte-identical to a
+    // fresh build over the same rows (the rebuild-as-deterministic-
+    // fixpoint contract, proved across a STREAMED lake — the mid-stream
+    // rebuild froze its envelope before the last appends, so the
+    // equality needs the re-stat first), and the re-statted envelope
+    // surfaces a streamed near-copy as probe 3's top neighbor.
+    SQ8.rebalanceSq8Index(spark, path)
+    val fresh = graft.operators.Similarity.newIndexDir()
+    SQ8.buildSq8IndexFrom(spark,
+      vecs.select(col("vec_id"), col("embedding")), fresh)
+    assert(SQ8.probeSq8Index(spark, sf, path, 5).collect().map(_.toString).toSeq ==
+      SQ8.probeSq8Index(spark, sf, fresh, 5).collect().map(_.toString).toSeq,
+      "maintained index diverged from a fresh build over the same lake")
+    val top = SQ8.probeSq8Index(spark, sf, path, 5)
+      .filter(col("qid") === 3 && col("rnk") === 1).collect()
+    assert(top.length == 1 && top.head.getLong(2) >= 60000L && top.head.getLong(2) < 60060L,
+      s"streamed near-copy lost by the re-statted envelope: ${top.mkString}")
+  }
+
   test("interrupted rebuild heals: a partial stage is dropped; the live index is untouched") {
     import org.apache.hadoop.fs.Path
     val path = graft.operators.Similarity.newIndexDir()
