@@ -238,6 +238,17 @@ object IvfSq8 {
     val cents = s.read.parquet(IndexSwap.sideAt(root, "centroids"))
     val (mna, spa) = SQ8.collectStats(
       s.read.parquet(IndexSwap.sideAt(root, "stats")))
+    probeResolved(s, probes, root, mna, spa, nProbe, k, Left(cents))
+  }
+
+  /** The probe body against an ALREADY-RESOLVED version root and
+    * envelope — shared by the per-call entry and [[IvfSq8IndexHandle]]
+    * (the [[PQ.probeResolved]] discipline: every side reads from one
+    * pinned root; the handle additionally routes in-process over its
+    * cached centroid arrays instead of the per-call Spark job). */
+  private def probeResolved(s: SparkSession, probes: DataFrame, root: String,
+      mna: Array[Long], spa: Array[Long], nProbe: Int, k: Int,
+      route: Either[DataFrame, Similarity.CentArrays]): DataFrame = {
     val probesRaw = probes.select(col("vec_id"), col("embedding"),
       l2normNative(col("embedding")).as("nrm"))
     val probeRows = probesRaw.limit(PQ.maxProbeBatch + 1).collect()
@@ -247,18 +258,32 @@ object IvfSq8 {
         "equi-join on cent_id (the qn20 shape)")
     val probesV = s.createDataFrame(
       java.util.Arrays.asList(probeRows: _*), probesRaw.schema)
-    // Route: flat argsort over the centroid table (broadcast-class by
-    // construction), nProbe cells per probe, e6/tie rules = qn10's.
-    val cScore = e6(cosine(dotNative(col("ce"), col("pe")), col("cn"), col("pn")))
-    val wRoute = Window.partitionBy(col("qid")).orderBy(col("cscore").desc, col("cent_id").asc)
-    val pc = probesV
-      .select(col("vec_id").as("qid"), col("embedding").as("pe"), col("nrm").as("pn"))
-      .join(broadcast(cents), expr("true"))
-      .select(col("qid"), col("cent_id"), cScore.as("cscore"))
-      .withColumn("rn", row_number().over(wRoute)).filter(col("rn") <= nProbe)
-      .select(col("qid"), col("cent_id"))
-    val pcRows = pc.collect()
-    val localPc = s.createDataFrame(java.util.Arrays.asList(pcRows: _*), pc.schema)
+    // Route: in-process over the handle's cached arrays when a serve
+    // session supplied them ([[Similarity.driverRoutePairs]] — same
+    // e6/tie rules, zero Spark jobs), the flat argsort routing job
+    // otherwise (centroids broadcast-class by construction; e6/tie
+    // rules = qn10's either way).
+    val pcSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("qid",
+        org.apache.spark.sql.types.LongType, false),
+      org.apache.spark.sql.types.StructField("cent_id",
+        org.apache.spark.sql.types.LongType, false)))
+    val pcRows = route match {
+      case Right(ca) =>
+        Similarity.driverRoutePairs(probeRows, ca, nProbe)
+          .map { case (r, cid) => org.apache.spark.sql.Row(r.getLong(0), cid) }
+      case Left(cents) =>
+        val cScore = e6(cosine(dotNative(col("ce"), col("pe")), col("cn"), col("pn")))
+        val wRoute = Window.partitionBy(col("qid")).orderBy(col("cscore").desc, col("cent_id").asc)
+        probesV
+          .select(col("vec_id").as("qid"), col("embedding").as("pe"), col("nrm").as("pn"))
+          .join(broadcast(cents), expr("true"))
+          .select(col("qid"), col("cent_id"), cScore.as("cscore"))
+          .withColumn("rn", row_number().over(wRoute)).filter(col("rn") <= nProbe)
+          .select(col("qid"), col("cent_id"))
+          .collect()
+    }
+    val localPc = s.createDataFrame(java.util.Arrays.asList(pcRows: _*), pcSchema)
     val cells = pcRows.map(_.getLong(1)).distinct.toSeq
     // Probe bytes: quantize against the stored envelope, clamped
     // (identity for in-corpus probes — the qn45 oracle parity).
@@ -299,5 +324,48 @@ object IvfSq8 {
       .select(col("qid"), col("rnk").cast("long").as("rnk"), col("vec_id"),
         col("qd2"), col("score_e6"))
       .orderBy("qid", "rnk")
+  }
+
+  /** A SERVE-SESSION handle for the composed index (the
+    * [[PQ.PqIndexHandle]] contract at this rung): the fixed per-call
+    * serving state — resolved version root, the frozen envelope
+    * arrays, and the centroid table as flat driver arrays — opened
+    * once and reused across probe calls. A handle probe pays zero
+    * store reads outside the two cell-scoped data sides and runs the
+    * routing as an in-process loop ([[Similarity.driverRoutePairs]]).
+    * Staleness follows the sibling handles exactly: [[probeWith]]
+    * re-checks [[IndexSwap.liveVersion]] (one LIST) and the re-open is
+    * cached in an [[java.util.concurrent.atomic.AtomicReference]] —
+    * once per committed version, never per probe; within the reader-
+    * grace window a stale handle is still CORRECT (its version dir is
+    * immutable and retained per `spark.graft.index.retainVersions`). */
+  final case class IvfSq8IndexHandle private[operators] (path: String,
+      version: Long, root: String, centArrays: Similarity.CentArrays,
+      mna: Array[Long], spa: Array[Long]) {
+    private val current =
+      new java.util.concurrent.atomic.AtomicReference[IvfSq8IndexHandle](this)
+    /** The version the handle currently serves from (advances once per
+      * committed rebuild — the refresh-cached contract the spec pins). */
+    def currentVersion: Long = current.get().version
+    /** Probe through the cached state, re-opening (once per committed
+      * version) if a rebuild landed since the last probe. */
+    def probeWith(s: SparkSession, probes: DataFrame, nProbe: Int, k: Int): DataFrame = {
+      val cached = current.get()
+      val h =
+        if (IndexSwap.liveVersion(s, path) == cached.version) cached
+        else { val fresh = openIvfSq8Index(s, path); current.set(fresh); fresh }
+      probeResolved(s, probes, h.root, h.mna, h.spa, nProbe, k,
+        Right(h.centArrays))
+    }
+  }
+
+  /** Open a serve-session handle: resolve the version once, collect
+    * the centroid table (√N rows) and the D-row envelope once. */
+  def openIvfSq8Index(s: SparkSession, path: String): IvfSq8IndexHandle = {
+    val version = IndexSwap.liveVersion(s, path)
+    val root = if (version == 0L) path else s"$path/v$version"
+    val ca = Similarity.collectCents(s.read.parquet(s"$root/centroids"))
+    val (mna, spa) = SQ8.collectStats(s.read.parquet(s"$root/stats"))
+    IvfSq8IndexHandle(path, version, root, ca, mna, spa)
   }
 }

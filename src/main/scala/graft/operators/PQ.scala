@@ -1786,28 +1786,8 @@ object PQ {
       "driverRoute: probe batch routes to >1e6 (probe, cell) rows — " +
         "PQ probing is for probe BATCHES; a corpus-sized probe set should " +
         "assign both sides to cells and equi-join on cent_id (the qn20 shape)")
-    val rows = probeRows.iterator.flatMap { r =>
-      val pid = r.getLong(0)
-      val emb = r.getSeq[Float](1)
-      require(emb.length == ca.dim,
-        s"driverRoute: probe width ${emb.length} != centroid dim ${ca.dim}")
-      val nrm = r.getDouble(2)
-      val scored = new Array[(Long, Long)](ca.cids.length)
-      var j = 0
-      while (j < ca.cids.length) {
-        var dot = 0.0
-        var d = 0
-        val base = j * ca.dim
-        while (d < ca.dim) {
-          dot += ca.flat(base + d).toDouble * emb(d).toDouble
-          d += 1
-        }
-        scored(j) = (math.floor(dot / (ca.cns(j) * nrm) * 1000000L).toLong, ca.cids(j))
-        j += 1
-      }
-      scored.sortBy { case (sc, cid) => (-sc, cid) }.take(nProbe).iterator
-        .map { case (_, cid) => org.apache.spark.sql.Row(pid, cid) }
-    }.toArray
+    val rows = Similarity.driverRoutePairs(probeRows, ca, nProbe)
+      .map { case (r, cid) => org.apache.spark.sql.Row(r.getLong(0), cid) }
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("probe_id", org.apache.spark.sql.types.LongType, false),
       org.apache.spark.sql.types.StructField("cent_id", org.apache.spark.sql.types.LongType, false)))

@@ -1185,6 +1185,38 @@ object Similarity {
     CentArrays(cids, flat, cns, dim)
   }
 
+  /** In-process flat route over CACHED centroid arrays: score every
+    * (probe, centroid) pair with [[ivfAssigned]]'s exact rules (e6
+    * floor, lowest-cent_id ties) and return each probe's top-nProbe
+    * as (probe row, cent_id) pairs — the serve-handle routing loop,
+    * ONE definition shared by the PQ / IVF / IvfSq8 handles (probes x
+    * cells multiply-adds on the driver: microseconds for serving
+    * batches, zero Spark jobs). Callers format the pairs into whatever
+    * local relation their tail joins against. */
+  private[graft] def driverRoutePairs(probeRows: Array[org.apache.spark.sql.Row],
+      ca: CentArrays, nProbe: Int): Array[(org.apache.spark.sql.Row, Long)] =
+    probeRows.iterator.flatMap { r =>
+      val emb = r.getSeq[Float](1)
+      require(emb.length == ca.dim,
+        s"driverRoutePairs: probe width ${emb.length} != centroid dim ${ca.dim}")
+      val nrm = r.getDouble(2)
+      val scored = new Array[(Long, Long)](ca.cids.length)
+      var j = 0
+      while (j < ca.cids.length) {
+        var dot = 0.0
+        var d = 0
+        val base = j * ca.dim
+        while (d < ca.dim) {
+          dot += ca.flat(base + d).toDouble * emb(d).toDouble
+          d += 1
+        }
+        scored(j) = (math.floor(dot / (ca.cns(j) * nrm) * 1000000L).toLong, ca.cids(j))
+        j += 1
+      }
+      scored.sortBy { case (sc, cid) => (-sc, cid) }.take(nProbe).iterator
+        .map { case (_, cid) => (r, cid) }
+    }.toArray
+
   private[graft] def ivfArgmaxCol(cents: DataFrame): Column = {
     val ca = collectCents(cents)
     graft.functions.PqExprs.ivfArgmaxNative(
@@ -1631,28 +1663,8 @@ object Similarity {
       require(probeRows.length <= maxProbes,
         "IvfIndexHandle.probeWith: probe batch routes to >1e6 (probe, cell) rows — " +
           "use a cent_id assignment JOIN for corpus-sized probe sets")
-      val routed = probeRows.iterator.flatMap { r =>
-        val emb = r.getSeq[Float](1)
-        require(emb.length == ca.dim,
-          s"probeWith: probe width ${emb.length} != centroid dim ${ca.dim}")
-        val nrm = r.getDouble(2)
-        val scored = new Array[(Long, Long)](ca.cids.length)
-        var j = 0
-        while (j < ca.cids.length) {
-          var dot = 0.0
-          var d = 0
-          val base = j * ca.dim
-          while (d < ca.dim) {
-            dot += ca.flat(base + d).toDouble * emb(d).toDouble
-            d += 1
-          }
-          scored(j) = (math.floor(dot / (ca.cns(j) * nrm) * 1000000L).toLong, ca.cids(j))
-          j += 1
-        }
-        scored.sortBy { case (sc, cid) => (-sc, cid) }.take(nProbe).iterator
-          .map { case (_, cid) =>
-            org.apache.spark.sql.Row(r.getLong(0), r.get(1), nrm, cid) }
-      }.toArray
+      val routed = driverRoutePairs(probeRows, ca, nProbe).map { case (r, cid) =>
+        org.apache.spark.sql.Row(r.getLong(0), r.get(1), r.getDouble(2), cid) }
       val schema = org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("probe_id", org.apache.spark.sql.types.LongType, false),
         org.apache.spark.sql.types.StructField("pe",

@@ -259,4 +259,29 @@ class IvfSq8Spec extends AnyFunSuite {
       .join(routed, Seq("qid", "cent_id"), "left_anti")
     assert(offCell.count() == 0, "a result came from an unprobed cell")
   }
+
+  test("serve handle: probeWith matches the per-call entry bit-exactly and re-opens after a rebuild") {
+    val path = graft.operators.Similarity.newIndexDir()
+    IvfSq8.buildIvfSq8Index(spark, sf, 16, path)
+    val perCall = IvfSq8.probeIvfSq8Index(spark, sf, path, 4, 5)
+      .collect().map(_.toString).toSeq
+    val handle = IvfSq8.openIvfSq8Index(spark, path)
+    val probeFrame = Tables.embeddings(spark, sf).filter(col("vec_id") < 10)
+      .select("vec_id", "embedding")
+    val viaHandle = handle.probeWith(spark, probeFrame, 4, 5)
+      .collect().map(_.toString).toSeq
+    assert(viaHandle == perCall, "handle probe diverged from the per-call entry")
+    // Staleness: a rebuild commits a new version; the SAME handle must
+    // serve the rebuilt index (auto re-open), not its stale snapshot.
+    IvfSq8.rebalanceIvfSq8Index(spark, path)
+    val afterRebuild = IvfSq8.probeIvfSq8Index(spark, sf, path, 4, 5)
+      .collect().map(_.toString).toSeq
+    val viaStaleHandle = handle.probeWith(spark, probeFrame, 4, 5)
+      .collect().map(_.toString).toSeq
+    assert(viaStaleHandle == afterRebuild, "stale handle did not re-open on the new version")
+    // Refresh caching: the re-open is HELD in the handle — one open per
+    // committed version, not one per probe after the first rebuild.
+    assert(handle.currentVersion == graft.operators.IndexSwap.liveVersion(spark, path),
+      "re-open was discarded instead of cached — every later probe would re-open")
+  }
 }
