@@ -174,6 +174,61 @@ object IvfSq8 {
   private def rebalanceDue(path: String): org.apache.hadoop.fs.Path =
     new org.apache.hadoop.fs.Path(s"$path/_rebalance_due")
 
+  /** The tombstone side — OPTIONAL (absent until the first delete) and
+    * intentionally outside [[sides]]: a rebuild's fresh version dir
+    * simply lacks it, which IS the physical reclaim. */
+  private def deletesDirAt(root: String): String = s"$root/deletes"
+
+  /** Tombstone rows if any delete ever landed on this version. */
+  private def tombstonesAt(s: SparkSession, root: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(deletesDirAt(root))
+    if (p.getFileSystem(s.sessionState.newHadoopConf()).exists(p))
+      Some(s.read.parquet(deletesDirAt(root)).select(col("vec_id")).distinct())
+    else None
+  }
+
+  /** DELETE vectors from the index — the lifecycle verb a takedown or
+    * a dedup retraction needs (round 17). Logical-then-physical, the
+    * same two-temperature discipline as everything else here:
+    *
+    *  - the delete itself is O(deleted): tombstone ids append to an
+    *    optional `deletes` side under the pinned version root; probes
+    *    anti-join the RANK stage against it, so a deleted row can
+    *    never crowd the shortlist, let alone surface (effective
+    *    immediately, no rewrite of the cell files);
+    *  - physical reclaim is DEFERRED to the rebuild it already shares
+    *    with drift: [[rebalanceIvfSq8Index]] re-derives every side
+    *    from the cold lake MINUS the tombstones, and the fresh version
+    *    dir has no `deletes` side — reclaim is the version swap.
+    *
+    * `autoRebalance = Some(rate)` makes the reclaim cadence MEASURED
+    * (the audit-at-append pattern): past tombstones/live > rate the
+    * `_rebalance_due` marker drops and [[maintainIvfSq8Index]] pays
+    * the rebuild off the delete path — unreclaimed tombstones are rank
+    * rows read and thrown away per probe, so the ratio bounds the
+    * wasted rank IO directly. vec_ids are permanent identities:
+    * re-appending a tombstoned id is a caller error (the tombstone
+    * keeps winning until a rebuild, after which the id is simply
+    * gone — never resurrected). Deleting an id the index never held
+    * is a harmless no-op tombstone. */
+  def deleteFromIvfSq8Index(s: SparkSession, ids: DataFrame, path: String,
+      autoRebalance: Option[Double] = None): Unit = {
+    recoverIvfSq8Rebalance(s, path)
+    val root = IndexSwap.liveRoot(s, path)
+    ids.select(col("vec_id").cast("long").as("vec_id"))
+      .write.mode("append").parquet(deletesDirAt(root))
+    autoRebalance.foreach { maxRate =>
+      require(maxRate > 0 && maxRate < 1,
+        s"deleteFromIvfSq8Index: autoRebalance is a tombstone/live RATE in (0, 1), got $maxRate")
+      val live = math.max(1L, Similarity.ivfCellStatsAt(s, root).values.sum)
+      val dead = tombstonesAt(s, root).map(_.count()).getOrElse(0L)
+      if (dead.toDouble / live > maxRate) {
+        val fs = IndexSwap.fsOf(s, path)
+        fs.create(rebalanceDue(path), true).close()
+      }
+    }
+  }
+
   /** The maintenance entry point (the [[PQ.maintainPqIndex]] /
     * [[BinarySig.maintainBinIndex]] contract): heal any interrupted
     * swap, then run the rebuild a deferred trigger requested. The due
@@ -205,9 +260,18 @@ object IvfSq8 {
   def rebalanceIvfSq8Index(s: SparkSession, path: String): Unit = {
     recoverIvfSq8Rebalance(s, path)
     val root = IndexSwap.liveRoot(s, path)
-    val v = s.read.parquet(IndexSwap.sideAt(root, "vectors"))
-      .select(col("vec_id"), col("embedding"), col("nrm"))
-    val total = math.max(1L, Similarity.ivfCellStatsAt(s, root).values.sum)
+    // Tombstones reclaim PHYSICALLY here: the rebuild reads the cold
+    // lake minus the deleted ids, and the fresh version dir carries no
+    // deletes side at all.
+    val del = tombstonesAt(s, root)
+    val v = del.foldLeft(
+      s.read.parquet(IndexSwap.sideAt(root, "vectors"))
+        .select(col("vec_id"), col("embedding"), col("nrm"))
+    ) { (c, d) => c.join(d, Seq("vec_id"), "left_anti") }
+    // √N sizing over the SURVIVING rows (footer stats minus tombstones
+    // — a no-op tombstone undercounts by one, which the ceil absorbs).
+    val total = math.max(1L, Similarity.ivfCellStatsAt(s, root).values.sum -
+      del.map(_.count()).getOrElse(0L))
     val k = math.max(16L, math.ceil(math.sqrt(total.toDouble)).toLong)
     val seeds = v.orderBy(xxhash64(col("vec_id"), lit(1002)).asc, col("vec_id").asc)
       .limit(k.toInt)
@@ -291,11 +355,18 @@ object IvfSq8 {
       .select(col("vec_id").as("qid"), SQ8.q8Col(mna, spa, clamp = true).as("pq8"))
     // Rank WITHIN the probed cells: the cell-scoped listing bounds the
     // files opened at O(probed cells); the native int loop bounds the
-    // per-row cost.
+    // per-row cost. Tombstoned rows are anti-joined out HERE — before
+    // the shortlist window — so a deleted row can neither surface nor
+    // crowd a live row out of the 16 slots (the deletes side is read
+    // fresh per call: unlike the frozen centroids/envelope it GROWS
+    // within a version, so handles must not cache it).
     val qd2 = intSqDistNative(col("q8"), col("pq8"))
     val wSl = Window.partitionBy(col("qid")).orderBy(col("qd2").asc, col("vec_id").asc)
-    val sl = Similarity.cellScopedReadAt(s, root, "codes", cells)
-      .select(col("vec_id"), col("q8"), col("cent_id").cast("long").as("cent_id"))
+    val codesLive = tombstonesAt(s, root).foldLeft(
+      Similarity.cellScopedReadAt(s, root, "codes", cells)
+        .select(col("vec_id"), col("q8"), col("cent_id").cast("long").as("cent_id"))
+    ) { (c, del) => c.join(del, Seq("vec_id"), "left_anti") }
+    val sl = codesLive
       .join(broadcast(localPc), Seq("cent_id"))
       .join(broadcast(pq8), Seq("qid"))
       .filter(col("vec_id") =!= col("qid"))

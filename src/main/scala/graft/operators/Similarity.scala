@@ -637,8 +637,32 @@ object Similarity {
       val wv = wideVecs(s, dir)
       PQ.buildPqIndexFrom(s, wv, path, 16, PQ.PqParams(4, 64, 16))
       PQ.probePqIndexWith(s, wv.filter(col("vec_id") < 10), path, 4, 5)
+    },
+
+    // DELETE as a first-class lifecycle verb (round 17): tombstone a
+    // deterministic seventh of the corpus, then probe — the rank stage
+    // anti-joins the tombstones, so the result is exactly the full
+    // build's route/rank/refine chain with deleted candidates excluded
+    // (the oracle replays that: same centroids and envelope — the
+    // index was built BEFORE the delete — minus the tombstoned
+    // candidates). Physical reclaim is the drift rebuild's job
+    // (IvfSq8Spec pins files-shrink + fresh-build parity).
+    Q("qn52_ann_ivf_sq8_deletes", sqlQn52) { (s, dir) =>
+      val path = newIndexDir()
+      IvfSq8.buildIvfSq8Index(s, dir, 16, path)
+      IvfSq8.deleteFromIvfSq8Index(s,
+        Tables.embeddings(s, dir).filter(col("vec_id") % 7 === 0).select("vec_id"),
+        path)
+      IvfSq8.probeIvfSq8Index(s, dir, path, 4, 5)
     }
   )
+
+  /** qn52's oracle: [[sqlQn45]]'s chain with the tombstoned candidates
+    * excluded from the rank stage (centroids/envelope stay the FULL
+    * corpus's — the index predates the delete). */
+  private def sqlQn52: String =
+    sqlIvfSq8("SELECT vec_id, embedding FROM embeddings", 64,
+      candFilter = "a.vec_id % 7 <> 0")
 
   /** qn51's oracle: the qn33/qn39 route/ADC/refine chain
     * ([[PQ.sqlIvfPq]]) instantiated at 256 dims over the wide
@@ -660,7 +684,8 @@ object Similarity {
     sqlIvfSq8(s"SELECT vec_id, $sqlWideEmb AS embedding FROM embeddings", 256)
 
   /** The IVF+SQ8 oracle parameterized by corpus CTE and width. */
-  private def sqlIvfSq8(eCte: String, dims: Int): String = {
+  private def sqlIvfSq8(eCte: String, dims: Int,
+      candFilter: String = "TRUE"): String = {
     val isum = (xs: String) =>
       s"list_reduce(list_prepend(CAST(0 AS BIGINT), $xs), (a, b) -> a + b)"
     val cosE6c = (a: String, b: String, an: String, bn: String) =>
@@ -693,7 +718,7 @@ object Similarity {
        |                         c.cent_id) AS rn
        |       FROM p, cents c) WHERE rn <= 4),
        |cand AS (SELECT pc.qid, a.vec_id FROM asg a JOIN pc USING (cent_id)
-       |         WHERE a.vec_id <> pc.qid),
+       |         WHERE a.vec_id <> pc.qid AND ($candFilter)),
        |h AS (SELECT c.qid, c.vec_id,
        |             ${isum("list_transform(list_zip(s.q8, p.pq8), z -> (z[1]-z[2])*(z[1]-z[2]))")} AS qd2
        |      FROM cand c JOIN qv s ON s.vec_id = c.vec_id JOIN p ON p.qid = c.qid),

@@ -260,6 +260,46 @@ class IvfSq8Spec extends AnyFunSuite {
     assert(offCell.count() == 0, "a result came from an unprobed cell")
   }
 
+  test("delete: a tombstoned row vanishes from probes immediately; the measured trigger defers the physical reclaim to maintain") {
+    import spark.implicits._
+    val path = graft.operators.Similarity.newIndexDir()
+    IvfSq8.buildIvfSq8Index(spark, sf, 16, path)
+    val verBefore = graft.operators.IndexSwap.liveVersion(spark, path)
+    // LOGICAL phase: tombstone probe 3's current top neighbor — the
+    // very next probe must exclude it (no rewrite, no rebuild), and
+    // the freed shortlist slot keeps the result set full.
+    val top1 = IvfSq8.probeIvfSq8Index(spark, sf, path, 4, 5)
+      .filter(col("qid") === 3 && col("rnk") === 1).head().getLong(2)
+    IvfSq8.deleteFromIvfSq8Index(spark, Seq(top1).toDF("vec_id"), path)
+    val afterOne = IvfSq8.probeIvfSq8Index(spark, sf, path, 4, 5).collect()
+    assert(!afterOne.exists(_.getLong(2) == top1), "a tombstoned row surfaced")
+    assert(afterOne.length == 50, "delete shrank the result set instead of the candidates")
+    assert(graft.operators.IndexSwap.liveVersion(spark, path) == verBefore,
+      "a single tombstone must not rebuild anything")
+    // MEASURED reclaim: tombstone a seventh of the corpus past the 10%
+    // ratio — the delete stays O(deleted) (marker only), maintain pays
+    // the rebuild, and the fresh version has no deletes side at all.
+    IvfSq8.deleteFromIvfSq8Index(spark,
+      Tables.embeddings(spark, sf).filter(col("vec_id") % 7 === 0).select("vec_id"),
+      path, autoRebalance = Some(0.1))
+    assert(graft.operators.IndexSwap.liveVersion(spark, path) == verBefore,
+      "the delete itself rebuilt — reclaim must be deferred to maintenance")
+    assert(IvfSq8.maintainIvfSq8Index(spark, path), "tombstone-ratio trigger never fired")
+    val root = graft.operators.IndexSwap.liveRoot(spark, path)
+    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(spark.sessionState.newHadoopConf())
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$root/deletes")),
+      "rebuild carried the tombstones forward instead of reclaiming them")
+    val vecs = spark.read.parquet(s"$root/vectors")
+    assert(vecs.filter(col("vec_id") % 7 === 0 || col("vec_id") === top1).count() == 0,
+      "a deleted row survived the physical reclaim")
+    assert(spark.read.parquet(s"$root/codes").count() == vecs.count(),
+      "reclaim left the tiers unreconciled")
+    val res = IvfSq8.probeIvfSq8Index(spark, sf, path, 4, 5).collect()
+    assert(res.length == 50 &&
+      !res.exists(r => r.getLong(2) % 7 == 0 || r.getLong(2) == top1),
+      "the reclaimed index still served a deleted row")
+  }
+
   test("serve handle: probeWith matches the per-call entry bit-exactly and re-opens after a rebuild") {
     val path = graft.operators.Similarity.newIndexDir()
     IvfSq8.buildIvfSq8Index(spark, sf, 16, path)
