@@ -234,10 +234,39 @@ object BinarySig {
     recoverBinRebalance(s, path)
     val root = IndexSwap.liveRoot(s, path)
     val dim = storedDim(s, root)
-    val v = s.read.parquet(IndexSwap.sideAt(root, "vectors"))
-      .select(col("vec_id"), col("embedding"), col("nrm"))
+    // Tombstones reclaim physically here (the fresh version dir
+    // carries no deletes side).
+    val v = IndexSwap.exceptTombstones(s, root,
+      s.read.parquet(IndexSwap.sideAt(root, "vectors"))
+        .select(col("vec_id"), col("embedding"), col("nrm")))
     stageSides(path, v, dim)
     IndexSwap.commit(s, path, binSides)
+  }
+
+  /** DELETE vectors from the index (round 17 — the
+    * [[graft.operators.IvfSq8]] tombstone semantics at the 1-bit
+    * rung): O(deleted) tombstone append, rank-stage anti-join makes
+    * exclusion immediate, physical reclaim is [[rebalanceBinIndex]]'s
+    * version swap. `autoRebalance = Some(rate)` defers a reclaim via
+    * the `_rebalance_due` marker once tombstones/live exceeds the
+    * rate. vec_ids are permanent identities: re-appending a tombstoned
+    * id is a caller error. */
+  def deleteFromBinIndex(s: SparkSession, ids: DataFrame, path: String,
+      autoRebalance: Option[Double] = None): Unit = {
+    recoverBinRebalance(s, path)
+    val root = IndexSwap.liveRoot(s, path)
+    IndexSwap.appendTombstones(root, ids)
+    autoRebalance.foreach { maxRate =>
+      require(maxRate > 0 && maxRate < 1,
+        s"deleteFromBinIndex: autoRebalance is a tombstone/live RATE in (0, 1), got $maxRate")
+      val live = math.max(1L,
+        s.read.parquet(IndexSwap.sideAt(root, "codes")).count())
+      val dead = IndexSwap.tombstonesAt(s, root).map(_.count()).getOrElse(0L)
+      if (dead.toDouble / live > maxRate) {
+        val fs = IndexSwap.fsOf(s, path)
+        fs.create(rebalanceDue(path), true).close()
+      }
+    }
   }
 
   /** Heal an interrupted swap (both polarities). */
@@ -284,7 +313,8 @@ object BinarySig {
     // discipline). Probe width must match the stored dim: the sig fold
     // guard raises on mismatch, and the word count is checked here so
     // a wrong-width probe fails loudly instead of NULL-ranking.
-    val codes = s.read.parquet(IndexSwap.sideAt(root, "codes"))
+    val codes = IndexSwap.exceptTombstones(s, root,
+      s.read.parquet(IndexSwap.sideAt(root, "codes")))
     val multiWord = codes.schema("sig").dataType !=
       org.apache.spark.sql.types.LongType
     val psig =

@@ -69,6 +69,40 @@ private[graft] object IndexSwap {
   def fsOf(s: SparkSession, path: String): FileSystem =
     new Path(path).getFileSystem(s.sessionState.newHadoopConf())
 
+  // ---- tombstones: the DELETE verb's shared mechanics (round 17) ----
+
+  /** The optional tombstone side: absent until an index's first
+    * delete, and INTENTIONALLY outside every index's committed sides
+    * list — a rebuild's fresh version dir simply lacks it, which IS
+    * the physical reclaim. It GROWS within a version (the append
+    * model), so probe paths read it fresh per call and serve handles
+    * must not cache it. */
+  def deletesDir(root: String): String = s"$root/deletes"
+
+  /** Distinct tombstoned ids, if any delete ever landed on this
+    * version root. */
+  def tombstonesAt(s: SparkSession, root: String): Option[org.apache.spark.sql.DataFrame] = {
+    val p = new Path(deletesDir(root))
+    if (p.getFileSystem(s.sessionState.newHadoopConf()).exists(p))
+      Some(s.read.parquet(deletesDir(root))
+        .select(org.apache.spark.sql.functions.col("vec_id")).distinct())
+    else None
+  }
+
+  /** Append tombstone ids — O(deleted), against an ALREADY-PINNED
+    * version root (the one-resolution-per-call discipline every
+    * append path follows). */
+  def appendTombstones(root: String, ids: org.apache.spark.sql.DataFrame): Unit =
+    ids.select(org.apache.spark.sql.functions.col("vec_id").cast("long").as("vec_id"))
+      .write.mode("append").parquet(deletesDir(root))
+
+  /** Anti-join a frame (keyed by vec_id) against the root's
+    * tombstones, if any — the rank-stage and rebuild-input filter. */
+  def exceptTombstones(s: SparkSession, root: String,
+      df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    tombstonesAt(s, root).foldLeft(df)((d, del) =>
+      d.join(del, Seq("vec_id"), "left_anti"))
+
   /** The staging sibling a rebuild writes `side` into before commit. */
   def tmp(path: String, side: String): Path =
     new Path(s"$path/.stage/$side")

@@ -174,19 +174,6 @@ object IvfSq8 {
   private def rebalanceDue(path: String): org.apache.hadoop.fs.Path =
     new org.apache.hadoop.fs.Path(s"$path/_rebalance_due")
 
-  /** The tombstone side — OPTIONAL (absent until the first delete) and
-    * intentionally outside [[sides]]: a rebuild's fresh version dir
-    * simply lacks it, which IS the physical reclaim. */
-  private def deletesDirAt(root: String): String = s"$root/deletes"
-
-  /** Tombstone rows if any delete ever landed on this version. */
-  private def tombstonesAt(s: SparkSession, root: String): Option[DataFrame] = {
-    val p = new org.apache.hadoop.fs.Path(deletesDirAt(root))
-    if (p.getFileSystem(s.sessionState.newHadoopConf()).exists(p))
-      Some(s.read.parquet(deletesDirAt(root)).select(col("vec_id")).distinct())
-    else None
-  }
-
   /** DELETE vectors from the index — the lifecycle verb a takedown or
     * a dedup retraction needs (round 17). Logical-then-physical, the
     * same two-temperature discipline as everything else here:
@@ -215,13 +202,12 @@ object IvfSq8 {
       autoRebalance: Option[Double] = None): Unit = {
     recoverIvfSq8Rebalance(s, path)
     val root = IndexSwap.liveRoot(s, path)
-    ids.select(col("vec_id").cast("long").as("vec_id"))
-      .write.mode("append").parquet(deletesDirAt(root))
+    IndexSwap.appendTombstones(root, ids)
     autoRebalance.foreach { maxRate =>
       require(maxRate > 0 && maxRate < 1,
         s"deleteFromIvfSq8Index: autoRebalance is a tombstone/live RATE in (0, 1), got $maxRate")
       val live = math.max(1L, Similarity.ivfCellStatsAt(s, root).values.sum)
-      val dead = tombstonesAt(s, root).map(_.count()).getOrElse(0L)
+      val dead = IndexSwap.tombstonesAt(s, root).map(_.count()).getOrElse(0L)
       if (dead.toDouble / live > maxRate) {
         val fs = IndexSwap.fsOf(s, path)
         fs.create(rebalanceDue(path), true).close()
@@ -263,7 +249,7 @@ object IvfSq8 {
     // Tombstones reclaim PHYSICALLY here: the rebuild reads the cold
     // lake minus the deleted ids, and the fresh version dir carries no
     // deletes side at all.
-    val del = tombstonesAt(s, root)
+    val del = IndexSwap.tombstonesAt(s, root)
     val v = del.foldLeft(
       s.read.parquet(IndexSwap.sideAt(root, "vectors"))
         .select(col("vec_id"), col("embedding"), col("nrm"))
@@ -362,10 +348,9 @@ object IvfSq8 {
     // within a version, so handles must not cache it).
     val qd2 = intSqDistNative(col("q8"), col("pq8"))
     val wSl = Window.partitionBy(col("qid")).orderBy(col("qd2").asc, col("vec_id").asc)
-    val codesLive = tombstonesAt(s, root).foldLeft(
+    val codesLive = IndexSwap.exceptTombstones(s, root,
       Similarity.cellScopedReadAt(s, root, "codes", cells)
-        .select(col("vec_id"), col("q8"), col("cent_id").cast("long").as("cent_id"))
-    ) { (c, del) => c.join(del, Seq("vec_id"), "left_anti") }
+        .select(col("vec_id"), col("q8"), col("cent_id").cast("long").as("cent_id")))
     val sl = codesLive
       .join(broadcast(localPc), Seq("cent_id"))
       .join(broadcast(pq8), Seq("qid"))

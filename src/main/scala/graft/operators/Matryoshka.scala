@@ -179,10 +179,40 @@ object Matryoshka {
     val root = IndexSwap.liveRoot(s, path)
     val fullDim = storedDim(s, root)
     val prefix = storedPrefix(s, root)
-    val v = s.read.parquet(IndexSwap.sideAt(root, "vectors"))
-      .select(col("vec_id"), col("embedding"), col("nrm"))
+    // Tombstones reclaim physically here (the fresh version dir
+    // carries no deletes side).
+    val v = IndexSwap.exceptTombstones(s, root,
+      s.read.parquet(IndexSwap.sideAt(root, "vectors"))
+        .select(col("vec_id"), col("embedding"), col("nrm")))
     stageSides(path, v, fullDim, prefix)
     IndexSwap.commit(s, path, mSides)
+  }
+
+  /** DELETE vectors from the index (round 17 — the
+    * [[graft.operators.IvfSq8]] tombstone semantics at the prefix
+    * rung): O(deleted) tombstone append, rank-stage anti-join makes
+    * exclusion immediate, physical reclaim is
+    * [[rebalanceMatryoshkaIndex]]'s version swap.
+    * `autoRebalance = Some(rate)` defers a reclaim via the
+    * `_rebalance_due` marker once tombstones/live exceeds the rate.
+    * vec_ids are permanent identities: re-appending a tombstoned id is
+    * a caller error. */
+  def deleteFromMatryoshkaIndex(s: SparkSession, ids: DataFrame, path: String,
+      autoRebalance: Option[Double] = None): Unit = {
+    recoverMatryoshkaRebalance(s, path)
+    val root = IndexSwap.liveRoot(s, path)
+    IndexSwap.appendTombstones(root, ids)
+    autoRebalance.foreach { maxRate =>
+      require(maxRate > 0 && maxRate < 1,
+        s"deleteFromMatryoshkaIndex: autoRebalance is a tombstone/live RATE in (0, 1), got $maxRate")
+      val live = math.max(1L,
+        s.read.parquet(IndexSwap.sideAt(root, "prefix")).count())
+      val dead = IndexSwap.tombstonesAt(s, root).map(_.count()).getOrElse(0L)
+      if (dead.toDouble / live > maxRate) {
+        val fs = IndexSwap.fsOf(s, path)
+        fs.create(rebalanceDue(path), true).close()
+      }
+    }
   }
 
   /** Heal an interrupted swap (both polarities). */
@@ -226,7 +256,8 @@ object Matryoshka {
       col("embedding").as("pe"), col("nrm").as("pn"),
       ppre.as("ppre"), l2normNative(ppre).as("ppn"))
     val wSl = Window.partitionBy(col("qid")).orderBy(col("pscore").desc, col("vec_id").asc)
-    val sl = s.read.parquet(IndexSwap.sideAt(root, "prefix"))
+    val sl = IndexSwap.exceptTombstones(s, root,
+        s.read.parquet(IndexSwap.sideAt(root, "prefix")))
       .join(broadcast(psig.select(col("qid"), col("ppre"), col("ppn"))), expr("true"))
       .filter(col("vec_id") =!= col("qid") && col("ppn") > 0 && col("pnrm") > 0)
       .select(col("qid"), col("vec_id"),

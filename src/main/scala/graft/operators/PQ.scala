@@ -1559,6 +1559,37 @@ object PQ {
 
   /** The deferred-rebalance marker [[appendToPqIndex]]'s trigger drops
     * and [[maintainPqIndex]] consumes. */
+  /** DELETE vectors from the index (round 17 — the lifecycle verb a
+    * takedown or a dedup retraction needs, uniform across the family:
+    * the [[graft.operators.IvfSq8]] tombstone semantics): O(deleted)
+    * tombstone append to the optional `deletes` side under the pinned
+    * version root; the ADC rank stage anti-joins it, so exclusion is
+    * immediate; physical reclaim is [[rebalancePqIndex]]'s version
+    * swap (the fresh version dir simply lacks the side).
+    * `autoRebalance = Some(rate)` defers a reclaim via the
+    * `_rebalance_due` marker once tombstones/live exceeds the rate —
+    * unreclaimed tombstones are rank rows read and discarded per
+    * probe, so the ratio bounds the wasted rank IO directly. vec_ids
+    * are permanent identities: re-appending a tombstoned id is a
+    * caller error (the tombstone wins until a rebuild, after which the
+    * id is gone — never resurrected). */
+  def deleteFromPqIndex(s: SparkSession, ids: DataFrame, path: String,
+      autoRebalance: Option[Double] = None): Unit = {
+    recoverPqRebalance(s, path)
+    val root = IndexSwap.liveRoot(s, path)
+    IndexSwap.appendTombstones(root, ids)
+    autoRebalance.foreach { maxRate =>
+      require(maxRate > 0 && maxRate < 1,
+        s"deleteFromPqIndex: autoRebalance is a tombstone/live RATE in (0, 1), got $maxRate")
+      val live = math.max(1L, Similarity.ivfCellStatsAt(s, root).values.sum)
+      val dead = IndexSwap.tombstonesAt(s, root).map(_.count()).getOrElse(0L)
+      if (dead.toDouble / live > maxRate) {
+        val fs = IndexSwap.fsOf(s, path)
+        fs.create(rebalanceDue(path), true).close()
+      }
+    }
+  }
+
   private def rebalanceDue(path: String): org.apache.hadoop.fs.Path =
     new org.apache.hadoop.fs.Path(s"$path/_rebalance_due")
 
@@ -1610,9 +1641,18 @@ object PQ {
   def rebalancePqIndex(s: SparkSession, path: String): Unit = {
     recoverPqRebalance(s, path)
     val (residual, p) = indexMeta(s, path)
-    val v = s.read.parquet(IndexSwap.side(s, path, "vectors"))
-      .select(col("vec_id"), col("embedding"), col("nrm"))
-    val total = Similarity.ivfCellStats(s, path).values.sum
+    val rebRoot = IndexSwap.liveRoot(s, path)
+    // Tombstones reclaim physically here (the fresh version dir
+    // carries no deletes side).
+    val rebDel = IndexSwap.tombstonesAt(s, rebRoot)
+    val v = rebDel.foldLeft(
+      s.read.parquet(IndexSwap.sideAt(rebRoot, "vectors"))
+        .select(col("vec_id"), col("embedding"), col("nrm"))
+    ) { (c, d) => c.join(d, Seq("vec_id"), "left_anti") }
+    // Surviving-row sizing (footer stats minus tombstones — a no-op
+    // tombstone undercounts by one, which the ceil absorbs).
+    val total = Similarity.ivfCellStats(s, path).values.sum -
+      rebDel.map(_.count()).getOrElse(0L)
     val nCells = math.max(16L, math.ceil(math.sqrt(total.toDouble)).toLong).toInt
     val seeds = v.orderBy(xxhash64(col("vec_id"), lit(1002)).asc, col("vec_id").asc)
       .limit(nCells)
@@ -1847,7 +1887,8 @@ object PQ {
     // probe touches nProbe. The isin filter stays: it is the
     // partition-pruning predicate for the (rare) whole-lake fallback
     // and the plan-visible record of the bound.
-    val codes = Similarity.cellScopedReadAt(s, root, "codes", cells)
+    val codes = IndexSwap.exceptTombstones(s, root,
+        Similarity.cellScopedReadAt(s, root, "codes", cells))
       .filter(col("cent_id").isin(cells: _*))
     val cand0 = codes.join(broadcast(localPc), Seq("cent_id"))
       .filter(col("vec_id") =!= col("probe_id"))

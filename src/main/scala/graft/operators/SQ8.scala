@@ -243,10 +243,44 @@ object SQ8 {
     * in, same index out. */
   def rebalanceSq8Index(s: SparkSession, path: String): Unit = {
     recoverSq8Rebalance(s, path)
-    val v = s.read.parquet(IndexSwap.side(s, path, "vectors"))
-      .select(col("vec_id"), col("embedding"), col("nrm"))
+    val root = IndexSwap.liveRoot(s, path)
+    // Tombstones reclaim physically here: the rebuild reads the cold
+    // lake minus the deleted ids, and the fresh version dir carries no
+    // deletes side at all.
+    val v = IndexSwap.exceptTombstones(s, root,
+      s.read.parquet(IndexSwap.sideAt(root, "vectors"))
+        .select(col("vec_id"), col("embedding"), col("nrm")))
     stageSides(s, path, v, statsOf(ve6Of(v)))
     IndexSwap.commit(s, path, sq8Sides)
+  }
+
+  /** DELETE vectors from the index (round 17 — the lifecycle verb a
+    * takedown or a dedup retraction needs; the [[graft.operators.IvfSq8]]
+    * tombstone semantics at the flat rung): O(deleted) tombstone
+    * append, rank-stage anti-join makes exclusion immediate, physical
+    * reclaim is [[rebalanceSq8Index]]'s version swap.
+    * `autoRebalance = Some(rate)` defers a reclaim via the
+    * `_rebalance_due` marker once tombstones/live exceeds the rate —
+    * unreclaimed tombstones are rank rows read and discarded per
+    * probe, so the ratio bounds the wasted rank IO directly. vec_ids
+    * are permanent identities: re-appending a tombstoned id is a
+    * caller error. */
+  def deleteFromSq8Index(s: SparkSession, ids: DataFrame, path: String,
+      autoRebalance: Option[Double] = None): Unit = {
+    recoverSq8Rebalance(s, path)
+    val root = IndexSwap.liveRoot(s, path)
+    IndexSwap.appendTombstones(root, ids)
+    autoRebalance.foreach { maxRate =>
+      require(maxRate > 0 && maxRate < 1,
+        s"deleteFromSq8Index: autoRebalance is a tombstone/live RATE in (0, 1), got $maxRate")
+      val live = math.max(1L,
+        s.read.parquet(IndexSwap.sideAt(root, "codes")).count())
+      val dead = IndexSwap.tombstonesAt(s, root).map(_.count()).getOrElse(0L)
+      if (dead.toDouble / live > maxRate) {
+        val fs = IndexSwap.fsOf(s, path)
+        fs.create(rebalanceDue(path), true).close()
+      }
+    }
   }
 
   /** Heal an interrupted swap (both polarities — the
@@ -299,7 +333,8 @@ object SQ8 {
     // results (VectorExprsSpec), so the qn38/qn38b oracles ride it.
     val qd2 = graft.functions.VectorExprs.intSqDistNative(col("q8"), col("pq8"))
     val wSl = Window.partitionBy(col("qid")).orderBy(col("qd2").asc, col("vec_id").asc)
-    val sl = s.read.parquet(IndexSwap.sideAt(root, "codes"))
+    val sl = IndexSwap.exceptTombstones(s, root,
+        s.read.parquet(IndexSwap.sideAt(root, "codes")))
       .join(broadcast(pq8), expr("true"))
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"), qd2.as("qd2"))

@@ -1515,6 +1515,32 @@ object Similarity {
     }
   }
 
+  /** DELETE vectors from the index (round 17 — the
+    * [[graft.operators.IvfSq8]] tombstone semantics at the
+    * full-precision tier): O(deleted) tombstone append to the optional
+    * `deletes` side under the pinned version root; [[probeCellsTail]]
+    * anti-joins it, so exclusion is immediate for both the per-call
+    * entry and the serve handle; physical reclaim is
+    * [[rebalanceIvfIndex]]'s version swap. `autoRebalance = Some(rate)`
+    * rebalances INLINE past tombstones/live > rate — this index's
+    * append trigger is inline too (it predates the siblings'
+    * deferred-marker pattern), and the delete verb follows its host's
+    * cadence convention. vec_ids are permanent identities: re-appending
+    * a tombstoned id is a caller error. */
+  def deleteFromIvfIndex(s: SparkSession, ids: DataFrame, path: String,
+      autoRebalance: Option[Double] = None): Unit = {
+    recoverRebalance(s, path)
+    val root = IndexSwap.liveRoot(s, path)
+    IndexSwap.appendTombstones(root, ids)
+    autoRebalance.foreach { maxRate =>
+      require(maxRate > 0 && maxRate < 1,
+        s"deleteFromIvfIndex: autoRebalance is a tombstone/live RATE in (0, 1), got $maxRate")
+      val live = math.max(1L, ivfCellStatsAt(s, root).values.sum)
+      val dead = IndexSwap.tombstonesAt(s, root).map(_.count()).getOrElse(0L)
+      if (dead.toDouble / live > maxRate) rebalanceIvfIndex(s, path)
+    }
+  }
+
   /** Per-cell row counts of a persisted IVF index, from the vector
     * lake's parquet footers — the occupancy audit the rebalance trigger
     * reads. Driver-side metadata walk, O(files); no Spark job. */
@@ -1558,9 +1584,16 @@ object Similarity {
     * rebalance entry) — no state loses the only copy of the index. */
   def rebalanceIvfIndex(s: SparkSession, path: String): Unit = {
     recoverRebalance(s, path)
-    val v = s.read.parquet(IndexSwap.side(s, path, "vectors"))
-      .select(col("vec_id"), col("embedding"), col("nrm"))
-    val total = ivfCellStats(s, path).values.sum
+    val rebRoot = IndexSwap.liveRoot(s, path)
+    // Tombstones reclaim physically here (the fresh version dir
+    // carries no deletes side).
+    val rebDel = IndexSwap.tombstonesAt(s, rebRoot)
+    val v = rebDel.foldLeft(
+      s.read.parquet(IndexSwap.sideAt(rebRoot, "vectors"))
+        .select(col("vec_id"), col("embedding"), col("nrm"))
+    ) { (c, d) => c.join(d, Seq("vec_id"), "left_anti") }
+    val total = ivfCellStats(s, path).values.sum -
+      rebDel.map(_.count()).getOrElse(0L)
     val k = math.max(16L, math.ceil(math.sqrt(total.toDouble)).toLong)
     // Seed collect is sqrt(N) rows — manifest-class up to ~1e12-vector
     // lakes (1M rows x ~300 B); the centroid table it becomes is the
@@ -1643,7 +1676,13 @@ object Similarity {
     * rescoring. */
   private def probeCellsTail(s: SparkSession, root: String, localPc: DataFrame,
       cells: Seq[Long], k: Int): DataFrame = {
-    val candidates = cellScopedReadAt(s, root, "vectors", cells)
+    // Tombstones (if any delete landed on this version) are anti-joined
+    // out before the rescoring top-k — a deleted row can neither
+    // surface nor crowd a live row out of the k slots. The deletes
+    // side grows within a version, so it reads fresh per call (the
+    // handle must not cache it).
+    val candidates = IndexSwap.exceptTombstones(s, root,
+        cellScopedReadAt(s, root, "vectors", cells))
       .filter(col("cent_id").isin(cells: _*))
       .select(col("vec_id"), col("embedding"), col("nrm"),
         col("cent_id").cast("long").as("cent_id"))

@@ -254,4 +254,27 @@ class BinarySigSpec extends AnyFunSuite {
     assert(rootMessages(e2).contains("NULL element") || rootMessages(e2).contains("!= 64"),
       rootMessages(e2))
   }
+
+  test("delete: a tombstoned row vanishes from probes immediately; the rebuild reclaims it physically") {
+    import spark.implicits._
+    val path = graft.operators.Similarity.newIndexDir()
+    graft.operators.BinarySig.buildBinIndex(spark, sf, path)
+    val top1 = graft.operators.BinarySig.probeBinIndex(spark, sf, path, 5)
+      .filter(col("qid") === 3 && col("rnk") === 1).head().getAs[Long]("vec_id")
+    graft.operators.BinarySig.deleteFromBinIndex(spark, Seq(top1).toDF("vec_id"), path)
+    val after = graft.operators.BinarySig.probeBinIndex(spark, sf, path, 5).collect()
+    assert(!after.exists(_.getAs[Long]("vec_id") == top1), "a tombstoned row surfaced")
+    assert(after.length == 50, "delete shrank the result set instead of the candidates")
+    graft.operators.BinarySig.rebalanceBinIndex(spark, path)
+    val root = graft.operators.IndexSwap.liveRoot(spark, path)
+    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(spark.sessionState.newHadoopConf())
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$root/deletes")),
+      "rebuild carried the tombstones forward instead of reclaiming them")
+    assert(spark.read.parquet(s"$root/vectors").filter(col("vec_id") === top1).count() == 0,
+      "a deleted row survived the physical reclaim")
+    val res = graft.operators.BinarySig.probeBinIndex(spark, sf, path, 5).collect()
+    assert(res.length == 50 && !res.exists(_.getAs[Long]("vec_id") == top1),
+      "the reclaimed index still served a deleted row")
+  }
+
 }

@@ -295,4 +295,27 @@ class IvfRebalanceSpec extends AnyFunSuite {
       assert(handle.currentVersion == 2L, "handle did not flip to the committed version")
     } finally spark.conf.unset("spark.graft.index.retainVersions")
   }
+
+  test("delete: a tombstoned row vanishes from probes immediately; the rebuild reclaims it physically") {
+    import spark.implicits._
+    val path = graft.operators.Similarity.newIndexDir()
+    Similarity.buildIvfIndex(spark, sf, 16, path)
+    val top1 = Similarity.probeIvfIndex(spark, sf, path, 4, 5)
+      .filter(col("probe_id") === 3 && col("rnk") === 1).head().getAs[Long]("vec_id")
+    Similarity.deleteFromIvfIndex(spark, Seq(top1).toDF("vec_id"), path)
+    val after = Similarity.probeIvfIndex(spark, sf, path, 4, 5).collect()
+    assert(!after.exists(_.getAs[Long]("vec_id") == top1), "a tombstoned row surfaced")
+    assert(after.length == 50, "delete shrank the result set instead of the candidates")
+    Similarity.rebalanceIvfIndex(spark, path)
+    val root = graft.operators.IndexSwap.liveRoot(spark, path)
+    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(spark.sessionState.newHadoopConf())
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$root/deletes")),
+      "rebuild carried the tombstones forward instead of reclaiming them")
+    assert(spark.read.parquet(s"$root/vectors").filter(col("vec_id") === top1).count() == 0,
+      "a deleted row survived the physical reclaim")
+    val res = Similarity.probeIvfIndex(spark, sf, path, 4, 5).collect()
+    assert(res.length == 50 && !res.exists(_.getAs[Long]("vec_id") == top1),
+      "the reclaimed index still served a deleted row")
+  }
+
 }
