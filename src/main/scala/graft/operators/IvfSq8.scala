@@ -283,12 +283,12 @@ object IvfSq8 {
     * resolution per call (the probeResolved contract). Probe batches
     * only — the [[PQ.maxProbeBatch]] bound. */
   def probeIvfSq8IndexWith(s: SparkSession, probes: DataFrame, path: String,
-      nProbe: Int, k: Int): DataFrame = {
+      nProbe: Int, k: Int, allowed: Option[DataFrame] = None): DataFrame = {
     val root = IndexSwap.liveRoot(s, path)
     val cents = s.read.parquet(IndexSwap.sideAt(root, "centroids"))
     val (mna, spa) = SQ8.collectStats(
       s.read.parquet(IndexSwap.sideAt(root, "stats")))
-    probeResolved(s, probes, root, mna, spa, nProbe, k, Left(cents))
+    probeResolved(s, probes, root, mna, spa, nProbe, k, Left(cents), allowed)
   }
 
   /** The probe body against an ALREADY-RESOLVED version root and
@@ -298,7 +298,8 @@ object IvfSq8 {
     * cached centroid arrays instead of the per-call Spark job). */
   private def probeResolved(s: SparkSession, probes: DataFrame, root: String,
       mna: Array[Long], spa: Array[Long], nProbe: Int, k: Int,
-      route: Either[DataFrame, Similarity.CentArrays]): DataFrame = {
+      route: Either[DataFrame, Similarity.CentArrays],
+      allowed: Option[DataFrame] = None): DataFrame = {
     val probesRaw = probes.select(col("vec_id"), col("embedding"),
       l2normNative(col("embedding")).as("nrm"))
     val probeRows = probesRaw.limit(PQ.maxProbeBatch + 1).collect()
@@ -351,7 +352,17 @@ object IvfSq8 {
     val codesLive = IndexSwap.exceptTombstones(s, root,
       Similarity.cellScopedReadAt(s, root, "codes", cells)
         .select(col("vec_id"), col("q8"), col("cent_id").cast("long").as("cent_id")))
-    val sl = codesLive
+    // FILTERED search (qn53): the predicate SEMI-JOINS the rank stage —
+    // before the shortlist window, the same place the tombstone
+    // anti-join sits — so the shortlist is the top-16 AMONG the allowed
+    // rows (post-filtering a fixed shortlist instead would silently
+    // lose recall as the filter tightens: 16 candidates minus the
+    // disallowed leaves <16, eventually <k). The allowed frame is any
+    // (vec_id, ...) keys frame — typically a semi-join off a metadata
+    // table.
+    val codesAllowed = allowed.foldLeft(codesLive) { (c, a) =>
+      c.join(a.select(col("vec_id")), Seq("vec_id"), "left_semi") }
+    val sl = codesAllowed
       .join(broadcast(localPc), Seq("cent_id"))
       .join(broadcast(pq8), Seq("qid"))
       .filter(col("vec_id") =!= col("qid"))
@@ -405,13 +416,14 @@ object IvfSq8 {
     def currentVersion: Long = current.get().version
     /** Probe through the cached state, re-opening (once per committed
       * version) if a rebuild landed since the last probe. */
-    def probeWith(s: SparkSession, probes: DataFrame, nProbe: Int, k: Int): DataFrame = {
+    def probeWith(s: SparkSession, probes: DataFrame, nProbe: Int, k: Int,
+        allowed: Option[DataFrame] = None): DataFrame = {
       val cached = current.get()
       val h =
         if (IndexSwap.liveVersion(s, path) == cached.version) cached
         else { val fresh = openIvfSq8Index(s, path); current.set(fresh); fresh }
       probeResolved(s, probes, h.root, h.mna, h.spa, nProbe, k,
-        Right(h.centArrays))
+        Right(h.centArrays), allowed)
     }
   }
 

@@ -654,6 +654,25 @@ object Similarity {
         Tables.embeddings(s, dir).filter(col("vec_id") % 7 === 0).select("vec_id"),
         path)
       IvfSq8.probeIvfSq8Index(s, dir, path, 4, 5)
+    },
+
+    // FILTERED search (round 17): top-k among the rows an arbitrary
+    // predicate admits — the serving shape behind "nearest docs WHERE
+    // lang = 'en'". The allowed-ids frame (here a deterministic third
+    // of the corpus; in production a semi-join off a metadata table)
+    // SEMI-JOINS the rank stage before the shortlist window, so the
+    // result is exact filtered top-k within the routed cells — not a
+    // post-filtered fixed shortlist that loses recall as the filter
+    // tightens.
+    Q("qn53_ann_ivf_sq8_filtered", sqlQn53) { (s, dir) =>
+      val path = newIndexDir()
+      IvfSq8.buildIvfSq8Index(s, dir, 16, path)
+      IvfSq8.probeIvfSq8IndexWith(s,
+        Tables.embeddings(s, dir).filter(col("vec_id") < 10)
+          .select("vec_id", "embedding"),
+        path, 4, 5,
+        allowed = Some(Tables.embeddings(s, dir)
+          .filter(col("vec_id") % 3 === 1).select("vec_id")))
     }
   )
 
@@ -663,6 +682,14 @@ object Similarity {
   private def sqlQn52: String =
     sqlIvfSq8("SELECT vec_id, embedding FROM embeddings", 64,
       candFilter = "a.vec_id % 7 <> 0")
+
+  /** qn53's oracle: the same chain with the rank stage RESTRICTED to
+    * the allowed candidates — filtered-search semantics (the filter
+    * binds before the shortlist, so top-16/top-5 are among the allowed
+    * rows, not a post-filtered fixed shortlist). */
+  private def sqlQn53: String =
+    sqlIvfSq8("SELECT vec_id, embedding FROM embeddings", 64,
+      candFilter = "a.vec_id % 3 = 1")
 
   /** qn51's oracle: the qn33/qn39 route/ADC/refine chain
     * ([[PQ.sqlIvfPq]]) instantiated at 256 dims over the wide

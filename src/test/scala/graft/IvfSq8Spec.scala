@@ -300,6 +300,32 @@ class IvfSq8Spec extends AnyFunSuite {
       "the reclaimed index still served a deleted row")
   }
 
+  test("filtered search: the predicate binds before the shortlist; handle and per-call agree") {
+    val path = graft.operators.Similarity.newIndexDir()
+    IvfSq8.buildIvfSq8Index(spark, sf, 16, path)
+    val probes = Tables.embeddings(spark, sf).filter(col("vec_id") < 10)
+      .select("vec_id", "embedding")
+    // A filter tight enough that post-filtering a fixed 16-wide
+    // shortlist could NOT fill k=5 for every probe (1/3 of the corpus
+    // survives; 16 * 1/3 ≈ 5.3 expected — a pre-rank semi-join always
+    // fills all 5 from the routed cells' allowed rows).
+    val allowed = Tables.embeddings(spark, sf)
+      .filter(col("vec_id") % 3 === 1).select("vec_id")
+    val res = IvfSq8.probeIvfSq8IndexWith(spark, probes, path, 4, 5,
+      allowed = Some(allowed)).collect()
+    assert(res.length == 50, s"filtered probe lost rows: ${res.length}")
+    assert(res.forall(_.getLong(2) % 3 == 1), "a disallowed row surfaced")
+    // The unfiltered probe must DIFFER (the filter really binds) and
+    // the handle must serve the identical filtered rows.
+    val unfiltered = IvfSq8.probeIvfSq8Index(spark, sf, path, 4, 5).collect()
+    assert(!unfiltered.forall(_.getLong(2) % 3 == 1),
+      "fixture degenerate: the unfiltered top-k already satisfies the filter")
+    val viaHandle = IvfSq8.openIvfSq8Index(spark, path)
+      .probeWith(spark, probes, 4, 5, allowed = Some(allowed)).collect()
+    assert(viaHandle.map(_.toString).toSeq == res.map(_.toString).toSeq,
+      "handle filtered probe diverged from the per-call entry")
+  }
+
   test("serve handle: probeWith matches the per-call entry bit-exactly and re-opens after a rebuild") {
     val path = graft.operators.Similarity.newIndexDir()
     IvfSq8.buildIvfSq8Index(spark, sf, 16, path)
