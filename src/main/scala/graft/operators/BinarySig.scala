@@ -257,12 +257,9 @@ object BinarySig {
     val root = IndexSwap.liveRoot(s, path)
     IndexSwap.appendTombstones(root, ids)
     autoRebalance.foreach { maxRate =>
-      require(maxRate > 0 && maxRate < 1,
-        s"deleteFromBinIndex: autoRebalance is a tombstone/live RATE in (0, 1), got $maxRate")
-      val live = math.max(1L,
-        s.read.parquet(IndexSwap.sideAt(root, "codes")).count())
+      val live = s.read.parquet(IndexSwap.sideAt(root, "codes")).count()
       val dead = IndexSwap.tombstonesAt(s, root).map(_.count()).getOrElse(0L)
-      if (dead.toDouble / live > maxRate) {
+      if (IndexSwap.tombstoneReclaimDue(s, live, dead, maxRate)) {
         val fs = IndexSwap.fsOf(s, path)
         fs.create(rebalanceDue(path), true).close()
       }

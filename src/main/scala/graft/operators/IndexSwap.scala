@@ -96,6 +96,23 @@ private[graft] object IndexSwap {
     ids.select(org.apache.spark.sql.functions.col("vec_id").cast("long").as("vec_id"))
       .write.mode("append").parquet(deletesDir(root))
 
+  /** The delete audit every rung shares: the reclaim is due past the
+    * RATIO (unreclaimed tombstones are rank rows read and discarded
+    * per probe, so the ratio bounds the wasted rank IO directly) or
+    * past an ABSOLUTE cap (`spark.graft.index.maxTombstones`, default
+    * 10M — the probe-side anti-join's build side must stay
+    * broadcast-class at ANY corpus size; a ratio alone lets the
+    * tombstone window grow O(N), and at the 100 TB shape rate x N is
+    * billions of ids shuffling against a √N-row rank scan). */
+  def tombstoneReclaimDue(s: SparkSession, live: Long, dead: Long,
+      maxRate: Double): Boolean = {
+    require(maxRate > 0 && maxRate < 1,
+      s"autoRebalance is a tombstone/live RATE in (0, 1), got $maxRate")
+    val cap = s.conf.getOption("spark.graft.index.maxTombstones")
+      .map(_.toLong).getOrElse(10000000L)
+    dead.toDouble / math.max(1L, live) > maxRate || dead > cap
+  }
+
   /** Anti-join a frame (keyed by vec_id) against the root's
     * tombstones, if any — the rank-stage and rebuild-input filter. */
   def exceptTombstones(s: SparkSession, root: String,

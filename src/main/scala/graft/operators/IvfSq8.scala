@@ -189,11 +189,14 @@ object IvfSq8 {
     *    dir has no `deletes` side — reclaim is the version swap.
     *
     * `autoRebalance = Some(rate)` makes the reclaim cadence MEASURED
-    * (the audit-at-append pattern): past tombstones/live > rate the
-    * `_rebalance_due` marker drops and [[maintainIvfSq8Index]] pays
-    * the rebuild off the delete path — unreclaimed tombstones are rank
-    * rows read and thrown away per probe, so the ratio bounds the
-    * wasted rank IO directly. vec_ids are permanent identities:
+    * (the audit-at-append pattern, [[IndexSwap.tombstoneReclaimDue]]):
+    * past tombstones/live > rate OR the absolute
+    * `spark.graft.index.maxTombstones` cap (default 10M — the
+    * probe-side anti-join's build side stays broadcast-class at any
+    * corpus size) the `_rebalance_due` marker drops and
+    * [[maintainIvfSq8Index]] pays the rebuild off the delete path —
+    * unreclaimed tombstones are rank rows read and thrown away per
+    * probe, so the ratio bounds the wasted rank IO directly. vec_ids are permanent identities:
     * re-appending a tombstoned id is a caller error (the tombstone
     * keeps winning until a rebuild, after which the id is simply
     * gone — never resurrected). Deleting an id the index never held
@@ -204,11 +207,9 @@ object IvfSq8 {
     val root = IndexSwap.liveRoot(s, path)
     IndexSwap.appendTombstones(root, ids)
     autoRebalance.foreach { maxRate =>
-      require(maxRate > 0 && maxRate < 1,
-        s"deleteFromIvfSq8Index: autoRebalance is a tombstone/live RATE in (0, 1), got $maxRate")
-      val live = math.max(1L, Similarity.ivfCellStatsAt(s, root).values.sum)
+      val live = Similarity.ivfCellStatsAt(s, root).values.sum
       val dead = IndexSwap.tombstonesAt(s, root).map(_.count()).getOrElse(0L)
-      if (dead.toDouble / live > maxRate) {
+      if (IndexSwap.tombstoneReclaimDue(s, live, dead, maxRate)) {
         val fs = IndexSwap.fsOf(s, path)
         fs.create(rebalanceDue(path), true).close()
       }

@@ -1560,11 +1560,9 @@ object Similarity {
     val root = IndexSwap.liveRoot(s, path)
     IndexSwap.appendTombstones(root, ids)
     autoRebalance.foreach { maxRate =>
-      require(maxRate > 0 && maxRate < 1,
-        s"deleteFromIvfIndex: autoRebalance is a tombstone/live RATE in (0, 1), got $maxRate")
-      val live = math.max(1L, ivfCellStatsAt(s, root).values.sum)
+      val live = ivfCellStatsAt(s, root).values.sum
       val dead = IndexSwap.tombstonesAt(s, root).map(_.count()).getOrElse(0L)
-      if (dead.toDouble / live > maxRate) rebalanceIvfIndex(s, path)
+      if (IndexSwap.tombstoneReclaimDue(s, live, dead, maxRate)) rebalanceIvfIndex(s, path)
     }
   }
 

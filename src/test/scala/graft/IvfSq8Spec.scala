@@ -300,6 +300,23 @@ class IvfSq8Spec extends AnyFunSuite {
       "the reclaimed index still served a deleted row")
   }
 
+  test("delete audit: the absolute tombstone cap fires independent of the ratio") {
+    // A ratio alone lets the tombstone window grow O(N) — the
+    // spark.graft.index.maxTombstones cap (default 10M) bounds the
+    // probe-side anti-join's build side in ABSOLUTE terms at any
+    // corpus size. Pin the cap path with a ratio too loose to fire.
+    import spark.implicits._
+    val path = graft.operators.Similarity.newIndexDir()
+    IvfSq8.buildIvfSq8Index(spark, sf, 16, path)
+    spark.conf.set("spark.graft.index.maxTombstones", "0")
+    try {
+      IvfSq8.deleteFromIvfSq8Index(spark, Seq(3L).toDF("vec_id"), path,
+        autoRebalance = Some(0.99))
+      assert(IvfSq8.maintainIvfSq8Index(spark, path),
+        "the absolute cap did not fire (ratio was 1/500, cap 0)")
+    } finally spark.conf.unset("spark.graft.index.maxTombstones")
+  }
+
   test("filtered search: the predicate binds before the shortlist; handle and per-call agree") {
     val path = graft.operators.Similarity.newIndexDir()
     IvfSq8.buildIvfSq8Index(spark, sf, 16, path)
