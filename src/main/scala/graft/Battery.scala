@@ -76,7 +76,8 @@ object Battery {
         args.lift(2).map(_.split(",").toSeq.map(_.trim.toInt))
           .getOrElse(Seq(65536, 262144, 1024000)))
       case Some("pqlife")     => pqLife(spark, args.lift(1).map(_.toLong).getOrElse(4000000L))
-      case other => sys.error(s"unknown battery: $other (skew|bloom|governance|paircurve|ivfjoin|ingest|ingestgrow|pq|pqdispatch|pqserve|pqiters|pqopq|pqopqserve|pqlat|ladder|ladderdim|pqlife|argmaxsweep)")
+      case Some("tombstone")  => tombstone(spark, args.lift(1).map(_.toLong).getOrElse(1000000L))
+      case other => sys.error(s"unknown battery: $other (skew|bloom|governance|paircurve|ivfjoin|ingest|ingestgrow|pq|pqdispatch|pqserve|pqiters|pqopq|pqopqserve|pqlat|ladder|ladderdim|pqlife|argmaxsweep|tombstone)")
     }
     spark.stop()
   }
@@ -1012,6 +1013,46 @@ object Battery {
           .select("qid", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))))
       println(f"""{"battery":"ladderdim","rung":"ivfsq8","vectors":$n,"dims":$dims,"cells":$nCells,"n_probe":4,"build_sec":$bSec%.1f,"probe_sec":$pSec%.1f,"rank_bytes":$rankBytes,"codes_bytes":$codesBytes,"cold_bytes":$vecBytes,"prune_ratio":${codesBytes.toDouble / math.max(1L, rankBytes)}%.1f,"recall_at5":"${recall(top)}/${exact.length}"}""")
     }
+  }
+
+  // ---- tombstone ----------------------------------------------------------
+
+  /** Price the round-17 lifecycle verbs at 1M on the composed index:
+    * clean probe vs probe with a 10% unreclaimed tombstone window vs
+    * post-reclaim probe (the anti-join's cost and its removal), the
+    * filtered probe (allowed-frame semi-join), and the reclaim rebuild
+    * itself. */
+  private def tombstone(s: SparkSession, n: Long): Unit = {
+    import operators.IvfSq8
+    val root = pqClusteredCorpus(s, n, "tomb")
+    val nCells = math.max(16, math.ceil(math.sqrt(n.toDouble)).toInt)
+    val path = operators.Similarity.newIndexDir()
+    val (_, bSec) = timed(IvfSq8.buildIvfSq8Index(s, root, nCells, path))
+    def probe() = timed(IvfSq8.probeIvfSq8Index(s, root, path, 4, 5).collect())
+    val (_, warm) = probe() // absorb first-probe codegen
+    val (cleanRows, cleanSec) = probe()
+    val allowed = Tables.embeddings(s, root)
+      .filter(col("vec_id") % 3 === 1).select("vec_id")
+    val (filtRows, filtSec) = timed(IvfSq8.probeIvfSq8IndexWith(s,
+      Tables.embeddings(s, root).filter(col("vec_id") < 10)
+        .select("vec_id", "embedding"),
+      path, 4, 5, allowed = Some(allowed)).collect())
+    val (_, dSec) = timed(IvfSq8.deleteFromIvfSq8Index(s,
+      Tables.embeddings(s, root).filter(col("vec_id") % 10 === 4).select("vec_id"),
+      path))
+    val (tombRows, tombSec) = probe()
+    val r0 = operators.IndexSwap.liveRoot(s, path)
+    def lb(p: String) = {
+      def go(f: java.io.File): Long =
+        if (f.isDirectory) Option(f.listFiles).getOrElse(Array.empty).map(go).sum
+        else if (f.getName.endsWith(".parquet")) f.length else 0L
+      go(new java.io.File(p.stripPrefix("file:")))
+    }
+    val delBytes = lb(s"$r0/deletes")
+    val (_, rSec) = timed(IvfSq8.rebalanceIvfSq8Index(s, path))
+    val (_, warm2) = probe() // fresh version: codegen/listing warm-up again
+    val (cleanRows2, clean2Sec) = probe()
+    println(f"""{"battery":"tombstone","vectors":$n,"cells":$nCells,"build_sec":$bSec%.1f,"probe_clean_sec":$cleanSec%.2f,"probe_filtered_sec":$filtSec%.2f,"delete_sec":$dSec%.1f,"probe_tombstoned_sec":$tombSec%.2f,"deletes_bytes":$delBytes,"reclaim_sec":$rSec%.1f,"probe_reclaimed_sec":$clean2Sec%.2f,"rows":"${cleanRows.length}/${filtRows.length}/${tombRows.length}/${cleanRows2.length}","warm":"$warm%.2f/$warm2%.2f"}""")
   }
 
   // ---- pqlife -------------------------------------------------------------
