@@ -64,6 +64,7 @@ object Plans {
     "qn51_ann_ivfpq_wide" -> "the qn39 persisted IVFADC serve at 256 dims (M=4 x subDim=64): PqParams sizes train/encode/ADC, the probe reads the realized sizing from the stored meta — same cell-scoped codes scan, broadcast ADC tables, vec_id-pushdown refine as the fixture gate",
     "qn52_ann_ivf_sq8_deletes" -> "tombstone delete: the rank stage anti-joins the optional deletes side BEFORE the shortlist window (a deleted row can neither surface nor crowd a live row out of a slot); cell-scoped listing and vec_id pushdown unchanged; physical reclaim is the drift rebuild's version swap",
     "qn53_ann_ivf_sq8_filtered" -> "filtered search: the allowed-ids frame semi-joins the rank stage before the shortlist window — exact filtered top-k within the routed cells, never a post-filtered fixed shortlist that loses recall as the filter tightens",
+    "qn54_ann_ivfpq_filtered" -> "filtered search on the PQ tier: the allowed-ids frame semi-joins the candidates before the ADC shortlist — the qn53 discipline at the codebook rung",
     "qn42_pq_codebooks_iters2" -> "two-step Lloyd: the iters chain re-seeds from step-1 means (collected K x D rows), each step the same native-assignment + partial-agg-mean shape — depth multiplies passes, never changes the per-pass plan",
     "qn43_ann_pq_adc_opq" -> "OPQ rotation rung: a literal 64-lookup permutation projection ahead of the identical train/encode/ADC pipeline — the rotation costs zero plan shape, only the subspace membership changes",
     "qn39_ann_ivfpq_persisted" -> "persisted IVFADC serve: codes scanned under a cent_id partition filter, broadcast ADC tables, shortlist point-read of the cold floats (vec_id pushdown) — the qn10b discipline on the two-temperature index",

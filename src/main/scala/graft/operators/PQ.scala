@@ -646,6 +646,22 @@ object PQ {
       probePqIndex(s, dir, path, 4, 5)
     },
 
+    // FILTERED search on the PQ tier (round 17 — the qn53 semantics):
+    // the allowed-ids frame semi-joins the candidates before the ADC
+    // shortlist, so the top-R/top-k are exact among allowed rows.
+    Q("qn54_ann_ivfpq_filtered",
+      sqlIvfPq("SELECT vec_id, embedding FROM embeddings", fixturePq,
+        candFilter = "a.vec_id % 3 = 1")) { (s, dir) =>
+      val path = Similarity.newIndexDir()
+      buildPqIndex(s, dir, path)
+      probePqIndexWith(s,
+        Tables.embeddings(s, dir).filter(col("vec_id") < 10)
+          .select("vec_id", "embedding"),
+        path, 4, 5,
+        allowed = Some(Tables.embeddings(s, dir)
+          .filter(col("vec_id") % 3 === 1).select("vec_id")))
+    },
+
     // The RESIDUAL persisted form: the meta side's residual flag must carry
     // the encoding through build -> store -> probe dispatch, gated
     // against qn36's oracle.
@@ -1045,7 +1061,8 @@ object PQ {
     * table, 4x16x16); qn51 at the 256-dim wide derivation (4x64x16).
     * One oracle text, two widths: the dim-parameterized PQ tier and
     * its DuckDB replay share every route/train/encode/refine rule. */
-  private[operators] def sqlIvfPq(corpusSql: String, p: PqParams): String =
+  private[operators] def sqlIvfPq(corpusSql: String, p: PqParams,
+      candFilter: String = "TRUE"): String =
     s"""WITH corpus AS ($corpusSql),
        |${sqlPqCtesVe(s"ve AS (SELECT vec_id, ${sqlE6List("embedding")} AS emb6 FROM corpus)", p)},
        |${sqlProbeTab("vec_id < 10")},
@@ -1066,7 +1083,7 @@ object PQ {
        |                         c.cent_id) AS rn
        |       FROM (SELECT * FROM v WHERE vec_id < 10) p, cents c) WHERE rn <= 4),
        |cand AS (SELECT pc.probe_id AS qid, a.vec_id FROM asg a JOIN pc USING (cent_id)
-       |         WHERE a.vec_id <> pc.probe_id),
+       |         WHERE a.vec_id <> pc.probe_id AND ($candFilter)),
        |adcc AS (SELECT c.qid, c.vec_id, CAST(SUM(pt.td) AS BIGINT) AS adist_e12
        |         FROM cand c JOIN enc e ON e.vec_id = c.vec_id
        |              JOIN pt ON pt.qid = c.qid AND pt.sub = e.sub AND pt.code = e.code
@@ -1731,7 +1748,7 @@ object PQ {
     * [[routeCells]]. Both bounds fail LOUDLY with instructions — a
     * corpus-sized probe frame must never OOM the driver silently. */
   def probePqIndexWith(s: SparkSession, probes: DataFrame, path: String,
-      nProbe: Int, k: Int): DataFrame = {
+      nProbe: Int, k: Int, allowed: Option[DataFrame] = None): DataFrame = {
     // ONE version resolution per probe call (the versioned IndexSwap
     // contract): every side below reads from the same pinned root, so
     // a rebalance committing mid-probe can never mix versions.
@@ -1740,7 +1757,7 @@ object PQ {
     val cb = s.read.parquet(s"$root/codebooks")
     val (residualIdx, p) = indexMetaAt(s, root)
     probeResolved(s, probes, root, cents, cb, residualIdx, p, nProbe, k, None,
-      rotationAt(s, root))
+      rotationAt(s, root), allowed)
   }
 
   /** A SERVE-SESSION handle (round-14 verdict task 7): the fixed
@@ -1780,13 +1797,14 @@ object PQ {
     def currentVersion: Long = current.get().version
     /** Probe through the cached state, re-opening (once per committed
       * version) if a rebuild landed since the last probe. */
-    def probeWith(s: SparkSession, probes: DataFrame, nProbe: Int, k: Int): DataFrame = {
+    def probeWith(s: SparkSession, probes: DataFrame, nProbe: Int, k: Int,
+        allowed: Option[DataFrame] = None): DataFrame = {
       val cached = current.get()
       val h =
         if (IndexSwap.liveVersion(s, path) == cached.version) cached
         else { val fresh = openPqIndex(s, path); current.set(fresh); fresh }
       probeResolved(s, probes, h.root, h.localCents, h.localCb,
-        h.residual, h.params, nProbe, k, Some(h.centArrays), h.rotation)
+        h.residual, h.params, nProbe, k, Some(h.centArrays), h.rotation, allowed)
     }
   }
 
@@ -1843,7 +1861,8 @@ object PQ {
   private def probeResolved(s: SparkSession, probes: DataFrame, root: String,
       cents: DataFrame, cb: DataFrame, residualIdx: Boolean, p: PqParams,
       nProbe: Int, k: Int, cachedCents: Option[Similarity.CentArrays],
-      rot: Option[(Array[Double], Int)] = None): DataFrame = {
+      rot: Option[(Array[Double], Int)] = None,
+      allowed: Option[DataFrame] = None): DataFrame = {
     // Probes materialize ONCE as a local relation (manifest-class):
     // the routing, the ADC-table build, the shortlist, and the refine
     // each run their own action, and a lazy probe frame would re-scan
@@ -1890,7 +1909,12 @@ object PQ {
     val codes = IndexSwap.exceptTombstones(s, root,
         Similarity.cellScopedReadAt(s, root, "codes", cells))
       .filter(col("cent_id").isin(cells: _*))
-    val cand0 = codes.join(broadcast(localPc), Seq("cent_id"))
+    // FILTERED search (the qn53 semantics at this tier): the predicate
+    // SEMI-JOINS the candidates before the ADC shortlist, so top-k is
+    // exact among allowed rows — never a post-filtered fixed shortlist.
+    val codesAllowed = allowed.foldLeft(codes) { (c, a) =>
+      c.join(a.select(col("vec_id")), Seq("vec_id"), "left_semi") }
+    val cand0 = codesAllowed.join(broadcast(localPc), Seq("cent_id"))
       .filter(col("vec_id") =!= col("probe_id"))
     // Scoring dispatches on the index's declared encoding (the `meta`
     // side buildPqIndex commits atomically with the data): whole-space

@@ -465,6 +465,27 @@ class PQSpec extends AnyFunSuite {
     }
   }
 
+  test("filtered search: the predicate binds before the ADC shortlist; handle and per-call agree") {
+    import graft.operators.PQ
+    val path = graft.operators.Similarity.newIndexDir()
+    PQ.buildPqIndex(spark, sf, path)
+    val probes = Tables.embeddings(spark, sf).filter(col("vec_id") < 10)
+      .select("vec_id", "embedding")
+    val allowed = Tables.embeddings(spark, sf)
+      .filter(col("vec_id") % 3 === 1).select("vec_id")
+    val res = PQ.probePqIndexWith(spark, probes, path, 4, 5,
+      allowed = Some(allowed)).collect()
+    assert(res.length == 50, s"filtered probe lost rows: ${res.length}")
+    assert(res.forall(_.getLong(2) % 3 == 1), "a disallowed row surfaced")
+    val unfiltered = PQ.probePqIndex(spark, sf, path, 4, 5).collect()
+    assert(!unfiltered.forall(_.getLong(2) % 3 == 1),
+      "fixture degenerate: the unfiltered top-k already satisfies the filter")
+    val viaHandle = PQ.openPqIndex(spark, path)
+      .probeWith(spark, probes, 4, 5, allowed = Some(allowed)).collect()
+    assert(viaHandle.map(_.toString).toSeq == res.map(_.toString).toSeq,
+      "handle filtered probe diverged from the per-call entry")
+  }
+
   test("serve handle: probeWith matches the per-call entry bit-exactly and re-opens after a rebuild") {
     import graft.operators.PQ
     val path = graft.operators.Similarity.newIndexDir()
