@@ -285,7 +285,7 @@ object BinarySig {
     * (BinarySigSpec + the qn34b hash gate). Probe batches only — the
     * loud [[PQ.maxProbeBatch]] bound, same rationale as SQ8. */
   def probeBinIndexWith(s: SparkSession, probes: DataFrame, path: String,
-      k: Int): DataFrame = {
+      k: Int, allowed: Option[DataFrame] = None): DataFrame = {
     // ONE version resolution per probe call (the PQ.probeResolved
     // contract — round-15 ADVICE): the sig scan and the cold refine
     // read the SAME pinned version, so a rebalance committing
@@ -310,8 +310,9 @@ object BinarySig {
     // discipline). Probe width must match the stored dim: the sig fold
     // guard raises on mismatch, and the word count is checked here so
     // a wrong-width probe fails loudly instead of NULL-ranking.
-    val codes = IndexSwap.exceptTombstones(s, root,
-      s.read.parquet(IndexSwap.sideAt(root, "codes")))
+    val codes = allowed.foldLeft(IndexSwap.exceptTombstones(s, root,
+      s.read.parquet(IndexSwap.sideAt(root, "codes")))) { (c, a) =>
+      c.join(a.select(col("vec_id")), Seq("vec_id"), "left_semi") }
     val multiWord = codes.schema("sig").dataType !=
       org.apache.spark.sql.types.LongType
     val psig =

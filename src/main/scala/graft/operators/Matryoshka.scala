@@ -234,7 +234,7 @@ object Matryoshka {
     * — the loud [[PQ.maxProbeBatch]] bound, same rationale as the
     * sibling rungs. */
   def probeMatryoshkaIndexWith(s: SparkSession, probes: DataFrame, path: String,
-      k: Int): DataFrame = {
+      k: Int, allowed: Option[DataFrame] = None): DataFrame = {
     recoverMatryoshkaRebalance(s, path)
     val root = IndexSwap.liveRoot(s, path)
     val fullDim = storedDim(s, root)
@@ -253,8 +253,9 @@ object Matryoshka {
       col("embedding").as("pe"), col("nrm").as("pn"),
       ppre.as("ppre"), l2normNative(ppre).as("ppn"))
     val wSl = Window.partitionBy(col("qid")).orderBy(col("pscore").desc, col("vec_id").asc)
-    val sl = IndexSwap.exceptTombstones(s, root,
-        s.read.parquet(IndexSwap.sideAt(root, "prefix")))
+    val sl = allowed.foldLeft(IndexSwap.exceptTombstones(s, root,
+        s.read.parquet(IndexSwap.sideAt(root, "prefix")))) { (c, a) =>
+        c.join(a.select(col("vec_id")), Seq("vec_id"), "left_semi") }
       .join(broadcast(psig.select(col("qid"), col("ppre"), col("ppn"))), expr("true"))
       .filter(col("vec_id") =!= col("qid") && col("ppn") > 0 && col("pnrm") > 0)
       .select(col("qid"), col("vec_id"),

@@ -301,7 +301,7 @@ object SQ8 {
     * [[PQ.maxProbeBatch]] bound as the PQ serving entry (the shortlist
     * collect is probes x 16 <= 1e6 rows). */
   def probeSq8IndexWith(s: SparkSession, probes: DataFrame, path: String,
-      k: Int): DataFrame = {
+      k: Int, allowed: Option[DataFrame] = None): DataFrame = {
     // ONE version resolution per probe call (the PQ.probeResolved
     // contract — round-15 ADVICE): stats, codes and the cold refine
     // all read the SAME pinned version; a rebalance committing
@@ -330,8 +330,12 @@ object SQ8 {
     // results (VectorExprsSpec), so the qn38/qn38b oracles ride it.
     val qd2 = graft.functions.VectorExprs.intSqDistNative(col("q8"), col("pq8"))
     val wSl = Window.partitionBy(col("qid")).orderBy(col("qd2").asc, col("vec_id").asc)
-    val sl = IndexSwap.exceptTombstones(s, root,
-        s.read.parquet(IndexSwap.sideAt(root, "codes")))
+    // FILTERED search (the qn53 discipline at the flat rung): the
+    // allowed-ids frame semi-joins the rank scan before the shortlist.
+    val codesLive = allowed.foldLeft(IndexSwap.exceptTombstones(s, root,
+        s.read.parquet(IndexSwap.sideAt(root, "codes")))) { (c, a) =>
+      c.join(a.select(col("vec_id")), Seq("vec_id"), "left_semi") }
+    val sl = codesLive
       .join(broadcast(pq8), expr("true"))
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"), qd2.as("qd2"))

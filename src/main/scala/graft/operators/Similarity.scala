@@ -1680,7 +1680,7 @@ object Similarity {
     * equi-join on cent_id — the qn20 shape); the bound below fails
     * loudly rather than letting the collect OOM the driver. */
   def probeIvfIndexWith(s: SparkSession, probes: DataFrame, path: String,
-      nProbe: Int, k: Int): DataFrame = {
+      nProbe: Int, k: Int, allowed: Option[DataFrame] = None): DataFrame = {
     val root = IndexSwap.liveRoot(s, path) // one resolution per call — no version mixing
     val cents = s.read.parquet(s"$root/centroids")
     val pv = probes.select(col("vec_id"), col("embedding"),
@@ -1693,21 +1693,22 @@ object Similarity {
     val localPc = s.createDataFrame(java.util.Arrays.asList(pcRows: _*), pc.schema)
     val centIdx = pc.schema.fieldIndex("cent_id")
     val cells = pcRows.map(_.getLong(centIdx)).distinct.toSeq
-    probeCellsTail(s, root, localPc, cells, k)
+    probeCellsTail(s, root, localPc, cells, k, allowed)
   }
 
   /** The probe tail shared by the per-call entry and the serve handle:
     * cell-scoped candidate read against a PINNED version root + exact
     * rescoring. */
   private def probeCellsTail(s: SparkSession, root: String, localPc: DataFrame,
-      cells: Seq[Long], k: Int): DataFrame = {
+      cells: Seq[Long], k: Int, allowed: Option[DataFrame] = None): DataFrame = {
     // Tombstones (if any delete landed on this version) are anti-joined
     // out before the rescoring top-k — a deleted row can neither
     // surface nor crowd a live row out of the k slots. The deletes
     // side grows within a version, so it reads fresh per call (the
     // handle must not cache it).
-    val candidates = IndexSwap.exceptTombstones(s, root,
-        cellScopedReadAt(s, root, "vectors", cells))
+    val candidates = allowed.foldLeft(IndexSwap.exceptTombstones(s, root,
+        cellScopedReadAt(s, root, "vectors", cells))) { (c, a) =>
+        c.join(a.select(col("vec_id")), Seq("vec_id"), "left_semi") }
       .filter(col("cent_id").isin(cells: _*))
       .select(col("vec_id"), col("embedding"), col("nrm"),
         col("cent_id").cast("long").as("cent_id"))
@@ -1739,7 +1740,8 @@ object Similarity {
     /** The version the handle currently serves from (advances once per
       * committed rebuild — the refresh-cached contract the spec pins). */
     def currentVersion: Long = current.get().version
-    def probeWith(s: SparkSession, probes: DataFrame, nProbe: Int, k: Int): DataFrame = {
+    def probeWith(s: SparkSession, probes: DataFrame, nProbe: Int, k: Int,
+        allowed: Option[DataFrame] = None): DataFrame = {
       val cached = current.get()
       val h =
         if (IndexSwap.liveVersion(s, path) == cached.version) cached
@@ -1761,7 +1763,7 @@ object Similarity {
         org.apache.spark.sql.types.StructField("pn", org.apache.spark.sql.types.DoubleType, false),
         org.apache.spark.sql.types.StructField("cent_id", org.apache.spark.sql.types.LongType, false)))
       val localPc = s.createDataFrame(java.util.Arrays.asList(routed: _*), schema)
-      probeCellsTail(s, h.root, localPc, routed.map(_.getLong(3)).distinct.toSeq, k)
+      probeCellsTail(s, h.root, localPc, routed.map(_.getLong(3)).distinct.toSeq, k, allowed)
     }
   }
 

@@ -159,6 +159,22 @@ class Sq8Spec extends AnyFunSuite {
       s"streamed near-copy lost by the re-statted envelope: ${top.mkString}")
   }
 
+  test("filtered search: the predicate binds before the flat rank shortlist") {
+    val path = graft.operators.Similarity.newIndexDir()
+    SQ8.buildSq8Index(spark, sf, path)
+    val probes = Tables.embeddings(spark, sf).filter(col("vec_id") < 10)
+      .select("vec_id", "embedding")
+    val allowed = Tables.embeddings(spark, sf)
+      .filter(col("vec_id") % 3 === 1).select("vec_id")
+    val res = SQ8.probeSq8IndexWith(spark, probes, path, 5,
+      allowed = Some(allowed)).collect()
+    assert(res.length == 50, s"filtered probe lost rows: ${res.length}")
+    assert(res.forall(_.getLong(2) % 3 == 1), "a disallowed row surfaced")
+    assert(!SQ8.probeSq8Index(spark, sf, path, 5).collect()
+        .forall(_.getLong(2) % 3 == 1),
+      "fixture degenerate: the unfiltered top-k already satisfies the filter")
+  }
+
   test("interrupted rebuild heals: a partial stage is dropped; the live index is untouched") {
     import org.apache.hadoop.fs.Path
     val path = graft.operators.Similarity.newIndexDir()
