@@ -257,7 +257,9 @@ object BinarySig {
     val root = IndexSwap.liveRoot(s, path)
     IndexSwap.appendTombstones(root, ids)
     autoRebalance.foreach { maxRate =>
-      val live = s.read.parquet(IndexSwap.sideAt(root, "codes")).count()
+      // Footer-walk count (zero Spark jobs) — a .count() scan here
+      // would make the documented O(deleted) delete pay O(N) per call.
+      val live = Similarity.parquetRowCount(s, IndexSwap.sideAt(root, "codes"))
       val dead = IndexSwap.tombstonesAt(s, root).map(_.count()).getOrElse(0L)
       if (IndexSwap.tombstoneReclaimDue(s, live, dead, maxRate)) {
         val fs = IndexSwap.fsOf(s, path)

@@ -203,7 +203,9 @@ object Matryoshka {
     val root = IndexSwap.liveRoot(s, path)
     IndexSwap.appendTombstones(root, ids)
     autoRebalance.foreach { maxRate =>
-      val live = s.read.parquet(IndexSwap.sideAt(root, "prefix")).count()
+      // Footer-walk count (zero Spark jobs) — a .count() scan here
+      // would make the documented O(deleted) delete pay O(N) per call.
+      val live = Similarity.parquetRowCount(s, IndexSwap.sideAt(root, "prefix"))
       val dead = IndexSwap.tombstonesAt(s, root).map(_.count()).getOrElse(0L)
       if (IndexSwap.tombstoneReclaimDue(s, live, dead, maxRate)) {
         val fs = IndexSwap.fsOf(s, path)
@@ -235,7 +237,9 @@ object Matryoshka {
     * sibling rungs. */
   def probeMatryoshkaIndexWith(s: SparkSession, probes: DataFrame, path: String,
       k: Int, allowed: Option[DataFrame] = None): DataFrame = {
-    recoverMatryoshkaRebalance(s, path)
+    // Probes are READ-ONLY (the sibling rungs' contract): no recover
+    // here — a probe racing an in-flight rebuild's staging must never
+    // delete the stage dir out from under the writer.
     val root = IndexSwap.liveRoot(s, path)
     val fullDim = storedDim(s, root)
     val prefix = storedPrefix(s, root)

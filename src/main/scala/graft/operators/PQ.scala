@@ -1596,11 +1596,9 @@ object PQ {
     val root = IndexSwap.liveRoot(s, path)
     IndexSwap.appendTombstones(root, ids)
     autoRebalance.foreach { maxRate =>
-      require(maxRate > 0 && maxRate < 1,
-        s"deleteFromPqIndex: autoRebalance is a tombstone/live RATE in (0, 1), got $maxRate")
-      val live = math.max(1L, Similarity.ivfCellStatsAt(s, root).values.sum)
+      val live = Similarity.ivfCellStatsAt(s, root).values.sum
       val dead = IndexSwap.tombstonesAt(s, root).map(_.count()).getOrElse(0L)
-      if (dead.toDouble / live > maxRate) {
+      if (IndexSwap.tombstoneReclaimDue(s, live, dead, maxRate)) {
         val fs = IndexSwap.fsOf(s, path)
         fs.create(rebalanceDue(path), true).close()
       }
@@ -1668,8 +1666,8 @@ object PQ {
     ) { (c, d) => c.join(d, Seq("vec_id"), "left_anti") }
     // Surviving-row sizing (footer stats minus tombstones — a no-op
     // tombstone undercounts by one, which the ceil absorbs).
-    val total = Similarity.ivfCellStats(s, path).values.sum -
-      rebDel.map(_.count()).getOrElse(0L)
+    val total = math.max(1L, Similarity.ivfCellStatsAt(s, rebRoot).values.sum -
+      rebDel.map(_.count()).getOrElse(0L))
     val nCells = math.max(16L, math.ceil(math.sqrt(total.toDouble)).toLong).toInt
     val seeds = v.orderBy(xxhash64(col("vec_id"), lit(1002)).asc, col("vec_id").asc)
       .limit(nCells)
@@ -1683,7 +1681,7 @@ object PQ {
     // state, like the meta's encoding flag — re-learning is a
     // buildPqIndex decision): the grown lake re-encodes through it and
     // the side re-stages into the new version below.
-    val rotStored = rotationAt(s, IndexSwap.liveRoot(s, path))
+    val rotStored = rotationAt(s, rebRoot)
     val rve6 = rotStored match {
       case Some((r, d)) => learnedVe6Of(v, r, d)
       case None =>

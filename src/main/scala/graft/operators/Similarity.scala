@@ -1316,9 +1316,47 @@ object Similarity {
     else {
       val bcast = v.sparkSession.sparkContext.broadcast(
         graft.functions.CentPayload(ca.cids, ca.flat, ca.cns))
+      trackAssignBcast(v.sparkSession, bcast)
       v.select(keep.map(col) :+ graft.functions.PqExprs.ivfArgmaxBcastNative(
         col("embedding"), col("nrm"), bcast, ca.dim).as("cent_id"): _*)
     }
+  }
+
+  /** Beyond-literal assignment payload broadcasts, per session — the
+    * [[graft.streaming.StreamSemantic]] registry pattern (round-17
+    * review): a broadcast's blocks live until the ContextCleaner GCs
+    * the last plan referencing it — correct, but LAZY, so a serve
+    * session cycling large-cell-count builds accumulates
+    * multi-hundred-MB payloads on the driver and every executor until
+    * a driver GC happens to run. Callers that know a safe point —
+    * every assignment plan built since the last release fully
+    * materialized and discarded (a build/rebalance after its commit;
+    * a battery between arms) — call [[releaseAssignBroadcasts]] to
+    * destroy them eagerly. Callers that don't are still safe: the
+    * registry holds the only extra reference, and stopped sessions
+    * are evicted on the next track/release. */
+  private val liveAssignBcasts = scala.collection.concurrent.TrieMap
+    .empty[SparkSession,
+      List[org.apache.spark.broadcast.Broadcast[graft.functions.CentPayload]]]
+
+  private def trackAssignBcast(s: SparkSession,
+      bc: org.apache.spark.broadcast.Broadcast[graft.functions.CentPayload]): Unit = {
+    liveAssignBcasts.keySet.filter(_.sparkContext.isStopped).foreach(liveAssignBcasts.remove)
+    liveAssignBcasts.updateWith(s) { prev => Some(bc :: prev.getOrElse(Nil)) }: Unit
+  }
+
+  /** Test probe: assignment broadcasts currently tracked for a session. */
+  private[graft] def trackedAssignBcastCount(s: SparkSession): Int =
+    liveAssignBcasts.get(s).map(_.size).getOrElse(0)
+
+  /** Destroy every assignment-payload broadcast this session has
+    * accumulated. ONLY safe when no un-materialized plan still
+    * references one — destroying under a live plan fails its tasks. */
+  def releaseAssignBroadcasts(s: SparkSession): Unit = {
+    liveAssignBcasts.keySet.filter(_.sparkContext.isStopped).foreach(liveAssignBcasts.remove)
+    liveAssignBcasts.remove(s).foreach(_.foreach { bc =>
+      try bc.destroy() catch { case _: Exception => () } // already cleaned is fine
+    })
   }
 
   /** [[ivfAssigned]] for the BUILD paths: the blocked native argmax
@@ -1617,8 +1655,8 @@ object Similarity {
       s.read.parquet(IndexSwap.sideAt(rebRoot, "vectors"))
         .select(col("vec_id"), col("embedding"), col("nrm"))
     ) { (c, d) => c.join(d, Seq("vec_id"), "left_anti") }
-    val total = ivfCellStats(s, path).values.sum -
-      rebDel.map(_.count()).getOrElse(0L)
+    val total = math.max(1L, ivfCellStats(s, path).values.sum -
+      rebDel.map(_.count()).getOrElse(0L))
     val k = math.max(16L, math.ceil(math.sqrt(total.toDouble)).toLong)
     // Seed collect is sqrt(N) rows — manifest-class up to ~1e12-vector
     // lakes (1M rows x ~300 B); the centroid table it becomes is the
@@ -1847,7 +1885,11 @@ object Similarity {
     * sqrt(N) keys at scale — enough reducers). */
   def probeIvfIndexJoined(s: SparkSession, probes: DataFrame, path: String,
       nProbe: Int, k: Int, forceRoute: Option[Boolean] = None): DataFrame = {
-    val cents = s.read.parquet(IndexSwap.side(s, path, "centroids"))
+    // ONE version resolution per call (the probeResolved discipline),
+    // and the same tombstone exclusion as every other probe entry — a
+    // deleted row's visibility must not depend on which entry serves.
+    val root = IndexSwap.liveRoot(s, path)
+    val cents = s.read.parquet(IndexSwap.sideAt(root, "centroids"))
     val pv = probes.select(col("vec_id"), col("embedding"),
       l2normNative(col("embedding")).as("nrm"))
     // Routing DISPATCH by measured centroid count (the qn06 pattern —
@@ -1859,11 +1901,12 @@ object Similarity {
     // `forceRoute` pins a branch for its oracle gate (qn10e) and the
     // routing battery; production callers leave it None.
     val useCoarse = forceRoute.getOrElse(
-      parquetRowCount(s, IndexSwap.side(s, path, "centroids")) >= coarseRouteMinCentroids)
+      parquetRowCount(s, IndexSwap.sideAt(root, "centroids")) >= coarseRouteMinCentroids)
     val pc =
       if (useCoarse) ivfRouteCoarse(pv, cents, nProbe)
       else ivfRoute(pv, cents, nProbe)
-    val candidates = s.read.parquet(IndexSwap.side(s, path, "vectors"))
+    val candidates = IndexSwap.exceptTombstones(s, root,
+        s.read.parquet(IndexSwap.sideAt(root, "vectors")))
       .select(col("vec_id"), col("embedding"), col("nrm"),
         col("cent_id").cast("long").as("cent_id"))
     ivfScoreTail(candidates, pc, k, broadcastProbes = false)

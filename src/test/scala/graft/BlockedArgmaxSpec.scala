@@ -124,4 +124,25 @@ class BlockedArgmaxSpec extends AnyFunSuite {
     val windowed = asMap(PQ.coarseAssign(v, c))
     assert(one == windowed && many == windowed)
   }
+
+  test("broadcast-route payloads are tracked per session and release destroys them") {
+    import graft.operators.Similarity
+    Similarity.releaseAssignBroadcasts(spark) // clean slate
+    val v = corpus(50)
+    val c = cents(12)
+    val before = Similarity.trackedAssignBcastCount(spark)
+    // Force the broadcast route (blockCells below the table size) and
+    // MATERIALIZE the plan — the registry must hold the payload.
+    Similarity.nativeAssignBlocked(v, c, Seq("vec_id"), blockCells = 4).collect()
+    assert(Similarity.trackedAssignBcastCount(spark) == before + 1,
+      "broadcast-route payload was not tracked")
+    // Release at a safe point (plan materialized and discarded):
+    // registry empties; the next build re-broadcasts cleanly.
+    Similarity.releaseAssignBroadcasts(spark)
+    assert(Similarity.trackedAssignBcastCount(spark) == 0, "release left tracked payloads")
+    val again = Similarity.nativeAssignBlocked(v, c, Seq("vec_id"), blockCells = 4).collect()
+    assert(again.length == 50, "assignment broken after release")
+    Similarity.releaseAssignBroadcasts(spark)
+  }
+
 }
