@@ -662,6 +662,23 @@ object PQ {
           .filter(col("vec_id") % 3 === 1).select("vec_id")))
     },
 
+    // DELETE on the PQ tier (round 17 — the qn52 verb at this rung,
+    // closing the verbs x rungs matrix): tombstone a deterministic
+    // seventh, then probe — codebooks, assignment and codes stay the
+    // FULL corpus's (the index predates the delete); only the ADC
+    // candidate set excludes the tombstoned rows, which the oracle
+    // replays as a candidate filter on the same route/ADC/refine chain.
+    Q("qn55_ann_ivfpq_deletes",
+      sqlIvfPq("SELECT vec_id, embedding FROM embeddings", fixturePq,
+        candFilter = "a.vec_id % 7 <> 0")) { (s, dir) =>
+      val path = Similarity.newIndexDir()
+      buildPqIndex(s, dir, path)
+      deleteFromPqIndex(s,
+        Tables.embeddings(s, dir).filter(col("vec_id") % 7 === 0).select("vec_id"),
+        path)
+      probePqIndex(s, dir, path, 4, 5)
+    },
+
     // The RESIDUAL persisted form: the meta side's residual flag must carry
     // the encoding through build -> store -> probe dispatch, gated
     // against qn36's oracle.

@@ -434,7 +434,7 @@ object Similarity {
     // pays the full-precision read. The rerank discipline (and the
     // scale story) is qn33's: the compressed tier bounds IO, the exact
     // tier restores ranking quality on the survivors.
-    Q("qn34_ann_binary_hamming", sqlQn34) { (s, dir) => qn34Plan(s, dir) },
+    Q("qn34_ann_binary_hamming", sqlQn34()) { (s, dir) => qn34Plan(s, dir) },
 
     // Persisted signature index under the DRIVER gate (the qn38b
     // discipline, binary edition — round-14 verdict task 4): build the
@@ -443,7 +443,7 @@ object Similarity {
     // through the probe entry — must hash-match qn34's in-flight
     // oracle because the stored signatures are the same fold and the
     // probe replays the same Hamming/shortlist/refine chain.
-    Q("qn34b_ann_binary_hamming_persisted", sqlQn34) { (s, dir) =>
+    Q("qn34b_ann_binary_hamming_persisted", sqlQn34()) { (s, dir) =>
       val path = newIndexDir()
       BinarySig.buildBinIndex(s, dir, path)
       BinarySig.probeBinIndex(s, dir, path, 5)
@@ -490,7 +490,7 @@ object Similarity {
     // byte column is written once at ingest beside the floats (the
     // qn35 separate-column discipline) and the rank scan never reads
     // the float tail.
-    Q("qn38_ann_sq8", sqlQn38) { (s, dir) => qn38Plan(s, dir) },
+    Q("qn38_ann_sq8", sqlQn38()) { (s, dir) => qn38Plan(s, dir) },
 
     // Persisted SQ8 under the DRIVER gate (the qn39 discipline, SQ8
     // edition — round-13 verdict task 4): build the three-sided index
@@ -500,7 +500,7 @@ object Similarity {
     // hash-match qn38's in-flight oracle because the build persists
     // the same deterministic stats and codes, and the probe replays
     // the same rank/shortlist/refine chain from the stored artifacts.
-    Q("qn38b_ann_sq8_persisted", sqlQn38) { (s, dir) =>
+    Q("qn38b_ann_sq8_persisted", sqlQn38()) { (s, dir) =>
       val path = newIndexDir()
       SQ8.buildSq8Index(s, dir, path)
       SQ8.probeSq8Index(s, dir, path, 5)
@@ -579,7 +579,7 @@ object Similarity {
     // Matryoshka rung with a PARAMETERIZED prefix: 64 of 256 (the
     // production shape — the prefix is a model-declared corpus
     // parameter, not a fixed 16).
-    Q("qn48_ann_matryoshka_param", sqlQn48) { (s, dir) =>
+    Q("qn48_ann_matryoshka_param", sqlQn48()) { (s, dir) =>
       matryoshkaPlanFrom(
         wideVecs(s, dir).withColumn("nrm", l2normNative(col("embedding"))), 64)
     },
@@ -606,7 +606,7 @@ object Similarity {
     // side. Same sizing as qn48 (64-of-256 over the wide derivation),
     // so the probe replays qn48's oracle bit-exactly through the
     // persisted lifecycle.
-    Q("qn49_ann_matryoshka_persisted", sqlQn48) { (s, dir) =>
+    Q("qn49_ann_matryoshka_persisted", sqlQn48()) { (s, dir) =>
       val path = newIndexDir()
       val wv = wideVecs(s, dir)
       Matryoshka.buildMatryoshkaIndexFrom(s, wv, 64, path)
@@ -671,6 +671,116 @@ object Similarity {
         Tables.embeddings(s, dir).filter(col("vec_id") < 10)
           .select("vec_id", "embedding"),
         path, 4, 5,
+        allowed = Some(Tables.embeddings(s, dir)
+          .filter(col("vec_id") % 3 === 1).select("vec_id")))
+    },
+
+    // The qn52/qn53 lifecycle verbs, extended to EVERY persisted rung
+    // (round 17): deletes and filtered search were library-supported on
+    // all six index families but oracle-gated only on the composed/PQ
+    // tiers — these close the verbs x rungs matrix, so a regression in
+    // any rung's tombstone anti-join or allowed semi-join goes
+    // CORRECTNESS-red, not spec-only. Same fixture discipline
+    // throughout: delete a deterministic seventh (the index predates
+    // the delete, so centroids/envelopes are the FULL corpus's), or
+    // admit a deterministic third; the oracle replays the rung's
+    // published chain with only the candidate set filtered.
+
+    // Plain IVF: tombstones excluded from the routed cells' candidates.
+    Q("qn56_ann_ivf_deletes",
+        ivfOracleSql(candFilter = "a.vec_id % 7 <> 0")) { (s, dir) =>
+      val path = newIndexDir()
+      buildIvfIndex(s, dir, nCentroids = 16, path)
+      deleteFromIvfIndex(s,
+        Tables.embeddings(s, dir).filter(col("vec_id") % 7 === 0).select("vec_id"),
+        path)
+      probeIvfIndex(s, dir, path, nProbe = 4, k = 5)
+    },
+
+    // Plain IVF: allowed-ids semi-join binds before the within-cell
+    // top-k, so the result is exact filtered top-k in the routed cells.
+    Q("qn57_ann_ivf_filtered",
+        ivfOracleSql(candFilter = "a.vec_id % 3 = 1")) { (s, dir) =>
+      val path = newIndexDir()
+      buildIvfIndex(s, dir, nCentroids = 16, path)
+      probeIvfIndexWith(s,
+        Tables.embeddings(s, dir).filter(col("vec_id") < 10)
+          .select(col("vec_id"), col("embedding")),
+        path, nProbe = 4, k = 5,
+        allowed = Some(Tables.embeddings(s, dir)
+          .filter(col("vec_id") % 3 === 1).select("vec_id")))
+    },
+
+    // Binary rung: tombstoned signatures never enter the Hamming rank.
+    Q("qn58_ann_binary_deletes",
+        sqlQn34("s.vec_id % 7 <> 0")) { (s, dir) =>
+      val path = newIndexDir()
+      BinarySig.buildBinIndex(s, dir, path)
+      BinarySig.deleteFromBinIndex(s,
+        Tables.embeddings(s, dir).filter(col("vec_id") % 7 === 0).select("vec_id"),
+        path)
+      BinarySig.probeBinIndex(s, dir, path, 5)
+    },
+
+    // Binary rung: the filter binds before the 16-wide Hamming
+    // shortlist — filtered top-k, not a post-filtered shortlist.
+    Q("qn59_ann_binary_filtered",
+        sqlQn34("s.vec_id % 3 = 1")) { (s, dir) =>
+      val path = newIndexDir()
+      BinarySig.buildBinIndex(s, dir, path)
+      BinarySig.probeBinIndexWith(s,
+        Tables.embeddings(s, dir).filter(col("vec_id") < 10)
+          .select(col("vec_id"), col("embedding")),
+        path, 5,
+        allowed = Some(Tables.embeddings(s, dir)
+          .filter(col("vec_id") % 3 === 1).select("vec_id")))
+    },
+
+    // SQ8 rung: the envelope stays the full corpus's (frozen at build);
+    // only the byte-rank candidate set shrinks.
+    Q("qn60_ann_sq8_deletes",
+        sqlQn38("s.vec_id % 7 <> 0")) { (s, dir) =>
+      val path = newIndexDir()
+      SQ8.buildSq8Index(s, dir, path)
+      SQ8.deleteFromSq8Index(s,
+        Tables.embeddings(s, dir).filter(col("vec_id") % 7 === 0).select("vec_id"),
+        path)
+      SQ8.probeSq8Index(s, dir, path, 5)
+    },
+
+    // SQ8 rung: filtered integer-L2 rank.
+    Q("qn61_ann_sq8_filtered",
+        sqlQn38("s.vec_id % 3 = 1")) { (s, dir) =>
+      val path = newIndexDir()
+      SQ8.buildSq8Index(s, dir, path)
+      SQ8.probeSq8IndexWith(s,
+        Tables.embeddings(s, dir).filter(col("vec_id") < 10)
+          .select(col("vec_id"), col("embedding")),
+        path, 5,
+        allowed = Some(Tables.embeddings(s, dir)
+          .filter(col("vec_id") % 3 === 1).select("vec_id")))
+    },
+
+    // Matryoshka rung (at the qn49 production sizing — 64-of-256 over
+    // the wide derivation): tombstones excluded from the prefix rank.
+    Q("qn62_ann_matryoshka_deletes",
+        sqlQn48("s.vec_id % 7 <> 0")) { (s, dir) =>
+      val path = newIndexDir()
+      val wv = wideVecs(s, dir)
+      Matryoshka.buildMatryoshkaIndexFrom(s, wv, 64, path)
+      Matryoshka.deleteFromMatryoshkaIndex(s,
+        Tables.embeddings(s, dir).filter(col("vec_id") % 7 === 0).select("vec_id"),
+        path)
+      Matryoshka.probeMatryoshkaIndexWith(s, wv.filter(col("vec_id") < 10), path, 5)
+    },
+
+    // Matryoshka rung: filtered prefix-score shortlist.
+    Q("qn63_ann_matryoshka_filtered",
+        sqlQn48("s.vec_id % 3 = 1")) { (s, dir) =>
+      val path = newIndexDir()
+      val wv = wideVecs(s, dir)
+      Matryoshka.buildMatryoshkaIndexFrom(s, wv, 64, path)
+      Matryoshka.probeMatryoshkaIndexWith(s, wv.filter(col("vec_id") < 10), path, 5,
         allowed = Some(Tables.embeddings(s, dir)
           .filter(col("vec_id") % 3 === 1).select("vec_id")))
     }
@@ -825,7 +935,7 @@ object Similarity {
 
   /** qn48's oracle: the qn35 prefix-score/shortlist/re-rank chain with
     * a 64-of-256 prefix over the wide derivation. */
-  private def sqlQn48: String = {
+  private def sqlQn48(candFilter: String = "TRUE"): String = {
     val pre = (c: String) => s"list_slice($c, 1, 64)"
     s"""WITH e AS (SELECT vec_id, $sqlWideEmb AS embedding FROM embeddings),
        |v AS (SELECT vec_id, embedding, ${sqlL2norm("embedding")} AS nrm,
@@ -834,7 +944,7 @@ object Similarity {
        |      FROM v WHERE vec_id < 10),
        |c AS (SELECT p.qid, s.vec_id,
        |             ${sqlE6(s"${sqlDot(pre("p.pe"), pre("s.embedding"))} / (p.ppn * s.pnrm)")} AS pscore
-       |      FROM v s, p WHERE s.vec_id <> p.qid AND p.ppn > 0 AND s.pnrm > 0),
+       |      FROM v s, p WHERE s.vec_id <> p.qid AND p.ppn > 0 AND s.pnrm > 0 AND ($candFilter)),
        |sl AS (SELECT qid, vec_id FROM (
        |       SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
        |                   ORDER BY pscore DESC, vec_id) AS rn FROM c) WHERE rn <= 32),
@@ -991,7 +1101,7 @@ object Similarity {
 
   /** qn34's oracle (shared with qn34b's persisted gate): sign
     * signature, Hamming shortlist, exact re-rank. */
-  private def sqlQn34: String = {
+  private def sqlQn34(candFilter: String = "TRUE"): String = {
     val bit = "CASE WHEN d = 63 THEN CAST(-9223372036854775808 AS BIGINT) ELSE (1::BIGINT << d) END"
     val sig = "list_reduce(list_prepend(0::BIGINT, [CASE WHEN CAST(embedding[d+1] AS DOUBLE) > 0 " +
       s"THEN $bit ELSE 0::BIGINT END for d in range(0, 64)]), (a, b) -> a | b)"
@@ -1000,7 +1110,7 @@ object Similarity {
        |p AS (SELECT vec_id AS qid, embedding AS pe, nrm AS pn, sig AS psig
        |      FROM v WHERE vec_id < 10),
        |h AS (SELECT p.qid, s.vec_id, bit_count(xor(s.sig, p.psig)) AS ham
-       |      FROM v s, p WHERE s.vec_id <> p.qid),
+       |      FROM v s, p WHERE s.vec_id <> p.qid AND ($candFilter)),
        |sl AS (SELECT qid, vec_id, ham FROM (
        |       SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
        |                   ORDER BY ham, vec_id) AS rn FROM h) WHERE rn <= 16),
@@ -1016,7 +1126,7 @@ object Similarity {
   /** qn38's oracle (shared with qn38b's persisted gate): per-dim
     * envelope, affine byte map, integer-L2 rank, 16-wide shortlist,
     * exact cosine re-rank. */
-  private def sqlQn38: String = {
+  private def sqlQn38(candFilter: String = "TRUE"): String = {
     val isum = (xs: String) =>
       s"list_reduce(list_prepend(CAST(0 AS BIGINT), $xs), (a, b) -> a + b)"
     s"""WITH ve AS (SELECT vec_id, [CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT) for x in embedding] AS emb6
@@ -1032,7 +1142,7 @@ object Similarity {
        |      FROM qv JOIN v ON v.vec_id = qv.vec_id WHERE qv.vec_id < 10),
        |h AS (SELECT p.qid, s.vec_id,
        |             ${isum("list_transform(list_zip(s.q8, p.pq8), z -> (z[1]-z[2])*(z[1]-z[2]))")} AS qd2
-       |      FROM qv s, p WHERE s.vec_id <> p.qid),
+       |      FROM qv s, p WHERE s.vec_id <> p.qid AND ($candFilter)),
        |sl AS (SELECT qid, vec_id, qd2 FROM (
        |       SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
        |                   ORDER BY qd2, vec_id) AS rn FROM h) WHERE rn <= 16),
@@ -1055,7 +1165,8 @@ object Similarity {
   private def ivfOracleSql(centSrcFilter: String = "TRUE",
       sampleKeySql: String = "vec_id",
       probeFilter: String = "vec_id < 10",
-      coarseRoute: Boolean = false): String = {
+      coarseRoute: Boolean = false,
+      candFilter: String = "TRUE"): String = {
       val cosE6c = (a: String, b: String, an: String, bn: String) =>
         sqlE6(s"${sqlDot(a, b)} / ($an * $bn)")
       // Flat routing (qn10/qn10b/qn10c): each probe argsorts ALL 16
@@ -1112,7 +1223,7 @@ object Similarity {
          |s AS (SELECT pc.probe_id, a.vec_id,
          |             ${cosE6c("pc.pe", "a.embedding", "pc.pn", "a.nrm")} AS score_e6
          |      FROM asg a JOIN pc USING (cent_id)
-         |      WHERE a.vec_id <> pc.probe_id),
+         |      WHERE a.vec_id <> pc.probe_id AND ($candFilter)),
          |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
          |                 ORDER BY score_e6 DESC, vec_id) AS rnk FROM s)
          |SELECT probe_id, rnk, vec_id, score_e6 FROM r

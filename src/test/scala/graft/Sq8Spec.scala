@@ -175,6 +175,33 @@ class Sq8Spec extends AnyFunSuite {
       "fixture degenerate: the unfiltered top-k already satisfies the filter")
   }
 
+  test("delete and filtered search COMPOSE: the rank stage sees allowed minus tombstoned") {
+    val path = graft.operators.Similarity.newIndexDir()
+    SQ8.buildSq8Index(spark, sf, path)
+    val probes = Tables.embeddings(spark, sf).filter(col("vec_id") < 10)
+      .select("vec_id", "embedding")
+    val allowed = Tables.embeddings(spark, sf)
+      .filter(col("vec_id") % 3 === 1).select("vec_id")
+    // Tombstone the allowed ids that are 1 mod 21 — a strict subset of
+    // the filter, so every surviving candidate must pass BOTH verbs.
+    SQ8.deleteFromSq8Index(spark,
+      Tables.embeddings(spark, sf).filter(col("vec_id") % 21 === 1).select("vec_id"),
+      path)
+    val res = SQ8.probeSq8IndexWith(spark, probes, path, 5,
+      allowed = Some(allowed)).collect()
+    assert(res.length == 50, s"composed probe lost rows: ${res.length}")
+    assert(res.forall(r => r.getLong(2) % 3 == 1 && r.getLong(2) % 21 != 1),
+      "a disallowed or tombstoned row surfaced")
+    // Non-degeneracy: the filtered-only result DID contain ids the
+    // delete then removed, so the compose changed the answer.
+    val filteredOnlyPath = graft.operators.Similarity.newIndexDir()
+    SQ8.buildSq8Index(spark, sf, filteredOnlyPath)
+    val filteredOnly = SQ8.probeSq8IndexWith(spark, probes, filteredOnlyPath, 5,
+      allowed = Some(allowed)).collect()
+    assert(filteredOnly.exists(_.getLong(2) % 21 == 1),
+      "fixture degenerate: no tombstoned id ever surfaced pre-delete")
+  }
+
   test("interrupted rebuild heals: a partial stage is dropped; the live index is untouched") {
     import org.apache.hadoop.fs.Path
     val path = graft.operators.Similarity.newIndexDir()
