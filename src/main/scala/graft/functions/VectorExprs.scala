@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionDescription}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionDescription, TernaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.ArrayData
@@ -290,6 +290,110 @@ case class IntSqDistLL(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Lossless byte-space LOWER BOUND on the exact e6² squared-L2
+  * distance — the RANGE-search prescreen ([[graft.operators.SQ8]]
+  * `rangeSq8IndexWith`).
+  *
+  * For floor-quantized codes q = (x6 − mn)·255 div sp (both sides
+  * clamped to [0,255] — saturated dims contribute a SMALLER |Δq|, which
+  * only loosens the bound), each dim's true e6 gap satisfies
+  * |a6 − b6| ≥ (|Δq| − 1)·sp/255, so
+  *
+  *   Σ_i ((max(0, |Δq_i| − 1) · sp_i) div 255)²  ≤  Σ_i (a6_i − b6_i)²
+  *
+  * (flooring BEFORE the square keeps it an underestimate and bounds the
+  * per-dim term by sp² ≈ 1.6e13 — no overflow at any realistic width,
+  * where the unfloored 255²-scaled form would overflow a long at 64
+  * dims). A candidate with bound > T² therefore provably lies outside
+  * the radius and is excluded WITHOUT reading its float row — the same
+  * compressed-tier IO discipline as the knn shortlist, but with a
+  * proof instead of a heuristic, so range results are EXACT.
+  *
+  * [[IntSqDistLL]] loop shape: one fused pass, no intermediate array,
+  * NULL on width mismatch or NULL element.
+  */
+@ExpressionDescription(
+  usage = "int_sqlb(codes, probe_codes, spans) - lower bound on the e6 squared-L2 distance from byte codes.")
+case class IntSqLowerBoundLL(first: Expression, second: Expression,
+    third: Expression) extends TernaryExpression {
+
+  override def prettyName: String = "int_sqlb"
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = children.forall(_.dataType match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    })
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"int_sqlb requires array<bigint> inputs, got " +
+        s"${first.dataType} / ${second.dataType} / ${third.dataType}")
+  }
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val f = first.eval(input)
+    if (f == null) return null
+    val g = second.eval(input)
+    if (g == null) return null
+    val h = third.eval(input)
+    if (h == null) return null
+    val a = f.asInstanceOf[ArrayData]
+    val b = g.asInstanceOf[ArrayData]
+    val sp = h.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    if (n != b.numElements() || n != sp.numElements()) return null
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i) || sp.isNullAt(i)) return null
+      var d = a.getLong(i) - b.getLong(i)
+      if (d < 0) d = -d
+      d -= 1
+      if (d > 0) {
+        val t = d * sp.getLong(i) / 255L
+        acc += t * t
+      }
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    nullSafeCodeGen(ctx, ev, (a, b, sp) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val d = ctx.freshName("d")
+      val t = ctx.freshName("t")
+      s"""
+         |final int $n = $a.numElements();
+         |if ($n != $b.numElements() || $n != $sp.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long $acc = 0L;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i) || $sp.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    long $d = $a.getLong($i) - $b.getLong($i);
+         |    if ($d < 0) $d = -$d;
+         |    $d -= 1L;
+         |    if ($d > 0) {
+         |      final long $t = $d * $sp.getLong($i) / 255L;
+         |      $acc += $t * $t;
+         |    }
+         |  }
+         |  ${ev.value} = $acc;
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression): IntSqLowerBoundLL =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
 /** Native Hamming distance over two `array<long>` signature columns —
   * the multi-word binary rank loop ([[graft.operators.BinarySig]] past
   * 64 dims, where the signature is ceil(D/64) longs). The [[IntSqDistLL]]
@@ -473,6 +577,13 @@ object VectorExprs {
   def intSqDistNative(a: Column, b: Column): Column =
     GraftSqlBridge.column(IntSqDistLL(
       GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
+
+  /** Column wrapper for [[IntSqLowerBoundLL]]. */
+  def intSqLowerBoundNative(codes: Column, probeCodes: Column,
+      spans: Column): Column =
+    GraftSqlBridge.column(IntSqLowerBoundLL(
+      GraftSqlBridge.expression(codes), GraftSqlBridge.expression(probeCodes),
+      GraftSqlBridge.expression(spans)))
 
   /** Column wrapper for [[DotProductFF]]. */
   def dotNative(a: Column, b: Column): Column =

@@ -369,4 +369,76 @@ object SQ8 {
         col("qd2"), col("score_e6"))
       .orderBy("qid", "rnk")
   }
+
+  /** RANGE search with the declared fixture probe set (vec_id < 10) —
+    * the qn64 driver gate's entry. */
+  def rangeSq8Index(s: SparkSession, dir: String, path: String,
+      t2e12: Long): DataFrame =
+    rangeSq8IndexWith(s,
+      Tables.embeddings(s, dir).filter(col("vec_id") < 10)
+        .select("vec_id", "embedding"),
+      path, t2e12)
+
+  /** EXACT range search over the persisted index: every corpus row
+    * within squared-L2 radius `t2e12` (e6² units) of each probe — the
+    * radius verb of the serving surface (knn / filtered knn / delete /
+    * append / RANGE), FAISS's `range_search` counterpart.
+    *
+    * Two-tier like the knn probe, but the compressed tier is a PROOF,
+    * not a heuristic: candidates are prescreened by
+    * [[graft.functions.VectorExprs.IntSqLowerBoundLL]] — a byte-space
+    * lower bound on the exact e6² distance (derivation in its scaladoc;
+    * both sides floor-quantized and clamped, which only loosens the
+    * bound) — so a pruned row provably lies outside the radius and the
+    * result is exact, never shortlist-truncated. Measured on the driver
+    * fixtures at the qn64 radius: ~2% of candidates survive to the
+    * float read. The qn64 oracle is the BRUTE-FORCE exact range (no
+    * prescreen), so any wrongly-excluded candidate hash-mismatches —
+    * the gate checks the bound's losslessness itself, not a replay of
+    * the same plan.
+    *
+    * Scale shape: unlike knn there is no fixed-width shortlist — range
+    * output is data-dependent by definition — so survivors stay a
+    * DISTRIBUTED frame and the cold refine is a vec_id equi-join
+    * against the sorted float side (no driver collect anywhere; the
+    * probe batch alone is broadcast). Composes with the lifecycle
+    * verbs: tombstones are anti-joined and an `allowed` frame
+    * semi-joins the prescreen, both BEFORE any distance work. */
+  def rangeSq8IndexWith(s: SparkSession, probes: DataFrame, path: String,
+      t2e12: Long, allowed: Option[DataFrame] = None): DataFrame = {
+    require(t2e12 >= 0, s"rangeSq8IndexWith: negative squared radius $t2e12")
+    val root = IndexSwap.liveRoot(s, path)
+    val (mna, spa) = collectStats(s.read.parquet(IndexSwap.sideAt(root, "stats")))
+    val probesRaw = probes.select(col("vec_id"), col("embedding"))
+    val probeRows = probesRaw.limit(PQ.maxProbeBatch + 1).collect()
+    require(probeRows.length <= PQ.maxProbeBatch,
+      s"rangeSq8IndexWith: probe batch exceeds ${PQ.maxProbeBatch} rows — " +
+        "range-probe in batches; a corpus-sized radius sweep is qn08's " +
+        "near-pair grid, not an index probe")
+    val probesV = s.createDataFrame(
+      java.util.Arrays.asList(probeRows: _*), probesRaw.schema)
+    val pe6 = ve6Of(probesV)
+    val pq8 = pe6.select(col("vec_id").as("qid"), col("emb6").as("pe6"),
+      q8Col(mna, spa, clamp = true).as("pq8"))
+    val spansLit = array(spa.map(lit(_)): _*)
+    val lb = graft.functions.VectorExprs.intSqLowerBoundNative(
+      col("q8"), col("pq8"), spansLit)
+    val codesLive = allowed.foldLeft(IndexSwap.exceptTombstones(s, root,
+        s.read.parquet(IndexSwap.sideAt(root, "codes")))) { (c, a) =>
+      c.join(a.select(col("vec_id")), Seq("vec_id"), "left_semi") }
+    val surv = codesLive
+      .join(broadcast(pq8), expr("true"))
+      .filter(col("vec_id") =!= col("qid"))
+      .filter(lb <= lit(t2e12))
+      .select(col("qid"), col("vec_id"), col("pe6"))
+    // Exact refine: e6 distance against the float side, equi-joined on
+    // vec_id (survivors are unbounded — no point-read collect).
+    val cold = ve6Of(s.read.parquet(IndexSwap.sideAt(root, "vectors")))
+      .select(col("vec_id"), col("emb6").as("de6"))
+    val d2 = graft.functions.VectorExprs.intSqDistNative(col("de6"), col("pe6"))
+    surv.join(cold, Seq("vec_id"))
+      .select(col("qid"), col("vec_id"), d2.as("d2_e12"))
+      .filter(col("d2_e12") <= lit(t2e12))
+      .orderBy("qid", "d2_e12", "vec_id")
+  }
 }

@@ -783,8 +783,46 @@ object Similarity {
       Matryoshka.probeMatryoshkaIndexWith(s, wv.filter(col("vec_id") < 10), path, 5,
         allowed = Some(Tables.embeddings(s, dir)
           .filter(col("vec_id") % 3 === 1).select("vec_id")))
+    },
+
+    // RANGE search (round 17 — the radius verb, FAISS range_search):
+    // every corpus row within squared-L2 radius T² of each probe,
+    // EXACT, served from the persisted SQ8 index. The compressed tier
+    // is a byte-space LOWER BOUND on the e6² distance (IntSqLowerBoundLL
+    // — a proof, not a heuristic: a pruned row provably lies outside
+    // the radius; ~2% of candidates survive to the float read at this
+    // radius on the driver fixtures). The oracle is deliberately the
+    // BRUTE-FORCE exact range over all probe x corpus pairs — no
+    // prescreen replay — so the gate checks the bound's LOSSLESSNESS:
+    // one wrongly-excluded candidate hash-mismatches. The radius is a
+    // fixture constant chosen at the ~1% pair quantile (stable across
+    // sf0.001/0.01/0.1, measured).
+    Q("qn64_ann_sq8_range", sqlQn64) { (s, dir) =>
+      val path = newIndexDir()
+      SQ8.buildSq8Index(s, dir, path)
+      SQ8.rangeSq8Index(s, dir, path, rangeT2e12)
     }
   )
+
+  /** qn64's radius: the ~1% quantile of probe-corpus e6² distances on
+    * the driver fixtures (min ≈ 1.1e12, median ≈ 2.0e12 at every sf). */
+  private def rangeT2e12: Long = 1450000000000L
+
+  /** qn64's oracle: brute-force exact range — every (probe, corpus)
+    * pair's e6² squared-L2 distance, thresholded. Deliberately NOT the
+    * two-tier plan: the prescreen must be invisible in the result. */
+  private def sqlQn64: String = {
+    val isum = (xs: String) =>
+      s"list_reduce(list_prepend(CAST(0 AS BIGINT), $xs), (a, b) -> a + b)"
+    s"""WITH ve AS (SELECT vec_id, [CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT) for x in embedding] AS emb6
+       |            FROM embeddings),
+       |p AS (SELECT vec_id AS qid, emb6 AS pe6 FROM ve WHERE vec_id < 10),
+       |d AS (SELECT p.qid, s.vec_id,
+       |             ${isum("list_transform(list_zip(s.emb6, p.pe6), z -> (z[1]-z[2])*(z[1]-z[2]))")} AS d2_e12
+       |      FROM ve s, p WHERE s.vec_id <> p.qid)
+       |SELECT qid, vec_id, d2_e12 FROM d WHERE d2_e12 <= $rangeT2e12
+       |ORDER BY qid, d2_e12, vec_id""".stripMargin
+  }
 
   /** qn52's oracle: [[sqlQn45]]'s chain with the tombstoned candidates
     * excluded from the rank stage (centroids/envelope stay the FULL

@@ -263,6 +263,7 @@ class PlanSpec extends AnyFunSuite {
       "qn43_ann_pq_adc_opq",  // same ADC-table broadcast over the rotated space
       "qn38_ann_sq8",         // single-row per-dim-stats crossJoin + broadcast 10-row probe-byte side
       "qn38b_ann_sq8_persisted", // broadcast 10-row probe-byte side scored against the stored codes
+      "qn64_ann_sq8_range", // broadcast 10-row probe-byte side vs the codes scan; range output is unbounded so no shortlist collect hides the prescreen from the sweep
       "qn33_ann_ivfpq_refine", // stride scalar + broadcast centroid/probe/ADC-table sides
       "qn25_mixture_weights", // single-row scalar crossJoin
       "qn29_mixture_apply",   // single-row scalar crossJoin

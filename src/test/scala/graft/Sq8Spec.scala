@@ -202,6 +202,67 @@ class Sq8Spec extends AnyFunSuite {
       "fixture degenerate: no tombstoned id ever surfaced pre-delete")
   }
 
+  test("range search equals the brute-force exact range, including a clamped out-of-envelope appendee") {
+    val path = graft.operators.Similarity.newIndexDir()
+    SQ8.buildSq8Index(spark, sf, path)
+    // Appendee: probe 3's vector with dim 0 pushed ABOVE the corpus
+    // envelope — its stored byte saturates at 255, the case where the
+    // prescreen bound must LOOSEN, never tighten (a wrong exclusion
+    // here is exactly the clamp-unsafety the scaladoc derivation rules
+    // out). The nudge is small enough to keep it inside the radius of
+    // probe 3, so the assertion is non-vacuous.
+    val corpus = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val dim0Max = corpus.values.map(_(0)).max
+    val planted = corpus(3L).clone(); planted(0) = dim0Max + 0.05f
+    import spark.implicits._
+    SQ8.appendToSq8Index(spark,
+      Seq((66666L, planted.toSeq)).toDF("vec_id", "embedding")
+        .select(col("vec_id"), col("embedding").cast("array<float>")),
+      path)
+    val t2 = 1450000000000L
+    val got = SQ8.rangeSq8Index(spark, sf, path, t2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // Brute force over the grown corpus in plain Scala: e6 floors,
+    // exact squared distance, threshold.
+    def e6(v: Array[Float]) = v.map(x => math.floor(x.toDouble * 1e6).toLong)
+    val grown = corpus + (66666L -> planted)
+    val expected = (for {
+      (qid, qv) <- grown.toSeq if qid < 10
+      (cid, cv) <- grown.toSeq if cid != qid
+      d2 = e6(qv).zip(e6(cv)).map { case (a, b) => (a - b) * (a - b) }.sum
+      if d2 <= t2
+    } yield (qid, cid, d2)).toSet
+    assert(got == expected,
+      s"range mismatch: missing=${expected.diff(got).take(3)} extra=${got.diff(expected).take(3)}")
+    assert(expected.exists(_._2 == 66666L),
+      "fixture degenerate: the clamped appendee never entered the radius")
+  }
+
+  test("range search composes with DELETE and the allowed filter") {
+    val path = graft.operators.Similarity.newIndexDir()
+    SQ8.buildSq8Index(spark, sf, path)
+    val t2 = 2000000000000L // roomier radius so both verbs visibly bite
+    val base = SQ8.rangeSq8Index(spark, sf, path, t2).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    SQ8.deleteFromSq8Index(spark,
+      Tables.embeddings(spark, sf).filter(col("vec_id") % 7 === 0).select("vec_id"),
+      path)
+    val probes = Tables.embeddings(spark, sf).filter(col("vec_id") < 10)
+      .select("vec_id", "embedding")
+    val got = SQ8.rangeSq8IndexWith(spark, probes, path, t2,
+      allowed = Some(Tables.embeddings(spark, sf)
+        .filter(col("vec_id") % 3 === 1).select("vec_id"))).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = base.filter { case (_, id) => id % 3 == 1 && id % 7 != 0 }
+    assert(got == expected,
+      s"compose mismatch: missing=${expected.diff(got).take(3)} extra=${got.diff(expected).take(3)}")
+    assert(base.exists { case (_, id) => id % 7 == 0 } &&
+      base.exists { case (_, id) => id % 3 != 1 },
+      "fixture degenerate: neither verb changed the range result")
+  }
+
   test("interrupted rebuild heals: a partial stage is dropped; the live index is untouched") {
     import org.apache.hadoop.fs.Path
     val path = graft.operators.Similarity.newIndexDir()

@@ -71,6 +71,47 @@ class VectorExprsSpec extends AnyFunSuite {
     assert(graft.functions.IntSqDistLL(la, lb).eval(null) == (16L + 249L * 249L))
   }
 
+  test("native int_sqlb matches the HOF form bit for bit and LOWER-BOUNDS the exact distance") {
+    import spark.implicits._
+    import graft.functions.VectorExprs.{intSqLowerBoundNative, intSqDistNative}
+    // Deterministic pseudo-corpus: e6 values, their floor-quantized
+    // bytes against a shared envelope, and the spans — the exact shape
+    // the range prescreen evaluates.
+    val dims = 64
+    val mn = -2000000L; val sp = 4000000L
+    def e6s(seed: Int) = Seq.tabulate(dims)(j => mn + ((seed * 2654435761L + j * 40503L).abs % sp))
+    def q8(v: Seq[Long]) = v.map(x => ((x - mn) * 255L / sp).min(255L).max(0L))
+    val spans = Seq.fill(dims)(sp)
+    val rows = (0 until 50).map { i =>
+      (e6s(i), e6s(i + 1000), q8(e6s(i)), q8(e6s(i + 1000)), spans)
+    }.toDF("a6", "b6", "qa", "qb", "sp")
+    val hof = aggregate(
+      zip_with(zip_with(col("qa"), col("qb"), (x, y) => abs(x - y)), col("sp"),
+        (d, s) => {
+          val t = greatest(d - 1, lit(0L)) * s
+          val fl = (t - t % 255L) / 255L
+          (fl * fl).cast("long")
+        }),
+      lit(0L), (acc, z) => acc + z)
+    val got = rows.select(
+      intSqLowerBoundNative(col("qa"), col("qb"), col("sp")).as("n"), hof.as("h"),
+      intSqDistNative(col("a6"), col("b6")).as("exact")).collect()
+    got.foreach { r =>
+      assert(r.getLong(0) == r.getLong(1), s"native ${r.getLong(0)} != HOF ${r.getLong(1)}")
+      assert(r.getLong(0) <= r.getLong(2),
+        s"bound ${r.getLong(0)} exceeds exact distance ${r.getLong(2)}")
+    }
+    assert(got.exists(_.getLong(0) > 0L), "degenerate: every bound collapsed to 0")
+    // NULL semantics: width mismatch and NULL element yield NULL.
+    val edge = Seq(
+      (Some(Seq(Some(1L), Some(2L))), Some(Seq(Some(1L))), Some(Seq(Some(5L), Some(5L)))),
+      (Some(Seq(Some(1L), None)), Some(Seq(Some(1L), Some(2L))), Some(Seq(Some(5L), Some(5L)))),
+      (None: Option[Seq[Option[Long]]], Some(Seq(Some(1L))), Some(Seq(Some(5L))))
+    ).toDF("qa", "qb", "sp")
+    edge.select(intSqLowerBoundNative(col("qa"), col("qb"), col("sp")).as("n"))
+      .collect().foreach(r => assert(r.isNullAt(0)))
+  }
+
   test("native hamming_ll matches the per-word xor/bit_count HOF bit for bit, including null semantics") {
     import spark.implicits._
     import graft.functions.VectorExprs.hammingNative
