@@ -801,8 +801,117 @@ object Similarity {
       val path = newIndexDir()
       SQ8.buildSq8Index(s, dir, path)
       SQ8.rangeSq8Index(s, dir, path, rangeT2e12)
+    },
+
+    // HYBRID retrieval (round 17): keyword relevance AND embedding
+    // similarity fused by reciprocal rank — the serving shape behind
+    // "search the corpus" when neither tier alone suffices (keyword
+    // misses paraphrase, vector misses rare exact terms). Queries are
+    // the first five documents ("more like this"); each runs BOTH
+    // retrievers and the candidate union re-ranks by RRF.
+    //
+    //  - Keyword tier: BM25-shaped scoring in PURE INTEGER arithmetic
+    //    (the qt10/qt08 discipline — no cross-engine float log): idf is
+    //    the qt08 ratio (N*1e6 div df) and the BM25 saturation/length
+    //    terms use k1=1.2, b=0.75 scaled integral — contribution =
+    //    (22*tf*idf6) div (10*tf + 3 + (9*dl*N) div T). Same saturating
+    //    tf and doc-length normalization as real BM25, bit-identical in
+    //    both engines. (Scale note: idf6*22*tf must fit int64 — holds
+    //    to ~1e8 docs at tf<=1e3; past that, rank with doubles and keep
+    //    the integer form for gates.)
+    //  - Vector tier: exact cosine top-10 (the qn07 plan).
+    //  - Fusion: RRF at the standard K=60 — rrf_e6 = sum over lists of
+    //    1e6 div (60+rank) — rank-only, so the two tiers' incomparable
+    //    score scales never need calibration.
+    //
+    // Scale shape: the keyword tier is all equi-joins on term/doc_id
+    // (nothing corpus-derived broadcasts — the qt08 rule), the vector
+    // tier broadcasts only the 5-probe side, and fusion touches two
+    // top-10 lists per query.
+    Q("qn65_hybrid_retrieval", sqlQn65) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val tk = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+        .localCheckpoint(true) // barrier: feeds tf/df/dl/qt (qt08 discipline)
+      val tf = tk.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dfT = tk.groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
+      val dl = tk.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      val qt = tk.filter(col("doc_id") < 5)
+        .select(col("doc_id").as("qid"), col("term")).distinct()
+      val kw = qt.join(tf, "term").filter(col("doc_id") =!= col("qid"))
+        .join(dfT.hint("SHUFFLE_HASH"), "term")
+        .join(dl, "doc_id")
+        .crossJoin(docs.agg(count(lit(1)).as("n")))
+        .crossJoin(tk.agg(count(lit(1)).as("t")))
+        .withColumn("contrib", expr(
+          "(22 * tf * ((n * 1000000) div df)) div (10 * tf + 3 + (9 * dl * n) div t)"))
+        .groupBy("qid", "doc_id").agg(sum(col("contrib")).as("kws"))
+      val wK = Window.partitionBy(col("qid")).orderBy(col("kws").desc, col("doc_id").asc)
+      val kr = kw.withColumn("krnk", row_number().over(wK))
+        .filter(col("krnk") <= 10).select(col("qid"), col("doc_id"), col("krnk"))
+      val v = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"),
+        l2normNative(col("embedding")).as("nrm"))
+      val p = v.filter(col("vec_id") < 5).select(col("vec_id").as("qid"),
+        col("embedding").as("pe"), col("nrm").as("pn"))
+      val vsc = e6(cosine(dotNative(col("pe"), col("embedding")), col("pn"), col("nrm")))
+      val wV = Window.partitionBy(col("qid")).orderBy(col("vscore").desc, col("doc_id").asc)
+      val vr = v.join(broadcast(p), expr("true"))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id").as("doc_id"), vsc.as("vscore"))
+        .withColumn("vrnk", row_number().over(wV))
+        .filter(col("vrnk") <= 10).select(col("qid"), col("doc_id"), col("vrnk"))
+      val wF = Window.partitionBy(col("qid")).orderBy(col("rrf_e6").desc, col("doc_id").asc)
+      kr.join(vr, Seq("qid", "doc_id"), "full_outer")
+        .select(col("qid"), col("doc_id"),
+          (coalesce(expr("1000000 div (60 + krnk)"), lit(0L)) +
+           coalesce(expr("1000000 div (60 + vrnk)"), lit(0L))).as("rrf_e6"))
+        .withColumn("rnk", row_number().over(wF))
+        .filter(col("rnk") <= 5)
+        .select(col("qid"), col("rnk").cast("long").as("rnk"), col("doc_id"),
+          col("rrf_e6"))
+        .orderBy("qid", "rnk")
     }
   )
+
+  /** qn65's oracle: the same two retrievers and RRF fusion as CTEs —
+    * integer BM25-shaped keyword tier, exact-cosine vector tier,
+    * 1e6 div (60+rank) fusion over the top-10 union. */
+  private def sqlQn65: String = {
+    val toks = sqlTokens("text")
+    s"""WITH tk AS (SELECT doc_id, unnest($toks) AS term FROM documents),
+       |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tk GROUP BY 1, 2),
+       |dft AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tk GROUP BY 1),
+       |dl AS (SELECT doc_id, COUNT(*) AS dl FROM tk GROUP BY 1),
+       |nn AS (SELECT COUNT(*) AS n FROM documents),
+       |tt AS (SELECT COUNT(*) AS t FROM tk),
+       |qt AS (SELECT DISTINCT doc_id AS qid, term FROM tk WHERE doc_id < 5),
+       |kw AS (SELECT qt.qid, tf.doc_id,
+       |              CAST(SUM((22 * tf.tf * ((nn.n * 1000000) // dft.df)) //
+       |                   (10 * tf.tf + 3 + (9 * dl.dl * nn.n) // tt.t)) AS BIGINT) AS kws
+       |       FROM qt JOIN tf USING (term) JOIN dft USING (term)
+       |            JOIN dl ON dl.doc_id = tf.doc_id, nn, tt
+       |       WHERE tf.doc_id <> qt.qid GROUP BY 1, 2),
+       |kr AS (SELECT qid, doc_id, krnk FROM (
+       |       SELECT qid, doc_id, ROW_NUMBER() OVER (PARTITION BY qid
+       |                ORDER BY kws DESC, doc_id) AS krnk FROM kw) WHERE krnk <= 10),
+       |v AS (SELECT vec_id, embedding, ${sqlL2norm("embedding")} AS nrm FROM embeddings),
+       |p AS (SELECT vec_id AS qid, embedding AS pe, nrm AS pn FROM v WHERE vec_id < 5),
+       |vs AS (SELECT p.qid, s.vec_id AS doc_id,
+       |              ${sqlE6(s"${sqlDot("p.pe", "s.embedding")} / (p.pn * s.nrm)")} AS vscore
+       |       FROM v s, p WHERE s.vec_id <> p.qid),
+       |vr AS (SELECT qid, doc_id, vrnk FROM (
+       |       SELECT qid, doc_id, ROW_NUMBER() OVER (PARTITION BY qid
+       |                ORDER BY vscore DESC, doc_id) AS vrnk FROM vs) WHERE vrnk <= 10),
+       |f AS (SELECT COALESCE(kr.qid, vr.qid) AS qid,
+       |             COALESCE(kr.doc_id, vr.doc_id) AS doc_id,
+       |             COALESCE(1000000 // (60 + kr.krnk), 0) +
+       |             COALESCE(1000000 // (60 + vr.vrnk), 0) AS rrf_e6
+       |      FROM kr FULL OUTER JOIN vr
+       |        ON kr.qid = vr.qid AND kr.doc_id = vr.doc_id),
+       |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+       |               ORDER BY rrf_e6 DESC, doc_id) AS rnk FROM f)
+       |SELECT qid, rnk, doc_id, rrf_e6 FROM r WHERE rnk <= 5
+       |ORDER BY qid, rnk""".stripMargin
+  }
 
   /** qn64's radius: the ~1% quantile of probe-corpus e6² distances on
     * the driver fixtures (min ≈ 1.1e12, median ≈ 2.0e12 at every sf). */
