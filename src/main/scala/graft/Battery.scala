@@ -77,7 +77,8 @@ object Battery {
           .getOrElse(Seq(65536, 262144, 1024000)))
       case Some("pqlife")     => pqLife(spark, args.lift(1).map(_.toLong).getOrElse(4000000L))
       case Some("tombstone")  => tombstone(spark, args.lift(1).map(_.toLong).getOrElse(1000000L))
-      case other => sys.error(s"unknown battery: $other (skew|bloom|governance|paircurve|ivfjoin|ingest|ingestgrow|pq|pqdispatch|pqserve|pqiters|pqopq|pqopqserve|pqlat|ladder|ladderdim|pqlife|argmaxsweep|tombstone)")
+      case Some("range")      => rangeB(spark, args.lift(1).map(_.toLong).getOrElse(1000000L))
+      case other => sys.error(s"unknown battery: $other (skew|bloom|governance|paircurve|ivfjoin|ingest|ingestgrow|pq|pqdispatch|pqserve|pqiters|pqopq|pqopqserve|pqlat|ladder|ladderdim|pqlife|argmaxsweep|tombstone|range)")
     }
     spark.stop()
   }
@@ -1053,6 +1054,66 @@ object Battery {
     val (_, warm2) = probe() // fresh version: codegen/listing warm-up again
     val (cleanRows2, clean2Sec) = probe()
     println(f"""{"battery":"tombstone","vectors":$n,"cells":$nCells,"build_sec":$bSec%.1f,"probe_clean_sec":$cleanSec%.2f,"probe_filtered_sec":$filtSec%.2f,"delete_sec":$dSec%.1f,"probe_tombstoned_sec":$tombSec%.2f,"deletes_bytes":$delBytes,"reclaim_sec":$rSec%.1f,"probe_reclaimed_sec":$clean2Sec%.2f,"rows":"${cleanRows.length}/${filtRows.length}/${tombRows.length}/${cleanRows2.length}","warm":"$warm%.2f/$warm2%.2f"}""")
+  }
+
+  // ---- range --------------------------------------------------------------
+
+  /** Prices the qn64 RANGE verb at scale on the clustered corpus:
+    * per radius, the prescreen's candidate survival (the byte bound's
+    * pruning power — the whole point of the compressed tier), the
+    * two-tier wall, and a BRUTE arm (exact e6 distance over the full
+    * float side, no prescreen — same rows by construction, so the delta
+    * is what the bound buys). Radii bracket the corpus's cluster
+    * geometry: within-cluster (~6.4e7 e6² on this generator), the
+    * cluster boundary, and a loose sweep. */
+  private def rangeB(s: SparkSession, n: Long): Unit = {
+    import operators.{IndexSwap, SQ8}
+    import graft.functions.VectorExprs.{intSqDistNative, intSqLowerBoundNative}
+    val root = pqClusteredCorpus(s, n, "range")
+    val path = operators.Similarity.newIndexDir()
+    val (_, bSec) = timed(SQ8.buildSq8Index(s, root, path))
+    val r0 = IndexSwap.liveRoot(s, path)
+    val probesDf = Tables.embeddings(s, root).filter(col("vec_id") < 10)
+      .select("vec_id", "embedding")
+    val radii = Seq(100000000L, 1000000000L, 100000000000L)
+    val out = radii.map { t2 =>
+      val (rows, sec) = timed(
+        SQ8.rangeSq8Index(s, root, path, t2).collect())
+      // Prescreen survival: the codes-scan filter alone (what the
+      // refine would read), through the REAL encoder (SQ8.q8Col — one
+      // definition; an inline replica here could drift from the plan
+      // the verb actually runs).
+      val (mna, spa) = SQ8.collectStats(
+        s.read.parquet(IndexSwap.sideAt(r0, "stats")))
+      val pq8 = SQ8.ve6Of(probesDf)
+        .select(col("vec_id").as("qid"),
+          SQ8.q8Col(mna, spa, clamp = true).as("pq8"))
+      val spansLit = array(spa.map(lit(_)): _*)
+      val surv = s.read.parquet(IndexSwap.sideAt(r0, "codes"))
+        .join(broadcast(pq8), expr("true"))
+        .filter(col("vec_id") =!= col("qid"))
+        .filter(intSqLowerBoundNative(col("q8"), col("pq8"), spansLit) <= lit(t2))
+        .count()
+      // Brute arm: no prescreen — exact distance over every float row.
+      val pe6 = Tables.embeddings(s, root).filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), transform(col("embedding"),
+          x => floor(x.cast("double") * 1000000).cast("long")).as("pe6"))
+      val (bruteRows, bruteSec) = timed(
+        s.read.parquet(IndexSwap.sideAt(r0, "vectors"))
+          .select(col("vec_id"), transform(col("embedding"),
+            x => floor(x.cast("double") * 1000000).cast("long")).as("de6"))
+          .join(broadcast(pe6), expr("true"))
+          .filter(col("vec_id") =!= col("qid"))
+          .filter(intSqDistNative(col("de6"), col("pe6")) <= lit(t2))
+          .count())
+      require(bruteRows == rows.length,
+        s"range@$t2: two-tier ${rows.length} rows != brute $bruteRows — bound not lossless")
+      (t2, rows.length, surv, sec, bruteSec)
+    }
+    val js = out.map { case (t2, rws, sv, sec, bsec) =>
+      f"""{"t2":$t2,"rows":$rws,"prescreen_rows":$sv,"range_sec":$sec%.2f,"brute_sec":$bsec%.2f}"""
+    }.mkString("[", ",", "]")
+    println(f"""{"battery":"range","vectors":$n,"build_sec":$bSec%.1f,"radii":$js}""")
   }
 
   // ---- pqlife -------------------------------------------------------------

@@ -62,7 +62,7 @@ object SQ8 {
   private def isinMaxIds(s: SparkSession): Int =
     s.conf.getOption("spark.graft.sq8.isinMaxIds").map(_.toInt).getOrElse(10000)
 
-  private[operators] def ve6Of(v: DataFrame): DataFrame =
+  private[graft] def ve6Of(v: DataFrame): DataFrame =
     v.select(col("vec_id"), transform(col("embedding"),
       x => floor(x.cast("double") * 1000000).cast("long")).as("emb6"))
 
@@ -90,7 +90,7 @@ object SQ8 {
     * window, so malformed rows would silently dominate every probe's
     * shortlist (a valid-looking index with degraded recall). O(D)
     * per row, same cost class as the transform itself. */
-  private[operators] def q8Col(mna: Array[Long], spa: Array[Long], clamp: Boolean): Column = {
+  private[graft] def q8Col(mna: Array[Long], spa: Array[Long], clamp: Boolean): Column = {
     val d = mna.length
     val checked = when(size(col("emb6")) === d &&
         !exists(col("emb6"), x => x.isNull), col("emb6"))
@@ -107,7 +107,7 @@ object SQ8 {
   }
 
   /** Collect a stats frame to (mna, spa) pos-major arrays. */
-  private[operators] def collectStats(stats: DataFrame): (Array[Long], Array[Long]) = {
+  private[graft] def collectStats(stats: DataFrame): (Array[Long], Array[Long]) = {
     val st = stats.orderBy("pos").collect()
     require(st.nonEmpty, "SQ8: empty stats — cannot build/serve over an empty corpus")
     (st.map(_.getLong(1)), st.map(_.getLong(2)))
@@ -398,12 +398,17 @@ object SQ8 {
     * the same plan.
     *
     * Scale shape: unlike knn there is no fixed-width shortlist — range
-    * output is data-dependent by definition — so survivors stay a
-    * DISTRIBUTED frame and the cold refine is a vec_id equi-join
-    * against the sorted float side (no driver collect anywhere; the
-    * probe batch alone is broadcast). Composes with the lifecycle
-    * verbs: tombstones are anti-joined and an `allowed` frame
-    * semi-joins the prescreen, both BEFORE any distance work. */
+    * output is data-dependent by definition — so the cold refine
+    * DISPATCHES on the measured survivor count (the isinMaxIds
+    * discipline): up to [[rangeCollectMax]] survivors are collected
+    * and the float side is POINT-READ under an isin/between pushdown
+    * (measured at 1M x 70 survivors: the distributed-join form paid a
+    * full cold-side shuffle and LOST to brute force; the point-read
+    * form wins ~3x); past the cap the survivors stay a distributed
+    * frame and the refine is a vec_id equi-join against the sorted
+    * float side — unbounded output, no driver collect. Composes with
+    * the lifecycle verbs: tombstones are anti-joined and an `allowed`
+    * frame semi-joins the prescreen, both BEFORE any distance work. */
   def rangeSq8IndexWith(s: SparkSession, probes: DataFrame, path: String,
       t2e12: Long, allowed: Option[DataFrame] = None): DataFrame = {
     require(t2e12 >= 0, s"rangeSq8IndexWith: negative squared radius $t2e12")
@@ -427,18 +432,43 @@ object SQ8 {
         s.read.parquet(IndexSwap.sideAt(root, "codes")))) { (c, a) =>
       c.join(a.select(col("vec_id")), Seq("vec_id"), "left_semi") }
     val surv = codesLive
-      .join(broadcast(pq8), expr("true"))
+      .join(broadcast(pq8.select(col("qid"), col("pq8"))), expr("true"))
       .filter(col("vec_id") =!= col("qid"))
       .filter(lb <= lit(t2e12))
-      .select(col("qid"), col("vec_id"), col("pe6"))
-    // Exact refine: e6 distance against the float side, equi-joined on
-    // vec_id (survivors are unbounded — no point-read collect).
-    val cold = ve6Of(s.read.parquet(IndexSwap.sideAt(root, "vectors")))
-      .select(col("vec_id"), col("emb6").as("de6"))
+      .select(col("qid"), col("vec_id"))
+    // Exact refine: e6 distance against the float side. Survivor-count
+    // dispatch (see scaladoc): point-read when bounded, equi-join when
+    // not.
+    val pe6b = broadcast(pq8.select(col("qid"), col("pe6")))
     val d2 = graft.functions.VectorExprs.intSqDistNative(col("de6"), col("pe6"))
-    surv.join(cold, Seq("vec_id"))
+    val coldAll = s.read.parquet(IndexSwap.sideAt(root, "vectors"))
+    val cap = rangeCollectMax(s)
+    val survRows = surv.limit(cap + 1).collect()
+    val refined = if (survRows.length <= cap) {
+      val localSurv = s.createDataFrame(
+        java.util.Arrays.asList(survRows: _*), surv.schema)
+      val ids = survRows.map(_.getLong(1)).distinct.toSeq
+      val push =
+        if (ids.isEmpty) lit(false)
+        else if (ids.length <= isinMaxIds(s)) col("vec_id").isin(ids: _*)
+        else col("vec_id").between(ids.min, ids.max)
+      val cold = ve6Of(coldAll.filter(push))
+        .select(col("vec_id"), col("emb6").as("de6"))
+      broadcast(localSurv).join(cold, Seq("vec_id")).join(pe6b, Seq("qid"))
+    } else {
+      val cold = ve6Of(coldAll).select(col("vec_id"), col("emb6").as("de6"))
+      surv.join(cold, Seq("vec_id")).join(pe6b, Seq("qid"))
+    }
+    refined
       .select(col("qid"), col("vec_id"), d2.as("d2_e12"))
       .filter(col("d2_e12") <= lit(t2e12))
       .orderBy("qid", "d2_e12", "vec_id")
   }
+
+  /** Survivor count up to which the range refine collects and
+    * point-reads the cold side; above it the refine stays a
+    * distributed equi-join (unbounded range output). */
+  private def rangeCollectMax(s: SparkSession): Int =
+    s.conf.getOption("spark.graft.sq8.rangeCollectMax").map(_.toInt)
+      .getOrElse(1000000)
 }

@@ -797,10 +797,30 @@ object Similarity {
     // one wrongly-excluded candidate hash-mismatches. The radius is a
     // fixture constant chosen at the ~1% pair quantile (stable across
     // sf0.001/0.01/0.1, measured).
-    Q("qn64_ann_sq8_range", sqlQn64) { (s, dir) =>
+    Q("qn64_ann_sq8_range", sqlQn64()) { (s, dir) =>
       val path = newIndexDir()
       SQ8.buildSq8Index(s, dir, path)
       SQ8.rangeSq8Index(s, dir, path, rangeT2e12)
+    },
+
+    // RANGE x the lifecycle verbs (the qn52/qn53 discipline on the
+    // radius verb): tombstone a seventh, admit a third — the exact
+    // range result must be the brute-force range over allowed-minus-
+    // deleted candidates. Still the no-prescreen oracle, so the bound's
+    // losslessness stays the thing being proved.
+    Q("qn66_ann_sq8_range_filtered",
+        sqlQn64("s.vec_id % 7 <> 0 AND s.vec_id % 3 = 1")) { (s, dir) =>
+      val path = newIndexDir()
+      SQ8.buildSq8Index(s, dir, path)
+      SQ8.deleteFromSq8Index(s,
+        Tables.embeddings(s, dir).filter(col("vec_id") % 7 === 0).select("vec_id"),
+        path)
+      SQ8.rangeSq8IndexWith(s,
+        Tables.embeddings(s, dir).filter(col("vec_id") < 10)
+          .select("vec_id", "embedding"),
+        path, rangeT2e12,
+        allowed = Some(Tables.embeddings(s, dir)
+          .filter(col("vec_id") % 3 === 1).select("vec_id")))
     },
 
     // HYBRID retrieval (round 17): keyword relevance AND embedding
@@ -920,7 +940,7 @@ object Similarity {
   /** qn64's oracle: brute-force exact range — every (probe, corpus)
     * pair's e6² squared-L2 distance, thresholded. Deliberately NOT the
     * two-tier plan: the prescreen must be invisible in the result. */
-  private def sqlQn64: String = {
+  private def sqlQn64(candFilter: String = "TRUE"): String = {
     val isum = (xs: String) =>
       s"list_reduce(list_prepend(CAST(0 AS BIGINT), $xs), (a, b) -> a + b)"
     s"""WITH ve AS (SELECT vec_id, [CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT) for x in embedding] AS emb6
@@ -928,7 +948,7 @@ object Similarity {
        |p AS (SELECT vec_id AS qid, emb6 AS pe6 FROM ve WHERE vec_id < 10),
        |d AS (SELECT p.qid, s.vec_id,
        |             ${isum("list_transform(list_zip(s.emb6, p.pe6), z -> (z[1]-z[2])*(z[1]-z[2]))")} AS d2_e12
-       |      FROM ve s, p WHERE s.vec_id <> p.qid)
+       |      FROM ve s, p WHERE s.vec_id <> p.qid AND ($candFilter))
        |SELECT qid, vec_id, d2_e12 FROM d WHERE d2_e12 <= $rangeT2e12
        |ORDER BY qid, d2_e12, vec_id""".stripMargin
   }

@@ -263,7 +263,7 @@ class PlanSpec extends AnyFunSuite {
       "qn43_ann_pq_adc_opq",  // same ADC-table broadcast over the rotated space
       "qn38_ann_sq8",         // single-row per-dim-stats crossJoin + broadcast 10-row probe-byte side
       "qn38b_ann_sq8_persisted", // broadcast 10-row probe-byte side scored against the stored codes
-      "qn64_ann_sq8_range", // broadcast 10-row probe-byte side vs the codes scan; range output is unbounded so no shortlist collect hides the prescreen from the sweep
+      "qn64_ann_sq8_range", // broadcast 10-row probe-byte side vs the codes scan (surfaces in the over-cap distributed-refine branch; the fixture path collects survivors and point-reads)
       "qn65_hybrid_retrieval", // vector tier broadcasts the 5-probe side (qn07 shape); keyword tier is all equi-joins
       "qn33_ann_ivfpq_refine", // stride scalar + broadcast centroid/probe/ADC-table sides
       "qn25_mixture_weights", // single-row scalar crossJoin
