@@ -294,6 +294,16 @@ object BinarySig {
     // mid-probe can never mix a shortlist from one version with
     // refine rows from another.
     val root = IndexSwap.liveRoot(s, path)
+    probeBinResolved(s, probes, root, k, allowed, form = None)
+  }
+
+  /** The probe pipeline against a PINNED version root — shared by the
+    * per-call entry (resolves fresh; `form = None` re-reads the stored
+    * signature shape) and [[BinIndexHandle.probeWith]] (cached
+    * (multiWord, dim), zero metadata reads). */
+  private def probeBinResolved(s: SparkSession, probes: DataFrame,
+      root: String, k: Int, allowed: Option[DataFrame],
+      form: Option[(Boolean, Int)]): DataFrame = {
     val probesRaw = probes.select(col("vec_id"), col("embedding"),
       l2normNative(col("embedding")).as("nrm"))
     val probeRows = probesRaw.limit(PQ.maxProbeBatch + 1).collect()
@@ -315,8 +325,11 @@ object BinarySig {
     val codes = allowed.foldLeft(IndexSwap.exceptTombstones(s, root,
       s.read.parquet(IndexSwap.sideAt(root, "codes")))) { (c, a) =>
       c.join(a.select(col("vec_id")), Seq("vec_id"), "left_semi") }
-    val multiWord = codes.schema("sig").dataType !=
-      org.apache.spark.sql.types.LongType
+    val (multiWord, dim) = form.getOrElse {
+      val mw = codes.schema("sig").dataType !=
+        org.apache.spark.sql.types.LongType
+      (mw, if (mw) storedDim(s, root) else 64)
+    }
     val psig =
       if (!multiWord)
         probesV.select(col("vec_id").as("qid"), sigCol(col("embedding")).as("psig"))
@@ -329,7 +342,7 @@ object BinarySig {
         // raises on ANY probe-width mismatch — the loud-failure
         // contract the scaladoc promises.
         probesV.select(col("vec_id").as("qid"),
-          sigWordsCol(col("embedding"), storedDim(s, root)).as("psig"))
+          sigWordsCol(col("embedding"), dim).as("psig"))
     val hamExpr =
       if (!multiWord) bit_count(col("sig").bitwiseXOR(col("psig"))).cast("long")
       else graft.functions.VectorExprs.hammingNative(col("sig"), col("psig"))
@@ -363,5 +376,42 @@ object BinarySig {
       .select(col("qid"), col("rnk").cast("long").as("rnk"), col("vec_id"),
         col("hamming"), col("score_e6"))
       .orderBy("qid", "rnk")
+  }
+
+  /** Serve-session handle for the binary rung — the
+    * [[SQ8.Sq8IndexHandle]] discipline: pins a version root and the
+    * stored signature FORM (one-long vs multi-word, stored dim), so a
+    * handle probe pays zero metadata reads (the per-call entry
+    * re-LISTs the version, re-infers the sig schema from a parquet
+    * footer, and — multi-word only — point-reads the stored dim on
+    * every call). Staleness: the PQ contract verbatim — liveVersion
+    * re-check per call, re-open cached once per committed version. */
+  final case class BinIndexHandle private[operators] (path: String,
+      version: Long, root: String, multiWord: Boolean, dim: Int) {
+    private val current =
+      new java.util.concurrent.atomic.AtomicReference[BinIndexHandle](this)
+    /** The version the handle currently serves from. */
+    def currentVersion: Long = current.get().version
+    /** knn through the cached form (bit-identical to the per-call
+      * entry — BinarySigSpec pins handle == per-call). */
+    def probeWith(s: SparkSession, probes: DataFrame, k: Int,
+        allowed: Option[DataFrame] = None): DataFrame = {
+      val cached = current.get()
+      val h =
+        if (IndexSwap.liveVersion(s, path) == cached.version) cached
+        else { val fresh = openBinIndex(s, path); current.set(fresh); fresh }
+      probeBinResolved(s, probes, h.root, k, allowed,
+        form = Some((h.multiWord, h.dim)))
+    }
+  }
+
+  /** Open a serve-session handle: resolve the version once, read the
+    * stored signature form once. */
+  def openBinIndex(s: SparkSession, path: String): BinIndexHandle = {
+    val version = IndexSwap.liveVersion(s, path)
+    val root = if (version == 0L) path else s"$path/v$version"
+    val mw = s.read.parquet(IndexSwap.sideAt(root, "codes"))
+      .schema("sig").dataType != org.apache.spark.sql.types.LongType
+    BinIndexHandle(path, version, root, mw, if (mw) storedDim(s, root) else 64)
   }
 }

@@ -241,8 +241,17 @@ object Matryoshka {
     // here — a probe racing an in-flight rebuild's staging must never
     // delete the stage dir out from under the writer.
     val root = IndexSwap.liveRoot(s, path)
-    val fullDim = storedDim(s, root)
-    val prefix = storedPrefix(s, root)
+    probeMatryoshkaResolved(s, probes, root, storedDim(s, root),
+      storedPrefix(s, root), k, allowed)
+  }
+
+  /** The probe pipeline against a PINNED version root and
+    * already-read stored widths — shared by the per-call entry (reads
+    * them fresh: two point reads) and
+    * [[MatryoshkaIndexHandle.probeWith]] (cached). */
+  private def probeMatryoshkaResolved(s: SparkSession, probes: DataFrame,
+      root: String, fullDim: Int, prefix: Int,
+      k: Int, allowed: Option[DataFrame]): DataFrame = {
     val probesRaw = probes.select(col("vec_id"), col("embedding"),
       l2normNative(col("embedding")).as("nrm"))
     val probeRows = probesRaw.limit(PQ.maxProbeBatch + 1).collect()
@@ -286,5 +295,39 @@ object Matryoshka {
       .select(col("qid"), col("rnk").cast("long").as("rnk"), col("vec_id"),
         col("score_e6"))
       .orderBy("qid", "rnk")
+  }
+
+  /** Serve-session handle for the matryoshka rung — the
+    * [[SQ8.Sq8IndexHandle]] discipline: pins a version root and the
+    * two stored widths (full dim, prefix), so a handle probe pays zero
+    * metadata reads (the per-call entry re-LISTs the version and
+    * point-reads both widths every call). Staleness: the PQ contract
+    * verbatim — liveVersion re-check per call, re-open cached once per
+    * committed version. */
+  final case class MatryoshkaIndexHandle private[operators] (path: String,
+      version: Long, root: String, fullDim: Int, prefix: Int) {
+    private val current =
+      new java.util.concurrent.atomic.AtomicReference[MatryoshkaIndexHandle](this)
+    /** The version the handle currently serves from. */
+    def currentVersion: Long = current.get().version
+    /** knn through the cached widths (bit-identical to the per-call
+      * entry — MatryoshkaSpec pins handle == per-call). */
+    def probeWith(s: SparkSession, probes: DataFrame, k: Int,
+        allowed: Option[DataFrame] = None): DataFrame = {
+      val cached = current.get()
+      val h =
+        if (IndexSwap.liveVersion(s, path) == cached.version) cached
+        else { val fresh = openMatryoshkaIndex(s, path); current.set(fresh); fresh }
+      probeMatryoshkaResolved(s, probes, h.root, h.fullDim, h.prefix, k, allowed)
+    }
+  }
+
+  /** Open a serve-session handle: resolve the version once, read both
+    * stored widths once. */
+  def openMatryoshkaIndex(s: SparkSession, path: String): MatryoshkaIndexHandle = {
+    val version = IndexSwap.liveVersion(s, path)
+    val root = if (version == 0L) path else s"$path/v$version"
+    MatryoshkaIndexHandle(path, version, root,
+      storedDim(s, root), storedPrefix(s, root))
   }
 }

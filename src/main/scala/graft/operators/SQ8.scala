@@ -311,6 +311,15 @@ object SQ8 {
     // (a silently wrong shortlist, not an error).
     val root = IndexSwap.liveRoot(s, path)
     val (mna, spa) = collectStats(s.read.parquet(IndexSwap.sideAt(root, "stats")))
+    probeSq8Resolved(s, probes, root, mna, spa, k, allowed)
+  }
+
+  /** The probe pipeline against a PINNED version root and an already-
+    * collected envelope — shared by the per-call entry (reads them
+    * fresh) and [[Sq8IndexHandle.probeWith]] (cached). */
+  private def probeSq8Resolved(s: SparkSession, probes: DataFrame,
+      root: String, mna: Array[Long], spa: Array[Long],
+      k: Int, allowed: Option[DataFrame]): DataFrame = {
     val probesRaw = probes.select(col("vec_id"), col("embedding"),
       l2normNative(col("embedding")).as("nrm"))
     val probeRows = probesRaw.limit(PQ.maxProbeBatch + 1).collect()
@@ -411,9 +420,17 @@ object SQ8 {
     * frame semi-joins the prescreen, both BEFORE any distance work. */
   def rangeSq8IndexWith(s: SparkSession, probes: DataFrame, path: String,
       t2e12: Long, allowed: Option[DataFrame] = None): DataFrame = {
-    require(t2e12 >= 0, s"rangeSq8IndexWith: negative squared radius $t2e12")
     val root = IndexSwap.liveRoot(s, path)
     val (mna, spa) = collectStats(s.read.parquet(IndexSwap.sideAt(root, "stats")))
+    rangeSq8Resolved(s, probes, root, mna, spa, t2e12, allowed)
+  }
+
+  /** The range pipeline against a PINNED root and collected envelope
+    * (the [[probeSq8Resolved]] split, range edition). */
+  private def rangeSq8Resolved(s: SparkSession, probes: DataFrame,
+      root: String, mna: Array[Long], spa: Array[Long],
+      t2e12: Long, allowed: Option[DataFrame]): DataFrame = {
+    require(t2e12 >= 0, s"rangeSq8IndexWith: negative squared radius $t2e12")
     val probesRaw = probes.select(col("vec_id"), col("embedding"))
     val probeRows = probesRaw.limit(PQ.maxProbeBatch + 1).collect()
     require(probeRows.length <= PQ.maxProbeBatch,
@@ -471,4 +488,53 @@ object SQ8 {
   private def rangeCollectMax(s: SparkSession): Int =
     s.conf.getOption("spark.graft.sq8.rangeCollectMax").map(_.toInt)
       .getOrElse(1000000)
+
+  /** Serve-session handle for the flat SQ8 rung — the
+    * [[PQ.PqIndexHandle]] discipline without the routing tier: pins a
+    * version root and the COLLECTED envelope arrays, so a handle
+    * probe/range pays zero store reads outside the codes scan and the
+    * cold refine (the per-call entries re-resolve the version — one
+    * LIST — and re-read the D-row stats parquet on every call; a
+    * serving fleet pays that once per REBUILD instead).
+    *
+    * Staleness follows the PQ contract verbatim: calls re-check
+    * [[IndexSwap.liveVersion]] (one LIST) and the re-open is cached in
+    * an [[java.util.concurrent.atomic.AtomicReference]] — once per
+    * committed version, never per call; a stale handle inside the
+    * reader-grace window is still CORRECT (its version dir is
+    * immutable and retained one cycle). */
+  final case class Sq8IndexHandle private[operators] (path: String,
+      version: Long, root: String, mna: Array[Long], spa: Array[Long]) {
+    private val current =
+      new java.util.concurrent.atomic.AtomicReference[Sq8IndexHandle](this)
+    /** The version the handle currently serves from. */
+    def currentVersion: Long = current.get().version
+    private def refreshed(s: SparkSession): Sq8IndexHandle = {
+      val cached = current.get()
+      if (IndexSwap.liveVersion(s, path) == cached.version) cached
+      else { val fresh = openSq8Index(s, path); current.set(fresh); fresh }
+    }
+    /** knn through the cached envelope (the probeSq8IndexWith rows,
+      * bit-identical — Sq8Spec pins handle == per-call). */
+    def probeWith(s: SparkSession, probes: DataFrame, k: Int,
+        allowed: Option[DataFrame] = None): DataFrame = {
+      val h = refreshed(s)
+      probeSq8Resolved(s, probes, h.root, h.mna, h.spa, k, allowed)
+    }
+    /** Range through the cached envelope (the rangeSq8IndexWith rows). */
+    def rangeWith(s: SparkSession, probes: DataFrame, t2e12: Long,
+        allowed: Option[DataFrame] = None): DataFrame = {
+      val h = refreshed(s)
+      rangeSq8Resolved(s, probes, h.root, h.mna, h.spa, t2e12, allowed)
+    }
+  }
+
+  /** Open a serve-session handle: resolve the version once, collect
+    * the D-row envelope once. */
+  def openSq8Index(s: SparkSession, path: String): Sq8IndexHandle = {
+    val version = IndexSwap.liveVersion(s, path)
+    val root = if (version == 0L) path else s"$path/v$version"
+    val (mna, spa) = collectStats(s.read.parquet(IndexSwap.sideAt(root, "stats")))
+    Sq8IndexHandle(path, version, root, mna, spa)
+  }
 }

@@ -22,6 +22,36 @@ class BinarySigSpec extends AnyFunSuite {
     assert(persisted == inFlight)
   }
 
+  test("serve handle: probe matches the per-call entry bit-exactly (both sig forms) and re-opens after a rebuild") {
+    val path = graft.operators.Similarity.newIndexDir()
+    BinarySig.buildBinIndex(spark, sf, path)
+    val probeFrame = Tables.embeddings(spark, sf).filter(col("vec_id") < 10)
+      .select("vec_id", "embedding")
+    val handle = BinarySig.openBinIndex(spark, path)
+    assert(handle.probeWith(spark, probeFrame, 5).collect().map(_.toString).toSeq ==
+      BinarySig.probeBinIndex(spark, sf, path, 5).collect().map(_.toString).toSeq,
+      "handle probe diverged from the per-call entry")
+    BinarySig.rebalanceBinIndex(spark, path)
+    assert(handle.probeWith(spark, probeFrame, 5).collect().map(_.toString).toSeq ==
+      BinarySig.probeBinIndex(spark, sf, path, 5).collect().map(_.toString).toSeq,
+      "stale handle did not re-open on the new version")
+    assert(handle.currentVersion == graft.operators.IndexSwap.liveVersion(spark, path),
+      "re-open was discarded instead of cached")
+    // Multi-word form: the handle caches (multiWord, dim) — the
+    // 256-dim wide derivation exercises the cached-form path end to
+    // end.
+    val wide = Tables.embeddings(spark, sf).select(col("vec_id"),
+      graft.operators.Similarity.wideEmb(col("embedding")).as("embedding"))
+    val path2 = graft.operators.Similarity.newIndexDir()
+    BinarySig.buildBinIndexFrom(spark, wide, path2, 256)
+    val wideProbes = wide.filter(col("vec_id") < 10)
+    assert(BinarySig.openBinIndex(spark, path2)
+        .probeWith(spark, wideProbes, 5).collect().map(_.toString).toSeq ==
+      BinarySig.probeBinIndexWith(spark, wideProbes, path2, 5)
+        .collect().map(_.toString).toSeq,
+      "multi-word handle probe diverged from the per-call entry")
+  }
+
   test("append signs new vectors bit-identically; a planted near-copy is found; old cells untouched") {
     val path = graft.operators.Similarity.newIndexDir()
     BinarySig.buildBinIndex(spark, sf, path)

@@ -22,6 +22,25 @@ class MatryoshkaSpec extends AnyFunSuite {
     assert(persisted == inflight, "persisted probe diverged from the qn35 plan")
   }
 
+  test("serve handle: probe matches the per-call entry bit-exactly and re-opens after a rebuild") {
+    val path = graft.operators.Similarity.newIndexDir()
+    Matryoshka.buildMatryoshkaIndex(spark, sf, 16, path)
+    val probeFrame = Tables.embeddings(spark, sf).filter(col("vec_id") < 10)
+      .select("vec_id", "embedding")
+    val handle = Matryoshka.openMatryoshkaIndex(spark, path)
+    assert(handle.probeWith(spark, probeFrame, 5).collect().map(_.toString).toSeq ==
+      Matryoshka.probeMatryoshkaIndex(spark, sf, path, 5)
+        .collect().map(_.toString).toSeq,
+      "handle probe diverged from the per-call entry")
+    Matryoshka.rebalanceMatryoshkaIndex(spark, path)
+    assert(handle.probeWith(spark, probeFrame, 5).collect().map(_.toString).toSeq ==
+      Matryoshka.probeMatryoshkaIndex(spark, sf, path, 5)
+        .collect().map(_.toString).toSeq,
+      "stale handle did not re-open on the new version")
+    assert(handle.currentVersion == graft.operators.IndexSwap.liveVersion(spark, path),
+      "re-open was discarded instead of cached")
+  }
+
   test("append: O(new) stored-prefix encode; a planted near-copy surfaces; wrong-width probe fails loudly") {
     val path = graft.operators.Similarity.newIndexDir()
     Matryoshka.buildMatryoshkaIndex(spark, sf, 16, path)

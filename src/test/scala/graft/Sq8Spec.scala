@@ -263,6 +263,29 @@ class Sq8Spec extends AnyFunSuite {
       "fixture degenerate: neither verb changed the range result")
   }
 
+  test("serve handle: probe and range match the per-call entries bit-exactly and re-open after a rebuild") {
+    val path = graft.operators.Similarity.newIndexDir()
+    SQ8.buildSq8Index(spark, sf, path)
+    val probeFrame = Tables.embeddings(spark, sf).filter(col("vec_id") < 10)
+      .select("vec_id", "embedding")
+    val handle = SQ8.openSq8Index(spark, path)
+    assert(handle.probeWith(spark, probeFrame, 5).collect().map(_.toString).toSeq ==
+      SQ8.probeSq8Index(spark, sf, path, 5).collect().map(_.toString).toSeq,
+      "handle probe diverged from the per-call entry")
+    val t2 = 1450000000000L
+    assert(handle.rangeWith(spark, probeFrame, t2).collect().map(_.toString).toSeq ==
+      SQ8.rangeSq8Index(spark, sf, path, t2).collect().map(_.toString).toSeq,
+      "handle range diverged from the per-call entry")
+    // Staleness: the SAME handle serves the rebuilt index, and the
+    // re-open is cached (the PQ handle contract verbatim).
+    SQ8.rebalanceSq8Index(spark, path)
+    assert(handle.probeWith(spark, probeFrame, 5).collect().map(_.toString).toSeq ==
+      SQ8.probeSq8Index(spark, sf, path, 5).collect().map(_.toString).toSeq,
+      "stale handle did not re-open on the new version")
+    assert(handle.currentVersion == graft.operators.IndexSwap.liveVersion(spark, path),
+      "re-open was discarded instead of cached")
+  }
+
   test("interrupted rebuild heals: a partial stage is dropped; the live index is untouched") {
     import org.apache.hadoop.fs.Path
     val path = graft.operators.Similarity.newIndexDir()
