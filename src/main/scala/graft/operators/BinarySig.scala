@@ -405,6 +405,10 @@ object BinarySig {
     }
   }
 
+  /** DESCRIBE the live index — the [[IndexSwap.describeIndex]] verb. */
+  def describeBinIndex(s: SparkSession, path: String): DataFrame =
+    IndexSwap.describeIndex(s, path, binSides)
+
   /** Open a serve-session handle: resolve the version once, read the
     * stored signature form once. */
   def openBinIndex(s: SparkSession, path: String): BinIndexHandle = {

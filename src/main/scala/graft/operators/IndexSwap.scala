@@ -218,4 +218,31 @@ private[graft] object IndexSwap {
     val fs = fsOf(s, path)
     if (fs.exists(stageRoot(path))) fs.delete(stageRoot(path), true): Unit
   }
+
+  /** DESCRIBE the live version — the ops/introspection verb every rung
+    * wraps (qn67): one row per present side, (side, n_rows), with the
+    * optional `deletes` side included when tombstones exist (its
+    * n_rows counts appended tombstone RECORDS — the write-side debt the
+    * reclaim trigger weighs — which equals distinct ids under the
+    * documented re-append-is-a-caller-error contract). Zero Spark
+    * jobs: a version LIST plus parquet FOOTER reads, O(files) — the
+    * poll a serving fleet runs for occupancy/tombstone-debt dashboards
+    * without touching executors or data pages. */
+  def describeIndex(s: SparkSession, path: String,
+      sides: Seq[String]): org.apache.spark.sql.DataFrame = {
+    val root = liveRoot(s, path)
+    val fs = fsOf(s, path)
+    val rows = (sides :+ "deletes").distinct.sorted.flatMap { side =>
+      val dir = sideAt(root, side)
+      if (fs.exists(new Path(dir)))
+        Some(org.apache.spark.sql.Row(side, Similarity.parquetRowCount(s, dir)))
+      else None
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("side",
+        org.apache.spark.sql.types.StringType, false),
+      org.apache.spark.sql.types.StructField("n_rows",
+        org.apache.spark.sql.types.LongType, false)))
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+  }
 }

@@ -430,6 +430,10 @@ object IvfSq8 {
 
   /** Open a serve-session handle: resolve the version once, collect
     * the centroid table (√N rows) and the D-row envelope once. */
+  /** DESCRIBE the live index — the [[IndexSwap.describeIndex]] verb. */
+  def describeIvfSq8Index(s: SparkSession, path: String): DataFrame =
+    IndexSwap.describeIndex(s, path, sides)
+
   def openIvfSq8Index(s: SparkSession, path: String): IvfSq8IndexHandle = {
     val version = IndexSwap.liveVersion(s, path)
     val root = if (version == 0L) path else s"$path/v$version"

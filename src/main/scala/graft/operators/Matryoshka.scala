@@ -322,6 +322,10 @@ object Matryoshka {
     }
   }
 
+  /** DESCRIBE the live index — the [[IndexSwap.describeIndex]] verb. */
+  def describeMatryoshkaIndex(s: SparkSession, path: String): DataFrame =
+    IndexSwap.describeIndex(s, path, mSides)
+
   /** Open a serve-session handle: resolve the version once, read both
     * stored widths once. */
   def openMatryoshkaIndex(s: SparkSession, path: String): MatryoshkaIndexHandle = {

@@ -1827,6 +1827,11 @@ object PQ {
     * once, and collect the centroid + codebook tables (sqrt(N) and
     * M x K rows — manifest-class) into local relations every later
     * probe plans against without touching the store. */
+  /** DESCRIBE the live index — the [[IndexSwap.describeIndex]] verb
+    * (the optional `rotation` side reports when present). */
+  def describePqIndex(s: SparkSession, path: String): DataFrame =
+    IndexSwap.describeIndex(s, path, pqSides :+ "rotation")
+
   def openPqIndex(s: SparkSession, path: String): PqIndexHandle = {
     val version = IndexSwap.liveVersion(s, path)
     val root = if (version == 0L) path else s"$path/v$version"

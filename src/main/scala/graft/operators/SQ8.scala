@@ -529,6 +529,12 @@ object SQ8 {
     }
   }
 
+  /** DESCRIBE the live index — (side, n_rows) per present side, the
+    * [[IndexSwap.describeIndex]] footer-walk verb (qn67 gates it on
+    * this rung). */
+  def describeSq8Index(s: SparkSession, path: String): DataFrame =
+    IndexSwap.describeIndex(s, path, sq8Sides)
+
   /** Open a serve-session handle: resolve the version once, collect
     * the D-row envelope once. */
   def openSq8Index(s: SparkSession, path: String): Sq8IndexHandle = {

@@ -785,6 +785,8 @@ object Similarity {
           .filter(col("vec_id") % 3 === 1).select("vec_id")))
     },
 
+    qn67Entry,
+
     // RANGE search (round 17 — the radius verb, FAISS range_search):
     // every corpus row within squared-L2 radius T² of each probe,
     // EXACT, served from the persisted SQ8 index. The compressed tier
@@ -931,6 +933,29 @@ object Similarity {
        |               ORDER BY rrf_e6 DESC, doc_id) AS rnk FROM f)
        |SELECT qid, rnk, doc_id, rrf_e6 FROM r WHERE rnk <= 5
        |ORDER BY qid, rnk""".stripMargin
+  }
+
+  /** qn67: DESCRIBE as the ops verb of the index surface — build,
+    * delete a seventh, then introspect. The footer-walk counts must
+    * equal what the lifecycle ACTUALLY persisted: codes/vectors = the
+    * corpus (tombstones are deferred debt, not physical deletes),
+    * stats = one row per dim, deletes = the tombstone record count.
+    * The oracle derives every number from the corpus, so a lifecycle
+    * regression (a build dropping rows, a delete physically erasing,
+    * a double-appended tombstone) goes hash-red. */
+  private def qn67Entry: Q = Q("qn67_index_describe",
+    """SELECT side, n_rows FROM (
+      |  SELECT 'codes' AS side, CAST(COUNT(*) AS BIGINT) AS n_rows FROM embeddings
+      |  UNION ALL SELECT 'deletes', CAST(COUNT(*) AS BIGINT) FROM embeddings WHERE vec_id % 7 = 0
+      |  UNION ALL SELECT 'stats', 64
+      |  UNION ALL SELECT 'vectors', CAST(COUNT(*) AS BIGINT) FROM embeddings)
+      |ORDER BY side""".stripMargin) { (s, dir) =>
+    val path = newIndexDir()
+    SQ8.buildSq8Index(s, dir, path)
+    SQ8.deleteFromSq8Index(s,
+      Tables.embeddings(s, dir).filter(col("vec_id") % 7 === 0).select("vec_id"),
+      path)
+    SQ8.describeSq8Index(s, path).orderBy("side")
   }
 
   /** qn64's radius: the ~1% quantile of probe-corpus e6² distances on
@@ -2085,6 +2110,10 @@ object Similarity {
 
   /** Open an IVF serve-session handle: one version resolve + one
     * centroid collect. */
+  /** DESCRIBE the live IVF index — the [[IndexSwap.describeIndex]] verb. */
+  def describeIvfIndex(s: SparkSession, path: String): DataFrame =
+    IndexSwap.describeIndex(s, path, ivfSides)
+
   def openIvfIndex(s: SparkSession, path: String): IvfIndexHandle = {
     val version = IndexSwap.liveVersion(s, path)
     val root = if (version == 0L) path else s"$path/v$version"
