@@ -850,54 +850,86 @@ object Similarity {
     // (nothing corpus-derived broadcasts — the qt08 rule), the vector
     // tier broadcasts only the 5-probe side, and fusion touches two
     // top-10 lists per query.
-    Q("qn65_hybrid_retrieval", sqlQn65) { (s, dir) =>
-      val docs = Tables.documents(s, dir)
-      val tk = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
-        .localCheckpoint(true) // barrier: feeds tf/df/dl/qt (qt08 discipline)
-      val tf = tk.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      val dfT = tk.groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
-      val dl = tk.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-      val qt = tk.filter(col("doc_id") < 5)
-        .select(col("doc_id").as("qid"), col("term")).distinct()
-      val kw = qt.join(tf, "term").filter(col("doc_id") =!= col("qid"))
-        .join(dfT.hint("SHUFFLE_HASH"), "term")
-        .join(dl, "doc_id")
-        .crossJoin(docs.agg(count(lit(1)).as("n")))
-        .crossJoin(tk.agg(count(lit(1)).as("t")))
-        .withColumn("contrib", expr(
-          "(22 * tf * ((n * 1000000) div df)) div (10 * tf + 3 + (9 * dl * n) div t)"))
-        .groupBy("qid", "doc_id").agg(sum(col("contrib")).as("kws"))
-      val wK = Window.partitionBy(col("qid")).orderBy(col("kws").desc, col("doc_id").asc)
-      val kr = kw.withColumn("krnk", row_number().over(wK))
-        .filter(col("krnk") <= 10).select(col("qid"), col("doc_id"), col("krnk"))
-      val v = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"),
-        l2normNative(col("embedding")).as("nrm"))
-      val p = v.filter(col("vec_id") < 5).select(col("vec_id").as("qid"),
-        col("embedding").as("pe"), col("nrm").as("pn"))
-      val vsc = e6(cosine(dotNative(col("pe"), col("embedding")), col("pn"), col("nrm")))
-      val wV = Window.partitionBy(col("qid")).orderBy(col("vscore").desc, col("doc_id").asc)
-      val vr = v.join(broadcast(p), expr("true"))
-        .filter(col("vec_id") =!= col("qid"))
-        .select(col("qid"), col("vec_id").as("doc_id"), vsc.as("vscore"))
-        .withColumn("vrnk", row_number().over(wV))
-        .filter(col("vrnk") <= 10).select(col("qid"), col("doc_id"), col("vrnk"))
-      val wF = Window.partitionBy(col("qid")).orderBy(col("rrf_e6").desc, col("doc_id").asc)
-      kr.join(vr, Seq("qid", "doc_id"), "full_outer")
-        .select(col("qid"), col("doc_id"),
-          (coalesce(expr("1000000 div (60 + krnk)"), lit(0L)) +
-           coalesce(expr("1000000 div (60 + vrnk)"), lit(0L))).as("rrf_e6"))
-        .withColumn("rnk", row_number().over(wF))
-        .filter(col("rnk") <= 5)
-        .select(col("qid"), col("rnk").cast("long").as("rnk"), col("doc_id"),
-          col("rrf_e6"))
-        .orderBy("qid", "rnk")
-    }
+    Q("qn65_hybrid_retrieval", sqlQn65()) { (s, dir) =>
+      hybridRetrievalPlan(s, dir, allowed = None)
+    },
+
+    // FILTERED hybrid retrieval (the qn53 discipline on the fused
+    // verb, with a REAL metadata predicate): "more like this, English
+    // only" — the allowed frame is a semi-join off the documents
+    // table's lang column, and it binds on the CANDIDATE side of BOTH
+    // tiers before their top-10 windows, so the fused top-5 is exact
+    // filtered retrieval, not a post-filtered fusion that starves as
+    // the filter tightens.
+    Q("qn68_hybrid_filtered",
+        sqlQn65(kwFilter =
+            "AND tf.doc_id IN (SELECT doc_id FROM documents WHERE lang = 'en')",
+          vecFilter =
+            "AND s.vec_id IN (SELECT doc_id FROM documents WHERE lang = 'en')")) { (s, dir) =>
+      hybridRetrievalPlan(s, dir, allowed = Some(
+        Tables.documents(s, dir).filter(col("lang") === "en").select("doc_id")))
+    },
+
   )
 
-  /** qn65's oracle: the same two retrievers and RRF fusion as CTEs —
-    * integer BM25-shaped keyword tier, exact-cosine vector tier,
-    * 1e6 div (60+rank) fusion over the top-10 union. */
-  private def sqlQn65: String = {
+  /** The qn65/qn68 plan: both retrievers + RRF fusion, with an
+    * optional allowed-docs frame semi-joining each tier's CANDIDATES
+    * before its top-10 window (queries stay unfiltered probes). */
+  private def hybridRetrievalPlan(s: SparkSession, dir: String,
+      allowed: Option[DataFrame]): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val tk = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .localCheckpoint(true) // barrier: feeds tf/df/dl/qt (qt08 discipline)
+    val tf = tk.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfT = tk.groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
+    val dl = tk.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val qt = tk.filter(col("doc_id") < 5)
+      .select(col("doc_id").as("qid"), col("term")).distinct()
+    val kwCand = allowed.foldLeft(
+        qt.join(tf, "term").filter(col("doc_id") =!= col("qid"))) { (f, a) =>
+      f.join(a.select(col("doc_id")), Seq("doc_id"), "left_semi") }
+    val kw = kwCand
+      .join(dfT.hint("SHUFFLE_HASH"), "term")
+      .join(dl, "doc_id")
+      .crossJoin(docs.agg(count(lit(1)).as("n")))
+      .crossJoin(tk.agg(count(lit(1)).as("t")))
+      .withColumn("contrib", expr(
+        "(22 * tf * ((n * 1000000) div df)) div (10 * tf + 3 + (9 * dl * n) div t)"))
+      .groupBy("qid", "doc_id").agg(sum(col("contrib")).as("kws"))
+    val wK = Window.partitionBy(col("qid")).orderBy(col("kws").desc, col("doc_id").asc)
+    val kr = kw.withColumn("krnk", row_number().over(wK))
+      .filter(col("krnk") <= 10).select(col("qid"), col("doc_id"), col("krnk"))
+    val v = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"),
+      l2normNative(col("embedding")).as("nrm"))
+    val p = v.filter(col("vec_id") < 5).select(col("vec_id").as("qid"),
+      col("embedding").as("pe"), col("nrm").as("pn"))
+    val vCand = allowed.foldLeft(v) { (f, a) =>
+      f.join(a.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi") }
+    val vsc = e6(cosine(dotNative(col("pe"), col("embedding")), col("pn"), col("nrm")))
+    val wV = Window.partitionBy(col("qid")).orderBy(col("vscore").desc, col("doc_id").asc)
+    val vr = vCand.join(broadcast(p), expr("true"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("doc_id"), vsc.as("vscore"))
+      .withColumn("vrnk", row_number().over(wV))
+      .filter(col("vrnk") <= 10).select(col("qid"), col("doc_id"), col("vrnk"))
+    val wF = Window.partitionBy(col("qid")).orderBy(col("rrf_e6").desc, col("doc_id").asc)
+    kr.join(vr, Seq("qid", "doc_id"), "full_outer")
+      .select(col("qid"), col("doc_id"),
+        (coalesce(expr("1000000 div (60 + krnk)"), lit(0L)) +
+         coalesce(expr("1000000 div (60 + vrnk)"), lit(0L))).as("rrf_e6"))
+      .withColumn("rnk", row_number().over(wF))
+      .filter(col("rnk") <= 5)
+      .select(col("qid"), col("rnk").cast("long").as("rnk"), col("doc_id"),
+        col("rrf_e6"))
+      .orderBy("qid", "rnk")
+  }
+
+  /** qn65/qn68's oracle: the same two retrievers and RRF fusion as
+    * CTEs — integer BM25-shaped keyword tier, exact-cosine vector
+    * tier, 1e6 div (60+rank) fusion over the top-10 union; the two
+    * filter fragments restrict each tier's candidates (qn68's
+    * lang-predicate semi-join). */
+  private def sqlQn65(kwFilter: String = "", vecFilter: String = ""): String = {
     val toks = sqlTokens("text")
     s"""WITH tk AS (SELECT doc_id, unnest($toks) AS term FROM documents),
        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tk GROUP BY 1, 2),
@@ -911,7 +943,7 @@ object Similarity {
        |                   (10 * tf.tf + 3 + (9 * dl.dl * nn.n) // tt.t)) AS BIGINT) AS kws
        |       FROM qt JOIN tf USING (term) JOIN dft USING (term)
        |            JOIN dl ON dl.doc_id = tf.doc_id, nn, tt
-       |       WHERE tf.doc_id <> qt.qid GROUP BY 1, 2),
+       |       WHERE tf.doc_id <> qt.qid $kwFilter GROUP BY 1, 2),
        |kr AS (SELECT qid, doc_id, krnk FROM (
        |       SELECT qid, doc_id, ROW_NUMBER() OVER (PARTITION BY qid
        |                ORDER BY kws DESC, doc_id) AS krnk FROM kw) WHERE krnk <= 10),
@@ -919,7 +951,7 @@ object Similarity {
        |p AS (SELECT vec_id AS qid, embedding AS pe, nrm AS pn FROM v WHERE vec_id < 5),
        |vs AS (SELECT p.qid, s.vec_id AS doc_id,
        |              ${sqlE6(s"${sqlDot("p.pe", "s.embedding")} / (p.pn * s.nrm)")} AS vscore
-       |       FROM v s, p WHERE s.vec_id <> p.qid),
+       |       FROM v s, p WHERE s.vec_id <> p.qid $vecFilter),
        |vr AS (SELECT qid, doc_id, vrnk FROM (
        |       SELECT qid, doc_id, ROW_NUMBER() OVER (PARTITION BY qid
        |                ORDER BY vscore DESC, doc_id) AS vrnk FROM vs) WHERE vrnk <= 10),

@@ -109,6 +109,45 @@ class MatryoshkaSpec extends AnyFunSuite {
     assert(p1 == p2, "rebalance is not a fixpoint")
   }
 
+  test("streaming vector ingest maintains the index: foreachBatch O(new) appends, compaction fires mid-stream") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.hadoop.fs.Path
+    val path = graft.operators.Similarity.newIndexDir()
+    Matryoshka.buildMatryoshkaIndex(spark, sf, 16, path)
+    val total0 = spark.read.parquet(graft.operators.IndexSwap.side(spark, path, "prefix")).count()
+    def preFiles: Int = graft.sources.LakeListing.dataFiles(
+      spark.sessionState.newHadoopConf(),
+      new Path(graft.operators.IndexSwap.side(spark, path, "prefix"))).size
+    val threshold = preFiles + 3
+    val ms = MemoryStream[(Long, Seq[Float])]
+    val q = ms.toDF().toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+      .writeStream.foreachBatch {
+        (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          // The sibling rungs' split: the append stays O(new) (a fired
+          // trigger only drops the marker); maintenance runs as its
+          // own per-batch step.
+          Matryoshka.appendToMatryoshkaIndex(b.sparkSession, b, path,
+            autoCompact = Some(threshold))
+          Matryoshka.maintainMatryoshkaIndex(b.sparkSession, path): Unit
+      }.start()
+    val verBefore = graft.operators.IndexSwap.liveVersion(spark, path)
+    try {
+      val rows = Tables.embeddings(spark, sf).filter(col("vec_id") < 40)
+        .select((col("vec_id") + 200000L).as("vec_id"), col("embedding"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toSeq))
+      rows.grouped(8).foreach { batch => ms.addData(batch.toSeq); q.processAllAvailable() }
+    } finally q.stop()
+    assert(spark.read.parquet(graft.operators.IndexSwap.side(spark, path, "prefix")).count() == total0 + 40,
+      "stream lost or duplicated prefix rows")
+    assert(graft.operators.IndexSwap.liveVersion(spark, path) > verBefore,
+      "compaction never fired in-stream")
+    assert(preFiles <= threshold + 1, s"stream left the layout fragmented: $preFiles files")
+    assert(Matryoshka.probeMatryoshkaIndex(spark, sf, path, 5).count() == 50)
+  }
+
   test("delete: a tombstoned row vanishes from probes immediately; the rebuild reclaims it physically") {
     import spark.implicits._
     val path = graft.operators.Similarity.newIndexDir()

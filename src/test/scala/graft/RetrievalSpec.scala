@@ -32,4 +32,15 @@ class RetrievalSpec extends AnyFunSuite {
     assert(fused.keySet.exists(q => fused(q) != vecTop.getOrElse(q, Set.empty[Long])),
       "fused top-5 equals the vector tier's for every query — keyword tier inert")
   }
+
+  test("filtered hybrid retrieval admits only lang='en' docs and the filter visibly bites") {
+    val en = Tables.documents(spark, sf).filter(col("lang") === "en")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val res = SparkEntry.queries("qn68_hybrid_filtered")(spark, sf).collect()
+    assert(res.length == 25, s"expected 5 queries x top-5, got ${res.length}")
+    assert(res.forall(r => en.contains(r.getLong(2))), "a non-English doc surfaced")
+    val unfiltered = SparkEntry.queries("qn65_hybrid_retrieval")(spark, sf).collect()
+    assert(!unfiltered.forall(r => en.contains(r.getLong(2))),
+      "fixture degenerate: the unfiltered fusion is already all-English")
+  }
 }
