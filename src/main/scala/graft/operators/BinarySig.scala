@@ -396,10 +396,8 @@ object BinarySig {
       * entry — BinarySigSpec pins handle == per-call). */
     def probeWith(s: SparkSession, probes: DataFrame, k: Int,
         allowed: Option[DataFrame] = None): DataFrame = {
-      val cached = current.get()
-      val h =
-        if (IndexSwap.liveVersion(s, path) == cached.version) cached
-        else { val fresh = openBinIndex(s, path); current.set(fresh); fresh }
+      val h = IndexSwap.refreshHandle(s, path, current,
+        (_: BinIndexHandle).version, () => openBinIndex(s, path))
       probeBinResolved(s, probes, h.root, k, allowed,
         form = Some((h.multiWord, h.dim)))
     }

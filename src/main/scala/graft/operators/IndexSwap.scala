@@ -205,7 +205,11 @@ private[graft] object IndexSwap {
       .foreach(v => fs.delete(new Path(s"$path/v$v"), true): Unit)
     // Legacy unversioned sides are "version 0": superseded by v1, kept
     // through the retained window as the reader grace, then deleted.
-    if (next >= retain + 1) sides.foreach { sd =>
+    // The optional tombstone side rides along (round-17 review): a
+    // pre-versioned index's $path/deletes is version-0 state like any
+    // declared side — the committing rebuild physically reclaimed it,
+    // so leaving it would orphan dead storage no reader ever resolves.
+    if (next >= retain + 1) (sides :+ "deletes").foreach { sd =>
       val legacy = new Path(s"$path/$sd")
       if (fs.exists(legacy)) fs.delete(legacy, true): Unit
     }
@@ -217,6 +221,20 @@ private[graft] object IndexSwap {
   def recover(s: SparkSession, path: String, sides: Seq[String]): Unit = {
     val fs = fsOf(s, path)
     if (fs.exists(stageRoot(path))) fs.delete(stageRoot(path), true): Unit
+  }
+
+  /** The serve-handle staleness step every rung's handle shares: ONE
+    * liveVersion re-check (a LIST) per call; when a rebuild has
+    * committed since, re-open through `reopen` and CACHE the fresh
+    * handle in `current` — once per committed version, never per call
+    * (the round-15 ADVICE contract). One definition so the six
+    * handles' refresh semantics cannot silently diverge. */
+  def refreshHandle[H](s: SparkSession, path: String,
+      current: java.util.concurrent.atomic.AtomicReference[H],
+      versionOf: H => Long, reopen: () => H): H = {
+    val cached = current.get()
+    if (liveVersion(s, path) == versionOf(cached)) cached
+    else { val fresh = reopen(); current.set(fresh); fresh }
   }
 
   /** DESCRIBE the live version — the ops/introspection verb every rung

@@ -419,21 +419,19 @@ object IvfSq8 {
       * version) if a rebuild landed since the last probe. */
     def probeWith(s: SparkSession, probes: DataFrame, nProbe: Int, k: Int,
         allowed: Option[DataFrame] = None): DataFrame = {
-      val cached = current.get()
-      val h =
-        if (IndexSwap.liveVersion(s, path) == cached.version) cached
-        else { val fresh = openIvfSq8Index(s, path); current.set(fresh); fresh }
+      val h = IndexSwap.refreshHandle(s, path, current,
+        (_: IvfSq8IndexHandle).version, () => openIvfSq8Index(s, path))
       probeResolved(s, probes, h.root, h.mna, h.spa, nProbe, k,
         Right(h.centArrays), allowed)
     }
   }
 
-  /** Open a serve-session handle: resolve the version once, collect
-    * the centroid table (√N rows) and the D-row envelope once. */
   /** DESCRIBE the live index — the [[IndexSwap.describeIndex]] verb. */
   def describeIvfSq8Index(s: SparkSession, path: String): DataFrame =
     IndexSwap.describeIndex(s, path, sides)
 
+  /** Open a serve-session handle: resolve the version once, collect
+    * the centroid table (√N rows) and the D-row envelope once. */
   def openIvfSq8Index(s: SparkSession, path: String): IvfSq8IndexHandle = {
     val version = IndexSwap.liveVersion(s, path)
     val root = if (version == 0L) path else s"$path/v$version"

@@ -314,10 +314,8 @@ object Matryoshka {
       * entry — MatryoshkaSpec pins handle == per-call). */
     def probeWith(s: SparkSession, probes: DataFrame, k: Int,
         allowed: Option[DataFrame] = None): DataFrame = {
-      val cached = current.get()
-      val h =
-        if (IndexSwap.liveVersion(s, path) == cached.version) cached
-        else { val fresh = openMatryoshkaIndex(s, path); current.set(fresh); fresh }
+      val h = IndexSwap.refreshHandle(s, path, current,
+        (_: MatryoshkaIndexHandle).version, () => openMatryoshkaIndex(s, path))
       probeMatryoshkaResolved(s, probes, h.root, h.fullDim, h.prefix, k, allowed)
     }
   }

@@ -1814,24 +1814,22 @@ object PQ {
       * version) if a rebuild landed since the last probe. */
     def probeWith(s: SparkSession, probes: DataFrame, nProbe: Int, k: Int,
         allowed: Option[DataFrame] = None): DataFrame = {
-      val cached = current.get()
-      val h =
-        if (IndexSwap.liveVersion(s, path) == cached.version) cached
-        else { val fresh = openPqIndex(s, path); current.set(fresh); fresh }
+      val h = IndexSwap.refreshHandle(s, path, current,
+        (_: PqIndexHandle).version, () => openPqIndex(s, path))
       probeResolved(s, probes, h.root, h.localCents, h.localCb,
         h.residual, h.params, nProbe, k, Some(h.centArrays), h.rotation, allowed)
     }
   }
 
-  /** Open a serve-session handle: resolve the version once, read meta
-    * once, and collect the centroid + codebook tables (sqrt(N) and
-    * M x K rows — manifest-class) into local relations every later
-    * probe plans against without touching the store. */
   /** DESCRIBE the live index — the [[IndexSwap.describeIndex]] verb
     * (the optional `rotation` side reports when present). */
   def describePqIndex(s: SparkSession, path: String): DataFrame =
     IndexSwap.describeIndex(s, path, pqSides :+ "rotation")
 
+  /** Open a serve-session handle: resolve the version once, read meta
+    * once, and collect the centroid + codebook tables (sqrt(N) and
+    * M x K rows — manifest-class) into local relations every later
+    * probe plans against without touching the store. */
   def openPqIndex(s: SparkSession, path: String): PqIndexHandle = {
     val version = IndexSwap.liveVersion(s, path)
     val root = if (version == 0L) path else s"$path/v$version"

@@ -415,7 +415,12 @@ object SQ8 {
     * full cold-side shuffle and LOST to brute force; the point-read
     * form wins ~3x); past the cap the survivors stay a distributed
     * frame and the refine is a vec_id equi-join against the sorted
-    * float side — unbounded output, no driver collect. Composes with
+    * float side — unbounded output, no further driver collect (the
+    * dispatch probe itself collected the first cap survivor ids, and
+    * the over-cap branch re-derives the prescreen from the codes scan:
+    * at most one truncated pass — limit early-stops — plus the full
+    * pass the refine needs anyway; a persist would trade that bounded
+    * re-scan for executor memory pinned past the call). Composes with
     * the lifecycle verbs: tombstones are anti-joined and an `allowed`
     * frame semi-joins the prescreen, both BEFORE any distance work. */
   def rangeSq8IndexWith(s: SparkSession, probes: DataFrame, path: String,
@@ -509,11 +514,9 @@ object SQ8 {
       new java.util.concurrent.atomic.AtomicReference[Sq8IndexHandle](this)
     /** The version the handle currently serves from. */
     def currentVersion: Long = current.get().version
-    private def refreshed(s: SparkSession): Sq8IndexHandle = {
-      val cached = current.get()
-      if (IndexSwap.liveVersion(s, path) == cached.version) cached
-      else { val fresh = openSq8Index(s, path); current.set(fresh); fresh }
-    }
+    private def refreshed(s: SparkSession): Sq8IndexHandle =
+      IndexSwap.refreshHandle(s, path, current, (_: Sq8IndexHandle).version,
+        () => openSq8Index(s, path))
     /** knn through the cached envelope (the probeSq8IndexWith rows,
       * bit-identical — Sq8Spec pins handle == per-call). */
     def probeWith(s: SparkSession, probes: DataFrame, k: Int,

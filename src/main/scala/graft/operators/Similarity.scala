@@ -2115,10 +2115,8 @@ object Similarity {
     def currentVersion: Long = current.get().version
     def probeWith(s: SparkSession, probes: DataFrame, nProbe: Int, k: Int,
         allowed: Option[DataFrame] = None): DataFrame = {
-      val cached = current.get()
-      val h =
-        if (IndexSwap.liveVersion(s, path) == cached.version) cached
-        else { val fresh = openIvfIndex(s, path); current.set(fresh); fresh }
+      val h = IndexSwap.refreshHandle(s, path, current,
+        (_: IvfIndexHandle).version, () => openIvfIndex(s, path))
       val ca = h.centArrays
       val probesRaw = probes.select(col("vec_id"), col("embedding"),
         l2normNative(col("embedding")).as("nrm"))
@@ -2140,12 +2138,12 @@ object Similarity {
     }
   }
 
-  /** Open an IVF serve-session handle: one version resolve + one
-    * centroid collect. */
   /** DESCRIBE the live IVF index — the [[IndexSwap.describeIndex]] verb. */
   def describeIvfIndex(s: SparkSession, path: String): DataFrame =
     IndexSwap.describeIndex(s, path, ivfSides)
 
+  /** Open an IVF serve-session handle: one version resolve + one
+    * centroid collect. */
   def openIvfIndex(s: SparkSession, path: String): IvfIndexHandle = {
     val version = IndexSwap.liveVersion(s, path)
     val root = if (version == 0L) path else s"$path/v$version"

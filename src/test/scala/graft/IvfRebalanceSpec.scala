@@ -166,11 +166,20 @@ class IvfRebalanceSpec extends AnyFunSuite {
     assert(graft.operators.IndexSwap.liveVersion(spark, path) == 0L)
     val legacyProbe = Similarity.probeIvfIndex(spark, sf, path, 4, 5).count()
     assert(legacyProbe == 50, "legacy layout must keep serving")
+    // Tombstones against the legacy root land at $path/deletes — the
+    // optional side must follow the same v0 grace-then-retire cycle
+    // (round-17 review: it used to survive forever as dead storage).
+    Similarity.deleteFromIvfIndex(spark,
+      Tables.embeddings(spark, sf).filter(col("vec_id") % 7 === 0).select("vec_id"),
+      path)
+    assert(fs.exists(new Path(s"$path/deletes")), "legacy delete must tombstone at the root")
     Similarity.rebalanceIvfIndex(spark, path) // -> v1; legacy kept as grace
     assert(graft.operators.IndexSwap.liveVersion(spark, path) == 1L)
     assert(fs.exists(new Path(s"$path/vectors")), "legacy sides are the v0 reader grace")
+    assert(fs.exists(new Path(s"$path/deletes")), "legacy tombstones share the grace window")
     Similarity.rebalanceIvfIndex(spark, path) // -> v2; legacy retired
     assert(!fs.exists(new Path(s"$path/vectors")), "legacy sides should retire at v2")
+    assert(!fs.exists(new Path(s"$path/deletes")), "legacy tombstones should retire with them")
     assert(Similarity.probeIvfIndex(spark, sf, path, 4, 5).count() == 50)
   }
 
