@@ -870,6 +870,31 @@ object Similarity {
         Tables.documents(s, dir).filter(col("lang") === "en").select("doc_id")))
     },
 
+    // The keyword tier PERSISTED (round 17 — the qn38b argument, text
+    // edition): qn65's BM25 tier re-tokenizes the corpus per query;
+    // the inverted index stores term-sorted postings ONCE and a probe
+    // reads only its query terms' row groups. Must hash-match the
+    // in-flight oracle because the stored tf/dl/N/T are the same
+    // aggregates and df re-derives from the matched postings.
+    Q("qn69_text_index_bm25", sqlQn69) { (s, dir) =>
+      val path = newIndexDir()
+      TextIndex.buildTextIndex(s, dir, path)
+      TextIndex.probeTextIndex(s, dir, path, 10)
+    },
+
+    // The FULL hybrid serving shape from STORED artifacts: keyword
+    // top-10 from the inverted index + exact-cosine top-10 from the
+    // SQ8 index's full-precision side, fused by RRF — and it must
+    // hash-match qn65's in-flight oracle bit-for-bit, proving the
+    // persisted composition changes nothing but the read pattern.
+    Q("qn70_hybrid_persisted", sqlQn65()) { (s, dir) =>
+      val tPath = newIndexDir()
+      val vPath = newIndexDir()
+      TextIndex.buildTextIndex(s, dir, tPath)
+      SQ8.buildSq8Index(s, dir, vPath)
+      hybridFromIndexes(s, dir, tPath, vPath)
+    },
+
   )
 
   /** The qn65/qn68 plan: both retrievers + RRF fusion, with an
@@ -922,6 +947,60 @@ object Similarity {
       .select(col("qid"), col("rnk").cast("long").as("rnk"), col("doc_id"),
         col("rrf_e6"))
       .orderBy("qid", "rnk")
+  }
+
+  /** The qn70 plan: both tiers served from persisted indexes, fused
+    * with the same RRF tail as [[hybridRetrievalPlan]]. */
+  private def hybridFromIndexes(s: SparkSession, dir: String,
+      textPath: String, vecPath: String): DataFrame = {
+    val queries = Tables.documents(s, dir).filter(col("doc_id") < 5)
+      .select("doc_id", "text")
+    val kr = TextIndex.probeTextIndexWith(s, queries, textPath, 10)
+      .select(col("qid"), col("doc_id"), col("rnk").as("krnk"))
+    val root = IndexSwap.liveRoot(s, vecPath)
+    val v = s.read.parquet(IndexSwap.sideAt(root, "vectors"))
+      .select(col("vec_id"), col("embedding"), col("nrm"))
+    val p = v.filter(col("vec_id") < 5).select(col("vec_id").as("qid"),
+      col("embedding").as("pe"), col("nrm").as("pn"))
+    val vsc = e6(cosine(dotNative(col("pe"), col("embedding")), col("pn"), col("nrm")))
+    val wV = Window.partitionBy(col("qid")).orderBy(col("vscore").desc, col("doc_id").asc)
+    val vr = v.join(broadcast(p), expr("true"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("doc_id"), vsc.as("vscore"))
+      .withColumn("vrnk", row_number().over(wV))
+      .filter(col("vrnk") <= 10).select(col("qid"), col("doc_id"), col("vrnk"))
+    val wF = Window.partitionBy(col("qid")).orderBy(col("rrf_e6").desc, col("doc_id").asc)
+    kr.join(vr, Seq("qid", "doc_id"), "full_outer")
+      .select(col("qid"), col("doc_id"),
+        (coalesce(expr("1000000 div (60 + krnk)"), lit(0L)) +
+         coalesce(expr("1000000 div (60 + vrnk)"), lit(0L))).as("rrf_e6"))
+      .withColumn("rnk", row_number().over(wF))
+      .filter(col("rnk") <= 5)
+      .select(col("qid"), col("rnk").cast("long").as("rnk"), col("doc_id"),
+        col("rrf_e6"))
+      .orderBy("qid", "rnk")
+  }
+
+  /** qn69's oracle: qn65's keyword CTEs alone, top-10 per query. */
+  private def sqlQn69: String = {
+    val toks = sqlTokens("text")
+    s"""WITH tk AS (SELECT doc_id, unnest($toks) AS term FROM documents),
+       |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tk GROUP BY 1, 2),
+       |dft AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tk GROUP BY 1),
+       |dl AS (SELECT doc_id, COUNT(*) AS dl FROM tk GROUP BY 1),
+       |nn AS (SELECT COUNT(*) AS n FROM documents),
+       |tt AS (SELECT COUNT(*) AS t FROM tk),
+       |qt AS (SELECT DISTINCT doc_id AS qid, term FROM tk WHERE doc_id < 5),
+       |kw AS (SELECT qt.qid, tf.doc_id,
+       |              CAST(SUM((22 * tf.tf * ((nn.n * 1000000) // dft.df)) //
+       |                   (10 * tf.tf + 3 + (9 * dl.dl * nn.n) // tt.t)) AS BIGINT) AS kws
+       |       FROM qt JOIN tf USING (term) JOIN dft USING (term)
+       |            JOIN dl ON dl.doc_id = tf.doc_id, nn, tt
+       |       WHERE tf.doc_id <> qt.qid GROUP BY 1, 2),
+       |r AS (SELECT qid, doc_id, kws, ROW_NUMBER() OVER (PARTITION BY qid
+       |               ORDER BY kws DESC, doc_id) AS rnk FROM kw)
+       |SELECT qid, rnk, doc_id, kws FROM r WHERE rnk <= 10
+       |ORDER BY qid, rnk""".stripMargin
   }
 
   /** qn65/qn68's oracle: the same two retrievers and RRF fusion as

@@ -1,0 +1,241 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.TextFns._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Persisted inverted (keyword) index — qn65's BM25-shaped keyword
+  * tier given the vector family's index lifecycle (the qn38b/qn34b
+  * argument, text edition: the in-flight tier re-tokenizes and
+  * re-aggregates the WHOLE corpus per query; a 100 TB corpus
+  * tokenizes ONCE and a probe reads only its query terms' postings).
+  *
+  * Three swappable sides under the [[IndexSwap]] versioned commit:
+  *
+  *  - `$path/postings`: the HOT side — (term, doc_id, tf), sorted and
+  *    range-partitioned BY TERM so a probe's term predicate prunes to
+  *    the matched terms' row groups (the vec_id point-read discipline,
+  *    keyed by term). The per-term document frequency is NOT stored:
+  *    df(t) = COUNT(*) over t's postings, computed from the rows the
+  *    probe reads anyway — a stored df would go stale under appends,
+  *    this one cannot.
+  *  - `$path/doclen`: (doc_id, dl) token counts, sorted by doc_id.
+  *  - `$path/stats`: ADDITIVE delta rows (n_docs, n_tokens) — readers
+  *    SUM them, so an append writes one delta row instead of
+  *    rewriting a singleton (the O(new) append contract; the corpus
+  *    totals N and T every score needs are two cheap sums).
+  *
+  * Scoring replays qn65's integer BM25 contract bit-for-bit (k1=1.2 /
+  * b=0.75 scaled integral, ratio idf, no float log), so a fresh build
+  * probed through [[probeTextIndex]] hash-matches the in-flight
+  * oracle (the qn69 driver gate), and the persisted hybrid
+  * composition hash-matches qn65's full fused oracle (qn70).
+  *
+  * Lifecycle verbs follow the family discipline: [[appendToTextIndex]]
+  * is O(new) (postings/doclen append + one stats delta; appended
+  * doc_ids must be fresh — the permanent-identity contract),
+  * [[deleteFromTextIndex]] tombstones doc_ids for immediate candidate
+  * exclusion (df and the N/T stats stay the stored corpus's — the
+  * index-predates-the-delete semantics every rung shares),
+  * [[probeTextIndexWith]] takes the `allowed` frame, and
+  * [[rebalanceTextIndex]] rebuilds from the lake minus tombstones
+  * under the crash-safe staged swap. [[describeTextIndex]] is the
+  * footer-walk DESCRIBE verb.
+  */
+object TextIndex {
+
+  /** The index's swappable sides (the [[IndexSwap]] protocol). */
+  private val tSides = Seq("postings", "doclen", "stats")
+
+  /** Tokenized (doc_id, term) pairs of a (doc_id, text) corpus. */
+  private def tokensOf(corpus: DataFrame): DataFrame =
+    corpus.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+
+  /** Stage all three sides (shared by build and rebalance — one
+    * definition of the layout). */
+  private def stageSides(s: SparkSession, path: String,
+      corpus: DataFrame): Unit = {
+    val tk = tokensOf(corpus).localCheckpoint(true) // feeds all three sides
+    tk.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .repartitionByRange(col("term")).sortWithinPartitions("term")
+      .write.mode("overwrite").parquet(IndexSwap.tmp(path, "postings").toString)
+    tk.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      .repartitionByRange(col("doc_id")).sortWithinPartitions("doc_id")
+      .write.mode("overwrite").parquet(IndexSwap.tmp(path, "doclen").toString)
+    statsDelta(s, corpus.agg(count(lit(1)).as("n_docs")).head().getLong(0),
+      tk.count()).write.mode("overwrite")
+      .parquet(IndexSwap.tmp(path, "stats").toString)
+  }
+
+  private def statsDelta(s: SparkSession, nDocs: Long, nTokens: Long): DataFrame = {
+    val rows: java.util.List[org.apache.spark.sql.Row] =
+      java.util.Arrays.asList(org.apache.spark.sql.Row(nDocs, nTokens))
+    s.createDataFrame(rows, org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("n_docs",
+        org.apache.spark.sql.types.LongType, false),
+      org.apache.spark.sql.types.StructField("n_tokens",
+        org.apache.spark.sql.types.LongType, false))))
+  }
+
+  /** Build from the corpus at `dir` — staged writes, atomic commit. */
+  def buildTextIndex(s: SparkSession, dir: String, path: String): Unit =
+    buildTextIndexFrom(s,
+      Tables.documents(s, dir).select("doc_id", "text"), path)
+
+  /** Build from an arbitrary (doc_id, text) corpus frame. */
+  def buildTextIndexFrom(s: SparkSession, corpus: DataFrame,
+      path: String): Unit = {
+    recoverTextRebalance(s, path)
+    stageSides(s, path, corpus)
+    IndexSwap.commit(s, path, tSides)
+  }
+
+  /** Append NEW documents: O(new) — postings/doclen rows for the new
+    * docs plus ONE stats delta row; nothing existing is read or
+    * rewritten. doc_ids are permanent identities (the family
+    * contract): re-appending a live or tombstoned id is a caller
+    * error that would double-count df. */
+  def appendToTextIndex(s: SparkSession, newDocs: DataFrame,
+      path: String): Unit = {
+    recoverTextRebalance(s, path)
+    val root = IndexSwap.liveRoot(s, path)
+    val tk = tokensOf(newDocs).localCheckpoint(true)
+    tk.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .repartitionByRange(col("term")).sortWithinPartitions("term")
+      .write.mode("append").parquet(IndexSwap.sideAt(root, "postings"))
+    tk.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      .write.mode("append").parquet(IndexSwap.sideAt(root, "doclen"))
+    statsDelta(s, newDocs.agg(count(lit(1)).as("n")).head().getLong(0),
+      tk.count()).write.mode("append")
+      .parquet(IndexSwap.sideAt(root, "stats"))
+  }
+
+  /** DELETE via tombstones (the family verb): O(deleted), immediate
+    * candidate exclusion; df and the corpus stats stay the stored
+    * index's until [[rebalanceTextIndex]] physically reclaims. */
+  def deleteFromTextIndex(s: SparkSession, ids: DataFrame,
+      path: String): Unit = {
+    recoverTextRebalance(s, path)
+    IndexSwap.appendTombstones(IndexSwap.liveRoot(s, path),
+      ids.select(col("doc_id").as("vec_id")))
+  }
+
+  /** Rebuild from the stored corpus minus tombstones — the physical
+    * reclaim + compaction (appends fragment the term-sorted layout).
+    * The tokenized corpus is NOT stored, so the rebuild re-derives
+    * sides from the postings/doclen lake itself: postings re-sort and
+    * re-stat exactly (tf/dl/N/T are all reconstructible), which keeps
+    * the rebuild a deterministic fixpoint. */
+  def rebalanceTextIndex(s: SparkSession, path: String): Unit = {
+    recoverTextRebalance(s, path)
+    val root = IndexSwap.liveRoot(s, path)
+    val live = IndexSwap.exceptTombstones(s, root,
+      s.read.parquet(IndexSwap.sideAt(root, "postings"))
+        .withColumnRenamed("doc_id", "vec_id"))
+      .withColumnRenamed("vec_id", "doc_id").localCheckpoint(true)
+    live.repartitionByRange(col("term")).sortWithinPartitions("term")
+      .write.mode("overwrite").parquet(IndexSwap.tmp(path, "postings").toString)
+    val dl = live.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
+      .localCheckpoint(true)
+    dl.repartitionByRange(col("doc_id")).sortWithinPartitions("doc_id")
+      .write.mode("overwrite").parquet(IndexSwap.tmp(path, "doclen").toString)
+    val totals = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("t")).head()
+    statsDelta(s, totals.getLong(0), totals.getLong(1))
+      .write.mode("overwrite").parquet(IndexSwap.tmp(path, "stats").toString)
+    IndexSwap.commit(s, path, tSides)
+  }
+
+  /** Heal an interrupted swap (both polarities). */
+  def recoverTextRebalance(s: SparkSession, path: String): Unit =
+    IndexSwap.recover(s, path, tSides)
+
+  /** DESCRIBE the live index — the [[IndexSwap.describeIndex]] verb. */
+  def describeTextIndex(s: SparkSession, path: String): DataFrame =
+    IndexSwap.describeIndex(s, path, tSides)
+
+  /** Probe with the declared fixture query set (doc_id < 5) — the
+    * qn69 driver gate's entry. */
+  def probeTextIndex(s: SparkSession, dir: String, path: String,
+      k: Int): DataFrame =
+    probeTextIndexWith(s,
+      Tables.documents(s, dir).filter(col("doc_id") < 5)
+        .select("doc_id", "text"),
+      path, k)
+
+  /** BM25 top-k for a QUERY BATCH from the stored artifacts: tokenize
+    * the queries driver-side (bounded), prune the postings scan to the
+    * query terms (isin up to the dispatch bound — against the
+    * term-sorted layout that is a row-group point-read — BETWEEN's
+    * string-range analogue buys nothing for terms, so past the bound
+    * the scan degrades to a semi-join), derive df from the matched
+    * postings, score with qn65's integer BM25 contract, window top-k.
+    * Tombstones anti-join and `allowed` semi-joins the CANDIDATES
+    * before the window; df/N/T stay the stored corpus's (the
+    * index-predates-the-verb semantics). */
+  def probeTextIndexWith(s: SparkSession, queries: DataFrame, path: String,
+      k: Int, allowed: Option[DataFrame] = None): DataFrame = {
+    val root = IndexSwap.liveRoot(s, path) // ONE resolution per call
+    val qRows = queries.select(col("doc_id"), col("text"))
+      .limit(PQ.maxProbeBatch + 1).collect()
+    require(qRows.length <= PQ.maxProbeBatch,
+      s"probeTextIndexWith: query batch exceeds ${PQ.maxProbeBatch} rows — " +
+        "keyword probing is for query BATCHES; a corpus-sized query set is " +
+        "a self-join over the postings lake, not an index probe")
+    // Query terms, tokenized driver-side with the SAME split rule as
+    // the build (one definition would be ideal, but the build's rule
+    // is Spark's split(trim, \s+) — replicated here verbatim and
+    // pinned by the qn69 hash gate, which breaks if they diverge).
+    val qt = qRows.flatMap { r =>
+      // No nonEmpty filter: Spark's split emits [""] for an all-space
+      // text and the build stores that "" posting, so a whitespace
+      // query must match it — exact parity, not cleanliness.
+      r.getString(1).trim.split("\\s+", -1).distinct
+        .map(t => org.apache.spark.sql.Row(r.getLong(0), t))
+    }
+    val qtDf = s.createDataFrame(java.util.Arrays.asList(qt: _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("qid",
+          org.apache.spark.sql.types.LongType, false),
+        org.apache.spark.sql.types.StructField("term",
+          org.apache.spark.sql.types.StringType, false))))
+    val terms = qt.map(_.getString(1)).distinct.toSeq
+    val termPush =
+      if (terms.isEmpty) lit(false)
+      else if (terms.length <= isinMaxTerms(s)) col("term").isin(terms: _*)
+      else lit(true) // over the bound: the semi-join below still prunes rows
+    val matched = s.read.parquet(IndexSwap.sideAt(root, "postings"))
+      .filter(termPush)
+      .join(broadcast(qtDf.select(col("term")).distinct()), Seq("term"), "left_semi")
+      .localCheckpoint(true) // ONE postings read feeds df AND candidates
+    // df from the FULL matched postings (before qid-exclusion,
+    // tombstones, or the allowed filter — qn65's df is corpus-wide).
+    val dfT = matched.groupBy("term").agg(count(lit(1)).as("df"))
+    val stats = s.read.parquet(IndexSwap.sideAt(root, "stats"))
+      .agg(sum(col("n_docs")).as("n"), sum(col("n_tokens")).as("t")).head()
+    val (n, t) = (stats.getLong(0), stats.getLong(1))
+    val cand0 = matched.join(broadcast(qtDf), Seq("term"))
+      .filter(col("doc_id") =!= col("qid"))
+      .withColumnRenamed("doc_id", "vec_id")
+    val cand = allowed.foldLeft(IndexSwap.exceptTombstones(s, root, cand0)) {
+      (c, a) => c.join(a.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi")
+    }.withColumnRenamed("vec_id", "doc_id")
+    val scored = cand
+      .join(dfT.hint("SHUFFLE_HASH"), "term")
+      .join(s.read.parquet(IndexSwap.sideAt(root, "doclen")), "doc_id")
+      .withColumn("contrib", expr(
+        s"(22 * tf * (($n * 1000000) div df)) div (10 * tf + 3 + (9 * dl * $n) div $t)"))
+      .groupBy("qid", "doc_id").agg(sum(col("contrib")).as("kws"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("kws").desc, col("doc_id").asc)
+    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+      .select(col("qid"), col("rnk").cast("long").as("rnk"), col("doc_id"),
+        col("kws"))
+      .orderBy("qid", "rnk")
+  }
+
+  /** Postings-scan term-pushdown dispatch bound (the isinMaxIds
+    * discipline, term edition). */
+  private def isinMaxTerms(s: SparkSession): Int =
+    s.conf.getOption("spark.graft.text.isinMaxTerms").map(_.toInt).getOrElse(10000)
+}

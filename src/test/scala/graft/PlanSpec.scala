@@ -266,6 +266,7 @@ class PlanSpec extends AnyFunSuite {
       "qn64_ann_sq8_range", // broadcast 10-row probe-byte side vs the codes scan (surfaces in the over-cap distributed-refine branch; the fixture path collects survivors and point-reads)
       "qn65_hybrid_retrieval", // vector tier broadcasts the 5-probe side (qn07 shape); keyword tier is all equi-joins
       "qn68_hybrid_filtered", // same 5-probe broadcast; the lang filter adds only semi-joins
+      "qn70_hybrid_persisted", // same 5-probe broadcast, scored against the stored float side
       "qn33_ann_ivfpq_refine", // stride scalar + broadcast centroid/probe/ADC-table sides
       "qn25_mixture_weights", // single-row scalar crossJoin
       "qn29_mixture_apply",   // single-row scalar crossJoin

@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The persisted inverted index's lifecycle beyond the qn69/qn70 hash
+  * gates: O(new) appends that keep BM25 parity with a fresh build,
+  * tombstone deletes with immediate exclusion and physical reclaim,
+  * the allowed-frame filter, rebuild-as-fixpoint, and DESCRIBE.
+  */
+class TextIndexSpec extends AnyFunSuite {
+  import TestSpark._
+  import graft.operators.TextIndex
+
+  private def probeRows(path: String, k: Int = 10) =
+    TextIndex.probeTextIndex(spark, sf, path, k).collect().map(_.toString).toSeq
+
+  test("append is O(new) and BM25-identical to a fresh build over the same corpus") {
+    val half = Tables.documents(spark, sf).filter(col("doc_id") % 2 === 0)
+      .select("doc_id", "text")
+    val rest = Tables.documents(spark, sf).filter(col("doc_id") % 2 === 1)
+      .select("doc_id", "text")
+    val grown = graft.operators.Similarity.newIndexDir()
+    TextIndex.buildTextIndexFrom(spark, half, grown)
+    val postingsBefore = spark.read
+      .parquet(graft.operators.IndexSwap.side(spark, grown, "postings"))
+      .collect().map(_.toString).sorted.toSeq
+    TextIndex.appendToTextIndex(spark, rest, grown)
+    // O(new): the pre-append postings are untouched (append-only side).
+    val postingsAfter = spark.read
+      .parquet(graft.operators.IndexSwap.side(spark, grown, "postings"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(postingsBefore.forall(postingsAfter.contains),
+      "append rewrote or dropped existing postings")
+    // Parity: N/T/df/dl all see the grown corpus exactly.
+    val fresh = graft.operators.Similarity.newIndexDir()
+    TextIndex.buildTextIndex(spark, sf, fresh)
+    assert(probeRows(grown) == probeRows(fresh),
+      "appended index diverged from a fresh build over the same corpus")
+  }
+
+  test("delete excludes candidates immediately; the rebuild reclaims physically and is a fixpoint") {
+    val path = graft.operators.Similarity.newIndexDir()
+    TextIndex.buildTextIndex(spark, sf, path)
+    val base = probeRows(path)
+    TextIndex.deleteFromTextIndex(spark,
+      Tables.documents(spark, sf).filter(col("doc_id") % 7 === 0).select("doc_id"),
+      path)
+    val afterDelete = TextIndex.probeTextIndex(spark, sf, path, 10).collect()
+    assert(afterDelete.forall(_.getLong(2) % 7 != 0), "a tombstoned doc surfaced")
+    assert(base.exists(r => afterDelete.forall(_.toString != r)),
+      "fixture degenerate: the delete changed nothing")
+    // Physical reclaim: the rebuild drops tombstoned postings and
+    // RE-STATS df/N/T over the surviving corpus (the SQ8 re-stat
+    // semantics — before reclaim the index predates the delete, after
+    // it the index IS the shrunken corpus's), so the fixpoint to pin
+    // is equality with a FRESH build over the surviving docs.
+    TextIndex.rebalanceTextIndex(spark, path)
+    val root = graft.operators.IndexSwap.liveRoot(spark, path)
+    assert(spark.read.parquet(s"$root/postings")
+      .filter(col("doc_id") % 7 === 0).count() == 0, "reclaim left tombstoned postings")
+    val fresh = graft.operators.Similarity.newIndexDir()
+    TextIndex.buildTextIndexFrom(spark,
+      Tables.documents(spark, sf).filter(col("doc_id") % 7 =!= 0)
+        .select("doc_id", "text"),
+      fresh)
+    assert(probeRows(path) == probeRows(fresh),
+      "reclaimed index diverged from a fresh build over the surviving docs")
+  }
+
+  test("filtered search: the allowed frame binds before the top-k window") {
+    val path = graft.operators.Similarity.newIndexDir()
+    TextIndex.buildTextIndex(spark, sf, path)
+    val en = Tables.documents(spark, sf).filter(col("lang") === "en").select("doc_id")
+    val res = TextIndex.probeTextIndexWith(spark,
+      Tables.documents(spark, sf).filter(col("doc_id") < 5).select("doc_id", "text"),
+      path, 10, allowed = Some(en)).collect()
+    val enIds = en.collect().map(_.getLong(0)).toSet
+    assert(res.nonEmpty && res.forall(r => enIds.contains(r.getLong(2))),
+      "a disallowed doc surfaced")
+    assert(!TextIndex.probeTextIndex(spark, sf, path, 10).collect()
+        .forall(r => enIds.contains(r.getLong(2))),
+      "fixture degenerate: the unfiltered top-k is already all-English")
+  }
+
+  test("describe reports every side including tombstone debt") {
+    val path = graft.operators.Similarity.newIndexDir()
+    TextIndex.buildTextIndex(spark, sf, path)
+    TextIndex.deleteFromTextIndex(spark,
+      Tables.documents(spark, sf).filter(col("doc_id") % 7 === 0).select("doc_id"),
+      path)
+    val d = TextIndex.describeTextIndex(spark, path).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(d("doclen") == nDocs, s"doclen rows ${d("doclen")} != $nDocs docs")
+    assert(d("deletes") == Tables.documents(spark, sf)
+      .filter(col("doc_id") % 7 === 0).count())
+    assert(d.contains("postings") && d.contains("stats"))
+  }
+}
