@@ -78,7 +78,8 @@ object Battery {
       case Some("pqlife")     => pqLife(spark, args.lift(1).map(_.toLong).getOrElse(4000000L))
       case Some("tombstone")  => tombstone(spark, args.lift(1).map(_.toLong).getOrElse(1000000L))
       case Some("range")      => rangeB(spark, args.lift(1).map(_.toLong).getOrElse(1000000L))
-      case other => sys.error(s"unknown battery: $other (skew|bloom|governance|paircurve|ivfjoin|ingest|ingestgrow|pq|pqdispatch|pqserve|pqiters|pqopq|pqopqserve|pqlat|ladder|ladderdim|pqlife|argmaxsweep|tombstone|range)")
+      case Some("text")       => textB(spark, args.lift(1).map(_.toLong).getOrElse(1000000L))
+      case other => sys.error(s"unknown battery: $other (skew|bloom|governance|paircurve|ivfjoin|ingest|ingestgrow|pq|pqdispatch|pqserve|pqiters|pqopq|pqopqserve|pqlat|ladder|ladderdim|pqlife|argmaxsweep|tombstone|range|text)")
     }
     spark.stop()
   }
@@ -1114,6 +1115,73 @@ object Battery {
       f"""{"t2":$t2,"rows":$rws,"prescreen_rows":$sv,"range_sec":$sec%.2f,"brute_sec":$bsec%.2f}"""
     }.mkString("[", ",", "]")
     println(f"""{"battery":"range","vectors":$n,"build_sec":$bSec%.1f,"radii":$js}""")
+  }
+
+  // ---- text ---------------------------------------------------------------
+
+  /** Prices the persisted inverted index (qn69) at scale against the
+    * in-flight keyword tier it replaces: synthetic N-doc corpus
+    * (~40-word docs over a 50k-term Zipf-ish vocab), one build, then
+    * per-probe walls for the index probe (term-pruned postings read)
+    * vs the qn65-style in-flight recompute (full-corpus tokenize +
+    * aggregate per query). The gap IS the build's amortization
+    * argument. */
+  private def textB(s: SparkSession, n: Long): Unit = {
+    import operators.TextIndex
+    val root = java.nio.file.Files.createTempDirectory("graft_battery_text").toString
+    // ~40 tokens/doc; term ids skew toward the low end (square of a
+    // uniform hash) so df varies across terms like real text.
+    val words = transform(sequence(lit(0), lit(39)), i => concat(lit("w"),
+      (pmod(xxhash64(col("doc_id"), i), lit(50000)) *
+        pmod(xxhash64(col("doc_id"), i, lit(3)), lit(50000)) / lit(50000))
+        .cast("long").cast("string")))
+    s.range(n).select(col("id").as("doc_id"),
+        array_join(words, " ").as("text"), lit("en").as("lang"),
+        lit("synth").as("source"), lit(0L).as("n_chars"))
+      .repartitionByRange(256, col("doc_id"))
+      .write.parquet(s"$root/documents.parquet")
+    val path = operators.Similarity.newIndexDir()
+    val (_, bSec) = timed(TextIndex.buildTextIndex(s, root, path))
+    val queries = Tables.documents(s, root).filter(col("doc_id") < 5)
+      .select("doc_id", "text")
+    val handle = TextIndex.openTextIndex(s, path)
+    val (_, warm) = timed(handle.probeWith(s, queries, 10).collect())
+    val (idxRows, idxSec) = timed(handle.probeWith(s, queries, 10).collect())
+    // The in-flight arm: qn65's keyword tier verbatim over the same
+    // corpus (tokenize + tf/df/dl/N/T per call).
+    def inflight() = {
+      val docs = Tables.documents(s, root)
+      val tk = docs.select(col("doc_id"),
+        explode(graft.functions.TextFns.tokens(col("text"))).as("term"))
+        .localCheckpoint(true)
+      val tf = tk.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dfT = tk.groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
+      val dl = tk.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      val qt = tk.filter(col("doc_id") < 5)
+        .select(col("doc_id").as("qid"), col("term")).distinct()
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("qid")).orderBy(col("kws").desc, col("doc_id").asc)
+      qt.join(tf, "term").filter(col("doc_id") =!= col("qid"))
+        .join(dfT.hint("SHUFFLE_HASH"), "term")
+        .join(dl, "doc_id")
+        .crossJoin(docs.agg(count(lit(1)).as("n")))
+        .crossJoin(tk.agg(count(lit(1)).as("t")))
+        .withColumn("contrib", expr(
+          "(22 * tf * ((n * 1000000) div df)) div (10 * tf + 3 + (9 * dl * n) div t)"))
+        .groupBy("qid", "doc_id").agg(sum(col("contrib")).as("kws"))
+        .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 10)
+        .collect()
+    }
+    val (inRows, inSec) = timed(inflight())
+    require(idxRows.length == inRows.length,
+      s"text battery: index ${idxRows.length} rows != inflight ${inRows.length}")
+    val postBytes = {
+      def go(f: java.io.File): Long =
+        if (f.isDirectory) Option(f.listFiles).getOrElse(Array.empty).map(go).sum
+        else if (f.getName.endsWith(".parquet")) f.length else 0L
+      go(new java.io.File(operators.IndexSwap.side(s, path, "postings").stripPrefix("file:")))
+    }
+    println(f"""{"battery":"text","docs":$n,"build_sec":$bSec%.1f,"probe_sec":$idxSec%.2f,"probe_warm_sec":$warm%.2f,"inflight_sec":$inSec%.1f,"speedup":${inSec / math.max(idxSec, 0.001)}%.1f,"postings_bytes":$postBytes,"rows":${idxRows.length}}""")
   }
 
   // ---- pqlife -------------------------------------------------------------

@@ -177,6 +177,18 @@ object TextIndex {
   def probeTextIndexWith(s: SparkSession, queries: DataFrame, path: String,
       k: Int, allowed: Option[DataFrame] = None): DataFrame = {
     val root = IndexSwap.liveRoot(s, path) // ONE resolution per call
+    val stats = s.read.parquet(IndexSwap.sideAt(root, "stats"))
+      .agg(sum(col("n_docs")).as("n"), sum(col("n_tokens")).as("t")).head()
+    probeTextResolved(s, queries, root, stats.getLong(0), stats.getLong(1),
+      k, allowed)
+  }
+
+  /** The probe pipeline against a PINNED root and already-summed
+    * corpus totals — shared by the per-call entry (reads them fresh)
+    * and [[TextIndexHandle.probeWith]] (cached). */
+  private def probeTextResolved(s: SparkSession, queries: DataFrame,
+      root: String, n: Long, t: Long, k: Int,
+      allowed: Option[DataFrame]): DataFrame = {
     val qRows = queries.select(col("doc_id"), col("text"))
       .limit(PQ.maxProbeBatch + 1).collect()
     require(qRows.length <= PQ.maxProbeBatch,
@@ -212,9 +224,6 @@ object TextIndex {
     // df from the FULL matched postings (before qid-exclusion,
     // tombstones, or the allowed filter — qn65's df is corpus-wide).
     val dfT = matched.groupBy("term").agg(count(lit(1)).as("df"))
-    val stats = s.read.parquet(IndexSwap.sideAt(root, "stats"))
-      .agg(sum(col("n_docs")).as("n"), sum(col("n_tokens")).as("t")).head()
-    val (n, t) = (stats.getLong(0), stats.getLong(1))
     val cand0 = matched.join(broadcast(qtDf), Seq("term"))
       .filter(col("doc_id") =!= col("qid"))
       .withColumnRenamed("doc_id", "vec_id")
@@ -225,7 +234,7 @@ object TextIndex {
       .join(dfT.hint("SHUFFLE_HASH"), "term")
       .join(s.read.parquet(IndexSwap.sideAt(root, "doclen")), "doc_id")
       .withColumn("contrib", expr(
-        s"(22 * tf * (($n * 1000000) div df)) div (10 * tf + 3 + (9 * dl * $n) div $t)"))
+        s"(22 * tf * ((${n}L * 1000000L) div df)) div (10 * tf + 3 + (9 * dl * ${n}L) div ${t}L)"))
       .groupBy("qid", "doc_id").agg(sum(col("contrib")).as("kws"))
     val w = Window.partitionBy(col("qid")).orderBy(col("kws").desc, col("doc_id").asc)
     scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
@@ -238,4 +247,40 @@ object TextIndex {
     * discipline, term edition). */
   private def isinMaxTerms(s: SparkSession): Int =
     s.conf.getOption("spark.graft.text.isinMaxTerms").map(_.toInt).getOrElse(10000)
+
+  /** Serve-session handle — the family discipline
+    * ([[SQ8.Sq8IndexHandle]]): pins a version root and the summed
+    * corpus totals (N, T), so a handle probe pays zero reads outside
+    * the pruned postings scan and the doclen join. CAVEAT the vector
+    * rungs don't have: N/T change on APPEND too (not just rebuild),
+    * and an append does not bump the version — a long-lived handle
+    * serving across appends scores against slightly stale totals
+    * until the next rebuild commits (bounded staleness, same class as
+    * the documented stale-df-free design; re-open to refresh sooner).
+    * Refresh contract: [[IndexSwap.refreshHandle]]. */
+  final case class TextIndexHandle private[operators] (path: String,
+      version: Long, root: String, n: Long, t: Long) {
+    private val current =
+      new java.util.concurrent.atomic.AtomicReference[TextIndexHandle](this)
+    /** The version the handle currently serves from. */
+    def currentVersion: Long = current.get().version
+    /** BM25 top-k through the cached totals (bit-identical to the
+      * per-call entry at equal totals — TextIndexSpec pins it). */
+    def probeWith(s: SparkSession, queries: DataFrame, k: Int,
+        allowed: Option[DataFrame] = None): DataFrame = {
+      val h = IndexSwap.refreshHandle(s, path, current,
+        (_: TextIndexHandle).version, () => openTextIndex(s, path))
+      probeTextResolved(s, queries, h.root, h.n, h.t, k, allowed)
+    }
+  }
+
+  /** Open a serve-session handle: resolve the version once, sum the
+    * stats deltas once. */
+  def openTextIndex(s: SparkSession, path: String): TextIndexHandle = {
+    val version = IndexSwap.liveVersion(s, path)
+    val root = if (version == 0L) path else s"$path/v$version"
+    val stats = s.read.parquet(IndexSwap.sideAt(root, "stats"))
+      .agg(sum(col("n_docs")).as("n"), sum(col("n_tokens")).as("t")).head()
+    TextIndexHandle(path, version, root, stats.getLong(0), stats.getLong(1))
+  }
 }

@@ -83,6 +83,21 @@ class TextIndexSpec extends AnyFunSuite {
       "fixture degenerate: the unfiltered top-k is already all-English")
   }
 
+  test("serve handle: probe matches the per-call entry bit-exactly and re-opens after a rebuild") {
+    val path = graft.operators.Similarity.newIndexDir()
+    TextIndex.buildTextIndex(spark, sf, path)
+    val queries = Tables.documents(spark, sf).filter(col("doc_id") < 5)
+      .select("doc_id", "text")
+    val handle = TextIndex.openTextIndex(spark, path)
+    assert(handle.probeWith(spark, queries, 10).collect().map(_.toString).toSeq ==
+      probeRows(path), "handle probe diverged from the per-call entry")
+    TextIndex.rebalanceTextIndex(spark, path)
+    assert(handle.probeWith(spark, queries, 10).collect().map(_.toString).toSeq ==
+      probeRows(path), "stale handle did not re-open on the new version")
+    assert(handle.currentVersion == graft.operators.IndexSwap.liveVersion(spark, path),
+      "re-open was discarded instead of cached")
+  }
+
   test("describe reports every side including tombstone debt") {
     val path = graft.operators.Similarity.newIndexDir()
     TextIndex.buildTextIndex(spark, sf, path)
