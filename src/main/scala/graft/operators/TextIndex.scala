@@ -98,7 +98,7 @@ object TextIndex {
     * contract): re-appending a live or tombstoned id is a caller
     * error that would double-count df. */
   def appendToTextIndex(s: SparkSession, newDocs: DataFrame,
-      path: String): Unit = {
+      path: String, autoCompact: Option[Int] = None): Unit = {
     recoverTextRebalance(s, path)
     val root = IndexSwap.liveRoot(s, path)
     val tk = tokensOf(newDocs).localCheckpoint(true)
@@ -110,6 +110,38 @@ object TextIndex {
     statsDelta(s, newDocs.agg(count(lit(1)).as("n")).head().getLong(0),
       tk.count()).write.mode("append")
       .parquet(IndexSwap.sideAt(root, "stats"))
+    // Measured fragmentation trigger (the BinarySig/Matryoshka
+    // pattern): appends fragment the term-sorted point-read layout —
+    // past the file-count threshold the deferred marker drops and the
+    // append returns at append cost; [[maintainTextIndex]] pays.
+    autoCompact.foreach { maxFiles =>
+      val files = graft.sources.LakeListing.dataFiles(
+        s.sessionState.newHadoopConf(),
+        new org.apache.hadoop.fs.Path(IndexSwap.sideAt(root, "postings"))).size
+      if (files > maxFiles) {
+        val fs = IndexSwap.fsOf(s, path)
+        fs.create(rebalanceDue(path), true).close()
+      }
+    }
+  }
+
+  private def rebalanceDue(path: String): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(s"$path/_rebalance_due")
+
+  /** The maintenance entry point (the family contract): heal any
+    * interrupted swap, then run the rebuild a deferred trigger
+    * requested. The marker deletes only AFTER the commit — a crash
+    * between them re-runs a deterministic fixpoint. Returns whether a
+    * rebuild ran. */
+  def maintainTextIndex(s: SparkSession, path: String): Boolean = {
+    recoverTextRebalance(s, path)
+    val fs = IndexSwap.fsOf(s, path)
+    if (!fs.exists(rebalanceDue(path))) false
+    else {
+      rebalanceTextIndex(s, path)
+      fs.delete(rebalanceDue(path), false): Unit
+      true
+    }
   }
 
   /** DELETE via tombstones (the family verb): O(deleted), immediate

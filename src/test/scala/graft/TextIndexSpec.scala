@@ -98,6 +98,45 @@ class TextIndexSpec extends AnyFunSuite {
       "re-open was discarded instead of cached")
   }
 
+  test("streaming document ingest maintains the index: foreachBatch O(new) appends, compaction fires mid-stream") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.hadoop.fs.Path
+    val path = graft.operators.Similarity.newIndexDir()
+    TextIndex.buildTextIndex(spark, sf, path)
+    def postFiles: Int = graft.sources.LakeListing.dataFiles(
+      spark.sessionState.newHadoopConf(),
+      new Path(graft.operators.IndexSwap.side(spark, path, "postings"))).size
+    val threshold = postFiles + 3
+    val ms = MemoryStream[(Long, String)]
+    val q = ms.toDF().toDF("doc_id", "text")
+      .writeStream.foreachBatch {
+        (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          TextIndex.appendToTextIndex(b.sparkSession, b, path,
+            autoCompact = Some(threshold))
+          TextIndex.maintainTextIndex(b.sparkSession, path): Unit
+      }.start()
+    val verBefore = graft.operators.IndexSwap.liveVersion(spark, path)
+    try {
+      val rows = Tables.documents(spark, sf).filter(col("doc_id") < 40)
+        .select((col("doc_id") + 200000L).as("doc_id"), col("text"))
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+      rows.grouped(8).foreach { batch => ms.addData(batch.toSeq); q.processAllAvailable() }
+    } finally q.stop()
+    assert(graft.operators.IndexSwap.liveVersion(spark, path) > verBefore,
+      "compaction never fired in-stream")
+    assert(postFiles <= threshold + 1, s"stream left the layout fragmented: $postFiles files")
+    // The streamed index equals a fresh build over the grown corpus.
+    val grownCorpus = Tables.documents(spark, sf).select("doc_id", "text").union(
+      Tables.documents(spark, sf).filter(col("doc_id") < 40)
+        .select((col("doc_id") + 200000L).as("doc_id"), col("text")))
+    val fresh = graft.operators.Similarity.newIndexDir()
+    TextIndex.buildTextIndexFrom(spark, grownCorpus, fresh)
+    assert(probeRows(path) == probeRows(fresh),
+      "streamed index diverged from a fresh build over the grown corpus")
+  }
+
   test("describe reports every side including tombstone debt") {
     val path = graft.operators.Similarity.newIndexDir()
     TextIndex.buildTextIndex(spark, sf, path)
