@@ -65,6 +65,10 @@ object Plans {
     "qn52_ann_ivf_sq8_deletes" -> "tombstone delete: the rank stage anti-joins the optional deletes side BEFORE the shortlist window (a deleted row can neither surface nor crowd a live row out of a slot); cell-scoped listing and vec_id pushdown unchanged; physical reclaim is the drift rebuild's version swap",
     "qn53_ann_ivf_sq8_filtered" -> "filtered search: the allowed-ids frame semi-joins the rank stage before the shortlist window — exact filtered top-k within the routed cells, never a post-filtered fixed shortlist that loses recall as the filter tightens",
     "qn54_ann_ivfpq_filtered" -> "filtered search on the PQ tier: the allowed-ids frame semi-joins the candidates before the ADC shortlist — the qn53 discipline at the codebook rung",
+    "qn64_ann_sq8_range" -> "exact range search: codes scan filtered by the native int_sqlb lower bound (a pruned row PROVABLY lies outside the radius), survivor-count dispatch collects + point-reads the cold floats under the cap — the refine reads ~2% of candidates at the gated radius",
+    "qn65_hybrid_retrieval" -> "hybrid retrieval: integer BM25 keyword tier (all equi-joins on term/doc_id, nothing corpus-derived broadcasts — the qt08 rule), broadcast-probe exact-cosine tier, full-outer RRF fusion over two top-10 lists per query",
+    "qn69_text_index_bm25" -> "persisted inverted-index probe: term-pushdown postings scan (isin literal against the term-sorted layout), df derived from the matched postings (one read feeds df AND candidates via localCheckpoint), shuffled-hash df join, doclen equi-join, window top-k",
+    "qn70_hybrid_persisted" -> "the full hybrid from STORED artifacts: qn69's pruned postings probe + exact cosine over the SQ8 index's float side + the same RRF tail — hash-matches qn65's in-flight oracle with a fraction of its reads",
     "qn42_pq_codebooks_iters2" -> "two-step Lloyd: the iters chain re-seeds from step-1 means (collected K x D rows), each step the same native-assignment + partial-agg-mean shape — depth multiplies passes, never changes the per-pass plan",
     "qn43_ann_pq_adc_opq" -> "OPQ rotation rung: a literal 64-lookup permutation projection ahead of the identical train/encode/ADC pipeline — the rotation costs zero plan shape, only the subspace membership changes",
     "qn39_ann_ivfpq_persisted" -> "persisted IVFADC serve: codes scanned under a cent_id partition filter, broadcast ADC tables, shortlist point-read of the cold floats (vec_id pushdown) — the qn10b discipline on the two-temperature index",
