@@ -1173,8 +1173,16 @@ object Battery {
         .collect()
     }
     val (inRows, inSec) = timed(inflight())
-    require(idxRows.length == inRows.length,
-      s"text battery: index ${idxRows.length} rows != inflight ${inRows.length}")
+    // Full-row equality, not a count: both arms emit min(k, cands)
+    // rows regardless, so only (qid, rnk, doc_id, kws) parity actually
+    // gates the equivalence the speedup claim rests on.
+    val idxSet = idxRows.map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).sorted.toSeq
+    val inSet = inRows.map(r =>
+      (r.getLong(r.fieldIndex("qid")), r.getInt(r.fieldIndex("rnk")).toLong,
+       r.getLong(r.fieldIndex("doc_id")), r.getLong(r.fieldIndex("kws")))).sorted.toSeq
+    require(idxSet == inSet,
+      s"text battery: arms disagree — idx ${idxSet.take(2)} vs inflight ${inSet.take(2)}")
     val postBytes = {
       def go(f: java.io.File): Long =
         if (f.isDirectory) Option(f.listFiles).getOrElse(Array.empty).map(go).sum

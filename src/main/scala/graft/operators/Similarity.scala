@@ -930,6 +930,18 @@ object Similarity {
       col("embedding").as("pe"), col("nrm").as("pn"))
     val vCand = allowed.foldLeft(v) { (f, a) =>
       f.join(a.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi") }
+    hybridVectorTierAndFuse(kr, vCand, p)
+  }
+
+  /** The vector tier + RRF fusion tail shared by [[hybridRetrievalPlan]]
+    * and [[hybridFromIndexes]] — ONE definition of the cosine scoring,
+    * the top-10 windows, the K=60 reciprocal-rank arithmetic and every
+    * tie rule, because qn70's hash-matches-qn65 contract requires the
+    * two plans to stay bit-identical (round-17 review: they were
+    * copy-pasted). `vCand` is the candidate vectors frame (vec_id,
+    * embedding, nrm); `p` the broadcast probe side (qid, pe, pn). */
+  private def hybridVectorTierAndFuse(kr: DataFrame, vCand: DataFrame,
+      p: DataFrame): DataFrame = {
     val vsc = e6(cosine(dotNative(col("pe"), col("embedding")), col("pn"), col("nrm")))
     val wV = Window.partitionBy(col("qid")).orderBy(col("vscore").desc, col("doc_id").asc)
     val vr = vCand.join(broadcast(p), expr("true"))
@@ -962,23 +974,7 @@ object Similarity {
       .select(col("vec_id"), col("embedding"), col("nrm"))
     val p = v.filter(col("vec_id") < 5).select(col("vec_id").as("qid"),
       col("embedding").as("pe"), col("nrm").as("pn"))
-    val vsc = e6(cosine(dotNative(col("pe"), col("embedding")), col("pn"), col("nrm")))
-    val wV = Window.partitionBy(col("qid")).orderBy(col("vscore").desc, col("doc_id").asc)
-    val vr = v.join(broadcast(p), expr("true"))
-      .filter(col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("vec_id").as("doc_id"), vsc.as("vscore"))
-      .withColumn("vrnk", row_number().over(wV))
-      .filter(col("vrnk") <= 10).select(col("qid"), col("doc_id"), col("vrnk"))
-    val wF = Window.partitionBy(col("qid")).orderBy(col("rrf_e6").desc, col("doc_id").asc)
-    kr.join(vr, Seq("qid", "doc_id"), "full_outer")
-      .select(col("qid"), col("doc_id"),
-        (coalesce(expr("1000000 div (60 + krnk)"), lit(0L)) +
-         coalesce(expr("1000000 div (60 + vrnk)"), lit(0L))).as("rrf_e6"))
-      .withColumn("rnk", row_number().over(wF))
-      .filter(col("rnk") <= 5)
-      .select(col("qid"), col("rnk").cast("long").as("rnk"), col("doc_id"),
-        col("rrf_e6"))
-      .orderBy("qid", "rnk")
+    hybridVectorTierAndFuse(kr, v, p)
   }
 
   /** qn69's oracle: qn65's keyword CTEs alone, top-10 per query. */

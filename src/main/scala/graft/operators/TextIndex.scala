@@ -106,6 +106,7 @@ object TextIndex {
       .repartitionByRange(col("term")).sortWithinPartitions("term")
       .write.mode("append").parquet(IndexSwap.sideAt(root, "postings"))
     tk.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      .repartitionByRange(col("doc_id")).sortWithinPartitions("doc_id")
       .write.mode("append").parquet(IndexSwap.sideAt(root, "doclen"))
     statsDelta(s, newDocs.agg(count(lit(1)).as("n")).head().getLong(0),
       tk.count()).write.mode("append")
@@ -154,27 +155,43 @@ object TextIndex {
       ids.select(col("doc_id").as("vec_id")))
   }
 
-  /** Rebuild from the stored corpus minus tombstones — the physical
+  /** Rebuild from the STORED sides minus tombstones — the physical
     * reclaim + compaction (appends fragment the term-sorted layout).
-    * The tokenized corpus is NOT stored, so the rebuild re-derives
-    * sides from the postings/doclen lake itself: postings re-sort and
-    * re-stat exactly (tf/dl/N/T are all reconstructible), which keeps
-    * the rebuild a deterministic fixpoint. */
+    * Postings and doclen re-sort from their own lakes; the corpus
+    * totals SUBTRACT the tombstoned debt from the stored stats
+    * (n_docs − distinct tombstoned ids, n_tokens − their doclen sum)
+    * rather than re-deriving from postings — a token-less doc (NULL /
+    * empty text) has no postings row but IS a corpus row, so a
+    * re-derivation would silently shrink N on every rebuild (round-17
+    * review). Exact fixpoint vs a fresh build over the survivors,
+    * PROVIDED tombstoned ids were indexed docs (the family's
+    * permanent-identity contract — deleting a never-indexed id is a
+    * caller error here exactly as re-appending one is). */
   def rebalanceTextIndex(s: SparkSession, path: String): Unit = {
     recoverTextRebalance(s, path)
     val root = IndexSwap.liveRoot(s, path)
-    val live = IndexSwap.exceptTombstones(s, root,
-      s.read.parquet(IndexSwap.sideAt(root, "postings"))
-        .withColumnRenamed("doc_id", "vec_id"))
-      .withColumnRenamed("vec_id", "doc_id").localCheckpoint(true)
-    live.repartitionByRange(col("term")).sortWithinPartitions("term")
+    def minusTombs(side: String): DataFrame =
+      IndexSwap.exceptTombstones(s, root,
+        s.read.parquet(IndexSwap.sideAt(root, side))
+          .withColumnRenamed("doc_id", "vec_id"))
+        .withColumnRenamed("vec_id", "doc_id")
+    minusTombs("postings")
+      .repartitionByRange(col("term")).sortWithinPartitions("term")
       .write.mode("overwrite").parquet(IndexSwap.tmp(path, "postings").toString)
-    val dl = live.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
-      .localCheckpoint(true)
-    dl.repartitionByRange(col("doc_id")).sortWithinPartitions("doc_id")
+    val dlLive = minusTombs("doclen").localCheckpoint(true)
+    dlLive.repartitionByRange(col("doc_id")).sortWithinPartitions("doc_id")
       .write.mode("overwrite").parquet(IndexSwap.tmp(path, "doclen").toString)
-    val totals = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("t")).head()
-    statsDelta(s, totals.getLong(0), totals.getLong(1))
+    val stored = s.read.parquet(IndexSwap.sideAt(root, "stats"))
+      .agg(sum(col("n_docs")).as("n"), sum(col("n_tokens")).as("t")).head()
+    val dead = IndexSwap.tombstonesAt(s, root) match {
+      case None => (0L, 0L)
+      case Some(tombs) =>
+        val deadTokens = s.read.parquet(IndexSwap.sideAt(root, "doclen"))
+          .join(tombs.withColumnRenamed("vec_id", "doc_id"), Seq("doc_id"), "left_semi")
+          .agg(coalesce(sum(col("dl")), lit(0L))).head().getLong(0)
+        (tombs.count(), deadTokens)
+    }
+    statsDelta(s, stored.getLong(0) - dead._1, stored.getLong(1) - dead._2)
       .write.mode("overwrite").parquet(IndexSwap.tmp(path, "stats").toString)
     IndexSwap.commit(s, path, tSides)
   }
@@ -232,11 +249,22 @@ object TextIndex {
     // is Spark's split(trim, \s+) — replicated here verbatim and
     // pinned by the qn69 hash gate, which breaks if they diverge).
     val qt = qRows.flatMap { r =>
-      // No nonEmpty filter: Spark's split emits [""] for an all-space
-      // text and the build stores that "" posting, so a whitespace
-      // query must match it — exact parity, not cleanliness.
-      r.getString(1).trim.split("\\s+", -1).distinct
-        .map(t => org.apache.spark.sql.Row(r.getLong(0), t))
+      // NULL text contributes no query terms (explode-of-null parity
+      // with the in-flight tier — the qid simply has no keyword
+      // candidates); Spark's trim strips ASCII SPACE ONLY, so the
+      // driver replica must too (Java String.trim also eats tabs/
+      // newlines <= U+0020 — a tab-leading text would then drop the
+      // "" posting the build stored, silently shifting scores). No
+      // nonEmpty filter: split emits [""] for an all-space text and
+      // the build stores that "" posting — exact parity, not
+      // cleanliness.
+      if (r.isNullAt(1)) Seq.empty[org.apache.spark.sql.Row]
+      else {
+        val sparkTrimmed = r.getString(1)
+          .dropWhile(_ == ' ').reverse.dropWhile(_ == ' ').reverse
+        sparkTrimmed.split("\\s+", -1).distinct
+          .map(t => org.apache.spark.sql.Row(r.getLong(0), t)).toSeq
+      }
     }
     val qtDf = s.createDataFrame(java.util.Arrays.asList(qt: _*),
       org.apache.spark.sql.types.StructType(Seq(

@@ -137,6 +137,40 @@ class TextIndexSpec extends AnyFunSuite {
       "streamed index diverged from a fresh build over the grown corpus")
   }
 
+  test("edge corpus: tab-leading text keeps its empty-string posting, null text neither crashes nor counts wrong") {
+    import spark.implicits._
+    // Doc 2 shares ONLY the "" term with the query below (Spark trim
+    // strips spaces, not tabs, so "\tc d" tokenizes to ["", c, d] and
+    // "\ta" to ["", a]) — it surfaces iff the driver-side query
+    // tokenizer replicates Spark's space-only trim (round-17 review:
+    // Java String.trim eats the tab and silently drops the "" term).
+    val corpus = Seq((1L, "a b"), (2L, "\tc d"),
+      (4L, "a c")).toDF("doc_id", "text")
+      .union(Seq(3L).toDF("doc_id").select(col("doc_id"),
+        lit(null).cast("string").as("text")))
+    val path = graft.operators.Similarity.newIndexDir()
+    TextIndex.buildTextIndexFrom(spark, corpus, path)
+    val queries = Seq((100L, "\ta")).toDF("doc_id", "text")
+      .union(Seq(101L).toDF("doc_id").select(col("doc_id"),
+        lit(null).cast("string").as("text")))
+    val res = TextIndex.probeTextIndexWith(spark, queries, path, 10).collect()
+    val hits = res.filter(_.getLong(0) == 100L).map(_.getLong(2)).toSet
+    assert(hits == Set(1L, 2L, 4L),
+      s"expected the ''-term doc 2 and the 'a' docs 1/4, got $hits")
+    assert(!res.exists(_.getLong(0) == 101L), "null-text query produced rows")
+    // Rebuild with zero tombstones: stats are a fixpoint even though
+    // the null-text doc has no postings (N subtracts tombstone debt,
+    // never re-derives from postings).
+    val before = res.map(_.toString).toSeq
+    TextIndex.rebalanceTextIndex(spark, path)
+    val root = graft.operators.IndexSwap.liveRoot(spark, path)
+    val st = spark.read.parquet(s"$root/stats")
+      .agg(sum(col("n_docs")), sum(col("n_tokens"))).head()
+    assert(st.getLong(0) == 4L, s"rebuild shrank N to ${st.getLong(0)} (token-less doc dropped)")
+    assert(TextIndex.probeTextIndexWith(spark, queries, path, 10)
+      .collect().map(_.toString).toSeq == before, "no-op rebuild changed the probe")
+  }
+
   test("describe reports every side including tombstone debt") {
     val path = graft.operators.Similarity.newIndexDir()
     TextIndex.buildTextIndex(spark, sf, path)
