@@ -641,8 +641,9 @@ object PQ {
     // codes, and the probe replays the same route/ADC/refine chain
     // from the stored artifacts.
     Q("qn39_ann_ivfpq_persisted", sqlQn33) { (s, dir) =>
-      val path = Similarity.newIndexDir()
-      buildPqIndex(s, dir, path)
+      // Pristine build shared with qn54/qn55 (IndexMemo: one build per
+      // family per session — the production build-once/probe-many shape).
+      val path = IndexMemo.pristine(s, dir, "pq")(buildPqIndex(s, dir, _))
       probePqIndex(s, dir, path, 4, 5)
     },
 
@@ -652,8 +653,7 @@ object PQ {
     Q("qn54_ann_ivfpq_filtered",
       sqlIvfPq("SELECT vec_id, embedding FROM embeddings", fixturePq,
         candFilter = "a.vec_id % 3 = 1")) { (s, dir) =>
-      val path = Similarity.newIndexDir()
-      buildPqIndex(s, dir, path)
+      val path = IndexMemo.pristine(s, dir, "pq")(buildPqIndex(s, dir, _))
       probePqIndexWith(s,
         Tables.embeddings(s, dir).filter(col("vec_id") < 10)
           .select("vec_id", "embedding"),
@@ -671,8 +671,7 @@ object PQ {
     Q("qn55_ann_ivfpq_deletes",
       sqlIvfPq("SELECT vec_id, embedding FROM embeddings", fixturePq,
         candFilter = "a.vec_id % 7 <> 0")) { (s, dir) =>
-      val path = Similarity.newIndexDir()
-      buildPqIndex(s, dir, path)
+      val path = IndexMemo.mutableCopy(s, dir, "pq")(buildPqIndex(s, dir, _))
       deleteFromPqIndex(s,
         Tables.embeddings(s, dir).filter(col("vec_id") % 7 === 0).select("vec_id"),
         path)

@@ -358,8 +358,10 @@ object Similarity {
     // index dir is rebuilt per invocation under java.io.tmpdir (q0z's
     // fixture discipline, stale dirs reclaimed at first use).
     Q("qn10b_ann_ivf_persisted", ivfOracleSql()) { (s, dir) =>
-      val path = newIndexDir()
-      buildIvfIndex(s, dir, nCentroids = 16, path)
+      // Pristine build shared with qn10d/qn10e/qn56/qn57 (IndexMemo:
+      // one deterministic build per family per session).
+      val path = IndexMemo.pristine(s, dir, "ivf16")(
+        buildIvfIndex(s, dir, nCentroids = 16, _))
       probeIvfIndex(s, dir, path, nProbe = 4, k = 5)
     },
 
@@ -403,8 +405,8 @@ object Similarity {
     // path is hash-checked, not just shape-checked.
     Q("qn10d_ann_ivf_probe_join",
         ivfOracleSql(probeFilter = "TRUE")) { (s, dir) =>
-      val path = newIndexDir()
-      buildIvfIndex(s, dir, nCentroids = 16, path)
+      val path = IndexMemo.pristine(s, dir, "ivf16")(
+        buildIvfIndex(s, dir, nCentroids = 16, _))
       probeIvfIndexJoined(s,
         Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")),
         path, nProbe = 4, k = 5)
@@ -418,8 +420,8 @@ object Similarity {
     // bit-exactly.
     Q("qn10e_ann_ivf_probe_join_coarse",
         ivfOracleSql(probeFilter = "TRUE", coarseRoute = true)) { (s, dir) =>
-      val path = newIndexDir()
-      buildIvfIndex(s, dir, nCentroids = 16, path)
+      val path = IndexMemo.pristine(s, dir, "ivf16")(
+        buildIvfIndex(s, dir, nCentroids = 16, _))
       probeIvfIndexJoined(s,
         Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")),
         path, nProbe = 4, k = 5, forceRoute = Some(true))
@@ -444,8 +446,9 @@ object Similarity {
     // oracle because the stored signatures are the same fold and the
     // probe replays the same Hamming/shortlist/refine chain.
     Q("qn34b_ann_binary_hamming_persisted", sqlQn34()) { (s, dir) =>
-      val path = newIndexDir()
-      BinarySig.buildBinIndex(s, dir, path)
+      // Pristine build shared with qn58/qn59 (IndexMemo: one build per
+      // family per session — the production build-once/probe-many shape).
+      val path = IndexMemo.pristine(s, dir, "bin64")(BinarySig.buildBinIndex(s, dir, _))
       BinarySig.probeBinIndex(s, dir, path, 5)
     },
 
@@ -501,8 +504,8 @@ object Similarity {
     // the same deterministic stats and codes, and the probe replays
     // the same rank/shortlist/refine chain from the stored artifacts.
     Q("qn38b_ann_sq8_persisted", sqlQn38()) { (s, dir) =>
-      val path = newIndexDir()
-      SQ8.buildSq8Index(s, dir, path)
+      // Pristine build shared with qn60/qn61/qn64/qn66/qn70 (IndexMemo).
+      val path = IndexMemo.pristine(s, dir, "sq8_64")(SQ8.buildSq8Index(s, dir, _))
       SQ8.probeSq8Index(s, dir, path, 5)
     },
 
@@ -593,8 +596,9 @@ object Similarity {
     // this is the serving shape past that — the qn33 IVFADC pattern at
     // the cheaper rung, persisted under the versioned IndexSwap.
     Q("qn45_ann_ivf_sq8_persisted", sqlQn45) { (s, dir) =>
-      val path = newIndexDir()
-      IvfSq8.buildIvfSq8Index(s, dir, 16, path)
+      // Pristine build shared with qn52/qn53 (IndexMemo).
+      val path = IndexMemo.pristine(s, dir, "ivfsq8_16")(
+        IvfSq8.buildIvfSq8Index(s, dir, 16, _))
       IvfSq8.probeIvfSq8Index(s, dir, path, 4, 5)
     },
 
@@ -607,9 +611,10 @@ object Similarity {
     // so the probe replays qn48's oracle bit-exactly through the
     // persisted lifecycle.
     Q("qn49_ann_matryoshka_persisted", sqlQn48()) { (s, dir) =>
-      val path = newIndexDir()
+      // Pristine build shared with qn62/qn63 (IndexMemo).
       val wv = wideVecs(s, dir)
-      Matryoshka.buildMatryoshkaIndexFrom(s, wv, 64, path)
+      val path = IndexMemo.pristine(s, dir, "matry64w")(
+        Matryoshka.buildMatryoshkaIndexFrom(s, wv, 64, _))
       Matryoshka.probeMatryoshkaIndexWith(s, wv.filter(col("vec_id") < 10), path, 5)
     },
 
@@ -648,8 +653,11 @@ object Similarity {
     // candidates). Physical reclaim is the drift rebuild's job
     // (IvfSq8Spec pins files-shrink + fresh-build parity).
     Q("qn52_ann_ivf_sq8_deletes", sqlQn52) { (s, dir) =>
-      val path = newIndexDir()
-      IvfSq8.buildIvfSq8Index(s, dir, 16, path)
+      // Mutating gate: private file-level copy of the shared pristine
+      // build (IndexMemo.mutableCopy) — the tombstone write below must
+      // never land in qn45/qn53's shared tree.
+      val path = IndexMemo.mutableCopy(s, dir, "ivfsq8_16")(
+        IvfSq8.buildIvfSq8Index(s, dir, 16, _))
       IvfSq8.deleteFromIvfSq8Index(s,
         Tables.embeddings(s, dir).filter(col("vec_id") % 7 === 0).select("vec_id"),
         path)
@@ -665,8 +673,8 @@ object Similarity {
     // post-filtered fixed shortlist that loses recall as the filter
     // tightens.
     Q("qn53_ann_ivf_sq8_filtered", sqlQn53) { (s, dir) =>
-      val path = newIndexDir()
-      IvfSq8.buildIvfSq8Index(s, dir, 16, path)
+      val path = IndexMemo.pristine(s, dir, "ivfsq8_16")(
+        IvfSq8.buildIvfSq8Index(s, dir, 16, _))
       IvfSq8.probeIvfSq8IndexWith(s,
         Tables.embeddings(s, dir).filter(col("vec_id") < 10)
           .select("vec_id", "embedding"),
@@ -689,8 +697,8 @@ object Similarity {
     // Plain IVF: tombstones excluded from the routed cells' candidates.
     Q("qn56_ann_ivf_deletes",
         ivfOracleSql(candFilter = "a.vec_id % 7 <> 0")) { (s, dir) =>
-      val path = newIndexDir()
-      buildIvfIndex(s, dir, nCentroids = 16, path)
+      val path = IndexMemo.mutableCopy(s, dir, "ivf16")(
+        buildIvfIndex(s, dir, nCentroids = 16, _))
       deleteFromIvfIndex(s,
         Tables.embeddings(s, dir).filter(col("vec_id") % 7 === 0).select("vec_id"),
         path)
@@ -701,8 +709,8 @@ object Similarity {
     // top-k, so the result is exact filtered top-k in the routed cells.
     Q("qn57_ann_ivf_filtered",
         ivfOracleSql(candFilter = "a.vec_id % 3 = 1")) { (s, dir) =>
-      val path = newIndexDir()
-      buildIvfIndex(s, dir, nCentroids = 16, path)
+      val path = IndexMemo.pristine(s, dir, "ivf16")(
+        buildIvfIndex(s, dir, nCentroids = 16, _))
       probeIvfIndexWith(s,
         Tables.embeddings(s, dir).filter(col("vec_id") < 10)
           .select(col("vec_id"), col("embedding")),
@@ -714,8 +722,8 @@ object Similarity {
     // Binary rung: tombstoned signatures never enter the Hamming rank.
     Q("qn58_ann_binary_deletes",
         sqlQn34("s.vec_id % 7 <> 0")) { (s, dir) =>
-      val path = newIndexDir()
-      BinarySig.buildBinIndex(s, dir, path)
+      val path = IndexMemo.mutableCopy(s, dir, "bin64")(
+        BinarySig.buildBinIndex(s, dir, _))
       BinarySig.deleteFromBinIndex(s,
         Tables.embeddings(s, dir).filter(col("vec_id") % 7 === 0).select("vec_id"),
         path)
@@ -726,8 +734,8 @@ object Similarity {
     // shortlist — filtered top-k, not a post-filtered shortlist.
     Q("qn59_ann_binary_filtered",
         sqlQn34("s.vec_id % 3 = 1")) { (s, dir) =>
-      val path = newIndexDir()
-      BinarySig.buildBinIndex(s, dir, path)
+      val path = IndexMemo.pristine(s, dir, "bin64")(
+        BinarySig.buildBinIndex(s, dir, _))
       BinarySig.probeBinIndexWith(s,
         Tables.embeddings(s, dir).filter(col("vec_id") < 10)
           .select(col("vec_id"), col("embedding")),
@@ -740,8 +748,7 @@ object Similarity {
     // only the byte-rank candidate set shrinks.
     Q("qn60_ann_sq8_deletes",
         sqlQn38("s.vec_id % 7 <> 0")) { (s, dir) =>
-      val path = newIndexDir()
-      SQ8.buildSq8Index(s, dir, path)
+      val path = IndexMemo.mutableCopy(s, dir, "sq8_64")(SQ8.buildSq8Index(s, dir, _))
       SQ8.deleteFromSq8Index(s,
         Tables.embeddings(s, dir).filter(col("vec_id") % 7 === 0).select("vec_id"),
         path)
@@ -751,8 +758,7 @@ object Similarity {
     // SQ8 rung: filtered integer-L2 rank.
     Q("qn61_ann_sq8_filtered",
         sqlQn38("s.vec_id % 3 = 1")) { (s, dir) =>
-      val path = newIndexDir()
-      SQ8.buildSq8Index(s, dir, path)
+      val path = IndexMemo.pristine(s, dir, "sq8_64")(SQ8.buildSq8Index(s, dir, _))
       SQ8.probeSq8IndexWith(s,
         Tables.embeddings(s, dir).filter(col("vec_id") < 10)
           .select(col("vec_id"), col("embedding")),
@@ -765,9 +771,9 @@ object Similarity {
     // the wide derivation): tombstones excluded from the prefix rank.
     Q("qn62_ann_matryoshka_deletes",
         sqlQn48("s.vec_id % 7 <> 0")) { (s, dir) =>
-      val path = newIndexDir()
       val wv = wideVecs(s, dir)
-      Matryoshka.buildMatryoshkaIndexFrom(s, wv, 64, path)
+      val path = IndexMemo.mutableCopy(s, dir, "matry64w")(
+        Matryoshka.buildMatryoshkaIndexFrom(s, wv, 64, _))
       Matryoshka.deleteFromMatryoshkaIndex(s,
         Tables.embeddings(s, dir).filter(col("vec_id") % 7 === 0).select("vec_id"),
         path)
@@ -777,9 +783,9 @@ object Similarity {
     // Matryoshka rung: filtered prefix-score shortlist.
     Q("qn63_ann_matryoshka_filtered",
         sqlQn48("s.vec_id % 3 = 1")) { (s, dir) =>
-      val path = newIndexDir()
       val wv = wideVecs(s, dir)
-      Matryoshka.buildMatryoshkaIndexFrom(s, wv, 64, path)
+      val path = IndexMemo.pristine(s, dir, "matry64w")(
+        Matryoshka.buildMatryoshkaIndexFrom(s, wv, 64, _))
       Matryoshka.probeMatryoshkaIndexWith(s, wv.filter(col("vec_id") < 10), path, 5,
         allowed = Some(Tables.embeddings(s, dir)
           .filter(col("vec_id") % 3 === 1).select("vec_id")))
@@ -800,8 +806,7 @@ object Similarity {
     // fixture constant chosen at the ~1% pair quantile (stable across
     // sf0.001/0.01/0.1, measured).
     Q("qn64_ann_sq8_range", sqlQn64()) { (s, dir) =>
-      val path = newIndexDir()
-      SQ8.buildSq8Index(s, dir, path)
+      val path = IndexMemo.pristine(s, dir, "sq8_64")(SQ8.buildSq8Index(s, dir, _))
       SQ8.rangeSq8Index(s, dir, path, rangeT2e12)
     },
 
@@ -812,8 +817,7 @@ object Similarity {
     // losslessness stays the thing being proved.
     Q("qn66_ann_sq8_range_filtered",
         sqlQn64("s.vec_id % 7 <> 0 AND s.vec_id % 3 = 1")) { (s, dir) =>
-      val path = newIndexDir()
-      SQ8.buildSq8Index(s, dir, path)
+      val path = IndexMemo.mutableCopy(s, dir, "sq8_64")(SQ8.buildSq8Index(s, dir, _))
       SQ8.deleteFromSq8Index(s,
         Tables.embeddings(s, dir).filter(col("vec_id") % 7 === 0).select("vec_id"),
         path)
@@ -877,8 +881,8 @@ object Similarity {
     // in-flight oracle because the stored tf/dl/N/T are the same
     // aggregates and df re-derives from the matched postings.
     Q("qn69_text_index_bm25", sqlQn69) { (s, dir) =>
-      val path = newIndexDir()
-      TextIndex.buildTextIndex(s, dir, path)
+      // Pristine build shared with qn70 (IndexMemo).
+      val path = IndexMemo.pristine(s, dir, "text")(TextIndex.buildTextIndex(s, dir, _))
       TextIndex.probeTextIndex(s, dir, path, 10)
     },
 
@@ -888,10 +892,8 @@ object Similarity {
     // hash-match qn65's in-flight oracle bit-for-bit, proving the
     // persisted composition changes nothing but the read pattern.
     Q("qn70_hybrid_persisted", sqlQn65()) { (s, dir) =>
-      val tPath = newIndexDir()
-      val vPath = newIndexDir()
-      TextIndex.buildTextIndex(s, dir, tPath)
-      SQ8.buildSq8Index(s, dir, vPath)
+      val tPath = IndexMemo.pristine(s, dir, "text")(TextIndex.buildTextIndex(s, dir, _))
+      val vPath = IndexMemo.pristine(s, dir, "sq8_64")(SQ8.buildSq8Index(s, dir, _))
       hybridFromIndexes(s, dir, tPath, vPath)
     },
 
@@ -1057,8 +1059,7 @@ object Similarity {
       |  UNION ALL SELECT 'stats', 64
       |  UNION ALL SELECT 'vectors', CAST(COUNT(*) AS BIGINT) FROM embeddings)
       |ORDER BY side""".stripMargin) { (s, dir) =>
-    val path = newIndexDir()
-    SQ8.buildSq8Index(s, dir, path)
+    val path = IndexMemo.mutableCopy(s, dir, "sq8_64")(SQ8.buildSq8Index(s, dir, _))
     SQ8.deleteFromSq8Index(s,
       Tables.embeddings(s, dir).filter(col("vec_id") % 7 === 0).select("vec_id"),
       path)
