@@ -90,7 +90,7 @@ object Dedup {
     * frames whose blocks live for the session anyway.
     */
   private val pairMemo =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String, Long, Int, Long), DataFrame]
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String, Long, Int, String), DataFrame]
 
   private[operators] def memoized(tag: String, s: SparkSession, dir: String, p: Long, q: Int)(
       build: => DataFrame): DataFrame = {
@@ -98,12 +98,13 @@ object Dedup {
     // died with the context; the map must not pin the sessions too).
     pairMemo.keySet.filter(_._1.sparkContext.isStopped)
       .foreach(pairMemo.remove)
-    // The broadcast cap is part of the key: it changes the physical plan,
-    // and a memoized frame built under one cap must not answer a query
-    // posed under another. NOTE the memo assumes the data under `dir` is
-    // immutable within a session (true for the lake contract); call
-    // [[clearMemo]] after rewriting a corpus in place.
-    pairMemo.getOrElseUpdate((s, dir, tag, p, q, broadcastCap(s)), build)
+    // Every plan-shaping conf is part of the key: each changes the
+    // physical plan, and a memoized frame built under one setting must
+    // not answer a query posed under another. NOTE the memo assumes the
+    // data under `dir` is immutable within a session (true for the lake
+    // contract); call [[clearMemo]] after rewriting a corpus in place.
+    val confSig = s"${broadcastCap(s)}:${allPairsMaxGroups(s)}:${allPairsBuckets(s)}"
+    pairMemo.getOrElseUpdate((s, dir, tag, p, q, confSig), build)
   }
 
   /** Visible size of the memo for `s` (tests). */
@@ -141,6 +142,69 @@ object Dedup {
     * Conf-tunable so tests can force the shuffled-hash path. */
   private[operators] def broadcastCap(s: SparkSession): Long =
     s.conf.getOption("spark.graft.pairJoin.broadcastMaxRows").map(_.toLong).getOrElse(8000000L)
+
+  /** Distinct-set-count cap above which the all-pairs candidate path is
+    * not even PROBED (the occurrence-count job is skipped entirely):
+    * past it the quadratic pair space cannot beat a prefix/band
+    * candidate stream worth having. A 100 TB corpus blows through this
+    * cap on the group count alone, so the probe adds ZERO cost at
+    * scale; at fixture/bench scale it is one tiny agg over an
+    * already-checkpointed frame. */
+  private[operators] def allPairsMaxGroups(s: SparkSession): Long =
+    s.conf.getOption("spark.graft.pairJoin.allPairsMaxGroups")
+      .map(_.toLong).getOrElse(1L << 18)
+
+  /** Bucket count L for the all-pairs equi-join enumeration
+    * ([[bucketedAllPairs]]): the probe side replicates each row
+    * (L - bucket) times, the build side is probed per bucket, so L
+    * trades probe-side width against per-match fan-out. 64 keeps the
+    * replicated side tiny at every group count the cap admits. */
+  private[operators] def allPairsBuckets(s: SparkSession): Int =
+    s.conf.getOption("spark.graft.pairJoin.allPairsBuckets")
+      .map(_.toInt).getOrElse(64)
+
+  /** Last candidate-path decision per (session, family) — "all_pairs"
+    * vs "prefix"/"band". Diagnostics for tests, the [[sideChoices]]
+    * discipline. */
+  private val pairPathBuf =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+  private[graft] def lastPairPath(s: SparkSession, tag: String): Option[String] =
+    pairPathBuf.get((s, tag))
+  private def recordPairPath(s: SparkSession, tag: String, path: String): Unit = {
+    pairPathBuf.keySet.filter(_._1.sparkContext.isStopped).foreach(pairPathBuf.remove)
+    pairPathBuf((s, tag)) = path
+  }
+
+  /** Every unordered pair of `ep` rows EXACTLY once, as an equi-join on
+    * a hash-bucket key — the all-pairs arm of the measured candidate
+    * dispatch (chosen only when the measured candidate stream exceeds
+    * n·(n-1)/2; see the dispatch comments at the call sites). Row r
+    * lands in bucket b(r) = pmod(xxhash64(doc_id), L); the probe side
+    * replicates each row to every bucket >= its own (one explode of a
+    * sequence — n·(L+1)/2 rows in expectation), the build side sits in
+    * its one bucket, and same-bucket matches orient by doc_id, so every
+    * unordered pair materializes from exactly one (probe, build) row
+    * pair: cross-bucket pairs only where the probe's OWN bucket is the
+    * lower one, same-bucket pairs only with the lower doc_id on the
+    * probe side. The join stays a keyed Broadcast/ShuffledHash join
+    * ([[sizedWide]] decides which) — never a CartesianProduct/BNLJ,
+    * which the plan gate bans. Output: `doc_a`/`doc_b` plus the payload
+    * columns suffixed `_a`/`_b`; pair orientation is by BUCKET, not by
+    * id, so consumers must treat payload-derived outputs symmetrically
+    * (all callers do: intersection counts, agreement counts). */
+  private def bucketedAllPairs(s: SparkSession, ep: DataFrame, cols: Seq[String],
+      nRows: Long, avgRowBytes: Long): DataFrame = {
+    val L = math.max(1, allPairsBuckets(s))
+    def side(sfx: String) = ep.select(
+      col("doc_id").as(s"doc_$sfx") +: cols.map(c => col(c).as(s"${c}_$sfx")): _*)
+    def bktOf(d: Column) = pmod(xxhash64(d), lit(L.toLong)).cast("int")
+    val xs = side("a").withColumn("bx", bktOf(col("doc_a")))
+      .withColumn("jb", explode(sequence(col("bx"), lit(L - 1))))
+    val ys = side("b").withColumn("jb", bktOf(col("doc_b")))
+    xs.join(sizedWide(s, ys, nRows, avgRowBytes), "jb")
+      .filter(col("bx") < col("jb") || col("doc_a") < col("doc_b"))
+      .drop("jb", "bx")
+  }
 
   /** Join-side strategy chosen by MEASURED size at plan build, not hope.
     * Every candidate side here derives from a `localCheckpoint`, whose
@@ -306,6 +370,40 @@ object Dedup {
     val payRowBytes = avgBytes(nIdElems, nPrefixRows)
     val memberRowBytes = avgBytes(nMemberElems)
 
+    // Measured candidate-path dispatch (optimization round 17; guide
+    // §1.2 "fix the distributed algorithm first" / §2.3 "shuffle fewer
+    // bytes"): the prefix equi-join emits one row per SHARED PREFIX
+    // TOKEN — sum over prefix tokens of C(c,2) rows. On a corpus whose
+    // distinct-set count n is small relative to that stream (the
+    // all-similar bench corpus: n = 3,935 sets vs 89.3M occurrences at
+    // sf0.1 — 11.6x more rows than n·(n-1)/2 = 7.7M), enumerating every
+    // unordered SET pair exactly once is strictly fewer rows through
+    // the SAME exact verify predicate — and it drops the per-candidate
+    // first-common dedup test too (exactly-once holds by construction).
+    // Both counts are measured at plan build: C(c,2) summed in one tiny
+    // agg over the already-checkpointed prefix stream, gated behind
+    // [[allPairsMaxGroups]] so the probe itself is skipped the moment n
+    // alone rules the quadratic path out — at 100 TB the cap check
+    // fails on nGroups and nothing extra runs. Lossless either way: the
+    // prefix filter never drops a true pair (round-1 proof), and the
+    // all-pairs arm verifies every pair, so the verified set is
+    // identical and the oracle cannot move.
+    val nOcc =
+      if (nGroups < 2 || nGroups > allPairsMaxGroups(s)) -1L
+      else ep.select(explode(col("pids")).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("c"))
+        .agg(coalesce(sum(col("c") * (col("c") - lit(1))), lit(0L)))
+        .head.getLong(0) / 2
+    val allPairsN =
+      if (nGroups > 3000000000L) Long.MaxValue else nGroups * (nGroups - 1) / 2
+    val useAllPairs = nOcc >= 0 && allPairsN < nOcc
+    recordPairPath(s, "jaccard", if (useAllPairs) "all_pairs" else "prefix")
+
+    // Necessary size condition (J <= min/max) first — a two-int compare
+    // that drops a pair before any set work runs.
+    val sizeGate = lit(q) * least(col("sz_a"), col("sz_b")) >=
+      lit(p) * greatest(col("sz_a"), col("sz_b"))
+
     // Shared candidate-occurrence head: one row per shared prefix token.
     def candidates(pay: String => DataFrame): DataFrame = {
       val pre = ep.select(col("doc_id"), explode(col("pids")).as("tok"))
@@ -314,9 +412,7 @@ object Dedup {
         .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"), col("x.tok").as("tok"))
         .join(pay("a"), "doc_a")
         .join(pay("b"), "doc_b")
-        // Necessary size condition (J <= min/max) first — a two-int
-        // compare that drops a pair before any set work runs.
-        .filter(lit(q) * least(col("sz_a"), col("sz_b")) >= lit(p) * greatest(col("sz_a"), col("sz_b")))
+        .filter(sizeGate)
     }
 
     val verified =
@@ -324,28 +420,45 @@ object Dedup {
         val toBm = (ids: Column) => aggregate(ids, lit(0L),
           (acc, i) => acc.bitwiseOR(call_function("shiftleft", lit(1L), i - 1)))
         val epb = ep.withColumn("bm", toBm(col("ids"))).withColumn("pbm", toBm(col("pids")))
-        def pay(side: String) = sized(s, epb.select(
-          col("doc_id").as(s"doc_$side"), col("bm").as(s"bm_$side"),
-          col("pbm").as(s"pbm_$side"), col("sz").as(s"sz_$side")), nGroups)
-        // Exactly-once per pair: this occurrence's token is the lowest
-        // set bit of the ANDed prefix bitmaps. Replaces round 1's
-        // distinct() (89M-row shuffle at sf0.1) with an in-stage compare.
-        val pab = col("pbm_a").bitwiseAND(col("pbm_b"))
-        val firstCommon = bit_count(pab.bitwiseAND(-pab) - 1) + 1
-        candidates(pay)
-          .filter(col("tok") === firstCommon)
-          .withColumn("n_inter", bit_count(col("bm_a").bitwiseAND(col("bm_b"))))
+        if (useAllPairs)
+          // All-pairs arm, bitmap verify: no prefix explode, no
+          // first-common filter — one bit_count AND per pair.
+          bucketedAllPairs(s, epb.select("doc_id", "bm", "sz"), Seq("bm", "sz"), nGroups, 64L)
+            .filter(sizeGate)
+            .withColumn("n_inter", bit_count(col("bm_a").bitwiseAND(col("bm_b"))))
+        else {
+          def pay(side: String) = sized(s, epb.select(
+            col("doc_id").as(s"doc_$side"), col("bm").as(s"bm_$side"),
+            col("pbm").as(s"pbm_$side"), col("sz").as(s"sz_$side")), nGroups)
+          // Exactly-once per pair: this occurrence's token is the lowest
+          // set bit of the ANDed prefix bitmaps. Replaces round 1's
+          // distinct() (89M-row shuffle at sf0.1) with an in-stage compare.
+          val pab = col("pbm_a").bitwiseAND(col("pbm_b"))
+          val firstCommon = bit_count(pab.bitwiseAND(-pab) - 1) + 1
+          candidates(pay)
+            .filter(col("tok") === firstCommon)
+            .withColumn("n_inter", bit_count(col("bm_a").bitwiseAND(col("bm_b"))))
+        }
       } else {
-        def pay(side: String) = sizedWide(s, ep.select(
-          col("doc_id").as(s"doc_$side"), col("ids").as(s"ids_$side"),
-          col("pids").as(s"pids_$side"), col("sz").as(s"sz_$side")),
-          nGroups, payRowBytes)
-        candidates(pay)
-          // Exactly-once per pair, merge-walk form of the same filter.
-          .filter(col("tok") === SortedFirstCommon(col("pids_a"), col("pids_b")))
-          // Projected once: downstream filter + both output columns
-          // reference n_inter; inlining would re-run the walk per use.
-          .withColumn("n_inter", SortedIntersectCount(col("ids_a"), col("ids_b")))
+        if (useAllPairs)
+          // All-pairs arm, merge-walk verify: ids only (no pids ride
+          // the pair rows — the first-common walk is gone).
+          bucketedAllPairs(s, ep.select("doc_id", "ids", "sz"), Seq("ids", "sz"),
+            nGroups, avgBytes(nIdElems))
+            .filter(sizeGate)
+            .withColumn("n_inter", SortedIntersectCount(col("ids_a"), col("ids_b")))
+        else {
+          def pay(side: String) = sizedWide(s, ep.select(
+            col("doc_id").as(s"doc_$side"), col("ids").as(s"ids_$side"),
+            col("pids").as(s"pids_$side"), col("sz").as(s"sz_$side")),
+            nGroups, payRowBytes)
+          candidates(pay)
+            // Exactly-once per pair, merge-walk form of the same filter.
+            .filter(col("tok") === SortedFirstCommon(col("pids_a"), col("pids_b")))
+            // Projected once: downstream filter + both output columns
+            // reference n_inter; inlining would re-run the walk per use.
+            .withColumn("n_inter", SortedIntersectCount(col("ids_a"), col("ids_b")))
+        }
       }
 
     val repPairs = verified
@@ -521,6 +634,28 @@ object Dedup {
       // (the round-12 paircurve battery hit spark.driver.maxResultSize
       // at 4M docs — the qn03 payload-side lesson, same fix).
       val sigRowBytes = 48L + 12L * 64L
+      // Measured candidate-path dispatch — the jaccardPairs discipline
+      // applied to the band join: the band equi-join emits one row per
+      // COLLIDING BAND (sum over band keys of C(c,2) = 46.5M at sf0.1)
+      // while the distinct-signature pair space is n·(n-1)/2 = 7.7M.
+      // When the measured collision count exceeds the pair count, every
+      // unordered signature pair is enumerated once instead
+      // ([[bucketedAllPairs]]) and "shares >= 1 band" becomes one
+      // early-exit FirstAgreeingBand >= 0 test per pair — no 16x band
+      // explode, no payload re-joins (both sigs ride the single keyed
+      // join). The probe is one tiny agg over the 16n band keys, gated
+      // behind [[allPairsMaxGroups]]: at 100 TB the cap check fails on
+      // nGrp and nothing extra runs. Identical pair set either way —
+      // the oracle's own predicate IS "some band agrees".
+      val nBandOcc =
+        if (nGrp < 2 || nGrp > allPairsMaxGroups(s)) -1L
+        else banded.groupBy("band").agg(count(lit(1)).as("c"))
+          .agg(coalesce(sum(col("c") * (col("c") - lit(1))), lit(0L)))
+          .head.getLong(0) / 2
+      val allPairsN =
+        if (nGrp > 3000000000L) Long.MaxValue else nGrp * (nGrp - 1) / 2
+      val useAllPairs = nBandOcc >= 0 && allPairsN < nBandOcc
+      recordPairPath(s, "minhash", if (useAllPairs) "all_pairs" else "band")
       val pay = (side: String) => sizedWide(s, grp.select(
         col("doc_id").as(s"doc_$side"), col("sig").as(s"sig_$side")), nGrp, sigRowBytes)
       // Measured-size strategy — banded derives from a localCheckpoint
@@ -532,8 +667,15 @@ object Dedup {
       // measured 12.9s vs 8.8s cold at sf0.1 in favor of joining narrow
       // (doc ids only) and re-probing the two ~2 MB, cache-resident
       // payload maps afterward. Same lesson as the round-1 shuffle rule:
-      // keys travel, payloads rejoin.
-      val repPairs = banded.as("x")
+      // keys travel, payloads rejoin. (On the all-pairs arm the pair
+      // stream is SMALLER than the payload-joined stream would ever be,
+      // so sigs ride the one join instead.)
+      val repPairs = if (useAllPairs)
+        bucketedAllPairs(s, grp.select("doc_id", "sig"), Seq("sig"), nGrp, sigRowBytes)
+          .filter(FirstAgreeingBand(col("sig_a"), col("sig_b"), 4) >= 0)
+          .select(col("doc_a"), col("doc_b"),
+            PairwiseEqCount(col("sig_a"), col("sig_b")).as("n_agree"))
+      else banded.as("x")
         // ~96 B/row: the 5-field band struct is wider than a narrow pair
         // row, so the count cap alone under-budgets the build side.
         .join(sizedWide(s, banded.as("y"), 16L * nGrp, 96L), col("x.band") === col("y.band"))

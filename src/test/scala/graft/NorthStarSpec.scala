@@ -26,6 +26,34 @@ class NorthStarSpec extends AnyFunSuite {
     assert(blocked == brute)
   }
 
+  test("pair candidate-path dispatch (all-pairs vs prefix/band) is result-invariant") {
+    // The optimization-round dispatch (Dedup.bucketedAllPairs): when the
+    // measured candidate stream exceeds n·(n-1)/2, every unordered group
+    // pair is enumerated once through a bucketed equi-join instead. The
+    // two arms must emit IDENTICAL rows (the oracle hash cannot move),
+    // and forcing the cap to 0 must pin the prefix/band arm. Trailing
+    // slashes: fresh memo keys so earlier suites' frames don't answer.
+    val dir = sf + "//"
+    val names = Seq("qn03_jaccard_pairs", "qn04_minhash_lsh_pairs")
+    def runAll() = names.map(n =>
+      n -> SparkEntry.queries(n)(spark, dir).collect().map(_.toString).toSeq).toMap
+    val a = runAll()
+    val pathsA = (operators.Dedup.lastPairPath(spark, "jaccard"),
+      operators.Dedup.lastPairPath(spark, "minhash"))
+    spark.conf.set("spark.graft.pairJoin.allPairsMaxGroups", "0")
+    try {
+      val b = runAll()
+      assert(operators.Dedup.lastPairPath(spark, "jaccard").contains("prefix"))
+      assert(operators.Dedup.lastPairPath(spark, "minhash").contains("band"))
+      names.foreach(n => assert(a(n) == b(n), s"$n rows differ across dispatch arms"))
+      // On the all-similar test corpus the measured dispatch must have
+      // picked the all-pairs arm under the default cap (candidate
+      // streams exceed the pair space at every SF of this corpus) —
+      // otherwise this test silently stops covering the new arm.
+      assert(pathsA == (Some("all_pairs"), Some("all_pairs")), pathsA.toString)
+    } finally spark.conf.unset("spark.graft.pairJoin.allPairsMaxGroups")
+  }
+
   test("qn08 angular blocking is lossless AND sub-quadratic on a clustered corpus") {
     import spark.implicits._
     // High-dup-rate fixture: 10 clusters of 20 near-identical vectors,
