@@ -388,14 +388,28 @@ object Dedup {
     // prefix filter never drops a true pair (round-1 proof), and the
     // all-pairs arm verifies every pair, so the verified set is
     // identical and the oracle cannot move.
+    val allPairsN =
+      if (nGroups > 3000000000L) Long.MaxValue else nGroups * (nGroups - 1) / 2
+    // Convexity shortcut before the probe job: spreading the
+    // nPrefixRows prefix occurrences as EVENLY as possible over the at
+    // most vocabN distinct tokens minimizes sum C(c,2), so that spread
+    // is a hard LOWER bound on the occurrence count. When even the
+    // bound exceeds n·(n-1)/2 (the all-similar corpus: 31 tokens carry
+    // 49k prefix rows at sf0.1 → bound 39M vs 7.7M pairs) the all-pairs
+    // arm wins with NO extra job; the probe only runs in the genuinely
+    // ambiguous regime (large vocab, discriminative prefixes).
+    val occLower = {
+      val v = math.max(1L, math.min(vocabN, math.max(nPrefixRows, 1L)))
+      val base = nPrefixRows / v; val rem = nPrefixRows % v
+      rem * (base + 1) * base / 2 + (v - rem) * base * (base - 1) / 2
+    }
     val nOcc =
       if (nGroups < 2 || nGroups > allPairsMaxGroups(s)) -1L
+      else if (occLower > allPairsN) occLower
       else ep.select(explode(col("pids")).as("tok"))
         .groupBy("tok").agg(count(lit(1)).as("c"))
         .agg(coalesce(sum(col("c") * (col("c") - lit(1))), lit(0L)))
         .head.getLong(0) / 2
-    val allPairsN =
-      if (nGroups > 3000000000L) Long.MaxValue else nGroups * (nGroups - 1) / 2
     val useAllPairs = nOcc >= 0 && allPairsN < nOcc
     recordPairPath(s, "jaccard", if (useAllPairs) "all_pairs" else "prefix")
 

@@ -64,9 +64,20 @@ object TextIndex {
     tk.groupBy("doc_id").agg(count(lit(1)).as("dl"))
       .repartitionByRange(col("doc_id")).sortWithinPartitions("doc_id")
       .write.mode("overwrite").parquet(IndexSwap.tmp(path, "doclen").toString)
-    statsDelta(s, corpus.agg(count(lit(1)).as("n_docs")).head().getLong(0),
-      tk.count()).write.mode("overwrite")
+    val (nDocs, nTokens) = corpusStats(corpus)
+    statsDelta(s, nDocs, nTokens).write.mode("overwrite")
       .parquet(IndexSwap.tmp(path, "stats").toString)
+  }
+
+  /** (n_docs, n_tokens) of a corpus in ONE pass/job (optimization round
+    * 17: the doc count and the token count each ran their own action —
+    * two scans where one agg answers both). sum(size(tokens)) counts
+    * exactly what exploding `tokensOf` yields: explode drops empty
+    * arrays and NULLs, sum skips the matching NULL sizes. */
+  private def corpusStats(corpus: DataFrame): (Long, Long) = {
+    val r = corpus.agg(count(lit(1)).as("n"),
+      coalesce(sum(size(tokens(col("text")))), lit(0L)).as("t")).head()
+    (r.getLong(0), r.getLong(1))
   }
 
   private def statsDelta(s: SparkSession, nDocs: Long, nTokens: Long): DataFrame = {
@@ -108,8 +119,8 @@ object TextIndex {
     tk.groupBy("doc_id").agg(count(lit(1)).as("dl"))
       .repartitionByRange(col("doc_id")).sortWithinPartitions("doc_id")
       .write.mode("append").parquet(IndexSwap.sideAt(root, "doclen"))
-    statsDelta(s, newDocs.agg(count(lit(1)).as("n")).head().getLong(0),
-      tk.count()).write.mode("append")
+    val (nNew, tNew) = corpusStats(newDocs)
+    statsDelta(s, nNew, tNew).write.mode("append")
       .parquet(IndexSwap.sideAt(root, "stats"))
     // Measured fragmentation trigger (the BinarySig/Matryoshka
     // pattern): appends fragment the term-sorted point-read layout —
