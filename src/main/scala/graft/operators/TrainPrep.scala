@@ -118,9 +118,10 @@ object TrainPrep {
 
     // Sequence packing: documents (in doc_id order) laid end-to-end in
     // token space; each document belongs to the 2048-token block where it
-    // starts. One window cumsum. This is the GLOBAL-order oracle form —
-    // its window has no partitionBy, so every row flows through one
-    // partition; qn14b below is the shard-keyed form that scales.
+    // starts. GLOBAL-order form, computed as a DISTRIBUTED cumsum (range
+    // partition + per-partition window + offsets — no single-partition
+    // window anywhere); qn14b below is the shard-keyed form whose packing
+    // itself is embarrassingly parallel.
     Q("qn14_sequence_packing", {
       val toks = sqlTokens("text")
       s"""WITH t AS (SELECT doc_id, len($toks) AS n_tok FROM documents),
@@ -134,10 +135,31 @@ object TrainPrep {
          |       MIN(doc_id) AS first_doc
          |FROM c GROUP BY 1 ORDER BY bin""".stripMargin
     }) { (s, dir) =>
-      val w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      Tables.documents(s, dir)
+      // Distributed global cumsum (optimization round 17): the first cut
+      // ran ONE unpartitioned window — every row through a single
+      // partition, the exact scale-killer WindowExec warns about. The
+      // same global running sum computes distributed with the
+      // [[Dedup.globalRanks]] footprint: range-partition on the order
+      // key, per-partition cumsum, per-partition offsets from one
+      // O(#partitions) driver pass. Result-identical — range
+      // partitioning preserves the doc_id total order.
+      val base = Tables.documents(s, dir)
         .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_tok"))
-        .withColumn("start_off", sum(col("n_tok")).over(w) - col("n_tok"))
+        .repartitionByRange(col("doc_id"))
+        .withColumn("pid", spark_partition_id())
+        .withColumn("lsum", sum(col("n_tok")).over(
+          Window.partitionBy("pid").orderBy("doc_id")))
+        .localCheckpoint(true) // read twice: offset probe + the groupBy
+      val pidTotals = base.groupBy("pid")
+        .agg(coalesce(sum(col("n_tok")), lit(0L)).as("t")).collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+      val offsets = pidTotals.map(_._1)
+        .zip(pidTotals.map(_._2).scanLeft(0L)(_ + _).init)
+      val offCol =
+        if (offsets.isEmpty) lit(0L)
+        else element_at(
+          map(offsets.flatMap { case (p, o) => Seq(lit(p), lit(o)) }: _*), col("pid"))
+      base.withColumn("start_off", offCol + col("lsum") - col("n_tok"))
         .groupBy(floor(col("start_off") / 2048.0).cast("long").as("bin"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
           min(col("doc_id")).as("first_doc"))
