@@ -139,9 +139,18 @@ object Relational {
     Q("q13b_approx_distinct",
       """SELECT COUNT(DISTINCT o_custkey) AS exact_cust, TRUE AS within_bound
         |FROM orders""".stripMargin) { (s, dir) =>
-      Tables.orders(s, dir)
+      // Both aggregates are functions of the DISTINCT key set alone
+      // (HLL++ registers are maxes over element hashes — duplicates
+      // cannot move them), so they run over one distinct() pass:
+      // bit-identical outputs, and the pathological multi-distinct
+      // rewrite is gone (countDistinct + an imperative HLL in ONE agg
+      // forced an Expand + object-hash path — measured 2.8 s warm at
+      // sf0.1 vs 0.2 s + 0.8 s for the same aggregates run separately;
+      // this shape is ~0.5 s). count(col) skips NULLs exactly as
+      // COUNT(DISTINCT col) does.
+      Tables.orders(s, dir).select(col("o_custkey")).distinct()
         .agg(approx_count_distinct(col("o_custkey"), 0.01).as("approx_cust"),
-          countDistinct(col("o_custkey")).as("exact_cust"))
+          count(col("o_custkey")).as("exact_cust"))
         .select(col("exact_cust"),
           (abs(col("approx_cust") - col("exact_cust"))
             <= lit(0.05) * col("exact_cust")).as("within_bound"))
