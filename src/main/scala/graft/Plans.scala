@@ -15,8 +15,8 @@ object Plans {
     "q12_agg_pricing_summary" -> "TPC-H Q1 shape: scan -> partial agg -> final agg",
     "q17_rownum_top_order_per_cust" -> "rank===1 rewritten to TopKPerGroup (no per-group sort)",
     "q20_topk_orders" -> "TakeOrderedAndProject (no global sort)",
-    "qn03_jaccard_pairs" -> "prefix-filter equi-join on dictionary ids, first-common pair dedup (no distinct), bitmap/merge-walk verify",
-    "qn04_minhash_lsh_pairs" -> "LSH band equi-join on struct keys, first-agreeing-band pair dedup (no distinct), broadcast signature rejoin",
+    "qn03_jaccard_pairs" -> "measured dispatch: prefix-filter equi-join (first-common pair dedup, no distinct) vs bucketed all-pairs equi-join when the candidate stream is measured larger; bitmap/merge-walk verify either way",
+    "qn04_minhash_lsh_pairs" -> "measured dispatch: LSH band equi-join (first-agreeing-band dedup, broadcast sig rejoin) vs bucketed all-pairs with one early-exit band test when band collisions are measured larger",
     "qn07_cosine_topk" -> "broadcast probes, codegen'd native dot, TopKPerGroup operator (rewritten from the window form)",
     "qs02_session_window" -> "built-in session window aggregation",
     "qm01_asset_catalog" -> "payload column pruned out of the scan",

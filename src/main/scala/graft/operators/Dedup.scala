@@ -103,7 +103,8 @@ object Dedup {
     // not answer a query posed under another. NOTE the memo assumes the
     // data under `dir` is immutable within a session (true for the lake
     // contract); call [[clearMemo]] after rewriting a corpus in place.
-    val confSig = s"${broadcastCap(s)}:${allPairsMaxGroups(s)}:${allPairsBuckets(s)}"
+    val confSig = s"${broadcastCap(s)}:${allPairsMaxGroups(s)}:" +
+      s"${allPairsBuckets(s)}:${allPairsMargin(s)}"
     pairMemo.getOrElseUpdate((s, dir, tag, p, q, confSig), build)
   }
 
@@ -153,6 +154,16 @@ object Dedup {
   private[operators] def allPairsMaxGroups(s: SparkSession): Long =
     s.conf.getOption("spark.graft.pairJoin.allPairsMaxGroups")
       .map(_.toLong).getOrElse(1L << 18)
+
+  /** Decisive-gap margin for the all-pairs dispatch: the quadratic arm
+    * runs only when the measured candidate stream exceeds
+    * margin x n·(n-1)/2. Near parity the shipped candidate path keeps
+    * its measured constants (A/B at sf0.1: a 3.2x row gap on the
+    * clean45 family still LOST by ~0.8 s to per-row constants plus the
+    * probe's own jobs; the 11.6x qn03 gap wins decisively). */
+  private[operators] def allPairsMargin(s: SparkSession): Double =
+    s.conf.getOption("spark.graft.pairJoin.allPairsMargin")
+      .map(_.toDouble).getOrElse(4.0)
 
   /** Bucket count L for the all-pairs equi-join enumeration
     * ([[bucketedAllPairs]]): the probe side replicates each row
@@ -403,14 +414,25 @@ object Dedup {
       val base = nPrefixRows / v; val rem = nPrefixRows % v
       rem * (base + 1) * base / 2 + (v - rem) * base * (base - 1) / 2
     }
+    // ... and a cheap UPPER bound before paying the probe's shuffle:
+    // prefix-token collisions are at most full-df collisions, and the
+    // per-token dfs already sit in the checkpointed vocab frame — one
+    // tiny agg over vocabN rows. A discriminative corpus (shingles:
+    // df mostly 1) skips the occurrence probe entirely on this bound.
+    def occUpper: Long = ranked
+      .agg(coalesce(sum(col("df") * (col("df") - lit(1))), lit(0L)))
+      .head.getLong(0) / 2
+    val margin = allPairsMargin(s)
+    def decisive(occ: Long): Boolean = occ.toDouble > margin * allPairsN.toDouble
     val nOcc =
       if (nGroups < 2 || nGroups > allPairsMaxGroups(s)) -1L
-      else if (occLower > allPairsN) occLower
+      else if (decisive(occLower)) occLower
+      else if (!decisive(occUpper)) -1L // even the upper bound is not decisive
       else ep.select(explode(col("pids")).as("tok"))
         .groupBy("tok").agg(count(lit(1)).as("c"))
         .agg(coalesce(sum(col("c") * (col("c") - lit(1))), lit(0L)))
         .head.getLong(0) / 2
-    val useAllPairs = nOcc >= 0 && allPairsN < nOcc
+    val useAllPairs = nOcc >= 0 && decisive(nOcc)
     recordPairPath(s, "jaccard", if (useAllPairs) "all_pairs" else "prefix")
 
     // Necessary size condition (J <= min/max) first — a two-int compare
@@ -668,7 +690,8 @@ object Dedup {
           .head.getLong(0) / 2
       val allPairsN =
         if (nGrp > 3000000000L) Long.MaxValue else nGrp * (nGrp - 1) / 2
-      val useAllPairs = nBandOcc >= 0 && allPairsN < nBandOcc
+      val useAllPairs = nBandOcc >= 0 &&
+        nBandOcc.toDouble > allPairsMargin(s) * allPairsN.toDouble
       recordPairPath(s, "minhash", if (useAllPairs) "all_pairs" else "band")
       val pay = (side: String) => sizedWide(s, grp.select(
         col("doc_id").as(s"doc_$side"), col("sig").as(s"sig_$side")), nGrp, sigRowBytes)

@@ -118,10 +118,10 @@ object TrainPrep {
 
     // Sequence packing: documents (in doc_id order) laid end-to-end in
     // token space; each document belongs to the 2048-token block where it
-    // starts. GLOBAL-order form, computed as a DISTRIBUTED cumsum (range
-    // partition + per-partition window + offsets — no single-partition
-    // window anywhere); qn14b below is the shard-keyed form whose packing
-    // itself is embarrassingly parallel.
+    // starts. GLOBAL-order form with a MEASURED dispatch: one-window
+    // cumsum under a row cap, distributed cumsum (range partition +
+    // per-partition window + offsets) past it; qn14b below is the
+    // shard-keyed form whose packing itself is embarrassingly parallel.
     Q("qn14_sequence_packing", {
       val toks = sqlTokens("text")
       s"""WITH t AS (SELECT doc_id, len($toks) AS n_tok FROM documents),
@@ -135,31 +135,46 @@ object TrainPrep {
          |       MIN(doc_id) AS first_doc
          |FROM c GROUP BY 1 ORDER BY bin""".stripMargin
     }) { (s, dir) =>
-      // Distributed global cumsum (optimization round 17): the first cut
-      // ran ONE unpartitioned window — every row through a single
-      // partition, the exact scale-killer WindowExec warns about. The
-      // same global running sum computes distributed with the
+      // Measured dispatch (optimization round 17): two shapes for the
+      // global running sum. UNDER the row cap, one unpartitioned window
+      // — a single task, but over a corpus measured (metadata-cheap
+      // parquet count) to fit one task, and ZERO extra jobs: the first
+      // distributed-only cut cost 0.37 s -> 4.97 s at sf0.1, six added
+      // jobs dwarfing 5,000 rows. PAST the cap, the
       // [[Dedup.globalRanks]] footprint: range-partition on the order
       // key, per-partition cumsum, per-partition offsets from one
-      // O(#partitions) driver pass. Result-identical — range
-      // partitioning preserves the doc_id total order.
-      val base = Tables.documents(s, dir)
+      // O(#partitions) driver pass — the single-task WindowExec wall is
+      // gone exactly where it would matter. Result-identical either way
+      // (range partitioning preserves the doc_id total order).
+      val docs = Tables.documents(s, dir)
+      val cap = s.conf.getOption("spark.graft.pack.globalWindowMaxRows")
+        .map(_.toLong).getOrElse(10000000L)
+      val toked = docs
         .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_tok"))
-        .repartitionByRange(col("doc_id"))
-        .withColumn("pid", spark_partition_id())
-        .withColumn("lsum", sum(col("n_tok")).over(
-          Window.partitionBy("pid").orderBy("doc_id")))
-        .localCheckpoint(true) // read twice: offset probe + the groupBy
-      val pidTotals = base.groupBy("pid")
-        .agg(coalesce(sum(col("n_tok")), lit(0L)).as("t")).collect()
-        .map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
-      val offsets = pidTotals.map(_._1)
-        .zip(pidTotals.map(_._2).scanLeft(0L)(_ + _).init)
-      val offCol =
-        if (offsets.isEmpty) lit(0L)
-        else element_at(
-          map(offsets.flatMap { case (p, o) => Seq(lit(p), lit(o)) }: _*), col("pid"))
-      base.withColumn("start_off", offCol + col("lsum") - col("n_tok"))
+      val packed =
+        if (docs.count() <= cap) {
+          val w = Window.orderBy("doc_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+          toked.withColumn("start_off", sum(col("n_tok")).over(w) - col("n_tok"))
+        } else {
+          val base = toked
+            .repartitionByRange(col("doc_id"))
+            .withColumn("pid", spark_partition_id())
+            .withColumn("lsum", sum(col("n_tok")).over(
+              Window.partitionBy("pid").orderBy("doc_id")))
+            .localCheckpoint(true) // read twice: offset probe + the groupBy
+          val pidTotals = base.groupBy("pid")
+            .agg(coalesce(sum(col("n_tok")), lit(0L)).as("t")).collect()
+            .map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+          val offsets = pidTotals.map(_._1)
+            .zip(pidTotals.map(_._2).scanLeft(0L)(_ + _).init)
+          val offCol =
+            if (offsets.isEmpty) lit(0L)
+            else element_at(
+              map(offsets.flatMap { case (p, o) => Seq(lit(p), lit(o)) }: _*), col("pid"))
+          base.withColumn("start_off", offCol + col("lsum") - col("n_tok"))
+        }
+      packed
         .groupBy(floor(col("start_off") / 2048.0).cast("long").as("bin"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
           min(col("doc_id")).as("first_doc"))

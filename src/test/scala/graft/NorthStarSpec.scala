@@ -37,21 +37,29 @@ class NorthStarSpec extends AnyFunSuite {
     val names = Seq("qn03_jaccard_pairs", "qn04_minhash_lsh_pairs")
     def runAll() = names.map(n =>
       n -> SparkEntry.queries(n)(spark, dir).collect().map(_.toString).toSeq).toMap
-    val a = runAll()
-    val pathsA = (operators.Dedup.lastPairPath(spark, "jaccard"),
-      operators.Dedup.lastPairPath(spark, "minhash"))
-    spark.conf.set("spark.graft.pairJoin.allPairsMaxGroups", "0")
+    val a = runAll() // default margin: the measured dispatch decides
     try {
+      // margin 1: any measured gap dispatches — pins the all-pairs arm
+      // on the all-similar corpus for BOTH families (qn04's band-collision
+      // gap sits under the default decisive margin, so without this the
+      // test would silently stop covering the new arm for it).
+      spark.conf.set("spark.graft.pairJoin.allPairsMargin", "1.0")
       val b = runAll()
+      assert(operators.Dedup.lastPairPath(spark, "jaccard").contains("all_pairs"))
+      assert(operators.Dedup.lastPairPath(spark, "minhash").contains("all_pairs"))
+      // cap 0: the probe is skipped, the prefix/band arms pinned.
+      spark.conf.set("spark.graft.pairJoin.allPairsMaxGroups", "0")
+      val c = runAll()
       assert(operators.Dedup.lastPairPath(spark, "jaccard").contains("prefix"))
       assert(operators.Dedup.lastPairPath(spark, "minhash").contains("band"))
-      names.foreach(n => assert(a(n) == b(n), s"$n rows differ across dispatch arms"))
-      // On the all-similar test corpus the measured dispatch must have
-      // picked the all-pairs arm under the default cap (candidate
-      // streams exceed the pair space at every SF of this corpus) —
-      // otherwise this test silently stops covering the new arm.
-      assert(pathsA == (Some("all_pairs"), Some("all_pairs")), pathsA.toString)
-    } finally spark.conf.unset("spark.graft.pairJoin.allPairsMaxGroups")
+      names.foreach { n =>
+        assert(a(n) == b(n), s"$n rows differ: default vs all-pairs arm")
+        assert(a(n) == c(n), s"$n rows differ: default vs prefix/band arm")
+      }
+    } finally {
+      spark.conf.unset("spark.graft.pairJoin.allPairsMaxGroups")
+      spark.conf.unset("spark.graft.pairJoin.allPairsMargin")
+    }
   }
 
   test("qn08 angular blocking is lossless AND sub-quadratic on a clustered corpus") {
