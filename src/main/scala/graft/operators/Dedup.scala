@@ -304,7 +304,8 @@ object Dedup {
     (ranked.withColumn("gpos", offCol + col("lr")).drop("pid", "lr"), total)
   }
 
-  private def jaccardPairs(t: DataFrame, p: Int, q: Int): DataFrame = {
+  private def jaccardPairs(t: DataFrame, p: Int, q: Int,
+      tag: String = "tokenset"): DataFrame = {
     // Materialization barrier. The token-set expression is referenced by
     // several downstream subtrees (vocab build, encode, and — via
     // InferFiltersFromGenerate + pushdown — a per-row `size(toks) > 0`
@@ -409,10 +410,16 @@ object Dedup {
     // 49k prefix rows at sf0.1 → bound 39M vs 7.7M pairs) the all-pairs
     // arm wins with NO extra job; the probe only runs in the genuinely
     // ambiguous regime (large vocab, discriminative prefixes).
+    // BigInt, clamped to Long.MaxValue (round-17 ADVICE): with huge
+    // nPrefixRows over a tiny vocab the Long arithmetic can wrap and a
+    // wrapped bound would falsely read decisive. Clamping DOWN keeps it
+    // a valid lower bound, and a bound at Long.MaxValue is genuinely
+    // decisive against any under-cap pair count (<= 2^35).
     val occLower = {
       val v = math.max(1L, math.min(vocabN, math.max(nPrefixRows, 1L)))
-      val base = nPrefixRows / v; val rem = nPrefixRows % v
-      rem * (base + 1) * base / 2 + (v - rem) * base * (base - 1) / 2
+      val base = BigInt(nPrefixRows / v); val rem = BigInt(nPrefixRows % v)
+      val b = rem * (base + 1) * base / 2 + (BigInt(v) - rem) * base * (base - 1) / 2
+      if (b > BigInt(Long.MaxValue)) Long.MaxValue else b.toLong
     }
     // ... and a cheap UPPER bound before paying the probe's shuffle:
     // prefix-token collisions are at most full-df collisions, and the
@@ -433,7 +440,10 @@ object Dedup {
         .agg(coalesce(sum(col("c") * (col("c") - lit(1))), lit(0L)))
         .head.getLong(0) / 2
     val useAllPairs = nOcc >= 0 && decisive(nOcc)
-    recordPairPath(s, "jaccard", if (useAllPairs) "all_pairs" else "prefix")
+    // Recorded under the CALLER's memo tag (round-17 ADVICE): a shared
+    // "jaccard" key reported whichever family built last and stayed
+    // stale on memo hits.
+    recordPairPath(s, tag, if (useAllPairs) "all_pairs" else "prefix")
 
     // Necessary size condition (J <= min/max) first — a two-int compare
     // that drops a pair before any set work runs.
@@ -606,7 +616,7 @@ object Dedup {
         .filter(size(toksRaw) >= 3)
         .select(col("doc_id"), toksRaw.as("tk"))
         .select(col("doc_id"), shingles.as("toks"))
-      jaccardPairs(t, 1, 2).orderBy("doc_a", "doc_b")
+      jaccardPairs(t, 1, 2, "shingle").orderBy("doc_a", "doc_b")
     },
 
     // MinHash(64) + LSH(16 bands x 4 rows) candidate pairs with the
@@ -1071,7 +1081,8 @@ object Dedup {
     // Near-dup pairs at jaccard >= 0.8 via the same dictionary-encoded
     // lossless prefix filter; only the higher doc_id of each pair is
     // dropped (greedy keep-lowest-id).
-    val dupB = memoized("clean45", s, dir, 4, 5)(jaccardPairs(t.select("doc_id", "toks"), 4, 5))
+    val dupB = memoized("clean45", s, dir, 4, 5)(
+      jaccardPairs(t.select("doc_id", "toks"), 4, 5, "clean45"))
       .select(col("doc_b").as("doc_id")).distinct()
     val surv = t.select("doc_id").join(dupB, Seq("doc_id"), "left_anti")
       .localCheckpoint(true)

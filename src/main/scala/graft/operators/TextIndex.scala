@@ -73,10 +73,13 @@ object TextIndex {
     * 17: the doc count and the token count each ran their own action —
     * two scans where one agg answers both). sum(size(tokens)) counts
     * exactly what exploding `tokensOf` yields: explode drops empty
-    * arrays and NULLs, sum skips the matching NULL sizes. */
+    * arrays and NULLs. greatest(., 0) makes the NULL-text accounting
+    * conf-independent (round-17 ADVICE): under ANSI size(NULL) is NULL
+    * (sum skips it), but legacy sizeOfNull returns -1, which would
+    * silently skew the BM25 corpus total — greatest clamps both to 0. */
   private def corpusStats(corpus: DataFrame): (Long, Long) = {
     val r = corpus.agg(count(lit(1)).as("n"),
-      coalesce(sum(size(tokens(col("text")))), lit(0L)).as("t")).head()
+      coalesce(sum(greatest(size(tokens(col("text"))), lit(0))), lit(0L)).as("t")).head()
     (r.getLong(0), r.getLong(1))
   }
 

@@ -45,12 +45,12 @@ class NorthStarSpec extends AnyFunSuite {
       // test would silently stop covering the new arm for it).
       spark.conf.set("spark.graft.pairJoin.allPairsMargin", "1.0")
       val b = runAll()
-      assert(operators.Dedup.lastPairPath(spark, "jaccard").contains("all_pairs"))
+      assert(operators.Dedup.lastPairPath(spark, "tokenset").contains("all_pairs"))
       assert(operators.Dedup.lastPairPath(spark, "minhash").contains("all_pairs"))
       // cap 0: the probe is skipped, the prefix/band arms pinned.
       spark.conf.set("spark.graft.pairJoin.allPairsMaxGroups", "0")
       val c = runAll()
-      assert(operators.Dedup.lastPairPath(spark, "jaccard").contains("prefix"))
+      assert(operators.Dedup.lastPairPath(spark, "tokenset").contains("prefix"))
       assert(operators.Dedup.lastPairPath(spark, "minhash").contains("band"))
       names.foreach { n =>
         assert(a(n) == b(n), s"$n rows differ: default vs all-pairs arm")

@@ -110,6 +110,24 @@ class TemporalTrainPrepSpec extends AnyFunSuite {
     assert(totalToks == expected)
   }
 
+  test("qn14 cumsum dispatch (single window vs distributed) is result-invariant") {
+    // The round-17 measured dispatch: under spark.graft.pack.
+    // globalWindowMaxRows the zero-extra-jobs single window runs; past
+    // it the range-partition + per-partition cumsum + offsets form. The
+    // fixture sits far under the default cap, so without forcing cap=0
+    // the distributed arm ships untested (round-17 ADVICE) — mirror the
+    // allPairsMaxGroups=0 pattern and pin row-for-row equality.
+    def rows() = SparkEntry.queries("qn14_sequence_packing")(spark, sf)
+      .collect().map(_.toString).toSeq
+    val single = rows() // default cap: the single-window arm
+    try {
+      spark.conf.set("spark.graft.pack.globalWindowMaxRows", "0")
+      val distributed = rows()
+      assert(distributed == single,
+        "qn14 distributed-cumsum arm diverged from the single-window arm")
+    } finally spark.conf.unset("spark.graft.pack.globalWindowMaxRows")
+  }
+
   test("contamination check never flags benchmark members") {
     val rows = SparkEntry.queries("qn11_contamination_check")(spark, sf).collect()
     rows.foreach(r => assert(r.getAs[Long]("doc_id") % 97 != 0))
