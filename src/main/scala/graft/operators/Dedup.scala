@@ -165,6 +165,22 @@ object Dedup {
     s.conf.getOption("spark.graft.pairJoin.allPairsMargin")
       .map(_.toDouble).getOrElse(4.0)
 
+  /** Minhash-family margin (round 18). The 4.0 default was calibrated
+    * against the WIDE all-pairs arm (two 64-long signatures riding every
+    * bucketed-join row); the narrow arm (ids-only join, payloads
+    * re-probed from the ~2 MB broadcast maps — the band arm's own
+    * keys-travel/payloads-rejoin discipline) has per-row constants that
+    * MATCH the band arm's, so the crossover tracks the row gap much
+    * closer: measured at sf0.1, gap 2.13x, narrow all-pairs 2.1-2.3 s vs
+    * band 3.6-4.3 s for the identical rep-pair stage. 1.5 keeps a safety
+    * factor for the bucket-explode overhead near parity. Falls back to
+    * `allPairsMargin` when only the shared conf is set (tests pin both
+    * arms through it). */
+  private[operators] def allPairsMarginMinhash(s: SparkSession): Double =
+    s.conf.getOption("spark.graft.pairJoin.allPairsMarginMinhash")
+      .orElse(s.conf.getOption("spark.graft.pairJoin.allPairsMargin"))
+      .map(_.toDouble).getOrElse(1.5)
+
   /** Bucket count L for the all-pairs equi-join enumeration
     * ([[bucketedAllPairs]]): the probe side replicates each row
     * (L - bucket) times, the build side is probed per bucket, so L
@@ -701,7 +717,7 @@ object Dedup {
       val allPairsN =
         if (nGrp > 3000000000L) Long.MaxValue else nGrp * (nGrp - 1) / 2
       val useAllPairs = nBandOcc >= 0 &&
-        nBandOcc.toDouble > allPairsMargin(s) * allPairsN.toDouble
+        nBandOcc.toDouble > allPairsMarginMinhash(s) * allPairsN.toDouble
       recordPairPath(s, "minhash", if (useAllPairs) "all_pairs" else "band")
       val pay = (side: String) => sizedWide(s, grp.select(
         col("doc_id").as(s"doc_$side"), col("sig").as(s"sig_$side")), nGrp, sigRowBytes)
@@ -714,11 +730,18 @@ object Dedup {
       // measured 12.9s vs 8.8s cold at sf0.1 in favor of joining narrow
       // (doc ids only) and re-probing the two ~2 MB, cache-resident
       // payload maps afterward. Same lesson as the round-1 shuffle rule:
-      // keys travel, payloads rejoin. (On the all-pairs arm the pair
-      // stream is SMALLER than the payload-joined stream would ever be,
-      // so sigs ride the one join instead.)
+      // keys travel, payloads rejoin — on BOTH arms (round 18): the
+      // first all-pairs cut rode the signatures on the bucketed join
+      // and measured a wash against the band arm (11.06 vs 11.04 s);
+      // joining ids-only and re-probing the same two payload maps cut
+      // the rep-pair stage 3.6-4.3 s -> 2.1-2.3 s at sf0.1 — the
+      // bucket-explode rows stay 16 B and the 64-long arrays are only
+      // materialized once per surviving pair row, not once per
+      // replicated probe row.
       val repPairs = if (useAllPairs)
-        bucketedAllPairs(s, grp.select("doc_id", "sig"), Seq("sig"), nGrp, sigRowBytes)
+        bucketedAllPairs(s, grp.select("doc_id"), Seq.empty, nGrp, 16L)
+          .join(pay("a"), "doc_a")
+          .join(pay("b"), "doc_b")
           .filter(FirstAgreeingBand(col("sig_a"), col("sig_b"), 4) >= 0)
           .select(col("doc_a"), col("doc_b"),
             PairwiseEqCount(col("sig_a"), col("sig_b")).as("n_agree"))
