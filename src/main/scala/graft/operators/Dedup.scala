@@ -104,7 +104,7 @@ object Dedup {
     // data under `dir` is immutable within a session (true for the lake
     // contract); call [[clearMemo]] after rewriting a corpus in place.
     val confSig = s"${broadcastCap(s)}:${allPairsMaxGroups(s)}:" +
-      s"${allPairsBuckets(s)}:${allPairsMargin(s)}"
+      s"${allPairsBuckets(s)}:${allPairsMargin(s)}:${vocabDriverRankMaxTokens(s)}"
     pairMemo.getOrElseUpdate((s, dir, tag, p, q, confSig), build)
   }
 
@@ -180,6 +180,21 @@ object Dedup {
     s.conf.getOption("spark.graft.pairJoin.allPairsMarginMinhash")
       .orElse(s.conf.getOption("spark.graft.pairJoin.allPairsMargin"))
       .map(_.toDouble).getOrElse(1.5)
+
+  /** Vocab size up to which the dictionary ranks are computed ON THE
+    * DRIVER from one collect of the (materialized) document-frequency
+    * table (round 18, guide §1.2: fewer jobs where the data is tiny).
+    * The distributed [[globalRanks]] path costs a range exchange, a
+    * window, a checkpoint and an offsets collect — ~3 jobs of pure
+    * overhead when the vocabulary is 31 tokens (the bench corpus). The
+    * probe is one CollectLimit over the already-checkpointed df frame:
+    * if more than this many tokens come back, the distributed path runs
+    * exactly as before, so a 100 TB vocabulary pays one cheap limit job
+    * on a frame the rank path was about to read anyway. 0 disables the
+    * probe (tests pin the distributed arm). */
+  private[operators] def vocabDriverRankMaxTokens(s: SparkSession): Int =
+    s.conf.getOption("spark.graft.pairJoin.vocabDriverRankMaxTokens")
+      .map(_.toInt).getOrElse(4096)
 
   /** Bucket count L for the all-pairs equi-join enumeration
     * ([[bucketedAllPairs]]): the probe side replicates each row
@@ -343,13 +358,55 @@ object Dedup {
     // old single-partition global window it replaces.
     val dfreq = tm.select(col("doc_id"), explode(col("toks")).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("df")) // toks are sets: count = doc freq
-    val (ranked, vocabN) = globalRanks(dfreq, col("df"), col("tok"))
-    val vocab = ranked.select(col("tok"), col("gpos").cast("int").as("tid"))
+      // Materialize the df agg ONCE (round 18): the rank path's range
+      // exchange SAMPLES its child, so the unmaterialized agg ran twice
+      // (sample pass + exchange pass) at every scale; the checkpoint
+      // also gives the small-vocab probe below a free read.
+      .localCheckpoint(true)
+    // Measured vocab-rank dispatch (round 18): a tiny vocabulary (the
+    // bench corpus: 31 tokens; any <= rankCap) collects in one
+    // CollectLimit job and ranks on the driver — same (df asc, tok asc)
+    // total order, same dense 1-based ids — replacing globalRanks'
+    // range exchange + window + checkpoint + offsets collect (~3 jobs of
+    // overhead at fixture scale) with a driver sort of <= 4096 entries;
+    // occUpper then costs NOTHING (summed driver-side). Past the cap the
+    // distributed path runs exactly as before.
+    val rankCap = vocabDriverRankMaxTokens(s)
+    val vocabHead =
+      if (rankCap > 0) dfreq.limit(rankCap + 1).collect()
+      else Array.empty[org.apache.spark.sql.Row]
+    val smallVocab = rankCap > 0 && vocabHead.length <= rankCap
+    val (vocab, vocabN, occUpperThunk) =
+      if (smallVocab) {
+        val ranksD = vocabHead.map(r => (r.getString(0), r.getLong(1)))
+          .sortBy { case (tok, df) => (df, tok) }
+        // Driver-side df upper bound, BigInt-clamped like occLower.
+        val up = {
+          val b = ranksD.iterator.map { case (_, df) => BigInt(df) * (df - 1) }.sum / 2
+          if (b > BigInt(Long.MaxValue)) Long.MaxValue else b.toLong
+        }
+        val rows: java.util.List[org.apache.spark.sql.Row] =
+          java.util.Arrays.asList(ranksD.zipWithIndex.map { case ((tok, _), i) =>
+            org.apache.spark.sql.Row(tok, i + 1) }: _*)
+        val lv = s.createDataFrame(rows, org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("tok",
+            org.apache.spark.sql.types.StringType, false),
+          org.apache.spark.sql.types.StructField("tid",
+            org.apache.spark.sql.types.IntegerType, false))))
+        (broadcast(lv), ranksD.length.toLong, () => up)
+      } else {
+        val (ranked, n) = globalRanks(dfreq, col("df"), col("tok"))
+        // ~64 B/row budget: vocab rows carry the token STRING (3-word
+        // shingles in qn03b), so the narrow-row count cap alone could
+        // broadcast ~0.6 GB of a near-cap vocabulary.
+        (sizedWide(s, ranked.select(col("tok"), col("gpos").cast("int").as("tid")), n, 64L),
+          n,
+          () => ranked
+            .agg(coalesce(sum(col("df") * (col("df") - lit(1))), lit(0L)))
+            .head.getLong(0) / 2)
+      }
     val enc = tm.select(col("doc_id"), explode(col("toks")).as("tok"))
-      // ~64 B/row budget: vocab rows carry the token STRING (3-word
-      // shingles in qn03b), so the narrow-row count cap alone could
-      // broadcast ~0.6 GB of a near-cap vocabulary.
-      .join(sizedWide(s, vocab, vocabN, 64L), "tok")
+      .join(vocab, "tok")
       .groupBy("doc_id")
       .agg(array_sort(collect_list(col("tid"))).as("ids"))
       .withColumn("sz", size(col("ids")))
@@ -438,13 +495,12 @@ object Dedup {
       if (b > BigInt(Long.MaxValue)) Long.MaxValue else b.toLong
     }
     // ... and a cheap UPPER bound before paying the probe's shuffle:
-    // prefix-token collisions are at most full-df collisions, and the
-    // per-token dfs already sit in the checkpointed vocab frame — one
-    // tiny agg over vocabN rows. A discriminative corpus (shingles:
-    // df mostly 1) skips the occurrence probe entirely on this bound.
-    def occUpper: Long = ranked
-      .agg(coalesce(sum(col("df") * (col("df") - lit(1))), lit(0L)))
-      .head.getLong(0) / 2
+    // prefix-token collisions are at most full-df collisions. On the
+    // driver-ranked path the dfs are already local (the bound is free);
+    // otherwise one tiny agg over the checkpointed vocab frame. A
+    // discriminative corpus (shingles: df mostly 1) skips the
+    // occurrence probe entirely on this bound.
+    def occUpper: Long = occUpperThunk()
     val margin = allPairsMargin(s)
     def decisive(occ: Long): Boolean = occ.toDouble > margin * allPairsN.toDouble
     val nOcc =

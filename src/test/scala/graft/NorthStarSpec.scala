@@ -62,6 +62,27 @@ class NorthStarSpec extends AnyFunSuite {
     }
   }
 
+  test("vocab-rank dispatch (driver vs distributed) is result-invariant") {
+    // Round-18 dispatch: a vocabulary under vocabDriverRankMaxTokens is
+    // collected and ranked on the driver (same (df asc, tok asc) order,
+    // same dense ids); cap=0 pins the distributed globalRanks path. The
+    // two must emit identical rows for both the tiny-vocab (qn03) and
+    // large-vocab (qn03b, shingles — exercises the fallback under the
+    // default cap too) families. Fresh memo keys via trailing slashes.
+    val dir = sf + "///"
+    val names = Seq("qn03_jaccard_pairs", "qn03b_shingle_jaccard_pairs")
+    def runAll() = names.map(n =>
+      n -> SparkEntry.queries(n)(spark, dir).collect().map(_.toString).toSeq).toMap
+    val a = runAll() // default cap: qn03 driver-ranked, qn03b distributed
+    try {
+      spark.conf.set("spark.graft.pairJoin.vocabDriverRankMaxTokens", "0")
+      val b = runAll()
+      names.foreach { n =>
+        assert(a(n) == b(n), s"$n rows differ: driver-rank vs distributed-rank vocab")
+      }
+    } finally spark.conf.unset("spark.graft.pairJoin.vocabDriverRankMaxTokens")
+  }
+
   test("qn08 angular blocking is lossless AND sub-quadratic on a clustered corpus") {
     import spark.implicits._
     // High-dup-rate fixture: 10 clusters of 20 near-identical vectors,
