@@ -1206,17 +1206,33 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"))
     val edges = pairs.unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .toDF("src", "dst").localCheckpoint(true)
+    // Measured-size strategy for every join in the loop (round 18,
+    // guide §3.1): both sides are localCheckpoints whose default stats
+    // read "huge", so Catalyst planned a sort-merge join with 3
+    // exchanges PER ROUND — 84 jobs / ~4 s at sf0.1 for 5,000-row
+    // frames, pure per-round overhead. One metadata-cheap parquet count
+    // (the qn14 dispatch pattern) bounds every side: labels has exactly
+    // nDocs rows, and the nb aggregate at most that — under the
+    // broadcast cap each round is two map-side joins plus one tiny
+    // aggregate exchange; past it (the 100 TB corpus) [[sized]] falls
+    // back to SHUFFLE_HASH, never the driver-blowing broadcast.
+    val nDocs = Tables.documents(s, dir).count()
     var labels = Tables.documents(s, dir)
       .select(col("doc_id"), col("doc_id").as("comp")).localCheckpoint(true)
     var converged = false
     var rounds = 0
     while (!converged && rounds < 50) {
-      val nb = edges.join(labels, col("src") === col("doc_id"))
+      val nb = edges.join(sized(s, labels, nDocs), col("src") === col("doc_id"))
         .groupBy(col("dst")).agg(min(col("comp")).as("nb_comp"))
       // The changed flag rides the round's own join, so convergence
       // detection is a scan of the just-materialized frame — not a
-      // second labels join (one fewer shuffle per round).
-      val next = labels.join(nb, col("doc_id") === col("dst"), "left")
+      // second labels join (one fewer shuffle per round). (A
+      // pointer-jumping variant — also taking comp's own label each
+      // round — was measured in round 18: rounds 12 -> ~7, jobs 59 ->
+      // 45, but wall FLAT (min 3.11 vs 3.03 s): the extra broadcast
+      // build per round ate the round reduction. Rejected; the loop
+      // stays one edge-min step per round.)
+      val next = labels.join(sized(s, nb, nDocs), col("doc_id") === col("dst"), "left")
         .select(col("doc_id"),
           least(col("comp"), coalesce(col("nb_comp"), col("comp"))).as("comp"),
           (coalesce(col("nb_comp"), col("comp")) < col("comp")).as("changed"))
