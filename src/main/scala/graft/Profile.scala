@@ -2,15 +2,21 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Ad-hoc single-query profiler: `runMain graft.Profile <query> [sfDir] [reps]`.
+/** Ad-hoc single-query profiler:
+  * `runMain graft.Profile <query> [sfDir] [reps] [clearTags]`.
   * Same session shape as [[Bench]] (noop sink, warmup) but for one query,
   * repeated, so plan changes can be measured without a full bench sweep.
+  * `clearTags` is a comma list of pair-memo tags to clear before each
+  * rep (Bench's cold-rep protocol); the special tag `IDX` clears the
+  * IndexMemo so persisted-index gates measure a cold build per rep.
   */
 object Profile {
   def main(args: Array[String]): Unit = {
     val name = args(0)
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val reps = if (args.length > 2) args(2).toInt else 3
+    val clearTags = args.lift(3).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Seq.empty)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -20,6 +26,10 @@ object Profile {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     def run(): Double = {
+      clearTags.foreach { t =>
+        if (t == "IDX") operators.IndexMemo.clear(spark)
+        else operators.Dedup.clearMemo(spark, t)
+      }
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, sfDir)
         .write.mode("overwrite").format("noop").save()

@@ -120,15 +120,16 @@ object BinarySig {
 
   /** Stage both sides into the [[IndexSwap]] tmp siblings (shared by
     * build and rebalance — one definition of the layout). */
-  private def stageSides(path: String, v: DataFrame, dim: Int): Unit = {
-    v.select(col("vec_id"), sigForDim(col("embedding"), dim).as("sig"))
-      .repartitionByRange(col("vec_id")).sortWithinPartitions("vec_id")
-      .write.mode("overwrite").parquet(IndexSwap.tmp(path, "codes").toString)
-    v.select(col("vec_id"), col("embedding"), col("nrm"))
-      .repartitionByRange(col("vec_id")).sortWithinPartitions("vec_id")
-      .write.mode("overwrite").option("parquet.block.size", 1L << 20)
-      .parquet(IndexSwap.tmp(path, "vectors").toString)
-  }
+  private def stageSides(path: String, v: DataFrame, dim: Int): Unit =
+    // Independent staging writes overlapped (round 18, guide §2.6).
+    IndexSwap.stageConcurrently(Seq(
+      () => v.select(col("vec_id"), sigForDim(col("embedding"), dim).as("sig"))
+        .repartitionByRange(col("vec_id")).sortWithinPartitions("vec_id")
+        .write.mode("overwrite").parquet(IndexSwap.tmp(path, "codes").toString),
+      () => v.select(col("vec_id"), col("embedding"), col("nrm"))
+        .repartitionByRange(col("vec_id")).sortWithinPartitions("vec_id")
+        .write.mode("overwrite").option("parquet.block.size", 1L << 20)
+        .parquet(IndexSwap.tmp(path, "vectors").toString)))
 
   /** Build the persisted signature index from the corpus at `dir` —
     * staged writes, atomic commit. The driver fixture is 64-dim, so

@@ -124,6 +124,32 @@ private[graft] object IndexSwap {
   def tmp(path: String, side: String): Path =
     new Path(s"$path/.stage/$side")
 
+  /** Run independent STAGING writes concurrently (round 18, guide §2.6
+    * "overlap independent jobs"): a build gate's sides derive from
+    * already-materialized (checkpointed/collected) inputs and land in
+    * disjoint staging dirs, so their Spark jobs are independent — run
+    * sequentially each pays full per-job latency while most cores idle
+    * on a fixture-scale write; submitted from a small pool the next
+    * side's tasks back-fill the current side's tail. At lake scale the
+    * same overlap fills straggler gaps (FIFO scheduling gives the
+    * earlier job priority). The atomic-rename commit still happens
+    * strictly AFTER every staged side returns — callers invoke this
+    * BEFORE [[commit]], so the crash-window story is unchanged: a
+    * failure here rethrows (first error wins) and leaves only staging
+    * debris the recover path already clears. */
+  def stageConcurrently(tasks: Seq[() => Unit]): Unit =
+    if (tasks.size <= 1) tasks.foreach(_())
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(math.min(tasks.size, 4))
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutorService(pool)
+      try {
+        val all = scala.concurrent.Future.sequence(
+          tasks.map(t => scala.concurrent.Future(t())))
+        scala.concurrent.Await.result(all, scala.concurrent.duration.Duration.Inf): Unit
+      } finally { pool.shutdownNow(): Unit }
+    }
+
   private def stageRoot(path: String): Path = new Path(s"$path/.stage")
 
   private val VerRe = "^v([0-9]+)$".r

@@ -83,30 +83,37 @@ object IvfSq8 {
     // frame (round-16 ADVICE: asg was checkpointed precisely so the
     // build pays one corpus pass; statsOf over `v` re-scanned it).
     val (mna, spa) = SQ8.collectStats(SQ8.statsOf(SQ8.ve6Of(asg)))
-    // Cold side: the IVF vectors layout (cell dirs, vec_id-sorted 1 MB
-    // row groups — the probe refine composes cell scope + id pushdown).
-    asg.repartition(col("cent_id"))
-      .sortWithinPartitions(col("cent_id"), col("vec_id"))
-      .write.mode("overwrite").option("parquet.block.size", 1L << 20)
-      .partitionBy("cent_id").parquet(IndexSwap.tmp(path, "vectors").toString)
-    // Hot side: byte codes, same cell layout.
-    SQ8.ve6Of(asg).select(col("vec_id"), SQ8.q8Col(mna, spa, clamp = false).as("q8"))
-      .join(asg.select(col("vec_id"), col("cent_id")), Seq("vec_id"))
-      .repartition(col("cent_id"))
-      .sortWithinPartitions(col("cent_id"), col("vec_id"))
-      .write.mode("overwrite")
-      .partitionBy("cent_id").parquet(IndexSwap.tmp(path, "codes").toString)
-    localCents.coalesce(1).write.mode("overwrite")
-      .parquet(IndexSwap.tmp(path, "centroids").toString)
-    val statRows: java.util.List[org.apache.spark.sql.Row] =
-      java.util.Arrays.asList(mna.indices.map(i =>
-        org.apache.spark.sql.Row(i, mna(i), spa(i))): _*)
-    val statSchema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("pos", org.apache.spark.sql.types.IntegerType, false),
-      org.apache.spark.sql.types.StructField("mn", org.apache.spark.sql.types.LongType, false),
-      org.apache.spark.sql.types.StructField("sp", org.apache.spark.sql.types.LongType, false)))
-    s.createDataFrame(statRows, statSchema).coalesce(1).write.mode("overwrite")
-      .parquet(IndexSwap.tmp(path, "stats").toString)
+    // All four sides derive from the checkpointed assignment / local
+    // arrays and land in disjoint staging dirs — overlapped
+    // (IndexSwap.stageConcurrently, round 18 guide §2.6); the atomic
+    // commit below still waits for every side.
+    IndexSwap.stageConcurrently(Seq(
+      // Cold side: the IVF vectors layout (cell dirs, vec_id-sorted 1 MB
+      // row groups — the probe refine composes cell scope + id pushdown).
+      () => asg.repartition(col("cent_id"))
+        .sortWithinPartitions(col("cent_id"), col("vec_id"))
+        .write.mode("overwrite").option("parquet.block.size", 1L << 20)
+        .partitionBy("cent_id").parquet(IndexSwap.tmp(path, "vectors").toString),
+      // Hot side: byte codes, same cell layout.
+      () => SQ8.ve6Of(asg).select(col("vec_id"), SQ8.q8Col(mna, spa, clamp = false).as("q8"))
+        .join(asg.select(col("vec_id"), col("cent_id")), Seq("vec_id"))
+        .repartition(col("cent_id"))
+        .sortWithinPartitions(col("cent_id"), col("vec_id"))
+        .write.mode("overwrite")
+        .partitionBy("cent_id").parquet(IndexSwap.tmp(path, "codes").toString),
+      () => localCents.coalesce(1).write.mode("overwrite")
+        .parquet(IndexSwap.tmp(path, "centroids").toString),
+      () => {
+        val statRows: java.util.List[org.apache.spark.sql.Row] =
+          java.util.Arrays.asList(mna.indices.map(i =>
+            org.apache.spark.sql.Row(i, mna(i), spa(i))): _*)
+        val statSchema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("pos", org.apache.spark.sql.types.IntegerType, false),
+          org.apache.spark.sql.types.StructField("mn", org.apache.spark.sql.types.LongType, false),
+          org.apache.spark.sql.types.StructField("sp", org.apache.spark.sql.types.LongType, false)))
+        s.createDataFrame(statRows, statSchema).coalesce(1).write.mode("overwrite")
+          .parquet(IndexSwap.tmp(path, "stats").toString)
+      }))
     IndexSwap.commit(s, path, sides)
   }
 

@@ -72,13 +72,15 @@ object Matryoshka {
   private def stageSides(path: String, v: DataFrame, fullDim: Int,
       prefix: Int): Unit = {
     val pre = preGuarded(col("embedding"), fullDim, prefix)
-    v.select(col("vec_id"), pre.as("pre"), l2normNative(pre).as("pnrm"))
-      .repartitionByRange(col("vec_id")).sortWithinPartitions("vec_id")
-      .write.mode("overwrite").parquet(IndexSwap.tmp(path, "prefix").toString)
-    v.select(col("vec_id"), col("embedding"), col("nrm"))
-      .repartitionByRange(col("vec_id")).sortWithinPartitions("vec_id")
-      .write.mode("overwrite").option("parquet.block.size", 1L << 20)
-      .parquet(IndexSwap.tmp(path, "vectors").toString)
+    // Independent staging writes overlapped (round 18, guide §2.6).
+    IndexSwap.stageConcurrently(Seq(
+      () => v.select(col("vec_id"), pre.as("pre"), l2normNative(pre).as("pnrm"))
+        .repartitionByRange(col("vec_id")).sortWithinPartitions("vec_id")
+        .write.mode("overwrite").parquet(IndexSwap.tmp(path, "prefix").toString),
+      () => v.select(col("vec_id"), col("embedding"), col("nrm"))
+        .repartitionByRange(col("vec_id")).sortWithinPartitions("vec_id")
+        .write.mode("overwrite").option("parquet.block.size", 1L << 20)
+        .parquet(IndexSwap.tmp(path, "vectors").toString)))
   }
 
   /** Build from the corpus at `dir` with the qn35 fixture prefix. */

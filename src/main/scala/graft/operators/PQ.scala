@@ -1404,31 +1404,40 @@ object PQ {
   private def stagePqSidesAndCommit(s: SparkSession, path: String, v: DataFrame,
       asg: DataFrame, cb: DataFrame, codes: DataFrame, localCents: DataFrame,
       residual: Boolean, learnedR: Option[Array[Double]]): Unit = {
-    asg.join(codes, Seq("vec_id"))
-      .select(col("vec_id"), col("codes"), col("cent_id"))
-      .repartition(col("cent_id"))
-      .write.mode("overwrite").partitionBy("cent_id")
-      .parquet(IndexSwap.tmp(path, "codes").toString)
-    // Cold-side layout is POINT-READ shaped: the refine only ever wants
-    // ~topR rows per probe by vec_id, so rows sort by vec_id within
-    // each cell and row groups stay small — the vec_id IN (shortlist)
-    // pushdown then skips every row group whose min/max misses the ids,
-    // instead of paying the whole cell's floats per probe. cent_id must
-    // LEAD the sort: partitionBy requires partition-column ordering,
-    // and when the incoming ordering doesn't already satisfy it the
-    // file writer injects its own NON-STABLE sort on cent_id alone —
-    // silently destroying the vec_id order this layout is for (caught
-    // by PQSpec's appended-file sortedness assert).
-    v.join(asg, Seq("vec_id"))
-      .repartition(col("cent_id")).sortWithinPartitions(col("cent_id"), col("vec_id"))
-      .write.mode("overwrite").option("parquet.block.size", 1L << 20)
-      .partitionBy("cent_id").parquet(IndexSwap.tmp(path, "vectors").toString)
-    cb.coalesce(1).write.mode("overwrite")
-      .parquet(IndexSwap.tmp(path, "codebooks").toString)
-    localCents.coalesce(1).write.mode("overwrite")
-      .parquet(IndexSwap.tmp(path, "centroids").toString)
-    learnedR.foreach(r => stageRotation(s, path, r, dimOf(localCents)))
-    writeMeta(s, path, residual, collectCb(cb)._2)
+    // The staged sides are independent jobs over already-materialized
+    // inputs (cb/codes are checkpointed, localCents is driver-local,
+    // asg is a pure map over the scan) writing disjoint staging dirs —
+    // overlapped per IndexSwap.stageConcurrently (round 18, guide
+    // §2.6); the atomic version-rename commit below still runs only
+    // after every side has landed, so the crash window is unchanged.
+    IndexSwap.stageConcurrently(Seq(
+      () => asg.join(codes, Seq("vec_id"))
+        .select(col("vec_id"), col("codes"), col("cent_id"))
+        .repartition(col("cent_id"))
+        .write.mode("overwrite").partitionBy("cent_id")
+        .parquet(IndexSwap.tmp(path, "codes").toString),
+      // Cold-side layout is POINT-READ shaped: the refine only ever wants
+      // ~topR rows per probe by vec_id, so rows sort by vec_id within
+      // each cell and row groups stay small — the vec_id IN (shortlist)
+      // pushdown then skips every row group whose min/max misses the ids,
+      // instead of paying the whole cell's floats per probe. cent_id must
+      // LEAD the sort: partitionBy requires partition-column ordering,
+      // and when the incoming ordering doesn't already satisfy it the
+      // file writer injects its own NON-STABLE sort on cent_id alone —
+      // silently destroying the vec_id order this layout is for (caught
+      // by PQSpec's appended-file sortedness assert).
+      () => v.join(asg, Seq("vec_id"))
+        .repartition(col("cent_id")).sortWithinPartitions(col("cent_id"), col("vec_id"))
+        .write.mode("overwrite").option("parquet.block.size", 1L << 20)
+        .partitionBy("cent_id").parquet(IndexSwap.tmp(path, "vectors").toString),
+      () => cb.coalesce(1).write.mode("overwrite")
+        .parquet(IndexSwap.tmp(path, "codebooks").toString),
+      () => localCents.coalesce(1).write.mode("overwrite")
+        .parquet(IndexSwap.tmp(path, "centroids").toString),
+      () => {
+        learnedR.foreach(r => stageRotation(s, path, r, dimOf(localCents)))
+        writeMeta(s, path, residual, collectCb(cb)._2)
+      }))
     IndexSwap.commit(s, path, pqSides)
   }
 

@@ -119,22 +119,26 @@ object SQ8 {
       stats: DataFrame): Unit = {
     val ve6F = ve6Of(v)
     val (mna, spa) = collectStats(stats)
-    ve6F.select(col("vec_id"), q8Col(mna, spa, clamp = false).as("q8"))
-      .repartitionByRange(col("vec_id")).sortWithinPartitions("vec_id")
-      .write.mode("overwrite").parquet(IndexSwap.tmp(path, "codes").toString)
-    v.select(col("vec_id"), col("embedding"), col("nrm"))
-      .repartitionByRange(col("vec_id")).sortWithinPartitions("vec_id")
-      .write.mode("overwrite").option("parquet.block.size", 1L << 20)
-      .parquet(IndexSwap.tmp(path, "vectors").toString)
-    val rows: java.util.List[org.apache.spark.sql.Row] =
-      java.util.Arrays.asList(mna.indices.map(i =>
-        org.apache.spark.sql.Row(i, mna(i), spa(i))): _*)
-    val schema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("pos", org.apache.spark.sql.types.IntegerType, false),
-      org.apache.spark.sql.types.StructField("mn", org.apache.spark.sql.types.LongType, false),
-      org.apache.spark.sql.types.StructField("sp", org.apache.spark.sql.types.LongType, false)))
-    s.createDataFrame(rows, schema).coalesce(1).write.mode("overwrite")
-      .parquet(IndexSwap.tmp(path, "stats").toString)
+    // Independent staging writes overlapped (round 18, guide §2.6).
+    IndexSwap.stageConcurrently(Seq(
+      () => ve6F.select(col("vec_id"), q8Col(mna, spa, clamp = false).as("q8"))
+        .repartitionByRange(col("vec_id")).sortWithinPartitions("vec_id")
+        .write.mode("overwrite").parquet(IndexSwap.tmp(path, "codes").toString),
+      () => v.select(col("vec_id"), col("embedding"), col("nrm"))
+        .repartitionByRange(col("vec_id")).sortWithinPartitions("vec_id")
+        .write.mode("overwrite").option("parquet.block.size", 1L << 20)
+        .parquet(IndexSwap.tmp(path, "vectors").toString),
+      () => {
+        val rows: java.util.List[org.apache.spark.sql.Row] =
+          java.util.Arrays.asList(mna.indices.map(i =>
+            org.apache.spark.sql.Row(i, mna(i), spa(i))): _*)
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("pos", org.apache.spark.sql.types.IntegerType, false),
+          org.apache.spark.sql.types.StructField("mn", org.apache.spark.sql.types.LongType, false),
+          org.apache.spark.sql.types.StructField("sp", org.apache.spark.sql.types.LongType, false)))
+        s.createDataFrame(rows, schema).coalesce(1).write.mode("overwrite")
+          .parquet(IndexSwap.tmp(path, "stats").toString)
+      }))
   }
 
   /** Build the persisted SQ8 index from the corpus at `dir` — staged

@@ -1943,10 +1943,12 @@ object Similarity {
     // Staged + committed like the rebuild paths (round 15): the build
     // becomes v1 through the same atomic version-dir rename, so a
     // crashed build leaves NOTHING half-visible at the index root.
-    ivfAssignedDispatch(v, localCents, nCentroids.toLong).write.mode("overwrite")
-      .partitionBy("cent_id").parquet(IndexSwap.tmp(path, "vectors").toString)
-    localCents.coalesce(1).write.mode("overwrite")
-      .parquet(IndexSwap.tmp(path, "centroids").toString)
+    // Sides overlapped (round 18, guide §2.6).
+    IndexSwap.stageConcurrently(Seq(
+      () => ivfAssignedDispatch(v, localCents, nCentroids.toLong).write.mode("overwrite")
+        .partitionBy("cent_id").parquet(IndexSwap.tmp(path, "vectors").toString),
+      () => localCents.coalesce(1).write.mode("overwrite")
+        .parquet(IndexSwap.tmp(path, "centroids").toString)))
     IndexSwap.commit(s, path, ivfSides)
   }
 
@@ -2077,10 +2079,12 @@ object Similarity {
       .select(col("vec_id").as("cent_id"), col("embedding").as("ce"), col("nrm").as("cn"))
     val localCents = s.createDataFrame(
       java.util.Arrays.asList(seeds.collect(): _*), seeds.schema)
-    ivfAssignedDispatch(v, localCents, k).write.mode("overwrite")
-      .partitionBy("cent_id").parquet(IndexSwap.tmp(path, "vectors").toString)
-    localCents.coalesce(1).write.mode("overwrite")
-      .parquet(IndexSwap.tmp(path, "centroids").toString)
+    // Sides overlapped (round 18, guide §2.6).
+    IndexSwap.stageConcurrently(Seq(
+      () => ivfAssignedDispatch(v, localCents, k).write.mode("overwrite")
+        .partitionBy("cent_id").parquet(IndexSwap.tmp(path, "vectors").toString),
+      () => localCents.coalesce(1).write.mode("overwrite")
+        .parquet(IndexSwap.tmp(path, "centroids").toString)))
     IndexSwap.commit(s, path, ivfSides)
   }
 

@@ -58,15 +58,19 @@ object TextIndex {
   private def stageSides(s: SparkSession, path: String,
       corpus: DataFrame): Unit = {
     val tk = tokensOf(corpus).localCheckpoint(true) // feeds all three sides
-    tk.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      .repartitionByRange(col("term")).sortWithinPartitions("term")
-      .write.mode("overwrite").parquet(IndexSwap.tmp(path, "postings").toString)
-    tk.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-      .repartitionByRange(col("doc_id")).sortWithinPartitions("doc_id")
-      .write.mode("overwrite").parquet(IndexSwap.tmp(path, "doclen").toString)
-    val (nDocs, nTokens) = corpusStats(corpus)
-    statsDelta(s, nDocs, nTokens).write.mode("overwrite")
-      .parquet(IndexSwap.tmp(path, "stats").toString)
+    // Independent staging writes overlapped (round 18, guide §2.6).
+    IndexSwap.stageConcurrently(Seq(
+      () => tk.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        .repartitionByRange(col("term")).sortWithinPartitions("term")
+        .write.mode("overwrite").parquet(IndexSwap.tmp(path, "postings").toString),
+      () => tk.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+        .repartitionByRange(col("doc_id")).sortWithinPartitions("doc_id")
+        .write.mode("overwrite").parquet(IndexSwap.tmp(path, "doclen").toString),
+      () => {
+        val (nDocs, nTokens) = corpusStats(corpus)
+        statsDelta(s, nDocs, nTokens).write.mode("overwrite")
+          .parquet(IndexSwap.tmp(path, "stats").toString)
+      }))
   }
 
   /** (n_docs, n_tokens) of a corpus in ONE pass/job (optimization round
